@@ -1,0 +1,21 @@
+"""scalecast_spark — a PySpark-native time-series analytics engine.
+
+Re-expresses the capabilities of mikekeith52/scalecast (a pandas-based
+forecasting library) on top of Spark DataFrames: long-format multi-series
+frames, window-function feature engineering, invertible transforms, metric
+aggregates, conformal intervals, and distributed model fit/predict — plus
+large-scale training-data-pipeline operators (dedup, similarity search,
+text analysis, multimodal columns) that the pandas original cannot reach.
+
+Data model (SURVEY.md §1): one long DataFrame
+    (series_id STRING, ds TIMESTAMP, y DOUBLE, <feature> DOUBLE ...)
+instead of the reference's per-object pandas Series dict
+(reference: src/scalecast/Forecaster.py:44-94).
+"""
+
+from scalecast_spark.session import get_session
+from scalecast_spark.frame import TimeSeriesFrame
+
+__version__ = "0.1.0"
+
+__all__ = ["get_session", "TimeSeriesFrame", "__version__"]

@@ -1,0 +1,183 @@
+"""TimeSeriesFrame — the engine's central data abstraction.
+
+The reference keeps one univariate series per ``Forecaster`` object as a
+pandas Series plus dicts of regressors (reference:
+src/scalecast/Forecaster.py:44-94, _Forecaster_parent.py:45-67). Here the
+same state is ONE long Spark DataFrame:
+
+    (series_id STRING, ds TIMESTAMP, y DOUBLE, is_future INT, <feature>...)
+
+Multi-series (the reference's MVForecaster, MVForecaster.py:34-174) is just
+more distinct ``series_id`` values — the dict-of-series disappears, and
+every operator scales horizontally across series via partitioned window
+functions instead of Python loops.
+
+Invariants preserved from the reference (SURVEY.md §1.4):
+  * rows are keyed (series_id, ds); all ordered ops sort by ds in-window
+  * future rows (the forecast horizon) carry is_future=1 and y NULL
+  * test/validation slices are temporal suffixes — expressed as filters
+    over the immutable frame, never copies (deepcopy elimination)
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field, replace
+
+from pyspark.sql import DataFrame, functions as F, Window as W
+
+SERIES = "series_id"
+DS = "ds"
+Y = "y"
+IS_FUTURE = "is_future"
+
+#: reserved (non-feature) column names
+RESERVED = {SERIES, DS, Y, IS_FUTURE}
+
+
+@dataclass(frozen=True)
+class TimeSeriesFrame:
+    """Immutable wrapper over the long-format DataFrame.
+
+    ``freq_seconds`` is the modal spacing between observations (the
+    reference's pandas-inferred ``freq``, Forecaster.py:324-335).
+    """
+
+    df: DataFrame
+    freq_seconds: float | None = None
+    #: ordered feature column names (the reference's current_xreg keys)
+    features: tuple[str, ...] = field(default_factory=tuple)
+
+    # -- construction -------------------------------------------------
+    @classmethod
+    def from_long(cls, df: DataFrame, infer_freq: bool = True) -> "TimeSeriesFrame":
+        """Build from a (series_id, ds, y) DataFrame; NaN y rows dropped
+        like the reference's _typ_set (Forecaster.py:343)."""
+        cols = set(df.columns)
+        missing = {SERIES, DS, Y} - cols
+        if missing:
+            raise ValueError(f"long frame requires columns {sorted(missing)}")
+        out = df.withColumn(Y, F.col(Y).cast("double")).filter(
+            F.col(Y).isNotNull() & ~F.isnan(Y)
+        )
+        if IS_FUTURE not in cols:
+            out = out.withColumn(IS_FUTURE, F.lit(0))
+        feats = tuple(c for c in df.columns if c not in RESERVED)
+        tsf = cls(df=out, features=feats)
+        if infer_freq:
+            tsf = replace(tsf, freq_seconds=tsf.infer_freq())
+        return tsf
+
+    # -- metadata -----------------------------------------------------
+    def infer_freq(self) -> float | None:
+        """Modal gap between consecutive observations, in seconds.
+
+        Reference: pd.infer_freq at Forecaster.py:324-335. Distributed
+        version: lag-delta per series, global mode. One shuffle, tiny
+        result — runs once at ingest.
+        """
+        w = W.partitionBy(SERIES).orderBy(DS)
+        deltas = (
+            self.df.filter(F.col(IS_FUTURE) == 0)
+            .select(
+                (
+                    F.unix_timestamp(DS) - F.unix_timestamp(F.lag(DS).over(w))
+                ).alias("delta")
+            )
+            .filter(F.col("delta").isNotNull())
+            .groupBy("delta")
+            .count()
+            .orderBy(F.desc("count"), "delta")
+            .limit(1)
+            .collect()
+        )
+        return float(deltas[0]["delta"]) if deltas else None
+
+    @property
+    def observed(self) -> DataFrame:
+        return self.df.filter(F.col(IS_FUTURE) == 0)
+
+    @property
+    def future(self) -> DataFrame:
+        return self.df.filter(F.col(IS_FUTURE) == 1)
+
+    def series_ids(self) -> list[str]:
+        return [r[0] for r in self.df.select(SERIES).distinct().collect()]
+
+    # -- horizon ------------------------------------------------------
+    def generate_future_dates(self, h: int) -> "TimeSeriesFrame":
+        """Append h future rows per series at the inferred frequency.
+
+        Reference: generate_future_dates (_Forecaster_parent.py:1317-1356)
+        uses pd.date_range. Spark-first: per-series max(ds) (one small agg)
+        + ``sequence()`` + explode — no driver loop, scales to millions of
+        series.
+        """
+        if self.freq_seconds is None:
+            raise ValueError("frequency unknown; cannot generate horizon")
+        step = int(self.freq_seconds)
+        last = self.observed.groupBy(SERIES).agg(F.max(DS).alias("last_ds"))
+        fut = (
+            last.select(
+                SERIES,
+                F.explode(F.sequence(F.lit(1), F.lit(h))).alias("_i"),
+                "last_ds",
+            )
+            .select(
+                SERIES,
+                F.timestamp_seconds(
+                    F.unix_timestamp("last_ds") + F.col("_i") * step
+                ).alias(DS),
+                F.lit(None).cast("double").alias(Y),
+                F.lit(1).alias(IS_FUTURE),
+            )
+        )
+        base = self.df.filter(F.col(IS_FUTURE) == 0).select(SERIES, DS, Y, IS_FUTURE, *self.features)
+        fut = fut.select(
+            SERIES, DS, Y, IS_FUTURE,
+            *[F.lit(None).cast("double").alias(c) for c in self.features],
+        )
+        return replace(self, df=base.unionByName(fut))
+
+    # -- slicing (SURVEY.md §2.4) -------------------------------------
+    def chop_from_front(self, n: int) -> "TimeSeriesFrame":
+        """Drop the last n observations of every series (the as-of rewind
+        behind test/CV/backtest; reference Forecaster.py:1675-1702).
+        Implemented as a rank filter over the immutable frame — the
+        reference's deepcopy is eliminated entirely."""
+        w = W.partitionBy(SERIES).orderBy(F.desc(DS))
+        df = (
+            self.observed.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") > n)
+            .drop("_rn")
+        )
+        return replace(self, df=df)
+
+    def chop_from_back(self, n: int) -> "TimeSeriesFrame":
+        """Drop the first n observations (reference Forecaster.py:1704-1723)."""
+        w = W.partitionBy(SERIES).orderBy(DS)
+        df = (
+            self.observed.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") > n)
+            .drop("_rn")
+        )
+        return replace(self, df=df)
+
+    def keep_smaller_history(self, n: int) -> "TimeSeriesFrame":
+        """Keep only the last n observations per series
+        (reference Forecaster.py:1725-1749)."""
+        w = W.partitionBy(SERIES).orderBy(F.desc(DS))
+        df = (
+            self.observed.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= n)
+            .drop("_rn")
+        )
+        return replace(self, df=df)
+
+    def with_features(self, df: DataFrame, new: list[str]) -> "TimeSeriesFrame":
+        feats = tuple(dict.fromkeys([*self.features, *new]))
+        return replace(self, df=df, features=feats)
+
+    def drop_features(self, *names: str) -> "TimeSeriesFrame":
+        """drop_Xvars (reference _Forecaster_parent.py:720-766)."""
+        keep = tuple(c for c in self.features if c not in names)
+        return replace(self, df=self.df.drop(*names), features=keep)

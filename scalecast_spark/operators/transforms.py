@@ -1,0 +1,368 @@
+"""Invertible series transforms (SURVEY.md §2.3).
+
+The reference's SeriesTransformer (src/scalecast/SeriesTransformer.py:14-829)
+rewrites ``f.y`` in place and stores whatever state the inverse needs on
+``self``. Here every transform is an object that:
+
+  * ``fit(df)`` computes per-series parameters as a SMALL DataFrame
+    (series_id, params...) — one aggregate job, broadcast-joined back;
+  * ``transform(df, col)`` / ``invert(df, col)`` are pure column
+    expressions, so transforming y and later reverting forecasts /
+    fitted values / CI bounds (SeriesTransformer.py:90-118's history
+    rewrite) is the SAME code applied to a different column.
+
+Because params live in a DataFrame keyed by series_id, one transform
+object serves millions of series — the pandas original holds scalars for
+exactly one.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, functions as F, Window as W
+
+from scalecast_spark.frame import DS, IS_FUTURE, SERIES, Y
+
+_w = lambda: W.partitionBy(SERIES).orderBy(DS)  # noqa: E731
+
+
+class Transform:
+    """Base: stateless transforms override expr/inv_expr; stateful ones
+    also override fit() to build a params frame."""
+
+    params: DataFrame | None = None
+
+    def fit(self, df: DataFrame, train_only_cutoff=None) -> "Transform":
+        return self
+
+    def _with_params(self, df: DataFrame) -> DataFrame:
+        if self.params is None:
+            return df
+        return df.join(F.broadcast(self.params), on=SERIES, how="left")
+
+    def expr(self, col):  # pragma: no cover - abstract
+        raise NotImplementedError
+
+    def inv_expr(self, col):  # pragma: no cover - abstract
+        raise NotImplementedError
+
+    def transform(self, df: DataFrame, col: str = Y) -> DataFrame:
+        out = self._with_params(df).withColumn(col, self.expr(F.col(col)))
+        return out.drop(*self._param_cols())
+
+    def invert(self, df: DataFrame, *cols: str) -> DataFrame:
+        out = self._with_params(df)
+        for c in cols:
+            if c in df.columns:
+                out = out.withColumn(c, self.inv_expr(F.col(c)))
+        return out.drop(*self._param_cols())
+
+    def _param_cols(self) -> list[str]:
+        return [] if self.params is None else [c for c in self.params.columns if c != SERIES]
+
+
+class LogTransform(Transform):
+    """ln / exp (reference SeriesTransformer.py:313-345)."""
+
+    def expr(self, col):
+        return F.log(col)
+
+    def inv_expr(self, col):
+        return F.exp(col)
+
+
+class SqrtTransform(Transform):
+    """sqrt / square (reference SeriesTransformer.py:347-379)."""
+
+    def expr(self, col):
+        return F.sqrt(col)
+
+    def inv_expr(self, col):
+        return F.pow(col, 2.0)
+
+
+class BoxCoxTransform(Transform):
+    """Box-Cox with fixed lambda (reference _utils.py:75-87)."""
+
+    def __init__(self, lmbda: float):
+        self.lmbda = lmbda
+
+    def expr(self, col):
+        if self.lmbda == 0:
+            return F.log(col)
+        return (F.pow(col, self.lmbda) - 1.0) / self.lmbda
+
+    def inv_expr(self, col):
+        if self.lmbda == 0:
+            return F.exp(col)
+        return F.pow(col * self.lmbda + 1.0, 1.0 / self.lmbda)
+
+
+@dataclass
+class ScaleTransform(Transform):
+    """(y - mean) / stddev_pop per series (reference
+    SeriesTransformer.py:381-441; train_only via cutoff filter)."""
+
+    params: DataFrame | None = None
+
+    def fit(self, df: DataFrame, train_only_cutoff=None):
+        src = df.filter(F.col(IS_FUTURE) == 0)
+        if train_only_cutoff is not None:
+            src = src.filter(F.col(DS) <= F.lit(train_only_cutoff))
+        self.params = src.groupBy(SERIES).agg(
+            F.avg(Y).alias("_mu"), F.stddev_pop(Y).alias("_sigma")
+        )
+        return self
+
+    def expr(self, col):
+        return (col - F.col("_mu")) / F.col("_sigma")
+
+    def inv_expr(self, col):
+        return col * F.col("_sigma") + F.col("_mu")
+
+
+@dataclass
+class MinMaxTransform(Transform):
+    """(y - min) / (max - min) (reference SeriesTransformer.py:498-558)."""
+
+    params: DataFrame | None = None
+
+    def fit(self, df: DataFrame, train_only_cutoff=None):
+        src = df.filter(F.col(IS_FUTURE) == 0)
+        if train_only_cutoff is not None:
+            src = src.filter(F.col(DS) <= F.lit(train_only_cutoff))
+        self.params = src.groupBy(SERIES).agg(
+            F.min(Y).alias("_lo"), F.max(Y).alias("_hi")
+        )
+        return self
+
+    def expr(self, col):
+        return (col - F.col("_lo")) / (F.col("_hi") - F.col("_lo"))
+
+    def inv_expr(self, col):
+        return col * (F.col("_hi") - F.col("_lo")) + F.col("_lo")
+
+
+@dataclass
+class RobustScaleTransform(Transform):
+    """(y - median) / IQR via exact percentiles (reference
+    SeriesTransformer.py:443-496 wraps sklearn RobustScaler). Exact
+    ``percentile`` (not approx) to match numpy's linear interpolation —
+    SURVEY.md §4.3 watchpoint."""
+
+    params: DataFrame | None = None
+
+    def fit(self, df: DataFrame, train_only_cutoff=None):
+        src = df.filter(F.col(IS_FUTURE) == 0)
+        if train_only_cutoff is not None:
+            src = src.filter(F.col(DS) <= F.lit(train_only_cutoff))
+        self.params = src.groupBy(SERIES).agg(
+            F.expr(f"percentile({Y}, 0.5)").alias("_med"),
+            (
+                F.expr(f"percentile({Y}, 0.75)") - F.expr(f"percentile({Y}, 0.25)")
+            ).alias("_iqr"),
+        )
+        return self
+
+    def expr(self, col):
+        return (col - F.col("_med")) / F.col("_iqr")
+
+    def inv_expr(self, col):
+        return col * F.col("_iqr") + F.col("_med")
+
+
+@dataclass
+class DetrendTransform(Transform):
+    """Subtract a per-series OLS linear trend on t (reference
+    SeriesTransformer.py:121-311, loess=False, poly_order=1).
+
+    Slope/intercept come from the closed-form ``regr_slope``/
+    ``regr_intercept`` aggregates — one pass, no MLlib fit, fully
+    distributed across series. The trend is re-materialized from
+    row_number at invert time, so future rows extrapolate correctly.
+    """
+
+    params: DataFrame | None = None
+
+    def fit(self, df: DataFrame, train_only_cutoff=None):
+        w = _w()
+        src = df.withColumn("_t", F.row_number().over(w).cast("double")).filter(
+            F.col(IS_FUTURE) == 0
+        )
+        if train_only_cutoff is not None:
+            src = src.filter(F.col(DS) <= F.lit(train_only_cutoff))
+        self.params = src.groupBy(SERIES).agg(
+            F.expr(f"regr_slope({Y}, _t)").alias("_slope"),
+            F.expr(f"regr_intercept({Y}, _t)").alias("_icept"),
+        )
+        return self
+
+    def _trended(self, df: DataFrame) -> DataFrame:
+        return self._with_params(df).withColumn(
+            "_trend",
+            F.col("_icept") + F.col("_slope") * F.row_number().over(_w()).cast("double"),
+        )
+
+    def transform(self, df: DataFrame, col: str = Y) -> DataFrame:
+        out = self._trended(df).withColumn(col, F.col(col) - F.col("_trend"))
+        return out.drop("_trend", *self._param_cols())
+
+    def invert(self, df: DataFrame, *cols: str) -> DataFrame:
+        out = self._trended(df)
+        for c in cols:
+            if c in df.columns:
+                out = out.withColumn(c, F.col(c) + F.col("_trend"))
+        return out.drop("_trend", *self._param_cols())
+
+
+@dataclass
+class DeseasonTransform(Transform):
+    """Subtract per-(series, season-phase) mean (additive decomposition;
+    reference SeriesTransformer.py:700-829 wraps statsmodels
+    seasonal_decompose). Phase = row_number mod m, so it works for any
+    frequency; the seasonal profile continues onto future rows naturally
+    (the reference needs an internal seasonal-naive forecast for that).
+    """
+
+    m: int = 12
+    params: DataFrame | None = None
+
+    def __init__(self, m: int = 12):
+        self.m = m
+        self.params = None
+
+    def _phased(self, df: DataFrame) -> DataFrame:
+        return df.withColumn(
+            "_phase", (F.row_number().over(_w()) - 1) % self.m
+        )
+
+    def fit(self, df: DataFrame, train_only_cutoff=None):
+        src = self._phased(df).filter(F.col(IS_FUTURE) == 0)
+        if train_only_cutoff is not None:
+            src = src.filter(F.col(DS) <= F.lit(train_only_cutoff))
+        overall = src.groupBy(SERIES).agg(F.avg(Y).alias("_gmean"))
+        self.params = (
+            src.groupBy(SERIES, "_phase")
+            .agg(F.avg(Y).alias("_pmean"))
+            .join(overall, SERIES)
+            .select(SERIES, "_phase", (F.col("_pmean") - F.col("_gmean")).alias("_seas"))
+        )
+        return self
+
+    def _with_seas(self, df: DataFrame) -> DataFrame:
+        return self._phased(df).join(
+            F.broadcast(self.params), on=[SERIES, "_phase"], how="left"
+        )
+
+    def transform(self, df: DataFrame, col: str = Y) -> DataFrame:
+        out = self._with_seas(df).withColumn(col, F.col(col) - F.col("_seas"))
+        return out.drop("_phase", "_seas")
+
+    def invert(self, df: DataFrame, *cols: str) -> DataFrame:
+        out = self._with_seas(df)
+        for c in cols:
+            if c in df.columns:
+                out = out.withColumn(c, F.col(c) + F.col("_seas"))
+        return out.drop("_phase", "_seas")
+
+
+@dataclass
+class DiffTransform(Transform):
+    """m-step differencing y_t - y_{t-m}; stackable (reference
+    SeriesTransformer.py:560-698).
+
+    Revert is the hard inverse (SURVEY.md §7.4 #2). The fit stores the
+    pre-transform OBSERVED series keyed by (series, ds) — the moral
+    equivalent of the reference's ``orig_y_{m}_{n}`` attribute snapshots
+    (SeriesTransformer.py:604-652) — in two shapes:
+
+      * ``anchors``: the fit-time level y_{t-m} re-keyed to ds_t, so an
+        observed row reverts one-step (fitted-vals semantics) by a plain
+        (series, ds) join, immune to prefix rows dropped by stacked
+        transforms;
+      * ``levels``: the fit-time levels at their own ds, seeding the
+        recursive reconstruction of future rows.
+
+    Future rows revert CUMULATIVELY (forecast semantics, no peeking at
+    actuals past the frame's observed boundary): within the residue
+    class (series, row mod m), level = last frame-observed actual level
+    + running sum of predicted diffs — a window running-sum partitioned
+    by (series, phase), fully distributed, no applyInPandas.
+
+    Assumes per-series ds-contiguous rows (suffix/prefix trims are fine;
+    arbitrary interior filters are not), which all engine flows satisfy.
+    """
+
+    m: int = 1
+    anchors: DataFrame | None = None
+    levels: DataFrame | None = None
+
+    def __init__(self, m: int = 1):
+        self.m = m
+        self.anchors = None
+        self.levels = None
+
+    def fit(self, df: DataFrame, train_only_cutoff=None):
+        w = _w()
+        obs = df.filter(F.col(IS_FUTURE) == 0)
+        self.levels = obs.select(SERIES, DS, F.col(Y).alias("_orig"))
+        self.anchors = obs.select(
+            SERIES,
+            F.lead(DS, self.m).over(w).alias(DS),
+            F.col(Y).alias("_anchor"),
+        ).filter(F.col(DS).isNotNull())
+        return self
+
+    def transform(self, df: DataFrame, col: str = Y) -> DataFrame:
+        w = _w()
+        out = df.withColumn(col, F.col(col) - F.lag(col, self.m).over(w))
+        # the first m rows of each series become NULL and drop out,
+        # matching the reference's dropna after .diff(m)
+        return out.filter(F.col(col).isNotNull() | (F.col(IS_FUTURE) == 1))
+
+    def invert(self, df: DataFrame, *cols: str) -> DataFrame:
+        out = (
+            df.join(self.anchors, on=[SERIES, DS], how="left")
+            .join(self.levels, on=[SERIES, DS], how="left")
+            .withColumn("_phase", (F.row_number().over(_w()) - 1) % self.m)
+        )
+        wc = W.partitionBy(SERIES, "_phase").orderBy(DS).rowsBetween(
+            W.unboundedPreceding, 0
+        )
+        # last actual level in this residue class at/before the row; for
+        # the first future row in a class the previous class member IS
+        # t-m (class rows are spaced exactly m apart)
+        anchor_cls = F.last(
+            F.when(F.col(IS_FUTURE) == 0, F.col("_orig")), ignorenulls=True
+        ).over(wc)
+        for c in cols:
+            if c in df.columns:
+                cum_fut = F.sum(
+                    F.when(F.col(IS_FUTURE) == 1, F.col(c))
+                ).over(wc)
+                out = out.withColumn(
+                    c,
+                    F.when(F.col(IS_FUTURE) == 0, F.col(c) + F.col("_anchor"))
+                    .otherwise(anchor_cls + cum_fut),
+                )
+        return out.drop("_anchor", "_orig", "_phase")
+
+
+class Pipeline:
+    """Ordered transform stack with revert in reverse order (the
+    reference's Transformer/Reverter pair, Pipeline.py:11-214)."""
+
+    def __init__(self, steps: list[Transform]):
+        self.steps = steps
+
+    def fit_transform(self, df: DataFrame, col: str = Y) -> DataFrame:
+        for s in self.steps:
+            s.fit(df)
+            df = s.transform(df, col)
+        return df
+
+    def invert(self, df: DataFrame, *cols: str) -> DataFrame:
+        for s in reversed(self.steps):
+            df = s.invert(df, *cols)
+        return df
