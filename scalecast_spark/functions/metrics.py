@@ -51,7 +51,7 @@ def mape(a: str, f: str) -> Column:
     (reference Metrics.py:53-72)."""
     return F.when(
         F.min(F.abs(F.col(a))) > 0,
-        F.avg(F.abs((F.col(f) - F.col(a)) / F.col(a))),
+        F.avg(F.abs(F.try_divide(F.col(f) - F.col(a), F.col(a)))),
     )
 
 
@@ -61,7 +61,7 @@ def r2(a: str, f: str) -> Column:
     pass: SST = sum(a^2) - sum(a)^2/n."""
     sse = F.sum(F.pow(F.col(a) - F.col(f), 2.0))
     sst = F.sum(F.pow(F.col(a), 2.0)) - F.pow(F.sum(F.col(a)), 2.0) / F.count(F.col(a))
-    return 1.0 - sse / sst
+    return 1.0 - F.try_divide(sse, sst)
 
 
 def smape(a: str, f: str) -> Column:

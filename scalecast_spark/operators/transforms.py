@@ -116,7 +116,7 @@ class ScaleTransform(Transform):
         return self
 
     def expr(self, col):
-        return (col - F.col("_mu")) / F.col("_sigma")
+        return F.try_divide(col - F.col("_mu"), F.col("_sigma"))
 
     def inv_expr(self, col):
         return col * F.col("_sigma") + F.col("_mu")
@@ -138,7 +138,7 @@ class MinMaxTransform(Transform):
         return self
 
     def expr(self, col):
-        return (col - F.col("_lo")) / (F.col("_hi") - F.col("_lo"))
+        return F.try_divide(col - F.col("_lo"), F.col("_hi") - F.col("_lo"))
 
     def inv_expr(self, col):
         return col * (F.col("_hi") - F.col("_lo")) + F.col("_lo")
@@ -166,7 +166,7 @@ class RobustScaleTransform(Transform):
         return self
 
     def expr(self, col):
-        return (col - F.col("_med")) / F.col("_iqr")
+        return F.try_divide(col - F.col("_med"), F.col("_iqr"))
 
     def inv_expr(self, col):
         return col * F.col("_iqr") + F.col("_med")

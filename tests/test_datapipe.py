@@ -1,0 +1,115 @@
+"""Datapipe operator tests: numeric parity vs local numpy/hashlib
+implementations on the real synthetic documents/embeddings tables."""
+
+import hashlib
+import re
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from scalecast_spark.sources import load_table
+from scalecast_spark.datapipe import dedup, similarity, text, multimodal
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents").cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return load_table(spark, sf_dir, "embeddings").cache()
+
+
+def test_token_count_matches_python(docs):
+    out = text.add_token_count(docs).orderBy("doc_id").limit(20).collect()
+    raw = docs.orderBy("doc_id").limit(20).collect()
+    for got, r in zip(out, raw):
+        assert got["n_tokens"] == len(r["text"].split())
+
+
+def test_fingerprint_is_md5(docs):
+    out = text.add_fingerprint(docs).orderBy("doc_id").limit(5).collect()
+    raw = docs.orderBy("doc_id").limit(5).collect()
+    for got, r in zip(out, raw):
+        norm = re.sub(r"\s+", " ", r["text"].strip().lower())
+        assert got["fingerprint"] == hashlib.md5(norm.encode()).hexdigest()
+
+
+def test_dedup_exact_removes_planted_dupe(spark, docs):
+    extra = docs.limit(1).withColumn("doc_id", F.col("doc_id") + 100000)
+    with_dupe = docs.unionByName(extra)
+    n = docs.count()
+    kept = dedup.dedup_exact(with_dupe)
+    assert kept.count() == n
+    # the kept copy is the lower id
+    assert kept.filter(F.col("doc_id") >= 100000).count() == 0
+
+
+def test_minhash_jaccard_estimates_real_jaccard(spark, docs):
+    sh = dedup.word_shingles(docs.limit(50), 3)
+    pairs = dedup.jaccard_pairs(sh).collect()
+    sh_pdf = sh.toPandas()
+    sets = sh_pdf.groupby("doc_id")["shingle"].apply(set).to_dict()
+    for p in pairs[:10]:
+        a, b = sets[p["id_a"]], sets[p["id_b"]]
+        expected = len(a & b) / len(a | b)
+        assert p["jaccard"] == pytest.approx(expected, abs=1e-6)
+
+
+def test_lsh_candidates_subset_verified_by_jaccard(docs):
+    sh = dedup.word_shingles(docs, 3)
+    sig = dedup.minhash_signatures(sh, 16)
+    cand = dedup.lsh_candidate_pairs(sig, bands=4)
+    verified = dedup.jaccard_pairs(sh, candidates=cand, min_jaccard=0.8)
+    # every verified pair is a candidate pair (join semantics)
+    assert verified.count() <= cand.count()
+
+
+def test_simhash_identical_docs_same_hash(spark, docs):
+    dup = docs.limit(1).withColumn("doc_id", F.col("doc_id") + 100000)
+    sim = dedup.simhash(docs.limit(1).unionByName(dup))
+    vals = [r["simhash"] for r in sim.collect()]
+    assert len(vals) == 2 and vals[0] == vals[1]
+
+
+def test_cosine_topk_matches_numpy(emb):
+    pdf = emb.orderBy("vec_id").toPandas()
+    mat = np.array(pdf["embedding"].tolist(), dtype=float)
+    q = mat[0]
+    sims = mat @ q / (np.linalg.norm(mat, axis=1) * np.linalg.norm(q))
+    exp_top = set(np.argsort(-sims)[:5])
+    got = similarity.cosine_topk(emb, list(q), k=5).collect()
+    got_ids = {r["vec_id"] for r in got}
+    assert got_ids == {int(pdf["vec_id"].iloc[i]) for i in exp_top}
+    # and values match to rounding
+    for r in got:
+        i = pdf.index[pdf["vec_id"] == r["vec_id"]][0]
+        assert r["cosine_sim"] == pytest.approx(sims[i], abs=1e-5)
+
+
+def test_lsh_topk_recall(emb):
+    q = emb.orderBy("vec_id").limit(1).collect()[0]["embedding"]
+    exact = {r["vec_id"] for r in similarity.cosine_topk(emb, list(q), k=5).collect()}
+    approx = {r["vec_id"] for r in similarity.lsh_bucket_topk(emb, list(q), k=5, n_planes=4).collect()}
+    # ANN must at least find the query itself and overlap the exact set
+    assert 0 in approx
+    assert len(exact & approx) >= 1
+
+
+def test_multimodal_plumbing(docs):
+    pay = docs.select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    meta = multimodal.attach_binary_metadata(pay)
+    row = meta.orderBy("doc_id").limit(1).collect()[0]
+    assert row["payload_bytes"] > 0 and len(row["content_id"]) == 32
+    feats = multimodal.extract_image_features(pay.limit(4)).collect()
+    assert all(len(r["feat"]) == 6 for r in feats)
+    # deterministic fake decode → repeatable features
+    feats2 = multimodal.extract_image_features(pay.limit(4)).collect()
+    assert sorted(map(str, feats)) == sorted(map(str, feats2))
+
+
+def test_real_decode_stub_raises():
+    with pytest.raises(NotImplementedError):
+        multimodal._decode_image_bytes(b"xx")
