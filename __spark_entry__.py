@@ -1,38 +1,843 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each ``queries()`` entry exercises one operator family from SURVEY.md §2
+(or a datapipe addition) through the ``scalecast_spark`` library; the
+matching ``oracle_sql()`` entry restates the semantics in ANSI SQL for
+DuckDB over the same parquet views.
+
+Cross-engine parity conventions:
+  * every float output is round(x, 6) on BOTH sides;
+  * dates are cast to DATE on both sides (DuckDB date_trunc yields DATE);
+  * Spark dayofweek (Sun=1..Sat=7) ↔ DuckDB dayofweek+1;
+  * content hashing is md5 (bit-identical across engines);
+  * rows whose window expressions are NULL (lag warm-up) are filtered
+    on both sides.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F, Window as W
+
+SF_SMOKE = "/root/testdata/sf0.001"
+
+# ---------------------------------------------------------------- helpers
+
+#: shared DuckDB CTE: the daily long-format series (mirror of
+#: sources.events_to_series)
+_SQL_SERIES = """
+series AS (
+    SELECT event_type AS series_id,
+           date_trunc('day', ts)::DATE AS ds,
+           SUM(value)::DOUBLE AS y
+    FROM events
+    GROUP BY 1, 2
+)
+"""
+
+#: shared DuckDB CTE: normalized doc text + distinct 3-word shingles
+_SQL_SHINGLES = r"""
+norm AS (
+    SELECT doc_id,
+           regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
+    FROM documents
+),
+w AS (SELECT doc_id, string_split(t, ' ') AS ws FROM norm),
+sh AS (
+    SELECT DISTINCT doc_id, shingle
+    FROM (
+        SELECT doc_id,
+               unnest(list_transform(
+                   range(1, greatest(len(ws) - 2, 1) + 1),
+                   i -> array_to_string(ws[i:i+2], ' ')
+               )) AS shingle
+        FROM w
+    )
+    WHERE len(shingle) > 0
+)
+"""
+
+
+def _series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from scalecast_spark.sources import load_table, events_to_series
+
+    return events_to_series(load_table(spark, sf_dir, "events"))
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from scalecast_spark.sources import load_table
+
+    return load_table(spark, sf_dir, "documents")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from scalecast_spark.sources import load_table
+
+    return load_table(spark, sf_dir, "embeddings")
+
+
+def _r6(df: DataFrame, *cols: str) -> DataFrame:
+    for c in cols:
+        df = df.withColumn(c, F.round(F.col(c), 6))
+    return df
+
+
+def _out_ts(df: DataFrame) -> DataFrame:
+    return df.withColumn("ds", F.col("ds").cast("date"))
+
+
+_W = lambda: W.partitionBy("series_id").orderBy("ds")  # noqa: E731
+
+
+# ---------------------------------------------------------------- queries
+
+
+def q_ts_resample_daily(spark, sf_dir):
+    return _out_ts(_r6(_series(spark, sf_dir), "y"))
+
+
+def q_ts_lag_features(spark, sf_dir):
+    from scalecast_spark.operators.features import add_ar_terms
+
+    df, _ = add_ar_terms(_series(spark, sf_dir), [1, 7])
+    return _out_ts(
+        _r6(df.filter(F.col("ar_7").isNotNull()), "y", "ar_1", "ar_7")
+    )
+
+
+def q_ts_diff(spark, sf_dir):
+    w = _W()
+    df = (
+        _series(spark, sf_dir)
+        .withColumn("diff_1", F.col("y") - F.lag("y", 1).over(w))
+        .withColumn("diff_7", F.col("y") - F.lag("y", 7).over(w))
+        .filter(F.col("diff_7").isNotNull())
+    )
+    return _out_ts(_r6(df, "y", "diff_1", "diff_7"))
+
+
+def q_ts_rolling_mean(spark, sf_dir):
+    from scalecast_spark.operators.features import add_rolling_mean
+
+    df, _ = add_rolling_mean(_series(spark, sf_dir), 7)
+    return _out_ts(
+        _r6(df.filter(F.col("rolling_mean_7").isNotNull()), "y", "rolling_mean_7")
+    )
+
+
+def q_ts_seasonal_features(spark, sf_dir):
+    from scalecast_spark.operators.features import (
+        add_seasonal_regressors,
+        add_time_trend,
+    )
+
+    df, _ = add_time_trend(_series(spark, sf_dir))
+    df, _ = add_seasonal_regressors(
+        df, ["month", "dayofweek"], raw=True, sincos=False
+    )
+    dow = F.col("dayofweek")
+    df = df.withColumn("dowsin1", F.sin(3.141592653589793 * dow / 7.0)).withColumn(
+        "dowcos1", F.cos(3.141592653589793 * dow / 7.0)
+    )
+    out = df.select(
+        "series_id",
+        F.col("ds").cast("date").alias("ds"),
+        F.col("t").cast("long").alias("t"),
+        F.col("month").cast("long").alias("month"),
+        dow.cast("long").alias("dayofweek"),
+        F.round("dowsin1", 6).alias("dowsin1"),
+        F.round("dowcos1", 6).alias("dowcos1"),
+    )
+    return out
+
+
+def q_ts_scale(spark, sf_dir):
+    from scalecast_spark.operators.transforms import ScaleTransform
+
+    df = _series(spark, sf_dir)
+    t = ScaleTransform().fit(df.withColumn("is_future", F.lit(0)))
+    out = t.transform(df.withColumn("is_future", F.lit(0)), "y").drop("is_future")
+    return _out_ts(_r6(out.withColumnRenamed("y", "y_scaled"), "y_scaled"))
+
+
+def q_ts_minmax(spark, sf_dir):
+    from scalecast_spark.operators.transforms import MinMaxTransform
+
+    df = _series(spark, sf_dir)
+    t = MinMaxTransform().fit(df.withColumn("is_future", F.lit(0)))
+    out = t.transform(df.withColumn("is_future", F.lit(0)), "y").drop("is_future")
+    return _out_ts(_r6(out.withColumnRenamed("y", "y_mm"), "y_mm"))
+
+
+def q_ts_detrend(spark, sf_dir):
+    from scalecast_spark.operators.transforms import DetrendTransform
+
+    df = _series(spark, sf_dir).withColumn("is_future", F.lit(0))
+    t = DetrendTransform().fit(df)
+    out = t.transform(df, "y").drop("is_future")
+    return _out_ts(_r6(out.withColumnRenamed("y", "y_detrended"), "y_detrended"))
+
+
+def q_ts_deseason(spark, sf_dir):
+    from scalecast_spark.operators.transforms import DeseasonTransform
+
+    df = _series(spark, sf_dir).withColumn("is_future", F.lit(0))
+    t = DeseasonTransform(7).fit(df)
+    out = t.transform(df, "y").drop("is_future")
+    return _out_ts(_r6(out.withColumnRenamed("y", "y_deseason"), "y_deseason"))
+
+
+def q_ts_seasonal_naive(spark, sf_dir):
+    from scalecast_spark.models import naive_model
+
+    df = _series(spark, sf_dir).withColumn("is_future", F.lit(0))
+    out = naive_model(df, m=7).filter(F.col("forecast").isNotNull())
+    out = out.withColumn("resid", F.col("y") - F.col("forecast"))
+    return _out_ts(_r6(out.select("series_id", "ds", "y", "forecast", "resid"),
+                       "y", "forecast", "resid"))
+
+
+def q_ts_metrics(spark, sf_dir):
+    from scalecast_spark.functions import metrics as M
+    from scalecast_spark.models import naive_model
+
+    df = _series(spark, sf_dir).withColumn("is_future", F.lit(0))
+    scored = naive_model(df, m=7).filter(F.col("forecast").isNotNull())
+    out = M.evaluate(
+        scored, actual="y", forecast="forecast", by=["series_id"],
+        metrics=["rmse", "mae", "smape", "r2", "bias"],
+    )
+    return _r6(out, "rmse", "mae", "smape", "r2", "bias")
+
+
+def q_ts_conformal_width(spark, sf_dir):
+    from scalecast_spark.functions.conformal import conformal_widths
+    from scalecast_spark.models import naive_model
+
+    df = _series(spark, sf_dir).withColumn("is_future", F.lit(0))
+    scored = naive_model(df, m=7).filter(F.col("forecast").isNotNull())
+    return _r6(
+        conformal_widths(scored, actual="y", forecast="forecast", cilevel=0.95),
+        "ci_range",
+    )
+
+
+def q_ts_linear_trend(spark, sf_dir):
+    from scalecast_spark.models.linear import linear_trend_model
+
+    df = _series(spark, sf_dir).withColumn("is_future", F.lit(0))
+    out = linear_trend_model(df).drop("is_future")
+    return _out_ts(_r6(out, "y", "forecast"))
+
+
+def q_ts_impute_linear(spark, sf_dir):
+    from scalecast_spark.operators.impute import densify, linear_interp
+
+    thin = _series(spark, sf_dir).filter(F.dayofmonth("ds") % 3 != 0)
+    filled = linear_interp(densify(thin, 86400))
+    return _out_ts(
+        _r6(filled.filter(F.col("y").isNotNull()), "y")
+    )
+
+
+def q_ts_sessionize(spark, sf_dir):
+    from scalecast_spark.operators.sessions import session_stats
+    from scalecast_spark.sources import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    out = session_stats(ev, gap_seconds=1800)
+    return out.withColumn("user_id", F.col("user_id").cast("long"))
+
+
+def q_flagship_daily_revenue(spark, sf_dir):
+    from scalecast_spark.sources import load_table
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    daily = ev.groupBy(F.date_trunc("day", "ts").alias("ds")).agg(
+        F.sum("value").alias("revenue")
+    )
+    w = W.orderBy("ds")
+    out = (
+        daily.withColumn("ma7", F.avg("revenue").over(w.rowsBetween(-6, 0)))
+        .withColumn("wow", F.col("revenue") - F.lag("revenue", 7).over(w))
+        .filter(F.col("wow").isNotNull())
+    )
+    return _out_ts(_r6(out, "revenue", "ma7", "wow"))
+
+
+def q_tpch_q1_pricing(spark, sf_dir):
+    from scalecast_spark.sources import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("2000-01-01")
+    )
+    out = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 6).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 6).alias("sum_base_price"),
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6
+        ).alias("sum_disc_price"),
+        F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+        F.count("*").alias("count_order"),
+    )
+    return out
+
+
+def q_dedup_exact(spark, sf_dir):
+    from scalecast_spark.datapipe.dedup import dedup_exact
+
+    return dedup_exact(_docs(spark, sf_dir)).select(
+        F.col("doc_id").cast("long").alias("doc_id")
+    )
+
+
+def q_dedup_minhash_sigs(spark, sf_dir):
+    from scalecast_spark.datapipe.dedup import minhash_signatures, word_shingles
+
+    sh = word_shingles(_docs(spark, sf_dir), 3)
+    return minhash_signatures(sh, 4)
+
+
+def q_dedup_jaccard_pairs(spark, sf_dir):
+    from scalecast_spark.datapipe.dedup import jaccard_pairs, word_shingles
+
+    sh = word_shingles(_docs(spark, sf_dir), 3)
+    return jaccard_pairs(sh, min_jaccard=0.5).select(
+        "id_a", "id_b", F.col("inter").cast("long").alias("inter"), "jaccard"
+    )
+
+
+def q_text_quality(spark, sf_dir):
+    from scalecast_spark.datapipe.text import add_quality_score, add_token_count
+
+    df = add_quality_score(add_token_count(_docs(spark, sf_dir)))
+    return df.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "q_punct_ratio",
+        "q_stopword_ratio",
+        "q_mean_word_len",
+        "q_score",
+    )
+
+
+def q_text_lang_id(spark, sf_dir):
+    from scalecast_spark.datapipe.text import add_lang_id
+
+    df = add_lang_id(_docs(spark, sf_dir))
+    return df.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "lang_pred",
+        (F.col("lang_pred") == F.col("lang")).cast("long").alias("is_correct"),
+    )
+
+
+def q_text_fingerprint(spark, sf_dir):
+    from scalecast_spark.datapipe.text import add_fingerprint
+
+    return add_fingerprint(_docs(spark, sf_dir)).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "fingerprint"
+    )
+
+
+def q_sim_cosine_topk(spark, sf_dir):
+    from scalecast_spark.datapipe.similarity import cosine_topk
+
+    emb = _emb(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    return cosine_topk(emb, [float(x) for x in q], k=10)
+
+
+def q_emb_norms(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    vec = F.col("embedding").cast("array<double>")
+    norm = F.sqrt(F.aggregate(vec, F.lit(0.0), lambda a, x: a + x * x))
+    return emb.select("vec_id", F.round(norm, 6).alias("l2_norm"))
+
+
+# ------------------------------------------------ rows-only (non-SQL ops)
+
+
+def q_ts_forecast_recursive(spark, sf_dir):
+    """Recursive multi-step OLS forecast (reference models.py:109-149
+    semantics) — inherently sequential per horizon, not SQL-expressible."""
+    from scalecast_spark.frame import TimeSeriesFrame
+    from scalecast_spark.models import linear_model
+    from scalecast_spark.operators.features import add_ar_terms, add_time_trend
+
+    tsf = TimeSeriesFrame.from_long(_series(spark, sf_dir)).generate_future_dates(7)
+    df, ar = add_ar_terms(tsf.df, [1, 7])
+    df, tt = add_time_trend(df)
+    out = linear_model(df, ar + tt)
+    return _out_ts(
+        _r6(
+            out.filter(F.col("is_future") == 1).select(
+                "series_id", "ds", "forecast"
+            ),
+            "forecast",
+        )
+    )
+
+
+def q_sim_lsh_topk(spark, sf_dir):
+    """ANN via random-hyperplane LSH buckets (approximate by design)."""
+    from scalecast_spark.datapipe.similarity import lsh_bucket_topk
+
+    emb = _emb(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    return lsh_bucket_topk(emb, [float(x) for x in q], k=10, n_planes=6)
+
+
+def q_dedup_simhash(spark, sf_dir):
+    """60-bit SimHash fingerprints (bit-level doc signature)."""
+    from scalecast_spark.datapipe.dedup import simhash
+
+    return simhash(_docs(spark, sf_dir))
+
+
+def q_multimodal_features(spark, sf_dir):
+    """Binary-column pipeline: payload → metadata + fake-decode features."""
+    from scalecast_spark.datapipe.multimodal import (
+        attach_binary_metadata,
+        extract_image_features,
+    )
+
+    pay = _docs(spark, sf_dir).select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    )
+    meta = attach_binary_metadata(pay).select("doc_id", "payload_bytes", "content_id")
+    feats = extract_image_features(pay)
+    return meta.join(feats, "doc_id").select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "payload_bytes",
+        "content_id",
+        F.round(F.element_at("feat", 1), 6).alias("mean_c0"),
+        F.round(F.element_at("feat", 4), 6).alias("std_c0"),
+    )
+
+
+# ---------------------------------------------------------------- contract
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: daily purchase revenue with trailing MA and WoW delta
+    on sf0.001 (resample + rolling window + lag in one plan)."""
+    return q_flagship_daily_revenue(spark, SF_SMOKE)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "ts_resample_daily": q_ts_resample_daily,
+        "ts_lag_features": q_ts_lag_features,
+        "ts_diff": q_ts_diff,
+        "ts_rolling_mean": q_ts_rolling_mean,
+        "ts_seasonal_features": q_ts_seasonal_features,
+        "ts_scale": q_ts_scale,
+        "ts_minmax": q_ts_minmax,
+        "ts_detrend": q_ts_detrend,
+        "ts_deseason": q_ts_deseason,
+        "ts_seasonal_naive": q_ts_seasonal_naive,
+        "ts_metrics": q_ts_metrics,
+        "ts_conformal_width": q_ts_conformal_width,
+        "ts_linear_trend": q_ts_linear_trend,
+        "ts_impute_linear": q_ts_impute_linear,
+        "ts_sessionize": q_ts_sessionize,
+        "flagship_daily_revenue": q_flagship_daily_revenue,
+        "tpch_q1_pricing": q_tpch_q1_pricing,
+        "dedup_exact": q_dedup_exact,
+        "dedup_minhash_sigs": q_dedup_minhash_sigs,
+        "dedup_jaccard_pairs": q_dedup_jaccard_pairs,
+        "text_quality": q_text_quality,
+        "text_lang_id": q_text_lang_id,
+        "text_fingerprint": q_text_fingerprint,
+        "sim_cosine_topk": q_sim_cosine_topk,
+        "emb_norms": q_emb_norms,
+        # rows-only (no oracle — non-SQL-expressible semantics)
+        "ts_forecast_recursive": q_ts_forecast_recursive,
+        "sim_lsh_topk": q_sim_lsh_topk,
+        "dedup_simhash": q_dedup_simhash,
+        "multimodal_features": q_multimodal_features,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    pi = "3.141592653589793"
+    stop_terms = " + ".join(
+        f"len(string_split(' ' || text || ' ', ' {wd} ')) - 1"
+        for wd in ["the", "a", "an", "and", "or", "of", "to", "in", "is", "it"]
+    )
+    lang_markers = {
+        "en": ["the", "and", "of", "to", "in"],
+        "es": ["el", "la", "de", "que", "los"],
+        "de": ["der", "die", "und", "das", "ist"],
+        "fr": ["le", "la", "les", "et", "des"],
+        "zh": ["de", "shi", "le", "zai", "he"],
+    }
+    lang_scores = ",\n           ".join(
+        "("
+        + " + ".join(
+            f"len(string_split(' ' || lower(text) || ' ', ' {wd} ')) - 1"
+            for wd in wds
+        )
+        + f") AS s_{lang}"
+        for lang, wds in sorted(lang_markers.items())
+    )
+    lang_best = "greatest(s_de, s_en, s_es, s_fr, s_zh)"
+    lang_case = (
+        "CASE "
+        + " ".join(
+            f"WHEN s_{lg} = {lang_best} THEN '{lg}'"
+            for lg in ["de", "en", "es", "fr", "zh"]
+        )
+        + " END"
+    )
+
+    return {
+        "ts_resample_daily": f"""
+            WITH {_SQL_SERIES}
+            SELECT series_id, ds, round(y, 6) AS y FROM series
+        """,
+        "ts_lag_features": f"""
+            WITH {_SQL_SERIES}
+            SELECT series_id, ds, round(y, 6) AS y,
+                   round(lag(y, 1) OVER w, 6) AS ar_1,
+                   round(lag(y, 7) OVER w, 6) AS ar_7
+            FROM series
+            WINDOW w AS (PARTITION BY series_id ORDER BY ds)
+            QUALIFY lag(y, 7) OVER w IS NOT NULL
+        """,
+        "ts_diff": f"""
+            WITH {_SQL_SERIES}
+            SELECT series_id, ds, round(y, 6) AS y,
+                   round(y - lag(y, 1) OVER w, 6) AS diff_1,
+                   round(y - lag(y, 7) OVER w, 6) AS diff_7
+            FROM series
+            WINDOW w AS (PARTITION BY series_id ORDER BY ds)
+            QUALIFY lag(y, 7) OVER w IS NOT NULL
+        """,
+        "ts_rolling_mean": f"""
+            WITH {_SQL_SERIES}
+            SELECT series_id, ds, round(y, 6) AS y,
+                   round(avg(y) OVER (PARTITION BY series_id ORDER BY ds
+                         ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING), 6)
+                       AS rolling_mean_7
+            FROM series
+            QUALIFY rolling_mean_7 IS NOT NULL
+        """,
+        "ts_seasonal_features": f"""
+            WITH {_SQL_SERIES}
+            SELECT series_id, ds,
+                   row_number() OVER (PARTITION BY series_id ORDER BY ds)::BIGINT AS t,
+                   month(ds)::BIGINT AS month,
+                   (dayofweek(ds) + 1)::BIGINT AS dayofweek,
+                   round(sin({pi} * (dayofweek(ds) + 1) / 7.0), 6) AS dowsin1,
+                   round(cos({pi} * (dayofweek(ds) + 1) / 7.0), 6) AS dowcos1
+            FROM series
+        """,
+        "ts_scale": f"""
+            WITH {_SQL_SERIES}
+            SELECT series_id, ds,
+                   round((y - avg(y) OVER (PARTITION BY series_id))
+                         / stddev_pop(y) OVER (PARTITION BY series_id), 6)
+                       AS y_scaled
+            FROM series
+        """,
+        "ts_minmax": f"""
+            WITH {_SQL_SERIES}
+            SELECT series_id, ds,
+                   round((y - min(y) OVER (PARTITION BY series_id))
+                         / (max(y) OVER (PARTITION BY series_id)
+                            - min(y) OVER (PARTITION BY series_id)), 6) AS y_mm
+            FROM series
+        """,
+        "ts_detrend": f"""
+            WITH {_SQL_SERIES},
+            t AS (
+                SELECT series_id, ds, y,
+                       row_number() OVER (PARTITION BY series_id ORDER BY ds)::DOUBLE AS tt
+                FROM series
+            ),
+            p AS (
+                SELECT series_id, regr_slope(y, tt) AS slope,
+                       regr_intercept(y, tt) AS icept
+                FROM t GROUP BY series_id
+            )
+            SELECT t.series_id, t.ds,
+                   round(t.y - (p.icept + p.slope * t.tt), 6) AS y_detrended
+            FROM t JOIN p USING (series_id)
+        """,
+        "ts_deseason": f"""
+            WITH {_SQL_SERIES},
+            t AS (
+                SELECT series_id, ds, y,
+                       (row_number() OVER (PARTITION BY series_id ORDER BY ds) - 1) % 7
+                           AS phase
+                FROM series
+            ),
+            s AS (
+                SELECT series_id, phase,
+                       avg(y) AS pmean
+                FROM t GROUP BY series_id, phase
+            ),
+            g AS (SELECT series_id, avg(y) AS gmean FROM t GROUP BY series_id)
+            SELECT t.series_id, t.ds,
+                   round(t.y - (s.pmean - g.gmean), 6) AS y_deseason
+            FROM t JOIN s USING (series_id, phase) JOIN g USING (series_id)
+        """,
+        "ts_seasonal_naive": f"""
+            WITH {_SQL_SERIES}
+            SELECT series_id, ds, round(y, 6) AS y,
+                   round(lag(y, 7) OVER w, 6) AS forecast,
+                   round(y - lag(y, 7) OVER w, 6) AS resid
+            FROM series
+            WINDOW w AS (PARTITION BY series_id ORDER BY ds)
+            QUALIFY lag(y, 7) OVER w IS NOT NULL
+        """,
+        "ts_metrics": f"""
+            WITH {_SQL_SERIES},
+            sn AS (
+                SELECT series_id, y, lag(y, 7) OVER
+                       (PARTITION BY series_id ORDER BY ds) AS f
+                FROM series
+                QUALIFY f IS NOT NULL
+            )
+            SELECT series_id,
+                   round(sqrt(avg(pow(f - y, 2))), 6) AS rmse,
+                   round(avg(abs(f - y)), 6) AS mae,
+                   round(avg(2 * abs(f - y) / (abs(y) + abs(f))), 6) AS smape,
+                   round(1 - sum(pow(y - f, 2))
+                         / (sum(pow(y, 2)) - pow(sum(y), 2) / count(y)), 6) AS r2,
+                   round(sum(f - y), 6) AS bias
+            FROM sn GROUP BY series_id
+        """,
+        "ts_conformal_width": f"""
+            WITH {_SQL_SERIES},
+            sn AS (
+                SELECT series_id, y, lag(y, 7) OVER
+                       (PARTITION BY series_id ORDER BY ds) AS f
+                FROM series
+                QUALIFY f IS NOT NULL
+            )
+            SELECT series_id,
+                   round(quantile_cont(abs(f - y), 0.95), 6) AS ci_range
+            FROM sn GROUP BY series_id
+        """,
+        "ts_linear_trend": f"""
+            WITH {_SQL_SERIES},
+            t AS (
+                SELECT series_id, ds, y,
+                       row_number() OVER (PARTITION BY series_id ORDER BY ds)::DOUBLE AS tt
+                FROM series
+            ),
+            p AS (
+                SELECT series_id, regr_slope(y, tt) AS slope,
+                       regr_intercept(y, tt) AS icept
+                FROM t GROUP BY series_id
+            )
+            SELECT t.series_id, t.ds, round(t.y, 6) AS y,
+                   round(p.icept + p.slope * t.tt, 6) AS forecast
+            FROM t JOIN p USING (series_id)
+        """,
+        "ts_impute_linear": f"""
+            WITH {_SQL_SERIES},
+            thin AS (SELECT * FROM series WHERE day(ds) % 3 != 0),
+            bounds AS (
+                SELECT series_id, min(ds) AS lo, max(ds) AS hi
+                FROM thin GROUP BY series_id
+            ),
+            spine AS (
+                SELECT series_id,
+                       unnest(generate_series(lo, hi, INTERVAL 1 DAY))::DATE AS ds
+                FROM bounds
+            ),
+            dense AS (
+                SELECT s.series_id, s.ds, t.y
+                FROM spine s LEFT JOIN thin t USING (series_id, ds)
+            ),
+            marked AS (
+                SELECT series_id, ds, y,
+                       epoch(ds::TIMESTAMP) AS ets,
+                       last_value(y IGNORE NULLS) OVER wp AS prev_v,
+                       first_value(y IGNORE NULLS) OVER wn AS next_v,
+                       last_value(CASE WHEN y IS NOT NULL
+                                  THEN epoch(ds::TIMESTAMP) END IGNORE NULLS)
+                           OVER wp AS prev_t,
+                       first_value(CASE WHEN y IS NOT NULL
+                                   THEN epoch(ds::TIMESTAMP) END IGNORE NULLS)
+                           OVER wn AS next_t
+                FROM dense
+                WINDOW wp AS (PARTITION BY series_id ORDER BY ds
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       wn AS (PARTITION BY series_id ORDER BY ds
+                              ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+            )
+            SELECT series_id, ds,
+                   round(coalesce(y, prev_v + (next_v - prev_v)
+                         * (ets - prev_t) / (next_t - prev_t)), 6) AS y
+            FROM marked
+            WHERE coalesce(y, prev_v + (next_v - prev_v)
+                  * (ets - prev_t) / (next_t - prev_t)) IS NOT NULL
+        """,
+        "ts_sessionize": """
+            WITH s AS (
+                SELECT user_id, ts, value,
+                       CASE WHEN floor(epoch(ts)) - floor(epoch(lag(ts) OVER w))
+                                 > 1800
+                            OR lag(ts) OVER w IS NULL
+                            THEN 1 ELSE 0 END AS is_new
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ),
+            sess AS (
+                SELECT user_id, ts, value,
+                       sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+                           AS session_id
+                FROM s
+            )
+            SELECT user_id::BIGINT AS user_id, session_id,
+                   count(*)::BIGINT AS n_events,
+                   (floor(epoch(max(ts))) - floor(epoch(min(ts))))::BIGINT
+                       AS duration_sec,
+                   round(sum(value), 6) AS value_sum
+            FROM sess GROUP BY user_id, session_id
+        """,
+        "flagship_daily_revenue": """
+            WITH daily AS (
+                SELECT date_trunc('day', ts)::DATE AS ds,
+                       SUM(value)::DOUBLE AS revenue
+                FROM events WHERE event_type = 'purchase'
+                GROUP BY 1
+            )
+            SELECT ds, round(revenue, 6) AS revenue,
+                   round(avg(revenue) OVER (ORDER BY ds
+                         ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6) AS ma7,
+                   round(revenue - lag(revenue, 7) OVER (ORDER BY ds), 6) AS wow
+            FROM daily
+            QUALIFY lag(revenue, 7) OVER (ORDER BY ds) IS NOT NULL
+        """,
+        "tpch_q1_pricing": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 6) AS sum_qty,
+                   round(sum(l_extendedprice), 6) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 6)
+                       AS sum_disc_price,
+                   round(avg(l_quantity), 6) AS avg_qty,
+                   count(*)::BIGINT AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '2000-01-01 00:00:00'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "dedup_exact": r"""
+            SELECT doc_id::BIGINT AS doc_id
+            FROM (
+                SELECT doc_id,
+                       row_number() OVER (
+                           PARTITION BY md5(regexp_replace(lower(trim(text)),
+                                            '\s+', ' ', 'g'))
+                           ORDER BY doc_id) AS rn
+                FROM documents
+            ) WHERE rn = 1
+        """,
+        "dedup_minhash_sigs": f"""
+            WITH {_SQL_SHINGLES}
+            SELECT doc_id::BIGINT AS doc_id,
+                   min(('0x' || substr(md5('0:' || shingle), 1, 8))::BIGINT)
+                       AS minhash_0,
+                   min(('0x' || substr(md5('1:' || shingle), 1, 8))::BIGINT)
+                       AS minhash_1,
+                   min(('0x' || substr(md5('2:' || shingle), 1, 8))::BIGINT)
+                       AS minhash_2,
+                   min(('0x' || substr(md5('3:' || shingle), 1, 8))::BIGINT)
+                       AS minhash_3
+            FROM sh GROUP BY doc_id
+        """,
+        "dedup_jaccard_pairs": f"""
+            WITH {_SQL_SHINGLES},
+            sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+            inter AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+                FROM sh a JOIN sh b
+                  ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            )
+            SELECT id_a::BIGINT AS id_a, id_b::BIGINT AS id_b,
+                   inter::BIGINT AS inter,
+                   round(inter / (sa.sz + sb.sz - inter), 6) AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = id_a
+            JOIN sizes sb ON sb.doc_id = id_b
+            WHERE round(inter / (sa.sz + sb.sz - inter), 6) >= 0.5
+        """,
+        "text_quality": rf"""
+            WITH q AS (
+                SELECT doc_id, text,
+                       length(text) AS n_chars,
+                       len(list_filter(string_split_regex(trim(text), '\s+'),
+                           w -> len(w) > 0)) AS words,
+                       length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g'))
+                           AS punct,
+                       ({stop_terms}) AS stop_hits,
+                       length(regexp_replace(text, '\s+', '', 'g')) AS letter_chars
+                FROM documents
+            )
+            SELECT doc_id::BIGINT AS doc_id,
+                   words::BIGINT AS n_tokens,
+                   round(punct / nullif(n_chars, 0), 6) AS q_punct_ratio,
+                   round(stop_hits / nullif(words, 0), 6) AS q_stopword_ratio,
+                   round(letter_chars / nullif(words, 0), 6) AS q_mean_word_len,
+                   coalesce(round(
+                       (CASE WHEN words >= 5 THEN 1.0 ELSE 0.0 END)
+                       * (CASE WHEN letter_chars / nullif(words, 0)
+                               BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.5 END)
+                       * (1.0 - least(punct / nullif(n_chars, 0) * 5.0, 1.0)),
+                       6), 0.0) AS q_score
+            FROM q
+        """,
+        "text_lang_id": f"""
+            WITH s AS (
+                SELECT doc_id, lang,
+                       {lang_scores}
+                FROM documents
+            )
+            SELECT doc_id::BIGINT AS doc_id,
+                   {lang_case} AS lang_pred,
+                   ({lang_case} = lang)::BIGINT AS is_correct
+            FROM s
+        """,
+        "text_fingerprint": r"""
+            SELECT doc_id::BIGINT AS doc_id,
+                   md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+                       AS fingerprint
+            FROM documents
+        """,
+        "sim_cosine_topk": """
+            WITH q AS (
+                SELECT generate_subscripts(embedding, 1) AS i,
+                       unnest(embedding)::DOUBLE AS qv
+                FROM embeddings WHERE vec_id = 0
+            ),
+            v AS (
+                SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+                       unnest(embedding)::DOUBLE AS vv
+                FROM embeddings
+            )
+            SELECT vec_id,
+                   round(sum(vv * qv)
+                         / (sqrt(sum(vv * vv)) * sqrt(sum(qv * qv))), 6)
+                       AS cosine_sim
+            FROM v JOIN q USING (i)
+            GROUP BY vec_id
+            ORDER BY cosine_sim DESC, vec_id
+            LIMIT 10
+        """,
+        "emb_norms": """
+            SELECT vec_id,
+                   round(sqrt(sum(x * x)), 6) AS l2_norm
+            FROM (
+                SELECT vec_id, unnest(embedding)::DOUBLE AS x FROM embeddings
+            )
+            GROUP BY vec_id
+        """,
+    }

@@ -1,0 +1,84 @@
+"""Missing-value handling (reference Forecaster_with_missing_vals,
+src/scalecast/util.py:898-1155; SURVEY.md §2.1).
+
+The reference reindexes a pandas series to a target frequency and
+applies fill strategies. Spark-first equivalents:
+
+  * densify — per-series calendar spine via ``sequence()`` + explode,
+    left-joined to the data (the reference's ``full_ts_df.merge``,
+    util.py:997-1007). The spine is generated FROM per-series min/max
+    aggregates, so it never materializes driver-side.
+  * fills — window expressions: ffill/bfill via last/first ignorenulls,
+    linear interpolation via the two bracketing observations, moving
+    average via a trailing frame (avg skips NULLs natively).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F, Window as W
+
+from scalecast_spark.frame import DS, SERIES, Y
+
+
+def densify(df: DataFrame, freq_seconds: int = 86400) -> DataFrame:
+    """Reindex each series to a gapless grid at ``freq_seconds``;
+    missing timestamps appear with y NULL."""
+    step = int(freq_seconds)
+    spine = (
+        df.groupBy(SERIES)
+        .agg(F.min(DS).alias("_lo"), F.max(DS).alias("_hi"))
+        .select(
+            SERIES,
+            F.explode(
+                F.sequence(
+                    F.col("_lo"),
+                    F.col("_hi"),
+                    F.expr(f"interval {step} seconds"),
+                )
+            ).alias(DS),
+        )
+    )
+    return spine.join(df, on=[SERIES, DS], how="left")
+
+
+def ffill(df: DataFrame, col: str = Y) -> DataFrame:
+    """Forward fill (reference 'ffill' strategy, util.py:1117+)."""
+    w = W.partitionBy(SERIES).orderBy(DS).rowsBetween(W.unboundedPreceding, 0)
+    return df.withColumn(col, F.last(col, ignorenulls=True).over(w))
+
+
+def bfill(df: DataFrame, col: str = Y) -> DataFrame:
+    w = W.partitionBy(SERIES).orderBy(DS).rowsBetween(0, W.unboundedFollowing)
+    return df.withColumn(col, F.first(col, ignorenulls=True).over(w))
+
+
+def fill_static(df: DataFrame, value: float, col: str = Y) -> DataFrame:
+    return df.withColumn(col, F.coalesce(F.col(col), F.lit(float(value))))
+
+
+def linear_interp(df: DataFrame, col: str = Y) -> DataFrame:
+    """Linear interpolation between the bracketing observations
+    (reference 'linear_interp', the default — util.py:1010-1030;
+    spot-checked 1,2,NULL,4 → 3.0 like test_util.py:16,30).
+
+    prev/next values come from last/first-ignorenulls windows; the
+    fraction uses timestamp distance so irregular grids interpolate
+    correctly too. Endpoints (no bracket) stay NULL.
+    """
+    wp = W.partitionBy(SERIES).orderBy(DS).rowsBetween(W.unboundedPreceding, -1)
+    wn = W.partitionBy(SERIES).orderBy(DS).rowsBetween(1, W.unboundedFollowing)
+    ts = F.unix_timestamp(DS).cast("double")
+    prev_v = F.last(col, ignorenulls=True).over(wp)
+    next_v = F.first(col, ignorenulls=True).over(wn)
+    prev_t = F.last(F.when(F.col(col).isNotNull(), ts), ignorenulls=True).over(wp)
+    next_t = F.first(F.when(F.col(col).isNotNull(), ts), ignorenulls=True).over(wn)
+    interp = prev_v + (next_v - prev_v) * F.try_divide(ts - prev_t, next_t - prev_t)
+    return df.withColumn(col, F.coalesce(F.col(col), interp))
+
+
+def fill_moving_average(df: DataFrame, window: int = 7, col: str = Y) -> DataFrame:
+    """Fill gaps with the trailing ``window``-row average of observed
+    values (reference 'moving_average', util.py:1085-1100). avg()
+    ignores NULLs, so consecutive gaps fall back to older actuals."""
+    w = W.partitionBy(SERIES).orderBy(DS).rowsBetween(-window, -1)
+    return df.withColumn(col, F.coalesce(F.col(col), F.avg(col).over(w)))
