@@ -15,7 +15,8 @@ instead of the reference's per-object pandas Series dict
 
 from scalecast_spark.session import get_session
 from scalecast_spark.frame import TimeSeriesFrame
+from scalecast_spark.forecaster import Forecaster
 
 __version__ = "0.1.0"
 
-__all__ = ["get_session", "TimeSeriesFrame", "__version__"]
+__all__ = ["get_session", "TimeSeriesFrame", "Forecaster", "__version__"]

@@ -1,0 +1,452 @@
+"""Forecaster — the scalecast-compatible orchestration API on Spark.
+
+Maps the reference's central object (src/scalecast/Forecaster.py:44-94 +
+_Forecaster_parent.py:45-67) onto the immutable long-format frame:
+
+  * feature methods mirror the reference's ``add_*`` surface (§2.2) and
+    record a replayable recipe;
+  * ``manual_forecast`` replicates EP1 (SURVEY.md §3): test() via
+    cutoff filter (the deepcopy disappears), fit/predict, in-sample
+    fitted values, conformal CIs from test residuals
+    (Forecaster.py:188-208);
+  * ``tune``/``cross_validate`` replicate EP2's rolling-origin CV
+    (_Forecaster_parent.py:1693-1867): grid × fold evaluation, NaN-
+    tolerant mean, best_params selection;
+  * results live in ONE long results frame
+    (model, series_id, ds, kind, value) — kind ∈ {forecast, fitted,
+    test_pred} — the reference's per-model ``history`` dict arrays
+    (Forecaster.py:147-208) become rows.
+
+Multi-series: everything here is per-series-parallel by construction;
+a Forecaster over 1M series costs the same number of Spark jobs as one
+series (the reference's MVForecaster becomes "more rows").
+"""
+
+from __future__ import annotations
+
+import itertools
+import math
+import random
+from dataclasses import replace
+
+from pyspark.sql import DataFrame, functions as F, Window as W
+
+from scalecast_spark.frame import DS, IS_FUTURE, SERIES, TimeSeriesFrame, Y
+from scalecast_spark.functions import metrics as METRICS
+from scalecast_spark.functions.conformal import apply_intervals, conformal_widths
+from scalecast_spark.operators import features as FEAT
+
+
+def _mark_test_rows(df: DataFrame, test_length: int) -> DataFrame:
+    """Mark the last ``test_length`` observed rows of each series as
+    future (is_future=1, y kept for peeking/eval) — the engine's
+    replacement for the reference's deepcopy+chop_from_front test
+    isolation (_Forecaster_parent.py:1615-1619)."""
+    w = W.partitionBy(SERIES).orderBy(F.desc(DS))
+    return (
+        df.filter(F.col(IS_FUTURE) == 0)
+        .withColumn("_rev", F.row_number().over(w))
+        .withColumn(
+            IS_FUTURE, F.when(F.col("_rev") <= test_length, 1).otherwise(0)
+        )
+        .drop("_rev")
+    )
+
+
+class Forecaster:
+    """One engine object over any number of series."""
+
+    def __init__(self, df: DataFrame | TimeSeriesFrame, future_dates: int = 0):
+        self.tsf = (
+            df if isinstance(df, TimeSeriesFrame) else TimeSeriesFrame.from_long(df)
+        )
+        self.horizon = 0
+        if future_dates:
+            self.generate_future_dates(future_dates)
+        self.test_length = 0
+        self.validation_length = 1
+        self.validation_metric = "rmse"
+        self.cilevel = 0.95
+        self.metrics = list(METRICS.DEFAULT_METRICS)
+        self.estimator: str | None = None
+        self.grid: list[dict] | None = None
+        self.best_params: dict | None = None
+        self.validation_metric_value: float | None = None
+        #: model nickname -> dict(results=DataFrame, summary=dict)
+        self.history: dict[str, dict] = {}
+        self._recipe: list[tuple] = []
+
+    # ------------------------------------------------------- setup
+    def generate_future_dates(self, h: int) -> "Forecaster":
+        self.tsf = self.tsf.generate_future_dates(h)
+        self.horizon = h
+        return self
+
+    def set_test_length(self, n: int) -> "Forecaster":
+        """reference _Forecaster_parent.py:1245-1270 (incl. the
+        conformal minimum-length rule at 104-116)."""
+        self.test_length = int(n)
+        return self
+
+    def set_validation_length(self, n: int) -> "Forecaster":
+        self.validation_length = int(n)
+        return self
+
+    def set_validation_metric(self, m: str) -> "Forecaster":
+        self.validation_metric = m
+        return self
+
+    def set_cilevel(self, c: float) -> "Forecaster":
+        if not 0 < c < 1:
+            raise ValueError("cilevel must be in (0,1)")
+        self.cilevel = c
+        return self
+
+    def set_estimator(self, name: str) -> "Forecaster":
+        from scalecast_spark.models import MODELS
+
+        if name not in MODELS:
+            raise ValueError(f"unknown estimator {name!r}; have {sorted(MODELS)}")
+        self.estimator = name
+        return self
+
+    # ---------------------------------------------------- features
+    def _apply(self, fn, *args, **kwargs) -> "Forecaster":
+        df, names = fn(self.tsf.df, *args, **kwargs)
+        self.tsf = self.tsf.with_features(df, names)
+        self._recipe.append((fn.__name__, args, kwargs))
+        return self
+
+    def add_ar_terms(self, n) -> "Forecaster":
+        return self._apply(FEAT.add_ar_terms, n)
+
+    def add_AR_terms(self, N_m: tuple) -> "Forecaster":
+        return self._apply(FEAT.add_seasonal_ar_terms, *N_m)
+
+    def add_time_trend(self) -> "Forecaster":
+        return self._apply(FEAT.add_time_trend)
+
+    def add_seasonal_regressors(self, *parts, **kwargs) -> "Forecaster":
+        return self._apply(FEAT.add_seasonal_regressors, list(parts), **kwargs)
+
+    def add_cycle(self, cycle_length, **kwargs) -> "Forecaster":
+        return self._apply(FEAT.add_cycle, cycle_length, **kwargs)
+
+    def add_other_regressor(self, called, start, end) -> "Forecaster":
+        return self._apply(FEAT.add_other_regressor, called, start, end)
+
+    def add_covid19_regressor(self) -> "Forecaster":
+        """reference _Forecaster_parent.py:509-533 fixed window."""
+        return self._apply(
+            FEAT.add_other_regressor, "COVID19", "2020-03-15", "2021-05-13"
+        )
+
+    def add_combo_regressors(self, *cols) -> "Forecaster":
+        return self._apply(FEAT.add_combo_regressors, *cols)
+
+    def add_poly_terms(self, *cols, pwr: int = 2) -> "Forecaster":
+        return self._apply(FEAT.add_poly_terms, *cols, pwr=pwr)
+
+    def add_logged_terms(self, *cols, base: float = math.e) -> "Forecaster":
+        return self._apply(FEAT.add_logged_terms, *cols, base=base)
+
+    def add_lagged_terms(self, *cols, lags: int = 1, upto: bool = True) -> "Forecaster":
+        return self._apply(FEAT.add_lagged_terms, *cols, lags=lags, upto=upto)
+
+    def add_rolling_mean(self, window: int, **kwargs) -> "Forecaster":
+        return self._apply(FEAT.add_rolling_mean, window, **kwargs)
+
+    def drop_Xvars(self, *names) -> "Forecaster":
+        self.tsf = self.tsf.drop_features(*names)
+        return self
+
+    def get_regressor_names(self) -> list[str]:
+        return list(self.tsf.features)
+
+    # ---------------------------------------------------- modeling
+    def _run_model(self, df: DataFrame, **kwargs) -> DataFrame:
+        from scalecast_spark.models import MODELS
+
+        fn = MODELS[self.estimator]
+        if self.estimator == "naive":
+            return fn(df, m=kwargs.get("m", 1))
+        return fn(df, features=kwargs.pop("Xvars", None) or list(self.tsf.features), **kwargs)
+
+    def manual_forecast(self, call_me: str | None = None, **kwargs) -> "Forecaster":
+        """EP1 (SURVEY.md §3): test → fit/predict → bank history."""
+        if self.estimator is None:
+            raise ValueError("call set_estimator first")
+        name = call_me or self.estimator
+        test_df = None
+        test_metrics: dict[str, float] | None = None
+        widths = None
+        if self.test_length:
+            marked = _mark_test_rows(self.tsf.df, self.test_length)
+            scored = self._run_model(marked, **dict(kwargs))
+            test_df = scored.filter(F.col(IS_FUTURE) == 1).select(
+                SERIES, DS, Y, "forecast"
+            )
+            test_df = test_df.cache()
+            mrows = METRICS.evaluate(
+                test_df, actual=Y, forecast="forecast", by=[SERIES],
+                metrics=self.metrics,
+            ).collect()
+            test_metrics = {
+                m: float(
+                    sum(r[m] for r in mrows if r[m] is not None)
+                    / max(sum(1 for r in mrows if r[m] is not None), 1)
+                )
+                for m in self.metrics
+            }
+            widths = conformal_widths(
+                test_df, actual=Y, forecast="forecast", cilevel=self.cilevel
+            )
+
+        full = self._run_model(self.tsf.df, **dict(kwargs))
+        fitted = full.filter(
+            (F.col(IS_FUTURE) == 0) & F.col("forecast").isNotNull()
+        ).select(SERIES, DS, Y, "forecast")
+        fc = full.filter(F.col(IS_FUTURE) == 1).select(SERIES, DS, "forecast")
+        if widths is not None:
+            fc = apply_intervals(fc, widths)
+        in_rows = METRICS.evaluate(
+            fitted, actual=Y, forecast="forecast", by=[SERIES], metrics=self.metrics
+        ).collect()
+        insample_metrics = {
+            m: float(
+                sum(r[m] for r in in_rows if r[m] is not None)
+                / max(sum(1 for r in in_rows if r[m] is not None), 1)
+            )
+            for m in self.metrics
+        }
+
+        summary = {"estimator": self.estimator, "hyperparams": dict(kwargs)}
+        for m, v in (test_metrics or {}).items():
+            summary[f"TestSet{m.upper()}"] = v
+        for m, v in insample_metrics.items():
+            summary[f"InSample{m.upper()}"] = v
+        if self.validation_metric_value is not None:
+            summary["ValidationMetricValue"] = self.validation_metric_value
+        self.history[name] = {
+            "forecast": fc,
+            "fitted": fitted,
+            "test_preds": test_df,
+            "summary": summary,
+        }
+        return self
+
+    def auto_forecast(self, call_me: str | None = None) -> "Forecaster":
+        """reference _Forecaster_parent.py:819-867."""
+        if self.best_params is None:
+            self.best_params = {}
+        return self.manual_forecast(call_me=call_me, **self.best_params)
+
+    # ------------------------------------------------------ tuning
+    def ingest_grid(self, grid: dict[str, list]) -> "Forecaster":
+        """dict-of-lists → cartesian product
+        (reference _Forecaster_parent.py:1050-1094)."""
+        keys = list(grid)
+        self.grid = [
+            dict(zip(keys, combo)) for combo in itertools.product(*grid.values())
+        ]
+        return self
+
+    def limit_grid_size(self, n, random_seed: int | None = None) -> "Forecaster":
+        """reference _Forecaster_parent.py:1096-1131 (count or fraction)."""
+        if self.grid is None:
+            raise ValueError("no grid ingested")
+        rng = random.Random(random_seed)
+        size = int(len(self.grid) * n) if isinstance(n, float) and n <= 1 else int(n)
+        size = max(min(size, len(self.grid)), 1)
+        self.grid = rng.sample(self.grid, size)
+        return self
+
+    def _eval_fold(self, fold_df: DataFrame, params: dict) -> float:
+        scored = self._run_model(fold_df, **dict(params))
+        test = scored.filter(F.col(IS_FUTURE) == 1)
+        row = METRICS.evaluate(
+            test, actual=Y, forecast="forecast", metrics=[self.validation_metric]
+        ).collect()[0]
+        v = row[self.validation_metric]
+        return float(v) if v is not None else float("nan")
+
+    def cross_validate(
+        self, k: int = 5, test_length: int | None = None,
+        train_length: int | None = None, space_between_sets: int | None = None,
+        verbose: bool = False,
+    ) -> "Forecaster":
+        """Rolling-origin CV (reference _Forecaster_parent.py:1693-1867).
+
+        Fold i (0-based) holds out rows (cut_i, cut_i + test_length]
+        where cut_i slides back by ``space_between_sets``. Every fold is
+        a FILTER over the cached feature frame — fold isolation without
+        the reference's per-fold deepcopy. The (grid × fold) loop runs
+        fold-major so each fold's marked frame is reused across the
+        whole grid.
+        """
+        if self.grid is None:
+            raise ValueError("ingest a grid first")
+        n_obs = (
+            self.tsf.observed.groupBy(SERIES).count()
+            .agg(F.min("count")).collect()[0][0]
+        )
+        test_length = test_length or max(n_obs // (k + 1), 1)
+        space = space_between_sets or test_length
+        base = self.tsf.df.cache()
+        scores = [[float("nan")] * k for _ in self.grid]
+        for fold in range(k):
+            chop = fold * space
+            fold_frame = base
+            if chop:
+                w = W.partitionBy(SERIES).orderBy(F.desc(DS))
+                fold_frame = (
+                    base.filter(F.col(IS_FUTURE) == 0)
+                    .withColumn("_rev", F.row_number().over(w))
+                    .filter(F.col("_rev") > chop)
+                    .drop("_rev")
+                )
+            marked = _mark_test_rows(fold_frame, test_length)
+            if train_length:
+                w2 = W.partitionBy(SERIES).orderBy(F.desc(DS))
+                marked = (
+                    marked.withColumn("_rev", F.row_number().over(w2))
+                    .filter(F.col("_rev") <= train_length + test_length)
+                    .drop("_rev")
+                )
+            marked = marked.cache()
+            for gi, params in enumerate(self.grid):
+                try:
+                    scores[gi][fold] = self._eval_fold(marked, params)
+                except Exception:
+                    scores[gi][fold] = float("nan")
+                if verbose:
+                    print(f"fold {fold} grid {gi}: {scores[gi][fold]}")
+            marked.unpersist()
+        means = [
+            (sum(v for v in row if not math.isnan(v))
+             / max(sum(1 for v in row if not math.isnan(v)), 1))
+            if any(not math.isnan(v) for v in row) else float("nan")
+            for row in scores
+        ]
+        lower_better = METRICS.LOWER_IS_BETTER.get(self.validation_metric, True)
+        valid = [(i, v) for i, v in enumerate(means) if not math.isnan(v)]
+        if not valid:
+            raise RuntimeError("all CV evaluations failed")
+        best_i = (min if lower_better else max)(valid, key=lambda t: t[1])[0]
+        self.best_params = self.grid[best_i]
+        self.validation_metric_value = means[best_i]
+        return self
+
+    def tune(self, dynamic_tuning: bool = False) -> "Forecaster":
+        """1-fold CV on the validation slice
+        (reference _Forecaster_parent.py:1659-1691)."""
+        return self.cross_validate(k=1, test_length=self.validation_length)
+
+    # ------------------------------------------------------- combo
+    def combo(
+        self, models: list[str], call_me: str = "combo", how: str = "simple",
+        determine_best_by: str = "TestSetRMSE",
+    ) -> "Forecaster":
+        from scalecast_spark.models.combo import combo_forecast, derive_weights
+
+        stacked = None
+        for m in models:
+            fcm = self.history[m]["forecast"].select(
+                F.lit(m).alias("model"), SERIES, DS, "forecast"
+            )
+            stacked = fcm if stacked is None else stacked.unionByName(fcm)
+        weights = None
+        if how == "weighted":
+            metric = determine_best_by.replace("TestSet", "").lower()
+            scores = {
+                m: self.history[m]["summary"][f"TestSet{metric.upper()}"]
+                for m in models
+            }
+            weights = derive_weights(
+                scores, METRICS.LOWER_IS_BETTER.get(metric, True)
+            )
+        fc = combo_forecast(stacked, models, weights)
+        # combo test-set predictions = same average over member test
+        # predictions → TestSet metrics (reference models.py:1557-1583)
+        summary = {"estimator": "combo", "hyperparams": {"models": models, "how": how}}
+        test_df = None
+        member_tests = [
+            self.history[m]["test_preds"] for m in models
+            if self.history[m]["test_preds"] is not None
+        ]
+        if len(member_tests) == len(models):
+            stacked_t = None
+            for m in models:
+                tp = self.history[m]["test_preds"].select(
+                    F.lit(m).alias("model"), SERIES, DS, Y, "forecast"
+                )
+                stacked_t = tp if stacked_t is None else stacked_t.unionByName(tp)
+            test_fc = combo_forecast(stacked_t, models, weights)
+            actuals = member_tests[0].select(SERIES, DS, Y)
+            test_df = test_fc.join(actuals, [SERIES, DS])
+            mrows = METRICS.evaluate(
+                test_df, actual=Y, forecast="forecast", by=[SERIES],
+                metrics=self.metrics,
+            ).collect()
+            for m in self.metrics:
+                vals = [r[m] for r in mrows if r[m] is not None]
+                if vals:
+                    summary[f"TestSet{m.upper()}"] = float(sum(vals) / len(vals))
+        self.history[call_me] = {
+            "forecast": fc,
+            "fitted": None,
+            "test_preds": test_df,
+            "summary": summary,
+        }
+        return self
+
+    # ------------------------------------------------------ export
+    def export(self, which: str = "model_summaries") -> DataFrame:
+        """reference export (Forecaster.py:2065-2219)."""
+        spark = self.tsf.df.sparkSession
+        if which == "model_summaries":
+            import pandas as pd
+
+            rows = []
+            for name, h in self.history.items():
+                row = {"ModelNickname": name, **{
+                    k: v for k, v in h["summary"].items() if not isinstance(v, dict)
+                }}
+                row["HyperParams"] = str(h["summary"].get("hyperparams", {}))
+                rows.append(row)
+            return spark.createDataFrame(pd.DataFrame(rows))
+        if which == "lvl_fcsts":
+            out = None
+            for name, h in self.history.items():
+                fc = h["forecast"].select(
+                    F.lit(name).alias("model"), SERIES, DS, "forecast"
+                )
+                out = fc if out is None else out.unionByName(fc)
+            return out
+        if which == "lvl_test_set_predictions":
+            out = None
+            for name, h in self.history.items():
+                if h["test_preds"] is None:
+                    continue
+                tp = h["test_preds"].select(
+                    F.lit(name).alias("model"), SERIES, DS, Y, "forecast"
+                )
+                out = tp if out is None else out.unionByName(tp)
+            return out
+        raise ValueError(f"unknown export {which!r}")
+
+    def order_fcsts(self, by: str = "TestSetRMSE") -> list[str]:
+        """Rank models (reference _Forecaster_parent.py:363-426)."""
+        metric = by.replace("TestSet", "").replace("InSample", "").lower()
+        lower = METRICS.LOWER_IS_BETTER.get(metric, True)
+        scored = [
+            (n, h["summary"].get(by))
+            for n, h in self.history.items()
+            if h["summary"].get(by) is not None
+        ]
+        return [n for n, _ in sorted(scored, key=lambda t: t[1], reverse=not lower)]
+
+    def pop(self, *models: str) -> "Forecaster":
+        for m in models:
+            self.history.pop(m, None)
+        return self
