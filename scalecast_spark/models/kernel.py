@@ -1,0 +1,164 @@
+"""The recursive fit/predict kernel — the engine's shared estimator
+machinery (SURVEY.md §7.4 #1).
+
+Replicates the reference's core prediction semantics
+(src/scalecast/models.py:109-149): a model is fit per series on the
+observed design matrix, then the horizon is predicted RECURSIVELY —
+each step's prediction is written into the AR feature cells of later
+steps (models.py:145-147); ``dynamic_testing=k`` peeks the true actual
+every k-th step (models.py:124-127).
+
+One ``applyInPandas`` pass per model run: parallel across series (the
+scale axis), sequential across the horizon (irreducibly). ``fit_fn``
+is any (X, y) → predict-callable — numpy OLS/ridge/lasso/kNN live in
+sklearn_like.py. Feature normalization (the reference's normalizer
+registry, cfg.py:67-73) is fit on train rows only and applied inside
+the same kernel (models.py:83,105's fit-on-train semantics).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Callable
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import types as T
+
+from scalecast_spark.frame import DS, IS_FUTURE, SERIES, Y
+
+_AR_RE = re.compile(r"^ar_(\d+)$")
+
+#: normalizer registry (reference classes.py:92-139): name ->
+#: fit(X) -> (transform callable)
+def _fit_normalizer(name: str | None, X: np.ndarray):
+    if not name:
+        return lambda A: A
+    if name == "minmax":
+        lo, hi = X.min(axis=0), X.max(axis=0)
+        rng = np.where(hi > lo, hi - lo, 1.0)
+        return lambda A: (A - lo) / rng
+    if name == "scale":
+        mu, sd = X.mean(axis=0), X.std(axis=0)
+        sd = np.where(sd > 0, sd, 1.0)
+        return lambda A: (A - mu) / sd
+    if name == "robust":
+        med = np.median(X, axis=0)
+        iqr = np.percentile(X, 75, axis=0) - np.percentile(X, 25, axis=0)
+        iqr = np.where(iqr > 0, iqr, 1.0)
+        return lambda A: (A - med) / iqr
+    raise ValueError(f"unknown normalizer {name!r}")
+
+
+def run_kernel(
+    df: DataFrame,
+    features: list[str],
+    fit_fn: Callable[[np.ndarray, np.ndarray], Callable[[np.ndarray], float]],
+    dynamic_testing: bool | int = True,
+    normalizer: str | None = None,
+) -> DataFrame:
+    """Adds ``forecast``: fitted values on observed rows (actual AR
+    cells), recursive dynamic predictions on future rows."""
+    ar_lags = {int(m.group(1)): c for c in features for m in [_AR_RE.match(c)] if m}
+    feat = list(features)
+    peek_every = (
+        0 if dynamic_testing is True else 1 if dynamic_testing is False
+        else int(dynamic_testing)
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField(SERIES, df.schema[SERIES].dataType),
+            T.StructField(DS, df.schema[DS].dataType),
+            T.StructField("forecast", T.DoubleType()),
+        ]
+    )
+
+    def fit_predict(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(DS).reset_index(drop=True)
+        obs = pdf[pdf[IS_FUTURE] == 0]
+        train = obs.dropna(subset=feat + [Y])
+        out = pdf[[SERIES, DS]].copy()
+        if len(train) <= max(len(feat), 1):
+            out["forecast"] = np.nan
+            return out
+        Xtr = np.column_stack([train[c].to_numpy(float) for c in feat])
+        norm = _fit_normalizer(normalizer, Xtr)
+        predict = fit_fn(norm(Xtr), train[Y].to_numpy(float))
+
+        fitted = np.full(len(pdf), np.nan)
+        ok = (pdf[feat].notna().all(axis=1) & (pdf[IS_FUTURE] == 0)).to_numpy()
+        if ok.any():
+            Xall = np.column_stack(
+                [pdf.loc[ok, c].to_numpy(float) for c in feat]
+            )
+            fitted[ok] = predict(norm(Xall))
+
+        hist = list(obs[Y].to_numpy(float))
+        fut_idx = pdf.index[pdf[IS_FUTURE] == 1].tolist()
+        for step, i in enumerate(fut_idx, start=1):
+            row = pdf.loc[i, feat].copy()
+            # ALWAYS overwrite AR cells from the rolling history: on
+            # test-marked rows the frame carries true lagged actuals in
+            # ar_k (features were built before the test split), and
+            # trusting them would silently peek — recursion must see
+            # its own predictions (reference models.py:145-147)
+            for k, cname in ar_lags.items():
+                if k <= len(hist):
+                    row[cname] = hist[-k]
+            x = norm(row.to_numpy(float).reshape(1, -1))
+            pred = float(predict(x))
+            fitted[i] = pred
+            actual = pdf.at[i, Y]
+            if peek_every and step % peek_every == 0 and not pd.isna(actual):
+                hist.append(float(actual))
+            else:
+                hist.append(pred)
+        out["forecast"] = fitted
+        return out
+
+    preds = (
+        df.select(SERIES, DS, IS_FUTURE, Y, *feat)
+        .groupBy(SERIES)
+        .applyInPandas(fit_predict, schema)
+    )
+    return df.join(preds, on=[SERIES, DS], how="left")
+
+
+def run_series_kernel(
+    df: DataFrame,
+    model_fn: Callable[[np.ndarray, int], tuple[np.ndarray, np.ndarray]],
+) -> DataFrame:
+    """Kernel for pure-series models (no design matrix): HWES, Theta,
+    ARIMA-family. ``model_fn(y, h) -> (fitted, forecast)`` with
+    len(fitted)==len(y), len(forecast)==h. Parallel across series."""
+    schema = T.StructType(
+        [
+            T.StructField(SERIES, df.schema[SERIES].dataType),
+            T.StructField(DS, df.schema[DS].dataType),
+            T.StructField("forecast", T.DoubleType()),
+        ]
+    )
+
+    def fit_predict(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(DS).reset_index(drop=True)
+        obs_mask = (pdf[IS_FUTURE] == 0).to_numpy()
+        y = pdf.loc[obs_mask, Y].to_numpy(float)
+        h = int((~obs_mask).sum())
+        out = pdf[[SERIES, DS]].copy()
+        vals = np.full(len(pdf), np.nan)
+        if len(y) >= 3:
+            fitted, fc = model_fn(y, h)
+            vals[obs_mask] = fitted
+            if h:
+                vals[~obs_mask] = fc
+        out["forecast"] = vals
+        return out
+
+    preds = (
+        df.select(SERIES, DS, IS_FUTURE, Y)
+        .groupBy(SERIES)
+        .applyInPandas(fit_predict, schema)
+    )
+    return df.join(preds, on=[SERIES, DS], how="left")

@@ -59,74 +59,16 @@ def linear_model(
     df: DataFrame,
     features: list[str],
     dynamic_testing: bool | int = True,
+    normalizer: str | None = None,
 ) -> DataFrame:
-    """General multi-feature OLS with recursive AR prediction.
+    """General multi-feature OLS with recursive AR prediction — now a
+    thin adapter over the shared kernel (kernel.py).
 
     Adds ``forecast``: in-sample one-step fitted values on observed rows
     (AR cells = actuals, matching the reference's fitted-vals
     definition), recursive dynamic predictions on future rows.
     """
-    ar_lags = {int(m.group(1)): c for c in features for m in [_AR_RE.match(c)] if m}
-    feat = list(features)
-    peek_every = (
-        0 if dynamic_testing is True else 1 if dynamic_testing is False else int(dynamic_testing)
-    )
+    from scalecast_spark.models.kernel import run_kernel
+    from scalecast_spark.models.sklearn_like import fit_ols
 
-    schema = T.StructType(
-        [
-            T.StructField(SERIES, df.schema[SERIES].dataType),
-            T.StructField(DS, df.schema[DS].dataType),
-            T.StructField(IS_FUTURE, T.IntegerType()),
-            T.StructField(Y, T.DoubleType()),
-            T.StructField("forecast", T.DoubleType()),
-        ]
-    )
-
-    def fit_predict(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(DS).reset_index(drop=True)
-        obs = pdf[pdf[IS_FUTURE] == 0]
-        train = obs.dropna(subset=feat + [Y])
-        if len(train) <= len(feat):
-            pdf["forecast"] = np.nan
-            return pdf[[SERIES, DS, IS_FUTURE, Y, "forecast"]]
-        X = np.column_stack([train[c].to_numpy(float) for c in feat] + [np.ones(len(train))])
-        beta, *_ = np.linalg.lstsq(X, train[Y].to_numpy(float), rcond=None)
-
-        def predict_row(row) -> float:
-            x = np.array([row[c] for c in feat] + [1.0], dtype=float)
-            return float(x @ beta)
-
-        # in-sample fitted values: one-step-ahead with actual AR cells
-        fitted = np.full(len(pdf), np.nan)
-        ok = pdf[feat].notna().all(axis=1) & (pdf[IS_FUTURE] == 0)
-        if ok.any():
-            Xall = np.column_stack(
-                [pdf.loc[ok, c].to_numpy(float) for c in feat] + [np.ones(ok.sum())]
-            )
-            fitted[ok.to_numpy()] = Xall @ beta
-
-        # recursive horizon: maintain the rolling tail of y-or-prediction
-        hist = list(obs[Y].to_numpy(float))
-        fut_idx = pdf.index[pdf[IS_FUTURE] == 1].tolist()
-        for step, i in enumerate(fut_idx, start=1):
-            row = pdf.loc[i].copy()
-            for k, cname in ar_lags.items():
-                if pd.isna(row[cname]):
-                    row[cname] = hist[-k]
-            pred = predict_row(row)
-            fitted[i] = pred
-            actual = pdf.at[i, Y]
-            # dynamic_testing=k: peek the true actual every k-th step
-            if peek_every and step % peek_every == 0 and not pd.isna(actual):
-                hist.append(float(actual))
-            else:
-                hist.append(pred)
-        pdf["forecast"] = fitted
-        return pdf[[SERIES, DS, IS_FUTURE, Y, "forecast"]]
-
-    preds = (
-        df.select(SERIES, DS, IS_FUTURE, Y, *feat)
-        .groupBy(SERIES)
-        .applyInPandas(fit_predict, schema)
-    )
-    return df.join(preds.select(SERIES, DS, "forecast"), on=[SERIES, DS], how="left")
+    return run_kernel(df, features, fit_ols, dynamic_testing, normalizer)

@@ -1,0 +1,133 @@
+"""Exponential-smoothing family — numpy recursions per series.
+
+Replaces the reference's statsmodels-backed HWES (models.py:970-1059)
+and darts-backed Theta (models.py:880-968) with direct implementations
+of the public algorithm definitions (Hyndman & Athanasopoulos, FPP):
+
+  * SES          — level-only exponential smoothing
+  * Holt         — level + trend
+  * Holt-Winters — level + trend + additive seasonality, m-periodic
+  * Theta        — classic decomposition: SES of the theta=2 line
+                   combined with the linear-trend (theta=0) line
+
+Each runs inside run_series_kernel: parallel across series, O(n) per
+series. Smoothing parameters are chosen by a small grid search on
+in-sample SSE (the reference's statsmodels fit does MLE; a coarse grid
+is deterministic and library-free).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+
+from scalecast_spark.models.kernel import run_series_kernel
+
+
+def _ses_run(y: np.ndarray, alpha: float) -> tuple[np.ndarray, float]:
+    level = y[0]
+    fitted = np.empty(len(y))
+    fitted[0] = level
+    for t in range(1, len(y)):
+        fitted[t] = level
+        level = alpha * y[t] + (1 - alpha) * level
+    return fitted, level
+
+
+def _ses_best(y: np.ndarray, grid=None) -> tuple[np.ndarray, float, float]:
+    grid = grid or np.linspace(0.05, 0.95, 19)
+    best = None
+    for a in grid:
+        fitted, level = _ses_run(y, a)
+        sse = float(((y - fitted) ** 2).sum())
+        if best is None or sse < best[0]:
+            best = (sse, fitted, level, a)
+    return best[1], best[2], best[3]
+
+
+def ses(y: np.ndarray, h: int) -> tuple[np.ndarray, np.ndarray]:
+    fitted, level, _ = _ses_best(y)
+    return fitted, np.full(h, level)
+
+
+def holt(y: np.ndarray, h: int) -> tuple[np.ndarray, np.ndarray]:
+    best = None
+    for a in np.linspace(0.1, 0.9, 9):
+        for b in np.linspace(0.05, 0.45, 5):
+            level, trend = y[0], y[1] - y[0]
+            fitted = np.empty(len(y))
+            for t in range(len(y)):
+                fitted[t] = level + trend
+                if t < len(y):
+                    new_level = a * y[t] + (1 - a) * (level + trend)
+                    trend = b * (new_level - level) + (1 - b) * trend
+                    level = new_level
+            sse = float(((y - fitted) ** 2).sum())
+            if best is None or sse < best[0]:
+                best = (sse, fitted, level, trend)
+    _, fitted, level, trend = best
+    return fitted, level + trend * np.arange(1, h + 1)
+
+
+def holt_winters(y: np.ndarray, h: int, m: int = 7) -> tuple[np.ndarray, np.ndarray]:
+    """Additive Holt-Winters; falls back to Holt when the series is
+    shorter than two seasons."""
+    n = len(y)
+    if n < 2 * m:
+        return holt(y, h)
+    season0 = np.array([y[i::m][: n // m].mean() for i in range(m)])
+    season0 = season0 - season0.mean()
+    best = None
+    for a in (0.2, 0.4, 0.6, 0.8):
+        for b in (0.05, 0.15, 0.3):
+            for g in (0.05, 0.2, 0.4):
+                level = y[:m].mean()
+                trend = (y[m : 2 * m].mean() - y[:m].mean()) / m
+                season = season0.copy()
+                fitted = np.empty(n)
+                for t in range(n):
+                    s = season[t % m]
+                    fitted[t] = level + trend + s
+                    new_level = a * (y[t] - s) + (1 - a) * (level + trend)
+                    trend = b * (new_level - level) + (1 - b) * trend
+                    season[t % m] = g * (y[t] - new_level) + (1 - g) * s
+                    level = new_level
+                sse = float(((y - fitted) ** 2).sum())
+                if best is None or sse < best[0]:
+                    best = (sse, fitted, level, trend, season.copy())
+    _, fitted, level, trend, season = best
+    fc = np.array(
+        [level + trend * (i + 1) + season[(n + i) % m] for i in range(h)]
+    )
+    return fitted, fc
+
+
+def theta(y: np.ndarray, h: int) -> tuple[np.ndarray, np.ndarray]:
+    """Classic Theta(0,2): average of the extrapolated linear-trend line
+    (theta=0) and SES of the theta=2 line. The M3-winning method in its
+    standard closed form."""
+    n = len(y)
+    t = np.arange(1, n + 1, dtype=float)
+    slope, icept = np.polyfit(t, y, 1)
+    trend_line = icept + slope * t
+    theta2 = 2.0 * y - trend_line
+    fitted2, level2, _ = _ses_best(theta2)
+    fitted = 0.5 * (trend_line + fitted2)
+    fut_t = np.arange(n + 1, n + h + 1, dtype=float)
+    fc = 0.5 * ((icept + slope * fut_t) + np.full(h, level2))
+    return fitted, fc
+
+
+# ------------------------------------------------- registry adapters
+
+
+def hwes_model(df: DataFrame, features=None, trend: bool = True, seasonal: bool = True, m: int = 7, **_) -> DataFrame:
+    if seasonal:
+        return run_series_kernel(df, lambda y, h: holt_winters(y, h, m))
+    if trend:
+        return run_series_kernel(df, holt)
+    return run_series_kernel(df, ses)
+
+
+def theta_model(df: DataFrame, features=None, **_) -> DataFrame:
+    return run_series_kernel(df, theta)

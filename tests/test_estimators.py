@@ -1,0 +1,122 @@
+"""Estimator-zoo tests: each numpy model family vs an independent local
+computation, all driven through the Forecaster/model registry surface."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from scalecast_spark import Forecaster
+from scalecast_spark.frame import DS, IS_FUTURE, SERIES, TimeSeriesFrame, Y
+from scalecast_spark.sources import load_table, events_to_series
+from scalecast_spark.models import MODELS
+
+
+@pytest.fixture(scope="module")
+def frame(spark, sf_dir):
+    series = events_to_series(load_table(spark, sf_dir, "events"))
+    tsf = TimeSeriesFrame.from_long(series).generate_future_dates(5)
+    from scalecast_spark.operators.features import add_ar_terms, add_time_trend
+
+    df, ar = add_ar_terms(tsf.df, 2)
+    df, tt = add_time_trend(df)
+    return df.cache(), ar + tt
+
+
+@pytest.mark.parametrize("name", ["ridge", "lasso", "elasticnet", "knn"])
+def test_registry_models_produce_forecasts(frame, name):
+    df, feats = frame
+    out = MODELS[name](df, features=feats)
+    fut = out.filter(F.col(IS_FUTURE) == 1)
+    assert fut.count() == 25
+    assert fut.filter(F.col("forecast").isNotNull()).count() == 25
+    obs_nonnull = out.filter(
+        (F.col(IS_FUTURE) == 0) & F.col("forecast").isNotNull()
+    ).count()
+    assert obs_nonnull > 0
+
+
+def test_ridge_matches_closed_form(frame):
+    df, feats = frame
+    out = MODELS["ridge"](df, features=feats, alpha=2.0, normalizer=None)
+    pdf = out.filter(F.col(SERIES) == "click").orderBy(DS).toPandas()
+    obs = pdf[(pdf[IS_FUTURE] == 0)].dropna(subset=feats)
+    X = np.column_stack([obs[c] for c in feats] + [np.ones(len(obs))])
+    pen = 2.0 * np.eye(X.shape[1]); pen[-1, -1] = 0
+    beta = np.linalg.solve(X.T @ X + pen, X.T @ obs[Y].to_numpy())
+    assert np.allclose(obs["forecast"], X @ beta, rtol=1e-8)
+
+
+def test_lasso_zeroes_coefficients():
+    from scalecast_spark.models.sklearn_like import make_fit_coordinate_descent
+
+    rng = np.random.RandomState(0)
+    X = rng.randn(200, 4)
+    y = 3.0 * X[:, 0] + 0.0 * X[:, 1] + rng.randn(200) * 0.1
+    predict = make_fit_coordinate_descent(alpha=0.5, l1_ratio=1.0)(X, y)
+    # recover the strong coefficient, kill the weak ones
+    probe = np.eye(4)
+    base = predict(np.zeros((1, 4)))[0]
+    coefs = predict(probe) - base
+    assert coefs[0] > 2.0
+    assert all(abs(c) < 0.2 for c in coefs[1:])
+
+
+def test_knn_exact_small_case():
+    from scalecast_spark.models.sklearn_like import make_fit_knn
+
+    X = np.array([[0.0], [1.0], [2.0], [10.0]])
+    y = np.array([0.0, 1.0, 2.0, 10.0])
+    predict = make_fit_knn(2)(X, y)
+    assert predict(np.array([[0.4]]))[0] == pytest.approx(0.5)  # neighbors 0,1
+    assert predict(np.array([[9.0]]))[0] == pytest.approx(6.0)  # neighbors 10,2
+
+
+def test_ses_flat_series():
+    from scalecast_spark.models.smoothing import ses
+
+    y = np.full(30, 5.0)
+    fitted, fc = ses(y, 4)
+    assert np.allclose(fc, 5.0)
+    assert np.allclose(fitted[1:], 5.0)
+
+
+def test_holt_linear_series():
+    from scalecast_spark.models.smoothing import holt
+
+    y = 2.0 * np.arange(50) + 10
+    fitted, fc = holt(y, 5)
+    expected = 2.0 * np.arange(50, 55) + 10
+    assert np.allclose(fc, expected, rtol=0.05)
+
+
+def test_holt_winters_periodic_series():
+    from scalecast_spark.models.smoothing import holt_winters
+
+    season = np.array([0.0, 5.0, -3.0, 1.0, 2.0, -4.0, -1.0])
+    y = np.tile(season, 8) + 100.0
+    fitted, fc = holt_winters(y, 7, m=7)
+    assert np.allclose(fc, season + 100.0, atol=0.5)
+
+
+def test_theta_recovers_trend():
+    from scalecast_spark.models.smoothing import theta
+
+    y = 1.5 * np.arange(60) + 7 + np.sin(np.arange(60)) * 0.01
+    fitted, fc = theta(y, 5)
+    expected = 1.5 * np.arange(60, 65) + 7
+    # theta forecast = avg of trend line and SES level; for near-linear
+    # data with tiny noise the trend component dominates to within ~half
+    # the last-level gap
+    assert fc[0] < expected[0] and fc[0] > y[-1] - 5
+
+
+def test_hwes_theta_through_forecaster(spark, sf_dir):
+    series = events_to_series(load_table(spark, sf_dir, "events"))
+    f = Forecaster(series, future_dates=7)
+    f.set_test_length(7)
+    f.set_estimator("hwes").manual_forecast(m=7)
+    f.set_estimator("theta").manual_forecast()
+    summ = {r["ModelNickname"]: r for r in f.export("model_summaries").collect()}
+    assert summ["hwes"]["TestSetRMSE"] > 0
+    assert summ["theta"]["TestSetRMSE"] > 0
