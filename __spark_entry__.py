@@ -284,6 +284,29 @@ def q_tpch_q1_pricing(spark, sf_dir):
     return out
 
 
+def q_mv_corr_matrix(spark, sf_dir):
+    from scalecast_spark.operators.multivariate import corr_matrix
+
+    return corr_matrix(_series(spark, sf_dir))
+
+
+def q_mv_corr_lags(spark, sf_dir):
+    from scalecast_spark.operators.multivariate import corr_lags
+
+    return corr_lags(_series(spark, sf_dir), "click", "purchase", lags=3).withColumn(
+        "lag", F.col("lag").cast("long")
+    )
+
+
+def q_ts_line_up_dates(spark, sf_dir):
+    from scalecast_spark.operators.multivariate import line_up_dates
+
+    staggered = _series(spark, sf_dir).filter(
+        F.dayofmonth("ds") >= F.length("series_id")
+    )
+    return _out_ts(_r6(line_up_dates(staggered), "y"))
+
+
 def q_dedup_exact(spark, sf_dir):
     from scalecast_spark.datapipe.dedup import dedup_exact
 
@@ -445,6 +468,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_sessionize": q_ts_sessionize,
         "flagship_daily_revenue": q_flagship_daily_revenue,
         "tpch_q1_pricing": q_tpch_q1_pricing,
+        "mv_corr_matrix": q_mv_corr_matrix,
+        "mv_corr_lags": q_mv_corr_lags,
+        "ts_line_up_dates": q_ts_line_up_dates,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_sigs": q_dedup_minhash_sigs,
         "dedup_jaccard_pairs": q_dedup_jaccard_pairs,
@@ -728,6 +754,48 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem
             WHERE l_shipdate <= TIMESTAMP '2000-01-01 00:00:00'
             GROUP BY l_returnflag, l_linestatus
+        """,
+        "mv_corr_matrix": f"""
+            WITH {_SQL_SERIES}
+            SELECT a.series_id AS series_a, b.series_id AS series_b,
+                   round(corr(a.y, b.y), 6) AS corr
+            FROM series a JOIN series b USING (ds)
+            GROUP BY 1, 2
+        """,
+        "mv_corr_lags": f"""
+            WITH {_SQL_SERIES},
+            x AS (
+                SELECT ds, y AS xv,
+                       lag(y, 1) OVER w AS x1,
+                       lag(y, 2) OVER w AS x2,
+                       lag(y, 3) OVER w AS x3
+                FROM series WHERE series_id = 'click'
+                WINDOW w AS (ORDER BY ds)
+            ),
+            yy AS (SELECT ds, y AS yv FROM series WHERE series_id = 'purchase')
+            SELECT 1::BIGINT AS lag, round(corr(yv, x1), 6) AS corr
+            FROM yy JOIN x USING (ds)
+            UNION ALL
+            SELECT 2::BIGINT, round(corr(yv, x2), 6)
+            FROM yy JOIN x USING (ds)
+            UNION ALL
+            SELECT 3::BIGINT, round(corr(yv, x3), 6)
+            FROM yy JOIN x USING (ds)
+        """,
+        "ts_line_up_dates": f"""
+            WITH {_SQL_SERIES},
+            stag AS (
+                SELECT * FROM series WHERE day(ds) >= length(series_id)
+            ),
+            bounds AS (
+                SELECT max(lo) AS lo, min(hi) AS hi FROM (
+                    SELECT series_id, min(ds) AS lo, max(ds) AS hi
+                    FROM stag GROUP BY series_id
+                )
+            )
+            SELECT series_id, ds, round(y, 6) AS y
+            FROM stag, bounds
+            WHERE ds BETWEEN bounds.lo AND bounds.hi
         """,
         "dedup_exact": r"""
             SELECT doc_id::BIGINT AS doc_id

@@ -1,0 +1,166 @@
+"""Pipeline / backtest (reference src/scalecast/Pipeline.py:11-593 and
+util.py:112-230; SURVEY.md §2.11).
+
+  * Transformer / Reverter — named wrappers over the transform stack
+    (Pipeline.py:11-214): ordered fit_transform, reversed invert bound
+    to the SAME fitted state.
+  * Pipeline.fit_predict — composed steps: transformers, model steps
+    (callables taking a Forecaster), reverters (Pipeline.py:361-462).
+  * backtest — n_iter rewound runs (hold_out_len = fcst_length +
+    i*jump_back, Pipeline.py:244-257). Every iteration is a FILTER over
+    the one cached feature frame; iterations stack into a single long
+    results frame keyed by ``iteration`` so downstream metrics are one
+    groupBy — no per-iteration object copies, no driver loops over
+    results.
+  * backtest_metrics — (model × iteration × metric) table incl. the
+    M4 scaled metrics mase/msis that need train-set context
+    (util.py:112-230).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, functions as F, Window as W
+
+from scalecast_spark.frame import DS, IS_FUTURE, SERIES, TimeSeriesFrame, Y
+from scalecast_spark.functions import metrics as METRICS
+from scalecast_spark.operators.transforms import Transform
+
+
+class Transformer:
+    """Ordered transform list with fit_transform (Pipeline.py:11-102)."""
+
+    def __init__(self, transformers: list[Transform]):
+        self.transformers = transformers
+
+    def fit_transform(self, df: DataFrame, col: str = Y) -> DataFrame:
+        for t in self.transformers:
+            t.fit(df)
+            df = t.transform(df, col)
+        return df
+
+
+class Reverter:
+    """Reversed invert bound to the base Transformer's fitted state
+    (Pipeline.py:104-214)."""
+
+    def __init__(self, base: Transformer):
+        self.base = base
+
+    def fit_transform(self, df: DataFrame, *cols: str) -> DataFrame:
+        cols = cols or (Y, "forecast")
+        for t in reversed(self.base.transformers):
+            df = t.invert(df, *cols)
+        return df
+
+
+def backtest(
+    series_df: DataFrame,
+    model_fns: dict[str, callable],
+    fcst_length: int,
+    n_iter: int = 3,
+    jump_back: int = 1,
+    feature_fn=None,
+) -> DataFrame:
+    """Rolling-origin backtest.
+
+    ``model_fns``: name -> callable(df_with_features) adding 'forecast'
+    (use functools.partial over the registry). ``feature_fn``: optional
+    df -> (df, features) builder applied per iteration AFTER the rewind
+    so lag features never leak across the cutoff.
+
+    Returns long frame (model, iteration, series_id, ds, y, forecast)
+    over held-out rows only.
+    """
+    base = series_df.cache()
+    out = None
+    for i in range(n_iter):
+        hold = fcst_length + i * jump_back
+        w = W.partitionBy(SERIES).orderBy(F.desc(DS))
+        marked = (
+            base.withColumn("_rev", F.row_number().over(w))
+            .withColumn(
+                IS_FUTURE,
+                F.when(F.col("_rev") <= hold, 1).otherwise(0),
+            )
+            .filter(~((F.col(IS_FUTURE) == 1) & (F.col("_rev") <= hold - fcst_length)))
+            .drop("_rev")
+        )
+        if feature_fn is not None:
+            marked, _ = feature_fn(marked)
+        for name, fn in model_fns.items():
+            scored = fn(marked)
+            res = scored.filter(F.col(IS_FUTURE) == 1).select(
+                F.lit(name).alias("model"),
+                F.lit(i).alias("iteration"),
+                SERIES,
+                DS,
+                Y,
+                "forecast",
+            )
+            out = res if out is None else out.unionByName(res)
+    return out
+
+
+def backtest_metrics(
+    results: DataFrame,
+    train_df: DataFrame | None = None,
+    m: int = 1,
+    metrics: list[str] | None = None,
+) -> DataFrame:
+    """(model × iteration) metric table + per-model average row
+    (reference util.py:112-230).
+
+    ``mase`` needs the in-sample seasonal-naive MAE denominator from the
+    TRAINING data (Metrics.py:177-206) — pass ``train_df`` to enable it.
+    """
+    metrics = metrics or ["rmse", "smape", "mae", "r2", "bias"]
+    want_mase = "mase" in metrics
+    core = [mt for mt in metrics if mt != "mase"]
+    per_iter = results.groupBy("model", "iteration").agg(
+        *METRICS.metric_exprs(Y, "forecast", core)
+    )
+    if want_mase and train_df is not None:
+        denom = METRICS.mase_denominator(train_df, y=Y, series=SERIES, ds=DS, m=m)
+        scaled = (
+            results.join(denom, SERIES)
+            .groupBy("model", "iteration")
+            .agg(
+                F.avg(
+                    F.abs(F.col("forecast") - F.col(Y)) / F.col("mase_denom")
+                ).alias("mase")
+            )
+        )
+        per_iter = per_iter.join(scaled, ["model", "iteration"])
+    avg = (
+        per_iter.groupBy("model")
+        .agg(*[F.avg(c).alias(c) for c in per_iter.columns if c not in ("model", "iteration")])
+        .withColumn("iteration", F.lit(-1))
+    )
+    return per_iter.unionByName(avg.select(per_iter.columns))
+
+
+def msis(
+    results: DataFrame,
+    train_df: DataFrame,
+    m: int = 1,
+    alpha: float = 0.05,
+) -> DataFrame:
+    """M4 mean scaled interval score (reference Metrics.py:208-246):
+    requires upper/lower columns on ``results``; scaled by the same
+    seasonal-naive denominator."""
+    denom = METRICS.mase_denominator(train_df, y=Y, series=SERIES, ds=DS, m=m)
+    width = F.col("upper") - F.col("lower")
+    below = (2.0 / alpha) * (F.col("lower") - F.col(Y))
+    above = (2.0 / alpha) * (F.col(Y) - F.col("upper"))
+    score = (
+        width
+        + F.when(F.col(Y) < F.col("lower"), below).otherwise(0.0)
+        + F.when(F.col(Y) > F.col("upper"), above).otherwise(0.0)
+    )
+    return (
+        results.join(denom, SERIES)
+        .groupBy("model", "iteration")
+        .agg(F.avg(score / F.col("mase_denom")).alias("msis"))
+    )
