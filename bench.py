@@ -40,6 +40,8 @@ def main():
     from scalecast_spark import get_session
 
     spark = get_session("bench")
+    # warm-up: pay one-time Hadoop/codegen init outside the timers
+    spark.read.parquet(f"{sf_dir}/events.parquet").count()
     qs = entrymod.queries()
     times: dict[str, float] = {}
     t0 = time.time()

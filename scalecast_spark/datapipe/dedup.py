@@ -118,7 +118,12 @@ def jaccard_pairs(
     colliding docs; without it, pairs form via the shared-shingle
     self-join — still sub-quadratic because only docs sharing ≥1
     shingle ever meet, but use the LSH path at scale.
+
+    The shingle frame feeds three plan branches (sizes + both join
+    sides): cache it so the explode runs once, and broadcast the tiny
+    per-doc size tables into the final joins.
     """
+    shingles = shingles.cache()
     sizes = shingles.groupBy(id_col).agg(F.count("*").alias("sz"))
     a = shingles.alias("a")
     b = shingles.alias("b")
@@ -138,8 +143,8 @@ def jaccard_pairs(
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
     sb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
     out = (
-        inter.join(sa, "id_a")
-        .join(sb, "id_b")
+        inter.join(F.broadcast(sa), "id_a")
+        .join(F.broadcast(sb), "id_b")
         .withColumn(
             "jaccard",
             F.round(

@@ -1,0 +1,114 @@
+"""Structured Streaming twins of the batch operators.
+
+The reference has no streaming surface (its "time series" are batch
+arrays — SURVEY.md §2.12); this module is the engine's scale-out
+extension: the same resample/sessionize semantics as the batch ops,
+expressed as streaming plans so a 100 TB/day event firehose feeds the
+same long-format series frame incrementally.
+
+Design:
+  * event-time windows + watermarks bound state (late data beyond the
+    watermark is dropped deterministically);
+  * ``session_window`` matches operators/sessions.py gap semantics;
+  * ``run_available_now`` drains whatever is in the source with
+    Trigger.AvailableNow — the batch-parity test harness AND the
+    nightly-catchup pattern on a real cluster.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import types as T
+
+from scalecast_spark.frame import DS, SERIES, Y
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # nanos-as-long (see loaders)
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def stream_events(spark: SparkSession, path: str) -> DataFrame:
+    """readStream over the events parquet source. The file source wants
+    a DIRECTORY; a single-file path (the testdata layout) is handled by
+    streaming its parent with a glob filter. maxFilesPerTrigger
+    throttles micro-batch size on a real backlog."""
+    import os
+
+    reader = spark.readStream.schema(EVENTS_SCHEMA).option("maxFilesPerTrigger", 4)
+    if path.endswith(".parquet") and os.path.isfile(path):
+        reader = reader.option("pathGlobFilter", os.path.basename(path))
+        path = os.path.dirname(path)
+    raw = reader.parquet(path)
+    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+
+
+def windowed_series(
+    events: DataFrame,
+    bucket: str = "1 day",
+    watermark: str = "2 days",
+    series_col: str = "event_type",
+    value_col: str = "value",
+) -> DataFrame:
+    """Streaming twin of sources.events_to_series: tumbling event-time
+    windows with a watermark; emits (series_id, ds, y). State per
+    (series, window) is one partial sum — O(active windows)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(
+            F.col(series_col).cast("string").alias(SERIES),
+            F.window("ts", bucket).alias("_w"),
+        )
+        .agg(F.sum(value_col).cast("double").alias(Y))
+        .select(SERIES, F.col("_w.start").alias(DS), Y)
+    )
+
+
+def sessionize_stream(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "2 days",
+    entity_col: str = "user_id",
+) -> DataFrame:
+    """Streaming sessionization via ``session_window`` — the native
+    stateful operator (same gap semantics as operators/sessions.py).
+    Emits one row per closed session."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.col(entity_col), F.session_window("ts", gap).alias("_s"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("value_sum"),
+        )
+        .select(
+            entity_col,
+            F.col("_s.start").alias("session_start"),
+            F.col("_s.end").alias("session_end"),
+            "n_events",
+            "value_sum",
+        )
+    )
+
+
+def run_available_now(
+    stream_df: DataFrame, query_name: str, checkpoint_dir: str, timeout_sec: int = 120
+) -> DataFrame:
+    """Drain the source into an in-memory table with Trigger.AvailableNow
+    and return the materialized result as a batch DataFrame."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete" if stream_df.isStreaming else "append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_sec)
+    spark = stream_df.sparkSession
+    return spark.table(query_name)

@@ -1,0 +1,49 @@
+"""Streaming-vs-batch parity: the streaming plans must produce the same
+aggregates as their batch twins when drained with availableNow."""
+
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from scalecast_spark.sources import load_table, events_to_series
+from scalecast_spark.streaming import (
+    run_available_now,
+    sessionize_stream,
+    stream_events,
+    windowed_series,
+)
+
+
+@pytest.fixture(scope="module")
+def events_path(sf_dir):
+    return f"{sf_dir}/events.parquet"
+
+
+def test_windowed_series_matches_batch(spark, sf_dir, events_path):
+    stream = stream_events(spark, events_path)
+    agg = windowed_series(stream)
+    with tempfile.TemporaryDirectory() as ckpt:
+        got = run_available_now(agg, "ws_test", ckpt).toPandas()
+    batch = events_to_series(load_table(spark, sf_dir, "events")).toPandas()
+    g = got.set_index(["series_id", "ds"])["y"].sort_index()
+    b = batch.set_index(["series_id", "ds"])["y"].sort_index()
+    assert len(g) == len(b)
+    assert (abs(g - b) < 1e-6).all()
+
+
+def test_sessionize_stream_counts(spark, sf_dir, events_path):
+    from scalecast_spark.operators.sessions import session_stats
+
+    stream = stream_events(spark, events_path)
+    sess = sessionize_stream(stream, gap="30 minutes")
+    with tempfile.TemporaryDirectory() as ckpt:
+        got = run_available_now(sess, "ss_test", ckpt).toPandas()
+    batch = session_stats(
+        load_table(spark, sf_dir, "events"), gap_seconds=1800
+    ).toPandas()
+    # same total events and same number of sessions per user
+    assert got["n_events"].sum() == batch["n_events"].sum()
+    gcnt = got.groupby("user_id").size().sort_index()
+    bcnt = batch.groupby("user_id").size().sort_index()
+    assert (gcnt == bcnt).all()
