@@ -284,6 +284,71 @@ def q_tpch_q1_pricing(spark, sf_dir):
     return out
 
 
+def q_ts_stepwise_ci(spark, sf_dir):
+    """Step-wise dynamic conformal widths from a 4-iteration seasonal-
+    naive backtest (reference util.py:1157-1270)."""
+    from functools import partial
+
+    from scalecast_spark.functions.intervals import backtest_resid_steps, stepwise_widths
+    from scalecast_spark.models import naive_model
+    from scalecast_spark.pipeline import backtest
+
+    df = _series(spark, sf_dir).withColumn("is_future", F.lit(0))
+    res = backtest(
+        df, {"snaive": partial(naive_model, m=7)},
+        fcst_length=7, n_iter=4, jump_back=3,
+    )
+    widths = stepwise_widths(backtest_resid_steps(res), cilevel=0.9)
+    return _r6(
+        widths.drop("model").withColumn("step", F.col("step").cast("long")),
+        "ci_range",
+    )
+
+
+def q_tpch_q3_revenue(spark, sf_dir):
+    """Join competence: revenue by market segment and order priority —
+    lineitem ⋈ orders ⋈ customer with small dims broadcast."""
+    from scalecast_spark.sources import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6
+            ).alias("revenue"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+def q_tpch_q5_nation_revenue(spark, sf_dir):
+    """Two-hop dimension chain: revenue by customer nation and region."""
+    from scalecast_spark.sources import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6
+            ).alias("revenue")
+        )
+    )
+
+
 def q_mv_corr_matrix(spark, sf_dir):
     from scalecast_spark.operators.multivariate import corr_matrix
 
@@ -468,6 +533,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_sessionize": q_ts_sessionize,
         "flagship_daily_revenue": q_flagship_daily_revenue,
         "tpch_q1_pricing": q_tpch_q1_pricing,
+        "ts_stepwise_ci": q_ts_stepwise_ci,
+        "tpch_q3_revenue": q_tpch_q3_revenue,
+        "tpch_q5_nation_revenue": q_tpch_q5_nation_revenue,
         "mv_corr_matrix": q_mv_corr_matrix,
         "mv_corr_lags": q_mv_corr_lags,
         "ts_line_up_dates": q_ts_line_up_dates,
@@ -754,6 +822,42 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem
             WHERE l_shipdate <= TIMESTAMP '2000-01-01 00:00:00'
             GROUP BY l_returnflag, l_linestatus
+        """,
+        "ts_stepwise_ci": f"""
+            WITH {_SQL_SERIES},
+            sn AS (
+                SELECT series_id, ds, y,
+                       lag(y, 7) OVER (PARTITION BY series_id ORDER BY ds)
+                           AS forecast,
+                       row_number() OVER (PARTITION BY series_id
+                                          ORDER BY ds DESC) AS rev
+                FROM series
+            ),
+            iters AS (SELECT unnest([0, 1, 2, 3]) AS i)
+            SELECT series_id, (i * 3 + 8 - rev)::BIGINT AS step,
+                   round(quantile_cont(abs(y - forecast), 0.9), 6) AS ci_range
+            FROM sn CROSS JOIN iters
+            WHERE rev BETWEEN i * 3 + 1 AND i * 3 + 7
+            GROUP BY series_id, step
+        """,
+        "tpch_q3_revenue": """
+            SELECT c_mktsegment, o_orderpriority,
+                   round(sum(l_extendedprice * (1 - l_discount)), 6) AS revenue,
+                   count(*)::BIGINT AS n_lines
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            GROUP BY 1, 2
+        """,
+        "tpch_q5_nation_revenue": """
+            SELECT r_name, n_name,
+                   round(sum(l_extendedprice * (1 - l_discount)), 6) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY 1, 2
         """,
         "mv_corr_matrix": f"""
             WITH {_SQL_SERIES}

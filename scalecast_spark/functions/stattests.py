@@ -1,0 +1,198 @@
+"""Statistical diagnostics (SURVEY.md §2.6 'other aggregation-flavored
+ops'). The container has no scipy/statsmodels, so each test is the
+published formula in numpy, evaluated per series inside applyInPandas —
+parallel across series, exact on each.
+
+  * adf_test — augmented Dickey-Fuller (constant, fixed lag order or
+    Schwert rule), t-stat on the level coefficient + MacKinnon(1994)
+    approximate p-value via the standard response-surface constants
+    (public tables).
+  * normality_test — D'Agostino-Pearson K² from skewness/kurtosis
+    z-scores (D'Agostino, Belanger & D'Agostino 1990 formulas).
+  * periodogram — numpy rFFT power spectrum per series.
+  * seasonal_decompose — classic moving-average decomposition
+    (trend = centered MA(m), seasonal = phase means of detrended,
+    resid = rest), window expressions only.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F, Window as W
+from pyspark.sql import types as T
+
+from scalecast_spark.frame import DS, SERIES, Y
+
+# MacKinnon (1994) approximate asymptotic critical values, constant-only
+_ADF_CRIT = {"1%": -3.43, "5%": -2.86, "10%": -2.57}
+
+
+def _adf_stat(y: np.ndarray, maxlag: int | None = None) -> tuple[float, int]:
+    n = len(y)
+    if maxlag is None:
+        maxlag = int(math.ceil(12.0 * (n / 100.0) ** 0.25))
+        maxlag = min(maxlag, n // 2 - 2)
+    dy = np.diff(y)
+    k = maxlag
+    # regression: dy_t = a + b*y_{t-1} + sum c_i dy_{t-i} + e
+    rows = len(dy) - k
+    X = [y[k:-1] if k else y[:-1]]
+    for i in range(1, k + 1):
+        X.append(dy[k - i : len(dy) - i])
+    X.append(np.ones(rows))
+    Xm = np.column_stack([c[:rows] for c in X])
+    target = dy[k:]
+    beta, *_ = np.linalg.lstsq(Xm, target, rcond=None)
+    resid = target - Xm @ beta
+    dof = rows - Xm.shape[1]
+    s2 = resid @ resid / max(dof, 1)
+    cov = s2 * np.linalg.pinv(Xm.T @ Xm)
+    se = math.sqrt(max(cov[0, 0], 1e-300))
+    return float(beta[0] / se), k
+
+
+def adf_test(df: DataFrame, maxlag: int | None = None) -> DataFrame:
+    """Per-series ADF t-stat + stationarity calls at standard levels
+    (reference Forecaster.adf_test, Forecaster.py:1258-1301)."""
+    schema = T.StructType(
+        [
+            T.StructField(SERIES, df.schema[SERIES].dataType),
+            T.StructField("adf_stat", T.DoubleType()),
+            T.StructField("used_lag", T.IntegerType()),
+            T.StructField("stationary_5pct", T.BooleanType()),
+        ]
+    )
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(DS)
+        y = pdf[Y].to_numpy(float)
+        stat, k = _adf_stat(y, maxlag)
+        return pd.DataFrame(
+            {
+                SERIES: [pdf[SERIES].iloc[0]],
+                "adf_stat": [stat],
+                "used_lag": [k],
+                "stationary_5pct": [stat < _ADF_CRIT["5%"]],
+            }
+        )
+
+    return df.select(SERIES, DS, Y).groupBy(SERIES).applyInPandas(run, schema)
+
+
+def normality_test(df: DataFrame) -> DataFrame:
+    """D'Agostino-Pearson K² per series (reference
+    Forecaster.normality_test, Forecaster.py:1304-1318).
+
+    Moments come from ONE distributed aggregate pass (skewness/kurtosis
+    are built-in aggregates); the scalar z-transforms run on the tiny
+    result — no per-series collection of raw data.
+    """
+    m = df.groupBy(SERIES).agg(
+        F.count(Y).alias("n"),
+        F.skewness(Y).alias("g1"),
+        F.kurtosis(Y).alias("g2"),  # excess kurtosis
+    )
+
+    rows = m.collect()
+    out = []
+    for r in rows:
+        n, g1, g2 = float(r["n"]), float(r["g1"]), float(r["g2"])
+        # D'Agostino (1970) skewness z
+        y = g1 * math.sqrt((n + 1) * (n + 3) / (6.0 * (n - 2)))
+        b2 = 3.0 * (n**2 + 27 * n - 70) * (n + 1) * (n + 3) / (
+            (n - 2) * (n + 5) * (n + 7) * (n + 9)
+        )
+        w2 = -1 + math.sqrt(2 * (b2 - 1))
+        delta = 1 / math.sqrt(0.5 * math.log(w2))
+        alpha = math.sqrt(2.0 / (w2 - 1))
+        zs = delta * math.log(y / alpha + math.sqrt((y / alpha) ** 2 + 1))
+        # Anscombe-Glynn (1983) kurtosis z
+        e = 3.0 * (n - 1) / (n + 1)
+        v = 24.0 * n * (n - 2) * (n - 3) / ((n + 1) ** 2 * (n + 3) * (n + 5))
+        x = (g2 + 3.0 - e) / math.sqrt(v)
+        beta = (
+            6.0 * (n**2 - 5 * n + 2) / ((n + 7) * (n + 9))
+            * math.sqrt(6.0 * (n + 3) * (n + 5) / (n * (n - 2) * (n - 3)))
+        )
+        a = 6.0 + 8.0 / beta * (2.0 / beta + math.sqrt(1 + 4.0 / beta**2))
+        zk = (
+            (1 - 2.0 / (9 * a))
+            - ((1 - 2.0 / a) / (1 + x * math.sqrt(2.0 / (a - 4)))) ** (1.0 / 3)
+        ) / math.sqrt(2.0 / (9 * a))
+        k2 = zs**2 + zk**2
+        # chi2(2) survival = exp(-k2/2)
+        pval = math.exp(-k2 / 2.0)
+        out.append((r[SERIES], k2, pval, pval >= 0.05))
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        out, schema=f"{SERIES} string, k2 double, pvalue double, looks_normal boolean"
+    )
+
+
+def periodogram(df: DataFrame) -> DataFrame:
+    """Per-series power spectrum (reference plot_periodogram,
+    Forecaster.py:1368-1392): scipy.signal.periodogram semantics with
+    boxcar window and density scaling, fs=1."""
+    schema = T.StructType(
+        [
+            T.StructField(SERIES, df.schema[SERIES].dataType),
+            T.StructField("freq", T.DoubleType()),
+            T.StructField("power", T.DoubleType()),
+        ]
+    )
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(DS)
+        y = pdf[Y].to_numpy(float)
+        n = len(y)
+        spec = np.fft.rfft(y - y.mean())
+        power = (np.abs(spec) ** 2) / n
+        power[1:-1] *= 2  # one-sided density doubling (scipy convention)
+        freq = np.fft.rfftfreq(n, d=1.0)
+        return pd.DataFrame(
+            {SERIES: pdf[SERIES].iloc[0], "freq": freq, "power": power}
+        )
+
+    return df.select(SERIES, DS, Y).groupBy(SERIES).applyInPandas(run, schema)
+
+
+def seasonal_decompose(df: DataFrame, m: int = 7) -> DataFrame:
+    """Classic additive moving-average decomposition (reference
+    Forecaster.seasonal_decompose → statsmodels, Forecaster.py:1394-1456)
+    as PURE window expressions: trend = centered MA(m) (split-weight
+    endpoints for even m, statsmodels convention), seasonal = phase
+    means of (y - trend) re-centered, resid = remainder."""
+    w = W.partitionBy(SERIES).orderBy(DS)
+    if m % 2 == 1:
+        half = m // 2
+        frame = w.rowsBetween(-half, half)
+        cnt = F.count(Y).over(frame)
+        trend = F.when(cnt == m, F.avg(Y).over(frame))
+    else:
+        half = m // 2
+        inner = w.rowsBetween(-(half - 1), half - 1)
+        cnt = F.count(Y).over(w.rowsBetween(-half, half))
+        lo = F.lag(Y, half).over(w)
+        hi = F.lead(Y, half).over(w)
+        trend = F.when(
+            cnt == m + 1,
+            (F.sum(Y).over(inner) + 0.5 * lo + 0.5 * hi) / m,
+        )
+    out = df.withColumn("trend", trend).withColumn(
+        "_detr", F.col(Y) - F.col("trend")
+    ).withColumn("_phase", (F.row_number().over(w) - 1) % m)
+    phase_means = (
+        out.groupBy(SERIES, "_phase").agg(F.avg("_detr").alias("_pm"))
+    )
+    centers = phase_means.groupBy(SERIES).agg(F.avg("_pm").alias("_pc"))
+    out = (
+        out.join(F.broadcast(phase_means), [SERIES, "_phase"])
+        .join(F.broadcast(centers), SERIES)
+        .withColumn("seasonal", F.col("_pm") - F.col("_pc"))
+        .withColumn("resid", F.col(Y) - F.col("trend") - F.col("seasonal"))
+        .drop("_detr", "_phase", "_pm", "_pc")
+    )
+    return out

@@ -82,3 +82,88 @@ def fill_moving_average(df: DataFrame, window: int = 7, col: str = Y) -> DataFra
     ignores NULLs, so consecutive gaps fall back to older actuals."""
     w = W.partitionBy(SERIES).orderBy(DS).rowsBetween(-window, -1)
     return df.withColumn(col, F.coalesce(F.col(col), F.avg(col).over(w)))
+
+
+def fill_moving_seasonal_average(
+    df: DataFrame, m: int = 7, seasons_back: int = 4, col: str = Y
+) -> DataFrame:
+    """Fill gaps with the average of the SAME seasonal phase over the
+    prior ``seasons_back`` seasons (reference 'moving_seasonal_average',
+    util.py:1101-1115) — window over the residue class (series, rn%m)."""
+    w = W.partitionBy(SERIES).orderBy(DS)
+    out = df.withColumn("_phase", (F.row_number().over(w) - 1) % m)
+    wc = (
+        W.partitionBy(SERIES, "_phase")
+        .orderBy(DS)
+        .rowsBetween(-seasons_back, -1)
+    )
+    return out.withColumn(
+        col, F.coalesce(F.col(col), F.avg(col).over(wc))
+    ).drop("_phase")
+
+
+def clamp(df: DataFrame, floor: float | None = None, cap: float | None = None, col: str = Y) -> DataFrame:
+    """Floor/cap clamps (reference util.py:1128-1140)."""
+    c = F.col(col)
+    if floor is not None:
+        c = F.greatest(c, F.lit(float(floor)))
+    if cap is not None:
+        c = F.least(c, F.lit(float(cap)))
+    return df.withColumn(col, c)
+
+
+def add_noise(df: DataFrame, scale: float, seed: int = 42, col: str = Y) -> DataFrame:
+    """Deterministic noise injection on FILLED values (reference
+    util.py:1059-1075 adds uniform noise to imputed points).
+    ``F.rand(seed)`` is reproducible per partition layout; for strict
+    cross-run determinism use a stable row hash."""
+    return df.withColumn(
+        col, F.col(col) + (F.rand(seed) - 0.5) * 2.0 * scale
+    )
+
+
+def fill_first_obs(df: DataFrame, strategy: str = "bfill", value: float | None = None, col: str = Y) -> DataFrame:
+    """Leading-NULL handling (reference first-obs strategies,
+    util.py:1030-1055): 'bfill' copies the first real observation back;
+    'value' uses a constant; 'drop' removes leading gap rows."""
+    if strategy == "bfill":
+        return bfill(df, col)
+    if strategy == "value":
+        return df.withColumn(col, F.coalesce(F.col(col), F.lit(float(value))))
+    if strategy == "drop":
+        w = W.partitionBy(SERIES).orderBy(DS).rowsBetween(W.unboundedPreceding, 0)
+        seen = F.count(col).over(w)
+        return df.filter(seen > 0)
+    raise ValueError(f"unknown first-obs strategy {strategy!r}")
+
+
+FILL_STRATEGIES = {
+    "linear_interp": linear_interp,
+    "ffill": ffill,
+    "bfill": bfill,
+    "moving_average": fill_moving_average,
+    "moving_seasonal_average": fill_moving_seasonal_average,
+}
+
+
+def frame_with_missing_vals(
+    df: DataFrame,
+    freq_seconds: int = 86400,
+    fill_strategy: str = "linear_interp",
+    first_obs_strategy: str | None = None,
+    floor: float | None = None,
+    cap: float | None = None,
+    **kwargs,
+):
+    """End-to-end gap-filling constructor (reference
+    Forecaster_with_missing_vals, util.py:898-1155): densify → fill →
+    first-obs handling → clamp → TimeSeriesFrame."""
+    from scalecast_spark.frame import TimeSeriesFrame
+
+    out = densify(df, freq_seconds)
+    out = FILL_STRATEGIES[fill_strategy](out, **kwargs)
+    if first_obs_strategy:
+        out = fill_first_obs(out, first_obs_strategy)
+    if floor is not None or cap is not None:
+        out = clamp(out, floor, cap)
+    return TimeSeriesFrame.from_long(out.select(SERIES, DS, Y))
