@@ -107,6 +107,14 @@ class Forecaster:
 
         if name not in MODELS:
             raise ValueError(f"unknown estimator {name!r}; have {sorted(MODELS)}")
+        if name != self.estimator:
+            # tuning state belongs to ONE estimator — clear on switch so
+            # a later model never inherits a stale ValidationMetricValue
+            # or best_params (mirrors the reference's _clear_the_deck,
+            # _Forecaster_parent.py:121-143)
+            self.grid = None
+            self.best_params = None
+            self.validation_metric_value = None
         self.estimator = name
         return self
 
@@ -156,12 +164,45 @@ class Forecaster:
     def add_rolling_mean(self, window: int, **kwargs) -> "Forecaster":
         return self._apply(FEAT.add_rolling_mean, window, **kwargs)
 
+    def add_pt_terms(self, *cols, method: str = "boxcox") -> "Forecaster":
+        return self._apply(FEAT.add_pt_terms, *cols, method=method)
+
     def drop_Xvars(self, *names) -> "Forecaster":
         self.tsf = self.tsf.drop_features(*names)
         return self
 
     def get_regressor_names(self) -> list[str]:
         return list(self.tsf.features)
+
+    def export_recipe(self) -> list[tuple]:
+        """The recorded feature recipe — transferable to another object
+        (reference infer_apply_Xvar_selection, util.py:343-388)."""
+        return list(self._recipe)
+
+    def apply_recipe(self, recipe: list[tuple]) -> "Forecaster":
+        """Replay another Forecaster's feature recipe onto this frame."""
+        for fn_name, args, kwargs in recipe:
+            self._apply(getattr(FEAT, fn_name), *args, **kwargs)
+        return self
+
+    # ------------------------------------------------- persistence
+    def save_results(self, path: str) -> None:
+        """Persist the results store as parquet (the engine's pickling
+        story, reference _Forecaster_parent.py:96-102: state is data)."""
+        self.export("lvl_fcsts").write.mode("overwrite").parquet(f"{path}/forecasts")
+        tp = self.export("lvl_test_set_predictions")
+        if tp is not None:
+            tp.write.mode("overwrite").parquet(f"{path}/test_preds")
+        self.export("model_summaries").write.mode("overwrite").parquet(
+            f"{path}/summaries"
+        )
+
+    @staticmethod
+    def load_results(spark, path: str) -> dict[str, DataFrame]:
+        return {
+            "forecasts": spark.read.parquet(f"{path}/forecasts"),
+            "summaries": spark.read.parquet(f"{path}/summaries"),
+        }
 
     # ---------------------------------------------------- modeling
     def _run_model(self, df: DataFrame, **kwargs) -> DataFrame:

@@ -8,6 +8,8 @@ from scalecast_spark.models.sklearn_like import (
     ridge_model,
 )
 from scalecast_spark.models.smoothing import hwes_model, theta_model
+from scalecast_spark.models.trees import gbt_model, rf_model
+from scalecast_spark.models.mlp import mlp_model, rnn_model
 
 #: estimator registry (the reference's cfg.py:26-54 Estimator table);
 #: keys match reference nicknames. Every entry is
@@ -21,6 +23,12 @@ MODELS = {
     "knn": knn_model,
     "hwes": hwes_model,
     "theta": theta_model,
+    "gbt": gbt_model,
+    "rf": rf_model,
+    "xgboost": gbt_model,  # alias; real xgboost import-gated in trees.py
+    "mlp": mlp_model,
+    "rnn": rnn_model,
+    "lstm": rnn_model,
 }
 
 

