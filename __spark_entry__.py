@@ -437,6 +437,14 @@ def q_sim_cosine_topk(spark, sf_dir):
     return cosine_topk(emb, [float(x) for x in q], k=10)
 
 
+def q_emb_near_dup_pairs(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs, exact variant (the LSH
+    bucket path q_sim_lsh_topk is the scale twin)."""
+    from scalecast_spark.datapipe.similarity import exact_pairwise_above
+
+    return exact_pairwise_above(_emb(spark, sf_dir), threshold=0.3)
+
+
 def q_emb_norms(spark, sf_dir):
     emb = _emb(spark, sf_dir)
     vec = F.col("embedding").cast("array<double>")
@@ -546,6 +554,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_lang_id": q_text_lang_id,
         "text_fingerprint": q_text_fingerprint,
         "sim_cosine_topk": q_sim_cosine_topk,
+        "emb_near_dup_pairs": q_emb_near_dup_pairs,
         "emb_norms": q_emb_norms,
         # rows-only (no oracle — non-SQL-expressible semantics)
         "ts_forecast_recursive": q_ts_forecast_recursive,
@@ -1003,6 +1012,24 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY vec_id
             ORDER BY cosine_sim DESC, vec_id
             LIMIT 10
+        """,
+        "emb_near_dup_pairs": """
+            WITH v AS (
+                SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+                       unnest(embedding)::DOUBLE AS x
+                FROM embeddings
+            ),
+            pairs AS (
+                SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                       sum(a.x * b.x) AS dot,
+                       sqrt(sum(a.x * a.x)) AS na,
+                       sqrt(sum(b.x * b.x)) AS nb
+                FROM v a JOIN v b ON a.i = b.i AND a.vec_id < b.vec_id
+                GROUP BY 1, 2
+            )
+            SELECT id_a, id_b, round(dot / (na * nb), 6) AS cosine_sim
+            FROM pairs
+            WHERE round(dot / (na * nb), 6) >= 0.3
         """,
         "emb_norms": """
             SELECT vec_id,

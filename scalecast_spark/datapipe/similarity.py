@@ -112,6 +112,35 @@ def lsh_bucket_topk(
     )
 
 
+def exact_pairwise_above(
+    df: DataFrame,
+    threshold: float,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact embedding near-dup pairs: full self-join + cosine filter.
+    O(N²·d) — the correctness oracle for the LSH-bucketed variant; use
+    only on small/candidate sets."""
+    vec = F.col(vec_col).cast("array<double>")
+    side = df.select(F.col(id_col), vec.alias("_v"))
+    a, b = side.alias("a"), side.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col("a._v"), F.col("b._v"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    cos = F.try_divide(dot, _norm(F.col("a._v")) * _norm(F.col("b._v")))
+    return (
+        a.join(b, F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.round(cos, 6).alias("cosine_sim"),
+        )
+        .filter(F.col("cosine_sim") >= threshold)
+    )
+
+
 def pairwise_cosine_above(
     df: DataFrame,
     threshold: float,
