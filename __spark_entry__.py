@@ -126,6 +126,64 @@ def q_ts_rolling_mean(spark, sf_dir):
     )
 
 
+def q_ts_rolling_stats(spark, sf_dir):
+    from scalecast_spark.operators.features import add_rolling_stats
+
+    df, names = add_rolling_stats(_series(spark, sf_dir), 7)
+    return _out_ts(
+        _r6(
+            df.filter(F.col("rolling_std_7").isNotNull()),
+            "y", *names,
+        )
+    )
+
+
+def q_events_pivot(spark, sf_dir):
+    """Pivot = the engine's one-hot/dummy path over a keyed dimension:
+    per-user event-type counts."""
+    from scalecast_spark.sources import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    out = (
+        ev.groupBy("user_id")
+        .pivot("event_type", types)
+        .count()
+        .na.fill(0)
+    )
+    return out.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        *[F.col(t).cast("long").alias(f"n_{t}") for t in types],
+    )
+
+
+def q_docs_source_stats(spark, sf_dir):
+    from scalecast_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+        F.min("n_chars").cast("long").alias("min_chars"),
+        F.max("n_chars").cast("long").alias("max_chars"),
+    )
+
+
+def q_salted_agg(spark, sf_dir):
+    """Skew-resistant two-stage aggregation — must equal a plain
+    groupBy (the oracle IS the plain groupBy)."""
+    from scalecast_spark.operators.skew import salted_agg
+    from scalecast_spark.sources import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    out = salted_agg(ev, ["event_type"], {"value": "sum", "event_id": "count"})
+    return out.select(
+        "event_type",
+        F.round("sum_value", 6).alias("sum_value"),
+        F.col("count_event_id").alias("n_events"),
+    )
+
+
 def q_ts_seasonal_features(spark, sf_dir):
     from scalecast_spark.operators.features import (
         add_seasonal_regressors,
@@ -528,6 +586,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_lag_features": q_ts_lag_features,
         "ts_diff": q_ts_diff,
         "ts_rolling_mean": q_ts_rolling_mean,
+        "ts_rolling_stats": q_ts_rolling_stats,
+        "events_pivot": q_events_pivot,
+        "docs_source_stats": q_docs_source_stats,
+        "salted_agg": q_salted_agg,
         "ts_seasonal_features": q_ts_seasonal_features,
         "ts_scale": q_ts_scale,
         "ts_minmax": q_ts_minmax,
@@ -627,6 +689,38 @@ def oracle_sql() -> dict[str, str]:
                        AS rolling_mean_7
             FROM series
             QUALIFY rolling_mean_7 IS NOT NULL
+        """,
+        "ts_rolling_stats": f"""
+            WITH {_SQL_SERIES}
+            SELECT series_id, ds, round(y, 6) AS y,
+                   round(stddev_samp(y) OVER w7, 6) AS rolling_std_7,
+                   round(min(y) OVER w7, 6) AS rolling_min_7,
+                   round(max(y) OVER w7, 6) AS rolling_max_7
+            FROM series
+            WINDOW w7 AS (PARTITION BY series_id ORDER BY ds
+                          ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+            QUALIFY stddev_samp(y) OVER w7 IS NOT NULL
+        """,
+        "events_pivot": """
+            SELECT user_id::BIGINT AS user_id,
+                   sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT AS n_click,
+                   sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::BIGINT AS n_error,
+                   sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS n_purchase,
+                   sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)::BIGINT AS n_signup,
+                   sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)::BIGINT AS n_view
+            FROM events GROUP BY user_id
+        """,
+        "docs_source_stats": """
+            SELECT source, count(*)::BIGINT AS n_docs,
+                   round(avg(n_chars), 6) AS avg_chars,
+                   min(n_chars)::BIGINT AS min_chars,
+                   max(n_chars)::BIGINT AS max_chars
+            FROM documents GROUP BY source
+        """,
+        "salted_agg": """
+            SELECT event_type, round(sum(value), 6) AS sum_value,
+                   count(event_id)::BIGINT AS n_events
+            FROM events GROUP BY event_type
         """,
         "ts_seasonal_features": f"""
             WITH {_SQL_SERIES}

@@ -204,6 +204,47 @@ class Forecaster:
             "summaries": spark.read.parquet(f"{path}/summaries"),
         }
 
+    # ---------------------------------------------------- slicing
+    def chop_from_front(self, n: int) -> "Forecaster":
+        self.tsf = self.tsf.chop_from_front(n)
+        return self
+
+    def chop_from_back(self, n: int) -> "Forecaster":
+        self.tsf = self.tsf.chop_from_back(n)
+        return self
+
+    def keep_smaller_history(self, n: int) -> "Forecaster":
+        self.tsf = self.tsf.keep_smaller_history(n)
+        return self
+
+    def round(self, decimals: int = 0) -> "Forecaster":
+        """reference Forecaster.round (Forecaster.py:2341-2352)."""
+        from dataclasses import replace as _replace
+
+        self.tsf = _replace(
+            self.tsf, df=self.tsf.df.withColumn(Y, F.round(F.col(Y), decimals))
+        )
+        return self
+
+    # -------------------------------------------- MV aggregation
+    #: reference optimizer_funcs (MVForecaster.py:151-156)
+    OPTIMIZER_FUNCS = {"mean": "avg", "min": "min", "max": "max"}
+
+    def set_optimize_on(self, how: str) -> "Forecaster":
+        """How per-series metrics aggregate into one tuning decision
+        (reference MVForecaster.optimize_on, MVForecaster.py:412-444):
+        'mean'/'min'/'max' or a series_id to optimize on that series."""
+        self._optimize_on = how
+        return self
+
+    def set_best_model(self, determine_best_by: str = "TestSetRMSE") -> "Forecaster":
+        """Pin the best model (reference MVForecaster.py:513-533)."""
+        order = self.order_fcsts(determine_best_by)
+        if not order:
+            raise ValueError("no evaluated models to choose from")
+        self.best_model = order[0]
+        return self
+
     # ---------------------------------------------------- modeling
     def _run_model(self, df: DataFrame, **kwargs) -> DataFrame:
         from scalecast_spark.models import MODELS
@@ -303,12 +344,24 @@ class Forecaster:
         return self
 
     def _eval_fold(self, fold_df: DataFrame, params: dict) -> float:
+        """Per-series metrics aggregated by the optimize_on rule
+        (reference MVForecaster optimizer_funcs, MVForecaster.py:151-156,
+        485-489): 'mean' (default) / 'min' / 'max' / a series_id."""
         scored = self._run_model(fold_df, **dict(params))
         test = scored.filter(F.col(IS_FUTURE) == 1)
-        row = METRICS.evaluate(
-            test, actual=Y, forecast="forecast", metrics=[self.validation_metric]
-        ).collect()[0]
-        v = row[self.validation_metric]
+        how = getattr(self, "_optimize_on", "mean")
+        per = METRICS.evaluate(
+            test, actual=Y, forecast="forecast", by=[SERIES],
+            metrics=[self.validation_metric],
+        ).collect()
+        vals = {r[SERIES]: r[self.validation_metric] for r in per}
+        if how in self.OPTIMIZER_FUNCS:
+            usable = [v for v in vals.values() if v is not None]
+            if not usable:
+                return float("nan")
+            agg = {"mean": lambda x: sum(x) / len(x), "min": min, "max": max}[how]
+            return float(agg(usable))
+        v = vals.get(how)
         return float(v) if v is not None else float("nan")
 
     def cross_validate(

@@ -274,3 +274,47 @@ def add_rolling_mean(df: DataFrame, window: int, col: str = Y, min_periods: int 
         name, F.when(cnt >= min_periods, F.avg(col).over(w))
     )
     return out, [name]
+
+
+def add_rolling_stats(
+    df: DataFrame, window: int, col: str = Y, stats: tuple[str, ...] = ("std", "min", "max")
+) -> tuple[DataFrame, list[str]]:
+    """Trailing rolling std/min/max over the prior ``window`` rows —
+    the rest of the rolling-feature menu. One shared window frame; all
+    stats ride the same sort."""
+    w = _ORDERED().rowsBetween(-window, -1)
+    fns = {"std": F.stddev_samp, "min": F.min, "max": F.max, "sum": F.sum}
+    names = []
+    out = df
+    for s in stats:
+        nm = f"rolling_{s}_{window}"
+        out = out.withColumn(nm, fns[s](col).over(w))
+        names.append(nm)
+    return out, names
+
+
+def add_ewma(df: DataFrame, alpha: float = 0.3, col: str = Y) -> tuple[DataFrame, list[str]]:
+    """Exponentially-weighted moving average of the PRIOR observations
+    (leak-free). EWMA is a linear recursion (not a fixed window), so it
+    runs in the per-series kernel path via aggregate over a collected
+    window — implemented as a bounded approximation: weights decay
+    below 1e-4 after k* = ceil(ln(1e-4)/ln(1-alpha)) rows, so a
+    k*-row window is numerically exact in double precision."""
+    import math as _m
+
+    k = max(int(_m.ceil(_m.log(1e-4) / _m.log(1.0 - alpha))), 1)
+    w = _ORDERED().rowsBetween(-k, -1)
+    # dot-free name: "0.3" would parse as a struct path in F.col()
+    name = f"ewma_{str(alpha).replace('.', '_')}"
+    vals = F.collect_list(col).over(w)
+    # weights: alpha*(1-alpha)^(n-1-i) over the collected (oldest-first)
+    # list, normalized over the present terms (pandas ewm adjust=True)
+    n = F.size(vals)
+    idx = F.sequence(F.lit(0), n - 1)
+    wts = F.transform(idx, lambda i: F.pow(F.lit(1.0 - alpha), (n - 1 - i).cast("double")))
+    num = F.aggregate(
+        F.zip_with(vals, wts, lambda v, ww: v * ww), F.lit(0.0), lambda a, x: a + x
+    )
+    den = F.aggregate(wts, F.lit(0.0), lambda a, x: a + x)
+    out = df.withColumn(name, F.when(n > 0, num / den))
+    return out, [name]
