@@ -10,6 +10,12 @@ from scalecast_spark.models.sklearn_like import (
 from scalecast_spark.models.smoothing import hwes_model, theta_model
 from scalecast_spark.models.trees import gbt_model, rf_model
 from scalecast_spark.models.mlp import mlp_model, rnn_model
+from scalecast_spark.models.arima import (
+    arima_model,
+    auto_arima_model,
+    prophet_model,
+    tbats_model,
+)
 
 #: estimator registry (the reference's cfg.py:26-54 Estimator table);
 #: keys match reference nicknames. Every entry is
@@ -29,6 +35,10 @@ MODELS = {
     "mlp": mlp_model,
     "rnn": rnn_model,
     "lstm": rnn_model,
+    "arima": arima_model,
+    "auto_arima": auto_arima_model,
+    "prophet": prophet_model,
+    "tbats": tbats_model,
 }
 
 
