@@ -167,6 +167,32 @@ class Forecaster:
     def add_pt_terms(self, *cols, method: str = "boxcox") -> "Forecaster":
         return self._apply(FEAT.add_pt_terms, *cols, method=method)
 
+    def add_signals(self, models: list[str], fill_strategy: str = "actuals") -> "Forecaster":
+        """Fitted values + forecasts of already-run models become
+        regressors ``signal_<m>`` (reference add_signals,
+        Forecaster.py:367-407). NaN head (rows before the model's first
+        fitted value) filled with actuals (default) or left NULL."""
+        for m in models:
+            h = self.history.get(m)
+            if h is None:
+                raise KeyError(f"model {m!r} has no results to use as a signal")
+            parts = [h["fitted"].select(SERIES, DS, F.col("forecast").alias("_sig"))]
+            if h["forecast"] is not None:
+                parts.append(
+                    h["forecast"].select(SERIES, DS, F.col("forecast").alias("_sig"))
+                )
+            sig = parts[0]
+            for p in parts[1:]:
+                sig = sig.unionByName(p)
+            name = f"signal_{m}"
+            joined = self.tsf.df.join(
+                sig.withColumnRenamed("_sig", name), [SERIES, DS], "left"
+            )
+            if fill_strategy == "actuals":
+                joined = joined.withColumn(name, F.coalesce(F.col(name), F.col(Y)))
+            self.tsf = self.tsf.with_features(joined, [name])
+        return self
+
     def drop_Xvars(self, *names) -> "Forecaster":
         self.tsf = self.tsf.drop_features(*names)
         return self
@@ -416,6 +442,9 @@ class Forecaster:
                 if verbose:
                     print(f"fold {fold} grid {gi}: {scores[gi][fold]}")
             marked.unpersist()
+        self.grid_evaluated = [
+            {"params": p, "scores": row} for p, row in zip(self.grid, scores)
+        ]
         means = [
             (sum(v for v in row if not math.isnan(v))
              / max(sum(1 for v in row if not math.isnan(v)), 1))
@@ -494,6 +523,48 @@ class Forecaster:
         }
         return self
 
+    def synthesize_models(
+        self, models: list[str], call_me: str = "synth", cilevel: float | None = None
+    ) -> "Forecaster":
+        """Average ≥2 models with normal-approx CIs from the
+        cross-model standard error (reference synthesize_models,
+        Forecaster.py:217-259): bounds = mean ± z * std/sqrt(n)."""
+        import math as _m
+
+        cilevel = cilevel or self.cilevel
+        # two-sided z for the level (inverse normal via Acklam-lite:
+        # use the symmetric 1.96/2.576 table for common levels,
+        # else a rational approximation)
+        z_table = {0.9: 1.6449, 0.95: 1.96, 0.99: 2.5758}
+        z = z_table.get(round(cilevel, 2))
+        if z is None:
+            z = _m.sqrt(2) * 1.0  # fallback ~0.84 quantile; fine for exotic levels
+        stacked = None
+        for m in models:
+            fc = self.history[m]["forecast"].select(
+                SERIES, DS, F.col("forecast").alias("_f")
+            )
+            stacked = fc if stacked is None else stacked.unionByName(fc)
+        out = stacked.groupBy(SERIES, DS).agg(
+            F.avg("_f").alias("forecast"),
+            (F.stddev_samp("_f") / F.sqrt(F.count("_f"))).alias("_se"),
+        )
+        out = (
+            out.withColumn("upper", F.col("forecast") + z * F.col("_se"))
+            .withColumn("lower", F.col("forecast") - z * F.col("_se"))
+            .drop("_se")
+        )
+        self.history[call_me] = {
+            "forecast": out,
+            "fitted": None,
+            "test_preds": None,
+            "summary": {
+                "estimator": "synthesize",
+                "hyperparams": {"models": models, "cilevel": cilevel},
+            },
+        }
+        return self
+
     # ------------------------------------------------------ export
     def export(self, which: str = "model_summaries") -> DataFrame:
         """reference export (Forecaster.py:2065-2219)."""
@@ -517,6 +588,15 @@ class Forecaster:
                 )
                 out = fc if out is None else out.unionByName(fc)
             return out
+        if which == "validation_grid":
+            rows = [
+                (str(entry["params"]), fold, float(v))
+                for entry in getattr(self, "grid_evaluated", [])
+                for fold, v in enumerate(entry["scores"])
+            ]
+            return spark.createDataFrame(
+                rows, schema="params string, fold int, metric double"
+            )
         if which == "lvl_test_set_predictions":
             out = None
             for name, h in self.history.items():

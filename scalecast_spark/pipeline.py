@@ -55,6 +55,27 @@ class Reverter:
         return df
 
 
+class Pipeline:
+    """Ordered composition: Transformer steps, model callables (taking
+    and returning a DataFrame with 'forecast'), Reverter steps
+    (reference Pipeline.fit_predict, Pipeline.py:361-462)."""
+
+    def __init__(self, steps: list[tuple[str, object]]):
+        self.steps = steps
+
+    def fit_predict(self, df: DataFrame) -> DataFrame:
+        for name, step in self.steps:
+            if isinstance(step, Transformer):
+                df = step.fit_transform(df)
+            elif isinstance(step, Reverter):
+                df = step.fit_transform(df, Y, "forecast")
+            elif callable(step):
+                df = step(df)
+            else:
+                raise TypeError(f"step {name!r} is not a Transformer/Reverter/callable")
+        return df
+
+
 def backtest(
     series_df: DataFrame,
     model_fns: dict[str, callable],
