@@ -407,6 +407,40 @@ def q_tpch_q5_nation_revenue(spark, sf_dir):
     )
 
 
+def q_ts_decompose(spark, sf_dir):
+    """Classic additive decomposition (trend/seasonal/resid), m=7."""
+    from scalecast_spark.functions.stattests import seasonal_decompose
+
+    out = seasonal_decompose(_series(spark, sf_dir), m=7)
+    return _out_ts(
+        _r6(
+            out.filter(F.col("trend").isNotNull()),
+            "y", "trend", "seasonal", "resid",
+        )
+    )
+
+
+def q_ts_ar1_closed_form(spark, sf_dir):
+    """AR(1) per series by closed-form OLS (regr_slope on the lag) +
+    one-step fitted values — a model whose whole fit IS SQL."""
+    w = _W()
+    df = (
+        _series(spark, sf_dir)
+        .withColumn("y_lag", F.lag("y", 1).over(w))
+        .filter(F.col("y_lag").isNotNull())
+    )
+    params = df.groupBy("series_id").agg(
+        F.expr("regr_slope(y, y_lag)").alias("phi"),
+        F.expr("regr_intercept(y, y_lag)").alias("c"),
+    )
+    out = (
+        df.join(F.broadcast(params), "series_id")
+        .withColumn("fitted", F.col("c") + F.col("phi") * F.col("y_lag"))
+        .select("series_id", "ds", "y", "fitted")
+    )
+    return _out_ts(_r6(out, "y", "fitted"))
+
+
 def q_mv_corr_matrix(spark, sf_dir):
     from scalecast_spark.operators.multivariate import corr_matrix
 
@@ -606,6 +640,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_sessionize": q_ts_sessionize,
         "flagship_daily_revenue": q_flagship_daily_revenue,
         "tpch_q1_pricing": q_tpch_q1_pricing,
+        "ts_decompose": q_ts_decompose,
+        "ts_ar1_closed_form": q_ts_ar1_closed_form,
         "ts_stepwise_ci": q_ts_stepwise_ci,
         "tpch_q3_revenue": q_tpch_q3_revenue,
         "tpch_q5_nation_revenue": q_tpch_q5_nation_revenue,
@@ -928,6 +964,50 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem
             WHERE l_shipdate <= TIMESTAMP '2000-01-01 00:00:00'
             GROUP BY l_returnflag, l_linestatus
+        """,
+        "ts_decompose": f"""
+            WITH {_SQL_SERIES},
+            t AS (
+                SELECT series_id, ds, y,
+                       CASE WHEN count(y) OVER wt = 7
+                            THEN avg(y) OVER wt END AS trend,
+                       (row_number() OVER (PARTITION BY series_id ORDER BY ds)
+                        - 1) % 7 AS phase
+                FROM series
+                WINDOW wt AS (PARTITION BY series_id ORDER BY ds
+                              ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+            ),
+            pm AS (
+                SELECT series_id, phase, avg(y - trend) AS pmean
+                FROM t WHERE trend IS NOT NULL GROUP BY series_id, phase
+            ),
+            pc AS (SELECT series_id, avg(pmean) AS center FROM pm GROUP BY series_id)
+            SELECT t.series_id, t.ds, round(t.y, 6) AS y,
+                   round(t.trend, 6) AS trend,
+                   round(pm.pmean - pc.center, 6) AS seasonal,
+                   round(t.y - t.trend - (pm.pmean - pc.center), 6) AS resid
+            FROM t
+            JOIN pm USING (series_id, phase)
+            JOIN pc USING (series_id)
+            WHERE t.trend IS NOT NULL
+        """,
+        "ts_ar1_closed_form": f"""
+            WITH {_SQL_SERIES},
+            lagged AS (
+                SELECT series_id, ds, y,
+                       lag(y, 1) OVER (PARTITION BY series_id ORDER BY ds)
+                           AS y_lag
+                FROM series
+                QUALIFY y_lag IS NOT NULL
+            ),
+            p AS (
+                SELECT series_id, regr_slope(y, y_lag) AS phi,
+                       regr_intercept(y, y_lag) AS c
+                FROM lagged GROUP BY series_id
+            )
+            SELECT l.series_id, l.ds, round(l.y, 6) AS y,
+                   round(p.c + p.phi * l.y_lag, 6) AS fitted
+            FROM lagged l JOIN p USING (series_id)
         """,
         "ts_stepwise_ci": f"""
             WITH {_SQL_SERIES},
