@@ -16,6 +16,7 @@ from scalecast_spark.models.arima import (
     prophet_model,
     tbats_model,
 )
+from scalecast_spark.models.vecm import vecm_model
 
 #: estimator registry (the reference's cfg.py:26-54 Estimator table);
 #: keys match reference nicknames. Every entry is
@@ -39,6 +40,7 @@ MODELS = {
     "auto_arima": auto_arima_model,
     "prophet": prophet_model,
     "tbats": tbats_model,
+    "vecm": vecm_model,
 }
 
 
