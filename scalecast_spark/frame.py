@@ -174,6 +174,11 @@ class TimeSeriesFrame:
         return replace(self, df=df)
 
     def with_features(self, df: DataFrame, new: list[str]) -> "TimeSeriesFrame":
+        bad = [c for c in new if "." in c or "`" in c]
+        if bad:
+            # '.' parses as a struct path in F.col() and breaks every
+            # downstream consumer of the feature
+            raise ValueError(f"feature names must not contain '.' or '`': {bad}")
         feats = tuple(dict.fromkeys([*self.features, *new]))
         return replace(self, df=df, features=feats)
 
