@@ -17,6 +17,7 @@ from scalecast_spark.models.arima import (
     tbats_model,
 )
 from scalecast_spark.models.vecm import vecm_model
+from scalecast_spark.models.svr_sgd import sgd_model, svr_model
 
 #: estimator registry (the reference's cfg.py:26-54 Estimator table);
 #: keys match reference nicknames. Every entry is
@@ -41,6 +42,8 @@ MODELS = {
     "prophet": prophet_model,
     "tbats": tbats_model,
     "vecm": vecm_model,
+    "svr": svr_model,
+    "sgd": sgd_model,
 }
 
 

@@ -154,6 +154,25 @@ def reduce_Xvars(
     return feats
 
 
+def mlp_stack(
+    f: Forecaster,
+    models: list[str],
+    call_me: str = "mlp_stack",
+    hidden: int = 8,
+    epochs: int = 300,
+) -> Forecaster:
+    """Stacked generalization (reference mlp_stack, auxmodels.py:47-126
+    over sklearn StackingRegressor): base models' outputs become
+    signal features; a small MLP meta-learner fits on them."""
+    f.add_signals(models)
+    signal_feats = [f"signal_{m}" for m in models]
+    f.set_estimator("mlp")
+    f.manual_forecast(
+        call_me=call_me, Xvars=signal_feats, hidden=hidden, epochs=epochs
+    )
+    return f
+
+
 def determine_best_series_length(
     f: Forecaster,
     estimator: str = "naive",
