@@ -28,6 +28,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     division to keep microsecond precision (a float division would lose
     precision above 2^53 ns).
     """
+    if name == "events":
+        # TIMESTAMP(NANOS) parquet needs this session conf; the caller's
+        # session (e.g. the driver harness) may not have it — it is a
+        # runtime-settable SQL conf, so set it here rather than relying
+        # on get_session having built the session
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
