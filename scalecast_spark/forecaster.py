@@ -75,6 +75,7 @@ class Forecaster:
         #: model nickname -> dict(results=DataFrame, summary=dict)
         self.history: dict[str, dict] = {}
         self._recipe: list[tuple] = []
+        self._custom_optimizers: dict[str, callable] = {}
 
     # ------------------------------------------------------- setup
     def generate_future_dates(self, h: int) -> "Forecaster":
@@ -259,8 +260,20 @@ class Forecaster:
     def set_optimize_on(self, how: str) -> "Forecaster":
         """How per-series metrics aggregate into one tuning decision
         (reference MVForecaster.optimize_on, MVForecaster.py:412-444):
-        'mean'/'min'/'max' or a series_id to optimize on that series."""
+        'mean'/'min'/'max', a name registered via add_optimizer_func,
+        or a series_id to optimize on that series."""
         self._optimize_on = how
+        return self
+
+    def add_optimizer_func(self, fn, called: str | None = None) -> "Forecaster":
+        """Register a custom cross-series aggregator (reference
+        MVForecaster.add_optimizer_func, MVForecaster.py:213-235):
+        ``fn(list[float]) -> float`` over the per-series metric values.
+        Built-in mean/min/max stay fully distributed; a custom callable
+        necessarily reduces on the driver — its input is one float per
+        series, bounded and explicit."""
+        name = called or getattr(fn, "__name__", "custom")
+        self._custom_optimizers[name] = fn
         return self
 
     def set_best_model(self, determine_best_by: str = "TestSetRMSE") -> "Forecaster":
@@ -280,6 +293,34 @@ class Forecaster:
             return fn(df, m=kwargs.get("m", 1))
         return fn(df, features=kwargs.pop("Xvars", None) or list(self.tsf.features), **kwargs)
 
+    def _model_accepts(self, arg: str) -> bool:
+        """Whether the current estimator's fn takes ``arg`` — series
+        kernels (hwes/theta/arima/naive) have no dynamic_testing knob."""
+        import inspect
+
+        from scalecast_spark.models import MODELS
+
+        try:
+            return arg in inspect.signature(MODELS[self.estimator]).parameters
+        except (TypeError, ValueError):
+            return False
+
+    def _metric_summary(self, df: DataFrame, metrics: list[str]):
+        """Two-stage metric reduction: a LAZY per-series metric frame
+        (kept for MV exports) + ONE collected cross-series mean row.
+        The driver never sees a row count that scales with n_series —
+        at 100M series the old per-series collect was a driver OOM.
+        ``F.avg`` skips per-series NULLs, matching the reference's
+        NaN-tolerant mean (MVForecaster.py:485-489)."""
+        per = METRICS.evaluate(
+            df, actual=Y, forecast="forecast", by=[SERIES], metrics=metrics
+        )
+        row = per.agg(*[F.avg(m).alias(m) for m in metrics]).collect()[0]
+        return per, {
+            m: (float(row[m]) if row[m] is not None else float("nan"))
+            for m in metrics
+        }
+
     def manual_forecast(self, call_me: str | None = None, **kwargs) -> "Forecaster":
         """EP1 (SURVEY.md §3): test → fit/predict → bank history."""
         if self.estimator is None:
@@ -287,6 +328,7 @@ class Forecaster:
         name = call_me or self.estimator
         test_df = None
         test_metrics: dict[str, float] | None = None
+        per_series_test = None
         widths = None
         if self.test_length:
             marked = _mark_test_rows(self.tsf.df, self.test_length)
@@ -295,17 +337,9 @@ class Forecaster:
                 SERIES, DS, Y, "forecast"
             )
             test_df = test_df.cache()
-            mrows = METRICS.evaluate(
-                test_df, actual=Y, forecast="forecast", by=[SERIES],
-                metrics=self.metrics,
-            ).collect()
-            test_metrics = {
-                m: float(
-                    sum(r[m] for r in mrows if r[m] is not None)
-                    / max(sum(1 for r in mrows if r[m] is not None), 1)
-                )
-                for m in self.metrics
-            }
+            per_series_test, test_metrics = self._metric_summary(
+                test_df, self.metrics
+            )
             widths = conformal_widths(
                 test_df, actual=Y, forecast="forecast", cilevel=self.cilevel
             )
@@ -317,16 +351,9 @@ class Forecaster:
         fc = full.filter(F.col(IS_FUTURE) == 1).select(SERIES, DS, "forecast")
         if widths is not None:
             fc = apply_intervals(fc, widths)
-        in_rows = METRICS.evaluate(
-            fitted, actual=Y, forecast="forecast", by=[SERIES], metrics=self.metrics
-        ).collect()
-        insample_metrics = {
-            m: float(
-                sum(r[m] for r in in_rows if r[m] is not None)
-                / max(sum(1 for r in in_rows if r[m] is not None), 1)
-            )
-            for m in self.metrics
-        }
+        per_series_in, insample_metrics = self._metric_summary(
+            fitted, self.metrics
+        )
 
         summary = {"estimator": self.estimator, "hyperparams": dict(kwargs)}
         for m, v in (test_metrics or {}).items():
@@ -339,6 +366,11 @@ class Forecaster:
             "forecast": fc,
             "fitted": fitted,
             "test_preds": test_df,
+            # per-series metric frames stay LAZY DataFrames — MV
+            # exports read them; the driver only ever collected the
+            # one-row cross-series mean above
+            "per_series_test_metrics": per_series_test,
+            "per_series_insample_metrics": per_series_in,
             "summary": summary,
         }
         return self
@@ -369,53 +401,78 @@ class Forecaster:
         self.grid = rng.sample(self.grid, size)
         return self
 
-    def _eval_fold(self, fold_df: DataFrame, params: dict) -> float:
+    def _eval_fold(
+        self, fold_df: DataFrame, params: dict,
+        dynamic_testing: bool | int | None = None,
+    ) -> float:
         """Per-series metrics aggregated by the optimize_on rule
         (reference MVForecaster optimizer_funcs, MVForecaster.py:151-156,
-        485-489): 'mean' (default) / 'min' / 'max' / a series_id."""
-        scored = self._run_model(fold_df, **dict(params))
+        485-489): 'mean' (default) / 'min' / 'max' / a registered custom
+        func / a series_id. The built-in aggregators run as a second
+        Spark aggregate — one row reaches the driver regardless of
+        n_series; only a custom callable collects the per-series values
+        (one float per series, by contract)."""
+        kwargs = dict(params)
+        if dynamic_testing is not None and self._model_accepts("dynamic_testing"):
+            kwargs.setdefault("dynamic_testing", dynamic_testing)
+        scored = self._run_model(fold_df, **kwargs)
         test = scored.filter(F.col(IS_FUTURE) == 1)
         how = getattr(self, "_optimize_on", "mean")
+        mcol = self.validation_metric
         per = METRICS.evaluate(
-            test, actual=Y, forecast="forecast", by=[SERIES],
-            metrics=[self.validation_metric],
-        ).collect()
-        vals = {r[SERIES]: r[self.validation_metric] for r in per}
+            test, actual=Y, forecast="forecast", by=[SERIES], metrics=[mcol]
+        )
+        if how in self._custom_optimizers:
+            vals = [r[mcol] for r in per.collect() if r[mcol] is not None]
+            return float(self._custom_optimizers[how](vals)) if vals else float("nan")
         if how in self.OPTIMIZER_FUNCS:
-            usable = [v for v in vals.values() if v is not None]
-            if not usable:
-                return float("nan")
-            agg = {"mean": lambda x: sum(x) / len(x), "min": min, "max": max}[how]
-            return float(agg(usable))
-        v = vals.get(how)
+            agg = {"mean": F.avg, "min": F.min, "max": F.max}[how](mcol)
+            v = per.agg(agg).collect()[0][0]
+        else:  # a series_id — optimize on that one series
+            rows = per.filter(F.col(SERIES) == how).collect()
+            v = rows[0][mcol] if rows else None
         return float(v) if v is not None else float("nan")
 
     def cross_validate(
         self, k: int = 5, test_length: int | None = None,
         train_length: int | None = None, space_between_sets: int | None = None,
-        verbose: bool = False,
+        set_aside_test_set: bool = True,
+        dynamic_tuning: bool | int = False,
+        verbose: bool = False, max_workers: int | None = None,
     ) -> "Forecaster":
         """Rolling-origin CV (reference _Forecaster_parent.py:1693-1867).
 
         Fold i (0-based) holds out rows (cut_i, cut_i + test_length]
-        where cut_i slides back by ``space_between_sets``. Every fold is
-        a FILTER over the cached feature frame — fold isolation without
-        the reference's per-fold deepcopy. The (grid × fold) loop runs
-        fold-major so each fold's marked frame is reused across the
-        whole grid.
+        where cut_i slides back by ``space_between_sets``.
+        ``set_aside_test_set`` (reference default True) excludes the
+        final ``self.test_length`` rows from EVERY fold, so
+        hyperparameters are never tuned on the held-out test set.
+        ``dynamic_tuning`` threads to the kernel's dynamic_testing
+        (False = one-step-ahead validation, the reference default).
+
+        Every fold is a FILTER over the cached feature frame — fold
+        isolation without the reference's per-fold deepcopy. All
+        (grid × fold) cells are independent Spark actions over cached
+        fold frames, submitted CONCURRENTLY from a bounded driver
+        thread pool: on a cluster, CV wall-time drops from Σ cells to
+        roughly Σ cells / pool-width (run_jobs docstring).
         """
         if self.grid is None:
             raise ValueError("ingest a grid first")
+        from scalecast_spark.functions.parallel import run_jobs
+
         n_obs = (
             self.tsf.observed.groupBy(SERIES).count()
             .agg(F.min("count")).collect()[0][0]
         )
-        test_length = test_length or max(n_obs // (k + 1), 1)
+        aside = self.test_length if set_aside_test_set else 0
+        usable = max(n_obs - aside, 2)
+        test_length = test_length or max(usable // (k + 1), 1)
         space = space_between_sets or test_length
         base = self.tsf.df.cache()
-        scores = [[float("nan")] * k for _ in self.grid]
+        fold_frames: list[DataFrame] = []
         for fold in range(k):
-            chop = fold * space
+            chop = aside + fold * space
             fold_frame = base
             if chop:
                 w = W.partitionBy(SERIES).orderBy(F.desc(DS))
@@ -434,14 +491,29 @@ class Forecaster:
                     .drop("_rev")
                 )
             marked = marked.cache()
-            for gi, params in enumerate(self.grid):
-                try:
-                    scores[gi][fold] = self._eval_fold(marked, params)
-                except Exception:
-                    scores[gi][fold] = float("nan")
-                if verbose:
-                    print(f"fold {fold} grid {gi}: {scores[gi][fold]}")
-            marked.unpersist()
+            # materialize the cache before concurrent cells race to
+            # fill it (Spark computes uncached partitions per-job)
+            marked.count()
+            fold_frames.append(marked)
+
+        thunks = [
+            (lambda m=fold_frames[fold], p=params: self._eval_fold(
+                m, p, dynamic_testing=dynamic_tuning
+            ))
+            for gi, params in enumerate(self.grid)
+            for fold in range(k)
+        ]
+        flat = run_jobs(thunks, max_workers=max_workers, on_error="nan")
+        scores = [
+            [float(flat[gi * k + fold]) for fold in range(k)]
+            for gi in range(len(self.grid))
+        ]
+        if verbose:
+            for gi, row in enumerate(scores):
+                for fold, v in enumerate(row):
+                    print(f"fold {fold} grid {gi}: {v}")
+        for m in fold_frames:
+            m.unpersist()
         self.grid_evaluated = [
             {"params": p, "scores": row} for p, row in zip(self.grid, scores)
         ]
@@ -460,10 +532,16 @@ class Forecaster:
         self.validation_metric_value = means[best_i]
         return self
 
-    def tune(self, dynamic_tuning: bool = False) -> "Forecaster":
-        """1-fold CV on the validation slice
-        (reference _Forecaster_parent.py:1659-1691)."""
-        return self.cross_validate(k=1, test_length=self.validation_length)
+    def tune(self, dynamic_tuning: bool | int = False) -> "Forecaster":
+        """1-fold CV on the validation slice immediately PRECEDING the
+        held-out test set (reference _Forecaster_parent.py:1659-1691;
+        set_aside_test_set semantics keep TestSet metrics unbiased).
+        ``dynamic_tuning=False`` (reference default) validates
+        one-step-ahead; True/int goes through the recursive path."""
+        return self.cross_validate(
+            k=1, test_length=self.validation_length,
+            dynamic_tuning=dynamic_tuning,
+        )
 
     # ------------------------------------------------------- combo
     def combo(
@@ -507,14 +585,10 @@ class Forecaster:
             test_fc = combo_forecast(stacked_t, models, weights)
             actuals = member_tests[0].select(SERIES, DS, Y)
             test_df = test_fc.join(actuals, [SERIES, DS])
-            mrows = METRICS.evaluate(
-                test_df, actual=Y, forecast="forecast", by=[SERIES],
-                metrics=self.metrics,
-            ).collect()
-            for m in self.metrics:
-                vals = [r[m] for r in mrows if r[m] is not None]
-                if vals:
-                    summary[f"TestSet{m.upper()}"] = float(sum(vals) / len(vals))
+            _, combo_metrics = self._metric_summary(test_df, self.metrics)
+            for m, v in combo_metrics.items():
+                if not math.isnan(v):
+                    summary[f"TestSet{m.upper()}"] = v
         self.history[call_me] = {
             "forecast": fc,
             "fitted": None,
@@ -529,16 +603,10 @@ class Forecaster:
         """Average ≥2 models with normal-approx CIs from the
         cross-model standard error (reference synthesize_models,
         Forecaster.py:217-259): bounds = mean ± z * std/sqrt(n)."""
-        import math as _m
+        from scalecast_spark.functions.normal import two_sided_z
 
         cilevel = cilevel or self.cilevel
-        # two-sided z for the level (inverse normal via Acklam-lite:
-        # use the symmetric 1.96/2.576 table for common levels,
-        # else a rational approximation)
-        z_table = {0.9: 1.6449, 0.95: 1.96, 0.99: 2.5758}
-        z = z_table.get(round(cilevel, 2))
-        if z is None:
-            z = _m.sqrt(2) * 1.0  # fallback ~0.84 quantile; fine for exotic levels
+        z = two_sided_z(cilevel)  # exact inverse-normal for ANY level
         stacked = None
         for m in models:
             fc = self.history[m]["forecast"].select(

@@ -65,9 +65,14 @@ def r2(a: str, f: str) -> Column:
 
 
 def smape(a: str, f: str) -> Column:
-    """M4 symmetric MAPE, no x100 (reference Metrics.py:147-175)."""
+    """M4 symmetric MAPE, no x100 (reference Metrics.py:147-175).
+    try_divide: actual==forecast==0 rows become NULL and are skipped by
+    avg (ANSI mode would otherwise abort on DIVIDE_BY_ZERO)."""
     return F.avg(
-        2.0 * F.abs(F.col(f) - F.col(a)) / (F.abs(F.col(a)) + F.abs(F.col(f)))
+        F.try_divide(
+            2.0 * F.abs(F.col(f) - F.col(a)),
+            F.abs(F.col(a)) + F.abs(F.col(f)),
+        )
     )
 
 

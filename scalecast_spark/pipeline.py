@@ -149,7 +149,9 @@ def backtest_metrics(
             .groupBy("model", "iteration")
             .agg(
                 F.avg(
-                    F.abs(F.col("forecast") - F.col(Y)) / F.col("mase_denom")
+                    F.try_divide(
+                        F.abs(F.col("forecast") - F.col(Y)), F.col("mase_denom")
+                    )
                 ).alias("mase")
             )
         )
@@ -183,5 +185,5 @@ def msis(
     return (
         results.join(denom, SERIES)
         .groupBy("model", "iteration")
-        .agg(F.avg(score / F.col("mase_denom")).alias("msis"))
+        .agg(F.avg(F.try_divide(score, F.col("mase_denom"))).alias("msis"))
     )

@@ -57,8 +57,10 @@ def find_statistical_transformation(
         .groupBy(SERIES)
         .agg(F.stddev_pop(Y).alias("os"))
     )
+    # try_divide: a constant series has os=0 → NULL strength (treated as
+    # no seasonality) instead of an ANSI DIVIDE_BY_ZERO abort
     joined = w_stats.join(overall, SERIES).select(
-        (F.col("ps") / F.col("os")).alias("strength")
+        F.try_divide(F.col("ps"), F.col("os")).alias("strength")
     ).agg(F.max("strength")).collect()[0][0]
     if joined is not None and joined > 0.5:
         steps.append(TR.DiffTransform(m))
