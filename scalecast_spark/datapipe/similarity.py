@@ -141,6 +141,91 @@ def exact_pairwise_above(
     )
 
 
+def blocked_pairwise_above(
+    df: DataFrame,
+    threshold: float,
+    n_blocks: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """EXACT all-pairs cosine ≥ threshold via blocked matrix multiply.
+
+    Same results as ``exact_pairwise_above``, different physical plan:
+    vectors are hashed into ``n_blocks`` blocks, each of the
+    B·(B+1)/2 block PAIRS becomes one shuffle key, and each task runs
+    ONE numpy GEMM (``A @ B.T``) over its two blocks. Replaces the
+    BroadcastNestedLoopJoin + per-row higher-order-function plan with
+    evenly-partitioned, BLAS-vectorized work — the standard distributed
+    layout for exact all-pairs similarity. Work is inherently O(N²·d)
+    (a loose threshold like 0.3 admits no exact pruning); scale the
+    cluster by raising ``n_blocks`` ~ sqrt(task slots). Shuffle volume
+    is n_blocks·N·d doubles (each vector replicated once per partner
+    block).
+    """
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    pairs = [(lo, hi) for lo in range(n_blocks) for hi in range(lo, n_blocks)]
+    pair_of_block: dict[int, list[int]] = {b: [] for b in range(n_blocks)}
+    for pi, (lo, hi) in enumerate(pairs):
+        pair_of_block[lo].append(pi)
+        if hi != lo:
+            pair_of_block[hi].append(pi)
+    blk = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).cast("int")
+    pair_map = F.array(
+        *[
+            F.array(*[F.lit(p) for p in pair_of_block[b]])
+            for b in range(n_blocks)
+        ]
+    )
+    replicated = (
+        df.select(
+            F.col(id_col).cast("long").alias("_id"),
+            F.col(vec_col).cast("array<double>").alias("_v"),
+            blk.alias("_blk"),
+        )
+        .withColumn("_pair", F.explode(F.element_at(pair_map, F.col("_blk") + 1)))
+    )
+    lo_of = {pi: lo for pi, (lo, hi) in enumerate(pairs)}
+    hi_of = {pi: hi for pi, (lo, hi) in enumerate(pairs)}
+    schema = T.StructType(
+        [
+            T.StructField("id_a", T.LongType()),
+            T.StructField("id_b", T.LongType()),
+            T.StructField("cosine_sim", T.DoubleType()),
+        ]
+    )
+
+    def gemm(key, pdf):
+        pi = int(key[0])
+        lo, hi = lo_of[pi], hi_of[pi]
+        A = pdf[pdf["_blk"] == lo]
+        B = pdf[pdf["_blk"] == hi]
+        if A.empty or B.empty:
+            return pd.DataFrame(columns=["id_a", "id_b", "cosine_sim"])
+        Va = np.stack(A["_v"].to_numpy())
+        Vb = np.stack(B["_v"].to_numpy())
+        na = np.linalg.norm(Va, axis=1)
+        nb = np.linalg.norm(Vb, axis=1)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            cos = (Va @ Vb.T) / np.outer(na, nb)
+        cos = np.round(cos, 6)
+        ia, ib = np.where(cos >= threshold)
+        ida = A["_id"].to_numpy()[ia]
+        idb = B["_id"].to_numpy()[ib]
+        # orient every pair id_a < id_b; same-block pairs keep a<b only
+        keep = ida != idb
+        out_a = np.minimum(ida, idb)[keep]
+        out_b = np.maximum(ida, idb)[keep]
+        sims = cos[ia, ib][keep]
+        res = pd.DataFrame({"id_a": out_a, "id_b": out_b, "cosine_sim": sims})
+        if lo == hi:  # same-block GEMM emits both (a,b) and (b,a)
+            res = res.drop_duplicates(["id_a", "id_b"])
+        return res
+
+    return replicated.groupBy("_pair").applyInPandas(gemm, schema)
+
+
 def pairwise_cosine_above(
     df: DataFrame,
     threshold: float,
