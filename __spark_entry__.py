@@ -606,6 +606,26 @@ def q_ts_forecast_recursive(spark, sf_dir):
     )
 
 
+def q_ts_forecast_direct(spark, sf_dir):
+    """DIRECT multi-horizon forecast (reference rnn/lstm's
+    non-recursive strategy, models.py:651-671): one multi-output MLP
+    maps the last L observations to the whole horizon — iterative
+    training is not SQL-expressible, so this is rows-only."""
+    from scalecast_spark.frame import TimeSeriesFrame
+    from scalecast_spark.models import MODELS
+
+    tsf = TimeSeriesFrame.from_long(_series(spark, sf_dir)).generate_future_dates(7)
+    out = MODELS["rnn"](tsf.df, lags=7, hidden=8, epochs=150)
+    return _out_ts(
+        _r6(
+            out.filter(F.col("is_future") == 1).select(
+                "series_id", "ds", "forecast"
+            ),
+            "forecast",
+        )
+    )
+
+
 def q_sim_lsh_topk(spark, sf_dir):
     """ANN via random-hyperplane LSH buckets (approximate by design)."""
     from scalecast_spark.datapipe.similarity import lsh_bucket_topk
@@ -695,6 +715,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_norms": q_emb_norms,
         # rows-only (no oracle — non-SQL-expressible semantics)
         "ts_forecast_recursive": q_ts_forecast_recursive,
+        "ts_forecast_direct": q_ts_forecast_direct,
         "sim_lsh_topk": q_sim_lsh_topk,
         "dedup_simhash": q_dedup_simhash,
         "multimodal_features": q_multimodal_features,
