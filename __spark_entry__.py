@@ -237,6 +237,38 @@ def q_ts_detrend(spark, sf_dir):
     return _out_ts(_r6(out.withColumnRenamed("y", "y_detrended"), "y_detrended"))
 
 
+def q_ts_detrend_poly(spark, sf_dir):
+    """Quadratic detrend via distributed moment aggregate + per-series
+    normal-equation solve over normalized time (reference
+    SeriesTransformer.py:121-311 poly_order=2)."""
+    from scalecast_spark.operators.transforms import DetrendTransform
+
+    df = _series(spark, sf_dir).withColumn("is_future", F.lit(0))
+    t = DetrendTransform(poly_order=2).fit(df)
+    out = t.transform(df, "y").drop("is_future")
+    return _out_ts(_r6(out.withColumnRenamed("y", "y_detrended"), "y_detrended"))
+
+
+def q_ts_pt_yeojohnson(spark, sf_dir):
+    """Yeo-Johnson power transform of the first-difference regressor
+    (negative-valued by construction) at the grid-MLE lambda (reference
+    _Forecaster_parent.py:675-718, yeo-johnson branch). The oracle
+    re-runs the SAME 81-point profile-likelihood grid in SQL."""
+    from pyspark.sql import Window as _W
+
+    from scalecast_spark.operators.features import add_pt_terms
+
+    w = _W.partitionBy("series_id").orderBy("ds")
+    df = (
+        _series(spark, sf_dir)
+        .withColumn("x", F.col("y") - F.lag("y").over(w))
+        .filter(F.col("x").isNotNull())
+        .withColumn("is_future", F.lit(0))
+    )
+    out, _ = add_pt_terms(df, "x", method="yeojohnson")
+    return _out_ts(_r6(out.select("series_id", "ds", "x_pt"), "x_pt"))
+
+
 def q_ts_deseason(spark, sf_dir):
     from scalecast_spark.operators.transforms import DeseasonTransform
 
@@ -686,6 +718,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_scale": q_ts_scale,
         "ts_minmax": q_ts_minmax,
         "ts_detrend": q_ts_detrend,
+        "ts_detrend_poly": q_ts_detrend_poly,
+        "ts_pt_yeojohnson": q_ts_pt_yeojohnson,
         "ts_deseason": q_ts_deseason,
         "ts_seasonal_naive": q_ts_seasonal_naive,
         "ts_metrics": q_ts_metrics,
@@ -860,6 +894,41 @@ def oracle_sql() -> dict[str, str]:
                    round(t.y - (p.icept + p.slope * t.tt), 6) AS y_detrended
             FROM t JOIN p USING (series_id)
         """,
+        "ts_detrend_poly": f"""
+            WITH {_SQL_SERIES},
+            t AS (
+                SELECT series_id, ds, y,
+                       row_number() OVER (PARTITION BY series_id ORDER BY ds)::DOUBLE AS tt,
+                       count(*) OVER (PARTITION BY series_id)::DOUBLE AS n
+                FROM series
+            ),
+            u AS (
+                SELECT *, CASE WHEN n > 1 THEN (2*tt - (n+1))/(n-1)
+                               ELSE 0.0 END AS un
+                FROM t
+            ),
+            mo AS (
+                SELECT series_id,
+                       count(*)::DOUBLE AS s0, sum(un) AS s1, sum(un*un) AS s2,
+                       sum(un*un*un) AS s3, sum(un*un*un*un) AS s4,
+                       sum(y) AS m0, sum(y*un) AS m1, sum(y*un*un) AS m2
+                FROM u GROUP BY 1
+            ),
+            co AS (
+                -- Cramer on [[s0,s1,s2],[s1,s2,s3],[s2,s3,s4]] c = [m0,m1,m2]
+                SELECT series_id,
+                       (s0*(s2*s4-s3*s3) - s1*(s1*s4-s3*s2) + s2*(s1*s3-s2*s2)) AS det,
+                       (m0*(s2*s4-s3*s3) - s1*(m1*s4-s3*m2) + s2*(m1*s3-s2*m2)) AS d0,
+                       (s0*(m1*s4-s3*m2) - m0*(s1*s4-s3*s2) + s2*(s1*m2-m1*s2)) AS d1,
+                       (s0*(s2*m2-s3*m1) - s1*(s1*m2-s3*m0) + m0*(s1*s3-s2*s2)) AS d2
+                FROM mo
+            )
+            SELECT u.series_id, u.ds,
+                   round(u.y - (c.d0/c.det + (c.d1/c.det)*u.un
+                                + (c.d2/c.det)*u.un*u.un), 6) AS y_detrended
+            FROM u JOIN co c USING (series_id)
+        """,
+        "ts_pt_yeojohnson": _yj_oracle(),
         "ts_deseason": f"""
             WITH {_SQL_SERIES},
             t AS (
@@ -1295,6 +1364,53 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY vec_id
         """,
     }
+
+
+def _yj_oracle() -> str:
+    """Oracle for q_ts_pt_yeojohnson: replays the engine's 81-point
+    Yeo-Johnson profile-likelihood grid (features.py:
+    _yeojohnson_mle_lambda) in SQL — grid λ literals embedded with full
+    float64 precision, ll = -n/2·ln(var_pop(z)) + (λ-1)·Σ sign·log1p,
+    argmax tie-broken toward the smaller λ like the numpy loop."""
+    import numpy as np
+
+    lams = ", ".join(f"({v!r})" for v in np.linspace(-2, 2, 81))
+
+    def yj(x: str, lam: str) -> str:
+        return f"""
+        CASE WHEN {x} >= 0 THEN
+            CASE WHEN abs({lam}) < 1e-12 THEN ln(1 + {x})
+                 ELSE (pow({x} + 1, {lam}) - 1) / {lam} END
+        ELSE
+            CASE WHEN abs({lam} - 2) < 1e-12 THEN -ln(1 - {x})
+                 ELSE -((pow(1 - {x}, 2 - {lam}) - 1) / (2 - {lam})) END
+        END"""
+
+    return f"""
+        WITH {_SQL_SERIES},
+        d AS (
+            SELECT series_id, ds,
+                   y - lag(y) OVER (PARTITION BY series_id ORDER BY ds) AS x
+            FROM series
+            QUALIFY x IS NOT NULL
+        ),
+        g(lam) AS (SELECT * FROM (VALUES {lams})),
+        ll AS (
+            SELECT g.lam,
+                   -0.5 * count(*) * ln(var_pop({yj("d.x", "g.lam")}))
+                   + (g.lam - 1) * sum(sign(d.x) * ln(1 + abs(d.x))) AS ll
+            FROM d CROSS JOIN g
+            GROUP BY g.lam
+        ),
+        best AS (
+            SELECT lam FROM ll
+            WHERE ll IS NOT NULL
+            ORDER BY ll DESC, lam ASC LIMIT 1
+        )
+        SELECT d.series_id, d.ds,
+               round({yj("d.x", "b.lam")}, 6) AS x_pt
+        FROM d CROSS JOIN best b
+    """
 
 
 def _emb_lsh_oracle(n_planes: int = 6, dim: int = 64, threshold: float = 0.3) -> str:

@@ -196,3 +196,84 @@ def seasonal_decompose(df: DataFrame, m: int = 7) -> DataFrame:
         .drop("_detr", "_phase", "_pm", "_pc")
     )
     return out
+
+
+def stl_decompose(
+    df: DataFrame,
+    m: int = 7,
+    trend_frac: float | None = None,
+    seasonal_frac: float = 0.6,
+    n_inner: int = 2,
+) -> DataFrame:
+    """STL decomposition (Cleveland et al. 1990; reference
+    Forecaster.py:1394-1456 offers STL next to seasonal_decompose via
+    statsmodels). Simplified inner loop, LOESS from functions/smooth.py:
+
+      repeat n_inner times:
+        1. detrend:            d = y - trend
+        2. cycle-subseries:    LOESS-smooth d at each phase mod m
+        3. low-pass recentre:  seasonal = smoothed - MA(m)(smoothed)
+        4. trend update:       trend = LOESS(y - seasonal)
+
+    Unlike the classic MA decomposition, seasonality may EVOLVE over
+    time (each phase's subseries is smoothed, not averaged) and the
+    trend has no MA edge loss. Per-series applyInPandas — parallel
+    across series, the scale axis.
+    """
+    from scalecast_spark.functions.smooth import loess_smooth
+
+    if trend_frac is None:
+        trend_frac = min(1.0, (1.5 * m) / 50.0 + 0.2)
+    schema = T.StructType(
+        [
+            df.schema[SERIES],
+            df.schema[DS],
+            T.StructField("y", T.DoubleType()),
+            T.StructField("trend", T.DoubleType()),
+            T.StructField("seasonal", T.DoubleType()),
+            T.StructField("resid", T.DoubleType()),
+        ]
+    )
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(DS).reset_index(drop=True)
+        y = pdf[Y].to_numpy(float)
+        n = len(y)
+        t = np.arange(1.0, n + 1.0)
+        trend = loess_smooth(t, y, trend_frac)
+        seasonal = np.zeros(n)
+        for _ in range(n_inner):
+            d = y - trend
+            smoothed = np.empty(n)
+            for phase in range(m):
+                idx = np.arange(phase, n, m)
+                sub = d[idx]
+                if len(sub) >= 3:
+                    smoothed[idx] = loess_smooth(
+                        np.arange(float(len(sub))), sub, seasonal_frac
+                    )
+                elif len(sub):
+                    smoothed[idx] = sub.mean()
+            # low-pass filter: centered MA(m) with edge padding
+            pad = m // 2
+            padded = np.concatenate(
+                [np.full(pad, smoothed[:m].mean()), smoothed,
+                 np.full(pad, smoothed[-m:].mean())]
+            )
+            kernel = np.ones(2 * pad + 1) / (2 * pad + 1)
+            lp = np.convolve(padded, kernel, mode="valid")[:n]
+            seasonal = smoothed - lp
+            trend = loess_smooth(t, y - seasonal, trend_frac)
+        resid = y - trend - seasonal
+        return pd.DataFrame(
+            {
+                SERIES: pdf[SERIES],
+                DS: pdf[DS],
+                "y": y,
+                "trend": trend,
+                "seasonal": seasonal,
+                "resid": resid,
+            }
+        )
+
+    return df.select(SERIES, DS, Y).groupBy(SERIES).applyInPandas(run, schema)

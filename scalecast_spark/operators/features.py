@@ -234,9 +234,68 @@ def _boxcox_mle_lambda(x, grid=None) -> float:
     return float(best_l)
 
 
+def _yeojohnson_z(x, lam):
+    """Yeo-Johnson transform of a numpy array at a given lambda."""
+    import numpy as np
+
+    x = np.asarray(x, dtype=float)
+    pos = x >= 0
+    z = np.empty_like(x)
+    if abs(lam) < 1e-12:
+        z[pos] = np.log1p(x[pos])
+    else:
+        z[pos] = (np.power(x[pos] + 1.0, lam) - 1.0) / lam
+    if abs(lam - 2.0) < 1e-12:
+        z[~pos] = -np.log1p(-x[~pos])
+    else:
+        z[~pos] = -(np.power(1.0 - x[~pos], 2.0 - lam) - 1.0) / (2.0 - lam)
+    return z
+
+
+def _yeojohnson_mle_lambda(x, grid=None) -> float:
+    """Yeo-Johnson lambda by profile log-likelihood over the same grid
+    as Box-Cox (numpy equivalent of sklearn
+    PowerTransformer(method='yeo-johnson'); handles any real x —
+    reference _Forecaster_parent.py:675-718)."""
+    import numpy as np
+
+    x = np.asarray(x, dtype=float)
+    n = len(x)
+    if n == 0:
+        return 1.0
+    slog = (np.sign(x) * np.log1p(np.abs(x))).sum()
+    best_l, best_ll = 1.0, -np.inf
+    for lam in (grid if grid is not None else np.linspace(-2, 2, 81)):
+        z = _yeojohnson_z(x, lam)
+        var = z.var()
+        if var <= 0:
+            continue
+        ll = -0.5 * n * math.log(var) + (lam - 1.0) * slog
+        if ll > best_ll:
+            best_ll, best_l = ll, lam
+    return float(best_l)
+
+
+def yeojohnson_expr(c, lam: float):
+    """Yeo-Johnson as a column expression at a FITTED lambda — branch
+    bases (1+x, 1-x) are strictly positive on their branch, so pow is
+    always well-defined."""
+    if abs(lam) < 1e-12:
+        pos = F.log1p(c)
+    else:
+        pos = (F.pow(c + F.lit(1.0), F.lit(lam)) - 1.0) / lam
+    if abs(lam - 2.0) < 1e-12:
+        neg = -F.log1p(-c)
+    else:
+        neg = -(F.pow(F.lit(1.0) - c, F.lit(2.0 - lam)) - 1.0) / (2.0 - lam)
+    return F.when(c >= 0, pos).otherwise(neg)
+
+
 def add_pt_terms(df: DataFrame, *cols: str, method: str = "boxcox") -> tuple[DataFrame, list[str]]:
     """Power-transform regressors (reference add_pt_terms,
-    _Forecaster_parent.py:675-718, via sklearn PowerTransformer).
+    _Forecaster_parent.py:675-718, via sklearn PowerTransformer):
+    ``boxcox`` (x > 0) or ``yeojohnson`` (any real x, the negative-
+    regressor path).
 
     λ is found by MLE on the observed rows (one small sample collect per
     column — regressor stats, not data-scale); the transform itself is
@@ -244,21 +303,31 @@ def add_pt_terms(df: DataFrame, *cols: str, method: str = "boxcox") -> tuple[Dat
     future slice (a quirk flagged in SURVEY.md §2.2); we fit ONCE on
     observed data, the statistically sound behavior.
     """
-    if method != "boxcox":
-        raise ValueError("only boxcox is implemented (yeojohnson: TODO)")
+    method = method.replace("-", "").replace("_", "").lower()
+    if method not in ("boxcox", "yeojohnson"):
+        raise ValueError(f"method must be boxcox or yeojohnson, got {method!r}")
     out, names = df, []
     for c in cols:
-        vals = [
-            r[0]
-            for r in df.filter(F.col(IS_FUTURE) == 0)
-            .select(c).filter(F.col(c) > 0).limit(100000).collect()
-        ]
-        lam = _boxcox_mle_lambda(vals)
         nm = f"{c}_pt"
-        if abs(lam) < 1e-12:
-            out = out.withColumn(nm, F.log(F.col(c)))
+        if method == "boxcox":
+            vals = [
+                r[0]
+                for r in df.filter(F.col(IS_FUTURE) == 0)
+                .select(c).filter(F.col(c) > 0).limit(100000).collect()
+            ]
+            lam = _boxcox_mle_lambda(vals)
+            if abs(lam) < 1e-12:
+                out = out.withColumn(nm, F.log(F.col(c)))
+            else:
+                out = out.withColumn(nm, (F.pow(F.col(c), lam) - 1.0) / lam)
         else:
-            out = out.withColumn(nm, (F.pow(F.col(c), lam) - 1.0) / lam)
+            vals = [
+                r[0]
+                for r in df.filter(F.col(IS_FUTURE) == 0)
+                .select(c).filter(F.col(c).isNotNull()).limit(100000).collect()
+            ]
+            lam = _yeojohnson_mle_lambda(vals)
+            out = out.withColumn(nm, yeojohnson_expr(F.col(c), lam))
         names.append(nm)
     return out, names
 

@@ -174,16 +174,25 @@ class RobustScaleTransform(Transform):
 
 @dataclass
 class DetrendTransform(Transform):
-    """Subtract a per-series OLS linear trend on t (reference
-    SeriesTransformer.py:121-311, loess=False, poly_order=1).
+    """Subtract a per-series trend (reference SeriesTransformer.py:121-311):
 
-    Slope/intercept come from the closed-form ``regr_slope``/
-    ``regr_intercept`` aggregates — one pass, no MLlib fit, fully
-    distributed across series. The trend is re-materialized from
-    row_number at invert time, so future rows extrapolate correctly.
+      * ``poly_order=1`` (default) — closed-form ``regr_slope``/
+        ``regr_intercept`` aggregates: one pass, fully distributed.
+      * ``poly_order>=2`` — normal equations over NORMALIZED time
+        (tn ∈ [-1, 1] for conditioning): distributed moment aggregate,
+        then a tiny per-series solve via mapInPandas on the one-row-
+        per-series moment frame. Trend re-materializes from row_number,
+        so future rows extrapolate the polynomial.
+      * ``loess=True`` — per-series LOESS smooth (applyInPandas kernel,
+        functions/smooth.py); future rows extrapolate linearly from the
+        boundary slope, matching the reference's fcst-trend behavior.
     """
 
+    poly_order: int = 1
+    loess: bool = False
+    frac: float = 0.3
     params: DataFrame | None = None
+    trend_frame: DataFrame | None = None
 
     def fit(self, df: DataFrame, train_only_cutoff=None):
         w = _w()
@@ -192,17 +201,143 @@ class DetrendTransform(Transform):
         )
         if train_only_cutoff is not None:
             src = src.filter(F.col(DS) <= F.lit(train_only_cutoff))
-        self.params = src.groupBy(SERIES).agg(
-            F.expr(f"regr_slope({Y}, _t)").alias("_slope"),
-            F.expr(f"regr_intercept({Y}, _t)").alias("_icept"),
+        if self.loess:
+            return self._fit_loess(src)
+        if self.poly_order == 1:
+            self.params = src.groupBy(SERIES).agg(
+                F.expr(f"regr_slope({Y}, _t)").alias("_slope"),
+                F.expr(f"regr_intercept({Y}, _t)").alias("_icept"),
+            )
+            return self
+        return self._fit_poly(src)
+
+    # ------------------------------------------------- poly >= 2
+    def _fit_poly(self, src: DataFrame):
+        import pandas as pd
+        from pyspark.sql import types as T
+
+        p = self.poly_order
+        n_per = src.groupBy(SERIES).agg(F.max("_t").alias("_n"))
+        with_tn = src.join(F.broadcast(n_per), SERIES).withColumn(
+            "_tn",
+            F.when(F.col("_n") > 1,
+                   (2.0 * F.col("_t") - (F.col("_n") + 1.0)) / (F.col("_n") - 1.0)
+                   ).otherwise(F.lit(0.0)),
+        )
+        aggs = [F.count("*").cast("double").alias("_s0")]
+        aggs += [F.sum(F.pow("_tn", k)).alias(f"_s{k}") for k in range(1, 2 * p + 1)]
+        aggs += [F.sum(F.col(Y) * F.pow("_tn", k)).alias(f"_m{k}") for k in range(0, p + 1)]
+        aggs += [F.max("_n").alias("_n")]
+        moments = with_tn.groupBy(SERIES).agg(*aggs)
+        schema = T.StructType(
+            [moments.schema[SERIES]]
+            + [T.StructField("_n", T.DoubleType())]
+            + [T.StructField(f"_c{k}", T.DoubleType()) for k in range(p + 1)]
+        )
+
+        def solve(it):
+            import numpy as np
+
+            for pdf in it:
+                rows = []
+                for _, r in pdf.iterrows():
+                    A = np.array(
+                        [[r[f"_s{i + j}"] if i + j else r["_s0"] for j in range(p + 1)]
+                         for i in range(p + 1)]
+                    )
+                    b = np.array([r[f"_m{k}"] for k in range(p + 1)])
+                    try:
+                        c = np.linalg.solve(A, b)
+                    except np.linalg.LinAlgError:
+                        c = np.zeros(p + 1)
+                        c[0] = r["_m0"] / r["_s0"] if r["_s0"] else 0.0
+                    rows.append(
+                        [r[SERIES], r["_n"]] + [float(v) for v in c]
+                    )
+                yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+
+        self.params = moments.mapInPandas(solve, schema)
+        return self
+
+    # ---------------------------------------------------- loess
+    def _fit_loess(self, src: DataFrame):
+        import pandas as pd
+        from pyspark.sql import types as T
+
+        from scalecast_spark.functions.smooth import loess_smooth
+
+        frac = self.frac
+        tschema = T.StructType(
+            [src.schema[SERIES], src.schema[DS],
+             T.StructField("_ltrend", T.DoubleType())]
+        )
+
+        def run(pdf: pd.DataFrame) -> pd.DataFrame:
+            import numpy as np
+
+            pdf = pdf.sort_values(DS)
+            tr = loess_smooth(
+                np.arange(1.0, len(pdf) + 1.0), pdf[Y].to_numpy(float), frac
+            )
+            return pd.DataFrame(
+                {SERIES: pdf[SERIES], DS: pdf[DS], "_ltrend": tr}
+            )
+
+        self.trend_frame = (
+            src.select(SERIES, DS, Y).groupBy(SERIES).applyInPandas(run, tschema)
+        ).cache()
+        w2 = W.partitionBy(SERIES).orderBy(F.desc(DS))
+        last2 = (
+            self.trend_frame.withColumn("_rev", F.row_number().over(w2))
+            .filter(F.col("_rev") <= 2)
+        )
+        self.params = (
+            last2.groupBy(SERIES).agg(
+                F.max(F.when(F.col("_rev") == 1, F.col("_ltrend"))).alias("_last"),
+                F.max(F.when(F.col("_rev") == 2, F.col("_ltrend"))).alias("_prev"),
+                F.count("*").alias("_k"),
+            )
+            .join(
+                self.trend_frame.groupBy(SERIES).agg(F.count("*").alias("_n")),
+                SERIES,
+            )
+            .select(
+                SERIES, "_n", F.col("_last").alias("_lastt"),
+                F.coalesce(F.col("_last") - F.col("_prev"), F.lit(0.0)).alias("_bslope"),
+            )
         )
         return self
 
     def _trended(self, df: DataFrame) -> DataFrame:
-        return self._with_params(df).withColumn(
-            "_trend",
-            F.col("_icept") + F.col("_slope") * F.row_number().over(_w()).cast("double"),
+        rn = F.row_number().over(_w()).cast("double")
+        if self.loess:
+            out = (
+                df.join(self.trend_frame, [SERIES, DS], "left")
+                .join(F.broadcast(self.params), SERIES, "left")
+                .withColumn(
+                    "_trend",
+                    F.coalesce(
+                        F.col("_ltrend"),
+                        F.col("_lastt") + F.col("_bslope") * (rn - F.col("_n")),
+                    ),
+                )
+            )
+            return out.drop("_ltrend")
+        if self.poly_order == 1:
+            return self._with_params(df).withColumn(
+                "_trend", F.col("_icept") + F.col("_slope") * rn
+            )
+        p = self.poly_order
+        out = self._with_params(df).withColumn(
+            "_tn",
+            F.when(F.col("_n") > 1,
+                   (2.0 * rn - (F.col("_n") + 1.0)) / (F.col("_n") - 1.0)
+                   ).otherwise(F.lit(0.0)),
         )
+        trend = F.col("_c0")
+        for k in range(1, p + 1):
+            trend = trend + F.col(f"_c{k}") * F.pow("_tn", k)
+        return out.withColumn("_trend", trend).drop("_tn")
 
     def transform(self, df: DataFrame, col: str = Y) -> DataFrame:
         out = self._trended(df).withColumn(col, F.col(col) - F.col("_trend"))

@@ -69,8 +69,14 @@ def test_mlp_learns_linear():
     assert np.corrcoef(pred, y)[0, 1] > 0.99
 
 
-def test_rnn_stub_raises(f):
+def test_rnn_now_backed_by_direct_mlp(f):
+    """rnn/lstm are no longer stubs: the TF-free direct multi-horizon
+    MLP backs them (see tests/test_direct_horizon.py); prophet remains
+    the gated stub and must still raise."""
     f.set_estimator("rnn")
+    f.manual_forecast(lags=5, hidden=4, epochs=50)
+    assert "rnn" in f.history
+    f.set_estimator("prophet")
     with pytest.raises(Exception):
         f.manual_forecast()
 
