@@ -219,14 +219,21 @@ def jaccard_pairs(
     return out
 
 
-def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64) -> DataFrame:
-    """64-bit SimHash: for each word, md5 → take ``bits`` bits; sum
-    (+1/-1) per bit position across words; sign → fingerprint bit.
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 60) -> DataFrame:
+    """SimHash (up to 60 bits): for each word, md5 → take ``bits``
+    bits; sum (+1/-1) per bit position across words; sign →
+    fingerprint bit.
 
     Implemented with array expressions (no Python UDF): explode words,
-    per-bit contribution via bit arithmetic on the md5's first 16 hex
-    chars (64 bits).
+    per-bit contribution via bit arithmetic on the md5's first 15 hex
+    chars. The cap is 60 because ``conv`` of 16 hex chars can overflow
+    a signed long; asking for more raises rather than silently
+    truncating.
     """
+    if bits > 60:
+        raise ValueError(
+            f"simhash supports at most 60 bits (signed-long md5 slice); got {bits}"
+        )
     words = F.explode(
         F.array_distinct(F.split(normalize_text(F.col(text_col)), " "))
     ).alias("w")
@@ -236,8 +243,7 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits:
         .filter(F.length("w") > 0)
     )
     h64 = F.conv(F.substring(F.md5(F.col("w")), 1, 15), 16, 10).cast("long")
-    # 60 usable bits from 15 hex chars (conv of 16 chars can overflow sign)
-    nbits = min(bits, 60)
+    nbits = bits
     tokens = tokens.withColumn("_h", h64)
     aggs = [
         F.sum(

@@ -102,6 +102,36 @@ def fill_moving_seasonal_average(
     ).drop("_phase")
 
 
+def fill_pool(
+    df: DataFrame, value_pool: list[float], seed: int = 42, col: str = Y
+) -> DataFrame:
+    """Fill gaps with a draw from ``value_pool`` (reference
+    'impute_pool', util.py:1117-1118 — ``np.random.choice``). The draw
+    is a deterministic xxhash64(series, ds, seed) mod pool-size index,
+    so results are reproducible across runs and partition layouts,
+    unlike ``F.rand`` — and never leave the JVM."""
+    if not value_pool:
+        raise ValueError("impute_pool requires a non-empty value_pool")
+    arr = F.array(*[F.lit(float(v)) for v in value_pool])
+    idx = F.pmod(F.xxhash64(F.col(SERIES), F.col(DS), F.lit(int(seed))), F.lit(len(value_pool)))
+    return df.withColumn(
+        col, F.coalesce(F.col(col), F.element_at(arr, (idx + 1).cast("int")))
+    )
+
+
+def add_noise_pool(
+    df: DataFrame, noise_value_pool: list[float], seed: int = 7, col: str = Y
+) -> DataFrame:
+    """Add a draw from ``noise_value_pool`` to every value (reference
+    util.py:1128-1129 adds a random pool draw to imputed points); same
+    deterministic hash-indexed draw as :func:`fill_pool`."""
+    if not noise_value_pool:
+        raise ValueError("add_noise_pool requires a non-empty noise_value_pool")
+    arr = F.array(*[F.lit(float(v)) for v in noise_value_pool])
+    idx = F.pmod(F.xxhash64(F.col(SERIES), F.col(DS), F.lit(int(seed))), F.lit(len(noise_value_pool)))
+    return df.withColumn(col, F.col(col) + F.element_at(arr, (idx + 1).cast("int")))
+
+
 def clamp(df: DataFrame, floor: float | None = None, cap: float | None = None, col: str = Y) -> DataFrame:
     """Floor/cap clamps (reference util.py:1128-1140)."""
     c = F.col(col)
@@ -143,6 +173,7 @@ FILL_STRATEGIES = {
     "bfill": bfill,
     "moving_average": fill_moving_average,
     "moving_seasonal_average": fill_moving_seasonal_average,
+    "impute_pool": fill_pool,
 }
 
 

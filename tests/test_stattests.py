@@ -117,3 +117,44 @@ def test_moving_seasonal_average_fill(spark):
     out = IMP.fill_moving_seasonal_average(spark.createDataFrame(pdf), m=2, seasons_back=3)
     row = out.orderBy(DS).collect()[8]
     assert row[Y] == pytest.approx(10.0)
+
+
+def test_impute_pool_fill(spark):
+    # reference util.py:1117-1118 — NULLs get a draw from the pool
+    pdf = pd.DataFrame({
+        SERIES: ["s"] * 6,
+        DS: pd.date_range("2024-01-01", periods=6),
+        Y: [1.0, None, 3.0, None, 5.0, None],
+    })
+    df = spark.createDataFrame(pdf)
+    pool = [100.0, 200.0, 300.0]
+    out1 = IMP.fill_pool(df, pool, seed=42).orderBy(DS).collect()
+    out2 = IMP.fill_pool(df, pool, seed=42).orderBy(DS).collect()
+    # observed values untouched
+    assert [r[Y] for r in out1][::2] == [1.0, 3.0, 5.0]
+    # filled values come from the pool, deterministically
+    filled = [r[Y] for r in out1][1::2]
+    assert all(v in pool for v in filled)
+    assert [r[Y] for r in out1] == [r[Y] for r in out2]
+    # registry + constructor path
+    tsf = IMP.frame_with_missing_vals(
+        df, fill_strategy="impute_pool", value_pool=pool
+    )
+    vals = [r[Y] for r in tsf.df.orderBy(DS).collect()]
+    assert all(v is not None for v in vals)
+
+
+def test_noise_pool_and_simhash_bits_guard(spark):
+    pdf = pd.DataFrame({
+        SERIES: ["s"] * 3,
+        DS: pd.date_range("2024-01-01", periods=3),
+        Y: [1.0, 2.0, 3.0],
+    })
+    df = spark.createDataFrame(pdf)
+    out = IMP.add_noise_pool(df, [10.0], seed=1).orderBy(DS).collect()
+    assert [r[Y] for r in out] == [11.0, 12.0, 13.0]
+
+    from scalecast_spark.datapipe import dedup
+
+    with pytest.raises(ValueError, match="60 bits"):
+        dedup.simhash(df, bits=64)
