@@ -38,20 +38,33 @@ def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
-def word_shingles(df: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Explode each doc into its distinct word n-gram shingles
-    → (id, shingle)."""
-    words = F.split(normalize_text(F.col(text_col)), " ")
+def shingle_array(text_col, n: int = 3):
+    """Column expression: distinct word n-gram shingles of a text
+    column as an array — the shared front end of both the signature
+    and the exploded-shingle paths, so a query using both can compute
+    it ONCE (project + cache) instead of re-splitting the raw text."""
+    words = F.split(normalize_text(text_col), " ")
     idx = F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0)))
-    sh = F.transform(
-        idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, n))
+    return F.filter(
+        F.array_distinct(
+            F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)))
+        ),
+        lambda s: F.length(s) > 0,
     )
+
+
+def word_shingles(
+    df: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id",
+    array_col: str | None = None,
+) -> DataFrame:
+    """Explode each doc into its distinct word n-gram shingles
+    → (id, shingle). Pass ``array_col`` to explode a prebuilt
+    :func:`shingle_array` column instead of re-deriving from text."""
+    sh = F.col(array_col) if array_col else shingle_array(F.col(text_col), n)
     # single-file sources arrive as ONE partition; spread the explode
     # (the expensive step) across the cluster before it runs
-    return (
-        df.repartition(F.col(id_col))
-        .select(id_col, F.explode(F.array_distinct(sh)).alias("shingle"))
-        .filter(F.length("shingle") > 0)
+    return df.repartition(F.col(id_col)).select(
+        id_col, F.explode(sh).alias("shingle")
     )
 
 
@@ -91,20 +104,15 @@ def minhash_signatures(
 def minhash_signatures_projection(
     df: DataFrame, n: int = 3, n_hashes: int = 16,
     text_col: str = "text", id_col: str = "doc_id",
+    array_col: str | None = None,
 ) -> DataFrame:
     """Signatures straight from text as a PURE PROJECTION — shingle
     array built per row, per-permutation minima via
     array_min(transform(...)). ZERO shuffles (the exploded variant pays
     one); identical values to minhash_signatures. The preferred plan at
-    any scale when the shingle frame isn't otherwise needed."""
-    words = F.split(normalize_text(F.col(text_col)), " ")
-    idx = F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0)))
-    sh = F.filter(
-        F.array_distinct(
-            F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)))
-        ),
-        lambda s: F.length(s) > 0,
-    )
+    any scale when the shingle frame isn't otherwise needed. Pass
+    ``array_col`` to reuse a prebuilt :func:`shingle_array` column."""
+    sh = F.col(array_col) if array_col else shingle_array(F.col(text_col), n)
     # ONE md5 per (shingle, 4-hash group): the 32-hex digest yields four
     # independent 32-bit hashes by slicing — 4x fewer digest
     # computations than per-permutation md5, same statistical behavior.
@@ -175,10 +183,13 @@ def jaccard_pairs(
 ) -> DataFrame:
     """Exact n-gram Jaccard for (id_a, id_b) pairs.
 
-    With ``candidates`` (the LSH path) the self-join is restricted to
-    colliding docs; without it, pairs form via the shared-shingle
-    self-join — still sub-quadratic because only docs sharing ≥1
-    shingle ever meet, but use the LSH path at scale.
+    With ``candidates`` (the LSH path) the candidate pairs DRIVE the
+    join: shingles of id_a attach to each pair, then match against
+    shingles of id_b — work is linear in |candidates| x doc size, and
+    the shared-shingle self-join (hot-shingle quadratic expansion at
+    corpus scale) never runs. Without candidates, pairs form via the
+    shared-shingle self-join — still sub-quadratic because only docs
+    sharing >=1 shingle ever meet, but use the LSH path at scale.
 
     The shingle frame feeds three plan branches (sizes + both join
     sides): cache it so the explode runs once, and broadcast the tiny
@@ -186,21 +197,36 @@ def jaccard_pairs(
     """
     shingles = shingles.cache()
     sizes = shingles.groupBy(id_col).agg(F.count("*").alias("sz"))
-    a = shingles.alias("a")
-    b = shingles.alias("b")
-    inter = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .groupBy(
-            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
-        )
-        .agg(F.count("*").alias("inter"))
-    )
     if candidates is not None:
-        inter = inter.join(candidates, ["id_a", "id_b"], "inner")
+        # join on a 64-bit shingle hash, not the string — the shuffle
+        # carries longs; intersection counts are unchanged (collision
+        # odds ~ |doc|^2 / 2^64)
+        sh_a = shingles.select(
+            F.col(id_col).alias("id_a"), F.xxhash64("shingle").alias("_sh")
+        )
+        sh_b = shingles.select(
+            F.col(id_col).alias("id_b"), F.xxhash64("shingle").alias("_sh")
+        )
+        inter = (
+            candidates.join(sh_a, "id_a")
+            .join(sh_b, ["id_b", "_sh"])
+            .groupBy("id_a", "id_b")
+            .agg(F.count("*").alias("inter"))
+        )
+    else:
+        a = shingles.alias("a")
+        b = shingles.alias("b")
+        inter = (
+            a.join(
+                b,
+                (F.col("a.shingle") == F.col("b.shingle"))
+                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            )
+            .groupBy(
+                F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+            )
+            .agg(F.count("*").alias("inter"))
+        )
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
     sb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
     out = (
