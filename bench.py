@@ -22,6 +22,7 @@ HEADLINE = [
     "tpch_q1_pricing",
     "ts_metrics",
     "ts_forecast_recursive",
+    "ts_cv_grid",
     "ts_sessionize",
     "ts_impute_linear",
     "dedup_exact",

@@ -22,3 +22,38 @@ DEFAULT_GRIDS: dict[str, dict] = {
 
 def get_example_grids() -> dict[str, dict]:
     return {k: dict(v) for k, v in DEFAULT_GRIDS.items()}
+
+
+def gen_rnn_grid(
+    layer_tries: int = 5,
+    min_layer_size: int = 1,
+    max_layer_size: int = 3,
+    units_pool: tuple = (8, 16, 32, 64),
+    lr_pool: tuple = (0.01, 0.005),
+    random_seed: int | None = None,
+    **kwargs,
+) -> dict[str, list]:
+    """Random hyperparameter grid for the 'rnn'/'lstm' estimator
+    (reference util.py:1272-1359 gen_rnn_grid). The reference samples
+    Keras layer structures; the TF-free direct-horizon MLP backend has
+    one hidden layer, so each of the ``layer_tries`` draws samples a
+    depth in [min_layer_size, max_layer_size] and that many unit sizes
+    from ``units_pool``, collapsing to the equivalent single-layer
+    width (sum of units). Extra kwargs become grid axes (scalars are
+    wrapped in single-element lists, like the reference). Use
+    ``Forecaster.limit_grid_size`` to bound the product, as the
+    reference docstring advises."""
+    import numpy as np
+
+    rng = np.random.RandomState(random_seed)
+    hiddens = []
+    for _ in range(layer_tries):
+        depth = int(rng.randint(min_layer_size, max_layer_size + 1))
+        hiddens.append(int(sum(rng.choice(list(units_pool)) for _ in range(depth))))
+    grid: dict[str, list] = {
+        "hidden": sorted(set(hiddens)),
+        "lr": list(lr_pool),
+    }
+    for k, v in kwargs.items():
+        grid[k] = list(v) if hasattr(v, "__len__") and not isinstance(v, str) else [v]
+    return grid

@@ -73,3 +73,32 @@ def test_rnn_estimator_end_to_end(spark):
     # lstm aliases to the same direct model
     f.set_estimator("lstm").manual_forecast(lags=7, hidden=8, epochs=100)
     assert "lstm" in f.history
+
+
+def test_gen_rnn_grid(spark):
+    from scalecast_spark.grids import gen_rnn_grid
+
+    g1 = gen_rnn_grid(random_seed=3, lags=(7, 14), epochs=50)
+    g2 = gen_rnn_grid(random_seed=3, lags=(7, 14), epochs=50)
+    assert g1 == g2  # seeded determinism
+    assert set(g1) == {"hidden", "lr", "lags", "epochs"}
+    assert g1["epochs"] == [50]  # scalar kwarg wrapped
+    assert g1["lags"] == [7, 14]
+    assert all(isinstance(h, int) and h >= 8 for h in g1["hidden"])
+
+    # ingests and tunes through the rnn estimator
+    rows = []
+    d0 = dt.date(2024, 1, 1)
+    for i in range(40):
+        rows.append(("s0", d0 + dt.timedelta(days=i), float(10 + i % 7), 0))
+    df = spark.createDataFrame(
+        rows, schema="series_id string, ds date, y double, is_future int"
+    )
+    f = Forecaster(df, future_dates=3)
+    f.set_test_length(5)
+    f.set_validation_length(5)
+    f.set_estimator("rnn")
+    f.ingest_grid(gen_rnn_grid(layer_tries=2, random_seed=1, lags=7, epochs=40))
+    f.limit_grid_size(2, random_seed=1)
+    f.tune()
+    assert f.best_params is not None and "hidden" in f.best_params
