@@ -269,6 +269,52 @@ def q_ts_pt_yeojohnson(spark, sf_dir):
     return _out_ts(_r6(out.select("series_id", "ds", "x_pt"), "x_pt"))
 
 
+def q_ts_robust_scale(spark, sf_dir):
+    """(y - median) / IQR with exact interpolated percentiles
+    (reference SeriesTransformer.py:443-496 RobustScaler semantics);
+    DuckDB quantile_cont matches Spark percentile()."""
+    from scalecast_spark.operators.transforms import RobustScaleTransform
+
+    df = _series(spark, sf_dir).withColumn("is_future", F.lit(0))
+    t = RobustScaleTransform().fit(df)
+    out = t.transform(df, "y").drop("is_future")
+    return _out_ts(_r6(out.withColumnRenamed("y", "y_robust"), "y_robust"))
+
+
+def q_ts_pt_boxcox(spark, sf_dir):
+    """Box-Cox power transform of y at the grid-MLE lambda (reference
+    _Forecaster_parent.py:675-718, boxcox branch; all y > 0 in this
+    corpus). The oracle replays the SAME 81-point profile-likelihood
+    grid in SQL."""
+    from scalecast_spark.operators.features import add_pt_terms
+
+    df = _series(spark, sf_dir).withColumn("is_future", F.lit(0))
+    out, _ = add_pt_terms(df, "y", method="boxcox")
+    return _out_ts(_r6(out.select("series_id", "ds", "y_pt"), "y_pt"))
+
+
+def q_ts_ewma(spark, sf_dir):
+    """Leak-free trailing EWMA (adjust=True weights over PRIOR rows,
+    truncated where weights fall below 1e-4 — numerically exact in
+    doubles); the oracle restates the same truncated weighted window
+    as a bounded self-join."""
+    from scalecast_spark.operators.features import add_ewma
+
+    df = _series(spark, sf_dir)
+    out, names = add_ewma(df, alpha=0.3)
+    return _out_ts(_r6(out.select("series_id", "ds", names[0]), names[0]))
+
+
+def q_ts_stl(spark, sf_dir):
+    """STL decomposition (iterated LOESS; Cleveland et al. 1990,
+    reference Forecaster.py:1394-1456 STL option) — LOESS smoothing is
+    not SQL-expressible, so this is rows-only."""
+    from scalecast_spark.functions.stattests import stl_decompose
+
+    out = stl_decompose(_series(spark, sf_dir), m=7)
+    return _out_ts(_r6(out, "trend", "seasonal", "resid"))
+
+
 def q_ts_deseason(spark, sf_dir):
     from scalecast_spark.operators.transforms import DeseasonTransform
 
@@ -762,6 +808,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_detrend": q_ts_detrend,
         "ts_detrend_poly": q_ts_detrend_poly,
         "ts_pt_yeojohnson": q_ts_pt_yeojohnson,
+        "ts_pt_boxcox": q_ts_pt_boxcox,
+        "ts_robust_scale": q_ts_robust_scale,
+        "ts_ewma": q_ts_ewma,
+        "ts_stl": q_ts_stl,
         "ts_deseason": q_ts_deseason,
         "ts_seasonal_naive": q_ts_seasonal_naive,
         "ts_metrics": q_ts_metrics,
@@ -972,6 +1022,34 @@ def oracle_sql() -> dict[str, str]:
             FROM u JOIN co c USING (series_id)
         """,
         "ts_pt_yeojohnson": _yj_oracle(),
+        "ts_pt_boxcox": _boxcox_oracle(),
+        "ts_robust_scale": f"""
+            WITH {_SQL_SERIES},
+            p AS (
+                SELECT series_id,
+                       quantile_cont(y, 0.5) AS med,
+                       quantile_cont(y, 0.75) - quantile_cont(y, 0.25) AS iqr
+                FROM series GROUP BY 1
+            )
+            SELECT s.series_id, s.ds,
+                   round((s.y - p.med) / nullif(p.iqr, 0), 6) AS y_robust
+            FROM series s JOIN p USING (series_id)
+        """,
+        "ts_ewma": f"""
+            WITH {_SQL_SERIES},
+            t AS (
+                SELECT series_id, ds, y,
+                       row_number() OVER (PARTITION BY series_id ORDER BY ds) AS rn
+                FROM series
+            )
+            SELECT t.series_id, t.ds,
+                   round(sum(p.y * pow(0.7, t.rn - p.rn - 1))
+                         / sum(pow(0.7, t.rn - p.rn - 1)), 6) AS ewma_0_3
+            FROM t LEFT JOIN t p
+              ON p.series_id = t.series_id
+             AND p.rn BETWEEN t.rn - 26 AND t.rn - 1
+            GROUP BY t.series_id, t.ds
+        """,
         "ts_deseason": f"""
             WITH {_SQL_SERIES},
             t AS (
@@ -1453,6 +1531,40 @@ def _yj_oracle() -> str:
         SELECT d.series_id, d.ds,
                round({yj("d.x", "b.lam")}, 6) AS x_pt
         FROM d CROSS JOIN best b
+    """
+
+
+def _boxcox_oracle() -> str:
+    """Oracle for q_ts_pt_boxcox: replays the engine's 81-point Box-Cox
+    profile-likelihood grid (features.py:_boxcox_mle_lambda) in SQL —
+    ll = -n/2·ln(var_pop(z)) + (λ-1)·Σ ln(x), argmax tie-broken toward
+    the smaller λ like the numpy loop; MLE fits on x > 0 rows only."""
+    import numpy as np
+
+    lams = ", ".join(f"({v!r})" for v in np.linspace(-2, 2, 81))
+    bc = (
+        "CASE WHEN abs({lam}) < 1e-12 THEN ln({x})"
+        " ELSE (pow({x}, {lam}) - 1) / {lam} END"
+    )
+    return f"""
+        WITH {_SQL_SERIES},
+        g(lam) AS (SELECT * FROM (VALUES {lams})),
+        ll AS (
+            SELECT g.lam,
+                   -0.5 * count(*) * ln(var_pop({bc.format(x="s.y", lam="g.lam")}))
+                   + (g.lam - 1) * sum(ln(s.y)) AS ll
+            FROM series s CROSS JOIN g
+            WHERE s.y > 0
+            GROUP BY g.lam
+        ),
+        best AS (
+            SELECT lam FROM ll
+            WHERE ll IS NOT NULL AND isfinite(ll)
+            ORDER BY ll DESC, lam ASC LIMIT 1
+        )
+        SELECT s.series_id, s.ds,
+               round({bc.format(x="s.y", lam="b.lam")}, 6) AS y_pt
+        FROM series s CROSS JOIN best b
     """
 
 
