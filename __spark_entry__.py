@@ -315,6 +315,47 @@ def q_ts_stl(spark, sf_dir):
     return _out_ts(_r6(out, "trend", "seasonal", "resid"))
 
 
+def q_ts_ses(spark, sf_dir):
+    """SES forecast (hwes with trend=seasonal=False; reference
+    models.py:970-1059 HWES family) — level recursion at the SSE-best
+    alpha from the 19-point grid. The recursion has a CLOSED FORM
+    (level_T = a*sum (1-a)^(T-j) y_j + (1-a)^(T-1) y_1), so the oracle
+    replays the whole grid search in SQL — a hash-matched estimator."""
+    from scalecast_spark.frame import TimeSeriesFrame
+    from scalecast_spark.models import MODELS
+
+    tsf = TimeSeriesFrame.from_long(_series(spark, sf_dir)).generate_future_dates(7)
+    out = MODELS["hwes"](tsf.df, trend=False, seasonal=False)
+    return _out_ts(
+        _r6(
+            out.filter(F.col("is_future") == 1).select(
+                "series_id", "ds", "forecast"
+            ),
+            "forecast",
+        )
+    )
+
+
+def q_ts_theta(spark, sf_dir):
+    """Classic Theta(0,2) forecast (reference models.py:880-968 darts
+    Theta): average of the extrapolated OLS trend line and SES of the
+    theta=2 line — both closed-form, so the oracle replays the whole
+    method (OLS + theta line + SES alpha grid) in SQL."""
+    from scalecast_spark.frame import TimeSeriesFrame
+    from scalecast_spark.models import MODELS
+
+    tsf = TimeSeriesFrame.from_long(_series(spark, sf_dir)).generate_future_dates(7)
+    out = MODELS["theta"](tsf.df)
+    return _out_ts(
+        _r6(
+            out.filter(F.col("is_future") == 1).select(
+                "series_id", "ds", "forecast"
+            ),
+            "forecast",
+        )
+    )
+
+
 def q_ts_deseason(spark, sf_dir):
     from scalecast_spark.operators.transforms import DeseasonTransform
 
@@ -812,6 +853,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_robust_scale": q_ts_robust_scale,
         "ts_ewma": q_ts_ewma,
         "ts_stl": q_ts_stl,
+        "ts_ses": q_ts_ses,
+        "ts_theta": q_ts_theta,
         "ts_deseason": q_ts_deseason,
         "ts_seasonal_naive": q_ts_seasonal_naive,
         "ts_metrics": q_ts_metrics,
@@ -1023,6 +1066,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "ts_pt_yeojohnson": _yj_oracle(),
         "ts_pt_boxcox": _boxcox_oracle(),
+        "ts_ses": _ses_oracle(),
+        "ts_theta": _theta_oracle(),
         "ts_robust_scale": f"""
             WITH {_SQL_SERIES},
             p AS (
@@ -1565,6 +1610,134 @@ def _boxcox_oracle() -> str:
         SELECT s.series_id, s.ds,
                round({bc.format(x="s.y", lam="b.lam")}, 6) AS y_pt
         FROM series s CROSS JOIN best b
+    """
+
+
+def _ses_oracle() -> str:
+    """Oracle for q_ts_ses: the SES level recursion l_t = a*y_t +
+    (1-a)*l_{t-1}, l_1 = y_1 has the closed form
+    l_t = a*sum_{j=2..t} (1-a)^(t-j) y_j + (1-a)^(t-1) y_1, so the
+    19-point alpha grid search on in-sample SSE (fitted_t = l_{t-1},
+    smoothing.py:_ses_best) replays exactly in SQL; forecast = final
+    level for each of the 7 future days. Ties break toward smaller
+    alpha like the numpy loop."""
+    import numpy as np
+
+    alphas = ", ".join(f"({v!r})" for v in np.linspace(0.05, 0.95, 19))
+    return f"""
+        WITH {_SQL_SERIES},
+        t AS (
+            SELECT series_id, ds, y,
+                   row_number() OVER (PARTITION BY series_id ORDER BY ds) AS rn,
+                   count(*) OVER (PARTITION BY series_id) AS n
+            FROM series
+        ),
+        g(a) AS (SELECT * FROM (VALUES {alphas})),
+        fit AS (
+            SELECT c.series_id, g.a, c.rn, c.y,
+                   sum(CASE WHEN p.rn = 1 THEN pow(1 - g.a, c.rn - 2)
+                            ELSE g.a * pow(1 - g.a, c.rn - 1 - p.rn) END
+                       * p.y) AS f
+            FROM t c JOIN t p
+              ON p.series_id = c.series_id AND p.rn < c.rn
+            CROSS JOIN g
+            WHERE c.rn >= 2
+            GROUP BY 1, 2, 3, 4
+        ),
+        sse AS (
+            SELECT series_id, a, sum((y - f) * (y - f)) AS sse
+            FROM fit GROUP BY 1, 2
+        ),
+        best AS (
+            SELECT series_id, a FROM sse
+            QUALIFY row_number() OVER (
+                PARTITION BY series_id ORDER BY sse ASC, a ASC) = 1
+        ),
+        lev AS (
+            SELECT t.series_id,
+                   sum(CASE WHEN t.rn = 1 THEN pow(1 - b.a, t.n - 1)
+                            ELSE b.a * pow(1 - b.a, t.n - t.rn) END
+                       * t.y) AS level_t
+            FROM t JOIN best b USING (series_id)
+            GROUP BY 1
+        ),
+        last AS (SELECT series_id, max(ds) AS last_ds FROM series GROUP BY 1)
+        SELECT l.series_id,
+               (last.last_ds + i.i * INTERVAL '1 day')::DATE AS ds,
+               round(l.level_t, 6) AS forecast
+        FROM lev l
+        JOIN last USING (series_id)
+        CROSS JOIN (SELECT unnest(range(1, 8)) AS i) i
+    """
+
+
+def _theta_oracle() -> str:
+    """Oracle for q_ts_theta: Theta(0,2) = 0.5 * (OLS trend-line
+    extrapolation + SES level of the theta=2 line (2y - trendline)),
+    smoothing.py:theta. OLS via regr_slope/regr_intercept over
+    t = 1..n; the SES alpha-grid search replays on the theta2 series
+    exactly as in _ses_oracle."""
+    import numpy as np
+
+    alphas = ", ".join(f"({v!r})" for v in np.linspace(0.05, 0.95, 19))
+    return f"""
+        WITH {_SQL_SERIES},
+        t0 AS (
+            SELECT series_id, ds, y,
+                   row_number() OVER (PARTITION BY series_id ORDER BY ds)::DOUBLE AS rn,
+                   count(*) OVER (PARTITION BY series_id) AS n
+            FROM series
+        ),
+        ols AS (
+            SELECT series_id,
+                   regr_slope(y, rn) AS slope,
+                   regr_intercept(y, rn) AS icept
+            FROM t0 GROUP BY 1
+        ),
+        t AS (
+            SELECT t0.series_id, t0.rn, t0.n,
+                   2 * t0.y - (o.icept + o.slope * t0.rn) AS y
+            FROM t0 JOIN ols o USING (series_id)
+        ),
+        g(a) AS (SELECT * FROM (VALUES {alphas})),
+        fit AS (
+            SELECT c.series_id, g.a, c.rn, c.y,
+                   sum(CASE WHEN p.rn = 1 THEN pow(1 - g.a, c.rn - 2)
+                            ELSE g.a * pow(1 - g.a, c.rn - 1 - p.rn) END
+                       * p.y) AS f
+            FROM t c JOIN t p
+              ON p.series_id = c.series_id AND p.rn < c.rn
+            CROSS JOIN g
+            WHERE c.rn >= 2
+            GROUP BY 1, 2, 3, 4
+        ),
+        sse AS (
+            SELECT series_id, a, sum((y - f) * (y - f)) AS sse
+            FROM fit GROUP BY 1, 2
+        ),
+        best AS (
+            SELECT series_id, a FROM sse
+            QUALIFY row_number() OVER (
+                PARTITION BY series_id ORDER BY sse ASC, a ASC) = 1
+        ),
+        lev AS (
+            SELECT t.series_id,
+                   sum(CASE WHEN t.rn = 1 THEN pow(1 - b.a, t.n - 1)
+                            ELSE b.a * pow(1 - b.a, t.n - t.rn) END
+                       * t.y) AS level2
+            FROM t JOIN best b USING (series_id)
+            GROUP BY 1
+        ),
+        nn AS (SELECT series_id, max(ds) AS last_ds, max(n) AS n
+               FROM t0 GROUP BY 1)
+        SELECT o.series_id,
+               (nn.last_ds + i.i * INTERVAL '1 day')::DATE AS ds,
+               round(0.5 * ((o.icept + o.slope * (nn.n + i.i))
+                            + l.level2), 6) AS forecast
+        FROM ols o
+        JOIN lev l USING (series_id)
+        JOIN nn USING (series_id)
+        CROSS JOIN (SELECT unnest(range(1, 8)) AS i) i
     """
 
 
