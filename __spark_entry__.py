@@ -356,6 +356,65 @@ def q_ts_theta(spark, sf_dir):
     )
 
 
+def q_ts_backtest_metrics(spark, sf_dir):
+    """End-to-end rolling-origin backtest of the naive model +
+    (model x iteration) metric table with the per-model average row
+    (reference util.py:112-230 backtest_metrics, Metrics.py:177-206
+    mase). The naive model and every metric are SQL-expressible, so
+    the WHOLE pipeline (rewind -> forecast -> metrics incl. mase)
+    hash-matches the oracle. mase denominator uses the full observed
+    series as train_df (documented choice)."""
+    from functools import partial
+
+    from scalecast_spark.models import naive_model
+    from scalecast_spark.pipeline import backtest, backtest_metrics
+
+    series = _series(spark, sf_dir).withColumn("is_future", F.lit(0))
+    res = backtest(
+        series, {"naive": partial(naive_model, m=1)},
+        fcst_length=7, n_iter=2, jump_back=7,
+    )
+    mt = backtest_metrics(
+        res, train_df=series, m=1,
+        metrics=["rmse", "smape", "mae", "r2", "bias", "mase"],
+    )
+    return _r6(
+        mt.select("model", "iteration", "rmse", "smape", "mae", "r2", "bias", "mase"),
+        "rmse", "smape", "mae", "r2", "bias", "mase",
+    )
+
+
+def q_ts_msis(spark, sf_dir):
+    """M4 mean scaled interval score (reference Metrics.py:208-246)
+    over conformal intervals: iteration-1 backtest residuals give the
+    per-series exact 95th-percentile width, applied to iteration-0
+    naive forecasts — every step (backtest, percentile, msis) is
+    SQL-expressible, so msis hash-matches end-to-end."""
+    from functools import partial
+
+    from scalecast_spark.models import naive_model
+    from scalecast_spark.pipeline import backtest, msis
+
+    series = _series(spark, sf_dir).withColumn("is_future", F.lit(0))
+    res = backtest(
+        series, {"naive": partial(naive_model, m=1)},
+        fcst_length=7, n_iter=2, jump_back=7,
+    )
+    w = (
+        res.filter(F.col("iteration") == 1)
+        .groupBy("series_id")
+        .agg(F.expr("percentile(abs(forecast - y), 0.95)").alias("_w"))
+    )
+    r0 = (
+        res.filter(F.col("iteration") == 0)
+        .join(F.broadcast(w), "series_id")
+        .withColumn("upper", F.col("forecast") + F.col("_w"))
+        .withColumn("lower", F.col("forecast") - F.col("_w"))
+    )
+    out = msis(r0, train_df=series, m=1, alpha=0.05)
+    return _r6(out.select("model", "iteration", "msis"), "msis")
+
+
 def q_ts_deseason(spark, sf_dir):
     from scalecast_spark.operators.transforms import DeseasonTransform
 
@@ -855,6 +914,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_stl": q_ts_stl,
         "ts_ses": q_ts_ses,
         "ts_theta": q_ts_theta,
+        "ts_backtest_metrics": q_ts_backtest_metrics,
+        "ts_msis": q_ts_msis,
         "ts_deseason": q_ts_deseason,
         "ts_seasonal_naive": q_ts_seasonal_naive,
         "ts_metrics": q_ts_metrics,
@@ -1068,6 +1129,104 @@ def oracle_sql() -> dict[str, str]:
         "ts_pt_boxcox": _boxcox_oracle(),
         "ts_ses": _ses_oracle(),
         "ts_theta": _theta_oracle(),
+        "ts_msis": f"""
+            WITH {_SQL_SERIES},
+            t AS (
+                SELECT series_id, ds, y,
+                       row_number() OVER (
+                           PARTITION BY series_id ORDER BY ds DESC) AS rev
+                FROM series
+            ),
+            it(i) AS (SELECT * FROM (VALUES (0), (1))),
+            res AS (
+                SELECT it.i AS iteration, t.series_id, t.y, l.y AS forecast
+                FROM it
+                JOIN t ON t.rev > 7 * it.i AND t.rev <= 7 * it.i + 7
+                JOIN t l ON l.series_id = t.series_id
+                        AND l.rev = 7 * it.i + 8
+            ),
+            w AS (
+                SELECT series_id,
+                       quantile_cont(abs(forecast - y), 0.95) AS w
+                FROM res WHERE iteration = 1 GROUP BY 1
+            ),
+            den AS (
+                SELECT series_id, avg(abs(y - ly)) AS d
+                FROM (SELECT series_id, y,
+                             lag(y) OVER (PARTITION BY series_id
+                                          ORDER BY ds) AS ly
+                      FROM series)
+                WHERE ly IS NOT NULL GROUP BY 1
+            ),
+            sc AS (
+                SELECT r.series_id,
+                       2 * w.w
+                       + CASE WHEN r.y < r.forecast - w.w
+                              THEN (2 / 0.05) * ((r.forecast - w.w) - r.y)
+                              ELSE 0 END
+                       + CASE WHEN r.y > r.forecast + w.w
+                              THEN (2 / 0.05) * (r.y - (r.forecast + w.w))
+                              ELSE 0 END AS score
+                FROM res r JOIN w USING (series_id)
+                WHERE r.iteration = 0
+            )
+            SELECT 'naive' AS model, 0 AS iteration,
+                   round(avg(sc.score / nullif(dd.d, 0)), 6) AS msis
+            FROM sc JOIN den dd USING (series_id)
+        """,
+        "ts_backtest_metrics": f"""
+            WITH {_SQL_SERIES},
+            t AS (
+                SELECT series_id, ds, y,
+                       row_number() OVER (
+                           PARTITION BY series_id ORDER BY ds DESC) AS rev
+                FROM series
+            ),
+            it(i) AS (SELECT * FROM (VALUES (0), (1))),
+            -- holdout rows of iteration i: rev in (7i, 7i+7];
+            -- naive m=1 forecast = last train value (rev = 7i+8)
+            res AS (
+                SELECT it.i AS iteration, t.series_id, t.y, l.y AS forecast
+                FROM it
+                JOIN t ON t.rev > 7 * it.i AND t.rev <= 7 * it.i + 7
+                JOIN t l ON l.series_id = t.series_id
+                        AND l.rev = 7 * it.i + 8
+            ),
+            den AS (
+                SELECT series_id, avg(abs(y - ly)) AS d
+                FROM (SELECT series_id, y,
+                             lag(y) OVER (PARTITION BY series_id
+                                          ORDER BY ds) AS ly
+                      FROM series)
+                WHERE ly IS NOT NULL GROUP BY 1
+            ),
+            per AS (
+                SELECT 'naive' AS model, r.iteration,
+                       sqrt(avg((r.forecast - r.y) * (r.forecast - r.y))) AS rmse,
+                       avg(CASE WHEN abs(r.y) + abs(r.forecast) = 0 THEN NULL
+                                ELSE 2 * abs(r.forecast - r.y)
+                                     / (abs(r.y) + abs(r.forecast)) END) AS smape,
+                       avg(abs(r.forecast - r.y)) AS mae,
+                       1 - sum((r.y - r.forecast) * (r.y - r.forecast))
+                           / nullif(sum(r.y * r.y)
+                                    - sum(r.y) * sum(r.y) / count(r.y), 0) AS r2,
+                       sum(r.forecast - r.y) AS bias,
+                       avg(abs(r.forecast - r.y) / nullif(dd.d, 0)) AS mase
+                FROM res r JOIN den dd USING (series_id)
+                GROUP BY 1, 2
+            )
+            SELECT model, iteration,
+                   round(rmse, 6) AS rmse, round(smape, 6) AS smape,
+                   round(mae, 6) AS mae, round(r2, 6) AS r2,
+                   round(bias, 6) AS bias, round(mase, 6) AS mase
+            FROM per
+            UNION ALL
+            SELECT model, -1 AS iteration,
+                   round(avg(rmse), 6), round(avg(smape), 6),
+                   round(avg(mae), 6), round(avg(r2), 6),
+                   round(avg(bias), 6), round(avg(mase), 6)
+            FROM per GROUP BY model
+        """,
         "ts_robust_scale": f"""
             WITH {_SQL_SERIES},
             p AS (
