@@ -415,6 +415,29 @@ def q_ts_msis(spark, sf_dir):
     return _r6(out.select("model", "iteration", "msis"), "msis")
 
 
+def q_stream_daily_series(spark, sf_dir):
+    """STRUCTURED STREAMING resample: readStream over the events
+    parquet, watermarked 1-day tumbling event-time windows, drained
+    with Trigger.AvailableNow into a memory sink (streaming/ops.py).
+    The streaming plan reproduces the batch daily series EXACTLY, so a
+    streaming query hash-matches the same DuckDB oracle as the batch
+    twin — the correctness gate covers the streaming path itself."""
+    import tempfile
+
+    from scalecast_spark.streaming import (
+        run_available_now,
+        stream_events,
+        windowed_series,
+    )
+
+    stream = stream_events(spark, f"{sf_dir}/events.parquet")
+    agg = windowed_series(stream)
+    with tempfile.TemporaryDirectory() as ckpt:
+        out = run_available_now(agg, "q_stream_daily", ckpt)
+        out = spark.createDataFrame(out.toPandas())  # detach from memory sink
+    return _out_ts(_r6(out.select("series_id", "ds", "y"), "y"))
+
+
 def q_ts_deseason(spark, sf_dir):
     from scalecast_spark.operators.transforms import DeseasonTransform
 
@@ -916,6 +939,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_theta": q_ts_theta,
         "ts_backtest_metrics": q_ts_backtest_metrics,
         "ts_msis": q_ts_msis,
+        "stream_daily_series": q_stream_daily_series,
         "ts_deseason": q_ts_deseason,
         "ts_seasonal_naive": q_ts_seasonal_naive,
         "ts_metrics": q_ts_metrics,
@@ -987,6 +1011,10 @@ def oracle_sql() -> dict[str, str]:
 
     return {
         "ts_resample_daily": f"""
+            WITH {_SQL_SERIES}
+            SELECT series_id, ds, round(y, 6) AS y FROM series
+        """,
+        "stream_daily_series": f"""
             WITH {_SQL_SERIES}
             SELECT series_id, ds, round(y, 6) AS y FROM series
         """,
