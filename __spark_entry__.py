@@ -438,6 +438,29 @@ def q_stream_daily_series(spark, sf_dir):
     return _out_ts(_r6(out.select("series_id", "ds", "y"), "y"))
 
 
+def q_ts_normality(spark, sf_dir):
+    """D'Agostino-Pearson K² normality test per series (reference
+    Forecaster.py:1304-1318) — one distributed moment aggregate +
+    scalar z-transforms. Every step is closed-form, so the oracle
+    replays the whole chain (population moments -> D'Agostino skewness
+    z -> Anscombe-Glynn kurtosis z -> chi²(2) survival) in SQL."""
+    from scalecast_spark.functions.stattests import normality_test
+
+    out = normality_test(_series(spark, sf_dir))
+    return _r6(out, "k2", "pvalue")
+
+
+def q_ts_periodogram(spark, sf_dir):
+    """Per-series power spectrum (reference Forecaster.py:1368-1392,
+    scipy.periodogram semantics). The rFFT of a demeaned series is a
+    plain DFT, i.e. per-frequency cos/sin aggregate sums — fully
+    SQL-expressible, so the spectrum hash-matches the oracle (incl.
+    the engine's [1:-1] one-sided doubling convention)."""
+    from scalecast_spark.functions.stattests import periodogram
+
+    return _r6(periodogram(_series(spark, sf_dir)), "freq", "power")
+
+
 def q_ts_deseason(spark, sf_dir):
     from scalecast_spark.operators.transforms import DeseasonTransform
 
@@ -940,6 +963,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_backtest_metrics": q_ts_backtest_metrics,
         "ts_msis": q_ts_msis,
         "stream_daily_series": q_stream_daily_series,
+        "ts_normality": q_ts_normality,
+        "ts_periodogram": q_ts_periodogram,
         "ts_deseason": q_ts_deseason,
         "ts_seasonal_naive": q_ts_seasonal_naive,
         "ts_metrics": q_ts_metrics,
@@ -1157,6 +1182,108 @@ def oracle_sql() -> dict[str, str]:
         "ts_pt_boxcox": _boxcox_oracle(),
         "ts_ses": _ses_oracle(),
         "ts_theta": _theta_oracle(),
+        "ts_periodogram": f"""
+            WITH {_SQL_SERIES},
+            t AS (
+                SELECT series_id, y,
+                       row_number() OVER (PARTITION BY series_id
+                                          ORDER BY ds) - 1 AS tt,
+                       count(*) OVER (PARTITION BY series_id)::DOUBLE AS n,
+                       avg(y) OVER (PARTITION BY series_id) AS mu
+                FROM series
+            ),
+            ks AS (
+                SELECT series_id, n,
+                       unnest(range(0, floor(n / 2)::INT + 1)) AS k
+                FROM (SELECT series_id, max(n) AS n FROM t GROUP BY 1)
+            ),
+            sp AS (
+                SELECT ks.series_id, ks.k, ks.n,
+                       sum((t.y - t.mu) * cos(2 * pi() * ks.k * t.tt / ks.n)) AS re,
+                       sum((t.y - t.mu) * sin(2 * pi() * ks.k * t.tt / ks.n)) AS im
+                FROM ks JOIN t USING (series_id)
+                GROUP BY 1, 2, 3
+            )
+            SELECT series_id,
+                   round(k / n, 6) AS freq,
+                   round((re * re + im * im) / n
+                         * CASE WHEN k >= 1 AND k <= floor(n / 2)::INT - 1
+                                THEN 2 ELSE 1 END, 6) AS power
+            FROM sp
+        """,
+        "ts_normality": f"""
+            WITH {_SQL_SERIES},
+            mo AS (
+                SELECT series_id,
+                       count(*)::DOUBLE AS n,
+                       avg(y) AS mu,
+                       sum(y * y) AS s2, sum(y * y * y) AS s3,
+                       sum(y * y * y * y) AS s4
+                FROM series GROUP BY 1
+            ),
+            ce AS (
+                -- POPULATION central moments (Spark skewness/kurtosis
+                -- definitions), then g1 / excess g2
+                SELECT series_id, n,
+                       s2 / n - mu * mu AS m2,
+                       s3 / n - 3 * mu * s2 / n + 2 * mu * mu * mu AS m3,
+                       s4 / n - 4 * mu * s3 / n + 6 * mu * mu * s2 / n
+                           - 3 * mu * mu * mu * mu AS m4
+                FROM mo
+            ),
+            gg AS (
+                SELECT series_id, n,
+                       m3 / pow(m2, 1.5) AS g1,
+                       m4 / (m2 * m2) - 3 AS g2
+                FROM ce
+            ),
+            sk AS (
+                -- D'Agostino (1970) skewness z
+                SELECT series_id, n, g2,
+                       g1 * sqrt((n + 1) * (n + 3) / (6 * (n - 2))) AS yy,
+                       -1 + sqrt(2 * (3 * (n * n + 27 * n - 70) * (n + 1) * (n + 3)
+                           / ((n - 2) * (n + 5) * (n + 7) * (n + 9)) - 1)) AS w2
+                FROM gg
+            ),
+            zs_ AS (
+                SELECT series_id, n, g2,
+                       (1 / sqrt(0.5 * ln(w2)))
+                       * ln(yy / sqrt(2 / (w2 - 1))
+                            + sqrt(pow(yy / sqrt(2 / (w2 - 1)), 2) + 1)) AS zs
+                FROM sk
+            ),
+            ku AS (
+                -- Anscombe-Glynn (1983) kurtosis z
+                SELECT series_id, zs,
+                       (g2 + 3 - 3 * (n - 1) / (n + 1))
+                           / sqrt(24 * n * (n - 2) * (n - 3)
+                                  / (pow(n + 1, 2) * (n + 3) * (n + 5))) AS x,
+                       6 + 8 / (6 * (n * n - 5 * n + 2) / ((n + 7) * (n + 9))
+                                * sqrt(6 * (n + 3) * (n + 5)
+                                       / (n * (n - 2) * (n - 3))))
+                         * (2 / (6 * (n * n - 5 * n + 2) / ((n + 7) * (n + 9))
+                                 * sqrt(6 * (n + 3) * (n + 5)
+                                        / (n * (n - 2) * (n - 3))))
+                            + sqrt(1 + 4 / pow(6 * (n * n - 5 * n + 2)
+                                / ((n + 7) * (n + 9))
+                                * sqrt(6 * (n + 3) * (n + 5)
+                                       / (n * (n - 2) * (n - 3))), 2))) AS a
+                FROM zs_
+            ),
+            kk AS (
+                SELECT series_id, zs,
+                       ((1 - 2 / (9 * a))
+                        - pow((1 - 2 / a) / (1 + x * sqrt(2 / (a - 4))),
+                              1.0 / 3))
+                       / sqrt(2 / (9 * a)) AS zk
+                FROM ku
+            )
+            SELECT series_id,
+                   round(zs * zs + zk * zk, 6) AS k2,
+                   round(exp(-(zs * zs + zk * zk) / 2), 6) AS pvalue,
+                   exp(-(zs * zs + zk * zk) / 2) >= 0.05 AS looks_normal
+            FROM kk
+        """,
         "ts_msis": f"""
             WITH {_SQL_SERIES},
             t AS (
