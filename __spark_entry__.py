@@ -461,6 +461,17 @@ def q_ts_periodogram(spark, sf_dir):
     return _r6(periodogram(_series(spark, sf_dir)), "freq", "power")
 
 
+def q_ts_adf(spark, sf_dir):
+    """Per-series ADF test at maxlag=1 (reference Forecaster.py:
+    1258-1301): dy_t ~ y_(t-1) + dy_(t-1) + const. A 3-regressor OLS
+    solves closed-form (Cramer), and the t-stat's standard error is
+    sqrt(s2 * [(X'X)^-1]_00) — all SQL-expressible, so the unit-root
+    test hash-matches the oracle."""
+    from scalecast_spark.functions.stattests import adf_test
+
+    return _r6(adf_test(_series(spark, sf_dir), maxlag=1), "adf_stat")
+
+
 def q_ts_deseason(spark, sf_dir):
     from scalecast_spark.operators.transforms import DeseasonTransform
 
@@ -965,6 +976,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_daily_series": q_stream_daily_series,
         "ts_normality": q_ts_normality,
         "ts_periodogram": q_ts_periodogram,
+        "ts_adf": q_ts_adf,
         "ts_deseason": q_ts_deseason,
         "ts_seasonal_naive": q_ts_seasonal_naive,
         "ts_metrics": q_ts_metrics,
@@ -1182,6 +1194,56 @@ def oracle_sql() -> dict[str, str]:
         "ts_pt_boxcox": _boxcox_oracle(),
         "ts_ses": _ses_oracle(),
         "ts_theta": _theta_oracle(),
+        "ts_adf": f"""
+            WITH {_SQL_SERIES},
+            t AS (
+                SELECT series_id, y,
+                       row_number() OVER (PARTITION BY series_id ORDER BY ds) AS rn,
+                       lag(y, 1) OVER (PARTITION BY series_id ORDER BY ds) AS l1,
+                       lag(y, 2) OVER (PARTITION BY series_id ORDER BY ds) AS l2
+                FROM series
+            ),
+            r AS (
+                -- dy_t ~ y_(t-1) + dy_(t-1) + const, rows t >= 3
+                SELECT series_id, y - l1 AS d, l1 AS x1, l1 - l2 AS x2
+                FROM t WHERE rn >= 3
+            ),
+            s AS (
+                SELECT series_id, count(*)::DOUBLE AS m,
+                       sum(x1 * x1) AS a11, sum(x1 * x2) AS a12, sum(x1) AS a13,
+                       sum(x2 * x2) AS a22, sum(x2) AS a23,
+                       sum(x1 * d) AS t1, sum(x2 * d) AS t2, sum(d) AS t3,
+                       sum(d * d) AS dd
+                FROM r GROUP BY 1
+            ),
+            sol AS (
+                SELECT series_id, m, t1, t2, t3, dd,
+                       a11*(a22*m - a23*a23) - a12*(a12*m - a23*a13)
+                           + a13*(a12*a23 - a22*a13) AS det,
+                       t1*(a22*m - a23*a23) - a12*(t2*m - a23*t3)
+                           + a13*(t2*a23 - a22*t3) AS det1,
+                       a11*(t2*m - a23*t3) - t1*(a12*m - a23*a13)
+                           + a13*(a12*t3 - t2*a13) AS det2,
+                       a11*(a22*t3 - t2*a23) - a12*(a12*t3 - t2*a13)
+                           + t1*(a12*a23 - a22*a13) AS det3,
+                       (a22*m - a23*a23) AS adj00
+                FROM s
+            ),
+            fin AS (
+                SELECT series_id,
+                       det1 / det AS b1,
+                       (dd - (det1*t1 + det2*t2 + det3*t3) / det)
+                           / (m - 3) AS s2,
+                       adj00 / det AS inv00
+                FROM sol
+            )
+            SELECT series_id,
+                   round(b1 / sqrt(greatest(s2 * inv00, 1e-300)), 6) AS adf_stat,
+                   1 AS used_lag,
+                   b1 / sqrt(greatest(s2 * inv00, 1e-300)) < -2.86
+                       AS stationary_5pct
+            FROM fin
+        """,
         "ts_periodogram": f"""
             WITH {_SQL_SERIES},
             t AS (
