@@ -472,6 +472,86 @@ def q_ts_adf(spark, sf_dir):
     return _r6(adf_test(_series(spark, sf_dir), maxlag=1), "adf_stat")
 
 
+def q_ts_auto_arima(spark, sf_dir):
+    """auto_arima (ADF-chosen d + AIC (p,q) search, Hannan-Rissanen
+    fit; reference models.py arima/auto_arima) — iterative estimation,
+    rows-only."""
+    from scalecast_spark.frame import TimeSeriesFrame
+    from scalecast_spark.models import MODELS
+
+    tsf = TimeSeriesFrame.from_long(_series(spark, sf_dir)).generate_future_dates(7)
+    out = MODELS["auto_arima"](tsf.df)
+    return _out_ts(
+        _r6(
+            out.filter(F.col("is_future") == 1).select(
+                "series_id", "ds", "forecast"
+            ),
+            "forecast",
+        )
+    )
+
+
+def q_mv_vecm(spark, sf_dir):
+    """VECM joint forecast over all series (numpy Johansen + two-step
+    VECM, reference MVForecaster 'vecm') — reduced-rank regression,
+    rows-only."""
+    from scalecast_spark.frame import TimeSeriesFrame
+    from scalecast_spark.models import MODELS
+
+    tsf = TimeSeriesFrame.from_long(_series(spark, sf_dir)).generate_future_dates(7)
+    out = MODELS["vecm"](tsf.df)
+    return _out_ts(
+        _r6(
+            out.filter(F.col("is_future") == 1).select(
+                "series_id", "ds", "forecast"
+            ),
+            "forecast",
+        )
+    )
+
+
+def q_ts_holt(spark, sf_dir):
+    """Holt linear-trend forecast (hwes with seasonal=False; reference
+    models.py:970-1059) at the SSE-best (alpha, beta) from the 9x5
+    grid. The two-state recursion replays in a DuckDB RECURSIVE CTE —
+    one recursion step per observation per grid cell — so even a
+    grid-searched stateful estimator hash-matches."""
+    from scalecast_spark.frame import TimeSeriesFrame
+    from scalecast_spark.models import MODELS
+
+    tsf = TimeSeriesFrame.from_long(_series(spark, sf_dir)).generate_future_dates(7)
+    out = MODELS["hwes"](tsf.df, trend=True, seasonal=False)
+    return _out_ts(
+        _r6(
+            out.filter(F.col("is_future") == 1).select(
+                "series_id", "ds", "forecast"
+            ),
+            "forecast",
+        )
+    )
+
+
+def q_ts_hwes(spark, sf_dir):
+    """Additive Holt-Winters forecast (the default hwes; reference
+    models.py:970-1059) at the SSE-best (alpha, beta, gamma) from the
+    4x3x3 grid. The three-state recursion INCLUDING the m=7 seasonal
+    vector replays in a DuckDB RECURSIVE CTE carrying the season as a
+    list column — the full seasonal estimator hash-matches."""
+    from scalecast_spark.frame import TimeSeriesFrame
+    from scalecast_spark.models import MODELS
+
+    tsf = TimeSeriesFrame.from_long(_series(spark, sf_dir)).generate_future_dates(7)
+    out = MODELS["hwes"](tsf.df, trend=True, seasonal=True, m=7)
+    return _out_ts(
+        _r6(
+            out.filter(F.col("is_future") == 1).select(
+                "series_id", "ds", "forecast"
+            ),
+            "forecast",
+        )
+    )
+
+
 def q_ts_deseason(spark, sf_dir):
     from scalecast_spark.operators.transforms import DeseasonTransform
 
@@ -977,6 +1057,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_normality": q_ts_normality,
         "ts_periodogram": q_ts_periodogram,
         "ts_adf": q_ts_adf,
+        "ts_auto_arima": q_ts_auto_arima,
+        "mv_vecm": q_mv_vecm,
+        "ts_holt": q_ts_holt,
+        "ts_hwes": q_ts_hwes,
         "ts_deseason": q_ts_deseason,
         "ts_seasonal_naive": q_ts_seasonal_naive,
         "ts_metrics": q_ts_metrics,
@@ -1194,6 +1278,8 @@ def oracle_sql() -> dict[str, str]:
         "ts_pt_boxcox": _boxcox_oracle(),
         "ts_ses": _ses_oracle(),
         "ts_theta": _theta_oracle(),
+        "ts_holt": _holt_oracle(),
+        "ts_hwes": _hw_oracle(),
         "ts_adf": f"""
             WITH {_SQL_SERIES},
             t AS (
@@ -2113,6 +2199,156 @@ def _theta_oracle() -> str:
         FROM ols o
         JOIN lev l USING (series_id)
         JOIN nn USING (series_id)
+        CROSS JOIN (SELECT unnest(range(1, 8)) AS i) i
+    """
+
+
+def _holt_oracle() -> str:
+    """Oracle for q_ts_holt: the Holt two-state recursion (level,
+    trend) replays as a DuckDB RECURSIVE CTE — one step per
+    observation per (alpha, beta) grid cell (smoothing.py:holt: init
+    level=y1, trend=y2-y1; fitted_t = level+trend BEFORE consuming
+    y_t; SSE over all t incl. t=1). Ties break toward smaller alpha
+    then beta like the nested numpy loops."""
+    import numpy as np
+
+    a_vals = ", ".join(f"({v!r})" for v in np.linspace(0.1, 0.9, 9))
+    b_vals = ", ".join(f"({v!r})" for v in np.linspace(0.05, 0.45, 5))
+    return f"""
+        WITH RECURSIVE {_SQL_SERIES},
+        t AS (
+            SELECT series_id, ds, y,
+                   row_number() OVER (PARTITION BY series_id ORDER BY ds) AS rn,
+                   count(*) OVER (PARTITION BY series_id) AS n
+            FROM series
+        ),
+        g AS (
+            SELECT ga.a, gb.b
+            FROM (SELECT * FROM (VALUES {a_vals})) ga(a)
+            CROSS JOIN (SELECT * FROM (VALUES {b_vals})) gb(b)
+        ),
+        init AS (
+            SELECT y1.series_id, y1.y AS l0, y2.y - y1.y AS tr0, y1.n
+            FROM t y1 JOIN t y2
+              ON y2.series_id = y1.series_id AND y2.rn = 2
+            WHERE y1.rn = 1
+        ),
+        rec AS (
+            SELECT i.series_id, g.a, g.b, 0::BIGINT AS rn,
+                   i.l0 AS level, i.tr0 AS trend, 0.0::DOUBLE AS sse, i.n
+            FROM init i CROSS JOIN g
+            UNION ALL
+            SELECT r.series_id, r.a, r.b, r.rn + 1,
+                   r.a * t.y + (1 - r.a) * (r.level + r.trend),
+                   r.b * ((r.a * t.y + (1 - r.a) * (r.level + r.trend))
+                          - r.level) + (1 - r.b) * r.trend,
+                   r.sse + (t.y - (r.level + r.trend))
+                         * (t.y - (r.level + r.trend)),
+                   r.n
+            FROM rec r JOIN t
+              ON t.series_id = r.series_id AND t.rn = r.rn + 1
+            WHERE r.rn < r.n
+        ),
+        best AS (
+            SELECT series_id, level, trend
+            FROM rec WHERE rn = n
+            QUALIFY row_number() OVER (
+                PARTITION BY series_id ORDER BY sse ASC, a ASC, b ASC) = 1
+        ),
+        last AS (SELECT series_id, max(ds) AS last_ds FROM series GROUP BY 1)
+        SELECT b.series_id,
+               (last.last_ds + i.i * INTERVAL '1 day')::DATE AS ds,
+               round(b.level + b.trend * i.i, 6) AS forecast
+        FROM best b
+        JOIN last USING (series_id)
+        CROSS JOIN (SELECT unnest(range(1, 8)) AS i) i
+    """
+
+
+def _hw_oracle() -> str:
+    """Oracle for q_ts_hwes: additive Holt-Winters (m=7) as a DuckDB
+    RECURSIVE CTE whose state row carries (level, trend, season LIST,
+    sse) per (alpha, beta, gamma) grid cell (smoothing.py:holt_winters:
+    season0 = first n//m phase means, recentred; level0 = mean of the
+    first season; trend0 = (second-season mean - first)/m; fitted_t =
+    level + trend + season[phase] BEFORE consuming y_t). Ties break
+    toward smaller alpha, beta, gamma like the nested numpy loops."""
+    a_vals = ", ".join(f"({v!r})" for v in (0.2, 0.4, 0.6, 0.8))
+    b_vals = ", ".join(f"({v!r})" for v in (0.05, 0.15, 0.3))
+    g_vals = ", ".join(f"({v!r})" for v in (0.05, 0.2, 0.4))
+    # 0-based phase of the row being consumed (rn_new = r.rn + 1)
+    ph = "(r.rn % 7)"
+    s = f"r.season[{ph}::INT + 1]"
+    fitted = f"(r.level + r.trend + {s})"
+    nl = f"(r.a * (t.y - {s}) + (1 - r.a) * (r.level + r.trend))"
+    return f"""
+        WITH RECURSIVE {_SQL_SERIES},
+        t AS (
+            SELECT series_id, ds, y,
+                   row_number() OVER (PARTITION BY series_id ORDER BY ds) AS rn,
+                   count(*) OVER (PARTITION BY series_id) AS n
+            FROM series
+        ),
+        g AS (
+            SELECT ga.a, gb.b, gg.g
+            FROM (SELECT * FROM (VALUES {a_vals})) ga(a)
+            CROSS JOIN (SELECT * FROM (VALUES {b_vals})) gb(b)
+            CROSS JOIN (SELECT * FROM (VALUES {g_vals})) gg(g)
+        ),
+        phm AS (
+            -- first n//7 occurrences of each phase, like y[i::7][:n//7]
+            SELECT series_id, ((rn - 1) % 7)::INT AS ph, avg(y) AS sm
+            FROM t
+            WHERE (rn - 1 - ((rn - 1) % 7)) / 7 < floor(n / 7)
+            GROUP BY 1, 2
+        ),
+        season0 AS (
+            SELECT series_id, list(sm - c ORDER BY ph) AS season
+            FROM (SELECT series_id, ph, sm,
+                         avg(sm) OVER (PARTITION BY series_id) AS c
+                  FROM phm)
+            GROUP BY 1
+        ),
+        init AS (
+            SELECT t.series_id,
+                   avg(CASE WHEN rn <= 7 THEN y END) AS l0,
+                   (avg(CASE WHEN rn BETWEEN 8 AND 14 THEN y END)
+                    - avg(CASE WHEN rn <= 7 THEN y END)) / 7 AS tr0,
+                   max(n) AS n
+            FROM t GROUP BY 1
+        ),
+        rec AS (
+            SELECT i.series_id, g.a, g.b, g.g, 0::BIGINT AS rn,
+                   i.l0 AS level, i.tr0 AS trend, s0.season AS season,
+                   0.0::DOUBLE AS sse, i.n
+            FROM init i JOIN season0 s0 USING (series_id) CROSS JOIN g
+            UNION ALL
+            SELECT r.series_id, r.a, r.b, r.g, r.rn + 1,
+                   {nl},
+                   r.b * ({nl} - r.level) + (1 - r.b) * r.trend,
+                   r.season[1:{ph}::INT]
+                       || [r.g * (t.y - {nl}) + (1 - r.g) * {s}]
+                       || r.season[{ph}::INT + 2:7],
+                   r.sse + (t.y - {fitted}) * (t.y - {fitted}),
+                   r.n
+            FROM rec r JOIN t
+              ON t.series_id = r.series_id AND t.rn = r.rn + 1
+            WHERE r.rn < r.n
+        ),
+        best AS (
+            SELECT series_id, level, trend, season, n
+            FROM rec WHERE rn = n
+            QUALIFY row_number() OVER (
+                PARTITION BY series_id
+                ORDER BY sse ASC, a ASC, b ASC, g ASC) = 1
+        ),
+        last AS (SELECT series_id, max(ds) AS last_ds FROM series GROUP BY 1)
+        SELECT b.series_id,
+               (last.last_ds + i.i * INTERVAL '1 day')::DATE AS ds,
+               round(b.level + b.trend * i.i
+                     + b.season[((b.n + i.i - 1) % 7)::INT + 1], 6) AS forecast
+        FROM best b
+        JOIN last USING (series_id)
         CROSS JOIN (SELECT unnest(range(1, 8)) AS i) i
     """
 
