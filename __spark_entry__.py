@@ -872,6 +872,20 @@ def q_sim_cosine_topk(spark, sf_dir):
     return cosine_topk(emb, [float(x) for x in q], k=10)
 
 
+def q_sim_ivf_topk(spark, sf_dir):
+    """IVF ANN top-k: deterministic md5-sampled coarse quantizer (8
+    cells), scan-side argmax-dot assignment, probe the 2 cells nearest
+    the query, brute-force cosine within. Every step (hash sample,
+    assignment, probe ranking, cosine) is SQL-expressible, so the IVF
+    index hash-matches the oracle — unlike LSH ANN, whose recall gap
+    makes it rows-only."""
+    from scalecast_spark.datapipe.similarity import ivf_topk
+
+    emb = _emb(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    return ivf_topk(emb, [float(x) for x in q], k=10, n_cells=8, nprobe=2)
+
+
 def q_emb_near_dup_pairs(spark, sf_dir):
     """Embedding-cosine near-duplicate pairs, EXACT via blocked GEMM
     (VERDICT r1 #2): block-pair shuffle keys + one numpy matrix multiply
@@ -1085,6 +1099,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_lang_id": q_text_lang_id,
         "text_fingerprint": q_text_fingerprint,
         "sim_cosine_topk": q_sim_cosine_topk,
+        "sim_ivf_topk": q_sim_ivf_topk,
         "emb_near_dup_pairs": q_emb_near_dup_pairs,
         "emb_near_dup_lsh": q_emb_near_dup_lsh,
         "emb_norms": q_emb_norms,
@@ -1961,6 +1976,53 @@ def oracle_sql() -> dict[str, str]:
                        AS cosine_sim
             FROM v JOIN q USING (i)
             GROUP BY vec_id
+            ORDER BY cosine_sim DESC, vec_id
+            LIMIT 10
+        """,
+        "sim_ivf_topk": """
+            WITH cents AS (
+                SELECT row_number() OVER (ORDER BY md5(vec_id::VARCHAR)) AS ci,
+                       embedding
+                FROM embeddings
+                ORDER BY md5(vec_id::VARCHAR) LIMIT 8
+            ),
+            ce AS (
+                SELECT ci, generate_subscripts(embedding, 1) AS i,
+                       unnest(embedding)::DOUBLE AS cv
+                FROM cents
+            ),
+            q AS (
+                SELECT generate_subscripts(embedding, 1) AS i,
+                       unnest(embedding)::DOUBLE AS qv
+                FROM embeddings WHERE vec_id = 0
+            ),
+            v AS (
+                SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+                       unnest(embedding)::DOUBLE AS vv
+                FROM embeddings
+            ),
+            vdots AS (
+                SELECT v.vec_id, ce.ci, sum(v.vv * ce.cv) AS dp
+                FROM v JOIN ce USING (i) GROUP BY 1, 2
+            ),
+            assign AS (
+                SELECT vec_id, ci FROM vdots
+                QUALIFY row_number() OVER (
+                    PARTITION BY vec_id ORDER BY dp DESC, ci ASC) = 1
+            ),
+            qdots AS (
+                SELECT ce.ci, sum(q.qv * ce.cv) AS dp
+                FROM q JOIN ce USING (i) GROUP BY 1
+            ),
+            probe AS (SELECT ci FROM qdots ORDER BY dp DESC, ci ASC LIMIT 2)
+            SELECT v.vec_id,
+                   round(sum(vv * qv)
+                         / (sqrt(sum(vv * vv)) * sqrt(sum(qv * qv))), 6)
+                       AS cosine_sim
+            FROM v JOIN q USING (i)
+            WHERE v.vec_id IN
+                  (SELECT a.vec_id FROM assign a JOIN probe p USING (ci))
+            GROUP BY v.vec_id
             ORDER BY cosine_sim DESC, vec_id
             LIMIT 10
         """,

@@ -266,3 +266,70 @@ def pairwise_cosine_above(
         )
         .filter(F.col("cosine_sim") >= threshold)
     )
+
+
+def ivf_centroids(
+    df: DataFrame, n_cells: int = 8, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> list[tuple[int, list[float]]]:
+    """IVF coarse quantizer: the ``n_cells`` vectors with the smallest
+    md5(id) hex string serve as centroids — a deterministic
+    pseudo-random sample, reproducible across runs AND engines (md5 is
+    bit-identical everywhere), so the whole IVF index is restatable in
+    SQL. Returns [(cell_index, centroid_vector)] ordered by hash; the
+    collect is bounded at n_cells rows.
+
+    On a real deployment the centroids would come from k-means
+    (MLlib); the hash sample keeps the index deterministic for the
+    correctness gate while exercising the identical physical plan."""
+    rows = (
+        df.withColumn("_h", F.md5(F.col(id_col).cast("string")))
+        .orderBy("_h")
+        .limit(n_cells)
+        .select(vec_col)
+        .collect()
+    )
+    return [(i + 1, [float(x) for x in r[0]]) for i, r in enumerate(rows)]
+
+
+def _cell_of(vec, cents) -> "F.Column":
+    """argmax-dot-product cell id (1-based; ties -> lowest cell)."""
+    dots = F.array(
+        *[
+            _dot(vec, F.array(*[F.lit(float(x)) for x in cv]))
+            for _, cv in cents
+        ]
+    )
+    return F.array_position(dots, F.array_max(dots))
+
+
+def ivf_topk(
+    df: DataFrame,
+    query: list[float],
+    k: int = 10,
+    n_cells: int = 8,
+    nprobe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF ANN: assign every vector to its nearest (max dot product)
+    centroid scan-side, probe the ``nprobe`` cells closest to the
+    query, brute-force cosine only within them. Candidate set shrinks
+    ~ nprobe/n_cells; assignment is a pure projection (no shuffle) and
+    the cell filter prunes before TakeOrderedAndProject."""
+    import numpy as np
+
+    cents = ivf_centroids(df, n_cells, vec_col, id_col)
+    qv = np.asarray(query, dtype=float)
+    ranked = sorted(
+        cents, key=lambda c: (-float(np.dot(qv, np.asarray(c[1]))), c[0])
+    )
+    probe = {ci for ci, _ in ranked[:nprobe]}
+    vec = F.col(vec_col).cast("array<double>")
+    sim = cosine_similarity_col(vec, query)
+    return (
+        df.withColumn("_cell", _cell_of(vec, cents))
+        .filter(F.col("_cell").isin(*probe))
+        .select(id_col, F.round(sim, 6).alias("cosine_sim"))
+        .orderBy(F.desc("cosine_sim"), id_col)
+        .limit(k)
+    )

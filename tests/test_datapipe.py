@@ -113,3 +113,22 @@ def test_multimodal_plumbing(docs):
 def test_real_decode_stub_raises():
     with pytest.raises(NotImplementedError):
         multimodal._decode_image_bytes(b"xx")
+
+
+def test_ivf_topk_deterministic_and_subset(emb):
+    q = [float(x) for x in emb.filter("vec_id = 0").collect()[0]["embedding"]]
+    a = similarity.ivf_topk(emb, q, k=5, n_cells=4, nprobe=2).collect()
+    b = similarity.ivf_topk(emb, q, k=5, n_cells=4, nprobe=2).collect()
+    assert [r["vec_id"] for r in a] == [r["vec_id"] for r in b]  # deterministic
+    assert 0 in {r["vec_id"] for r in a}  # probes its own cell
+    # every IVF score equals the exact cosine for that id
+    exact = {
+        r["vec_id"]: r["cosine_sim"]
+        for r in similarity.cosine_topk(emb, q, k=1000).collect()
+    }
+    for r in a:
+        assert r["cosine_sim"] == pytest.approx(exact[r["vec_id"]], abs=1e-6)
+    # probing ALL cells recovers the exact top-k
+    full = similarity.ivf_topk(emb, q, k=5, n_cells=4, nprobe=4).collect()
+    exact5 = similarity.cosine_topk(emb, q, k=5).collect()
+    assert [r["vec_id"] for r in full] == [r["vec_id"] for r in exact5]
