@@ -191,3 +191,46 @@ def test_conformal_intervals(tsf):
     expected = np.percentile(resid, 90)
     got = (pdf["upper"] - pdf["forecast"]).iloc[0]
     assert got == pytest.approx(expected, rel=1e-9)
+
+
+def test_sinks_partitioned_and_bucketed(spark, sf_dir, tmp_path):
+    import os
+
+    from scalecast_spark.sources import (
+        events_to_series,
+        load_table,
+        write_bucketed,
+        write_delta,
+        write_partitioned,
+    )
+
+    s = events_to_series(load_table(spark, sf_dir, "events"))
+    p = str(tmp_path / "part")
+    write_partitioned(s, p, ["series_id"])
+    # partition layout on disk + pruned read round-trips
+    assert any(d.startswith("series_id=") for d in os.listdir(p))
+    back = spark.read.parquet(p)
+    one = back.filter("series_id = 'click'")
+    assert one.count() == s.filter("series_id = 'click'").count()
+    plan = one._sc._jvm.PythonSQLUtils.explainString(
+        one._jdf.queryExecution(), "simple"
+    )
+    assert "PartitionFilters" in plan or "series_id=click" in plan
+
+    # bucketed table: groupBy on the bucket column plans NO exchange
+    # (managed table in the session warehouse; dropped below)
+    write_bucketed(s, "bucketed_series", n_buckets=4)
+    try:
+        agg = spark.table("bucketed_series").groupBy("series_id").count()
+        plan2 = agg._sc._jvm.PythonSQLUtils.explainString(
+            agg._jdf.queryExecution(), "simple"
+        )
+        assert "Exchange hashpartitioning" not in plan2
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bucketed_series")
+
+    # gated lakehouse sinks raise a clear error without the connector
+    import pytest as _pt
+
+    with _pt.raises(RuntimeError, match="delta connector"):
+        write_delta(s, str(tmp_path / "d"))
