@@ -552,6 +552,23 @@ def q_ts_hwes(spark, sf_dir):
     )
 
 
+def q_ts_combo(spark, sf_dir):
+    """Simple combo ensemble (reference models.py:1557-1583 'combo')
+    of naive(m=7) + SES, through the full Forecaster history machinery
+    (manual_forecast x2 -> combo average per (series, ds)). Both
+    members are SQL-expressible, so the ensemble hash-matches."""
+    from scalecast_spark.forecaster import Forecaster
+
+    f = Forecaster(_series(spark, sf_dir), future_dates=7)
+    f.set_estimator("naive")
+    f.manual_forecast(m=7)
+    f.set_estimator("hwes")
+    f.manual_forecast(trend=False, seasonal=False, call_me="ses")
+    f.combo(["naive", "ses"], call_me="combo")
+    fc = f.history["combo"]["forecast"]
+    return _out_ts(_r6(fc.select("series_id", "ds", "forecast"), "forecast"))
+
+
 def q_ts_deseason(spark, sf_dir):
     from scalecast_spark.operators.transforms import DeseasonTransform
 
@@ -1075,6 +1092,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mv_vecm": q_mv_vecm,
         "ts_holt": q_ts_holt,
         "ts_hwes": q_ts_hwes,
+        "ts_combo": q_ts_combo,
         "ts_deseason": q_ts_deseason,
         "ts_seasonal_naive": q_ts_seasonal_naive,
         "ts_metrics": q_ts_metrics,
@@ -1295,6 +1313,7 @@ def oracle_sql() -> dict[str, str]:
         "ts_theta": _theta_oracle(),
         "ts_holt": _holt_oracle(),
         "ts_hwes": _hw_oracle(),
+        "ts_combo": _combo_oracle(),
         "ts_adf": f"""
             WITH {_SQL_SERIES},
             t AS (
@@ -2262,6 +2281,63 @@ def _theta_oracle() -> str:
         JOIN lev l USING (series_id)
         JOIN nn USING (series_id)
         CROSS JOIN (SELECT unnest(range(1, 8)) AS i) i
+    """
+
+
+def _combo_oracle() -> str:
+    """Oracle for q_ts_combo: 0.5 * (naive(m=7) tail tile + SES level
+    at the grid-MLE alpha). The naive member's step-i forecast is the
+    observation at rev = 8 - i; the SES member reuses the closed-form
+    level replay from _ses_oracle."""
+    import numpy as np
+
+    alphas = ", ".join(f"({v!r})" for v in np.linspace(0.05, 0.95, 19))
+    return f"""
+        WITH {_SQL_SERIES},
+        t AS (
+            SELECT series_id, ds, y,
+                   row_number() OVER (PARTITION BY series_id ORDER BY ds) AS rn,
+                   row_number() OVER (PARTITION BY series_id ORDER BY ds DESC) AS rev,
+                   count(*) OVER (PARTITION BY series_id) AS n
+            FROM series
+        ),
+        g(a) AS (SELECT * FROM (VALUES {alphas})),
+        fit AS (
+            SELECT c.series_id, g.a, c.rn, c.y,
+                   sum(CASE WHEN p.rn = 1 THEN pow(1 - g.a, c.rn - 2)
+                            ELSE g.a * pow(1 - g.a, c.rn - 1 - p.rn) END
+                       * p.y) AS f
+            FROM t c JOIN t p
+              ON p.series_id = c.series_id AND p.rn < c.rn
+            CROSS JOIN g
+            WHERE c.rn >= 2
+            GROUP BY 1, 2, 3, 4
+        ),
+        sse AS (
+            SELECT series_id, a, sum((y - f) * (y - f)) AS sse
+            FROM fit GROUP BY 1, 2
+        ),
+        best AS (
+            SELECT series_id, a FROM sse
+            QUALIFY row_number() OVER (
+                PARTITION BY series_id ORDER BY sse ASC, a ASC) = 1
+        ),
+        lev AS (
+            SELECT t.series_id,
+                   sum(CASE WHEN t.rn = 1 THEN pow(1 - b.a, t.n - 1)
+                            ELSE b.a * pow(1 - b.a, t.n - t.rn) END
+                       * t.y) AS level_t
+            FROM t JOIN best b USING (series_id)
+            GROUP BY 1
+        ),
+        last AS (SELECT series_id, max(ds) AS last_ds FROM series GROUP BY 1)
+        SELECT l.series_id,
+               (last.last_ds + i.i * INTERVAL '1 day')::DATE AS ds,
+               round(0.5 * (l.level_t + nv.y), 6) AS forecast
+        FROM lev l
+        JOIN last USING (series_id)
+        CROSS JOIN (SELECT unnest(range(1, 8)) AS i) i
+        JOIN t nv ON nv.series_id = l.series_id AND nv.rev = 8 - i.i
     """
 
 
