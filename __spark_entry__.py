@@ -1121,12 +1121,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_near_dup_pairs": q_emb_near_dup_pairs,
         "emb_near_dup_lsh": q_emb_near_dup_lsh,
         "emb_norms": q_emb_norms,
+        "dedup_simhash": q_dedup_simhash,
+        "sim_lsh_topk": q_sim_lsh_topk,
         # rows-only (no oracle — non-SQL-expressible semantics)
         "ts_forecast_recursive": q_ts_forecast_recursive,
         "ts_forecast_direct": q_ts_forecast_direct,
         "ts_cv_grid": q_ts_cv_grid,
-        "sim_lsh_topk": q_sim_lsh_topk,
-        "dedup_simhash": q_dedup_simhash,
         "multimodal_features": q_multimodal_features,
     }
 
@@ -2071,6 +2071,91 @@ def oracle_sql() -> dict[str, str]:
                 SELECT vec_id, unnest(embedding)::DOUBLE AS x FROM embeddings
             )
             GROUP BY vec_id
+        """,
+        # SimHash is pure md5 bit arithmetic (dedup.py simhash): per
+        # distinct word, 60-bit md5 slice; per bit, sum of +-1 across
+        # words; sign packs the fingerprint. Fully replayable in SQL.
+        "dedup_simhash": r"""
+            WITH norm AS (
+                SELECT doc_id,
+                       regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
+                FROM documents
+            ),
+            w AS (
+                SELECT DISTINCT doc_id, w
+                FROM (SELECT doc_id, unnest(string_split(t, ' ')) AS w FROM norm)
+                WHERE len(w) > 0
+            ),
+            h AS (
+                SELECT doc_id, ('0x' || substr(md5(w), 1, 15))::BIGINT AS h
+                FROM w
+            ),
+            bits AS (SELECT unnest(range(60)) AS i),
+            s AS (
+                SELECT doc_id, i,
+                       sum(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) AS s
+                FROM h CROSS JOIN bits GROUP BY 1, 2
+            )
+            SELECT doc_id,
+                   sum(CASE WHEN s > 0 THEN (1::BIGINT << i) ELSE 0 END)::BIGINT
+                       AS simhash
+            FROM s GROUP BY doc_id
+        """,
+        # Random-hyperplane LSH ANN (similarity.py lsh_bucket_topk):
+        # hyperplanes are deterministic md5('scalecast:i:j') draws, so
+        # the bucket prune + cosine scoring replays exactly in SQL.
+        # Query vector = embedding of vec_id 0, same as the Spark side.
+        "sim_lsh_topk": """
+            WITH planes AS (
+                SELECT i.i AS i, j.j AS j,
+                       ('0x' || substr(md5('scalecast:' || i.i || ':' || j.j),
+                                       1, 8))::BIGINT
+                           / 4294967295.0 - 0.5 AS pv
+                FROM (SELECT unnest(range(6)) AS i) i
+                CROSS JOIN (SELECT unnest(range(64)) AS j) j
+            ),
+            q AS (
+                SELECT j.j AS j, embedding[j.j + 1]::DOUBLE AS qx
+                FROM embeddings
+                CROSS JOIN (SELECT unnest(range(64)) AS j) j
+                WHERE vec_id = 0
+            ),
+            qsig AS (
+                SELECT sum(CASE WHEN dot > 0 THEN (1::BIGINT << i)
+                                ELSE 0 END)::BIGINT AS sig
+                FROM (
+                    SELECT p.i, sum(p.pv * q.qx) AS dot
+                    FROM planes p JOIN q ON q.j = p.j GROUP BY 1
+                )
+            ),
+            v AS (
+                SELECT vec_id, j.j AS j, embedding[j.j + 1]::DOUBLE AS x
+                FROM embeddings
+                CROSS JOIN (SELECT unnest(range(64)) AS j) j
+            ),
+            vsig AS (
+                SELECT vec_id,
+                       sum(CASE WHEN dot > 0 THEN (1::BIGINT << i)
+                                ELSE 0 END)::BIGINT AS sig
+                FROM (
+                    SELECT v.vec_id, p.i, sum(p.pv * v.x) AS dot
+                    FROM v JOIN planes p ON p.j = v.j GROUP BY 1, 2
+                )
+                GROUP BY 1
+            ),
+            qn AS (SELECT sqrt(sum(qx * qx)) AS qn FROM q),
+            score AS (
+                SELECT v.vec_id, sum(v.x * q.qx) AS dot,
+                       sqrt(sum(v.x * v.x)) AS vn
+                FROM v JOIN q ON q.j = v.j GROUP BY 1
+            )
+            SELECT s.vec_id, round(s.dot / (s.vn * qn.qn), 6) AS cosine_sim
+            FROM score s
+            JOIN vsig ON vsig.vec_id = s.vec_id
+            CROSS JOIN qn CROSS JOIN qsig
+            WHERE vsig.sig = qsig.sig
+            ORDER BY cosine_sim DESC, s.vec_id
+            LIMIT 10
         """,
     }
 
