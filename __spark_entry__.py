@@ -1123,11 +1123,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_norms": q_emb_norms,
         "dedup_simhash": q_dedup_simhash,
         "sim_lsh_topk": q_sim_lsh_topk,
+        "multimodal_features": q_multimodal_features,
         # rows-only (no oracle — non-SQL-expressible semantics)
         "ts_forecast_recursive": q_ts_forecast_recursive,
         "ts_forecast_direct": q_ts_forecast_direct,
         "ts_cv_grid": q_ts_cv_grid,
-        "multimodal_features": q_multimodal_features,
     }
 
 
@@ -2156,6 +2156,29 @@ def oracle_sql() -> dict[str, str]:
             WHERE vsig.sig = qsig.sig
             ORDER BY cosine_sim DESC, s.vec_id
             LIMIT 10
+        """,
+        # The multimodal pipeline's stub codec (multimodal.fake_decode)
+        # tiles md5(payload) into an 8x8x3 uint8 image, so channel-0
+        # pixels are digest bytes at positions (3*i) mod 16 — the whole
+        # decode + feature extraction replays as md5 hex slicing.
+        "multimodal_features": """
+            WITH d AS (
+                SELECT doc_id, md5(text) AS h, strlen(text) AS nb
+                FROM documents
+            ),
+            pix AS (
+                SELECT doc_id,
+                       ('0x' || substr(h, ((3 * i.i) % 16) * 2 + 1, 2))::INT
+                           AS v
+                FROM d CROSS JOIN (SELECT unnest(range(64)) AS i) i
+            )
+            SELECT d.doc_id::BIGINT AS doc_id, d.nb::BIGINT AS payload_bytes,
+                   d.h AS content_id,
+                   round(avg(p.v), 6) AS mean_c0,
+                   round(sqrt(avg(p.v * p.v) - avg(p.v) * avg(p.v)), 6)
+                       AS std_c0
+            FROM d JOIN pix p USING (doc_id)
+            GROUP BY 1, 2, 3
         """,
     }
 
