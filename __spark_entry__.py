@@ -941,7 +941,8 @@ def q_emb_norms(spark, sf_dir):
 
 def q_ts_forecast_recursive(spark, sf_dir):
     """Recursive multi-step OLS forecast (reference models.py:109-149
-    semantics) — inherently sequential per horizon, not SQL-expressible."""
+    semantics) — sequential per horizon; the oracle replays the OLS via
+    centered normal equations and the recursion via a RECURSIVE CTE."""
     from scalecast_spark.frame import TimeSeriesFrame
     from scalecast_spark.models import linear_model
     from scalecast_spark.operators.features import add_ar_terms, add_time_trend
@@ -1124,8 +1125,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "sim_lsh_topk": q_sim_lsh_topk,
         "multimodal_features": q_multimodal_features,
-        # rows-only (no oracle — non-SQL-expressible semantics)
         "ts_forecast_recursive": q_ts_forecast_recursive,
+        # rows-only (no oracle — non-SQL-expressible semantics)
         "ts_forecast_direct": q_ts_forecast_direct,
         "ts_cv_grid": q_ts_cv_grid,
     }
@@ -1314,6 +1315,7 @@ def oracle_sql() -> dict[str, str]:
         "ts_holt": _holt_oracle(),
         "ts_hwes": _hw_oracle(),
         "ts_combo": _combo_oracle(),
+        "ts_forecast_recursive": _recursive_ols_oracle(),
         "ts_adf": f"""
             WITH {_SQL_SERIES},
             t AS (
@@ -2389,6 +2391,108 @@ def _theta_oracle() -> str:
         JOIN lev l USING (series_id)
         JOIN nn USING (series_id)
         CROSS JOIN (SELECT unnest(range(1, 8)) AS i) i
+    """
+
+
+def _det3_sql(M) -> str:
+    """Cofactor-expanded 3x3 determinant over SQL column expressions."""
+    return (
+        f"({M[0][0]} * ({M[1][1]} * {M[2][2]} - {M[1][2]} * {M[2][1]})"
+        f" - {M[0][1]} * ({M[1][0]} * {M[2][2]} - {M[1][2]} * {M[2][0]})"
+        f" + {M[0][2]} * ({M[1][0]} * {M[2][1]} - {M[1][1]} * {M[2][0]}))"
+    )
+
+
+def _recursive_ols_oracle() -> str:
+    """Oracle for q_ts_forecast_recursive: per-series OLS on
+    [ar_1, ar_7, t] + intercept, then the kernel's recursive 7-step
+    prediction (kernel.py run_kernel). The OLS solves via CENTERED
+    normal equations (3x3 Cramer for the slopes, intercept recovered
+    from the means) — numerically close enough to numpy's SVD lstsq to
+    agree at 6dp. The recursion itself is a DuckDB RECURSIVE CTE: only
+    ar_1 consumes predictions (ar_7 of step i<=7 is still historical,
+    at rev = 8 - i); t continues n_obs + i."""
+    A = [["vaa", "vab", "vat"], ["vab", "vbb", "vbt"], ["vat", "vbt", "vtt"]]
+    cv = ["cva", "cvb", "cvt"]
+    dD = _det3_sql(A)
+
+    def _num(k: int) -> str:
+        Mk = [row[:] for row in A]
+        for i in range(3):
+            Mk[i][k] = cv[i]
+        return _det3_sql(Mk)
+
+    slopes = ",\n           ".join(
+        f"{_num(k)} / {dD} AS {nm}" for k, nm in enumerate(["ca", "cb", "ct"])
+    )
+    icept = (
+        f"my - ({_num(0)} / {dD}) * ma"
+        f" - ({_num(1)} / {dD}) * mb"
+        f" - ({_num(2)} / {dD}) * mt AS co"
+    )
+    return f"""
+        WITH RECURSIVE {_SQL_SERIES.strip()},
+        t AS (
+            SELECT series_id, ds, y,
+                   row_number() OVER (PARTITION BY series_id ORDER BY ds) AS rn,
+                   row_number() OVER (PARTITION BY series_id ORDER BY ds DESC)
+                       AS rev,
+                   count(*) OVER (PARTITION BY series_id) AS n_obs
+            FROM series
+        ),
+        train AS (
+            SELECT c.series_id, c.rn::DOUBLE AS t, c.y, l1.y AS a, l7.y AS b
+            FROM t c
+            JOIN t l1 ON l1.series_id = c.series_id AND l1.rn = c.rn - 1
+            JOIN t l7 ON l7.series_id = c.series_id AND l7.rn = c.rn - 7
+        ),
+        means AS (
+            SELECT series_id, avg(a) AS ma, avg(b) AS mb, avg(t) AS mt,
+                   avg(y) AS my
+            FROM train GROUP BY 1
+        ),
+        cmom AS (
+            SELECT tr.series_id,
+                   sum((a - ma) * (a - ma)) AS vaa,
+                   sum((a - ma) * (b - mb)) AS vab,
+                   sum((a - ma) * (t - mt)) AS vat,
+                   sum((b - mb) * (b - mb)) AS vbb,
+                   sum((b - mb) * (t - mt)) AS vbt,
+                   sum((t - mt) * (t - mt)) AS vtt,
+                   sum((a - ma) * (y - my)) AS cva,
+                   sum((b - mb) * (y - my)) AS cvb,
+                   sum((t - mt) * (y - my)) AS cvt
+            FROM train tr JOIN means USING (series_id) GROUP BY 1
+        ),
+        coef AS (
+            SELECT c.series_id,
+           {slopes},
+           {icept}
+            FROM cmom c JOIN means USING (series_id)
+        ),
+        meta AS (
+            SELECT series_id, max(ds) AS last_ds, max(n_obs) AS n_obs
+            FROM t GROUP BY 1
+        ),
+        rec AS (
+            SELECT m.series_id, 1 AS i, m.last_ds + INTERVAL '1 day' AS ds,
+                   co + ca * yl.y + cb * l7.y + ct * (m.n_obs + 1) AS pred
+            FROM meta m
+            JOIN coef USING (series_id)
+            JOIN t yl ON yl.series_id = m.series_id AND yl.rev = 1
+            JOIN t l7 ON l7.series_id = m.series_id AND l7.rev = 7
+            UNION ALL
+            SELECT r.series_id, r.i + 1, r.ds + INTERVAL '1 day',
+                   coef.co + coef.ca * r.pred + coef.cb * l7.y
+                       + coef.ct * (m.n_obs + r.i + 1)
+            FROM rec r
+            JOIN coef ON coef.series_id = r.series_id
+            JOIN meta m ON m.series_id = r.series_id
+            JOIN t l7 ON l7.series_id = r.series_id AND l7.rev = 7 - r.i
+            WHERE r.i < 7
+        )
+        SELECT series_id, ds::DATE AS ds, round(pred, 6) AS forecast
+        FROM rec
     """
 
 
