@@ -433,6 +433,65 @@ class Forecaster:
             v = rows[0][mcol] if rows else None
         return float(v) if v is not None else float("nan")
 
+    def _grid_cells(self, dynamic_tuning):
+        """(fit_fn, normalizer, dynamic_testing) triples for the whole
+        grid, or None when the grid can't be batch-evaluated (non-kernel
+        estimator, custom optimizer that collects per-series values, or
+        per-cell Xvars changing the design matrix)."""
+        from scalecast_spark.models import KERNEL_FACTORIES, MODELS
+
+        how = getattr(self, "_optimize_on", "mean")
+        if (
+            self.estimator not in KERNEL_FACTORIES
+            or how in self._custom_optimizers
+            or any("Xvars" in p for p in self.grid)
+        ):
+            return None
+        import inspect
+
+        try:
+            sig = inspect.signature(MODELS[self.estimator]).parameters
+            default_norm = (
+                sig["normalizer"].default if "normalizer" in sig else None
+            )
+        except (TypeError, ValueError):
+            default_norm = None
+        cells = []
+        for params in self.grid:
+            p = dict(params)
+            norm = p.pop("normalizer", default_norm)
+            dyn = p.pop("dynamic_testing", dynamic_tuning)
+            try:
+                cells.append((KERNEL_FACTORIES[self.estimator](**p), norm, dyn))
+            except TypeError:  # unexpected param — generic path handles it
+                return None
+        return cells
+
+    def _eval_fold_grid(self, fold_df: DataFrame, cells) -> list[float]:
+        """Score every grid cell on one fold in ONE Spark job: the grid
+        kernel emits (series, ds, cell, y, forecast) for the validation
+        rows, metrics reduce per (cell, series), and the optimize_on
+        rule reduces again per cell — |grid| rows reach the driver."""
+        from scalecast_spark.models.kernel import run_kernel_grid
+
+        out = run_kernel_grid(fold_df, list(self.tsf.features), cells)
+        how = getattr(self, "_optimize_on", "mean")
+        mcol = self.validation_metric
+        per = METRICS.evaluate(
+            out, actual=Y, forecast="forecast", by=["_cell", SERIES],
+            metrics=[mcol],
+        )
+        if how in self.OPTIMIZER_FUNCS:
+            agg = {"mean": F.avg, "min": F.min, "max": F.max}[how](mcol)
+            rows = per.groupBy("_cell").agg(agg.alias(mcol)).collect()
+        else:  # a series_id — optimize on that one series
+            rows = per.filter(F.col(SERIES) == how).select("_cell", mcol).collect()
+        by_cell = {r["_cell"]: r[mcol] for r in rows}
+        return [
+            float(by_cell[ci]) if by_cell.get(ci) is not None else float("nan")
+            for ci in range(len(cells))
+        ]
+
     def cross_validate(
         self, k: int = 5, test_length: int | None = None,
         train_length: int | None = None, space_between_sets: int | None = None,
@@ -451,11 +510,13 @@ class Forecaster:
         (False = one-step-ahead validation, the reference default).
 
         Every fold is a FILTER over the cached feature frame — fold
-        isolation without the reference's per-fold deepcopy. All
-        (grid × fold) cells are independent Spark actions over cached
-        fold frames, submitted CONCURRENTLY from a bounded driver
-        thread pool: on a cluster, CV wall-time drops from Σ cells to
-        roughly Σ cells / pool-width (run_jobs docstring).
+        isolation without the reference's per-fold deepcopy. For
+        kernel-backed estimators the WHOLE grid evaluates in one Spark
+        job per fold (run_kernel_grid: one data pass, per-cell numpy
+        fits amortized inside each task); otherwise all (grid × fold)
+        cells are independent Spark actions over cached fold frames,
+        submitted CONCURRENTLY from a bounded driver thread pool. Both
+        paths run folds concurrently (run_jobs docstring).
         """
         if self.grid is None:
             raise ValueError("ingest a grid first")
@@ -490,24 +551,46 @@ class Forecaster:
                     .filter(F.col("_rev") <= train_length + test_length)
                     .drop("_rev")
                 )
-            marked = marked.cache()
-            # materialize the cache before concurrent cells race to
-            # fill it (Spark computes uncached partitions per-job)
-            marked.count()
-            fold_frames.append(marked)
+            fold_frames.append(marked.cache())
+        # materialize every fold's cache before concurrent cells race
+        # to fill it (Spark computes uncached partitions per-job) —
+        # the k counts are themselves independent jobs, run together
+        run_jobs([(lambda m=m: m.count()) for m in fold_frames],
+                 max_workers=max_workers)
 
-        thunks = [
-            (lambda m=fold_frames[fold], p=params: self._eval_fold(
-                m, p, dynamic_testing=dynamic_tuning
-            ))
-            for gi, params in enumerate(self.grid)
-            for fold in range(k)
-        ]
-        flat = run_jobs(thunks, max_workers=max_workers, on_error="nan")
-        scores = [
-            [float(flat[gi * k + fold]) for fold in range(k)]
-            for gi in range(len(self.grid))
-        ]
+        cells = self._grid_cells(dynamic_tuning)
+        if cells is not None:
+            # kernel-backed estimator: ONE job per fold evaluates the
+            # whole grid (run_kernel_grid) — each fold's data is read
+            # once, the per-cell numpy fits amortize inside the task.
+            # At 100 TB the scan+shuffle dominates, so jobs scale with
+            # k, not k × |grid|.
+            fold_thunks = [
+                (lambda m=mk: self._eval_fold_grid(m, cells))
+                for mk in fold_frames
+            ]
+            per_fold = run_jobs(fold_thunks, max_workers=max_workers, on_error="nan")
+            scores = [
+                [
+                    (float(per_fold[fold][gi])
+                     if isinstance(per_fold[fold], list) else float("nan"))
+                    for fold in range(k)
+                ]
+                for gi in range(len(self.grid))
+            ]
+        else:
+            thunks = [
+                (lambda m=fold_frames[fold], p=params: self._eval_fold(
+                    m, p, dynamic_testing=dynamic_tuning
+                ))
+                for gi, params in enumerate(self.grid)
+                for fold in range(k)
+            ]
+            flat = run_jobs(thunks, max_workers=max_workers, on_error="nan")
+            scores = [
+                [float(flat[gi * k + fold]) for fold in range(k)]
+                for gi in range(len(self.grid))
+            ]
         if verbose:
             for gi, row in enumerate(scores):
                 for fold, v in enumerate(row):

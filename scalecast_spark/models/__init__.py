@@ -53,6 +53,50 @@ def add_estimator(name: str, fn) -> None:
     MODELS[name] = fn
 
 
+def _kernel_factories():
+    """fit-fn factories for every kernel-backed estimator — the hook
+    that lets cross_validate evaluate a whole grid in ONE kernel pass
+    (kernel.run_kernel_grid) instead of one Spark job per cell. Each
+    factory takes the estimator's hyperparameters (ignoring kernel-level
+    args like normalizer/dynamic_testing) and returns a fit_fn."""
+    from scalecast_spark.models.mlp import make_fit_mlp
+    from scalecast_spark.models.sklearn_like import (
+        fit_ols,
+        make_fit_coordinate_descent,
+        make_fit_knn,
+        make_fit_ridge,
+    )
+    from scalecast_spark.models.svr_sgd import make_fit_linear_svr, make_fit_sgd
+    from scalecast_spark.models.trees import make_fit_gbt, make_fit_rf
+
+    return {
+        "mlr": lambda **kw: fit_ols,
+        "ridge": lambda alpha=1.0, **kw: make_fit_ridge(alpha),
+        "lasso": lambda alpha=1.0, **kw: make_fit_coordinate_descent(alpha, 1.0),
+        "elasticnet": lambda alpha=1.0, l1_ratio=0.5, **kw: (
+            make_fit_coordinate_descent(alpha, l1_ratio)
+        ),
+        "knn": lambda n_neighbors=5, **kw: make_fit_knn(n_neighbors),
+        "svr": lambda C=1.0, epsilon=0.1, **kw: make_fit_linear_svr(C, epsilon),
+        "sgd": lambda alpha=1e-4, l1_ratio=0.15, **kw: make_fit_sgd(alpha, l1_ratio),
+        "gbt": lambda n_estimators=50, max_depth=3, learning_rate=0.1, **kw: (
+            make_fit_gbt(n_estimators, max_depth, learning_rate)
+        ),
+        "xgboost": lambda n_estimators=50, max_depth=3, learning_rate=0.1, **kw: (
+            make_fit_gbt(n_estimators, max_depth, learning_rate)
+        ),
+        "rf": lambda n_estimators=50, max_depth=6, random_state=42, **kw: (
+            make_fit_rf(n_estimators, max_depth, random_state=random_state)
+        ),
+        "mlp": lambda hidden=16, epochs=400, lr=0.01, **kw: (
+            make_fit_mlp(hidden, epochs, lr)
+        ),
+    }
+
+
+KERNEL_FACTORIES = _kernel_factories()
+
+
 __all__ = [
     "naive_model", "linear_model", "mlr_model", "ridge_model",
     "lasso_model", "elasticnet_model", "knn_model", "hwes_model",

@@ -126,6 +126,99 @@ def run_kernel(
     return df.join(preds, on=[SERIES, DS], how="left")
 
 
+def run_kernel_grid(
+    df: DataFrame,
+    features: list[str],
+    cells: list[tuple],
+    default_dynamic: bool | int = False,
+) -> DataFrame:
+    """Evaluate a WHOLE hyperparameter grid in ONE kernel pass.
+
+    ``cells`` is a list of ``(fit_fn, normalizer, dynamic_testing)``
+    triples (``dynamic_testing=None`` → ``default_dynamic``). Returns
+    the future-row predictions of every cell:
+    ``(series, ds, _cell, y, forecast)``.
+
+    This is the scale-correct CV physical plan: one job reads each
+    fold's data ONCE and fits all grid cells per series inside the
+    task (the per-cell numpy fits are microseconds next to the scan +
+    shuffle that dominate at 100 TB), instead of one Spark job — one
+    full data pass — per (grid × fold) cell. Semantics are identical
+    to looping :func:`run_kernel` per cell: same train mask, same
+    fit-on-train normalizers, same recursive AR overwrite.
+    """
+    ar_lags = {int(m.group(1)): c for c in features for m in [_AR_RE.match(c)] if m}
+    feat = list(features)
+
+    def _peek(dyn) -> int:
+        if dyn is None:
+            dyn = default_dynamic
+        return 0 if dyn is True else 1 if dyn is False else int(dyn)
+
+    schema = T.StructType(
+        [
+            T.StructField(SERIES, df.schema[SERIES].dataType),
+            T.StructField(DS, df.schema[DS].dataType),
+            T.StructField("_cell", T.IntegerType()),
+            T.StructField(Y, T.DoubleType()),
+            T.StructField("forecast", T.DoubleType()),
+        ]
+    )
+
+    def fit_predict(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(DS).reset_index(drop=True)
+        obs = pdf[pdf[IS_FUTURE] == 0]
+        train = obs.dropna(subset=feat + [Y])
+        fut_idx = pdf.index[pdf[IS_FUTURE] == 1].tolist()
+        base = pdf.loc[fut_idx, [SERIES, DS, Y]].reset_index(drop=True)
+        outs = []
+        if len(train) <= max(len(feat), 1):
+            for ci in range(len(cells)):
+                o = base.copy()
+                o["_cell"] = ci
+                o["forecast"] = np.nan
+                outs.append(o)
+            return pd.concat(outs, ignore_index=True)[
+                [SERIES, DS, "_cell", Y, "forecast"]
+            ]
+        Xtr = np.column_stack([train[c].to_numpy(float) for c in feat])
+        ytr = train[Y].to_numpy(float)
+        hist0 = list(obs[Y].to_numpy(float))
+        fut_rows = pdf.loc[fut_idx, feat]
+        fut_actuals = pdf.loc[fut_idx, Y].to_numpy()
+        for ci, (fit_fn, normalizer, dyn) in enumerate(cells):
+            norm = _fit_normalizer(normalizer, Xtr)
+            predict = fit_fn(norm(Xtr), ytr)
+            peek_every = _peek(dyn)
+            hist = list(hist0)
+            preds = []
+            for step, i in enumerate(fut_idx, start=1):
+                row = fut_rows.loc[i].copy()
+                for k, cname in ar_lags.items():
+                    if k <= len(hist):
+                        row[cname] = hist[-k]
+                pred = float(predict(norm(row.to_numpy(float).reshape(1, -1))))
+                preds.append(pred)
+                actual = fut_actuals[step - 1]
+                if peek_every and step % peek_every == 0 and not pd.isna(actual):
+                    hist.append(float(actual))
+                else:
+                    hist.append(pred)
+            o = base.copy()
+            o["_cell"] = ci
+            o["forecast"] = preds
+            outs.append(o)
+        return pd.concat(outs, ignore_index=True)[
+            [SERIES, DS, "_cell", Y, "forecast"]
+        ]
+
+    return (
+        df.select(SERIES, DS, IS_FUTURE, Y, *feat)
+        .groupBy(SERIES)
+        .applyInPandas(fit_predict, schema)
+    )
+
+
 def run_series_kernel(
     df: DataFrame,
     model_fn: Callable[[np.ndarray, int], tuple[np.ndarray, np.ndarray]],

@@ -212,3 +212,50 @@ def test_gated_stub_warns_and_continues(spark, capsys):
     out = capsys.readouterr().out
     assert "prophet" in out and "failed" in out
     assert "naive" in f.history and "prophet" not in f.history
+
+
+# ------------------------------------------- grid-batched CV kernel
+def test_cv_grid_kernel_matches_per_cell_path(spark):
+    """cross_validate's one-job-per-fold grid kernel (run_kernel_grid)
+    must score every cell identically (up to float aggregation order)
+    to the generic one-job-per-cell path."""
+
+    def build():
+        f = Forecaster(_mk_series(spark, n_series=3, n=40), future_dates=4)
+        f.set_test_length(5)
+        f.add_ar_terms(2).add_time_trend()
+        f.set_estimator("ridge")
+        f.ingest_grid({"alpha": [0.1, 1.0], "normalizer": ["minmax", None]})
+        return f
+
+    fb = build()
+    assert fb._grid_cells(False) is not None  # ridge IS kernel-backed
+    fb.cross_validate(k=2, test_length=5)
+    fs = build()
+    fs._grid_cells = lambda dyn: None  # force the per-cell path
+    fs.cross_validate(k=2, test_length=5)
+    assert fb.best_params == fs.best_params
+    for a, b in zip(fb.grid_evaluated, fs.grid_evaluated):
+        assert a["params"] == b["params"]
+        for x, y in zip(a["scores"], b["scores"]):
+            assert (math.isnan(x) and math.isnan(y)) or x == pytest.approx(
+                y, rel=1e-9
+            )
+
+
+def test_cv_grid_kernel_falls_back_for_series_models(spark):
+    """naive (not kernel-backed) and custom optimizers must decline the
+    batched path."""
+    f = Forecaster(_mk_series(spark, n_series=2, n=30), future_dates=3)
+    f.set_test_length(4)
+    f.set_estimator("naive")
+    f.ingest_grid({"m": [1, 7]})
+    assert f._grid_cells(False) is None
+    f2 = Forecaster(_mk_series(spark, n_series=2, n=30), future_dates=3)
+    f2.set_test_length(4)
+    f2.add_ar_terms(2)
+    f2.set_estimator("ridge")
+    f2.ingest_grid({"alpha": [0.1]})
+    f2.add_optimizer_func(lambda vals: sorted(vals)[0], "first")
+    f2.set_optimize_on("first")
+    assert f2._grid_cells(False) is None
