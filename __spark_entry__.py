@@ -961,6 +961,29 @@ def q_ts_forecast_recursive(spark, sf_dir):
     )
 
 
+def q_ts_ridge(spark, sf_dir):
+    """Ridge estimator (reference cfg.py ridge; sklearn_like.
+    make_fit_ridge: intercept unpenalized) with recursive multi-step
+    prediction — hash-matched via the centered-Gram + alpha Cramer
+    oracle (_recursive_ols_oracle)."""
+    from scalecast_spark.frame import TimeSeriesFrame
+    from scalecast_spark.models import MODELS
+    from scalecast_spark.operators.features import add_ar_terms, add_time_trend
+
+    tsf = TimeSeriesFrame.from_long(_series(spark, sf_dir)).generate_future_dates(7)
+    df, ar = add_ar_terms(tsf.df, [1, 7])
+    df, tt = add_time_trend(df)
+    out = MODELS["ridge"](df, ar + tt, alpha=25.0, normalizer=None)
+    return _out_ts(
+        _r6(
+            out.filter(F.col("is_future") == 1).select(
+                "series_id", "ds", "forecast"
+            ),
+            "forecast",
+        )
+    )
+
+
 def q_ts_forecast_direct(spark, sf_dir):
     """DIRECT multi-horizon forecast (reference rnn/lstm's
     non-recursive strategy, models.py:651-671): one multi-output MLP
@@ -1127,6 +1150,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_lsh_topk": q_sim_lsh_topk,
         "multimodal_features": q_multimodal_features,
         "ts_forecast_recursive": q_ts_forecast_recursive,
+        "ts_ridge": q_ts_ridge,
         # rows-only (no oracle — non-SQL-expressible semantics)
         "ts_forecast_direct": q_ts_forecast_direct,
         "ts_cv_grid": q_ts_cv_grid,
@@ -1317,6 +1341,7 @@ def oracle_sql() -> dict[str, str]:
         "ts_hwes": _hw_oracle(),
         "ts_combo": _combo_oracle(),
         "ts_forecast_recursive": _recursive_ols_oracle(),
+        "ts_ridge": _recursive_ols_oracle(alpha=25.0),
         "ts_adf": f"""
             WITH {_SQL_SERIES},
             t AS (
@@ -2404,16 +2429,25 @@ def _det3_sql(M) -> str:
     )
 
 
-def _recursive_ols_oracle() -> str:
-    """Oracle for q_ts_forecast_recursive: per-series OLS on
-    [ar_1, ar_7, t] + intercept, then the kernel's recursive 7-step
-    prediction (kernel.py run_kernel). The OLS solves via CENTERED
-    normal equations (3x3 Cramer for the slopes, intercept recovered
-    from the means) — numerically close enough to numpy's SVD lstsq to
+def _recursive_ols_oracle(alpha: float = 0.0) -> str:
+    """Oracle for q_ts_forecast_recursive (alpha=0) and q_ts_ridge
+    (alpha>0): per-series OLS/ridge on [ar_1, ar_7, t] + intercept,
+    then the kernel's recursive 7-step prediction (kernel.py
+    run_kernel). Ridge with an UNPENALIZED intercept
+    (sklearn_like.make_fit_ridge) is algebraically the centered normal
+    equations with alpha added to the Gram diagonal, so one SQL shape
+    serves both. The OLS solves via CENTERED normal equations (3x3
+    Cramer for the slopes, intercept recovered from the means) —
+    numerically close enough to numpy's SVD lstsq / exact solve to
     agree at 6dp. The recursion itself is a DuckDB RECURSIVE CTE: only
     ar_1 consumes predictions (ar_7 of step i<=7 is still historical,
     at rev = 8 - i); t continues n_obs + i."""
-    A = [["vaa", "vab", "vat"], ["vab", "vbb", "vbt"], ["vat", "vbt", "vtt"]]
+    a = repr(float(alpha))
+    A = [
+        [f"(vaa + {a})", "vab", "vat"],
+        ["vab", f"(vbb + {a})", "vbt"],
+        ["vat", "vbt", f"(vtt + {a})"],
+    ]
     cv = ["cva", "cvb", "cvt"]
     dD = _det3_sql(A)
 
