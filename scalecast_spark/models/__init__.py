@@ -66,7 +66,7 @@ def _kernel_factories():
         make_fit_knn,
         make_fit_ridge,
     )
-    from scalecast_spark.models.svr_sgd import make_fit_linear_svr, make_fit_sgd
+    from scalecast_spark.models.svr_sgd import make_fit_sgd, make_fit_svr
     from scalecast_spark.models.trees import make_fit_gbt, make_fit_rf
 
     return {
@@ -77,7 +77,9 @@ def _kernel_factories():
             make_fit_coordinate_descent(alpha, l1_ratio)
         ),
         "knn": lambda n_neighbors=5, **kw: make_fit_knn(n_neighbors),
-        "svr": lambda C=1.0, epsilon=0.1, **kw: make_fit_linear_svr(C, epsilon),
+        "svr": lambda kernel="linear", C=1.0, epsilon=0.1, gamma="scale", **kw: (
+            make_fit_svr(kernel, C, epsilon, gamma)
+        ),
         "sgd": lambda alpha=1e-4, l1_ratio=0.15, **kw: make_fit_sgd(alpha, l1_ratio),
         "gbt": lambda n_estimators=50, max_depth=3, learning_rate=0.1, **kw: (
             make_fit_gbt(n_estimators, max_depth, learning_rate)

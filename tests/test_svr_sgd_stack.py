@@ -59,3 +59,36 @@ def test_mlp_stack(spark, sf_dir):
     assert f.history["mlp_stack"]["summary"]["TestSetRMSE"] > 0
     fc = f.history["mlp_stack"]["forecast"]
     assert fc.filter(F.col("forecast").isNotNull()).count() == 25
+
+
+def test_rbf_svr_beats_linear_on_nonlinear_target():
+    from scalecast_spark.models.svr_sgd import (
+        make_fit_rbf_svr,
+        make_fit_linear_svr,
+    )
+
+    rng = np.random.RandomState(2)
+    X = rng.uniform(-3, 3, (400, 1))
+    y = np.sin(2.0 * X[:, 0]) + rng.randn(400) * 0.05
+    grid = np.linspace(-2.5, 2.5, 50).reshape(-1, 1)
+    truth = np.sin(2.0 * grid[:, 0])
+    rbf = make_fit_rbf_svr(C=10.0, epsilon=0.01, rff_dim=128, n_iter=800)(X, y)
+    lin = make_fit_linear_svr(C=10.0, epsilon=0.01, n_iter=800)(X, y)
+    rbf_mse = float(np.mean((rbf(grid) - truth) ** 2))
+    lin_mse = float(np.mean((lin(grid) - truth) ** 2))
+    assert rbf_mse < lin_mse / 4  # rbf captures the curvature
+    assert rbf_mse < 0.1
+
+
+def test_svr_kernel_param_through_registry_and_grid(spark, sf_dir):
+    series = events_to_series(load_table(spark, sf_dir, "events"))
+    f = Forecaster(series, future_dates=3)
+    f.set_test_length(4)
+    f.add_ar_terms(2)
+    f.set_estimator("svr")
+    f.ingest_grid({"kernel": ["linear", "rbf"], "C": [1.0]})
+    assert f._grid_cells(False) is not None  # batched CV covers kernel axis
+    f.cross_validate(k=2, test_length=4)
+    assert f.best_params["kernel"] in ("linear", "rbf")
+    f.manual_forecast(**f.best_params, call_me="svr_cv")
+    assert "svr_cv" in f.history
