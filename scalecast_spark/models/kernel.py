@@ -219,6 +219,104 @@ def run_kernel_grid(
     )
 
 
+def run_kernel_backtest(
+    df: DataFrame,
+    features: list[str],
+    fit_fn: Callable,
+    fcst_length: int,
+    n_iter: int = 3,
+    jump_back: int = 1,
+    dynamic_testing: bool | int = True,
+    normalizer: str | None = None,
+) -> DataFrame:
+    """Rolling-origin backtest of a kernel estimator in ONE pass.
+
+    Equivalent to calling :func:`run_kernel` on ``n_iter`` rewound
+    copies of the frame (pipeline.backtest's generic loop) but each
+    series is read ONCE: the task slices its own history per iteration,
+    refits, and predicts the holdout recursively. At 100 TB this turns
+    n_iter full scans + shuffles into one — iteration count becomes a
+    per-task numpy loop, not a plan multiplier.
+
+    Features must be built on the FULL frame beforehand (backward-
+    looking lags don't leak: AR cells of holdout rows are overwritten
+    from the rolling prediction history, exactly as run_kernel does for
+    test rows). Returns (iteration, series, ds, y, forecast) over
+    held-out rows only.
+    """
+    ar_lags = {int(m.group(1)): c for c in features for m in [_AR_RE.match(c)] if m}
+    feat = list(features)
+    peek_every = (
+        0 if dynamic_testing is True else 1 if dynamic_testing is False
+        else int(dynamic_testing)
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("iteration", T.IntegerType()),
+            T.StructField(SERIES, df.schema[SERIES].dataType),
+            T.StructField(DS, df.schema[DS].dataType),
+            T.StructField(Y, T.DoubleType()),
+            T.StructField("forecast", T.DoubleType()),
+        ]
+    )
+
+    def fit_predict(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = (
+            pdf[pdf[IS_FUTURE] == 0]
+            .sort_values(DS)
+            .reset_index(drop=True)
+        )
+        n = len(pdf)
+        outs = []
+        for it in range(n_iter):
+            hold = fcst_length + it * jump_back
+            cut = n - hold
+            if cut <= max(len(feat), 1):
+                continue
+            train_all = pdf.iloc[:cut]
+            train = train_all.dropna(subset=feat + [Y])
+            hold_rows = pdf.iloc[cut : cut + fcst_length]
+            o = hold_rows[[SERIES, DS, Y]].copy().reset_index(drop=True)
+            o.insert(0, "iteration", it)
+            if len(train) <= max(len(feat), 1):
+                o["forecast"] = np.nan
+                outs.append(o)
+                continue
+            Xtr = np.column_stack([train[c].to_numpy(float) for c in feat])
+            norm = _fit_normalizer(normalizer, Xtr)
+            predict = fit_fn(norm(Xtr), train[Y].to_numpy(float))
+            hist = list(train_all[Y].to_numpy(float))
+            preds = []
+            for step in range(1, len(hold_rows) + 1):
+                row = hold_rows.iloc[step - 1][feat].copy()
+                for k, cname in ar_lags.items():
+                    if k <= len(hist):
+                        row[cname] = hist[-k]
+                pred = float(predict(norm(row.to_numpy(float).reshape(1, -1))))
+                preds.append(pred)
+                actual = hold_rows.iloc[step - 1][Y]
+                if peek_every and step % peek_every == 0 and not pd.isna(actual):
+                    hist.append(float(actual))
+                else:
+                    hist.append(pred)
+            o["forecast"] = preds
+            outs.append(o)
+        if not outs:
+            return pd.DataFrame(
+                {c.name: pd.Series(dtype="object") for c in schema}
+            )
+        return pd.concat(outs, ignore_index=True)[
+            ["iteration", SERIES, DS, Y, "forecast"]
+        ]
+
+    return (
+        df.select(SERIES, DS, IS_FUTURE, Y, *feat)
+        .groupBy(SERIES)
+        .applyInPandas(fit_predict, schema)
+    )
+
+
 def run_series_kernel(
     df: DataFrame,
     model_fn: Callable[[np.ndarray, int], tuple[np.ndarray, np.ndarray]],

@@ -124,6 +124,56 @@ def backtest(
     return out
 
 
+def backtest_kernel_models(
+    series_df: DataFrame,
+    models: dict[str, tuple[str, dict]],
+    feature_fn,
+    fcst_length: int,
+    n_iter: int = 3,
+    jump_back: int = 1,
+) -> DataFrame:
+    """ONE-PASS rolling-origin backtest for kernel-backed estimators.
+
+    Same result frame as :func:`backtest` (model, iteration, series_id,
+    ds, y, forecast over held-out rows), different physical plan: the
+    generic loop reruns features + a full kernel pass per iteration
+    (n_iter scans); here features build ONCE on the full frame and
+    ``run_kernel_backtest`` slices/refits every iteration inside each
+    series task — one scan + one shuffle regardless of n_iter.
+    Backward-looking features (lags, trend, rolling) are iteration-
+    invariant on the kept rows, so the two plans score identically.
+
+    ``models``: name -> (estimator registry name, hyperparams).
+    """
+    import inspect
+
+    from scalecast_spark.models import KERNEL_FACTORIES, MODELS
+    from scalecast_spark.models.kernel import run_kernel_backtest
+
+    df, features = feature_fn(series_df)
+    if IS_FUTURE not in df.columns:
+        df = df.withColumn(IS_FUTURE, F.lit(0))
+    out = None
+    for name, (est, params) in models.items():
+        if est not in KERNEL_FACTORIES:
+            raise ValueError(
+                f"{est!r} is not kernel-backed; use backtest() for it"
+            )
+        p = dict(params)
+        sig = inspect.signature(MODELS[est]).parameters
+        default_norm = sig["normalizer"].default if "normalizer" in sig else None
+        norm = p.pop("normalizer", default_norm)
+        dyn = p.pop("dynamic_testing", True)
+        fit_fn = KERNEL_FACTORIES[est](**p)
+        res = run_kernel_backtest(
+            df, features, fit_fn, fcst_length, n_iter, jump_back, dyn, norm
+        ).select(
+            F.lit(name).alias("model"), "iteration", SERIES, DS, Y, "forecast"
+        )
+        out = res if out is None else out.unionByName(res)
+    return out
+
+
 def backtest_metrics(
     results: DataFrame,
     train_df: DataFrame | None = None,

@@ -97,3 +97,33 @@ def test_full_pipeline_with_revert(series):
     # after revert, actuals return to level scale (hundreds, not logs)
     assert pdf["y"].max() > 50
     assert pdf["forecast"].max() > 50
+
+
+def test_backtest_kernel_one_pass_matches_generic(series):
+    """backtest_kernel_models (one scan, per-task iteration loop) must
+    reproduce the generic per-iteration backtest for a kernel model."""
+    from scalecast_spark.operators.features import add_ar_terms, add_time_trend
+    from scalecast_spark.pipeline import backtest_kernel_models
+
+    def feats(df):
+        df, ar = add_ar_terms(df, [1, 2])
+        df, tt = add_time_trend(df)
+        return df, ar + tt
+
+    def mlr_fn(marked):
+        marked, names = feats(marked)
+        return MODELS["mlr"](marked, names)
+
+    generic = backtest(
+        series, {"mlr": mlr_fn}, fcst_length=4, n_iter=2, jump_back=3
+    ).toPandas()
+    one_pass = backtest_kernel_models(
+        series, {"mlr": ("mlr", {})}, feats, fcst_length=4, n_iter=2,
+        jump_back=3,
+    ).toPandas()
+    key = ["model", "iteration", "series_id", "ds"]
+    g = generic.sort_values(key).reset_index(drop=True)
+    o = one_pass.sort_values(key).reset_index(drop=True)
+    assert len(g) == len(o) == 2 * 5 * 4
+    assert (g["ds"].values == o["ds"].values).all()
+    assert abs(g["forecast"].values - o["forecast"].values).max() < 1e-9
