@@ -961,6 +961,23 @@ def q_ts_forecast_recursive(spark, sf_dir):
     )
 
 
+def q_ts_detrend_loess(spark, sf_dir):
+    """LOESS detrend (reference SeriesTransformer.py:121-311
+    loess=True): tricube-weighted local linear smooth per series
+    (functions/smooth.py). On the uniform time grid the k-nearest
+    window has the closed form lo = clamp(i - k//2, 0, n-k), so the
+    whole smooth — window, tricube weights, weighted OLS — replays in
+    SQL and hash-matches."""
+    from scalecast_spark.operators.transforms import DetrendTransform
+
+    src = _series(spark, sf_dir).withColumn("is_future", F.lit(0))
+    tr = DetrendTransform(loess=True, frac=0.3)
+    out = tr.fit(src).transform(src)
+    return _out_ts(
+        out.select("series_id", "ds", F.round("y", 6).alias("y_detrended"))
+    )
+
+
 def q_ts_ridge(spark, sf_dir):
     """Ridge estimator (reference cfg.py ridge; sklearn_like.
     make_fit_ridge: intercept unpenalized) with recursive multi-step
@@ -1151,6 +1168,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": q_multimodal_features,
         "ts_forecast_recursive": q_ts_forecast_recursive,
         "ts_ridge": q_ts_ridge,
+        "ts_detrend_loess": q_ts_detrend_loess,
         # rows-only (no oracle — non-SQL-expressible semantics)
         "ts_forecast_direct": q_ts_forecast_direct,
         "ts_cv_grid": q_ts_cv_grid,
@@ -1342,6 +1360,68 @@ def oracle_sql() -> dict[str, str]:
         "ts_combo": _combo_oracle(),
         "ts_forecast_recursive": _recursive_ols_oracle(),
         "ts_ridge": _recursive_ols_oracle(alpha=25.0),
+        # LOESS on the uniform time grid: nearest-k window start is
+        # clamp(i - k//2, 0, n-k) (verified against the engine's
+        # slide-to-nearest loop for all n<=150), tricube weights +
+        # weighted local OLS restate as one self-join aggregate.
+        "ts_detrend_loess": f"""
+            WITH {{series}},
+            t AS (
+                SELECT series_id, ds, y,
+                       row_number() OVER (PARTITION BY series_id ORDER BY ds)
+                           AS rn,
+                       count(*) OVER (PARTITION BY series_id) AS n
+                FROM series
+            ),
+            kk AS (
+                SELECT series_id, max(n) AS n,
+                       least(greatest(ceil(0.3 * max(n))::INT, 2),
+                             max(n)::INT) AS k
+                FROM t GROUP BY 1
+            ),
+            base AS (
+                SELECT t.series_id, t.rn AS irn, t.y AS yi, kk.k, kk.n,
+                       greatest(0, least(t.rn - 1 - kk.k // 2,
+                                         kk.n::INT - kk.k)) AS lo
+                FROM t JOIN kk USING (series_id)
+            ),
+            w AS (
+                SELECT b.series_id, b.irn, b.yi,
+                       j.rn::DOUBLE AS xj, j.y AS yj,
+                       abs(j.rn - b.irn)::DOUBLE AS d,
+                       greatest(b.irn - 1 - b.lo,
+                                b.lo + b.k - 1 - (b.irn - 1))::DOUBLE AS dmax
+                FROM base b
+                JOIN t j ON j.series_id = b.series_id
+                        AND j.rn - 1 BETWEEN b.lo AND b.lo + b.k - 1
+            ),
+            sums AS (
+                SELECT series_id, irn, max(yi) AS yi,
+                       sum(wt) AS sw, sum(wt * xj) AS sx, sum(wt * yj) AS sy,
+                       sum(wt * xj * xj) AS sxx, sum(wt * xj * yj) AS sxy
+                FROM (
+                    SELECT *, CASE WHEN dmax > 0
+                                   THEN pow(1 - pow(d / dmax, 3), 3)
+                                   ELSE 1.0 END AS wt
+                    FROM w
+                )
+                GROUP BY 1, 2
+            ),
+            sm AS (
+                SELECT series_id, irn, yi,
+                       CASE WHEN abs(sw * sxx - sx * sx)
+                                 < 1e-12 * greatest(sxx, 1.0)
+                            THEN sy / sw
+                            ELSE (sy - ((sw * sxy - sx * sy)
+                                        / (sw * sxx - sx * sx)) * sx) / sw
+                                 + ((sw * sxy - sx * sy)
+                                    / (sw * sxx - sx * sx)) * irn
+                       END AS trend
+                FROM sums
+            )
+            SELECT t.series_id, t.ds, round(s.yi - s.trend, 6) AS y_detrended
+            FROM sm s JOIN t ON t.series_id = s.series_id AND t.rn = s.irn
+        """.format(series=_SQL_SERIES.strip()),
         "ts_adf": f"""
             WITH {_SQL_SERIES},
             t AS (
