@@ -307,12 +307,14 @@ def q_ts_ewma(spark, sf_dir):
 
 def q_ts_stl(spark, sf_dir):
     """STL decomposition (iterated LOESS; Cleveland et al. 1990,
-    reference Forecaster.py:1394-1456 STL option) — LOESS smoothing is
-    not SQL-expressible, so this is rows-only."""
+    reference Forecaster.py:1394-1456 STL option) — hash-matched: the
+    oracle (_stl_oracle) unrolls all five LOESS passes + both low-pass
+    recentres in SQL using the closed-form nearest-k window on the
+    uniform grid."""
     from scalecast_spark.functions.stattests import stl_decompose
 
     out = stl_decompose(_series(spark, sf_dir), m=7)
-    return _out_ts(_r6(out, "trend", "seasonal", "resid"))
+    return _out_ts(_r6(out, "y", "trend", "seasonal", "resid"))
 
 
 def q_ts_ses(spark, sf_dir):
@@ -1360,6 +1362,7 @@ def oracle_sql() -> dict[str, str]:
         "ts_combo": _combo_oracle(),
         "ts_forecast_recursive": _recursive_ols_oracle(),
         "ts_ridge": _recursive_ols_oracle(alpha=25.0),
+        "ts_stl": _stl_oracle(),
         # LOESS on the uniform time grid: nearest-k window start is
         # clamp(i - k//2, 0, n-k) (verified against the engine's
         # slide-to-nearest loop for all n<=150), tricube weights +
@@ -2497,6 +2500,146 @@ def _theta_oracle() -> str:
         JOIN lev l USING (series_id)
         JOIN nn USING (series_id)
         CROSS JOIN (SELECT unnest(range(1, 8)) AS i) i
+    """
+
+
+def _loess_pass_sql(p: str, src: str, parts: list[str], frac: str) -> str:
+    """CTE block for one LOESS pass over ``src(parts..., xi INT
+    0-based uniform index, xv DOUBLE regression x, val DOUBLE)`` →
+    ``{p}_sm(parts..., xi, sm)``. Uniform grid ⇒ the engine's
+    slide-to-nearest-k window (functions/smooth.py) collapses to
+    lo = clamp(xi - k//2, 0, n-k) (verified exhaustively for n ≤ 150).
+    Groups with n < 3 fall back to the group mean (stl_decompose's
+    short-subseries branch). MATERIALIZED stops DuckDB from inlining
+    the chained passes exponentially."""
+    pl = ", ".join(parts)
+    bparts = ", ".join("b." + c for c in parts)
+    jn = " AND ".join(f"j.{c} = b.{c}" for c in parts)
+    return f"""
+        {p}_n AS MATERIALIZED (
+            SELECT {pl}, count(*) AS n,
+                   least(greatest(ceil({frac} * count(*))::INT, 2),
+                         count(*)::INT) AS k,
+                   avg(val) AS gmean
+            FROM {src} GROUP BY {pl}
+        ),
+        {p}_b AS MATERIALIZED (
+            SELECT s.*, g.k, g.n, g.gmean,
+                   greatest(0, least(s.xi - g.k // 2, g.n::INT - g.k)) AS lo
+            FROM {src} s JOIN {p}_n g USING ({pl})
+        ),
+        {p}_j AS MATERIALIZED (
+            SELECT {bparts}, b.xi, b.xv, b.n, b.gmean,
+                   j.xv AS jxv, j.val AS jval,
+                   CASE WHEN greatest(b.xi - b.lo, b.lo + b.k - 1 - b.xi) > 0
+                        THEN pow(1 - pow(abs(j.xi - b.xi)::DOUBLE
+                                 / greatest(b.xi - b.lo,
+                                            b.lo + b.k - 1 - b.xi), 3), 3)
+                        ELSE 1.0 END AS wt
+            FROM {p}_b b
+            JOIN {src} j ON {jn} AND j.xi BETWEEN b.lo AND b.lo + b.k - 1
+        ),
+        {p}_s AS MATERIALIZED (
+            SELECT {pl}, xi, xv, n, gmean,
+                   sum(wt) AS sw, sum(wt * jxv) AS sx, sum(wt * jval) AS sy,
+                   sum(wt * jxv * jxv) AS sxx, sum(wt * jxv * jval) AS sxy
+            FROM {p}_j
+            GROUP BY {pl}, xi, xv, n, gmean
+        ),
+        {p}_sm AS MATERIALIZED (
+            SELECT {pl}, xi,
+                   CASE WHEN n < 3 THEN gmean
+                        WHEN abs(sw * sxx - sx * sx)
+                             < 1e-12 * greatest(sxx, 1.0)
+                        THEN sy / sw
+                        ELSE (sy - ((sw * sxy - sx * sy)
+                                    / (sw * sxx - sx * sx)) * sx) / sw
+                             + ((sw * sxy - sx * sy)
+                                / (sw * sxx - sx * sx)) * xv
+                   END AS sm
+            FROM {p}_s
+        )"""
+
+
+def _stl_iteration_sql(i: int, trend_sm: str, m: int = 7) -> str:
+    """One STL inner iteration (stattests.stl_decompose loop body):
+    detrend → per-phase subseries LOESS → centered-MA low-pass with
+    edge padding → seasonal; emits sea{i} (by rn) and y{i} (the next
+    trend pass's input)."""
+    pad = m // 2
+    return f"""
+        d{i} AS MATERIALIZED (
+            SELECT t.series_id, t.rn, t.n, t.y,
+                   (t.rn - 1) % {m} AS ph,
+                   (t.rn - 1) // {m} AS si,
+                   t.y - tr.sm AS dv
+            FROM t JOIN {trend_sm} tr
+              ON tr.series_id = t.series_id AND tr.xi = t.rn - 1
+        ),
+        sub{i} AS MATERIALIZED (
+            SELECT series_id, ph, si AS xi, si::DOUBLE AS xv, dv AS val
+            FROM d{i}
+        ),{_loess_pass_sql(f"s{i}", f"sub{i}", ["series_id", "ph"], "0.6")},
+        smo{i} AS MATERIALIZED (
+            SELECT d.series_id, d.rn, d.n, s.sm
+            FROM d{i} d
+            JOIN s{i}_sm s ON s.series_id = d.series_id AND s.ph = d.ph
+                           AND s.xi = d.si
+        ),
+        hm{i} AS MATERIALIZED (
+            SELECT series_id,
+                   avg(CASE WHEN rn <= {m} THEN sm END) AS hmean,
+                   avg(CASE WHEN rn > n - {m} THEN sm END) AS tmean
+            FROM smo{i} GROUP BY 1
+        ),
+        lp{i} AS MATERIALIZED (
+            SELECT s.series_id, s.rn,
+                   (sum(s.sm) OVER (PARTITION BY s.series_id ORDER BY s.rn
+                                    ROWS BETWEEN {pad} PRECEDING
+                                             AND {pad} FOLLOWING)
+                    + greatest(0, {pad + 1} - s.rn) * h.hmean
+                    + greatest(0, s.rn + {pad} - s.n) * h.tmean)
+                   / {m} AS lp
+            FROM smo{i} s JOIN hm{i} h USING (series_id)
+        ),
+        sea{i} AS MATERIALIZED (
+            SELECT s.series_id, s.rn, s.sm - l.lp AS seasonal
+            FROM smo{i} s JOIN lp{i} l USING (series_id, rn)
+        ),
+        y{i} AS MATERIALIZED (
+            SELECT t.series_id, t.rn - 1 AS xi, t.rn::DOUBLE AS xv,
+                   t.y - se.seasonal AS val
+            FROM t JOIN sea{i} se ON se.series_id = t.series_id
+                                  AND se.rn = t.rn
+        )"""
+
+
+def _stl_oracle(m: int = 7) -> str:
+    """Oracle for q_ts_stl: the full simplified STL — initial trend
+    LOESS, then n_inner=2 × (detrend → subseries LOESS → low-pass →
+    trend LOESS) — unrolled as 5 chained LOESS passes + 2 low-pass
+    stages. trend_frac = min(1, 1.5m/50 + 0.2) = 0.41 for m=7."""
+    tf = repr(min(1.0, (1.5 * m) / 50.0 + 0.2))
+    return f"""
+        WITH {_SQL_SERIES.strip()},
+        t AS MATERIALIZED (
+            SELECT series_id, ds, y,
+                   row_number() OVER (PARTITION BY series_id ORDER BY ds)
+                       AS rn,
+                   count(*) OVER (PARTITION BY series_id) AS n
+            FROM series
+        ),
+        y0 AS MATERIALIZED (
+            SELECT series_id, rn - 1 AS xi, rn::DOUBLE AS xv, y AS val
+            FROM t
+        ),{_loess_pass_sql("t0", "y0", ["series_id"], tf)},{_stl_iteration_sql(1, "t0_sm", m)},{_loess_pass_sql("t1", "y1", ["series_id"], tf)},{_stl_iteration_sql(2, "t1_sm", m)},{_loess_pass_sql("t2", "y2", ["series_id"], tf)}
+        SELECT t.series_id, t.ds, round(t.y, 6) AS y,
+               round(tr.sm, 6) AS trend,
+               round(se.seasonal, 6) AS seasonal,
+               round(t.y - tr.sm - se.seasonal, 6) AS resid
+        FROM t
+        JOIN t2_sm tr ON tr.series_id = t.series_id AND tr.xi = t.rn - 1
+        JOIN sea2 se ON se.series_id = t.series_id AND se.rn = t.rn
     """
 
 
