@@ -807,13 +807,14 @@ def q_dedup_exact(spark, sf_dir):
 
 
 def q_dedup_minhash_sigs(spark, sf_dir):
-    from scalecast_spark.datapipe.dedup import minhash_signatures_projection
+    from scalecast_spark.datapipe.dedup import minhash_signatures, word_shingles
 
-    # zero-shuffle projection variant; values identical to the
-    # explode+groupBy path (covered by tests)
-    return minhash_signatures_projection(
-        _docs(spark, sf_dir).repartition(32), 3, 4
-    )
+    # explode + groupBy: the scalar md5 stays in whole-stage codegen
+    # (one digest per shingle, slices CSE'd) and the per-doc minima
+    # partial-aggregate map-side, so the shuffle carries n_docs x
+    # n_hashes longs. Beats the interpreted-HOF projection twin ~3x
+    # locally; values identical (covered by tests).
+    return minhash_signatures(word_shingles(_docs(spark, sf_dir), 3), n_hashes=4)
 
 
 def q_dedup_jaccard_pairs(spark, sf_dir):

@@ -22,6 +22,17 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F, Window as W
 
 
+def _spread(df: DataFrame) -> int:
+    """Explicit partition count for pre-explode repartitions: an
+    explicit number opts the exchange out of AQE partition coalescing,
+    which would shrink a byte-small-but-compute-heavy stage back to
+    one task (AQE sizes by input bytes, blind to per-row cost)."""
+    try:
+        return int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    except Exception:
+        return df.sparkSession.sparkContext.defaultParallelism
+
+
 def normalize_text(col):
     return F.regexp_replace(F.lower(F.trim(col)), r"\s+", " ")
 
@@ -62,41 +73,67 @@ def word_shingles(
     :func:`shingle_array` column instead of re-deriving from text."""
     sh = F.col(array_col) if array_col else shingle_array(F.col(text_col), n)
     # single-file sources arrive as ONE partition; spread the explode
-    # (the expensive step) across the cluster before it runs
-    return df.repartition(F.col(id_col)).select(
+    # (the expensive step) across the cluster before it runs. The
+    # partition COUNT is explicit: a column-only repartition lets AQE
+    # coalesce a byte-small shuffle back to one partition, which
+    # serializes the per-row shingle work AQE can't see (verified 6x
+    # slowdown at sf0.1).
+    return df.repartition(_spread(df), F.col(id_col)).select(
         id_col, F.explode(sh).alias("shingle")
     )
 
 
-def _digest_col(group: int, col="shingle"):
-    """md5 digest for hash group g (g=0 unsalted, g>0 prefixed) — each
-    digest yields FOUR independent 32-bit hashes by hex slicing, so n
-    hashes cost ceil(n/4) md5 computations per shingle."""
-    c = F.col(col) if isinstance(col, str) else col
-    if group == 0:
-        return F.md5(c)
-    return F.md5(F.concat(F.lit(f"g{group}:"), c))
+#: Carter-Wegman mixing constants (odd multipliers < 2^30 so a*x stays
+#: well inside a signed long for 32-bit x; adders arbitrary). Hash p is
+#: slice (p % 4) of the single md5 digest, mixed by group (p // 4):
+#: group 0 = the raw slice, group g >= 1 = (a_g * slice + b_g) mod 2^32
+#: — the standard universal-hash family, so n hashes cost ONE md5 per
+#: shingle instead of ceil(n/4).
+_MIX = [
+    (0x3B9ACA07, 0x7F4A7C15),
+    (0x2545F491, 0x9E3779B9),
+    (0x19660D01, 0x85EBCA6B),
+    (0x27D4EB2F, 0x165667B1),
+    (0x119DE1F3, 0xC2B2AE35),
+    (0x2AB57B63, 0x38495AB5),
+    (0x174DD1CB, 0x61C88647),
+]
+_M32 = 1 << 32
 
 
-def _slice_hash(digest, slot: int):
-    return F.conv(F.substring(digest, slot * 8 + 1, 8), 16, 10).cast("long")
+def _hashes_from_digest(digest, n_hashes: int) -> list:
+    """n 32-bit hash columns from ONE md5 hex digest: four 8-hex
+    slices + Carter-Wegman mixes of those slices."""
+    if n_hashes > 4 * (len(_MIX) + 1):
+        raise ValueError(f"at most {4 * (len(_MIX) + 1)} hashes supported")
+    slices = [
+        F.conv(F.substring(digest, s * 8 + 1, 8), 16, 10).cast("long")
+        for s in range(min(4, n_hashes))
+    ]
+    out = []
+    for p in range(n_hashes):
+        g, s = divmod(p, 4)
+        if g == 0:
+            out.append(slices[s])
+        else:
+            a, b = _MIX[g - 1]
+            out.append((slices[s] * F.lit(a) + F.lit(b)) % F.lit(_M32))
+    return out
 
 
 def minhash_signatures(
     shingles: DataFrame, n_hashes: int = 16, id_col: str = "doc_id"
 ) -> DataFrame:
     """(id, minhash_0..minhash_{n-1}): minima in ONE groupBy pass (all
-    aggregates share the shuffle); digests materialized per row before
-    the aggregate so each md5 runs once. Same hash scheme as
-    minhash_signatures_projection — signatures from the two physical
+    aggregates share the shuffle). ONE md5 per shingle row — the
+    digest is a scalar column, so whole-stage codegen's subexpression
+    elimination computes it once for all n hash exprs. Same hash scheme
+    as minhash_signatures_projection — signatures from the two physical
     plans are interchangeable."""
-    n_groups = (n_hashes + 3) // 4
-    src = shingles
-    for g in range(n_groups):
-        src = src.withColumn(f"_d{g}", _digest_col(g))
+    src = shingles.withColumn("_d0", F.md5(F.col("shingle")))
     aggs = [
-        F.min(_slice_hash(F.col(f"_d{p // 4}"), p % 4)).alias(f"minhash_{p}")
-        for p in range(n_hashes)
+        F.min(h).alias(f"minhash_{p}")
+        for p, h in enumerate(_hashes_from_digest(F.col("_d0"), n_hashes))
     ]
     return src.groupBy(id_col).agg(*aggs)
 
@@ -113,33 +150,39 @@ def minhash_signatures_projection(
     any scale when the shingle frame isn't otherwise needed. Pass
     ``array_col`` to reuse a prebuilt :func:`shingle_array` column."""
     sh = F.col(array_col) if array_col else shingle_array(F.col(text_col), n)
-    # ONE md5 per (shingle, 4-hash group): the 32-hex digest yields four
-    # independent 32-bit hashes by slicing — 4x fewer digest
-    # computations than per-permutation md5, same statistical behavior.
-    # Groups beyond the first salt the input ("g1:" prefix etc).
+    # ONE md5 per shingle: transform(_sh, md5) runs once (its result
+    # feeds exactly one consumer — HOFs get no CSE, so fan-out would
+    # re-evaluate it), then a single F.aggregate pass folds ALL n
+    # minima simultaneously: acc is the n-vector of running minima,
+    # zip_with(least) merges each element's n hashes. The old shape
+    # (n x array_min(transform(...))) re-ran the digest transform per
+    # hash — 4x the md5 work after CollapseProject inlining.
     out = df.select(id_col, sh.alias("_sh"))
-    n_groups = (n_hashes + 3) // 4
+    digests = F.transform(F.col("_sh"), lambda s: F.md5(s))
+    sentinel = F.lit(int(_M32)).cast("long")
+    init = F.array(*([sentinel] * n_hashes))
 
-    def digests(group: int):
-        if group == 0:
-            return lambda s: F.md5(s)
-        prefix = f"g{group}:"
-        return lambda s: F.md5(F.concat(F.lit(prefix), s))
-
-    for g in range(n_groups):
-        out = out.withColumn(f"_d{g}", F.transform(F.col("_sh"), digests(g)))
-    for p in range(n_hashes):
-        g, slot = divmod(p, 4)
-
-        def slicer(start: int):
-            return lambda d: F.conv(F.substring(d, start, 8), 16, 10).cast("long")
-
-        out = out.withColumn(
-            f"minhash_{p}",
-            F.array_min(F.transform(F.col(f"_d{g}"), slicer(slot * 8 + 1))),
+    def merge(acc, d):
+        return F.zip_with(
+            acc,
+            F.array(*_hashes_from_digest(d, n_hashes)),
+            lambda x, y: F.least(x, y),
         )
-    drop = ["_sh"] + [f"_d{g}" for g in range(n_groups)]
-    return out.drop(*drop).filter(F.col("minhash_0").isNotNull())
+
+    # two-step select: the _mh alias is referenced n times below, and
+    # CollapseProject (SPARK-36718) refuses to inline a non-cheap
+    # expression with multiple references — verified in the plan: ONE
+    # aggregate(transform(...)) evaluation feeds all n element_at's.
+    merged = out.filter(F.size("_sh") > 0).select(
+        id_col, F.aggregate(digests, init, merge).alias("_mh")
+    )
+    return merged.select(
+        id_col,
+        *[
+            F.element_at(F.col("_mh"), p + 1).alias(f"minhash_{p}")
+            for p in range(n_hashes)
+        ],
+    )
 
 
 def lsh_candidate_pairs(
@@ -264,7 +307,7 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits:
         F.array_distinct(F.split(normalize_text(F.col(text_col)), " "))
     ).alias("w")
     tokens = (
-        df.repartition(F.col(id_col))
+        df.repartition(_spread(df), F.col(id_col))
         .select(id_col, words)
         .filter(F.length("w") > 0)
     )
