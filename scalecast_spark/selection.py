@@ -135,36 +135,67 @@ def reduce_Xvars(
     estimator: str = "mlr",
     keep_at_least: int = 1,
     monitor_length: int | None = None,
+    method: str = "pfi",
 ) -> list[str]:
-    """Backward feature elimination ranked by PERMUTATION importance
-    (reference Forecaster.py:451-631 uses SHAP; permutation importance
-    is the library-free equivalent): repeatedly drop the least
-    important feature while the validation metric does not degrade."""
+    """Backward feature elimination (reference Forecaster.py:451-631).
+
+    ``method='shap'`` ranks features ONCE by exact linear-SHAP
+    importance (functions/shap.py — closed form, no shap package) and
+    drops in ascending-importance order while the validation metric
+    does not degrade: F re-scores total, matching the reference's
+    SHAP-ranked flow. Linear-family estimators only.
+
+    ``method='pfi'`` (default, any estimator) uses leave-one-out
+    permutation-style scores; the per-feature scores within a round
+    are independent Spark jobs submitted concurrently."""
     from scalecast_spark.functions.parallel import run_jobs
 
     val_len = monitor_length or f.validation_length or 7
     f.set_estimator(estimator)
     feats = list(f.tsf.features)
     best_v = _score(f, feats, val_len)
-    while len(feats) > keep_at_least:
-        # importance proxy: score WITHOUT each feature; the one whose
-        # removal HELPS most (or hurts least) goes first. The per-
-        # feature leave-one-out scores within a round are independent
-        # Spark jobs — submitted concurrently (the O(F²) serial loop
-        # was VERDICT r1 perf item #5)
-        vals = run_jobs(
-            [
-                lambda c=c: _score(f, [x for x in feats if x != c], val_len)
-                for c in feats
-            ],
-            on_error="nan",
-        )
-        scores = dict(zip(feats, vals))
-        drop_c, v = min(scores.items(), key=lambda t: t[1])
-        if math.isnan(v) or v > best_v:
-            break
-        feats = [x for x in feats if x != drop_c]
-        best_v = v
+    if method == "shap":
+        if estimator not in ("mlr", "ridge", "lasso", "elasticnet", "sgd"):
+            raise ValueError(
+                "method='shap' is exact for linear estimators only; "
+                "use method='pfi' for " + estimator
+            )
+        from scalecast_spark.functions.shap import linear_shap_importance
+
+        imp = {
+            r["feature"]: r["importance"]
+            for r in linear_shap_importance(f.tsf.df, feats).collect()
+        }
+        # least important first; features the fit never saw rank last
+        order = sorted(feats, key=lambda c: imp.get(c, float("inf")))
+        for c in order:
+            if len(feats) <= keep_at_least:
+                break
+            v = _score(f, [x for x in feats if x != c], val_len)
+            if math.isnan(v) or v > best_v:
+                break
+            feats = [x for x in feats if x != c]
+            best_v = v
+    else:
+        while len(feats) > keep_at_least:
+            # importance proxy: score WITHOUT each feature; the one
+            # whose removal HELPS most (or hurts least) goes first.
+            # The per-feature leave-one-out scores within a round are
+            # independent Spark jobs — submitted concurrently (the
+            # O(F²) serial loop was VERDICT r1 perf item #5)
+            vals = run_jobs(
+                [
+                    lambda c=c: _score(f, [x for x in feats if x != c], val_len)
+                    for c in feats
+                ],
+                on_error="nan",
+            )
+            scores = dict(zip(feats, vals))
+            drop_c, v = min(scores.items(), key=lambda t: t[1])
+            if math.isnan(v) or v > best_v:
+                break
+            feats = [x for x in feats if x != drop_c]
+            best_v = v
     dropped = [c for c in f.tsf.features if c not in feats]
     if dropped:
         f.tsf = f.tsf.drop_features(*dropped)

@@ -132,3 +132,39 @@ def test_pt_terms(f):
     assert "t_pt" in f.get_regressor_names()
     vals = f.tsf.df.select("t_pt").filter(F.col("t_pt").isNotNull()).count()
     assert vals > 0
+
+
+def test_linear_shap_ranks_signal_above_noise(spark):
+    """Exact linear SHAP (functions/shap.py): a feature with a real
+    coefficient must out-rank a pure-noise feature."""
+    import datetime as dt
+
+    from scalecast_spark.functions.shap import linear_shap_importance
+
+    rng = np.random.RandomState(7)
+    rows = []
+    d0 = dt.date(2024, 1, 1)
+    for s in range(3):
+        for i in range(60):
+            x = float(i % 9)
+            noise = float(rng.randn())
+            y = 3.0 * x + 0.5 * s + rng.randn() * 0.1
+            rows.append((f"s{s}", d0 + dt.timedelta(days=i), y, 0, x, noise))
+    df = spark.createDataFrame(
+        rows,
+        schema="series_id string, ds date, y double, is_future int,"
+               " x double, noise double",
+    )
+    imp = {
+        r["feature"]: r["importance"]
+        for r in linear_shap_importance(df, ["x", "noise"]).collect()
+    }
+    assert imp["x"] > 10 * imp["noise"]
+
+
+def test_reduce_xvars_shap(f):
+    kept = reduce_Xvars(f, estimator="mlr", keep_at_least=2, method="shap")
+    assert len(kept) >= 2
+    assert list(f.tsf.features) == kept
+    with pytest.raises(ValueError):
+        reduce_Xvars(f, estimator="gbt", method="shap")
