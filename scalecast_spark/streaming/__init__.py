@@ -1,10 +1,13 @@
 from scalecast_spark.streaming.ops import (
     stream_events,
+    stream_documents,
+    dedup_stream,
     windowed_series,
     sessionize_stream,
     run_available_now,
 )
 
 __all__ = [
-    "stream_events", "windowed_series", "sessionize_stream", "run_available_now",
+    "stream_events", "stream_documents", "dedup_stream",
+    "windowed_series", "sessionize_stream", "run_available_now",
 ]

@@ -96,15 +96,74 @@ def sessionize_stream(
     )
 
 
+DOCS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+    ]
+)
+
+
+def stream_documents(spark: SparkSession, path: str) -> DataFrame:
+    """readStream over the documents parquet source (single-file paths
+    handled like stream_events)."""
+    import os
+
+    reader = spark.readStream.schema(DOCS_SCHEMA).option("maxFilesPerTrigger", 4)
+    if path.endswith(".parquet") and os.path.isfile(path):
+        reader = reader.option("pathGlobFilter", os.path.basename(path))
+        path = os.path.dirname(path)
+    return reader.parquet(path)
+
+
+def dedup_stream(
+    docs: DataFrame,
+    text_col: str = "text",
+    ts_col: str | None = None,
+    watermark: str = "1 day",
+) -> DataFrame:
+    """Streaming twin of datapipe.dedup.dedup_exact: first-SEEN doc per
+    normalized content hash survives (the batch twin keeps the lowest
+    id — arrival order and id order coincide for ordered backfills).
+
+    With an event-time column the dedup state is BOUNDED:
+    ``dropDuplicatesWithinWatermark`` evicts hashes older than the
+    watermark — the right semantics for a continuous crawl firehose
+    where re-crawls arrive close together. Without one, state grows
+    with distinct content (use only for bounded AvailableNow drains).
+    """
+    from scalecast_spark.datapipe.dedup import normalize_text
+
+    out = docs.withColumn("_h", F.md5(normalize_text(F.col(text_col))))
+    if ts_col:
+        out = out.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+            ["_h"]
+        )
+    else:
+        out = out.dropDuplicates(["_h"])
+    return out.drop("_h")
+
+
 def run_available_now(
-    stream_df: DataFrame, query_name: str, checkpoint_dir: str, timeout_sec: int = 120
+    stream_df: DataFrame,
+    query_name: str,
+    checkpoint_dir: str,
+    timeout_sec: int = 120,
+    output_mode: str | None = None,
 ) -> DataFrame:
     """Drain the source into an in-memory table with Trigger.AvailableNow
-    and return the materialized result as a batch DataFrame."""
+    and return the materialized result as a batch DataFrame.
+    ``output_mode`` defaults to 'complete' for aggregating streams;
+    pass 'append' for row-level operators (dedup_stream)."""
+    if output_mode is None:
+        output_mode = "complete" if stream_df.isStreaming else "append"
     q = (
         stream_df.writeStream.format("memory")
         .queryName(query_name)
-        .outputMode("complete" if stream_df.isStreaming else "append")
+        .outputMode(output_mode)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()

@@ -47,3 +47,38 @@ def test_sessionize_stream_counts(spark, sf_dir, events_path):
     gcnt = got.groupby("user_id").size().sort_index()
     bcnt = batch.groupby("user_id").size().sort_index()
     assert (gcnt == bcnt).all()
+
+
+def test_dedup_stream_matches_batch_count(spark, sf_dir):
+    """Streaming exact dedup (first-seen per content hash) must keep
+    exactly as many docs as the batch dedup_exact twin."""
+    from scalecast_spark.datapipe.dedup import dedup_exact
+    from scalecast_spark.streaming import dedup_stream, run_available_now, stream_documents
+
+    docs_path = f"{sf_dir}/documents.parquet"
+    stream = stream_documents(spark, docs_path)
+    deduped = dedup_stream(stream)
+    with tempfile.TemporaryDirectory() as ckpt:
+        got = run_available_now(
+            deduped, "dedup_test", ckpt, output_mode="append"
+        ).toPandas()
+    batch = dedup_exact(load_table(spark, sf_dir, "documents")).toPandas()
+    assert len(got) == len(batch)
+    # the surviving CONTENT is identical even if chosen ids differ
+    import hashlib
+    def norm(t):
+        import re
+        return re.sub(r"\s+", " ", t.strip().lower())
+    assert {norm(t) for t in got["text"]} == {norm(t) for t in batch["text"]}
+
+
+def test_dedup_stream_watermark_plan(spark, sf_dir):
+    """The watermarked variant must build a valid streaming plan with
+    dropDuplicatesWithinWatermark (bounded state)."""
+    from scalecast_spark.streaming import dedup_stream, stream_events
+
+    ev = stream_events(spark, f"{sf_dir}/events.parquet").withColumnRenamed(
+        "props", "text"
+    )
+    out = dedup_stream(ev, text_col="text", ts_col="ts", watermark="1 hour")
+    assert out.isStreaming
