@@ -760,6 +760,46 @@ class Forecaster:
             return out
         raise ValueError(f"unknown export {which!r}")
 
+    def export_to_excel(
+        self,
+        path: str,
+        which: list[str] | None = None,
+    ) -> str:
+        """Multi-sheet workbook export (reference Forecaster.py:2065-2219
+        ``to_excel=True``): one sheet per requested frame. Uses
+        openpyxl/xlsxwriter when installed; in environments without an
+        xlsx writer (this container) it degrades to a DIRECTORY of
+        CSVs, one per sheet, and returns that path. Driver-side by
+        design — exports are presentation-sized (model summaries,
+        horizon rows), never the raw frame."""
+        import os
+
+        which = which or ["model_summaries", "lvl_fcsts"]
+        sheets = {}
+        for w in which:
+            df = self.export(w)
+            if df is not None:
+                sheets[w] = df.toPandas()
+        try:
+            import importlib
+
+            eng = next(
+                m for m in ("openpyxl", "xlsxwriter")
+                if importlib.util.find_spec(m) is not None
+            )
+            import pandas as pd
+
+            with pd.ExcelWriter(path, engine=eng) as xw:
+                for name, pdf in sheets.items():
+                    pdf.to_excel(xw, sheet_name=name[:31], index=False)
+            return path
+        except StopIteration:
+            out_dir = path[:-5] if path.endswith(".xlsx") else path
+            os.makedirs(out_dir, exist_ok=True)
+            for name, pdf in sheets.items():
+                pdf.to_csv(os.path.join(out_dir, f"{name}.csv"), index=False)
+            return out_dir
+
     def order_fcsts(self, by: str = "TestSetRMSE") -> list[str]:
         """Rank models (reference _Forecaster_parent.py:363-426)."""
         metric = by.replace("TestSet", "").replace("InSample", "").lower()

@@ -82,3 +82,20 @@ def test_grid_limit():
     f.ingest_grid(grid)
     f.limit_grid_size(0.5, random_seed=1)
     assert len(f.grid) == 3
+
+
+def test_export_to_excel_fallback(f, tmp_path):
+    """Workbook export degrades to a CSV directory when no xlsx writer
+    is installed (reference Forecaster.py:2065-2219 surface)."""
+    import os
+
+    f.set_estimator("naive").manual_forecast(m=7)
+    out = f.export_to_excel(str(tmp_path / "results.xlsx"))
+    assert os.path.exists(out)
+    if os.path.isdir(out):  # container path: no openpyxl/xlsxwriter
+        names = sorted(os.listdir(out))
+        assert names == ["lvl_fcsts.csv", "model_summaries.csv"]
+        import pandas as pd
+
+        summ = pd.read_csv(os.path.join(out, "model_summaries.csv"))
+        assert "ModelNickname" in summ.columns
