@@ -830,22 +830,21 @@ def q_dedup_jaccard_pairs(spark, sf_dir):
     from scalecast_spark.datapipe.dedup import (
         jaccard_pairs,
         lsh_candidate_pairs,
-        minhash_signatures_projection,
+        minhash_signatures,
         shingle_array,
         word_shingles,
     )
 
     docs = _docs(spark, sf_dir)
-    # build the shingle array ONCE; both the signature projection and
-    # the exploded verify frame derive from the cached slim projection
-    base = (
-        docs.repartition(32)
-        .select("doc_id", shingle_array(F.col("text"), 3).alias("_sh_arr"))
-        .cache()
+    # ONE shingle build, ONE explode: the cached exploded frame feeds
+    # both the signature groupBy (scalar md5, codegen, map-side minima)
+    # and the candidate-restricted verify join
+    base = docs.repartition(32).select(
+        "doc_id", shingle_array(F.col("text"), 3).alias("_sh_arr")
     )
-    sigs = minhash_signatures_projection(base, 3, 4, array_col="_sh_arr")
+    sh = word_shingles(base, 3, array_col="_sh_arr").cache()
+    sigs = minhash_signatures(sh, n_hashes=4)
     cands = lsh_candidate_pairs(sigs, bands=4)
-    sh = word_shingles(base, 3, array_col="_sh_arr")
     return jaccard_pairs(sh, candidates=cands, min_jaccard=0.5).select(
         "id_a", "id_b", F.col("inter").cast("long").alias("inter"), "jaccard"
     )

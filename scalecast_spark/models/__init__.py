@@ -34,6 +34,7 @@ MODELS = {
     "gbt": gbt_model,
     "rf": rf_model,
     "xgboost": gbt_model,  # alias; real xgboost import-gated in trees.py
+    "catboost": gbt_model,  # alias; gradient boosting is the shared core
     "mlp": mlp_model,
     "rnn": rnn_model,
     "lstm": rnn_model,

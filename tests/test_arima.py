@@ -74,3 +74,22 @@ def test_prophet_tbats_gated(spark, sf_dir):
         f.set_estimator(name)
         with pytest.raises(NotImplementedError):
             f.manual_forecast()
+
+
+def test_arima_matches_statsmodels_when_available():
+    """Exact-MLE parity harness (COVERAGE round-3 #2): when the gated
+    statsmodels backend exists, our Hannan-Rissanen AR(1) forecast must
+    land near the MLE answer. Skips in-container (package absent)."""
+    import numpy as np
+    import pytest
+
+    sm = pytest.importorskip("statsmodels.api")
+    from scalecast_spark.models.arima import arima_fit_forecast
+
+    rng = np.random.RandomState(3)
+    y = np.zeros(300)
+    for t in range(1, 300):
+        y[t] = 5.0 + 0.7 * (y[t - 1] - 5.0) + rng.randn() * 0.5
+    _, fc = arima_fit_forecast(y, 5, order=(1, 0, 0))
+    ref = sm.tsa.ARIMA(y, order=(1, 0, 0)).fit().forecast(5)
+    assert np.allclose(fc, np.asarray(ref), atol=0.2)
