@@ -1003,6 +1003,46 @@ def q_ts_ridge(spark, sf_dir):
     )
 
 
+def q_ts_prophet(spark, sf_dir):
+    """prophet estimator (reference models.py:1275-1401) — numpy
+    additive-model core (piecewise trend + Fourier, ridge MAP stand-in);
+    the joint penalized solve over ~20 columns is not SQL-expressible,
+    so rows-only."""
+    from scalecast_spark.frame import TimeSeriesFrame
+    from scalecast_spark.models import MODELS
+
+    tsf = TimeSeriesFrame.from_long(_series(spark, sf_dir)).generate_future_dates(7)
+    out = MODELS["prophet"](tsf.df)
+    return _out_ts(
+        _r6(
+            out.filter(F.col("is_future") == 1).select(
+                "series_id", "ds", "forecast"
+            ),
+            "forecast",
+        )
+    )
+
+
+def q_ts_tbats(spark, sf_dir):
+    """tbats estimator (reference models.py:1061-1147) — numpy TBATS
+    core (Box-Cox + trigonometric seasonality + AR(1) errors); the
+    Box-Cox grid + multi-column OLS chain is not SQL-expressible, so
+    rows-only."""
+    from scalecast_spark.frame import TimeSeriesFrame
+    from scalecast_spark.models import MODELS
+
+    tsf = TimeSeriesFrame.from_long(_series(spark, sf_dir)).generate_future_dates(7)
+    out = MODELS["tbats"](tsf.df)
+    return _out_ts(
+        _r6(
+            out.filter(F.col("is_future") == 1).select(
+                "series_id", "ds", "forecast"
+            ),
+            "forecast",
+        )
+    )
+
+
 def q_ts_forecast_direct(spark, sf_dir):
     """DIRECT multi-horizon forecast (reference rnn/lstm's
     non-recursive strategy, models.py:651-671): one multi-output MLP
@@ -1174,6 +1214,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rows-only (no oracle — non-SQL-expressible semantics)
         "ts_forecast_direct": q_ts_forecast_direct,
         "ts_cv_grid": q_ts_cv_grid,
+        "ts_prophet": q_ts_prophet,
+        "ts_tbats": q_ts_tbats,
     }
 
 

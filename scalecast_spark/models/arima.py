@@ -173,23 +173,144 @@ def auto_arima_model(df: DataFrame, features=None, max_p: int = 3, max_d: int = 
     return run_series_kernel(df, fn)
 
 
-def prophet_model(df: DataFrame, features=None, **_) -> DataFrame:
-    """Reference 'prophet' (models.py:1275-1401). Needs the prophet
-    package; import-gated."""
-    try:
-        import prophet  # noqa: F401
-    except ImportError as e:  # pragma: no cover - env-dependent
-        raise NotImplementedError(
-            "prophet not installed; 'theta' or 'hwes' cover trend+"
-            "seasonality without extra deps"
-        ) from e
-    raise NotImplementedError("prophet backend wiring lands when installed")
+def _fourier_cols(t: np.ndarray, period: float, order: int) -> list[np.ndarray]:
+    cols = []
+    for k in range(1, order + 1):
+        w = 2.0 * np.pi * k * t / period
+        cols.append(np.sin(w))
+        cols.append(np.cos(w))
+    return cols
 
 
-def tbats_model(df: DataFrame, features=None, **_) -> DataFrame:
-    """Reference 'tbats' (models.py:1061-1147). Needs tbats; gated."""
-    try:
-        import tbats  # noqa: F401
-    except ImportError as e:  # pragma: no cover - env-dependent
-        raise NotImplementedError("tbats not installed") from e
-    raise NotImplementedError("tbats backend wiring lands when installed")
+def prophet_fit_forecast(
+    y: np.ndarray, h: int, n_changepoints: int = 10,
+    weekly_order: int = 3, yearly_order: int = 10, ridge: float = 1.0,
+) -> tuple[np.ndarray, np.ndarray]:
+    """TF-free core of the prophet additive model (Taylor & Letham
+    2017; the public model is g(t) + s(t) + e): piecewise-linear trend
+    with changepoints at quantiles of the first 80% of history, Fourier
+    seasonality (weekly order 3; yearly order 10 when the history spans
+    >2 cycles), fit jointly by ridge-penalized least squares — the L2
+    stand-in for prophet's MAP estimate with a Laplace changepoint
+    prior. Daily spacing assumed, matching the engine's long frame."""
+    n = len(y)
+    t = np.arange(n, dtype=float)
+    cps = np.quantile(t[: max(int(0.8 * n), 2)],
+                      np.linspace(0.1, 0.9, n_changepoints)) if n > 10 else []
+    cols = [np.ones(n), t]
+    pen = [0.0, 0.0]
+    for cp in cps:
+        cols.append(np.maximum(t - cp, 0.0))
+        pen.append(ridge)
+    for c in _fourier_cols(t, 7.0, weekly_order):
+        cols.append(c)
+        pen.append(0.0)
+    if n > 2 * 365:
+        for c in _fourier_cols(t, 365.25, yearly_order):
+            cols.append(c)
+            pen.append(0.0)
+    X = np.column_stack(cols)
+    A = X.T @ X + np.diag(pen)
+    beta = np.linalg.solve(A, X.T @ y)
+    fitted = X @ beta
+
+    tf = np.arange(n, n + h, dtype=float)
+    fcols = [np.ones(h), tf]
+    for cp in cps:
+        fcols.append(np.maximum(tf - cp, 0.0))
+    for c in _fourier_cols(tf, 7.0, weekly_order):
+        fcols.append(c)
+    if n > 2 * 365:
+        for c in _fourier_cols(tf, 365.25, yearly_order):
+            fcols.append(c)
+    fc = np.column_stack(fcols) @ beta
+    return fitted, fc
+
+
+def prophet_model(df: DataFrame, features=None, **kwargs) -> DataFrame:
+    """Reference 'prophet' (models.py:1275-1401). Uses the real prophet
+    package when installed; otherwise the numpy additive-model core
+    (prophet_fit_forecast) — same model family, deterministic fit."""
+    try:  # pragma: no cover - env-dependent
+        from prophet import Prophet  # noqa: F401
+        import pandas as pd
+
+        def fn_real(y, h):
+            ds = pd.date_range("2000-01-01", periods=len(y), freq="D")
+            m = Prophet()
+            m.fit(pd.DataFrame({"ds": ds, "y": y}))
+            fut = m.make_future_dataframe(periods=h, freq="D")
+            out = m.predict(fut)["yhat"].to_numpy()
+            return out[: len(y)], out[len(y):]
+
+        return run_series_kernel(df, fn_real)
+    except ImportError:
+        pass
+    return run_series_kernel(
+        df, lambda y, h: prophet_fit_forecast(y, h, **kwargs)
+    )
+
+
+def tbats_fit_forecast(
+    y: np.ndarray, h: int, m: int = 7, fourier_order: int = 3,
+) -> tuple[np.ndarray, np.ndarray]:
+    """TF-free core of TBATS (De Livera, Hyndman & Snyder 2011:
+    Trigonometric seasonality, Box-Cox, ARMA errors, Trend, Seasonal):
+    Box-Cox at the profile-likelihood λ (positive series only), linear
+    trend + trigonometric seasonal terms by OLS, AR(1) on the residuals
+    for the error process, forecasts reintegrated through the inverse
+    Box-Cox."""
+    from scalecast_spark.operators.features import _boxcox_mle_lambda
+
+    n = len(y)
+    use_bc = bool(np.all(y > 0))
+    if use_bc:
+        lam = _boxcox_mle_lambda(y)
+        z = (np.power(y, lam) - 1.0) / lam if abs(lam) > 1e-12 else np.log(y)
+    else:
+        lam, z = 1.0, y.astype(float)
+    t = np.arange(n, dtype=float)
+    X = np.column_stack([np.ones(n), t] + _fourier_cols(t, float(m), fourier_order))
+    beta, *_ = np.linalg.lstsq(X, z, rcond=None)
+    resid = z - X @ beta
+    phi = 0.0
+    if n > 3:
+        num = float(resid[1:] @ resid[:-1])
+        den = float(resid[:-1] @ resid[:-1])
+        phi = num / den if den > 0 else 0.0
+        phi = float(np.clip(phi, -0.98, 0.98))
+    fitted_z = X @ beta
+    fitted_z[1:] += phi * resid[:-1]
+
+    tf = np.arange(n, n + h, dtype=float)
+    Xf = np.column_stack([np.ones(h), tf] + _fourier_cols(tf, float(m), fourier_order))
+    fc_z = Xf @ beta + phi ** np.arange(1, h + 1) * (resid[-1] if n else 0.0)
+
+    def inv(v):
+        if not use_bc:
+            return v
+        if abs(lam) > 1e-12:
+            base = np.maximum(lam * v + 1.0, 1e-12)
+            return np.power(base, 1.0 / lam)
+        return np.exp(v)
+
+    return inv(fitted_z), inv(fc_z)
+
+
+def tbats_model(df: DataFrame, features=None, m: int = 7, **kwargs) -> DataFrame:
+    """Reference 'tbats' (models.py:1061-1147). Real tbats package when
+    installed; otherwise the numpy TBATS core (tbats_fit_forecast)."""
+    try:  # pragma: no cover - env-dependent
+        from tbats import TBATS  # noqa: F401
+
+        def fn_real(y, h):
+            est = TBATS(seasonal_periods=[m])
+            model = est.fit(y)
+            return model.y_hat, model.forecast(steps=h)
+
+        return run_series_kernel(df, fn_real)
+    except ImportError:
+        pass
+    return run_series_kernel(
+        df, lambda y, h: tbats_fit_forecast(y, h, m=m, **kwargs)
+    )

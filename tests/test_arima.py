@@ -67,13 +67,15 @@ def test_arima_through_forecaster(spark, sf_dir):
     assert summ["auto_arima"]["TestSetRMSE"] > 0
 
 
-def test_prophet_tbats_gated(spark, sf_dir):
+def test_prophet_tbats_no_longer_gated(spark, sf_dir):
+    """prophet/tbats now run everywhere: the real packages when
+    installed, numpy additive-model / TBATS cores otherwise."""
     series = events_to_series(load_table(spark, sf_dir, "events"))
     f = Forecaster(series, future_dates=3)
     for name in ("prophet", "tbats"):
         f.set_estimator(name)
-        with pytest.raises(NotImplementedError):
-            f.manual_forecast()
+        f.manual_forecast(call_me=name)
+    assert {"prophet", "tbats"} <= set(f.history)
 
 
 def test_arima_matches_statsmodels_when_available():
@@ -93,3 +95,50 @@ def test_arima_matches_statsmodels_when_available():
     _, fc = arima_fit_forecast(y, 5, order=(1, 0, 0))
     ref = sm.tsa.ARIMA(y, order=(1, 0, 0)).fit().forecast(5)
     assert np.allclose(fc, np.asarray(ref), atol=0.2)
+
+
+def test_prophet_fallback_captures_trend_and_weekly_cycle():
+    import numpy as np
+
+    from scalecast_spark.models.arima import prophet_fit_forecast
+
+    rng = np.random.RandomState(4)
+    n = 120
+    t = np.arange(n)
+    y = 50 + 0.5 * t + 8 * np.sin(2 * np.pi * t / 7) + rng.randn(n) * 0.3
+    fitted, fc = prophet_fit_forecast(y, 14)
+    assert len(fitted) == n and len(fc) == 14
+    tf = np.arange(n, n + 14)
+    truth = 50 + 0.5 * tf + 8 * np.sin(2 * np.pi * tf / 7)
+    assert float(np.sqrt(np.mean((fc - truth) ** 2))) < 2.0
+
+
+def test_tbats_fallback_positive_seasonal_series():
+    import numpy as np
+
+    from scalecast_spark.models.arima import tbats_fit_forecast
+
+    rng = np.random.RandomState(5)
+    n = 100
+    t = np.arange(n)
+    y = np.exp(0.01 * t) * (10 + 2 * np.sin(2 * np.pi * t / 7)) + rng.rand(n)
+    fitted, fc = tbats_fit_forecast(y, 7)
+    assert len(fitted) == n and len(fc) == 7
+    assert np.all(fc > 0)  # inverse Box-Cox keeps the positive domain
+    # weekly phase should persist: the forecast's max/min gap is real
+    assert fc.max() - fc.min() > 1.0
+
+
+def test_prophet_tbats_through_registry(spark, sf_dir):
+    from scalecast_spark import Forecaster
+    from scalecast_spark.sources import load_table, events_to_series
+
+    series = events_to_series(load_table(spark, sf_dir, "events"))
+    f = Forecaster(series, future_dates=5)
+    f.set_test_length(5)
+    for est in ("prophet", "tbats"):
+        f.set_estimator(est)
+        f.manual_forecast(call_me=est)
+    summ = {r["ModelNickname"]: r for r in f.export("model_summaries").collect()}
+    assert summ["prophet"]["TestSetRMSE"] > 0
+    assert summ["tbats"]["TestSetRMSE"] > 0

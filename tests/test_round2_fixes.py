@@ -200,18 +200,27 @@ def test_add_optimizer_func(spark):
 
 
 def test_gated_stub_warns_and_continues(spark, capsys):
-    """tune_test_forecast(models=[prophet...], error='warn') must warn
-    and keep going when the backing package is absent
-    (reference _utils.py:89-142 policy)."""
+    """tune_test_forecast(..., error='warn') must warn and keep going
+    when an estimator's backend fails (reference _utils.py:89-142
+    policy). prophet/tbats now have numpy fallbacks, so the policy is
+    exercised with a deliberately-failing registered estimator."""
+    from scalecast_spark.models import MODELS, add_estimator
     from scalecast_spark.selection import tune_test_forecast
 
-    df = _mk_series(spark, n_series=2, n=30)
-    f = Forecaster(df, future_dates=3)
-    f.set_test_length(4).set_validation_length(4)
-    tune_test_forecast(f, ["prophet", "naive"], error="warn")
-    out = capsys.readouterr().out
-    assert "prophet" in out and "failed" in out
-    assert "naive" in f.history and "prophet" not in f.history
+    def boom(df, features=None, **_):
+        raise NotImplementedError("backend deliberately absent")
+
+    add_estimator("boom", boom)
+    try:
+        df = _mk_series(spark, n_series=2, n=30)
+        f = Forecaster(df, future_dates=3)
+        f.set_test_length(4).set_validation_length(4)
+        tune_test_forecast(f, ["boom", "naive"], error="warn")
+        out = capsys.readouterr().out
+        assert "boom" in out and "failed" in out
+        assert "naive" in f.history and "boom" not in f.history
+    finally:
+        MODELS.pop("boom", None)
 
 
 # ------------------------------------------- grid-batched CV kernel
