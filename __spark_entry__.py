@@ -1107,6 +1107,16 @@ def q_sim_lsh_topk(spark, sf_dir):
     return lsh_bucket_topk(emb, [float(x) for x in q], k=10, n_planes=6)
 
 
+def q_emb_kmeans(spark, sf_dir):
+    """Distributed k-means corpus clustering (datapipe/cluster.py):
+    md5-seeded Lloyd, 3 iterations — assignment is a scan-side
+    projection, the mean update a k×d aggregate. Fully deterministic,
+    so the whole iteration chain replays in SQL (_kmeans_oracle)."""
+    from scalecast_spark.datapipe.cluster import kmeans_embeddings
+
+    return kmeans_embeddings(_emb(spark, sf_dir), k=8, n_iter=3)
+
+
 def q_dedup_simhash(spark, sf_dir):
     """60-bit SimHash fingerprints (bit-level doc signature)."""
     from scalecast_spark.datapipe.dedup import simhash
@@ -1207,6 +1217,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_norms": q_emb_norms,
         "dedup_simhash": q_dedup_simhash,
         "sim_lsh_topk": q_sim_lsh_topk,
+        "emb_kmeans": q_emb_kmeans,
         "multimodal_features": q_multimodal_features,
         "ts_forecast_recursive": q_ts_forecast_recursive,
         "ts_ridge": q_ts_ridge,
@@ -1405,6 +1416,7 @@ def oracle_sql() -> dict[str, str]:
         "ts_forecast_recursive": _recursive_ols_oracle(),
         "ts_ridge": _recursive_ols_oracle(alpha=25.0),
         "ts_stl": _stl_oracle(),
+        "emb_kmeans": _kmeans_oracle(),
         # LOESS on the uniform time grid: nearest-k window start is
         # clamp(i - k//2, 0, n-k) (verified against the engine's
         # slide-to-nearest loop for all n<=150), tricube weights +
@@ -2682,6 +2694,62 @@ def _stl_oracle(m: int = 7) -> str:
         FROM t
         JOIN t2_sm tr ON tr.series_id = t.series_id AND tr.xi = t.rn - 1
         JOIN sea2 se ON se.series_id = t.series_id AND se.rn = t.rn
+    """
+
+
+def _kmeans_oracle(k: int = 8, dim: int = 64, n_iter: int = 3) -> str:
+    """Oracle for q_emb_kmeans: md5-ordered seeds, then n_iter Lloyd
+    iterations unrolled as (assign → mean-update) CTE pairs; empty
+    clusters keep the previous centroid via the LEFT JOIN coalesce.
+    MATERIALIZED for the same chained-CTE reason as the STL oracle."""
+
+    def it_sql(i: int) -> str:
+        prev = f"c{i - 1}"
+        return f"""
+        a{i} AS MATERIALIZED (
+            SELECT v.vec_id, c.c AS c,
+                   sum((v.x - c.v) * (v.x - c.v)) AS d
+            FROM v JOIN {prev} c ON c.dim = v.dim
+            GROUP BY 1, 2
+        ),
+        asg{i} AS MATERIALIZED (
+            SELECT vec_id, c, d FROM a{i}
+            QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d, c) = 1
+        ),
+        c{i} AS MATERIALIZED (
+            SELECT cp.c, cp.dim, coalesce(m.m, cp.v) AS v
+            FROM {prev} cp LEFT JOIN (
+                SELECT a.c, v.dim, avg(v.x) AS m
+                FROM asg{i} a JOIN v ON v.vec_id = a.vec_id
+                GROUP BY 1, 2
+            ) m ON m.c = cp.c AND m.dim = cp.dim
+        )"""
+
+    its = ",".join(it_sql(i) for i in range(1, n_iter + 1))
+    return f"""
+        WITH seeds AS MATERIALIZED (
+            SELECT row_number() OVER (ORDER BY md5(vec_id::VARCHAR)) AS c,
+                   embedding
+            FROM embeddings
+            QUALIFY c <= {k}
+        ),
+        c0 AS MATERIALIZED (
+            SELECT s.c, j.j AS dim, s.embedding[j.j + 1]::DOUBLE AS v
+            FROM seeds s CROSS JOIN (SELECT unnest(range({dim})) AS j) j
+        ),
+        v AS MATERIALIZED (
+            SELECT vec_id, j.j AS dim, embedding[j.j + 1]::DOUBLE AS x
+            FROM embeddings CROSS JOIN (SELECT unnest(range({dim})) AS j) j
+        ),{its},
+        fin AS (
+            SELECT v.vec_id, c.c AS c,
+                   sum((v.x - c.v) * (v.x - c.v)) AS d
+            FROM v JOIN c{n_iter} c ON c.dim = v.dim
+            GROUP BY 1, 2
+        )
+        SELECT vec_id, c::INT AS cluster, round(d, 6) AS sqdist
+        FROM fin
+        QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d, c) = 1
     """
 
 

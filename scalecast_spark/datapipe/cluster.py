@@ -1,0 +1,80 @@
+"""Distributed k-means over embedding columns — corpus clustering for
+training-data curation (topic balancing, stratified sampling, IVF
+coarse quantizers).
+
+Physical shape (the standard Lloyd layout, same as MLlib's):
+  * assignment is a scan-side PROJECTION against the k broadcast
+    centroids (no shuffle);
+  * the mean update is one groupBy over (cluster, dimension) — a
+    k*d-cell aggregate, shuffle bounded by k*d not by n;
+  * only the k x d centroid matrix ever reaches the driver, once per
+    iteration.
+
+Determinism: centroids initialize from the md5-ordered vector sample
+(similarity.ivf_centroids) and every Lloyd step is
+argmin/avg arithmetic, so the WHOLE clustering — n_iter iterations
+deep — replays in SQL and hash-matches the DuckDB oracle (the same
+technique as the STL/LOESS unroll).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from scalecast_spark.datapipe.similarity import ivf_centroids
+
+
+def _sqdist(vec, cent: list[float]) -> "F.Column":
+    clit = F.array(*[F.lit(float(x)) for x in cent])
+    return F.aggregate(
+        F.zip_with(vec, clit, lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _assign(vec, cents: list[tuple[int, list[float]]]):
+    """(cluster, sqdist) of the nearest centroid; ties -> lowest id."""
+    dists = F.array(*[_sqdist(vec, cv) for _, cv in cents])
+    best = F.array_min(dists)
+    cluster = F.array_position(dists, best).cast("int")
+    return cluster, best
+
+
+def kmeans_embeddings(
+    df: DataFrame,
+    k: int = 8,
+    n_iter: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Lloyd's k-means: returns (id, cluster, sqdist) for every vector.
+
+    ``cluster`` is 1-based (matching the md5-ordered seed order).
+    Empty clusters keep their previous centroid. n_iter is small and
+    fixed — each iteration costs one scan + one k*d aggregate.
+    """
+    vec = F.col(vec_col).cast("array<double>")
+    cents = ivf_centroids(df, k, vec_col, id_col)
+    dim = len(cents[0][1])
+    for _ in range(n_iter):
+        cluster, _d = _assign(vec, cents)
+        assigned = df.withColumn("_c", cluster)
+        means = (
+            assigned.select("_c", F.posexplode(vec).alias("_dim", "_x"))
+            .groupBy("_c", "_dim")
+            .agg(F.avg("_x").alias("_m"))
+            .collect()
+        )
+        by_cell: dict[int, list[float]] = {}
+        for r in means:
+            by_cell.setdefault(r["_c"], [0.0] * dim)[r["_dim"]] = r["_m"]
+        cents = [
+            (ci, by_cell.get(ci, cv)) for ci, cv in cents
+        ]
+    cluster, d = _assign(vec, cents)
+    return df.select(
+        id_col,
+        cluster.alias("cluster"),
+        F.round(d, 6).alias("sqdist"),
+    )

