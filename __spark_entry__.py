@@ -1107,6 +1107,36 @@ def q_sim_lsh_topk(spark, sf_dir):
     return lsh_bucket_topk(emb, [float(x) for x in q], k=10, n_planes=6)
 
 
+def q_docs_sample(spark, sf_dir):
+    """Deterministic stratified sampling (datapipe/sample.py): the
+    sample is a pure function of md5(doc_id), reproducible across
+    engines/clusters — a scan-side filter, no RNG state."""
+    from scalecast_spark.datapipe.sample import stratified_sample
+
+    out = stratified_sample(
+        _docs(spark, sf_dir),
+        rates={"src0": 1.0, "src1": 0.5, "src2": 0.25},
+        stratum_col="source",
+        key_col="doc_id",
+        default_rate=0.1,
+    )
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"), "source"
+    )
+
+
+def q_text_tfidf(spark, sf_dir):
+    """Per-doc top-3 TF-IDF terms (datapipe/text.py tfidf_top_terms):
+    explode → tf/df aggregates → broadcast idf join → windowed top-k."""
+    from scalecast_spark.datapipe.text import tfidf_top_terms
+
+    return tfidf_top_terms(_docs(spark, sf_dir), top_k=3).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "term", "tf", "score",
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
 def q_emb_kmeans(spark, sf_dir):
     """Distributed k-means corpus clustering (datapipe/cluster.py):
     md5-seeded Lloyd, 3 iterations — assignment is a scan-side
@@ -1218,6 +1248,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "sim_lsh_topk": q_sim_lsh_topk,
         "emb_kmeans": q_emb_kmeans,
+        "docs_sample": q_docs_sample,
+        "text_tfidf": q_text_tfidf,
         "multimodal_features": q_multimodal_features,
         "ts_forecast_recursive": q_ts_forecast_recursive,
         "ts_ridge": q_ts_ridge,
@@ -1417,6 +1449,51 @@ def oracle_sql() -> dict[str, str]:
         "ts_ridge": _recursive_ols_oracle(alpha=25.0),
         "ts_stl": _stl_oracle(),
         "emb_kmeans": _kmeans_oracle(),
+        # md5-bucket deterministic sampling: keep iff the first 8 hex
+        # of md5(key:salt) / 2^32 < the stratum's rate
+        "docs_sample": """
+            SELECT doc_id, source
+            FROM documents
+            WHERE ('0x' || substr(md5(doc_id::VARCHAR || ':sample'), 1, 8))
+                      ::BIGINT / 4294967296.0
+                  < CASE source WHEN 'src0' THEN 1.0 WHEN 'src1' THEN 0.5
+                                WHEN 'src2' THEN 0.25 ELSE 0.1 END
+        """,
+        "text_tfidf": r"""
+            WITH w AS (
+                SELECT doc_id, w AS term
+                FROM (
+                    SELECT doc_id,
+                           unnest(string_split(regexp_replace(
+                               lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS w
+                    FROM documents
+                )
+                WHERE len(w) > 0
+            ),
+            tf AS (
+                SELECT doc_id, term, count(*) AS tf FROM w GROUP BY 1, 2
+            ),
+            n AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+            idf AS (
+                SELECT term,
+                       ln((n.n + 1.0) / (count(DISTINCT doc_id) + 1)) + 1.0
+                           AS idf
+                FROM tf CROSS JOIN n GROUP BY term, n.n
+            )
+            SELECT doc_id, term, tf::BIGINT AS tf,
+                   round(tf * idf, 6) AS score,
+                   rank::INT AS rank
+            FROM (
+                SELECT tf.doc_id, tf.term, tf.tf,
+                       idf.idf,
+                       row_number() OVER (
+                           PARTITION BY tf.doc_id
+                           ORDER BY round(tf.tf * idf.idf, 6) DESC, tf.term
+                       ) AS rank
+                FROM tf JOIN idf USING (term)
+            )
+            WHERE rank <= 3
+        """,
         # LOESS on the uniform time grid: nearest-k window start is
         # clamp(i - k//2, 0, n-k) (verified against the engine's
         # slide-to-nearest loop for all n<=150), tricube weights +

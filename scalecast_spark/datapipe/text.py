@@ -107,3 +107,38 @@ def add_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     oracles, and external systems."""
     norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
     return df.withColumn("fingerprint", F.md5(norm))
+
+
+def tfidf_top_terms(
+    df: DataFrame, top_k: int = 5, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document top-k TF-IDF terms — the classic corpus statistic
+    for keyword extraction / topic labeling at curation time.
+
+    tf = term count within the doc; idf = ln((N+1)/(df_t+1)) + 1 (the
+    sklearn smooth-idf convention). Everything is JVM-side: one explode
+    + two aggregates + a windowed top-k; the doc-frequency frame is
+    tiny (vocab-sized) and broadcast back onto the term frame.
+    Deterministic ties: score DESC, term ASC.
+    """
+    from pyspark.sql import Window as W
+
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    words = (
+        df.select(id_col, F.explode(F.split(norm, " ")).alias("term"))
+        .filter(F.length("term") > 0)
+    )
+    tf = words.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    n_docs = df.select(id_col).distinct().count()
+    dfreq = tf.groupBy("term").agg(F.countDistinct(id_col).alias("df_t"))
+    idf = dfreq.withColumn(
+        "idf", F.log((F.lit(float(n_docs + 1))) / (F.col("df_t") + 1)) + 1.0
+    )
+    w = W.partitionBy(id_col).orderBy(F.desc("score"), F.asc("term"))
+    return (
+        tf.join(F.broadcast(idf.select("term", "idf")), "term")
+        .withColumn("score", F.round(F.col("tf") * F.col("idf"), 6))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= top_k)
+        .select(id_col, "term", F.col("tf").cast("long").alias("tf"), "score", F.col("_rn").alias("rank"))
+    )

@@ -146,3 +146,32 @@ def test_kmeans_embeddings_partitions_corpus(spark, sf_dir):
     assert out["cluster"].between(1, 4).all()
     assert out["cluster"].nunique() >= 2  # corpus actually partitions
     assert (out["sqdist"] >= 0).all()
+
+
+def test_deterministic_sample_reproducible(spark, sf_dir):
+    from scalecast_spark.datapipe.sample import deterministic_sample
+    from scalecast_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    a = {r["doc_id"] for r in deterministic_sample(docs, 0.3, "doc_id").select("doc_id").collect()}
+    b = {r["doc_id"] for r in deterministic_sample(docs, 0.3, "doc_id").select("doc_id").collect()}
+    assert a == b  # pure function of the data
+    n = docs.count()
+    assert 0.15 * n < len(a) < 0.45 * n  # near the nominal rate
+    # larger rate strictly contains the smaller one (nested samples)
+    c = {r["doc_id"] for r in deterministic_sample(docs, 0.6, "doc_id").select("doc_id").collect()}
+    assert a <= c
+
+
+def test_tfidf_prefers_rare_terms(spark):
+    from scalecast_spark.datapipe.text import tfidf_top_terms
+
+    docs = spark.createDataFrame(
+        [(1, "common zebra"), (2, "common yak"), (3, "common emu")],
+        schema="doc_id long, text string",
+    )
+    out = tfidf_top_terms(docs, top_k=1).toPandas().set_index("doc_id")
+    # equal tf: the doc-unique term out-scores the ubiquitous one
+    assert out.loc[1, "term"] == "zebra"
+    assert out.loc[2, "term"] == "yak"
+    assert out.loc[3, "term"] == "emu"
