@@ -71,14 +71,14 @@ def test_mlp_learns_linear():
 
 def test_rnn_now_backed_by_direct_mlp(f):
     """rnn/lstm are no longer stubs: the TF-free direct multi-horizon
-    MLP backs them (see tests/test_direct_horizon.py); prophet remains
-    the gated stub and must still raise."""
+    MLP backs them (see tests/test_direct_horizon.py); prophet now runs
+    on its numpy additive-model core too."""
     f.set_estimator("rnn")
     f.manual_forecast(lags=5, hidden=4, epochs=50)
     assert "rnn" in f.history
     f.set_estimator("prophet")
-    with pytest.raises(Exception):
-        f.manual_forecast()
+    f.manual_forecast(call_me="prophet")
+    assert "prophet" in f.history
 
 
 def test_tune_test_forecast(f):
