@@ -832,17 +832,18 @@ def q_dedup_jaccard_pairs(spark, sf_dir):
         lsh_candidate_pairs,
         minhash_signatures,
         shingle_array,
-        word_shingles,
     )
 
     docs = _docs(spark, sf_dir)
-    # ONE shingle build, ONE explode: the cached exploded frame feeds
-    # both the signature groupBy (scalar md5, codegen, map-side minima)
-    # and the candidate-restricted verify join
-    base = docs.repartition(32).select(
+    # ONE shingle build behind ONE exchange: every consumer (signature
+    # groupBy + both sides of the verify join) sits above the same
+    # repartition, so Spark's ReusedExchange computes it once. NOT
+    # cached — InMemoryRelation's nested-type columnar writer costs
+    # more than the recompute it saves (measured 3.7 s vs 0.5 s).
+    base = docs.repartition(32, F.col("doc_id")).select(
         "doc_id", shingle_array(F.col("text"), 3).alias("_sh_arr")
     )
-    sh = word_shingles(base, 3, array_col="_sh_arr").cache()
+    sh = base.select("doc_id", F.explode("_sh_arr").alias("shingle"))
     sigs = minhash_signatures(sh, n_hashes=4)
     cands = lsh_candidate_pairs(sigs, bands=4)
     return jaccard_pairs(sh, candidates=cands, min_jaccard=0.5).select(
