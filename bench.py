@@ -31,8 +31,12 @@ HEADLINE = [
     "dedup_simhash",
     "text_quality",
     "text_lang_id",
+    "text_tfidf",
+    "docs_sample",
     "sim_cosine_topk",
     "emb_norms",
+    "emb_kmeans",
+    "ts_stl",
 ]
 
 
