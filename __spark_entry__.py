@@ -1004,6 +1004,27 @@ def q_ts_ridge(spark, sf_dir):
     )
 
 
+def q_ts_arima(spark, sf_dir):
+    """ARIMA(1,0,0) through the Hannan-Rissanen estimator
+    (models/arima.py): for p=1,q=0 the fit is the closed-form lag
+    ratio phi = Σz_t·z_{t-1}/Σz_{t-1}² on the demeaned series and the
+    h-step forecast decays geometrically (mu + phi^h·z_n) — fully
+    SQL-replayable, so the ARIMA code path itself hash-matches."""
+    from scalecast_spark.frame import TimeSeriesFrame
+    from scalecast_spark.models import MODELS
+
+    tsf = TimeSeriesFrame.from_long(_series(spark, sf_dir)).generate_future_dates(7)
+    out = MODELS["arima"](tsf.df, order=(1, 0, 0))
+    return _out_ts(
+        _r6(
+            out.filter(F.col("is_future") == 1).select(
+                "series_id", "ds", "forecast"
+            ),
+            "forecast",
+        )
+    )
+
+
 def q_ts_prophet(spark, sf_dir):
     """prophet estimator (reference models.py:1275-1401) — numpy
     additive-model core (piecewise trend + Fourier, ridge MAP stand-in);
@@ -1254,6 +1275,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": q_multimodal_features,
         "ts_forecast_recursive": q_ts_forecast_recursive,
         "ts_ridge": q_ts_ridge,
+        "ts_arima": q_ts_arima,
         "ts_detrend_loess": q_ts_detrend_loess,
         # rows-only (no oracle — non-SQL-expressible semantics)
         "ts_forecast_direct": q_ts_forecast_direct,
@@ -1450,6 +1472,40 @@ def oracle_sql() -> dict[str, str]:
         "ts_ridge": _recursive_ols_oracle(alpha=25.0),
         "ts_stl": _stl_oracle(),
         "emb_kmeans": _kmeans_oracle(),
+        # AR(1) ARIMA: demeaned lag-ratio fit + geometric forecast decay
+        "ts_arima": f"""
+            WITH {_SQL_SERIES.strip()},
+            t AS (
+                SELECT series_id, ds, y,
+                       row_number() OVER (PARTITION BY series_id ORDER BY ds)
+                           AS rn,
+                       avg(y) OVER (PARTITION BY series_id) AS mu
+                FROM series
+            ),
+            z AS (SELECT series_id, ds, rn, mu, y - mu AS z FROM t),
+            phi AS (
+                SELECT c.series_id,
+                       sum(p.z * c.z) / sum(p.z * p.z) AS phi,
+                       max(c.mu) AS mu
+                FROM z c JOIN z p
+                  ON p.series_id = c.series_id AND p.rn = c.rn - 1
+                GROUP BY 1
+            ),
+            lastz AS (
+                SELECT series_id, z AS zn, ds AS last_ds FROM (
+                    SELECT series_id, z, ds,
+                           row_number() OVER (PARTITION BY series_id
+                                              ORDER BY rn DESC) AS r
+                    FROM z
+                ) WHERE r = 1
+            )
+            SELECT p.series_id,
+                   (l.last_ds + i.i * INTERVAL '1 day')::DATE AS ds,
+                   round(p.mu + pow(p.phi, i.i) * l.zn, 6) AS forecast
+            FROM phi p
+            JOIN lastz l USING (series_id)
+            CROSS JOIN (SELECT unnest(range(1, 8)) AS i) i
+        """,
         # md5-bucket deterministic sampling: keep iff the first 8 hex
         # of md5(key:salt) / 2^32 < the stratum's rate
         "docs_sample": """
