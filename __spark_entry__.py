@@ -1004,6 +1004,36 @@ def q_ts_ridge(spark, sf_dir):
     )
 
 
+def q_ts_backtest_kernel(spark, sf_dir):
+    """ONE-PASS rolling-origin backtest of a kernel estimator
+    (pipeline.backtest_kernel_models / kernel.run_kernel_backtest):
+    2 iterations × 5-step recursive OLS holdout, every iteration
+    sliced+refit inside the series task — n_iter scans collapse to
+    one. Hash-matched: the oracle replays each iteration's centered
+    Cramer fit + recursive CTE (reusing the ts_forecast_recursive
+    machinery with per-iteration train cutoffs)."""
+    from scalecast_spark.operators.features import add_ar_terms, add_time_trend
+    from scalecast_spark.pipeline import backtest_kernel_models
+
+    series = _series(spark, sf_dir).withColumn("is_future", F.lit(0))
+
+    def feats(df):
+        df, ar = add_ar_terms(df, [1, 7])
+        df, tt = add_time_trend(df)
+        return df, ar + tt
+
+    res = backtest_kernel_models(
+        series, {"mlr": ("mlr", {})}, feats, fcst_length=5, n_iter=2,
+        jump_back=3,
+    )
+    return _out_ts(
+        res.select(
+            F.col("iteration").cast("int").alias("iteration"),
+            "series_id", "ds", F.round("forecast", 6).alias("forecast"),
+        )
+    )
+
+
 def q_ts_arima(spark, sf_dir):
     """ARIMA(1,0,0) through the Hannan-Rissanen estimator
     (models/arima.py): for p=1,q=0 the fit is the closed-form lag
@@ -1276,6 +1306,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_forecast_recursive": q_ts_forecast_recursive,
         "ts_ridge": q_ts_ridge,
         "ts_arima": q_ts_arima,
+        "ts_backtest_kernel": q_ts_backtest_kernel,
         "ts_detrend_loess": q_ts_detrend_loess,
         # rows-only (no oracle — non-SQL-expressible semantics)
         "ts_forecast_direct": q_ts_forecast_direct,
@@ -1473,6 +1504,7 @@ def oracle_sql() -> dict[str, str]:
         "ts_stl": _stl_oracle(),
         "emb_kmeans": _kmeans_oracle(),
         # AR(1) ARIMA: demeaned lag-ratio fit + geometric forecast decay
+        "ts_backtest_kernel": _backtest_ols_oracle(fcst=5, jump=3, n_iter=2),
         "ts_arima": f"""
             WITH {_SQL_SERIES.strip()},
             t AS (
@@ -2894,6 +2926,109 @@ def _det3_sql(M) -> str:
         f" - {M[0][1]} * ({M[1][0]} * {M[2][2]} - {M[1][2]} * {M[2][0]})"
         f" + {M[0][2]} * ({M[1][0]} * {M[2][1]} - {M[1][1]} * {M[2][0]}))"
     )
+
+
+def _backtest_ols_oracle(fcst: int = 5, jump: int = 1, n_iter: int = 2) -> str:
+    """Oracle for q_ts_backtest_kernel: per backtest iteration, the
+    centered-Cramer OLS fit on rows rn <= n - hold (hold = fcst +
+    it·jump) and the recursive CTE prediction over the holdout — the
+    same machinery as _recursive_ols_oracle with sliding cutoffs,
+    UNION ALL'd across iterations."""
+    A = [["vaa", "vab", "vat"], ["vab", "vbb", "vbt"], ["vat", "vbt", "vtt"]]
+    cv = ["cva", "cvb", "cvt"]
+    dD = _det3_sql(A)
+
+    def _num(k: int) -> str:
+        Mk = [row[:] for row in A]
+        for i in range(3):
+            Mk[i][k] = cv[i]
+        return _det3_sql(Mk)
+
+    slopes = ",\n           ".join(
+        f"{_num(k)} / {dD} AS {nm}" for k, nm in enumerate(["ca", "cb", "ct"])
+    )
+    icept = (
+        f"my - ({_num(0)} / {dD}) * ma - ({_num(1)} / {dD}) * mb"
+        f" - ({_num(2)} / {dD}) * mt AS co"
+    )
+
+    def it_sql(it: int) -> str:
+        hold = fcst + it * jump
+        return f"""
+        tr{it} AS (
+            SELECT c.series_id, c.rn::DOUBLE AS t, c.y, l1.y AS a, l7.y AS b
+            FROM t c
+            JOIN t l1 ON l1.series_id = c.series_id AND l1.rn = c.rn - 1
+            JOIN t l7 ON l7.series_id = c.series_id AND l7.rn = c.rn - 7
+            WHERE c.rn <= c.n - {hold}
+        ),
+        mn{it} AS (
+            SELECT series_id, avg(a) AS ma, avg(b) AS mb, avg(t) AS mt,
+                   avg(y) AS my
+            FROM tr{it} GROUP BY 1
+        ),
+        cm{it} AS (
+            SELECT x.series_id,
+                   sum((a - ma) * (a - ma)) AS vaa,
+                   sum((a - ma) * (b - mb)) AS vab,
+                   sum((a - ma) * (t - mt)) AS vat,
+                   sum((b - mb) * (b - mb)) AS vbb,
+                   sum((b - mb) * (t - mt)) AS vbt,
+                   sum((t - mt) * (t - mt)) AS vtt,
+                   sum((a - ma) * (y - my)) AS cva,
+                   sum((b - mb) * (y - my)) AS cvb,
+                   sum((t - mt) * (y - my)) AS cvt
+            FROM tr{it} x JOIN mn{it} USING (series_id) GROUP BY 1
+        ),
+        cf{it} AS (
+            SELECT c.series_id,
+           {slopes},
+           {icept}
+            FROM cm{it} c JOIN mn{it} USING (series_id)
+        ),
+        rec{it} AS (
+            SELECT m.series_id, 1 AS i,
+                   co + ca * y0.y + cb * l7.y + ct * (m.n - {hold} + 1)
+                       AS pred
+            FROM nn m
+            JOIN cf{it} USING (series_id)
+            JOIN t y0 ON y0.series_id = m.series_id AND y0.rn = m.n - {hold}
+            JOIN t l7 ON l7.series_id = m.series_id
+                     AND l7.rn = m.n - {hold} + 1 - 7
+            UNION ALL
+            SELECT r.series_id, r.i + 1,
+                   cf{it}.co + cf{it}.ca * r.pred + cf{it}.cb * l7.y
+                       + cf{it}.ct * (m.n - {hold} + r.i + 1)
+            FROM rec{it} r
+            JOIN cf{it} ON cf{it}.series_id = r.series_id
+            JOIN nn m ON m.series_id = r.series_id
+            JOIN t l7 ON l7.series_id = r.series_id
+                     AND l7.rn = m.n - {hold} + r.i + 1 - 7
+            WHERE r.i < {fcst}
+        ),
+        out{it} AS (
+            SELECT {it} AS iteration, r.series_id, d.ds,
+                   round(r.pred, 6) AS forecast
+            FROM rec{it} r
+            JOIN nn m ON m.series_id = r.series_id
+            JOIN t d ON d.series_id = r.series_id
+                    AND d.rn = m.n - {hold} + r.i
+        )"""
+
+    its = ",".join(it_sql(i) for i in range(n_iter))
+    union = " UNION ALL ".join(f"SELECT * FROM out{i}" for i in range(n_iter))
+    return f"""
+        WITH RECURSIVE {_SQL_SERIES.strip()},
+        t AS (
+            SELECT series_id, ds, y,
+                   row_number() OVER (PARTITION BY series_id ORDER BY ds)
+                       AS rn,
+                   count(*) OVER (PARTITION BY series_id) AS n
+            FROM series
+        ),
+        nn AS (SELECT series_id, max(n) AS n FROM t GROUP BY 1),{its}
+        {union}
+    """
 
 
 def _recursive_ols_oracle(alpha: float = 0.0) -> str:
