@@ -551,14 +551,19 @@ class Forecaster:
                     .filter(F.col("_rev") <= train_length + test_length)
                     .drop("_rev")
                 )
-            fold_frames.append(marked.cache())
-        # materialize every fold's cache before concurrent cells race
-        # to fill it (Spark computes uncached partitions per-job) —
-        # the k counts are themselves independent jobs, run together
-        run_jobs([(lambda m=m: m.count()) for m in fold_frames],
-                 max_workers=max_workers)
-
+            fold_frames.append(marked)
         cells = self._grid_cells(dynamic_tuning)
+        if cells is None:
+            # per-cell path: |grid| jobs share each fold, so cache the
+            # fold frames and materialize each cache before concurrent
+            # cells race to fill it (Spark computes uncached partitions
+            # per-job) — the k counts are independent jobs, run
+            # together. The batched path reads each fold exactly ONCE
+            # (one grid job per fold), so caching there is overhead.
+            fold_frames = [m.cache() for m in fold_frames]
+            run_jobs([(lambda m=m: m.count()) for m in fold_frames],
+                     max_workers=max_workers)
+
         if cells is not None:
             # kernel-backed estimator: ONE job per fold evaluates the
             # whole grid (run_kernel_grid) — each fold's data is read
