@@ -175,3 +175,27 @@ def test_tfidf_prefers_rare_terms(spark):
     assert out.loc[1, "term"] == "zebra"
     assert out.loc[2, "term"] == "yak"
     assert out.loc[3, "term"] == "emu"
+
+
+def test_vectorized_assignment_matches_expression_path(spark, sf_dir):
+    """The GEMM assignment twin must agree with the expression-based
+    argmin (same clusters; sqdist equal to 6dp)."""
+    from scalecast_spark.datapipe.cluster import (
+        assign_clusters_vectorized,
+        kmeans_embeddings,
+    )
+    from scalecast_spark.datapipe.similarity import ivf_centroids
+    from scalecast_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = ivf_centroids(emb, 4)
+    a = (
+        kmeans_embeddings(emb, k=4, n_iter=0)
+        .toPandas().sort_values("vec_id").reset_index(drop=True)
+    )
+    b = (
+        assign_clusters_vectorized(emb, cents)
+        .toPandas().sort_values("vec_id").reset_index(drop=True)
+    )
+    assert (a["cluster"].values == b["cluster"].values).all()
+    assert (abs(a["sqdist"].values - b["sqdist"].values) < 2e-6).all()
