@@ -109,6 +109,122 @@ def add_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("fingerprint", F.md5(norm))
 
 
+#: RE2-safe PII patterns (no backreferences/lookahead) so the SAME
+#: pattern runs on Spark (Java regex) and DuckDB/RE2 oracles.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\+?[0-9][0-9()\- ]{6,}[0-9]"
+
+
+def _norm(col: Column) -> Column:
+    return F.regexp_replace(F.lower(F.trim(col)), r"\s+", " ")
+
+
+def add_repetition_signals(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style repetition filters (Rae et al. 2021, table A1):
+    duplicate-line fraction and top-2-gram fraction per document.
+
+    dup_line_frac is pure column math (split → array_distinct), no
+    shuffle. top2gram_frac needs per-doc mode, so it explodes bigrams
+    and aggregates twice keyed by doc — partial aggregation map-side,
+    shuffle carries (doc_id, bigram-hash) only, never document bodies.
+    """
+    c = F.col(text_col)
+    lines = F.filter(
+        F.transform(F.split(c, "\n"), lambda x: F.trim(x)),
+        lambda x: F.length(x) > 0,
+    )
+    n_lines = F.size(lines)
+    n_distinct = F.size(F.array_distinct(lines))
+    dup_frac = F.when(
+        n_lines > 0, F.round(1.0 - n_distinct / n_lines.cast("double"), 6)
+    ).otherwise(F.lit(0.0))
+    base = df.withColumn("dup_line_frac", dup_frac)
+
+    words = F.filter(F.split(_norm(c), " "), lambda x: F.length(x) > 0)
+    bigrams = F.when(
+        F.size(words) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(words) - 2),
+            lambda i: F.concat_ws(" ", F.element_at(words, i + 1), F.element_at(words, i + 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    bg = base.select(id_col, F.explode(bigrams).alias("bigram"))
+    per = (
+        bg.groupBy(id_col, "bigram")
+        .agg(F.count("*").alias("cnt"))
+        .groupBy(id_col)
+        .agg(F.max("cnt").alias("top_cnt"), F.sum("cnt").alias("n_bigrams"))
+        .withColumn(
+            "top2gram_frac",
+            F.round(F.col("top_cnt") / F.col("n_bigrams").cast("double"), 6),
+        )
+        .select(id_col, "top2gram_frac")
+    )
+    return base.join(per, id_col, "left").na.fill({"top2gram_frac": 0.0})
+
+
+def _word_ngrams(col: Column, n: int) -> Column:
+    words = F.filter(F.split(_norm(col), " "), lambda x: F.length(x) > 0)
+    return F.when(
+        F.size(words) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(words) - n),
+            lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def contamination_hits(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark-contamination check: count exact word n-gram overlaps
+    between each document and a benchmark set (the GPT-3 appendix-C /
+    PaLM decontamination strategy, typically n=8..13).
+
+    The benchmark n-gram set is tiny relative to the corpus (eval sets
+    are MBs, the corpus is TBs) → distinct + broadcast; the corpus side
+    explodes its n-grams per doc and hash-joins with NO shuffle of the
+    corpus (broadcast hash join on md5 keys). Returns (id_col, n_contam)
+    for docs with ≥1 hit.
+    """
+    doc_sh = docs.select(
+        id_col, F.explode(F.array_distinct(_word_ngrams(F.col(text_col), n))).alias("_ng")
+    ).withColumn("_h", F.md5("_ng")).drop("_ng")
+    bench_sh = (
+        benchmark.select(
+            F.explode(F.array_distinct(_word_ngrams(F.col(text_col), n))).alias("_ng")
+        )
+        .select(F.md5("_ng").alias("_h"))
+        .distinct()
+    )
+    return (
+        doc_sh.join(F.broadcast(bench_sh), "_h")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_contam"))
+    )
+
+
+def scrub_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Redact emails then phone numbers with typed placeholders and
+    count each. Patterns are RE2-compatible so the exact scrub replays
+    on any engine; pure regexp column math (whole-stage codegen)."""
+    c = F.col(text_col)
+    n_emails = F.size(F.regexp_extract_all(c, F.lit(EMAIL_RE), F.lit(0)))
+    scrubbed1 = F.regexp_replace(c, EMAIL_RE, "<EMAIL>")
+    n_phones = F.size(F.regexp_extract_all(scrubbed1, F.lit(PHONE_RE), F.lit(0)))
+    return (
+        df.withColumn("n_emails", n_emails.cast("long"))
+        .withColumn("n_phones", n_phones.cast("long"))
+        .withColumn("text_scrubbed", F.regexp_replace(scrubbed1, PHONE_RE, "<PHONE>"))
+    )
+
+
 def tfidf_top_terms(
     df: DataFrame, top_k: int = 5, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

@@ -22,10 +22,11 @@ from pyspark.sql import types as T
 
 from scalecast_spark.frame import DS, SERIES, Y
 
+#: fallback when the source can't be probed (e.g. dir not yet created)
 EVENTS_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # nanos-as-long (see loaders)
+        T.StructField("ts", T.TimestampType()),
         T.StructField("user_id", T.LongType()),
         T.StructField("event_type", T.StringType()),
         T.StructField("value", T.DoubleType()),
@@ -38,15 +39,38 @@ def stream_events(spark: SparkSession, path: str) -> DataFrame:
     """readStream over the events parquet source. The file source wants
     a DIRECTORY; a single-file path (the testdata layout) is handled by
     streaming its parent with a glob filter. maxFilesPerTrigger
-    throttles micro-batch size on a real backlog."""
+    throttles micro-batch size on a real backlog.
+
+    The streaming source requires an explicit schema; it is derived from
+    the batch footer so the ``ts`` physical type matches whatever the
+    generator wrote — TIMESTAMP(MICROS) reads as timestamp directly,
+    TIMESTAMP(NANOS) only as long (legacy nanosAsLong) and is converted
+    to a microsecond timestamp below."""
     import os
 
-    reader = spark.readStream.schema(EVENTS_SCHEMA).option("maxFilesPerTrigger", 4)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    try:
+        schema = spark.read.parquet(path).schema
+        # watermarks require TIMESTAMP (ltz); batch inference may yield
+        # TIMESTAMP_NTZ for micros parquet without tz metadata
+        schema = T.StructType(
+            [
+                T.StructField(f.name, T.TimestampType(), f.nullable)
+                if isinstance(f.dataType, T.TimestampNTZType)
+                else f
+                for f in schema.fields
+            ]
+        )
+    except Exception:
+        schema = EVENTS_SCHEMA
+    reader = spark.readStream.schema(schema).option("maxFilesPerTrigger", 4)
     if path.endswith(".parquet") and os.path.isfile(path):
         reader = reader.option("pathGlobFilter", os.path.basename(path))
         path = os.path.dirname(path)
     raw = reader.parquet(path)
-    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    if dict(raw.dtypes).get("ts") == "bigint":  # nanos-as-long source
+        raw = raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return raw
 
 
 def windowed_series(

@@ -199,3 +199,50 @@ def test_vectorized_assignment_matches_expression_path(spark, sf_dir):
     )
     assert (a["cluster"].values == b["cluster"].values).all()
     assert (abs(a["sqdist"].values - b["sqdist"].values) < 2e-6).all()
+
+
+def test_repetition_signals_python_parity(spark):
+    rows = [
+        (0, "a b\na b\nc d"),            # 3 lines, one dup pair
+        (1, "x y x y x y"),              # top bigram "x y" 3 of 5
+        (2, "single"),                    # no bigrams, no dup lines
+        (3, ""),                          # empty doc
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in text.add_repetition_signals(df).collect()}
+    assert got[0]["dup_line_frac"] == pytest.approx(1 - 2 / 3, abs=1e-6)
+    assert got[1]["dup_line_frac"] == 0.0
+    # bigrams of doc1: xy yx xy yx xy -> top "x y" = 3/5
+    assert got[1]["top2gram_frac"] == pytest.approx(0.6, abs=1e-6)
+    assert got[2]["top2gram_frac"] == 0.0
+    assert got[3]["dup_line_frac"] == 0.0 and got[3]["top2gram_frac"] == 0.0
+
+
+def test_contamination_hits_counts_distinct_ngrams(spark):
+    bench = spark.createDataFrame(
+        [(100, "one two three four five six seven eight nine")],
+        "doc_id long, text string",
+    )
+    docs = spark.createDataFrame(
+        [
+            # contains bench 8-grams starting at one & two -> 2 hits
+            (0, "zero one two three four five six seven eight nine ten"),
+            (1, "totally different words with no overlap at all here ok"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["n_contam"]
+           for r in text.contamination_hits(docs, bench, n=8).collect()}
+    assert got == {0: 2}
+
+
+def test_scrub_pii_redacts_and_counts(spark):
+    df = spark.createDataFrame(
+        [(0, "mail me at a.b+c@example.com or call +1 555-123-4567 now")],
+        "doc_id long, text string",
+    )
+    r = text.scrub_pii(df).collect()[0]
+    assert r["n_emails"] == 1 and r["n_phones"] == 1
+    assert "<EMAIL>" in r["text_scrubbed"] and "<PHONE>" in r["text_scrubbed"]
+    assert "example.com" not in r["text_scrubbed"]
+    assert "555" not in r["text_scrubbed"]
