@@ -299,10 +299,21 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits:
     a signed long; asking for more raises rather than silently
     truncating.
     """
-    if bits > 60:
+    if bits > 64:
         raise ValueError(
             f"simhash supports at most 60 bits (signed-long md5 slice); got {bits}"
         )
+    if bits > 60:
+        # compat shim for callers of the old bits=64 default, which was
+        # silently clamped to 60 — same clamp, now with a warning
+        import warnings
+
+        warnings.warn(
+            f"simhash(bits={bits}) clamped to 60 (signed-long md5 slice); "
+            "pass bits<=60 to silence",
+            stacklevel=2,
+        )
+        bits = 60
     words = F.explode(
         F.array_distinct(F.split(normalize_text(F.col(text_col)), " "))
     ).alias("w")

@@ -786,7 +786,9 @@ class Forecaster:
             if df is not None:
                 sheets[w] = df.toPandas()
         try:
-            import importlib
+            # explicit submodule import: `import importlib` alone does
+            # NOT bind importlib.util on a clean interpreter
+            import importlib.util
 
             eng = next(
                 m for m in ("openpyxl", "xlsxwriter")

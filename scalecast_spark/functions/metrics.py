@@ -67,7 +67,14 @@ def r2(a: str, f: str) -> Column:
 def smape(a: str, f: str) -> Column:
     """M4 symmetric MAPE, no x100 (reference Metrics.py:147-175).
     try_divide: actual==forecast==0 rows become NULL and are skipped by
-    avg (ANSI mode would otherwise abort on DIVIDE_BY_ZERO)."""
+    avg (ANSI mode would otherwise abort on DIVIDE_BY_ZERO).
+
+    DELIBERATE divergence from the reference on degenerate rows: numpy
+    0/0 yields NaN which propagates, so the reference returns NaN for a
+    whole series containing one exact-zero-agreement row; here such
+    rows are excluded from the mean (a finite value). The DuckDB oracle
+    (ts_metrics / ts_backtest_metrics) restates the same NULL-skip
+    convention, so both engines agree with each other."""
     return F.avg(
         F.try_divide(
             2.0 * F.abs(F.col(f) - F.col(a)),

@@ -70,28 +70,34 @@ def _kernel_factories():
     from scalecast_spark.models.svr_sgd import make_fit_sgd, make_fit_svr
     from scalecast_spark.models.trees import make_fit_gbt, make_fit_rf
 
+    # NO **kw on these: an unknown grid key must raise TypeError so the
+    # batched-grid path (forecaster._grid_cells) falls back to the
+    # generic per-cell path, which surfaces the same TypeError as a NaN
+    # score — otherwise the two CV physical plans silently diverge
+    # (cells differing only in the unknown key would fit identically
+    # and best_params would be chosen arbitrarily).
     return {
-        "mlr": lambda **kw: fit_ols,
-        "ridge": lambda alpha=1.0, **kw: make_fit_ridge(alpha),
-        "lasso": lambda alpha=1.0, **kw: make_fit_coordinate_descent(alpha, 1.0),
-        "elasticnet": lambda alpha=1.0, l1_ratio=0.5, **kw: (
+        "mlr": lambda: fit_ols,
+        "ridge": lambda alpha=1.0: make_fit_ridge(alpha),
+        "lasso": lambda alpha=1.0: make_fit_coordinate_descent(alpha, 1.0),
+        "elasticnet": lambda alpha=1.0, l1_ratio=0.5: (
             make_fit_coordinate_descent(alpha, l1_ratio)
         ),
-        "knn": lambda n_neighbors=5, **kw: make_fit_knn(n_neighbors),
-        "svr": lambda kernel="linear", C=1.0, epsilon=0.1, gamma="scale", **kw: (
+        "knn": lambda n_neighbors=5: make_fit_knn(n_neighbors),
+        "svr": lambda kernel="linear", C=1.0, epsilon=0.1, gamma="scale": (
             make_fit_svr(kernel, C, epsilon, gamma)
         ),
-        "sgd": lambda alpha=1e-4, l1_ratio=0.15, **kw: make_fit_sgd(alpha, l1_ratio),
-        "gbt": lambda n_estimators=50, max_depth=3, learning_rate=0.1, **kw: (
+        "sgd": lambda alpha=1e-4, l1_ratio=0.15: make_fit_sgd(alpha, l1_ratio),
+        "gbt": lambda n_estimators=50, max_depth=3, learning_rate=0.1: (
             make_fit_gbt(n_estimators, max_depth, learning_rate)
         ),
-        "xgboost": lambda n_estimators=50, max_depth=3, learning_rate=0.1, **kw: (
+        "xgboost": lambda n_estimators=50, max_depth=3, learning_rate=0.1: (
             make_fit_gbt(n_estimators, max_depth, learning_rate)
         ),
-        "rf": lambda n_estimators=50, max_depth=6, random_state=42, **kw: (
+        "rf": lambda n_estimators=50, max_depth=6, random_state=42: (
             make_fit_rf(n_estimators, max_depth, random_state=random_state)
         ),
-        "mlp": lambda hidden=16, epochs=400, lr=0.01, **kw: (
+        "mlp": lambda hidden=16, epochs=400, lr=0.01: (
             make_fit_mlp(hidden, epochs, lr)
         ),
     }

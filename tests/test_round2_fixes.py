@@ -268,3 +268,37 @@ def test_cv_grid_kernel_falls_back_for_series_models(spark):
     f2.add_optimizer_func(lambda vals: sorted(vals)[0], "first")
     f2.set_optimize_on("first")
     assert f2._grid_cells(False) is None
+
+
+def test_grid_cells_declines_unknown_grid_key(spark):
+    """ADVICE r2: a grid key the kernel factory doesn't accept (typo,
+    or an axis only the full model fn knows) must NOT be silently
+    swallowed by the batched-grid path — the factories take no **kw, so
+    _grid_cells sees TypeError and declines to the generic path."""
+    f = Forecaster(_mk_series(spark, n_series=2, n=30), future_dates=3)
+    f.set_test_length(4)
+    f.add_ar_terms(2)
+    f.set_estimator("ridge")
+    f.ingest_grid({"alpha": [0.1, 1.0], "rff_dim": [8, 16]})  # svr-only key
+    assert f._grid_cells(False) is None
+
+
+def test_simhash_bits_over_60_clamps_with_warning(spark, sf_dir):
+    import warnings
+
+    import pytest as _pytest
+
+    from scalecast_spark.datapipe.dedup import simhash
+    from scalecast_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(5)
+    with _pytest.warns(UserWarning, match="clamped to 60"):
+        out64 = simhash(docs, bits=64)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        out60 = simhash(docs, bits=60)
+    a = {r["doc_id"]: r["simhash"] for r in out64.collect()}
+    b = {r["doc_id"]: r["simhash"] for r in out60.collect()}
+    assert a == b  # old bits=64 callers get the identical 60-bit clamp
+    with _pytest.raises(ValueError):
+        simhash(docs, bits=65)
