@@ -814,6 +814,10 @@ def q_dedup_minhash_sigs(spark, sf_dir):
     # partial-aggregate map-side, so the shuffle carries n_docs x
     # n_hashes longs. Beats the interpreted-HOF projection twin ~3x
     # locally; values identical (covered by tests).
+    # PLAN-SHAPE NOTE: word_shingles keeps explode(shingle_array(...))
+    # INLINE in one Generate; materializing the array in a separate
+    # select first measured ~4 s slower at sf0.1 (the split projection
+    # defeats the collapsed Generate codegen).
     return minhash_signatures(word_shingles(_docs(spark, sf_dir), 3), n_hashes=4)
 
 
@@ -828,26 +832,32 @@ def q_dedup_jaccard_pairs(spark, sf_dir):
     the SAME deterministic md5 LSH restriction in SQL, so the match
     validates the whole LSH pipeline, not just the verify step."""
     from scalecast_spark.datapipe.dedup import (
-        jaccard_pairs,
+        jaccard_pairs_arrays,
         lsh_candidate_pairs,
         minhash_signatures,
         shingle_array,
+        word_shingles,
     )
 
     docs = _docs(spark, sf_dir)
-    # ONE shingle build behind ONE exchange: every consumer (signature
-    # groupBy + both sides of the verify join) sits above the same
-    # repartition, so Spark's ReusedExchange computes it once. NOT
-    # cached — InMemoryRelation's nested-type columnar writer costs
-    # more than the recompute it saves (measured 3.7 s vs 0.5 s).
+    # signature stage: INLINE explode(shingle_array) via word_shingles —
+    # one collapsed Generate. (Round-2 shared a materialized array
+    # select between this branch and the verify join via ReusedExchange;
+    # that split projection measured ~4 s SLOWER at sf0.1 than simply
+    # building the array twice, because it defeats the collapsed
+    # Generate codegen. Sharing is not free.)
+    sh = word_shingles(docs, 3)
+    sigs = minhash_signatures(sh, n_hashes=4)
+    cands = lsh_candidate_pairs(sigs, bands=4)
+    # verify stage: array-form Jaccard — one array_intersect per
+    # candidate pair instead of the pair x shingle explosion through a
+    # shuffle (3x faster at sf0.1, and the corpus is never shuffled by
+    # the verify step)
     base = docs.repartition(32, F.col("doc_id")).select(
         "doc_id", shingle_array(F.col("text"), 3).alias("_sh_arr")
     )
-    sh = base.select("doc_id", F.explode("_sh_arr").alias("shingle"))
-    sigs = minhash_signatures(sh, n_hashes=4)
-    cands = lsh_candidate_pairs(sigs, bands=4)
-    return jaccard_pairs(sh, candidates=cands, min_jaccard=0.5).select(
-        "id_a", "id_b", F.col("inter").cast("long").alias("inter"), "jaccard"
+    return jaccard_pairs_arrays(base, cands, min_jaccard=0.5).select(
+        "id_a", "id_b", "inter", "jaccard"
     )
 
 

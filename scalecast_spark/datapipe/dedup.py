@@ -223,6 +223,7 @@ def jaccard_pairs(
     candidates: DataFrame | None = None,
     id_col: str = "doc_id",
     min_jaccard: float = 0.0,
+    broadcast_candidates: bool = True,
 ) -> DataFrame:
     """Exact n-gram Jaccard for (id_a, id_b) pairs.
 
@@ -234,29 +235,40 @@ def jaccard_pairs(
     shared-shingle self-join — still sub-quadratic because only docs
     sharing >=1 shingle ever meet, but use the LSH path at scale.
 
-    The shingle frame feeds three plan branches (sizes + both join
-    sides): cache it so the explode runs once, and broadcast the tiny
-    per-doc size tables into the final joins.
+    ``broadcast_candidates`` (default): the candidate set and its
+    shingle expansion are near-dup-rate-bounded — tiny next to the
+    corpus — so both candidate-driven joins run as broadcast hash
+    joins and the CORPUS shingle frame is never shuffled at all (the
+    two plain joins would otherwise repartition it twice: once by
+    id_a, once by (id_b, hash)). Set False only when near-dups are a
+    large fraction of the corpus (then the expanded candidate side
+    stops fitting in an executor and the shuffle join is the right
+    plan — AQE picks sides by size).
     """
-    shingles = shingles.cache()
-    sizes = shingles.groupBy(id_col).agg(F.count("*").alias("sz"))
     if candidates is not None:
-        # join on a 64-bit shingle hash, not the string — the shuffle
-        # carries longs; intersection counts are unchanged (collision
-        # odds ~ |doc|^2 / 2^64)
-        sh_a = shingles.select(
-            F.col(id_col).alias("id_a"), F.xxhash64("shingle").alias("_sh")
-        )
-        sh_b = shingles.select(
-            F.col(id_col).alias("id_b"), F.xxhash64("shingle").alias("_sh")
-        )
+        # join on a 64-bit shingle hash, not the string — joins carry
+        # longs; intersection counts are unchanged (collision odds
+        # ~ |doc|^2 / 2^64). Caching the HASHED projection (two longs
+        # per row) instead of the string frame makes the explode run
+        # once for all three consumers at ~1/10 the cache-fill bytes.
+        hashed = shingles.select(
+            id_col, F.xxhash64("shingle").alias("_sh")
+        ).cache()
+        sizes = hashed.groupBy(id_col).agg(F.count("*").alias("sz"))
+        sh_a = hashed.select(F.col(id_col).alias("id_a"), "_sh")
+        sh_b = hashed.select(F.col(id_col).alias("id_b"), "_sh")
+        cand = F.broadcast(candidates) if broadcast_candidates else candidates
         inter = (
-            candidates.join(sh_a, "id_a")
+            cand.join(sh_a, "id_a")
             .join(sh_b, ["id_b", "_sh"])
             .groupBy("id_a", "id_b")
             .agg(F.count("*").alias("inter"))
         )
     else:
+        # 3 consumers (sizes + both self-join sides) → cache the
+        # exploded frame so it computes once
+        shingles = shingles.cache()
+        sizes = shingles.groupBy(id_col).agg(F.count("*").alias("sz"))
         a = shingles.alias("a")
         b = shingles.alias("b")
         inter = (
@@ -275,6 +287,54 @@ def jaccard_pairs(
     out = (
         inter.join(F.broadcast(sa), "id_a")
         .join(F.broadcast(sb), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6
+            ),
+        )
+        .select("id_a", "id_b", "inter", "jaccard")
+    )
+    if min_jaccard > 0:
+        out = out.filter(F.col("jaccard") >= min_jaccard)
+    return out
+
+
+def jaccard_pairs_arrays(
+    arrays: DataFrame,
+    candidates: DataFrame,
+    id_col: str = "doc_id",
+    array_col: str = "_sh_arr",
+    min_jaccard: float = 0.0,
+) -> DataFrame:
+    """Exact Jaccard for candidate pairs from the PER-DOC shingle-array
+    form — the preferred verify plan when a :func:`shingle_array`
+    column already exists.
+
+    Two joins attach each side's array to the pair, then one
+    ``array_intersect`` per pair computes |A∩B| in-stage — the
+    pair×shingle row EXPLOSION of the exploded-frame plan (|candidates|
+    × doc_size rows through a shuffle + groupBy) never happens; per
+    pair it's one O(|A|+|B|) hash-set probe inside codegen. Join
+    strategy is left to AQE: the array side prunes to candidate docs
+    (dup-rate-bounded), so it broadcasts when small and degrades to a
+    shuffle join — never a corpus-wide shuffle — when not.
+    """
+    sz = F.size(F.col(array_col))
+    arr_a = arrays.select(
+        F.col(id_col).alias("id_a"), F.col(array_col).alias("_arr_a"),
+        sz.alias("sz_a"),
+    )
+    arr_b = arrays.select(
+        F.col(id_col).alias("id_b"), F.col(array_col).alias("_arr_b"),
+        sz.alias("sz_b"),
+    )
+    out = (
+        candidates.join(arr_a, "id_a")
+        .join(arr_b, "id_b")
+        .withColumn(
+            "inter", F.size(F.array_intersect("_arr_a", "_arr_b")).cast("long")
+        )
         .withColumn(
             "jaccard",
             F.round(
