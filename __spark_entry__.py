@@ -1252,19 +1252,17 @@ def q_text_curation(spark, sf_dir):
     )
 
     docs = _docs(spark, sf_dir)
-    rep = add_repetition_signals(docs).select(
-        "doc_id", "dup_line_frac", "top2gram_frac"
+    # repetition + PII are pure per-row column math → ONE scan, no join;
+    # only the contamination count needs a (broadcast-bench) join
+    flat = scrub_pii(add_repetition_signals(docs)).select(
+        "doc_id", "dup_line_frac", "top2gram_frac", "n_emails", "n_phones",
+        F.md5("text_scrubbed").alias("scrub_fp"),
     )
     bench = docs.filter(F.col("doc_id") % 20 == 0)
     contam = contamination_hits(docs, bench, n=8)
-    pii = scrub_pii(docs).select(
-        "doc_id", "n_emails", "n_phones",
-        F.md5("text_scrubbed").alias("scrub_fp"),
-    )
     return (
-        rep.join(contam, "doc_id", "left")
+        flat.join(contam, "doc_id", "left")
         .na.fill({"n_contam": 0})
-        .join(pii, "doc_id")
         .select(
             F.col("doc_id").cast("long").alias("doc_id"),
             "dup_line_frac", "top2gram_frac",

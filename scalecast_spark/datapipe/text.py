@@ -125,10 +125,12 @@ def add_repetition_signals(
     """Gopher-style repetition filters (Rae et al. 2021, table A1):
     duplicate-line fraction and top-2-gram fraction per document.
 
-    dup_line_frac is pure column math (split → array_distinct), no
-    shuffle. top2gram_frac needs per-doc mode, so it explodes bigrams
-    and aggregates twice keyed by doc — partial aggregation map-side,
-    shuffle carries (doc_id, bigram-hash) only, never document bodies.
+    BOTH signals are pure per-row column math — zero shuffles, zero
+    joins, full scan speed at any corpus size. The top-2-gram mode is
+    the max run length of the SORTED bigram array (one O(n log n)
+    array_sort + one O(n) aggregate scan per doc), not an
+    explode→groupBy→join-back, which would shuffle (id, bigram) pairs
+    corpus-wide and re-shuffle the doc bodies on the join back.
     """
     c = F.col(text_col)
     lines = F.filter(
@@ -140,40 +142,49 @@ def add_repetition_signals(
     dup_frac = F.when(
         n_lines > 0, F.round(1.0 - n_distinct / n_lines.cast("double"), 6)
     ).otherwise(F.lit(0.0))
-    base = df.withColumn("dup_line_frac", dup_frac)
 
-    words = F.filter(F.split(_norm(c), " "), lambda x: F.length(x) > 0)
-    bigrams = F.when(
-        F.size(words) >= 2,
-        F.transform(
-            F.sequence(F.lit(0), F.size(words) - 2),
-            lambda i: F.concat_ws(" ", F.element_at(words, i + 1), F.element_at(words, i + 2)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    bg = base.select(id_col, F.explode(bigrams).alias("bigram"))
-    per = (
-        bg.groupBy(id_col, "bigram")
-        .agg(F.count("*").alias("cnt"))
-        .groupBy(id_col)
-        .agg(F.max("cnt").alias("top_cnt"), F.sum("cnt").alias("n_bigrams"))
-        .withColumn(
-            "top2gram_frac",
-            F.round(F.col("top_cnt") / F.col("n_bigrams").cast("double"), 6),
-        )
-        .select(id_col, "top2gram_frac")
+    bg = F.array_sort(_ngram_zip(_norm(c), 2))
+    n_bg = F.size(bg)
+    # max run length over the sorted array == the mode's count; the
+    # lambda touches only accumulator fields and the element (cheap)
+    acc0 = F.struct(
+        F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
     )
-    return base.join(per, id_col, "left").na.fill({"top2gram_frac": 0.0})
+
+    def step(acc, x):
+        run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+        return F.struct(
+            x.alias("prev"), run.alias("run"),
+            F.greatest(acc["best"], run).alias("best"),
+        )
+
+    top_cnt = F.aggregate(bg, acc0, step, lambda acc: acc["best"])
+    top_frac = F.when(
+        n_bg > 0, F.round(top_cnt / n_bg.cast("double"), 6)
+    ).otherwise(F.lit(0.0))
+    return df.withColumn("dup_line_frac", dup_frac).withColumn(
+        "top2gram_frac", top_frac
+    )
+
+
+def _ngram_zip(norm_col: Column, n: int) -> Column:
+    """Word n-grams as a zip-chain of n shifted slices. NEVER reference
+    the words expression inside an HOF lambda — interpreted lambdas get
+    no subexpression elimination, so the whole split chain re-evaluates
+    per element (measured 20x at sf0.1). Docs with < n words yield []."""
+    words = F.filter(F.split(norm_col, " "), lambda x: F.length(x) > 0)
+    cnt = F.greatest(F.size(words) - (n - 1), F.lit(0))
+    acc = F.slice(words, 1, cnt)
+    for j in range(1, n):
+        acc = F.zip_with(
+            acc, F.slice(words, 1 + j, cnt),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
+    return acc
 
 
 def _word_ngrams(col: Column, n: int) -> Column:
-    words = F.filter(F.split(_norm(col), " "), lambda x: F.length(x) > 0)
-    return F.when(
-        F.size(words) >= n,
-        F.transform(
-            F.sequence(F.lit(0), F.size(words) - n),
-            lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    return _ngram_zip(_norm(col), n)
 
 
 def contamination_hits(
