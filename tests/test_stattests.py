@@ -156,5 +156,11 @@ def test_noise_pool_and_simhash_bits_guard(spark):
 
     from scalecast_spark.datapipe import dedup
 
+    # bits=64 (the old default) clamps to 60 with a warning (ADVICE r2
+    # compat shim — see test_round2_fixes for value identity); >64 raises
+    with pytest.warns(UserWarning, match="clamped to 60"):
+        dedup.simhash(df.withColumnRenamed(Y, "text").withColumn(
+            "doc_id", F.lit(1)
+        ).withColumn("text", F.col("text").cast("string")), bits=64)
     with pytest.raises(ValueError, match="60 bits"):
-        dedup.simhash(df, bits=64)
+        dedup.simhash(df, bits=65)
