@@ -1237,6 +1237,24 @@ def q_multimodal_features(spark, sf_dir):
     )
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Duplicate GROUPS, not just pairs: connected components over the
+    LSH jaccard pair graph (dedup.duplicate_clusters min-label
+    propagation), marking the min-id canonical survivor per cluster —
+    the keep-one-per-group step of corpus near-dedup. The oracle
+    computes the same components via a recursive-CTE transitive
+    closure, so the iterative distributed algorithm hash-matches."""
+    from scalecast_spark.datapipe.dedup import duplicate_clusters
+
+    pairs = q_dedup_jaccard_pairs(spark, sf_dir).select("id_a", "id_b")
+    out = duplicate_clusters(pairs)
+    return out.select(
+        F.col("node").cast("long").alias("doc_id"),
+        F.col("cluster").cast("long").alias("cluster"),
+        (F.col("node") == F.col("cluster")).cast("long").alias("is_canonical"),
+    )
+
+
 def q_text_curation(spark, sf_dir):
     """Corpus-curation sweep per doc (datapipe/text.py): Gopher-style
     repetition signals (dup-line fraction, top-2-gram fraction),
@@ -1524,6 +1542,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_sigs": q_dedup_minhash_sigs,
         "dedup_jaccard_pairs": q_dedup_jaccard_pairs,
+        "dedup_clusters": q_dedup_clusters,
         "dedup_simhash": q_dedup_simhash,
         "text_analysis": q_text_analysis,
         "text_tfidf": q_text_tfidf,
@@ -2846,6 +2865,28 @@ def oracle_sql() -> dict[str, str]:
         FROM ({o["emb_near_dup_lsh"]})
     """
     o["text_curation"] = _text_curation_oracle()
+    o["dedup_clusters"] = f"""
+        WITH RECURSIVE pairs AS (
+            SELECT id_a, id_b FROM ({o["dedup_jaccard_pairs"]})
+        ),
+        edges AS (
+            SELECT id_a AS src, id_b AS dst FROM pairs
+            UNION ALL
+            SELECT id_b AS src, id_a AS dst FROM pairs
+        ),
+        reach(src, dst) AS (
+            SELECT src, dst FROM edges
+            UNION
+            SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+        ),
+        lab AS (
+            SELECT src AS node, least(src, min(dst)) AS cluster
+            FROM reach GROUP BY src
+        )
+        SELECT node::BIGINT AS doc_id, cluster::BIGINT AS cluster,
+               (node = cluster)::BIGINT AS is_canonical
+        FROM lab
+    """
 
     keep = set(queries().keys())
     return {k: v for k, v in o.items() if k in keep}

@@ -362,6 +362,67 @@ def jaccard_pairs_arrays(
     return out
 
 
+def duplicate_clusters(
+    pairs: DataFrame, max_iter: int = 20, checkpoint_every: int = 5
+) -> DataFrame:
+    """Connected components over a near-duplicate pair graph — the final
+    step of corpus near-dedup: LSH/jaccard emits PAIRS, but keeping one
+    document per duplicate GROUP needs the transitive closure (a~b,
+    b~c ⇒ {a,b,c} one cluster).
+
+    Min-label propagation: every node starts labeled with itself; each
+    round takes the min of its own and its neighbors' labels; a round
+    where nothing changes ends the loop. Rounds needed ≈ cluster
+    diameter (near-dup clusters are tight — typically ≤ 3-4). Per
+    round: one join + one aggregate over the LABEL frame, whose size is
+    the number of documents that appear in any pair — dup-rate-bounded,
+    orders of magnitude smaller than the corpus; the corpus itself is
+    never touched. The convergence check collects ONE count per round.
+    Long lineage is truncated with localCheckpoint every
+    ``checkpoint_every`` rounds (iterative-algorithm hygiene — without
+    it round k replans rounds 1..k-1).
+
+    Returns (node, cluster) where cluster is the min doc id of the
+    component — ``node == cluster`` marks the canonical survivor.
+    """
+    edges = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+    )
+    labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
+        "label", F.col("node")
+    )
+    for i in range(max_iter):
+        nbr = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(nbr, labels.node == nbr.src, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce("nbr_min", F.col("label"))
+                ).alias("label"),
+            )
+        )
+        if (i + 1) % checkpoint_every == 0:
+            new_labels = new_labels.localCheckpoint(eager=True)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("node", F.col("label").alias("cluster"))
+
+
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 60) -> DataFrame:
     """SimHash (up to 60 bits): for each word, md5 → take ``bits``
     bits; sum (+1/-1) per bit position across words; sign →

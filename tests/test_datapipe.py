@@ -246,3 +246,23 @@ def test_scrub_pii_redacts_and_counts(spark):
     assert "<EMAIL>" in r["text_scrubbed"] and "<PHONE>" in r["text_scrubbed"]
     assert "example.com" not in r["text_scrubbed"]
     assert "555" not in r["text_scrubbed"]
+
+
+def test_duplicate_clusters_transitive(spark):
+    # chain 1-2-3 (one cluster via transitivity), pair 10-11, pair 20-21
+    pairs = spark.createDataFrame(
+        [(2, 3), (1, 2), (10, 11), (21, 20)], "id_a long, id_b long"
+    )
+    out = {r["node"]: r["cluster"]
+           for r in dedup.duplicate_clusters(pairs).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20}
+
+
+def test_duplicate_clusters_long_chain_converges(spark):
+    # a 12-node path stresses multi-round propagation + checkpointing
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "id_a long, id_b long"
+    )
+    out = dedup.duplicate_clusters(pairs, max_iter=20, checkpoint_every=3)
+    rows = out.collect()
+    assert all(r["cluster"] == 0 for r in rows) and len(rows) == 13
