@@ -467,28 +467,43 @@ class Forecaster:
                 return None
         return cells
 
-    def _eval_fold_grid(self, fold_df: DataFrame, cells) -> list[float]:
-        """Score every grid cell on one fold in ONE Spark job: the grid
-        kernel emits (series, ds, cell, y, forecast) for the validation
-        rows, metrics reduce per (cell, series), and the optimize_on
-        rule reduces again per cell — |grid| rows reach the driver."""
-        from scalecast_spark.models.kernel import run_kernel_grid
+    def _eval_cv_kernel(
+        self, base: DataFrame, cells, k: int, test_length: int, space: int,
+        aside: int, train_length: int | None,
+    ) -> list[list[float]]:
+        """Score the whole (fold × grid) matrix in ONE Spark job: the CV
+        kernel emits (fold, cell, series, y, forecast) for every
+        holdout row, metrics reduce per (fold, cell, series), and the
+        optimize_on rule reduces again per (fold, cell) — k × |grid|
+        rows reach the driver. Returns scores[grid_index][fold]."""
+        from scalecast_spark.models.kernel import run_kernel_cv
 
-        out = run_kernel_grid(fold_df, list(self.tsf.features), cells)
+        out = run_kernel_cv(
+            base, list(self.tsf.features), cells, k, test_length, space,
+            aside=aside, train_length=train_length,
+        )
         how = getattr(self, "_optimize_on", "mean")
         mcol = self.validation_metric
         per = METRICS.evaluate(
-            out, actual=Y, forecast="forecast", by=["_cell", SERIES],
-            metrics=[mcol],
+            out, actual=Y, forecast="forecast",
+            by=["_fold", "_cell", SERIES], metrics=[mcol],
         )
         if how in self.OPTIMIZER_FUNCS:
             agg = {"mean": F.avg, "min": F.min, "max": F.max}[how](mcol)
-            rows = per.groupBy("_cell").agg(agg.alias(mcol)).collect()
+            rows = per.groupBy("_fold", "_cell").agg(agg.alias(mcol)).collect()
         else:  # a series_id — optimize on that one series
-            rows = per.filter(F.col(SERIES) == how).select("_cell", mcol).collect()
-        by_cell = {r["_cell"]: r[mcol] for r in rows}
+            rows = (
+                per.filter(F.col(SERIES) == how)
+                .select("_fold", "_cell", mcol)
+                .collect()
+            )
+        by_cell = {(r["_fold"], r["_cell"]): r[mcol] for r in rows}
         return [
-            float(by_cell[ci]) if by_cell.get(ci) is not None else float("nan")
+            [
+                float(by_cell[(fold, ci)])
+                if by_cell.get((fold, ci)) is not None else float("nan")
+                for fold in range(k)
+            ]
             for ci in range(len(cells))
         ]
 
@@ -509,14 +524,14 @@ class Forecaster:
         ``dynamic_tuning`` threads to the kernel's dynamic_testing
         (False = one-step-ahead validation, the reference default).
 
-        Every fold is a FILTER over the cached feature frame — fold
-        isolation without the reference's per-fold deepcopy. For
-        kernel-backed estimators the WHOLE grid evaluates in one Spark
-        job per fold (run_kernel_grid: one data pass, per-cell numpy
-        fits amortized inside each task); otherwise all (grid × fold)
-        cells are independent Spark actions over cached fold frames,
-        submitted CONCURRENTLY from a bounded driver thread pool. Both
-        paths run folds concurrently (run_jobs docstring).
+        Fold isolation without the reference's per-fold deepcopy: for
+        kernel-backed estimators the WHOLE (fold × grid) matrix
+        evaluates in ONE Spark job (kernel.run_kernel_cv slices folds
+        inside each series task — one scan + one shuffle total);
+        otherwise each fold is a FILTER over the cached feature frame
+        and all (grid × fold) cells are independent Spark actions,
+        submitted CONCURRENTLY from a bounded driver thread pool
+        (run_jobs docstring).
         """
         if self.grid is None:
             raise ValueError("ingest a grid first")
@@ -531,59 +546,47 @@ class Forecaster:
         test_length = test_length or max(usable // (k + 1), 1)
         space = space_between_sets or test_length
         base = self.tsf.df.cache()
-        fold_frames: list[DataFrame] = []
-        for fold in range(k):
-            chop = aside + fold * space
-            fold_frame = base
-            if chop:
-                w = W.partitionBy(SERIES).orderBy(F.desc(DS))
-                fold_frame = (
-                    base.filter(F.col(IS_FUTURE) == 0)
-                    .withColumn("_rev", F.row_number().over(w))
-                    .filter(F.col("_rev") > chop)
-                    .drop("_rev")
-                )
-            marked = _mark_test_rows(fold_frame, test_length)
-            if train_length:
-                w2 = W.partitionBy(SERIES).orderBy(F.desc(DS))
-                marked = (
-                    marked.withColumn("_rev", F.row_number().over(w2))
-                    .filter(F.col("_rev") <= train_length + test_length)
-                    .drop("_rev")
-                )
-            fold_frames.append(marked)
         cells = self._grid_cells(dynamic_tuning)
-        if cells is None:
+
+        if cells is not None:
+            # kernel-backed estimator: ALL folds × ALL grid cells in
+            # ONE Spark job (kernel.run_kernel_cv slices each fold
+            # inside the series task and amortizes the per-cell numpy
+            # fits) — CV cost is one scan + one shuffle regardless of
+            # k or |grid|; the driver receives k × |grid| score rows.
+            scores = self._eval_cv_kernel(
+                base, cells, k, test_length, space, aside, train_length
+            )
+        else:
+            fold_frames: list[DataFrame] = []
+            for fold in range(k):
+                chop = aside + fold * space
+                fold_frame = base
+                if chop:
+                    w = W.partitionBy(SERIES).orderBy(F.desc(DS))
+                    fold_frame = (
+                        base.filter(F.col(IS_FUTURE) == 0)
+                        .withColumn("_rev", F.row_number().over(w))
+                        .filter(F.col("_rev") > chop)
+                        .drop("_rev")
+                    )
+                marked = _mark_test_rows(fold_frame, test_length)
+                if train_length:
+                    w2 = W.partitionBy(SERIES).orderBy(F.desc(DS))
+                    marked = (
+                        marked.withColumn("_rev", F.row_number().over(w2))
+                        .filter(F.col("_rev") <= train_length + test_length)
+                        .drop("_rev")
+                    )
+                fold_frames.append(marked)
             # per-cell path: |grid| jobs share each fold, so cache the
             # fold frames and materialize each cache before concurrent
             # cells race to fill it (Spark computes uncached partitions
             # per-job) — the k counts are independent jobs, run
-            # together. The batched path reads each fold exactly ONCE
-            # (one grid job per fold), so caching there is overhead.
+            # together.
             fold_frames = [m.cache() for m in fold_frames]
             run_jobs([(lambda m=m: m.count()) for m in fold_frames],
                      max_workers=max_workers)
-
-        if cells is not None:
-            # kernel-backed estimator: ONE job per fold evaluates the
-            # whole grid (run_kernel_grid) — each fold's data is read
-            # once, the per-cell numpy fits amortize inside the task.
-            # At 100 TB the scan+shuffle dominates, so jobs scale with
-            # k, not k × |grid|.
-            fold_thunks = [
-                (lambda m=mk: self._eval_fold_grid(m, cells))
-                for mk in fold_frames
-            ]
-            per_fold = run_jobs(fold_thunks, max_workers=max_workers, on_error="nan")
-            scores = [
-                [
-                    (float(per_fold[fold][gi])
-                     if isinstance(per_fold[fold], list) else float("nan"))
-                    for fold in range(k)
-                ]
-                for gi in range(len(self.grid))
-            ]
-        else:
             thunks = [
                 (lambda m=fold_frames[fold], p=params: self._eval_fold(
                     m, p, dynamic_testing=dynamic_tuning
@@ -600,8 +603,9 @@ class Forecaster:
             for gi, row in enumerate(scores):
                 for fold, v in enumerate(row):
                     print(f"fold {fold} grid {gi}: {v}")
-        for m in fold_frames:
-            m.unpersist()
+        if cells is None:
+            for m in fold_frames:
+                m.unpersist()
         self.grid_evaluated = [
             {"params": p, "scores": row} for p, row in zip(self.grid, scores)
         ]

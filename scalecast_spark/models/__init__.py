@@ -56,8 +56,8 @@ def add_estimator(name: str, fn) -> None:
 
 def _kernel_factories():
     """fit-fn factories for every kernel-backed estimator — the hook
-    that lets cross_validate evaluate a whole grid in ONE kernel pass
-    (kernel.run_kernel_grid) instead of one Spark job per cell. Each
+    that lets cross_validate evaluate the whole (fold × grid) matrix in
+    ONE kernel pass (kernel.run_kernel_cv) instead of one job per cell. Each
     factory takes the estimator's hyperparameters (ignoring kernel-level
     args like normalizer/dynamic_testing) and returns a fit_fn."""
     from scalecast_spark.models.mlp import make_fit_mlp

@@ -219,6 +219,114 @@ def run_kernel_grid(
     )
 
 
+def run_kernel_cv(
+    df: DataFrame,
+    features: list[str],
+    cells: list[tuple],
+    k: int,
+    test_length: int,
+    space: int,
+    aside: int = 0,
+    train_length: int | None = None,
+    default_dynamic: bool | int = False,
+) -> DataFrame:
+    """ALL k rolling-origin folds × ALL grid cells in ONE kernel pass.
+
+    Combines :func:`run_kernel_grid` (grid axis inside the task) with
+    :func:`run_kernel_backtest` (rewind axis inside the task): each
+    series task slices its own history per fold (drop the last
+    ``aside + fold*space`` rows, hold out the next ``test_length``),
+    refits every cell, and predicts the holdout recursively. CV cost
+    collapses from k jobs (round 2) or k×|grid| jobs (round 1) to ONE
+    scan + ONE shuffle — at 100 TB the scan dominates, so this is the
+    floor. Fold/slice semantics match cross_validate's DataFrame fold
+    construction row-for-row (asserted by the batched-vs-generic parity
+    test). Emits (fold, cell, series, y, forecast) for holdout rows.
+    """
+    ar_lags = {int(m.group(1)): c for c in features for m in [_AR_RE.match(c)] if m}
+    feat = list(features)
+
+    def _peek(dyn) -> int:
+        if dyn is None:
+            dyn = default_dynamic
+        return 0 if dyn is True else 1 if dyn is False else int(dyn)
+
+    schema = T.StructType(
+        [
+            T.StructField("_fold", T.IntegerType()),
+            T.StructField("_cell", T.IntegerType()),
+            T.StructField(SERIES, df.schema[SERIES].dataType),
+            T.StructField(Y, T.DoubleType()),
+            T.StructField("forecast", T.DoubleType()),
+        ]
+    )
+
+    def fit_predict(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf[pdf[IS_FUTURE] == 0].sort_values(DS).reset_index(drop=True)
+        n = len(pdf)
+        outs = []
+        for fold in range(k):
+            chop = aside + fold * space
+            sub = pdf.iloc[: n - chop] if chop else pdf
+            if train_length:
+                sub = sub.iloc[-(train_length + test_length):]
+            if len(sub) == 0:
+                continue
+            cut = max(len(sub) - test_length, 0)
+            obs = sub.iloc[:cut]
+            hold = sub.iloc[cut:]
+            base = hold[[SERIES, Y]].copy().reset_index(drop=True)
+            base.insert(0, "_fold", fold)
+            train = obs.dropna(subset=feat + [Y])
+            if len(train) <= max(len(feat), 1):
+                for ci in range(len(cells)):
+                    o = base.copy()
+                    o.insert(1, "_cell", ci)
+                    o["forecast"] = np.nan
+                    outs.append(o)
+                continue
+            Xtr = np.column_stack([train[c].to_numpy(float) for c in feat])
+            ytr = train[Y].to_numpy(float)
+            hist0 = list(obs[Y].to_numpy(float))
+            fut_rows = hold[feat]
+            fut_actuals = hold[Y].to_numpy()
+            for ci, (fit_fn, normalizer, dyn) in enumerate(cells):
+                norm = _fit_normalizer(normalizer, Xtr)
+                predict = fit_fn(norm(Xtr), ytr)
+                peek_every = _peek(dyn)
+                hist = list(hist0)
+                preds = []
+                for step in range(1, len(hold) + 1):
+                    row = fut_rows.iloc[step - 1].copy()
+                    for lag, cname in ar_lags.items():
+                        if lag <= len(hist):
+                            row[cname] = hist[-lag]
+                    pred = float(predict(norm(row.to_numpy(float).reshape(1, -1))))
+                    preds.append(pred)
+                    actual = fut_actuals[step - 1]
+                    if peek_every and step % peek_every == 0 and not pd.isna(actual):
+                        hist.append(float(actual))
+                    else:
+                        hist.append(pred)
+                o = base.copy()
+                o.insert(1, "_cell", ci)
+                o["forecast"] = preds
+                outs.append(o)
+        if not outs:
+            return pd.DataFrame(
+                {f.name: pd.Series(dtype=object) for f in schema.fields}
+            )[[f.name for f in schema.fields]]
+        return pd.concat(outs, ignore_index=True)[
+            ["_fold", "_cell", SERIES, Y, "forecast"]
+        ]
+
+    return (
+        df.select(SERIES, DS, IS_FUTURE, Y, *feat)
+        .groupBy(SERIES)
+        .applyInPandas(fit_predict, schema)
+    )
+
+
 def run_kernel_backtest(
     df: DataFrame,
     features: list[str],
