@@ -269,3 +269,60 @@ def tfidf_top_terms(
         .filter(F.col("_rn") <= top_k)
         .select(id_col, "term", F.col("tf").cast("long").alias("tf"), "score", F.col("_rn").alias("rank"))
     )
+
+
+def curate_corpus(
+    df: DataFrame,
+    benchmark: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_tokens: int = 5,
+    max_dup_line_frac: float = 0.3,
+    max_top2gram_frac: float = 0.2,
+    min_quality: float = 0.25,
+    max_contam: int = 0,
+    contam_ngram: int = 8,
+    scrub: bool = True,
+) -> DataFrame:
+    """The standard pre-training curation sweep as ONE composed pass:
+    C4/Gopher quality gates + repetition gates + (optional) benchmark
+    decontamination + PII scrubbing, each rule recorded by name.
+
+    Adds ``keep`` (boolean) and ``drop_reasons`` (array<string>, empty
+    when kept) plus every underlying signal column; when ``scrub`` the
+    surviving text is the redacted ``text_scrubbed``. Everything except
+    the contamination join is per-row column math — one corpus scan;
+    the contamination side is a broadcast join against the (tiny)
+    benchmark n-gram set, so the plan stays shuffle-free on the corpus.
+    Filter ``keep`` to materialize the cleaned corpus.
+
+    STREAMING: with ``benchmark=None`` every rule is stateless per-row
+    column math, so this operator applies unchanged to a readStream
+    frame in append mode (a crawl firehose can be curated on ingest —
+    batch-parity is asserted in tests/test_streaming.py).
+    Decontamination aggregates per doc, so run it as the batch step
+    (or a stream-static join in update mode) downstream.
+    """
+    out = add_quality_score(add_token_count(df, text_col), text_col)
+    out = add_repetition_signals(out, text_col, id_col)
+    if scrub:
+        out = scrub_pii(out, text_col)
+    rules = [
+        ("too_few_tokens", F.col("n_tokens") < min_tokens),
+        ("dup_lines", F.col("dup_line_frac") > max_dup_line_frac),
+        ("repetitive_2grams", F.col("top2gram_frac") > max_top2gram_frac),
+        ("low_quality", F.coalesce(F.col("q_score"), F.lit(0.0)) < min_quality),
+    ]
+    if benchmark is not None:
+        hits = contamination_hits(df, benchmark, contam_ngram, text_col, id_col)
+        out = out.join(hits, id_col, "left").na.fill({"n_contam": 0})
+        rules.append(("benchmark_contaminated", F.col("n_contam") > max_contam))
+    reasons = F.filter(
+        F.array(
+            *[F.when(cond, F.lit(name)).otherwise(F.lit(None)) for name, cond in rules]
+        ),
+        lambda x: x.isNotNull(),
+    )
+    return out.withColumn("drop_reasons", reasons).withColumn(
+        "keep", F.size("drop_reasons") == 0
+    )

@@ -82,3 +82,56 @@ def test_dedup_stream_watermark_plan(spark, sf_dir):
     )
     out = dedup_stream(ev, text_col="text", ts_col="ts", watermark="1 hour")
     assert out.isStreaming
+
+
+def test_curate_stream_matches_batch(spark, sf_dir):
+    """curate_corpus (no benchmark) is stateless column math -> the
+    same operator curates a readStream firehose in append mode."""
+    import tempfile
+
+    from scalecast_spark.datapipe.text import curate_corpus
+    from scalecast_spark.sources import load_table
+    from scalecast_spark.streaming import run_available_now, stream_documents
+
+    batch = curate_corpus(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "keep", "drop_reasons", "n_emails"
+    )
+    stream = curate_corpus(
+        stream_documents(spark, f"{sf_dir}/documents.parquet")
+    ).select("doc_id", "keep", "drop_reasons", "n_emails")
+    assert stream.isStreaming
+    with tempfile.TemporaryDirectory() as ckpt:
+        got = run_available_now(
+            stream, "q_curate_stream", ckpt, output_mode="append"
+        )
+        got_pdf = got.toPandas().sort_values("doc_id").reset_index(drop=True)
+    want = batch.toPandas().sort_values("doc_id").reset_index(drop=True)
+    assert len(got_pdf) == len(want) > 0
+    assert (got_pdf["keep"] == want["keep"]).all()
+    assert [list(a) for a in got_pdf["drop_reasons"]] == [
+        list(a) for a in want["drop_reasons"]
+    ]
+
+
+def test_curate_corpus_rules(spark):
+    from scalecast_spark.datapipe.text import curate_corpus
+
+    docs = spark.createDataFrame(
+        [
+            (0, "the cat sat on the mat and it is a fine day today ok"),
+            (1, "spam spam spam spam spam spam spam spam spam spam"),
+            (2, "hi"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(9, "the cat sat on the mat and it is a fine day")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in curate_corpus(docs, bench).collect()}
+    assert rows[0]["keep"] is False  # contaminated by the bench doc
+    assert "benchmark_contaminated" in rows[0]["drop_reasons"]
+    assert rows[1]["keep"] is False
+    assert "repetitive_2grams" in rows[1]["drop_reasons"]
+    assert rows[2]["keep"] is False
+    assert "too_few_tokens" in rows[2]["drop_reasons"]
