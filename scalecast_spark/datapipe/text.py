@@ -201,19 +201,30 @@ def contamination_hits(
     The benchmark n-gram set is tiny relative to the corpus (eval sets
     are MBs, the corpus is TBs) → distinct + broadcast; the corpus side
     explodes its n-grams per doc and hash-joins with NO shuffle of the
-    corpus (broadcast hash join on md5 keys). Returns (id_col, n_contam)
-    for docs with ≥1 hit.
+    corpus (broadcast hash join on xxhash64 long keys — cheaper than
+    md5 strings; collision odds ~ |bench|·|doc| / 2^64). The words
+    array materializes in its own projection so the n zip-chain slice
+    references read a column, not n re-evaluations of the split chain.
+    Returns (id_col, n_contam) for docs with ≥1 hit.
     """
-    doc_sh = docs.select(
-        id_col, F.explode(F.array_distinct(_word_ngrams(F.col(text_col), n))).alias("_ng")
-    ).withColumn("_h", F.md5("_ng")).drop("_ng")
-    bench_sh = (
-        benchmark.select(
-            F.explode(F.array_distinct(_word_ngrams(F.col(text_col), n))).alias("_ng")
+    def _ng_hashes(df_: DataFrame, cols: list[str]) -> DataFrame:
+        words = F.filter(
+            F.split(_norm(F.col(text_col)), " "), lambda x: F.length(x) > 0
         )
-        .select(F.md5("_ng").alias("_h"))
-        .distinct()
-    )
+        ws = df_.select(*cols, words.alias("_ws"))
+        cnt = F.greatest(F.size("_ws") - (n - 1), F.lit(0))
+        acc = F.slice("_ws", 1, cnt)
+        for j in range(1, n):
+            acc = F.zip_with(
+                acc, F.slice("_ws", 1 + j, cnt),
+                lambda a, b: F.concat(a, F.lit(" "), b),
+            )
+        return ws.select(
+            *cols, F.explode(F.array_distinct(acc)).alias("_ng")
+        ).select(*cols, F.xxhash64("_ng").alias("_h"))
+
+    doc_sh = _ng_hashes(docs, [id_col])
+    bench_sh = _ng_hashes(benchmark, []).distinct()
     return (
         doc_sh.join(F.broadcast(bench_sh), "_h")
         .groupBy(id_col)
