@@ -276,8 +276,18 @@ class Forecaster:
         self._custom_optimizers[name] = fn
         return self
 
-    def set_best_model(self, determine_best_by: str = "TestSetRMSE") -> "Forecaster":
-        """Pin the best model (reference MVForecaster.py:513-533)."""
+    def set_best_model(
+        self, model: str | None = None,
+        determine_best_by: str = "TestSetRMSE",
+    ) -> "Forecaster":
+        """Pin the best model (reference MVForecaster.py:513-533):
+        either explicitly by evaluated-model name, or by ranking on a
+        labeled metric."""
+        if model is not None:
+            if model not in self.history:
+                raise ValueError(f"{model!r} has not been evaluated")
+            self.best_model = model
+            return self
         order = self.order_fcsts(determine_best_by)
         if not order:
             raise ValueError("no evaluated models to choose from")

@@ -76,5 +76,5 @@ def test_set_best_model(series):
     f.set_test_length(7)
     f.set_estimator("naive"); f.manual_forecast(m=1, call_me="n1")
     f.set_estimator("naive"); f.manual_forecast(m=7, call_me="n7")
-    f.set_best_model("TestSetRMSE")
+    f.set_best_model(determine_best_by="TestSetRMSE")
     assert f.best_model in ("n1", "n7")
