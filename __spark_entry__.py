@@ -43,7 +43,7 @@ norm AS (
            regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
     FROM documents
 ),
-w AS (SELECT doc_id, string_split(t, ' ') AS ws FROM norm),
+w AS (SELECT doc_id, list_filter(string_split(t, ' '), x -> len(x) > 0) AS ws FROM norm),
 sh AS (
     SELECT DISTINCT doc_id, shingle
     FROM (

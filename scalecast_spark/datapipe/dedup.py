@@ -60,8 +60,15 @@ def shingle_array(text_col, n: int = 3):
     body referencing ``words`` re-evaluates the whole
     regexp+split+filter chain PER ELEMENT — measured 20x slower at
     sf0.1. In the zip-chain every ``words`` reference is a top-level
-    child evaluated once per row."""
-    words = F.split(normalize_text(text_col), " ")
+    child evaluated once per row.
+
+    Empty words are dropped BEFORE shingling (Spark ``trim`` strips
+    only spaces, so a newline-led text otherwise smuggles a phantom ''
+    word into its shingles — caught by the hypothesis parity test; the
+    DuckDB oracle applies the same list_filter)."""
+    words = F.filter(
+        F.split(normalize_text(text_col), " "), lambda x: F.length(x) > 0
+    )
     cnt = F.greatest(F.size(words) - (n - 1), F.lit(0))
     acc = F.slice(words, 1, cnt)
     for j in range(1, n):

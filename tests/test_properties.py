@@ -108,3 +108,62 @@ def test_dedup_exact_idempotent(spark, texts):
     import re
     norms = {re.sub(r"\s+", " ", t.strip().lower()) for t in texts}
     assert once.count() == len(norms)
+
+
+text_strategy = st.lists(
+    st.text(
+        alphabet=st.sampled_from("ab cd\nef.!🦀  "), min_size=0, max_size=120
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+
+@given(texts=text_strategy, n=st.sampled_from([1, 2, 3, 8]))
+@settings(**SETTINGS)
+def test_shingle_array_matches_python(spark, texts, n):
+    """dedup.shingle_array's zip-chain == a straightforward python
+    shingler, including the short-doc single-shingle convention and
+    whitespace/unicode edge cases (one Spark job for all examples)."""
+    from scalecast_spark.datapipe.dedup import shingle_array
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "i long, text string"
+    )
+    got = {
+        r["i"]: sorted(r["sh"])
+        for r in df.select(
+            "i", shingle_array(F.col("text"), n).alias("sh")
+        ).collect()
+    }
+    for i, t in enumerate(texts):
+        words = [w for w in " ".join(t.lower().strip().split()).split(" ") if w]
+        if len(words) >= n:
+            want = {" ".join(words[j:j + n]) for j in range(len(words) - n + 1)}
+        else:
+            want = {" ".join(words)} - {""}
+        assert got[i] == sorted(want), (t, n)
+
+
+@given(texts=text_strategy)
+@settings(**SETTINGS)
+def test_repetition_signals_match_python(spark, texts):
+    from collections import Counter
+
+    from scalecast_spark.datapipe.text import add_repetition_signals
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r for r in add_repetition_signals(df).collect()}
+    for i, t in enumerate(texts):
+        lines = [ln.strip() for ln in t.split("\n") if ln.strip()]
+        want_dup = round(1 - len(set(lines)) / len(lines), 6) if lines else 0.0
+        assert got[i]["dup_line_frac"] == pytest.approx(want_dup, abs=1e-6)
+        words = [w for w in " ".join(t.lower().strip().split()).split(" ") if w]
+        bgs = [f"{a} {b}" for a, b in zip(words, words[1:])]
+        want_top = (
+            round(Counter(bgs).most_common(1)[0][1] / len(bgs), 6) if bgs else 0.0
+        )
+        assert got[i]["top2gram_frac"] == pytest.approx(want_top, abs=1e-6)
