@@ -1,0 +1,125 @@
+"""Scale probe: measure the dedup + curation pipelines against corpus
+replicas at 1x / 4x / 16x to verify the near-linear scaling SCALE.md
+claims (sub-quadratic candidate generation, no corpus-wide shuffles).
+
+Replicas are built lazily in-plan (union of per-replica projections
+with mutated text + offset ids — no files written): the `mutate` axis
+appends a replica token so the duplicate RATE stays constant while the
+corpus grows; `exact` replicas instead multiply the duplicate rate
+(every doc becomes a 16-clique), stressing candidate-pair volume.
+
+Usage: python tools/scale_probe.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+
+ALPHA = "abcdefghijklmnopqrstuvwxyz"
+
+
+def replicate(docs, factor: int, mutate: bool):
+    parts = []
+    for i in range(factor):
+        p = docs.withColumn("doc_id", F.col("doc_id") + F.lit(i * 10_000_000))
+        if mutate and i > 0:
+            # rotate the alphabet per replica: every WORD differs, so
+            # replicas share no shingles (a trailing-token mutation
+            # would leave J≈0.9 and recreate the dup clique)
+            rot = ALPHA[i % 25 + 1:] + ALPHA[: i % 25 + 1]
+            p = p.withColumn("text", F.translate("text", ALPHA, rot))
+        parts.append(p)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def dedup_pipeline(docs):
+    from scalecast_spark.datapipe.dedup import (
+        duplicate_clusters,
+        jaccard_pairs_arrays,
+        lsh_candidate_pairs,
+        minhash_signatures,
+        shingle_array,
+        word_shingles,
+    )
+
+    sh = word_shingles(docs, 3)
+    sigs = minhash_signatures(sh, n_hashes=4)
+    cands = lsh_candidate_pairs(sigs, bands=4)
+    base = docs.repartition(64, F.col("doc_id")).select(
+        "doc_id", shingle_array(F.col("text"), 3).alias("_sh_arr")
+    )
+    pairs = jaccard_pairs_arrays(base, cands, min_jaccard=0.5)
+    return duplicate_clusters(pairs.select("id_a", "id_b"))
+
+
+def curation_pipeline(docs):
+    from scalecast_spark.datapipe.text import curate_corpus
+
+    bench = docs.filter(F.col("doc_id") % 20 == 0)
+    return curate_corpus(docs, bench).select("doc_id", "keep", "drop_reasons")
+
+
+def main():
+    import shutil
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    scratch = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), ".probe_tmp")
+    from scalecast_spark import get_session
+
+    spark = get_session("scale-probe")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n0 = docs.count()
+    print(f"base corpus: {n0} docs ({sf_dir}); min of 2 runs per cell")
+    print(f"{'pipeline':<10} {'axis':<7} {'factor':>6} {'docs':>8} "
+          f"{'out_rows':>9} {'sec':>7} {'sec/1x':>7}")
+    try:
+        for name, fn in [("dedup", dedup_pipeline),
+                         ("curation", curation_pipeline)]:
+            for axis, mutate in [("mutate", True), ("exact", False)]:
+                if name == "curation" and axis == "exact":
+                    continue  # curation is per-row; dup rate is irrelevant
+                if name == "dedup" and axis == "exact":
+                    factors = (1, 4)  # 16x exact = 600k-pair clique graph
+                else:
+                    factors = (1, 4, 16)
+                base_t = None
+                for factor in factors:
+                    # materialize the replica corpus once: a realistic
+                    # multi-partition parquet scan, and the pipeline
+                    # plan stays IDENTICAL across factors (a 16-branch
+                    # in-plan union would grow compile time with factor)
+                    path = f"{scratch}/{axis}_{factor}"
+                    replicate(docs, factor, mutate).repartition(32).write.mode(
+                        "overwrite"
+                    ).parquet(path)
+                    d = spark.read.parquet(path)
+                    dt, out_rows = min(
+                        _timed(fn, d) for _ in range(2)
+                    )
+                    base_t = base_t or dt
+                    print(f"{name:<10} {axis:<7} {factor:>6} {n0 * factor:>8} "
+                          f"{out_rows:>9} {dt:>7.2f} {dt / base_t:>7.2f}",
+                          flush=True)
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+def _timed(fn, d):
+    t = time.time()
+    out_rows = fn(d).count()
+    return time.time() - t, out_rows
+
+
+if __name__ == "__main__":
+    main()
