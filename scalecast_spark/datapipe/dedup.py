@@ -37,9 +37,26 @@ def normalize_text(col):
     return F.regexp_replace(F.lower(F.trim(col)), r"\s+", " ")
 
 
-def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Keep the lowest-id document per exact (normalized) content hash."""
+def dedup_exact(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    ids_only: bool = False,
+) -> DataFrame:
+    """Keep the lowest-id document per exact (normalized) content hash.
+
+    ``ids_only`` returns just the surviving ids via groupBy-min — the
+    scale shape when the caller only needs the keep-list (e.g. to
+    semi-join the corpus later): the shuffle carries (hash, id) pairs
+    and there is no per-group sort. The default keeps the full rows
+    (row_number window) for callers that want the surviving documents
+    in one pass."""
     h = F.md5(normalize_text(F.col(text_col)))
+    if ids_only:
+        return (
+            df.select(h.alias("_h"), id_col)
+            .groupBy("_h")
+            .agg(F.min(id_col).alias(id_col))
+            .select(id_col)
+        )
     w = W.partitionBy("_h").orderBy(id_col)
     return (
         df.withColumn("_h", h)

@@ -266,3 +266,9 @@ def test_duplicate_clusters_long_chain_converges(spark):
     out = dedup.duplicate_clusters(pairs, max_iter=20, checkpoint_every=3)
     rows = out.collect()
     assert all(r["cluster"] == 0 for r in rows) and len(rows) == 13
+
+
+def test_dedup_exact_ids_only_matches_full(docs):
+    full = {r["doc_id"] for r in dedup.dedup_exact(docs).select("doc_id").collect()}
+    ids = {r["doc_id"] for r in dedup.dedup_exact(docs, ids_only=True).collect()}
+    assert ids == full and len(ids) > 0
