@@ -2,10 +2,18 @@
 columns with typed metadata.
 
 The Spark-side plumbing is real — schema, partition sizing, Arrow batch
-shape via ``mapInPandas`` — while the codec step is stubbed behind
-``NotImplementedError`` / a deterministic fake (image/audio libraries
-are not in this container; wire Pillow/torchaudio/PyAV into
-``_decode_image_bytes`` etc. in a real deployment).
+shape via ``mapInPandas``. Codec status per modality:
+
+  * audio: REAL — WAV/PCM16 parses with stdlib ``wave`` + numpy, no
+    external codec (``extract_audio_features``: sample rate, duration,
+    RMS, zero-crossing rate; corrupt payloads yield NULLs);
+  * image decode: import-gated on Pillow (``pil_decode``); the
+    deterministic ``fake_decode`` keeps every downstream operator
+    (features, thumbnails) testable codec-free, and the
+    nearest-neighbor resize is pure numpy so thumbnailing is real
+    end-to-end under either decoder;
+  * video: represented as (video_id, frame_idx, payload) frame tables;
+    ``sample_frames`` prunes before any decode.
 
 Scale notes: binary payloads ride the scan; ``mapInPandas`` streams
 Arrow record batches so one task never materializes more than
@@ -40,12 +48,35 @@ def attach_binary_metadata(df: DataFrame, bin_col: str = "payload") -> DataFrame
     )
 
 
+def pil_decode(raw: bytes) -> np.ndarray:
+    """Real image decode via Pillow when installed (import-gated; this
+    container ships without codecs). Returns (h, w, c) uint8."""
+    try:
+        from PIL import Image  # noqa: PLC0415
+    except ImportError as e:  # pragma: no cover - PIL absent here
+        raise NotImplementedError(
+            "image decode requires Pillow; pass decode=fake_decode for "
+            "codec-free pipeline tests"
+        ) from e
+    import io
+
+    img = Image.open(io.BytesIO(raw)).convert("RGB")
+    return np.asarray(img, dtype=np.uint8)
+
+
 def _decode_image_bytes(raw: bytes) -> np.ndarray:
-    """REAL IMPLEMENTATION REQUIRES an image codec (Pillow/opencv),
-    not present in this container."""
-    raise NotImplementedError(
-        "image decode requires Pillow/opencv; use fake_decode for tests"
-    )
+    """Default real-decode hook: Pillow when present, informative
+    NotImplementedError otherwise."""
+    return pil_decode(raw)
+
+
+def resize_nearest(img: np.ndarray, h: int, w: int) -> np.ndarray:
+    """Nearest-neighbor resize as pure numpy index arithmetic — no
+    image library needed once pixels are decoded."""
+    src_h, src_w = img.shape[0], img.shape[1]
+    rows = (np.arange(h) * src_h // h).clip(0, src_h - 1)
+    cols = (np.arange(w) * src_w // w).clip(0, src_w - 1)
+    return img[rows][:, cols]
 
 
 def fake_decode(raw: bytes, h: int = 8, w: int = 8, c: int = 3) -> np.ndarray:
@@ -86,6 +117,110 @@ def extract_image_features(
                     list(per_c.mean(axis=0)) + list(per_c.std(axis=0))
                 )
             yield pd.DataFrame({id_col: pdf[id_col].astype("int64"), "feat": feats})
+
+    return df.select(id_col, bin_col).mapInPandas(batches, out_schema)
+
+
+def make_thumbnails(
+    df: DataFrame,
+    h: int = 32,
+    w: int = 32,
+    bin_col: str = "payload",
+    id_col: str = "doc_id",
+    decode=fake_decode,
+) -> DataFrame:
+    """Decode → nearest-neighbor resize → re-emit fixed-size uint8
+    thumbnails as a binary column + shape metadata. The resize is pure
+    numpy index math, so the whole operator is real today with the
+    deterministic fake decoder and unchanged under a real codec.
+    Output: (id, thumb binary h*w*c, thumb_h, thumb_w, thumb_c)."""
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("thumb", T.BinaryType()),
+            T.StructField("thumb_h", T.IntegerType()),
+            T.StructField("thumb_w", T.IntegerType()),
+            T.StructField("thumb_c", T.IntegerType()),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            thumbs = []
+            for raw in pdf[bin_col]:
+                img = decode(bytes(raw))
+                thumbs.append(resize_nearest(img, h, w).tobytes())
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].astype("int64"),
+                    "thumb": thumbs,
+                    "thumb_h": h,
+                    "thumb_w": w,
+                    "thumb_c": 3,
+                }
+            )
+
+    return df.select(id_col, bin_col).mapInPandas(batches, out_schema)
+
+
+def extract_audio_features(
+    df: DataFrame,
+    bin_col: str = "payload",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """REAL audio feature extraction for WAV/PCM payloads — stdlib
+    ``wave`` parses the container and numpy decodes PCM16, so unlike
+    the image path this needs NO external codec. Per clip: sample rate,
+    channel count, duration, RMS level, and zero-crossing rate (the
+    classic cheap voice/music/noise discriminators for corpus triage).
+    Non-WAV / corrupt payloads yield NULL features instead of failing
+    the batch (curation data is dirty by definition)."""
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("sample_rate", T.IntegerType()),
+            T.StructField("n_channels", T.IntegerType()),
+            T.StructField("duration_sec", T.DoubleType()),
+            T.StructField("rms", T.DoubleType()),
+            T.StructField("zero_cross_rate", T.DoubleType()),
+        ]
+    )
+
+    def one(raw: bytes):
+        import io
+        import wave
+
+        try:
+            with wave.open(io.BytesIO(raw)) as wf:
+                if wf.getsampwidth() != 2:  # PCM16 only
+                    return (None, None, None, None, None)
+                sr = wf.getframerate()
+                nch = wf.getnchannels()
+                n = wf.getnframes()
+                pcm = np.frombuffer(
+                    wf.readframes(n), dtype="<i2"
+                ).astype(np.float64) / 32768.0
+        except Exception:
+            return (None, None, None, None, None)
+        if len(pcm) == 0:
+            return (sr, nch, 0.0, None, None)
+        mono = pcm.reshape(-1, nch).mean(axis=1)
+        rms = float(np.sqrt(np.mean(mono * mono)))
+        zcr = float(np.mean(np.signbit(mono[1:]) != np.signbit(mono[:-1])))
+        return (sr, nch, round(n / sr, 6), round(rms, 6), round(zcr, 6))
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = [one(bytes(raw)) for raw in pdf[bin_col]]
+            out = pd.DataFrame(
+                rows,
+                columns=[
+                    "sample_rate", "n_channels", "duration_sec", "rms",
+                    "zero_cross_rate",
+                ],
+            )
+            out.insert(0, id_col, pdf[id_col].astype("int64").values)
+            yield out
 
     return df.select(id_col, bin_col).mapInPandas(batches, out_schema)
 

@@ -272,3 +272,56 @@ def test_dedup_exact_ids_only_matches_full(docs):
     full = {r["doc_id"] for r in dedup.dedup_exact(docs).select("doc_id").collect()}
     ids = {r["doc_id"] for r in dedup.dedup_exact(docs, ids_only=True).collect()}
     assert ids == full and len(ids) > 0
+
+
+def test_audio_features_real_wav(spark):
+    """The audio path is REAL (stdlib wave + numpy PCM16): a 440 Hz
+    synthesized tone comes back with exact sample rate, duration, the
+    analytic RMS of a sine (1/sqrt(2) of amplitude), and ~2*f0/sr ZCR."""
+    import io
+    import wave
+
+    import numpy as _np
+
+    sr, secs, f0, amp = 16000, 0.5, 440.0, 0.5
+    t = _np.arange(int(sr * secs)) / sr
+    pcm = (amp * _np.sin(2 * _np.pi * f0 * t) * 32767).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(sr)
+        wf.writeframes(pcm.tobytes())
+    rows = [(0, bytearray(buf.getvalue())), (1, bytearray(b"not a wav"))]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r["doc_id"]: r for r in multimodal.extract_audio_features(df).collect()}
+    ok = got[0]
+    assert ok["sample_rate"] == sr and ok["n_channels"] == 1
+    assert ok["duration_sec"] == pytest.approx(secs, abs=1e-6)
+    assert ok["rms"] == pytest.approx(amp / np.sqrt(2), rel=1e-3)
+    assert ok["zero_cross_rate"] == pytest.approx(2 * f0 / sr, rel=0.02)
+    assert got[1]["sample_rate"] is None  # corrupt payload -> NULLs
+
+
+def test_thumbnails_deterministic_shape(spark):
+    df = spark.createDataFrame(
+        [(i, bytearray(f"img{i}".encode())) for i in range(4)],
+        "doc_id long, payload binary",
+    )
+    out = multimodal.make_thumbnails(df, h=4, w=5).collect()
+    assert len(out) == 4
+    for r in out:
+        assert len(bytes(r["thumb"])) == 4 * 5 * 3
+    # deterministic: same payload -> same thumbnail bytes
+    again = {r["doc_id"]: bytes(r["thumb"])
+             for r in multimodal.make_thumbnails(df, h=4, w=5).collect()}
+    for r in out:
+        assert bytes(r["thumb"]) == again[r["doc_id"]]
+
+
+def test_resize_nearest_identity_and_downscale():
+    img = np.arange(6 * 4 * 3, dtype=np.uint8).reshape(6, 4, 3)
+    assert (multimodal.resize_nearest(img, 6, 4) == img).all()
+    small = multimodal.resize_nearest(img, 3, 2)
+    assert small.shape == (3, 2, 3)
+    assert (small == img[[0, 2, 4]][:, [0, 2]]).all()
