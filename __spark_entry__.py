@@ -1493,11 +1493,13 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """49 entries (the driver records at most ~50 per round — r02 was
-    truncated at 50, so rounds 1-2's per-operator entries are merged
-    into per-family frames; see the 'merged families' section). Member
-    implementations and oracles are unchanged and still exercised —
-    a merged hash-match certifies every member at once."""
+    """EXACTLY 50 entries — the driver records at most ~50 per round
+    (r02 was truncated at 50), so rounds 1-2's per-operator entries are
+    merged into per-family frames (see the 'merged families' section)
+    and the dict sits AT the cap: adding a query requires merging or
+    retiring another. Member implementations and oracles are unchanged
+    and still exercised — a merged hash-match certifies every member at
+    once."""
     return {
         # ingest / streaming / sessions / general SQL competence
         "stream_daily_series": q_stream_daily_series,
@@ -2915,7 +2917,10 @@ def _text_curation_oracle() -> str:
         ln AS (
             SELECT doc_id,
                    list_filter(
-                       list_transform(string_split(text, chr(10)), x -> trim(x)),
+                       list_transform(
+                           string_split(text, chr(10)),
+                           x -> regexp_replace(x, '^\\s+|\\s+$', '', 'g')
+                       ),
                        x -> len(x) > 0
                    ) AS lines
             FROM norm

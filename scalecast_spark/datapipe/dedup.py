@@ -83,16 +83,10 @@ def shingle_array(text_col, n: int = 3):
     only spaces, so a newline-led text otherwise smuggles a phantom ''
     word into its shingles — caught by the hypothesis parity test; the
     DuckDB oracle applies the same list_filter)."""
-    words = F.filter(
-        F.split(normalize_text(text_col), " "), lambda x: F.length(x) > 0
-    )
-    cnt = F.greatest(F.size(words) - (n - 1), F.lit(0))
-    acc = F.slice(words, 1, cnt)
-    for j in range(1, n):
-        acc = F.zip_with(
-            acc, F.slice(words, 1 + j, cnt),
-            lambda a, b: F.concat(a, F.lit(" "), b),
-        )
+    from scalecast_spark.datapipe.text import ngram_chain, split_words
+
+    words = split_words(normalize_text(text_col))
+    acc = ngram_chain(words, n)
     # short docs (< n words): one shingle of the full word list — same
     # output as the old slice-based transform at index 0
     short = F.array(F.array_join(words, " "))
@@ -387,7 +381,7 @@ def jaccard_pairs_arrays(
 
 
 def duplicate_clusters(
-    pairs: DataFrame, max_iter: int = 20, checkpoint_every: int = 5
+    pairs: DataFrame, max_iter: int = 50, checkpoint_every: int = 5
 ) -> DataFrame:
     """Connected components over a near-duplicate pair graph — the final
     step of corpus near-dedup: LSH/jaccard emits PAIRS, but keeping one
@@ -396,7 +390,9 @@ def duplicate_clusters(
 
     Min-label propagation: every node starts labeled with itself; each
     round takes the min of its own and its neighbors' labels; a round
-    where nothing changes ends the loop. Rounds needed ≈ cluster
+    where nothing changes ends the loop, and exhausting ``max_iter``
+    RAISES rather than silently returning split components (kept
+    duplicates). Rounds needed ≈ cluster
     diameter (near-dup clusters are tight — typically ≤ 3-4). Per
     round: one join + one aggregate over the LABEL frame, whose size is
     the number of documents that appear in any pair — dup-rate-bounded,
@@ -443,8 +439,15 @@ def duplicate_clusters(
         )
         labels = new_labels
         if changed == 0:
-            break
-    return labels.select("node", F.col("label").alias("cluster"))
+            return labels.select("node", F.col("label").alias("cluster"))
+    # falling through would silently return PARTIAL components (one
+    # real cluster split into several, each with its own "canonical"
+    # survivor — i.e. kept duplicates); labels move one hop per round,
+    # so rounds needed = component diameter. Fail loudly instead.
+    raise RuntimeError(
+        f"duplicate_clusters did not converge in {max_iter} rounds — a "
+        f"component has diameter > {max_iter}; raise max_iter"
+    )
 
 
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 60) -> DataFrame:

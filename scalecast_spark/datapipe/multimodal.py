@@ -146,17 +146,20 @@ def make_thumbnails(
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            thumbs = []
+            thumbs, chans = [], []
             for raw in pdf[bin_col]:
                 img = decode(bytes(raw))
+                if img.ndim == 2:  # grayscale decoders return (h, w)
+                    img = img[:, :, None]
                 thumbs.append(resize_nearest(img, h, w).tobytes())
+                chans.append(int(img.shape[2]))
             yield pd.DataFrame(
                 {
                     id_col: pdf[id_col].astype("int64"),
                     "thumb": thumbs,
                     "thumb_h": h,
                     "thumb_w": w,
-                    "thumb_c": 3,
+                    "thumb_c": chans,
                 }
             )
 
@@ -190,6 +193,9 @@ def extract_audio_features(
         import io
         import wave
 
+        # EVERYTHING inside the try: a header can declare framerate 0
+        # or 0 channels, and truncated PCM makes the reshape fail —
+        # all must degrade to NULLs, not kill the task
         try:
             with wave.open(io.BytesIO(raw)) as wf:
                 if wf.getsampwidth() != 2:  # PCM16 only
@@ -197,17 +203,20 @@ def extract_audio_features(
                 sr = wf.getframerate()
                 nch = wf.getnchannels()
                 n = wf.getnframes()
+                if sr <= 0 or nch <= 0:
+                    return (None, None, None, None, None)
                 pcm = np.frombuffer(
                     wf.readframes(n), dtype="<i2"
                 ).astype(np.float64) / 32768.0
+            if len(pcm) == 0:
+                return (sr, nch, 0.0, None, None)
+            pcm = pcm[: (len(pcm) // nch) * nch]  # drop a torn last frame
+            mono = pcm.reshape(-1, nch).mean(axis=1)
+            rms = float(np.sqrt(np.mean(mono * mono)))
+            zcr = float(np.mean(np.signbit(mono[1:]) != np.signbit(mono[:-1])))
+            return (sr, nch, round(n / sr, 6), round(rms, 6), round(zcr, 6))
         except Exception:
             return (None, None, None, None, None)
-        if len(pcm) == 0:
-            return (sr, nch, 0.0, None, None)
-        mono = pcm.reshape(-1, nch).mean(axis=1)
-        rms = float(np.sqrt(np.mean(mono * mono)))
-        zcr = float(np.mean(np.signbit(mono[1:]) != np.signbit(mono[:-1])))
-        return (sr, nch, round(n / sr, 6), round(rms, 6), round(zcr, 6))
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:

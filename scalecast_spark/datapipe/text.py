@@ -133,8 +133,14 @@ def add_repetition_signals(
     corpus-wide and re-shuffle the doc bodies on the join back.
     """
     c = F.col(text_col)
+    # regexp trim, not F.trim: Spark trim strips ONLY spaces, so CRLF
+    # docs would keep the \r and never match their LF twins (and
+    # \r-only "blank" lines would count as content)
     lines = F.filter(
-        F.transform(F.split(c, "\n"), lambda x: F.trim(x)),
+        F.transform(
+            F.split(c, "\n"),
+            lambda x: F.regexp_replace(x, r"^\s+|\s+$", ""),
+        ),
         lambda x: F.length(x) > 0,
     )
     n_lines = F.size(lines)
@@ -167,12 +173,16 @@ def add_repetition_signals(
     )
 
 
-def _ngram_zip(norm_col: Column, n: int) -> Column:
-    """Word n-grams as a zip-chain of n shifted slices. NEVER reference
-    the words expression inside an HOF lambda — interpreted lambdas get
-    no subexpression elimination, so the whole split chain re-evaluates
-    per element (measured 20x at sf0.1). Docs with < n words yield []."""
-    words = F.filter(F.split(norm_col, " "), lambda x: F.length(x) > 0)
+def ngram_chain(words: Column, n: int) -> Column:
+    """Word n-grams from a words-array column as a ZIP-CHAIN of n
+    shifted slices — the ONE shared construction for shingles, bigrams,
+    and contamination n-grams. NEVER reference an expensive expression
+    inside an HOF lambda: interpreted lambdas get no subexpression
+    elimination, so e.g. ``transform(idx, i -> slice(words, i, n))``
+    re-evaluates the whole split chain per element (measured 20x at
+    sf0.1). Every ``words`` reference here is a top-level child
+    (evaluated once per row; pass a materialized column to make the n+1
+    references free). Arrays with < n words yield []."""
     cnt = F.greatest(F.size(words) - (n - 1), F.lit(0))
     acc = F.slice(words, 1, cnt)
     for j in range(1, n):
@@ -181,6 +191,15 @@ def _ngram_zip(norm_col: Column, n: int) -> Column:
             lambda a, b: F.concat(a, F.lit(" "), b),
         )
     return acc
+
+
+def split_words(norm_col: Column) -> Column:
+    """Non-empty word array of normalized text."""
+    return F.filter(F.split(norm_col, " "), lambda x: F.length(x) > 0)
+
+
+def _ngram_zip(norm_col: Column, n: int) -> Column:
+    return ngram_chain(split_words(norm_col), n)
 
 
 def _word_ngrams(col: Column, n: int) -> Column:
@@ -208,19 +227,12 @@ def contamination_hits(
     Returns (id_col, n_contam) for docs with ≥1 hit.
     """
     def _ng_hashes(df_: DataFrame, cols: list[str]) -> DataFrame:
-        words = F.filter(
-            F.split(_norm(F.col(text_col)), " "), lambda x: F.length(x) > 0
+        ws = df_.select(
+            *cols, split_words(_norm(F.col(text_col))).alias("_ws")
         )
-        ws = df_.select(*cols, words.alias("_ws"))
-        cnt = F.greatest(F.size("_ws") - (n - 1), F.lit(0))
-        acc = F.slice("_ws", 1, cnt)
-        for j in range(1, n):
-            acc = F.zip_with(
-                acc, F.slice("_ws", 1 + j, cnt),
-                lambda a, b: F.concat(a, F.lit(" "), b),
-            )
+        ngrams = ngram_chain(F.col("_ws"), n)
         return ws.select(
-            *cols, F.explode(F.array_distinct(acc)).alias("_ng")
+            *cols, F.explode(F.array_distinct(ngrams)).alias("_ng")
         ).select(*cols, F.xxhash64("_ng").alias("_h"))
 
     doc_sh = _ng_hashes(docs, [id_col])

@@ -555,7 +555,7 @@ class Forecaster:
         usable = max(n_obs - aside, 2)
         test_length = test_length or max(usable // (k + 1), 1)
         space = space_between_sets or test_length
-        base = self.tsf.df.cache()
+        base = self.tsf.df
         cells = self._grid_cells(dynamic_tuning)
 
         if cells is not None:
@@ -564,10 +564,21 @@ class Forecaster:
             # inside the series task and amortizes the per-cell numpy
             # fits) — CV cost is one scan + one shuffle regardless of
             # k or |grid|; the driver receives k × |grid| score rows.
-            scores = self._eval_cv_kernel(
-                base, cells, k, test_length, space, aside, train_length
-            )
+            # No cache: the job reads base exactly once. Per-cell fit
+            # failures score NaN inside the kernel; a job-level failure
+            # degrades to an all-NaN matrix like the generic path's
+            # on_error="nan".
+            try:
+                scores = self._eval_cv_kernel(
+                    base, cells, k, test_length, space, aside, train_length
+                )
+            except Exception:
+                scores = [
+                    [float("nan")] * k for _ in range(len(self.grid))
+                ]
         else:
+            # |grid| x k jobs share base — cache it for the duration
+            base = base.cache()
             fold_frames: list[DataFrame] = []
             for fold in range(k):
                 chop = aside + fold * space
@@ -616,6 +627,7 @@ class Forecaster:
         if cells is None:
             for m in fold_frames:
                 m.unpersist()
+            base.unpersist()
         self.grid_evaluated = [
             {"params": p, "scores": row} for p, row in zip(self.grid, scores)
         ]

@@ -267,7 +267,10 @@ def run_kernel_cv(
         outs = []
         for fold in range(k):
             chop = aside + fold * space
-            sub = pdf.iloc[: n - chop] if chop else pdf
+            # clamp: chop >= n must yield an EMPTY fold, matching the
+            # DataFrame path's row_number filter — an unclamped negative
+            # iloc bound would wrap around and keep the oldest rows
+            sub = pdf.iloc[: max(n - chop, 0)] if chop else pdf
             if train_length:
                 sub = sub.iloc[-(train_length + test_length):]
             if len(sub) == 0:
@@ -291,23 +294,35 @@ def run_kernel_cv(
             fut_rows = hold[feat]
             fut_actuals = hold[Y].to_numpy()
             for ci, (fit_fn, normalizer, dyn) in enumerate(cells):
-                norm = _fit_normalizer(normalizer, Xtr)
-                predict = fit_fn(norm(Xtr), ytr)
-                peek_every = _peek(dyn)
-                hist = list(hist0)
-                preds = []
-                for step in range(1, len(hold) + 1):
-                    row = fut_rows.iloc[step - 1].copy()
-                    for lag, cname in ar_lags.items():
-                        if lag <= len(hist):
-                            row[cname] = hist[-lag]
-                    pred = float(predict(norm(row.to_numpy(float).reshape(1, -1))))
-                    preds.append(pred)
-                    actual = fut_actuals[step - 1]
-                    if peek_every and step % peek_every == 0 and not pd.isna(actual):
-                        hist.append(float(actual))
-                    else:
-                        hist.append(pred)
+                # per-cell failure tolerance: a raising fit (singular
+                # design, k-NN with too few rows, ...) scores THIS
+                # fold x cell NaN instead of failing the whole CV job —
+                # finer-grained than the generic path's per-fold NaN
+                try:
+                    norm = _fit_normalizer(normalizer, Xtr)
+                    predict = fit_fn(norm(Xtr), ytr)
+                    peek_every = _peek(dyn)
+                    hist = list(hist0)
+                    preds = []
+                    for step in range(1, len(hold) + 1):
+                        row = fut_rows.iloc[step - 1].copy()
+                        for lag, cname in ar_lags.items():
+                            if lag <= len(hist):
+                                row[cname] = hist[-lag]
+                        pred = float(
+                            predict(norm(row.to_numpy(float).reshape(1, -1)))
+                        )
+                        preds.append(pred)
+                        actual = fut_actuals[step - 1]
+                        if (
+                            peek_every and step % peek_every == 0
+                            and not pd.isna(actual)
+                        ):
+                            hist.append(float(actual))
+                        else:
+                            hist.append(pred)
+                except Exception:
+                    preds = [np.nan] * len(hold)
                 o = base.copy()
                 o.insert(1, "_cell", ci)
                 o["forecast"] = preds

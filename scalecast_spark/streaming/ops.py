@@ -48,7 +48,17 @@ def stream_events(spark: SparkSession, path: str) -> DataFrame:
     to a microsecond timestamp below."""
     import os
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # the nanosAsLong conf is needed (a) for the probe and (b) at
+    # EXECUTION time iff the source really is TIMESTAMP(NANOS). Restore
+    # a foreign session's previous value when the source turns out to
+    # be micros, so a streaming helper doesn't permanently change how
+    # the caller's batch reads decode nanos timestamps elsewhere.
+    _CONF = "spark.sql.legacy.parquet.nanosAsLong"
+    try:
+        prev = spark.conf.get(_CONF)
+    except Exception:
+        prev = None
+    spark.conf.set(_CONF, "true")
     try:
         schema = spark.read.parquet(path).schema
         # watermarks require TIMESTAMP (ltz); batch inference may yield
@@ -63,6 +73,17 @@ def stream_events(spark: SparkSession, path: str) -> DataFrame:
         )
     except Exception:
         schema = EVENTS_SCHEMA
+    is_nanos = any(
+        f.name == "ts" and isinstance(f.dataType, T.LongType)
+        for f in schema.fields
+    )
+    if not is_nanos:
+        # micros source: execution doesn't need the conf — put the
+        # caller's session back the way it was
+        if prev is None:
+            spark.conf.unset(_CONF)
+        else:
+            spark.conf.set(_CONF, prev)
     reader = spark.readStream.schema(schema).option("maxFilesPerTrigger", 4)
     if path.endswith(".parquet") and os.path.isfile(path):
         reader = reader.option("pathGlobFilter", os.path.basename(path))

@@ -112,7 +112,7 @@ def test_dedup_exact_idempotent(spark, texts):
 
 text_strategy = st.lists(
     st.text(
-        alphabet=st.sampled_from("ab cd\nef.!🦀  "), min_size=0, max_size=120
+        alphabet=st.sampled_from("ab cd\nef.!🦀 \r\t "), min_size=0, max_size=120
     ),
     min_size=1,
     max_size=12,

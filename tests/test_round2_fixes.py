@@ -302,3 +302,56 @@ def test_simhash_bits_over_60_clamps_with_warning(spark, sf_dir):
     assert a == b  # old bits=64 callers get the identical 60-bit clamp
     with _pytest.raises(ValueError):
         simhash(docs, bits=65)
+
+
+def test_cv_kernel_chop_beyond_history_matches_generic(spark):
+    """Round-3 review: a fold whose rewind exceeds a series' history
+    must yield NaN (empty fold), not a phantom fit on wrapped-around
+    rows — batched and generic paths must agree."""
+
+    def build():
+        f = Forecaster(_mk_series(spark, n_series=2, n=20), future_dates=3)
+        f.set_test_length(3)
+        f.add_ar_terms(2).add_time_trend()
+        f.set_estimator("ridge")
+        f.ingest_grid({"alpha": [0.5, 5.0]})
+        return f
+
+    fb = build()
+    fb.cross_validate(k=3, test_length=3, space_between_sets=12)
+    fs = build()
+    fs._grid_cells = lambda dyn: None
+    fs.cross_validate(k=3, test_length=3, space_between_sets=12)
+    for a, b in zip(fb.grid_evaluated, fs.grid_evaluated):
+        for x, y in zip(a["scores"], b["scores"]):
+            assert (math.isnan(x) and math.isnan(y)) or x == pytest.approx(
+                y, rel=1e-9
+            ), (a, b)
+
+
+def test_cv_kernel_failing_cell_scores_nan(spark):
+    """A cell whose fit raises must yield NaN forecasts for that
+    fold x cell while the other cells stay evaluated — the one-job CV
+    must not abort on a single degenerate fit."""
+    from pyspark.sql import functions as F
+
+    from scalecast_spark.models.kernel import run_kernel_cv
+    from scalecast_spark.models.sklearn_like import fit_ols
+    from scalecast_spark.operators.features import add_ar_terms
+
+    def bad_fit(X, y):
+        raise RuntimeError("degenerate fit")
+
+    src = _mk_series(spark, n_series=2, n=30).withColumn(
+        "is_future", F.lit(0)
+    )
+    df, ar = add_ar_terms(src, [1, 2])
+    out = run_kernel_cv(
+        df, ar, [(fit_ols, None, None), (bad_fit, None, None)],
+        k=2, test_length=5, space=5,
+    ).toPandas()
+    ok = out[out["_cell"] == 0]["forecast"]
+    bad = out[out["_cell"] == 1]["forecast"]
+    assert len(ok) == len(bad) == 2 * 2 * 5  # series x folds x holdout
+    assert ok.notna().all()
+    assert bad.isna().all()
