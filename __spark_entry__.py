@@ -1562,9 +1562,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     pi = "3.141592653589793"
-    stop_terms = " + ".join(
-        f"len(string_split(' ' || text || ' ', ' {wd} ')) - 1"
-        for wd in ["the", "a", "an", "and", "or", "of", "to", "in", "is", "it"]
+    # marker-word counting mirrors datapipe/text.py exactly: normalize
+    # whitespace to single spaces, pad + double every space so each word
+    # owns both surrounding spaces, then count one alternation regex.
+    stop_alt = "|".join(["the", "a", "an", "and", "or", "of", "to", "in", "is", "it"])
+    stop_terms = (
+        "len(regexp_extract_all(replace(' ' || nt || ' ', ' ', '  '), "
+        f"' ({stop_alt}) '))"
     )
     lang_markers = {
         "en": ["the", "and", "of", "to", "in"],
@@ -1574,12 +1578,9 @@ def oracle_sql() -> dict[str, str]:
         "zh": ["de", "shi", "le", "zai", "he"],
     }
     lang_scores = ",\n           ".join(
-        "("
-        + " + ".join(
-            f"len(string_split(' ' || lower(text) || ' ', ' {wd} ')) - 1"
-            for wd in wds
-        )
-        + f") AS s_{lang}"
+        "len(regexp_extract_all(replace(' ' || "
+        r"regexp_replace(trim(lower(text)), '\s+', ' ', 'g')"
+        f" || ' ', ' ', '  '), ' ({'|'.join(wds)}) ')) AS s_{lang}"
         for lang, wds in sorted(lang_markers.items())
     )
     lang_best = "greatest(s_de, s_en, s_es, s_fr, s_zh)"
@@ -2512,16 +2513,24 @@ def oracle_sql() -> dict[str, str]:
             WHERE round(inter / (sa.sz + sb.sz - inter), 6) >= 0.5
         """,
         "text_quality": rf"""
-            WITH q AS (
+            WITH n AS (
+                SELECT doc_id, text,
+                       regexp_replace(trim(text), '\s+', ' ', 'g') AS nt
+                FROM documents
+            ),
+            q AS (
                 SELECT doc_id, text,
                        length(text) AS n_chars,
-                       len(list_filter(string_split_regex(trim(text), '\s+'),
-                           w -> len(w) > 0)) AS words,
+                       CASE WHEN nt = '' THEN 0
+                            ELSE len(string_split(nt, ' ')) END AS words,
                        length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g'))
                            AS punct,
                        ({stop_terms}) AS stop_hits,
-                       length(regexp_replace(text, '\s+', '', 'g')) AS letter_chars
-                FROM documents
+                       length(nt) - greatest(
+                           (CASE WHEN nt = '' THEN 0
+                                 ELSE len(string_split(nt, ' ')) END) - 1, 0)
+                           AS letter_chars
+                FROM n
             )
             SELECT doc_id::BIGINT AS doc_id,
                    words::BIGINT AS n_tokens,

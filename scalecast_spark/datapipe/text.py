@@ -22,9 +22,42 @@ LANG_MARKERS = {
 EN_STOPWORDS = ["the", "a", "an", "and", "or", "of", "to", "in", "is", "it"]
 
 
+def _ws_norm(col: Column) -> Column:
+    """Whitespace-normalized text: trimmed, every internal whitespace
+    run collapsed to one space. The shared normalization every counter
+    below starts from (deterministic → codegen subexpression
+    elimination evaluates it once per row even when several output
+    columns reference it)."""
+    return F.regexp_replace(F.trim(col), r"\s+", " ")
+
+
+def _word_count_norm(norm: Column) -> Column:
+    # split of "" yields [""] (size 1), so gate on emptiness instead of
+    # an interpreted HOF filter — HOF lambdas run interpreted with no
+    # subexpression elimination (measured 2-3x on the quality scan)
+    return F.when(F.length(norm) == 0, F.lit(0)).otherwise(
+        F.size(F.split(norm, " ", -1))
+    )
+
+
 def _word_count(col: Column) -> Column:
-    # filter empties so "" and whitespace-only count 0, not 1
-    return F.size(F.filter(F.split(F.trim(col), r"\s+"), lambda x: F.length(x) > 0))
+    return _word_count_norm(_ws_norm(col))
+
+
+def _spaced2(norm: Column) -> Column:
+    """Pad + double every space so each word owns BOTH its surrounding
+    spaces: ``"a b"`` → ``"  a  b  "``. A single alternation regex
+    ``" (w1|w2|...) "`` then counts marker-word occurrences without
+    adjacent matches fighting over a shared boundary space — one regex
+    pass instead of one split per marker word."""
+    return F.replace(
+        F.concat(F.lit(" "), norm, F.lit(" ")), F.lit(" "), F.lit("  ")
+    )
+
+
+def _marker_hits(spaced2: Column, words: list[str]) -> Column:
+    pat = " (" + "|".join(words) + ") "
+    return F.size(F.regexp_extract_all(spaced2, F.lit(pat), F.lit(0)))
 
 
 def add_token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -32,10 +65,11 @@ def add_token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
     (split on non-alphanumeric boundaries and count runs of ≤4 chars —
     a cheap, deterministic proxy for tokenizer length)."""
     c = F.col(text_col)
-    words = _word_count(c)
+    norm = _ws_norm(c)
+    words = _word_count_norm(norm)
     # subword proxy: ceil(len(word)/4) summed ≈ chars/4 + word boundaries
     subwords = (
-        F.length(F.regexp_replace(c, r"\s+", "")) / F.lit(4.0)
+        (F.length(norm) - F.greatest(words - 1, F.lit(0))) / F.lit(4.0)
     )
     return df.withColumn("n_tokens", words.cast("long")).withColumn(
         "n_subword_est", F.ceil(subwords + words).cast("long")
@@ -47,16 +81,18 @@ def add_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     ratio, mean word length. Mirrors standard LLM-corpus filters
     (C4/Gopher-style rules) as pure column math."""
     c = F.col(text_col)
+    norm = _ws_norm(c)
     n_chars = F.length(c)
-    words = _word_count(c)
+    words = _word_count_norm(norm)
     punct = F.length(c) - F.length(F.regexp_replace(c, r"[^\w\s]", ""))
-    stop_hits = F.lit(0)
-    for wd in EN_STOPWORDS:
-        stop_hits = stop_hits + F.size(F.split(F.concat(F.lit(" "), c, F.lit(" ")), f" {wd} ")) - 1
+    stop_hits = _marker_hits(_spaced2(norm), EN_STOPWORDS)
+    # letters = |norm| minus the words-1 single separators — no second
+    # whitespace-stripping regex pass needed
+    letter_chars = F.length(norm) - F.greatest(words - 1, F.lit(0))
     # try_divide: empty/whitespace docs yield NULL ratios (and q_score 0)
     # instead of an ANSI DIVIDE_BY_ZERO
     punct_ratio = F.try_divide(punct, n_chars)
-    mean_word_len = F.try_divide(F.length(F.regexp_replace(c, r"\s+", "")), words)
+    mean_word_len = F.try_divide(letter_chars, words)
     return (
         df.withColumn("q_n_chars", n_chars.cast("long"))
         .withColumn("q_n_words", words.cast("long"))
@@ -83,14 +119,11 @@ def add_lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     counting its top function words; argmax wins, ties break
     alphabetically. Deterministic and SQL-expressible (the oracle can
     replicate it verbatim)."""
-    c = F.concat(F.lit(" "), F.lower(F.col(text_col)), F.lit(" "))
+    sp2 = _spaced2(_ws_norm(F.lower(F.col(text_col))))
     scores = []
     out = df
     for lang, markers in sorted(LANG_MARKERS.items()):
-        s = F.lit(0)
-        for wd in markers:
-            s = s + F.size(F.split(c, f" {wd} ")) - 1
-        out = out.withColumn(f"_score_{lang}", s)
+        out = out.withColumn(f"_score_{lang}", _marker_hits(sp2, markers))
         scores.append(lang)
     best = F.greatest(*[F.col(f"_score_{s}") for s in scores])
     pred = F.lit(None).cast("string")
@@ -279,10 +312,15 @@ def tfidf_top_terms(
         .filter(F.length("term") > 0)
     )
     tf = words.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
-    n_docs = df.select(id_col).distinct().count()
+    # N stays INSIDE the plan: a one-row aggregate over the id column
+    # only (parquet column pruning → a scan of KBs per TB of corpus),
+    # broadcast-cross-joined onto the vocab-sized idf frame. A driver
+    # `.count()` here would be a whole extra job blocking plan
+    # submission — measured ~1.7 s of the old 3.8 s at sf0.1.
+    n_docs_df = df.groupBy().agg(F.countDistinct(id_col).alias("_n_docs"))
     dfreq = tf.groupBy("term").agg(F.countDistinct(id_col).alias("df_t"))
-    idf = dfreq.withColumn(
-        "idf", F.log((F.lit(float(n_docs + 1))) / (F.col("df_t") + 1)) + 1.0
+    idf = dfreq.crossJoin(F.broadcast(n_docs_df)).withColumn(
+        "idf", F.log((F.col("_n_docs") + 1).cast("double") / (F.col("df_t") + 1)) + 1.0
     )
     w = W.partitionBy(id_col).orderBy(F.desc("score"), F.asc("term"))
     return (
