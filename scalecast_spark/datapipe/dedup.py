@@ -396,8 +396,10 @@ def duplicate_clusters(
     diameter (near-dup clusters are tight — typically ≤ 3-4). Per
     round: one join + one aggregate over the LABEL frame, whose size is
     the number of documents that appear in any pair — dup-rate-bounded,
-    orders of magnitude smaller than the corpus; the corpus itself is
-    never touched. The convergence check collects ONE count per round.
+    orders of magnitude smaller than the corpus; the edge list is
+    localCheckpoint-ed once at entry, so the corpus (and whatever
+    pipeline produced ``pairs``) is never re-scanned by the rounds.
+    The convergence check collects ONE count per round.
     Long lineage is truncated with localCheckpoint every
     ``checkpoint_every`` rounds (iterative-algorithm hygiene — without
     it round k replans rounds 1..k-1).
@@ -410,6 +412,12 @@ def duplicate_clusters(
     ).unionByName(
         pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
     )
+    # materialize ONCE at entry: edges is read by every round's join
+    # AND feeds the label frame — left lazy, each round's action would
+    # re-evaluate the whole upstream pair pipeline (for LSH input, the
+    # full shingle→minhash→band→verify chain, i.e. ~2 corpus re-scans
+    # per round)
+    edges = edges.localCheckpoint(eager=True)
     labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
         "label", F.col("node")
     )
@@ -457,13 +465,14 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits:
 
     Implemented with array expressions (no Python UDF): explode words,
     per-bit contribution via bit arithmetic on the md5's first 15 hex
-    chars. The cap is 60 because ``conv`` of 16 hex chars can overflow
-    a signed long; asking for more raises rather than silently
-    truncating.
+    chars. The effective cap is 60 because ``conv`` of 16 hex chars can
+    overflow a signed long; 61-64 are accepted for back-compat with the
+    old bits=64 default and CLAMP to 60 with a warning; >64 raises.
     """
     if bits > 64:
         raise ValueError(
-            f"simhash supports at most 60 bits (signed-long md5 slice); got {bits}"
+            f"simhash accepts at most 64 bits (61-64 clamp to the 60-bit "
+            f"signed-long md5 slice); got {bits}"
         )
     if bits > 60:
         # compat shim for callers of the old bits=64 default, which was

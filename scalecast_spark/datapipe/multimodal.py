@@ -133,7 +133,9 @@ def make_thumbnails(
     thumbnails as a binary column + shape metadata. The resize is pure
     numpy index math, so the whole operator is real today with the
     deterministic fake decoder and unchanged under a real codec.
-    Output: (id, thumb binary h*w*c, thumb_h, thumb_w, thumb_c)."""
+    Output: (id, thumb binary h*w*c, thumb_h, thumb_w, thumb_c).
+    NULL or undecodable payloads yield a row with NULL thumb fields
+    (the id survives so a later join can flag the failures)."""
     out_schema = T.StructType(
         [
             T.StructField(id_col, T.LongType()),
@@ -146,20 +148,33 @@ def make_thumbnails(
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            thumbs, chans = [], []
+            thumbs, hs, ws_, chans = [], [], [], []
             for raw in pdf[bin_col]:
-                img = decode(bytes(raw))
-                if img.ndim == 2:  # grayscale decoders return (h, w)
-                    img = img[:, :, None]
-                thumbs.append(resize_nearest(img, h, w).tobytes())
-                chans.append(int(img.shape[2]))
+                # NULL / undecodable payloads emit a NULL-thumb row
+                # (id kept, all thumb fields NULL) instead of killing
+                # the task — curation data is dirty by definition
+                try:
+                    if raw is None:
+                        raise ValueError("null payload")
+                    img = decode(bytes(raw))
+                    if img.ndim == 2:  # grayscale decoders return (h, w)
+                        img = img[:, :, None]
+                    thumbs.append(resize_nearest(img, h, w).tobytes())
+                    hs.append(h)
+                    ws_.append(w)
+                    chans.append(int(img.shape[2]))
+                except Exception:
+                    thumbs.append(None)
+                    hs.append(None)
+                    ws_.append(None)
+                    chans.append(None)
             yield pd.DataFrame(
                 {
                     id_col: pdf[id_col].astype("int64"),
                     "thumb": thumbs,
-                    "thumb_h": h,
-                    "thumb_w": w,
-                    "thumb_c": chans,
+                    "thumb_h": pd.array(hs, dtype="Int32"),
+                    "thumb_w": pd.array(ws_, dtype="Int32"),
+                    "thumb_c": pd.array(chans, dtype="Int32"),
                 }
             )
 
@@ -220,7 +235,12 @@ def extract_audio_features(
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            rows = [one(bytes(raw)) for raw in pdf[bin_col]]
+            # NULL payloads short-circuit before bytes() — a None raw
+            # would TypeError outside one()'s try and kill the task
+            rows = [
+                one(bytes(raw)) if raw is not None else (None,) * 5
+                for raw in pdf[bin_col]
+            ]
             out = pd.DataFrame(
                 rows,
                 columns=[

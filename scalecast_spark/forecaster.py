@@ -572,7 +572,19 @@ class Forecaster:
                 scores = self._eval_cv_kernel(
                     base, cells, k, test_length, space, aside, train_length
                 )
-            except Exception:
+            except Exception as e:
+                # degrade to NaN like the generic path's on_error="nan",
+                # but SURFACE the root cause — otherwise a genuine bug
+                # (bad validation_metric, schema drift, py4j error) is
+                # indistinguishable from degenerate data when the later
+                # all-NaN RuntimeError fires
+                import warnings
+
+                warnings.warn(
+                    f"kernel CV job failed ({type(e).__name__}: "
+                    f"{str(e)[:300]}); scoring all cells NaN",
+                    stacklevel=2,
+                )
                 scores = [
                     [float("nan")] * k for _ in range(len(self.grid))
                 ]

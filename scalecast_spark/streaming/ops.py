@@ -49,10 +49,11 @@ def stream_events(spark: SparkSession, path: str) -> DataFrame:
     import os
 
     # the nanosAsLong conf is needed (a) for the probe and (b) at
-    # EXECUTION time iff the source really is TIMESTAMP(NANOS). Restore
-    # a foreign session's previous value when the source turns out to
-    # be micros, so a streaming helper doesn't permanently change how
-    # the caller's batch reads decode nanos timestamps elsewhere.
+    # EXECUTION time iff the source really is TIMESTAMP(NANOS). The
+    # probe runs under try/finally so the caller's previous value is
+    # always restored; ONLY a confirmed nanos source re-sets it (and
+    # leaves it set — the running stream decodes through it, which is
+    # a lasting, documented session-conf change in that case).
     _CONF = "spark.sql.legacy.parquet.nanosAsLong"
     try:
         prev = spark.conf.get(_CONF)
@@ -60,30 +61,37 @@ def stream_events(spark: SparkSession, path: str) -> DataFrame:
         prev = None
     spark.conf.set(_CONF, "true")
     try:
-        schema = spark.read.parquet(path).schema
-        # watermarks require TIMESTAMP (ltz); batch inference may yield
-        # TIMESTAMP_NTZ for micros parquet without tz metadata
-        schema = T.StructType(
-            [
-                T.StructField(f.name, T.TimestampType(), f.nullable)
-                if isinstance(f.dataType, T.TimestampNTZType)
-                else f
-                for f in schema.fields
-            ]
-        )
-    except Exception:
-        schema = EVENTS_SCHEMA
-    is_nanos = any(
-        f.name == "ts" and isinstance(f.dataType, T.LongType)
-        for f in schema.fields
-    )
-    if not is_nanos:
-        # micros source: execution doesn't need the conf — put the
-        # caller's session back the way it was
+        try:
+            schema = spark.read.parquet(path).schema
+            # watermarks require TIMESTAMP (ltz); batch inference may
+            # yield TIMESTAMP_NTZ for micros parquet without tz metadata
+            schema = T.StructType(
+                [
+                    T.StructField(f.name, T.TimestampType(), f.nullable)
+                    if isinstance(f.dataType, T.TimestampNTZType)
+                    else f
+                    for f in schema.fields
+                ]
+            )
+        except Exception:
+            schema = EVENTS_SCHEMA
+    finally:
+        # ALWAYS put the caller's session back first — a probe failure
+        # must not leave the conf flipped for unrelated batch reads
         if prev is None:
             spark.conf.unset(_CONF)
         else:
             spark.conf.set(_CONF, prev)
+    is_nanos = any(
+        f.name == "ts" and isinstance(f.dataType, T.LongType)
+        for f in schema.fields
+    )
+    if is_nanos:
+        # TIMESTAMP(NANOS) source: stream EXECUTION needs the conf for
+        # the lifetime of the query, so this set is deliberately
+        # lasting (documented above) — nanos decode elsewhere in the
+        # session will also read as long while the stream runs
+        spark.conf.set(_CONF, "true")
     reader = spark.readStream.schema(schema).option("maxFilesPerTrigger", 4)
     if path.endswith(".parquet") and os.path.isfile(path):
         reader = reader.option("pathGlobFilter", os.path.basename(path))

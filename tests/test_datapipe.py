@@ -319,6 +319,20 @@ def test_thumbnails_deterministic_shape(spark):
         assert bytes(r["thumb"]) == again[r["doc_id"]]
 
 
+def test_multimodal_null_payloads_survive(spark):
+    """NULL payloads must yield NULL-feature rows, not kill the task
+    (mapInPandas hands pandas None for a NULL binary cell)."""
+    df = spark.createDataFrame(
+        [(0, bytearray(b"img0")), (1, None)], "doc_id long, payload binary"
+    )
+    audio = {r["doc_id"]: r for r in multimodal.extract_audio_features(df).collect()}
+    assert audio[1]["sample_rate"] is None and audio[1]["rms"] is None
+    thumbs = {r["doc_id"]: r for r in multimodal.make_thumbnails(df, h=4, w=5).collect()}
+    assert thumbs[1]["thumb"] is None and thumbs[1]["thumb_c"] is None
+    assert len(bytes(thumbs[0]["thumb"])) == 4 * 5 * 3  # good row intact
+    assert thumbs[0]["thumb_c"] == 3
+
+
 def test_resize_nearest_identity_and_downscale():
     img = np.arange(6 * 4 * 3, dtype=np.uint8).reshape(6, 4, 3)
     assert (multimodal.resize_nearest(img, 6, 4) == img).all()
