@@ -1048,22 +1048,36 @@ def q_ts_backtest_kernel(spark, sf_dir):
 
 
 def q_ts_arima(spark, sf_dir):
-    """ARIMA(1,0,0) through the Hannan-Rissanen estimator
-    (models/arima.py): for p=1,q=0 the fit is the closed-form lag
-    ratio phi = Σz_t·z_{t-1}/Σz_{t-1}² on the demeaned series and the
-    h-step forecast decays geometrically (mu + phi^h·z_n) — fully
-    SQL-replayable, so the ARIMA code path itself hash-matches."""
+    """ARIMA family, two hash-matched members through the real
+    estimator code path (models/arima.py):
+
+    - ``ar1`` — ARIMA(1,0,0): for p=1,q=0 the Hannan-Rissanen fit is
+      the closed-form lag ratio phi = Σz_t·z_{t-1}/Σz_{t-1}² on the
+      demeaned series; the h-step forecast decays geometrically
+      (mu + phi^h·z_n).
+    - ``sarima`` — ARIMA(0,1,0)(0,1,0,7): double (regular + seasonal)
+      differencing exercises the seasonal-difference/reintegration
+      machinery end to end; with all ARMA orders zero the forecast is
+      the closed form ŷ_{n+i} = y_n + y_{n-7+i} − y_{n-7} + i·μ
+      (μ = mean of the doubly-differenced series) — SQL-replayable.
+    """
     from scalecast_spark.frame import TimeSeriesFrame
     from scalecast_spark.models import MODELS
 
     tsf = TimeSeriesFrame.from_long(_series(spark, sf_dir)).generate_future_dates(7)
-    out = MODELS["arima"](tsf.df, order=(1, 0, 0))
-    return _out_ts(
-        _r6(
+
+    def member(tag, **kw):
+        out = MODELS["arima"](tsf.df, **kw)
+        return _r6(
             out.filter(F.col("is_future") == 1).select(
-                "series_id", "ds", "forecast"
+                F.lit(tag).alias("model"), "series_id", "ds", "forecast"
             ),
             "forecast",
+        )
+
+    return _out_ts(
+        member("ar1", order=(1, 0, 0)).unionByName(
+            member("sarima", order=(0, 1, 0), seasonal_order=(0, 1, 0, 7))
         )
     )
 
@@ -1109,22 +1123,30 @@ def q_ts_tbats(spark, sf_dir):
 
 
 def q_ts_forecast_direct(spark, sf_dir):
-    """DIRECT multi-horizon forecast (reference rnn/lstm's
-    non-recursive strategy, models.py:651-671): one multi-output MLP
-    maps the last L observations to the whole horizon — iterative
-    training is not SQL-expressible, so this is rows-only."""
+    """DIRECT multi-horizon forecast family (reference rnn/lstm,
+    models.py:561-878): three members under the same sliding-window
+    direct strategy — ``direct_mlp`` (flat-window multi-output MLP),
+    ``rnn_cell`` (true SimpleRNN, full-unroll BPTT), ``lstm_cell``
+    (4-gate LSTM, BPTT). Iterative training is not SQL-expressible,
+    so rows-only."""
     from scalecast_spark.frame import TimeSeriesFrame
     from scalecast_spark.models import MODELS
 
     tsf = TimeSeriesFrame.from_long(_series(spark, sf_dir)).generate_future_dates(7)
-    out = MODELS["rnn"](tsf.df, lags=7, hidden=8, epochs=150)
-    return _out_ts(
-        _r6(
+
+    def member(tag, model, **kw):
+        out = MODELS[model](tsf.df, lags=7, hidden=8, epochs=150, **kw)
+        return _r6(
             out.filter(F.col("is_future") == 1).select(
-                "series_id", "ds", "forecast"
+                F.lit(tag).alias("model"), "series_id", "ds", "forecast"
             ),
             "forecast",
         )
+
+    return _out_ts(
+        member("direct_mlp", "rnn", cell="mlp")
+        .unionByName(member("rnn_cell", "rnn"))
+        .unionByName(member("lstm_cell", "lstm"))
     )
 
 
@@ -1775,13 +1797,47 @@ def oracle_sql() -> dict[str, str]:
                                               ORDER BY rn DESC) AS r
                     FROM z
                 ) WHERE r = 1
+            ),
+            nmax AS (
+                SELECT series_id, max(rn) AS n, max(ds) AS last_ds
+                FROM t GROUP BY 1
+            ),
+            dd AS (
+                SELECT series_id,
+                       (y - lag(y, 1) OVER w)
+                       - (lag(y, 7) OVER w - lag(y, 8) OVER w) AS ddv
+                FROM t WINDOW w AS (PARTITION BY series_id ORDER BY rn)
+            ),
+            smu AS (
+                SELECT series_id, avg(ddv) AS smu
+                FROM dd WHERE ddv IS NOT NULL GROUP BY 1
+            ),
+            anchors AS (
+                SELECT t.series_id,
+                       max(CASE WHEN t.rn = x.n THEN y END) AS y_n,
+                       max(CASE WHEN t.rn = x.n - 7 THEN y END) AS y_nm7
+                FROM t JOIN nmax x USING (series_id) GROUP BY 1
+            ),
+            seas AS (
+                SELECT t.series_id, t.rn - (x.n - 7) AS i, t.y AS y_seas
+                FROM t JOIN nmax x USING (series_id)
+                WHERE t.rn BETWEEN x.n - 6 AND x.n
             )
-            SELECT p.series_id,
+            SELECT 'ar1' AS model, p.series_id,
                    (l.last_ds + i.i * INTERVAL '1 day')::DATE AS ds,
                    round(p.mu + pow(p.phi, i.i) * l.zn, 6) AS forecast
             FROM phi p
             JOIN lastz l USING (series_id)
             CROSS JOIN (SELECT unnest(range(1, 8)) AS i) i
+            UNION ALL
+            SELECT 'sarima' AS model, a.series_id,
+                   (x.last_ds + s.i * INTERVAL '1 day')::DATE AS ds,
+                   round(a.y_n + s.y_seas - a.y_nm7 + s.i * u.smu, 6)
+                       AS forecast
+            FROM anchors a
+            JOIN seas s USING (series_id)
+            JOIN smu u USING (series_id)
+            JOIN nmax x USING (series_id)
         """,
         # md5-bucket deterministic sampling: keep iff the first 8 hex
         # of md5(key:salt) / 2^32 < the stratum's rate

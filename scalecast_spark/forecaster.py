@@ -76,6 +76,7 @@ class Forecaster:
         self.history: dict[str, dict] = {}
         self._recipe: list[tuple] = []
         self._custom_optimizers: dict[str, callable] = {}
+        self._expr_optimizers: dict[str, callable] = {}
 
     # ------------------------------------------------------- setup
     def generate_future_dates(self, h: int) -> "Forecaster":
@@ -265,15 +266,35 @@ class Forecaster:
         self._optimize_on = how
         return self
 
+    #: ceiling on per-series rows a CALLABLE optimizer may pull to the
+    #: driver during tuning — beyond it the collect is the round-1 OOM
+    #: shape (one row per series at a 100M-series design point). Raise
+    #: it consciously, or register a Column expression instead.
+    max_optimizer_collect: int = 100_000
+
     def add_optimizer_func(self, fn, called: str | None = None) -> "Forecaster":
         """Register a custom cross-series aggregator (reference
         MVForecaster.add_optimizer_func, MVForecaster.py:213-235):
         ``fn(list[float]) -> float`` over the per-series metric values.
         Built-in mean/min/max stay fully distributed; a custom callable
         necessarily reduces on the driver — its input is one float per
-        series, bounded and explicit."""
+        series, and tuning REFUSES to collect more than
+        ``max_optimizer_collect`` of them (fail-loud, not silent
+        sampling). For unbounded series counts register a distributed
+        aggregate with :meth:`add_optimizer_expr` instead."""
         name = called or getattr(fn, "__name__", "custom")
         self._custom_optimizers[name] = fn
+        return self
+
+    def add_optimizer_expr(self, expr_fn, called: str | None = None) -> "Forecaster":
+        """Register a DISTRIBUTED cross-series aggregator: ``expr_fn``
+        maps the metric column name to a Spark aggregate Column, e.g.
+        ``f.add_optimizer_expr(lambda c: F.expr(f"percentile({c}, 0.9)"),
+        called="p90")``. The aggregation runs Spark-side and exactly one
+        row reaches the driver regardless of series count — the
+        scale-safe alternative to ``add_optimizer_func``."""
+        name = called or getattr(expr_fn, "__name__", "custom_expr")
+        self._expr_optimizers[name] = expr_fn
         return self
 
     def set_best_model(
@@ -301,7 +322,10 @@ class Forecaster:
         fn = MODELS[self.estimator]
         if self.estimator == "naive":
             return fn(df, m=kwargs.get("m", 1))
-        return fn(df, features=kwargs.pop("Xvars", None) or list(self.tsf.features), **kwargs)
+        xvars = kwargs.pop("Xvars", None)
+        if xvars in (None, "all"):  # reference convention: 'all' = every Xvar
+            xvars = list(self.tsf.features)
+        return fn(df, features=xvars, **kwargs)
 
     def _model_accepts(self, arg: str) -> bool:
         """Whether the current estimator's fn takes ``arg`` — series
@@ -432,8 +456,21 @@ class Forecaster:
         per = METRICS.evaluate(
             test, actual=Y, forecast="forecast", by=[SERIES], metrics=[mcol]
         )
+        if how in self._expr_optimizers:
+            # distributed custom aggregate: ONE row to the driver
+            v = per.agg(self._expr_optimizers[how](mcol).alias("_v")).collect()[0][0]
+            return float(v) if v is not None else float("nan")
         if how in self._custom_optimizers:
-            vals = [r[mcol] for r in per.collect() if r[mcol] is not None]
+            cap = int(self.max_optimizer_collect)
+            rows = per.limit(cap + 1).collect()
+            if len(rows) > cap:
+                raise RuntimeError(
+                    f"custom optimizer {how!r} would collect more than "
+                    f"{cap} per-series metric rows to the driver; register "
+                    "a distributed aggregate via add_optimizer_expr, use "
+                    "mean/min/max, or raise max_optimizer_collect"
+                )
+            vals = [r[mcol] for r in rows if r[mcol] is not None]
             return float(self._custom_optimizers[how](vals)) if vals else float("nan")
         if how in self.OPTIMIZER_FUNCS:
             agg = {"mean": F.avg, "min": F.min, "max": F.max}[how](mcol)
@@ -454,6 +491,7 @@ class Forecaster:
         if (
             self.estimator not in KERNEL_FACTORIES
             or how in self._custom_optimizers
+            or how in self._expr_optimizers
             or any("Xvars" in p for p in self.grid)
         ):
             return None
@@ -545,6 +583,25 @@ class Forecaster:
         """
         if self.grid is None:
             raise ValueError("ingest a grid first")
+        how = getattr(self, "_optimize_on", "mean")
+        if how in self._custom_optimizers:
+            # fail loudly UP FRONT: a callable optimizer collects one
+            # metric row per series per cell, and inside the tuning job
+            # pool the error would be degraded to a NaN score (on_error
+            # ="nan") — indistinguishable from bad data. One id-column
+            # aggregate decides before any tuning job launches.
+            cap = int(self.max_optimizer_collect)
+            n_series = self.tsf.df.select(SERIES).distinct().limit(
+                cap + 1
+            ).count()
+            if n_series > cap:
+                raise RuntimeError(
+                    f"custom optimizer {how!r} would collect more than "
+                    f"{cap} per-series metric rows to the driver per grid "
+                    "cell; register a distributed aggregate via "
+                    "add_optimizer_expr, use mean/min/max, or raise "
+                    "max_optimizer_collect"
+                )
         from scalecast_spark.functions.parallel import run_jobs
 
         n_obs = (

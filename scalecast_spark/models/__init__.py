@@ -9,7 +9,7 @@ from scalecast_spark.models.sklearn_like import (
 )
 from scalecast_spark.models.smoothing import hwes_model, theta_model
 from scalecast_spark.models.trees import gbt_model, rf_model
-from scalecast_spark.models.mlp import mlp_model, rnn_model
+from scalecast_spark.models.mlp import lstm_model, mlp_model, rnn_model
 from scalecast_spark.models.arima import (
     arima_model,
     auto_arima_model,
@@ -37,7 +37,7 @@ MODELS = {
     "catboost": gbt_model,  # alias; gradient boosting is the shared core
     "mlp": mlp_model,
     "rnn": rnn_model,
-    "lstm": rnn_model,
+    "lstm": lstm_model,
     "arima": arima_model,
     "auto_arima": auto_arima_model,
     "prophet": prophet_model,

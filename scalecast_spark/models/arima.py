@@ -25,103 +25,209 @@ from pyspark.sql import DataFrame
 from scalecast_spark.models.kernel import run_series_kernel
 
 
-def _hannan_rissanen(y: np.ndarray, p: int, q: int):
+def _hr_lags(p: int, q: int, P: int = 0, Q: int = 0, m: int = 0):
+    """AR / MA lag sets for a (p,q)×(P,Q)_m model under the ADDITIVE
+    seasonal approximation: seasonal polynomials contribute pure lags
+    {m, 2m, ...} without the multiplicative cross terms (φΦ at lag
+    m+1 etc.) — the standard Hannan-Rissanen simplification; exact
+    multiplicative MLE is the statsmodels upgrade path."""
+    ar = list(dict.fromkeys(
+        list(range(1, p + 1)) + [m * i for i in range(1, P + 1) if m > 0]
+    ))
+    ma = list(dict.fromkeys(
+        list(range(1, q + 1)) + [m * j for j in range(1, Q + 1) if m > 0]
+    ))
+    return ar, ma
+
+
+def _hannan_rissanen(
+    y: np.ndarray, p: int, q: int, P: int = 0, Q: int = 0, m: int = 0
+):
+    """Returns (mu, ar, ma, resid) where ar/ma are [(lag, coef), ...].
+    With P=Q=0 this is numerically identical to the plain (p,q) fit."""
     n = len(y)
     mu = y.mean()
     z = y - mu
-    if q == 0:
-        if p == 0:
-            return mu, np.array([]), np.array([]), np.zeros(n)
-        X = np.column_stack([z[p - i - 1 : n - i - 1] for i in range(p)])
-        beta, *_ = np.linalg.lstsq(X, z[p:], rcond=None)
+    ar_lags, ma_lags = _hr_lags(p, q, P, Q, m)
+    if not ma_lags:
+        if not ar_lags:
+            return mu, [], [], np.zeros(n)
+        s = max(ar_lags)
+        X = np.column_stack([z[s - l : n - l] for l in ar_lags])
+        beta, *_ = np.linalg.lstsq(X, z[s:], rcond=None)
         resid = np.zeros(n)
-        resid[p:] = z[p:] - X @ beta
-        return mu, beta, np.array([]), resid
-    # stage 1: long AR for innovation proxies
-    m = min(max(2 * (p + q), 10), n // 2 - 1)
-    Xl = np.column_stack([z[m - i - 1 : n - i - 1] for i in range(m)])
-    phi_l, *_ = np.linalg.lstsq(Xl, z[m:], rcond=None)
+        resid[s:] = z[s:] - X @ beta
+        return mu, list(zip(ar_lags, beta)), [], resid
+    # stage 1: long AR for innovation proxies (long enough to cover the
+    # seasonal lags)
+    n_ar = p + q + (P + Q) * m
+    ml = min(max(2 * n_ar, 10), n // 2 - 1)
+    Xl = np.column_stack([z[ml - i - 1 : n - i - 1] for i in range(ml)])
+    phi_l, *_ = np.linalg.lstsq(Xl, z[ml:], rcond=None)
     eps = np.zeros(n)
-    eps[m:] = z[m:] - Xl @ phi_l
-    # stage 2: OLS on p AR lags + q innovation lags
-    s = max(p, q) + m
+    eps[ml:] = z[ml:] - Xl @ phi_l
+    # stage 2: OLS on the AR lags + innovation-proxy lags
+    s = max(ar_lags + ma_lags) + ml
     rows = n - s
-    cols = [z[s - i - 1 : n - i - 1] for i in range(p)] + [
-        eps[s - j - 1 : n - j - 1] for j in range(q)
+    if rows < len(ar_lags) + len(ma_lags) + 1:
+        raise ValueError(
+            f"series too short ({n}) for seasonal order with lags "
+            f"{ar_lags + ma_lags} after a length-{ml} long-AR stage"
+        )
+    cols = [z[s - l : n - l] for l in ar_lags] + [
+        eps[s - l : n - l] for l in ma_lags
     ]
     X = np.column_stack([c[:rows] for c in cols]) if cols else np.empty((rows, 0))
     beta, *_ = np.linalg.lstsq(X, z[s:], rcond=None)
-    phi, theta = beta[:p], beta[p:]
+    ar = list(zip(ar_lags, beta[: len(ar_lags)]))
+    ma = list(zip(ma_lags, beta[len(ar_lags):]))
     resid = np.zeros(n)
     resid[s:] = z[s:] - X @ beta
-    return mu, phi, theta, resid
+    return mu, ar, ma, resid
 
 
 def arima_fit_forecast(
-    y: np.ndarray, h: int, order: tuple[int, int, int] = (1, 0, 0)
+    y: np.ndarray,
+    h: int,
+    order: tuple[int, int, int] = (1, 0, 0),
+    seasonal_order: tuple[int, int, int, int] = (0, 0, 0, 0),
+    X: np.ndarray | None = None,
+    Xf: np.ndarray | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
-    """(fitted, forecast) at the ORIGINAL level (reintegrated)."""
+    """(fitted, forecast) at the ORIGINAL level (reintegrated).
+
+    ``seasonal_order=(P,D,Q,m)`` mirrors the reference's statsmodels
+    pass-through (models.py:1150-1273): D seasonal differences at
+    period m, then seasonal AR/MA at lags {m..Pm}/{m..Qm} via the same
+    Hannan-Rissanen regression (additive approximation — see _hr_lags).
+
+    ``X``/``Xf`` (n×k observed / h×k future exog) use regression with
+    ARIMA errors: OLS of y on [1, X] at the ORIGINAL level, then the
+    full (S)ARIMA machinery on the OLS residuals; forecast = exog
+    projection + error-process forecast. statsmodels SARIMAX estimates
+    the regression jointly in the state-space filter — coefficient
+    differences are second-order for well-conditioned exog.
+    """
     p, d, q = order
+    P, D, Q, m = seasonal_order
     work = y.astype(float)
+
+    reg_fit = np.zeros(len(work))
+    reg_fc = np.zeros(h)
+    if X is not None and np.size(X):
+        X = np.asarray(X, float).reshape(len(work), -1)
+        Xd = np.column_stack([np.ones(len(work)), X])
+        bx, *_ = np.linalg.lstsq(Xd, work, rcond=None)
+        reg_fit = Xd @ bx
+        work = work - reg_fit
+        if h:
+            if Xf is None or np.shape(np.asarray(Xf, float).reshape(h, -1))[0] != h:
+                raise ValueError(
+                    "exog ARIMA needs future exog rows (Xf) matching h"
+                )
+            reg_fc = np.column_stack(
+                [np.ones(h), np.asarray(Xf, float).reshape(h, -1)]
+            ) @ bx
+
     heads = []
     for _ in range(d):
         heads.append(work.copy())
         work = np.diff(work)
-    mu, phi, theta, resid = _hannan_rissanen(work, p, q)
+    sheads = []
+    for _ in range(D):
+        if m <= 0 or len(work) <= m:
+            raise ValueError(
+                f"cannot seasonally difference length-{len(work)} series "
+                f"at period {m}"
+            )
+        sheads.append(work.copy())
+        work = work[m:] - work[:-m]
+    mu, ar, ma, resid = _hannan_rissanen(work, p, q, P, Q, m)
     z = work - mu
     n = len(work)
 
     fitted_z = np.full(n, 0.0)
-    start = max(p, q)
+    start = max([l for l, _ in ar + ma], default=0)
     for t in range(start, n):
         val = 0.0
-        for i in range(p):
-            val += phi[i] * z[t - i - 1]
-        for j in range(q):
-            val += theta[j] * resid[t - j - 1]
+        for lag, coef in ar:
+            val += coef * z[t - lag]
+        for lag, coef in ma:
+            val += coef * resid[t - lag]
         fitted_z[t] = val
     fitted_work = fitted_z + mu
     fitted_work[:start] = work[:start]  # warm-up: echo actuals
 
-    # recursive forecast in differenced space
+    # recursive forecast in (seasonally-)differenced space
     zbuf = list(z)
     ebuf = list(resid)
     fz = []
-    for step in range(h):
+    for _step in range(h):
         val = 0.0
-        for i in range(p):
-            val += phi[i] * (zbuf[-i - 1] if len(zbuf) > i else 0.0)
-        for j in range(q):
-            val += theta[j] * (ebuf[-j - 1] if len(ebuf) > j else 0.0)
+        for lag, coef in ar:
+            val += coef * (zbuf[-lag] if len(zbuf) >= lag else 0.0)
+        for lag, coef in ma:
+            val += coef * (ebuf[-lag] if len(ebuf) >= lag else 0.0)
         fz.append(val)
         zbuf.append(val)
         ebuf.append(0.0)  # future innovations have expectation 0
     fc_work = np.array(fz) + mu
 
-    # reintegrate d times: cumulative sums seeded from each level's tail
     fitted = fitted_work
     fc = fc_work
+    # undo seasonal differences first (they were applied last):
+    # level[t] = lvl[t-m] + diff[t-m]; forecasts chain through their
+    # own prior values once the horizon passes m
+    for lvl in reversed(sheads):
+        fitted = np.concatenate([lvl[:m], lvl[:-m] + fitted])
+        ext = list(lvl)
+        fc_lvl = []
+        for step in range(h):
+            val = ext[-m] + fc[step]
+            fc_lvl.append(val)
+            ext.append(val)
+        fc = np.array(fc_lvl)
+    # then the d regular differences: cumulative sums seeded from each
+    # level's tail
     for lvl in reversed(heads):
         # fitted at this level: shift-align (fitted_diff + lag of actual level)
         fitted = np.concatenate([[lvl[0]], lvl[:-1] + fitted])
         fc = lvl[-1] + np.cumsum(fc)
-    return fitted, fc
+    return fitted + reg_fit, fc + reg_fc
 
 
 def arima_model(
-    df: DataFrame, features=None, order: tuple[int, int, int] = (1, 0, 0), **_
+    df: DataFrame,
+    features=None,
+    order: tuple[int, int, int] = (1, 0, 0),
+    seasonal_order: tuple[int, int, int, int] = (0, 0, 0, 0),
+    **_,
 ) -> DataFrame:
+    """Reference 'arima' (models.py:1150-1273): order, seasonal_order,
+    and Xvars→exog all supported. ``features`` (engine Xvar column
+    names) become exog regressors; their future rows supply the
+    forecast-time regressor values."""
+    feats = list(features or [])
     try:  # prefer exact MLE when the optional backend exists
         import statsmodels.api as sm  # noqa: F401
 
-        def fn(y, h):
-            model = sm.tsa.ARIMA(y, order=order).fit()
-            return np.asarray(model.fittedvalues), np.asarray(model.forecast(h))
+        def fn(y, h, X=None, Xf=None):
+            model = sm.tsa.ARIMA(
+                y, exog=X, order=order, seasonal_order=seasonal_order
+            ).fit()
+            fc = model.forecast(h, exog=Xf) if h else np.empty(0)
+            return np.asarray(model.fittedvalues), np.asarray(fc)
 
-        return run_series_kernel(df, fn)
+        return run_series_kernel(df, fn, feature_cols=feats or None)
     except ImportError:
         pass
-    return run_series_kernel(df, lambda y, h: arima_fit_forecast(y, h, order))
+    return run_series_kernel(
+        df,
+        lambda y, h, X=None, Xf=None: arima_fit_forecast(
+            y, h, order, seasonal_order, X=X, Xf=Xf
+        ),
+        feature_cols=feats or None,
+    )
 
 
 def auto_arima_orders(

@@ -442,11 +442,18 @@ def run_kernel_backtest(
 
 def run_series_kernel(
     df: DataFrame,
-    model_fn: Callable[[np.ndarray, int], tuple[np.ndarray, np.ndarray]],
+    model_fn: Callable[..., tuple[np.ndarray, np.ndarray]],
+    feature_cols: list[str] | None = None,
 ) -> DataFrame:
     """Kernel for pure-series models (no design matrix): HWES, Theta,
     ARIMA-family. ``model_fn(y, h) -> (fitted, forecast)`` with
-    len(fitted)==len(y), len(forecast)==h. Parallel across series."""
+    len(fitted)==len(y), len(forecast)==h. Parallel across series.
+
+    With ``feature_cols``, the model takes exog regressors:
+    ``model_fn(y, h, X, Xf)`` where X is the observed-row feature
+    matrix and Xf the future-row one (regression-with-ARIMA-errors
+    models; future rows must carry their regressor values, which
+    calendar/trend features generated into the future do)."""
     schema = T.StructType(
         [
             T.StructField(SERIES, df.schema[SERIES].dataType),
@@ -454,6 +461,7 @@ def run_series_kernel(
             T.StructField("forecast", T.DoubleType()),
         ]
     )
+    feats = list(feature_cols or [])
 
     def fit_predict(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(DS).reset_index(drop=True)
@@ -463,7 +471,12 @@ def run_series_kernel(
         out = pdf[[SERIES, DS]].copy()
         vals = np.full(len(pdf), np.nan)
         if len(y) >= 3:
-            fitted, fc = model_fn(y, h)
+            if feats:
+                X = pdf.loc[obs_mask, feats].to_numpy(float)
+                Xf = pdf.loc[~obs_mask, feats].to_numpy(float)
+                fitted, fc = model_fn(y, h, X, Xf)
+            else:
+                fitted, fc = model_fn(y, h)
             vals[obs_mask] = fitted
             if h:
                 vals[~obs_mask] = fc
@@ -471,7 +484,7 @@ def run_series_kernel(
         return out
 
     preds = (
-        df.select(SERIES, DS, IS_FUTURE, Y)
+        df.select(SERIES, DS, IS_FUTURE, Y, *feats)
         .groupBy(SERIES)
         .applyInPandas(fit_predict, schema)
     )

@@ -152,15 +152,154 @@ def make_direct_mlp(
     return model_fn
 
 
+def _clip_global(grads: list, max_norm: float = 1.0) -> list:
+    """Global-norm gradient clipping — BPTT through tanh chains can
+    spike early in training; clipping keeps Adam's steps sane."""
+    total = float(np.sqrt(sum(float((g * g).sum()) for g in grads)))
+    if total > max_norm:
+        scale = max_norm / (total + 1e-12)
+        grads = [g * scale for g in grads]
+    return grads
+
+
+def make_direct_rnn(
+    lags: int = 7, hidden: int = 16, epochs: int = 300, lr: float = 0.02,
+    seed: int = 42, cell: str = "rnn",
+):
+    """TRUE recurrent cell (reference models.py:561-878, TF
+    SimpleRNN/LSTM stacks) trained with full-unroll BPTT in numpy —
+    the recurrent-computation counterpart to make_direct_mlp's
+    flat-window network. The sequence of the last ``lags`` scalars is
+    consumed one timestep at a time through a shared-weight cell; the
+    final hidden state maps to ``horizon`` direct outputs (the
+    reference's direct multi-horizon strategy, models.py:651-671).
+
+    cell='rnn':  h_t = tanh(x_t·Wx + h_{t-1}·Wh + b)
+    cell='lstm': standard 4-gate LSTM (i,f,g,o; forget-bias 1.0).
+
+    Weight sharing across timesteps is the point: an L-lag flat MLP
+    estimates L·hidden first-layer weights from (n-L-H) windows, the
+    cell estimates hidden (+hidden²) regardless of L — at long lags on
+    short series the recurrent inductive bias wins (tested)."""
+    if cell not in ("rnn", "lstm"):
+        raise ValueError(f"cell must be 'rnn' or 'lstm', got {cell!r}")
+
+    def model_fn(y: np.ndarray, h: int):
+        y = np.asarray(y, dtype=float)
+        n = len(y)
+        fitted = np.full(n, np.nan)
+        H = max(h, 1)
+        L = max(1, min(lags, n - H - 1))
+        X, T = sliding_windows(y, L, H)
+        if len(X) < 2:  # degenerate series: flat-line
+            return fitted, np.full(h, y[-1] if n else np.nan)
+        rng = np.random.RandomState(seed)
+        xmu, xsd = y.mean(), y.std() or 1.0
+        Xs, Ts = (X - xmu) / xsd, (T - xmu) / xsd
+        rows = len(Xs)
+        G = 4 if cell == "lstm" else 1  # gate multiplier
+        Wx = rng.randn(1, G * hidden) * 0.5
+        Wh = rng.randn(hidden, G * hidden) * np.sqrt(1.0 / hidden)
+        b = np.zeros(G * hidden)
+        if cell == "lstm":
+            b[hidden: 2 * hidden] = 1.0  # forget-gate bias
+        W2 = rng.randn(hidden, H) * np.sqrt(1.0 / hidden)
+        b2 = np.zeros(H)
+        params = [Wx, Wh, b, W2, b2]
+        mom = [np.zeros_like(q) for q in params]
+        vel = [np.zeros_like(q) for q in params]
+        beta1, beta2, eps = 0.9, 0.999, 1e-8
+        sig = lambda a: 1.0 / (1.0 + np.exp(-a))  # noqa: E731
+
+        def forward(A, trace=False):
+            r = len(A)
+            hs = np.zeros((L + 1, r, hidden))
+            cs = np.zeros((L + 1, r, hidden))
+            gates = []
+            for t in range(L):
+                pre = A[:, t: t + 1] @ Wx + hs[t] @ Wh + b
+                if cell == "rnn":
+                    hs[t + 1] = np.tanh(pre)
+                    gates.append(None)
+                else:
+                    i = sig(pre[:, :hidden])
+                    f = sig(pre[:, hidden: 2 * hidden])
+                    g = np.tanh(pre[:, 2 * hidden: 3 * hidden])
+                    o = sig(pre[:, 3 * hidden:])
+                    cs[t + 1] = f * cs[t] + i * g
+                    hs[t + 1] = o * np.tanh(cs[t + 1])
+                    gates.append((i, f, g, o))
+            out = hs[L] @ W2 + b2
+            return (out, hs, cs, gates) if trace else out
+
+        for step in range(1, epochs + 1):
+            out, hs, cs, gates = forward(Xs, trace=True)
+            err = out - Ts  # (rows, H)
+            gW2 = hs[L].T @ err / rows
+            gb2 = err.mean(axis=0)
+            gWx = np.zeros_like(Wx)
+            gWh = np.zeros_like(Wh)
+            gb = np.zeros_like(b)
+            dh = err @ W2.T
+            dc = np.zeros((rows, hidden))
+            for t in reversed(range(L)):
+                if cell == "rnn":
+                    dpre = dh * (1 - hs[t + 1] ** 2)
+                else:
+                    i, f, g, o = gates[t]
+                    tc = np.tanh(cs[t + 1])
+                    do = dh * tc
+                    dc = dc + dh * o * (1 - tc**2)
+                    di, df_, dg = dc * g, dc * cs[t], dc * i
+                    dpre = np.concatenate(
+                        [
+                            di * i * (1 - i),
+                            df_ * f * (1 - f),
+                            dg * (1 - g**2),
+                            do * o * (1 - o),
+                        ],
+                        axis=1,
+                    )
+                    dc = dc * f
+                gWx += Xs[:, t: t + 1].T @ dpre / rows
+                gWh += hs[t].T @ dpre / rows
+                gb += dpre.mean(axis=0)
+                dh = dpre @ Wh.T
+            grads = _clip_global([gWx, gWh, gb, gW2, gb2])
+            for idx, g_ in enumerate(grads):
+                mom[idx] = beta1 * mom[idx] + (1 - beta1) * g_
+                vel[idx] = beta2 * vel[idx] + (1 - beta2) * g_ * g_
+                mh = mom[idx] / (1 - beta1**step)
+                vh = vel[idx] / (1 - beta2**step)
+                params[idx] -= lr * mh / (np.sqrt(vh) + eps)
+
+        def predict(A):
+            return forward(A) * xsd + xmu
+
+        # in-sample fitted: the 1-step direct output of the window
+        # ending just before each position (same semantics as the MLP)
+        Xin, _ = sliding_windows(y, L, 1)
+        if len(Xin):
+            fitted[L:] = predict((Xin - xmu) / xsd)[:, 0]
+        fc = predict((y[None, n - L:] - xmu) / xsd)[0]
+        if h > H:
+            fc = np.concatenate([fc, np.full(h - H, fc[-1])])
+        return fitted, fc[:h]
+
+    return model_fn
+
+
 def rnn_model(
     df: DataFrame, features=None, lags: int = 7, hidden: int = 16,
-    epochs: int = 400, lr: float = 0.01, **kwargs,
+    epochs: int = 300, lr: float = 0.02, cell: str | None = None,
+    **kwargs,
 ) -> DataFrame:
-    """Reference 'rnn'/'lstm' (TF Keras, models.py:561-816). TensorFlow
-    is absent from this container, so the DIRECT multi-output MLP over
-    the same sliding-window matrices (models.py:651-671) serves as the
-    TF-free implementation of the direct multi-horizon strategy —
-    per-series parallel through run_series_kernel."""
+    """Reference 'rnn' (TF SimpleRNN stacks, models.py:561-816). The
+    TF-free implementation is a REAL SimpleRNN cell trained with BPTT
+    (make_direct_rnn) under the reference's direct multi-horizon
+    strategy; per-series parallel through run_series_kernel. TF remains
+    the gated upgrade when installed. ``cell='mlp'`` selects the
+    flat-window direct MLP (the pre-round-4 behavior) for comparison."""
     try:  # pragma: no cover - env-dependent
         import tensorflow  # noqa: F401
         # TF backend wiring lands when TF is available in the image
@@ -168,4 +307,20 @@ def rnn_model(
         pass
     from scalecast_spark.models.kernel import run_series_kernel
 
-    return run_series_kernel(df, make_direct_mlp(lags, hidden, epochs, lr))
+    if cell == "mlp":
+        return run_series_kernel(df, make_direct_mlp(lags, hidden, epochs, lr))
+    return run_series_kernel(
+        df, make_direct_rnn(lags, hidden, epochs, lr, cell=cell or "rnn")
+    )
+
+
+def lstm_model(
+    df: DataFrame, features=None, lags: int = 7, hidden: int = 16,
+    epochs: int = 300, lr: float = 0.02, **kwargs,
+) -> DataFrame:
+    """Reference 'lstm' (TF LSTM stacks, models.py:818-878): the numpy
+    4-gate LSTM cell with BPTT, direct multi-horizon outputs."""
+    return rnn_model(
+        df, features, lags=lags, hidden=hidden, epochs=epochs, lr=lr,
+        cell="lstm", **kwargs,
+    )

@@ -19,8 +19,9 @@ def test_ar1_coefficient_recovery():
     y = np.zeros(n)
     for t in range(1, n):
         y[t] = phi * y[t - 1] + rng.randn()
-    mu, phi_hat, theta, resid = _hannan_rissanen(y, 1, 0)
-    assert phi_hat[0] == pytest.approx(phi, abs=0.05)
+    mu, ar, ma, resid = _hannan_rissanen(y, 1, 0)
+    assert ar[0][0] == 1  # (lag, coef) pairs
+    assert ar[0][1] == pytest.approx(phi, abs=0.05)
 
 
 def test_ma1_coefficient_recovery():
@@ -28,8 +29,9 @@ def test_ma1_coefficient_recovery():
     n, theta = 4000, 0.6
     e = rng.randn(n + 1)
     y = e[1:] + theta * e[:-1]
-    mu, phi, theta_hat, resid = _hannan_rissanen(y, 0, 1)
-    assert theta_hat[0] == pytest.approx(theta, abs=0.08)
+    mu, ar, ma, resid = _hannan_rissanen(y, 0, 1)
+    assert ma[0][0] == 1
+    assert ma[0][1] == pytest.approx(theta, abs=0.08)
 
 
 def test_arima_d1_reintegrates_trend():
@@ -95,6 +97,108 @@ def test_arima_matches_statsmodels_when_available():
     _, fc = arima_fit_forecast(y, 5, order=(1, 0, 0))
     ref = sm.tsa.ARIMA(y, order=(1, 0, 0)).fit().forecast(5)
     assert np.allclose(fc, np.asarray(ref), atol=0.2)
+
+
+def test_sarima_closed_form_snaive_drift():
+    """(0,1,0)(0,1,0,7): with all ARMA orders zero the forecast has the
+    closed form ŷ(n+i) = y[n-1] + y[n-8+i] - y[n-8] + i·μ (0-based;
+    μ = mean of the doubly-differenced series) — the same identity the
+    ts_arima oracle replays in SQL."""
+    rng = np.random.RandomState(7)
+    y = np.cumsum(rng.randn(120)) + 50
+    dd = np.diff(y)[7:] - np.diff(y)[:-7]
+    mu, n = dd.mean(), len(y)
+    expect = np.array(
+        [y[n - 1] + y[n - 8 + i] - y[n - 8] + i * mu for i in range(1, 8)]
+    )
+    _, fc = arima_fit_forecast(y, 7, (0, 1, 0), (0, 1, 0, 7))
+    assert np.allclose(fc, expect, atol=1e-9)
+    # h > m chains seasonal references through prior forecasts
+    _, fc10 = arima_fit_forecast(y, 10, (0, 1, 0), (0, 1, 0, 7))
+    assert np.allclose(fc10[:7], fc)
+
+
+def test_seasonal_ar_beats_plain_on_sar_process():
+    """True SAR(1) at lag 7 (a sinusoid would be unfair — any AR(2)
+    predicts it exactly); the seasonal lag is the only structure, so
+    the seasonal fit must win and recover phi_7 ~ 0.8."""
+    rng = np.random.RandomState(8)
+    n = 400
+    y = np.zeros(n)
+    for t in range(7, n):
+        y[t] = 0.8 * y[t - 7] + rng.randn()
+    tr, te = y[: n - 7], y[n - 7:]
+    _, fc_s = arima_fit_forecast(tr, 7, (0, 0, 0), (1, 0, 0, 7))
+    _, fc_p = arima_fit_forecast(tr, 7, (2, 0, 0))
+    rmse = lambda f: float(np.sqrt(np.mean((f - te) ** 2)))  # noqa: E731
+    assert rmse(fc_s) < rmse(fc_p)
+    mu, ar, _, _ = _hannan_rissanen(tr, 0, 0, P=1, Q=0, m=7)
+    assert ar[0][0] == 7 and ar[0][1] == pytest.approx(0.8, abs=0.1)
+
+
+def test_seasonal_ma_lags_present():
+    mu, ar, ma, _ = _hannan_rissanen(
+        np.random.RandomState(9).randn(400), 1, 1, P=1, Q=1, m=7
+    )
+    assert [l for l, _ in ar] == [1, 7]
+    assert [l for l, _ in ma] == [1, 7]
+
+
+def test_arima_exog_regression_recovery():
+    """Regression-with-ARIMA-errors: y = 3x + 5 + small noise; the
+    forecast must track the FUTURE exog values, not the history."""
+    rng = np.random.RandomState(10)
+    x = rng.randn(150)
+    y = 3.0 * x + 5.0 + 0.1 * rng.randn(150)
+    xf = rng.randn(7)
+    _, fc = arima_fit_forecast(
+        y, 7, (1, 0, 0), X=x.reshape(-1, 1), Xf=xf.reshape(-1, 1)
+    )
+    assert np.allclose(fc, 3.0 * xf + 5.0, atol=0.3)
+    # missing future exog fails loudly instead of extrapolating garbage
+    with pytest.raises(ValueError):
+        arima_fit_forecast(y, 7, (1, 0, 0), X=x.reshape(-1, 1))
+
+
+def test_sarima_exog_through_forecaster(spark, sf_dir):
+    """Spark-level seasonal + exog path: calendar features become exog
+    columns whose future rows feed the forecast."""
+    series = events_to_series(load_table(spark, sf_dir, "events"))
+    f = Forecaster(series, future_dates=7)
+    f.set_test_length(7)
+    f.add_seasonal_regressors("dayofweek", dummy=True)
+    f.set_estimator("arima")
+    f.manual_forecast(
+        order=(1, 0, 0), seasonal_order=(0, 1, 0, 7),
+        Xvars="all", call_me="sarimax",
+    )
+    summ = {r["ModelNickname"]: r for r in f.export("model_summaries").collect()}
+    assert summ["sarimax"]["TestSetRMSE"] > 0
+    fc = f.export("lvl_fcsts").filter(
+        (F.col("model") == "sarimax") & F.col("forecast").isNotNull()
+    )
+    # every series carries a full 7-step horizon
+    per_series = [r["n"] for r in fc.groupBy("series_id").agg(
+        F.count("*").alias("n")).collect()]
+    assert per_series and all(n == 7 for n in per_series)
+
+
+def test_sarima_matches_statsmodels_when_available():
+    """Seasonal parity harness: Hannan-Rissanen additive-seasonal fit
+    vs statsmodels exact MLE on a strong weekly SAR(1). Skips
+    in-container (package absent)."""
+    sm = pytest.importorskip("statsmodels.api")
+
+    rng = np.random.RandomState(11)
+    n = 400
+    y = np.zeros(n)
+    for t in range(7, n):
+        y[t] = 0.8 * y[t - 7] + rng.randn() * 0.5
+    _, fc = arima_fit_forecast(y, 7, (0, 0, 0), (1, 0, 0, 7))
+    ref = sm.tsa.ARIMA(
+        y, order=(0, 0, 0), seasonal_order=(1, 0, 0, 7)
+    ).fit().forecast(7)
+    assert np.allclose(fc, np.asarray(ref), atol=0.35)
 
 
 def test_prophet_fallback_captures_trend_and_weekly_cycle():

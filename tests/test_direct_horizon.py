@@ -51,6 +51,55 @@ def test_direct_mlp_short_series_flatlines():
     assert len(fc) == 3 and np.isfinite(fc).all()
 
 
+def test_rnn_cell_learns_seasonal_trend():
+    """The true SimpleRNN cell (BPTT) reaches the noise floor on a
+    noisy weekly cycle + trend — a materially wrong gradient would
+    plateau far above it."""
+    from scalecast_spark.models.mlp import make_direct_rnn
+
+    rng = np.random.RandomState(0)
+    t = np.arange(150)
+    y = 5 * np.sin(2 * np.pi * t / 7) + 0.05 * t + 0.3 * rng.randn(150)
+    for cell in ("rnn", "lstm"):
+        fn = make_direct_rnn(lags=7, hidden=16, epochs=300, cell=cell)
+        fitted, fc = fn(y[:-7], 7)
+        rmse = float(np.sqrt(np.mean((fc - y[-7:]) ** 2)))
+        assert rmse < 0.9, f"{cell}: {rmse}"  # noise sd is 0.3
+        assert np.isnan(fitted[:7]).all() and not np.isnan(fitted[7:]).any()
+
+
+def test_rnn_cell_beats_flat_mlp_on_long_memory():
+    """Weight sharing across timesteps: on a lag-21 seasonal walk seen
+    through a 48-step window, the flat MLP must estimate 48×16
+    first-layer weights from ~85 windows while the cell reuses one
+    input weight vector — the recurrent inductive bias wins (fixed
+    seeds; a demonstration of the advantage, not a universal law)."""
+    from scalecast_spark.models.mlp import make_direct_rnn
+
+    rng = np.random.RandomState(3)
+    n = 140
+    y = np.zeros(n)
+    for t in range(21, n):
+        y[t] = 0.95 * y[t - 21] + 0.5 * rng.randn()
+    tr, te = y[:-7], y[-7:]
+    _, fc_r = make_direct_rnn(lags=48, hidden=16, epochs=300)(tr, 7)
+    _, fc_m = make_direct_mlp(lags=48, hidden=16, epochs=300)(tr, 7)
+    rmse_r = float(np.sqrt(np.mean((fc_r - te) ** 2)))
+    rmse_m = float(np.sqrt(np.mean((fc_m - te) ** 2)))
+    assert rmse_r < rmse_m
+
+
+def test_lstm_cell_distinct_from_rnn_and_mlp():
+    from scalecast_spark.models.mlp import make_direct_rnn
+
+    y = np.arange(80, dtype=float) + np.tile([0, 3, 1, 2], 20)
+    _, fc_r = make_direct_rnn(lags=8, hidden=8, epochs=100)(y, 4)
+    _, fc_l = make_direct_rnn(lags=8, hidden=8, epochs=100, cell="lstm")(y, 4)
+    assert not np.allclose(fc_r, fc_l)  # genuinely different cells
+    with pytest.raises(ValueError):
+        make_direct_rnn(cell="gru")
+
+
 def test_rnn_estimator_end_to_end(spark):
     rows = []
     d0 = dt.date(2024, 1, 1)
@@ -70,9 +119,10 @@ def test_rnn_estimator_end_to_end(spark):
     assert fc.count() == 15  # 3 series x 5 steps
     assert fc.filter(F.col("forecast").isNull()).count() == 0
     assert h["summary"]["TestSetRMSE"] > 0
-    # lstm aliases to the same direct model
+    # lstm runs the 4-gate LSTM cell through the same direct strategy
     f.set_estimator("lstm").manual_forecast(lags=7, hidden=8, epochs=100)
     assert "lstm" in f.history
+    assert f.history["lstm"]["forecast"].count() == 15
 
 
 def test_gen_rnn_grid(spark):

@@ -162,5 +162,5 @@ def test_noise_pool_and_simhash_bits_guard(spark):
         dedup.simhash(df.withColumnRenamed(Y, "text").withColumn(
             "doc_id", F.lit(1)
         ).withColumn("text", F.col("text").cast("string")), bits=64)
-    with pytest.raises(ValueError, match="60 bits"):
+    with pytest.raises(ValueError, match="at most 64 bits"):
         dedup.simhash(df, bits=65)
