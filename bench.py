@@ -44,6 +44,27 @@ HEADLINE = {
     "ts_stl": "q_ts_stl",
 }
 
+# the round-1 query set — the BASELINE.md comparison basis. Queries
+# added in later rounds inflate `value`; `common_value` sums only these
+# so the ≤2×-of-BENCH_r01 gate stays apples-to-apples as the suite
+# accretes.
+COMMON = [
+    "flagship_daily_revenue",
+    "tpch_q1_pricing",
+    "ts_metrics",
+    "ts_forecast_recursive",
+    "ts_sessionize",
+    "ts_impute_linear",
+    "dedup_exact",
+    "dedup_minhash_sigs",
+    "dedup_jaccard_pairs",
+    "dedup_simhash",
+    "text_quality",
+    "text_lang_id",
+    "sim_cosine_topk",
+    "emb_norms",
+]
+
 
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -66,6 +87,7 @@ def main():
             {
                 "metric": "headline_suite_sec",
                 "value": total,
+                "common_value": round(sum(times[q] for q in COMMON if q in times), 3),
                 "unit": "sec",
                 "queries": times,
                 "sf": float(sf),

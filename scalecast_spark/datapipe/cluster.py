@@ -47,37 +47,111 @@ def kmeans_embeddings(
     n_iter: int = 3,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    vectorized: bool | None = None,
+    vectorized_threshold: int = 4096,
 ) -> DataFrame:
     """Lloyd's k-means: returns (id, cluster, sqdist) for every vector.
 
     ``cluster`` is 1-based (matching the md5-ordered seed order).
     Empty clusters keep their previous centroid. n_iter is small and
     fixed — each iteration costs one scan + one k*d aggregate.
+
+    ``vectorized=None`` auto-selects the physical assignment strategy:
+    below ``vectorized_threshold`` k*d cells the interpreted
+    column-expression argmin runs (its arithmetic order matches the SQL
+    oracle bit-for-bit); at or above it each iteration switches to one
+    numpy GEMM per Arrow batch (``assign_clusters_vectorized`` for the
+    final pass, per-batch partial (cluster, dim) sums for the mean
+    update — the n*d posexplode disappears entirely). Same argmin
+    semantics either way (ties → lowest cell; parity-tested).
     """
     vec = F.col(vec_col).cast("array<double>")
     cents = ivf_centroids(df, k, vec_col, id_col)
     dim = len(cents[0][1])
+    if vectorized is None:
+        vectorized = k * dim >= vectorized_threshold
     for _ in range(n_iter):
-        cluster, _d = _assign(vec, cents)
-        assigned = df.withColumn("_c", cluster)
-        means = (
-            assigned.select("_c", F.posexplode(vec).alias("_dim", "_x"))
-            .groupBy("_c", "_dim")
-            .agg(F.avg("_x").alias("_m"))
-            .collect()
-        )
+        if vectorized:
+            means = (
+                _partial_cluster_sums(df, cents, vec_col)
+                .groupBy("_c", "_dim")
+                .agg((F.sum("_s") / F.sum("_n")).alias("_m"))
+                .collect()
+            )
+        else:
+            cluster, _d = _assign(vec, cents)
+            assigned = df.withColumn("_c", cluster)
+            means = (
+                assigned.select("_c", F.posexplode(vec).alias("_dim", "_x"))
+                .groupBy("_c", "_dim")
+                .agg(F.avg("_x").alias("_m"))
+                .collect()
+            )
         by_cell: dict[int, list[float]] = {}
         for r in means:
             by_cell.setdefault(r["_c"], [0.0] * dim)[r["_dim"]] = r["_m"]
         cents = [
             (ci, by_cell.get(ci, cv)) for ci, cv in cents
         ]
+    if vectorized:
+        return assign_clusters_vectorized(df, cents, vec_col, id_col)
     cluster, d = _assign(vec, cents)
     return df.select(
         id_col,
         cluster.alias("cluster"),
         F.round(d, 6).alias("sqdist"),
     )
+
+
+def _partial_cluster_sums(
+    df: DataFrame,
+    cents: list[tuple[int, list[float]]],
+    vec_col: str,
+) -> DataFrame:
+    """GEMM assignment + per-batch partial (cluster, dim, sum, count)
+    rows for the Lloyd mean update. Each Arrow batch emits at most k*d
+    rows regardless of batch size, so the shuffle that follows is
+    bounded by k*d*n_batches — the map-side-combine shape — instead of
+    the expression path's n*d posexplode."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    C = np.asarray([cv for _, cv in cents], dtype=float)  # (k, d)
+    ids = np.asarray([ci for ci, _ in cents])
+    k, d = C.shape
+    cn = (C * C).sum(axis=1)
+    schema = T.StructType(
+        [
+            T.StructField("_c", T.IntegerType()),
+            T.StructField("_dim", T.IntegerType()),
+            T.StructField("_s", T.DoubleType()),
+            T.StructField("_n", T.LongType()),
+        ]
+    )
+
+    def run(batches):
+        for pdf in batches:
+            V = np.asarray([np.asarray(v, dtype=float) for v in pdf[vec_col]])
+            if len(V) == 0:
+                continue
+            d2 = (V * V).sum(axis=1)[:, None] - 2.0 * (V @ C.T) + cn[None, :]
+            best = d2.argmin(axis=1)
+            sums = np.zeros((k, d))
+            np.add.at(sums, best, V)
+            counts = np.bincount(best, minlength=k)
+            nz = counts > 0
+            cell = np.repeat(ids[nz], d)
+            yield pd.DataFrame(
+                {
+                    "_c": cell.astype("int32"),
+                    "_dim": np.tile(np.arange(d, dtype="int32"), int(nz.sum())),
+                    "_s": sums[nz].ravel(),
+                    "_n": np.repeat(counts[nz], d).astype("int64"),
+                }
+            )
+
+    return df.select(vec_col).mapInPandas(run, schema)
 
 
 def assign_clusters_vectorized(

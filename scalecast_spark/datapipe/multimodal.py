@@ -70,6 +70,34 @@ def _decode_image_bytes(raw: bytes) -> np.ndarray:
     return pil_decode(raw)
 
 
+def default_decode():
+    """Deployment-config decoder selection, resolved once per call:
+
+    * ``SCALECAST_SPARK_IMAGE_DECODE=pil``  — force Pillow (raises at
+      decode time if Pillow is absent, so a mis-provisioned cluster
+      fails loudly instead of silently producing fake features);
+    * ``SCALECAST_SPARK_IMAGE_DECODE=fake`` — force the deterministic
+      stand-in (codec-free CI legs);
+    * unset / ``auto`` — Pillow when importable, else the fake.
+
+    Operators accept ``decode=None`` to mean "use this resolution";
+    passing a callable always wins over the env var.
+    """
+    import importlib.util
+    import os
+
+    mode = os.environ.get("SCALECAST_SPARK_IMAGE_DECODE", "auto").lower()
+    if mode == "pil":
+        return pil_decode
+    if mode == "fake":
+        return fake_decode
+    if mode != "auto":
+        raise ValueError(
+            f"SCALECAST_SPARK_IMAGE_DECODE must be auto|pil|fake, got {mode!r}"
+        )
+    return pil_decode if importlib.util.find_spec("PIL") else fake_decode
+
+
 def resize_nearest(img: np.ndarray, h: int, w: int) -> np.ndarray:
     """Nearest-neighbor resize as pure numpy index arithmetic — no
     image library needed once pixels are decoded."""
@@ -93,13 +121,16 @@ def extract_image_features(
     df: DataFrame,
     bin_col: str = "payload",
     id_col: str = "doc_id",
-    decode=fake_decode,
+    decode=None,
 ) -> DataFrame:
     """Decode → per-channel mean/std features via mapInPandas.
 
-    Output: (id, feat array<double> of 2*channels). Swap ``decode`` for
-    a real codec in production; the Spark plumbing is identical.
+    Output: (id, feat array<double> of 2*channels). ``decode=None``
+    resolves via :func:`default_decode` (env-switchable); pass a
+    callable to override — the Spark plumbing is identical either way.
     """
+    if decode is None:
+        decode = default_decode()
     out_schema = T.StructType(
         [
             T.StructField(id_col, T.LongType()),
@@ -127,7 +158,7 @@ def make_thumbnails(
     w: int = 32,
     bin_col: str = "payload",
     id_col: str = "doc_id",
-    decode=fake_decode,
+    decode=None,
 ) -> DataFrame:
     """Decode → nearest-neighbor resize → re-emit fixed-size uint8
     thumbnails as a binary column + shape metadata. The resize is pure
@@ -135,7 +166,10 @@ def make_thumbnails(
     deterministic fake decoder and unchanged under a real codec.
     Output: (id, thumb binary h*w*c, thumb_h, thumb_w, thumb_c).
     NULL or undecodable payloads yield a row with NULL thumb fields
-    (the id survives so a later join can flag the failures)."""
+    (the id survives so a later join can flag the failures).
+    ``decode=None`` resolves via :func:`default_decode`."""
+    if decode is None:
+        decode = default_decode()
     out_schema = T.StructType(
         [
             T.StructField(id_col, T.LongType()),

@@ -339,3 +339,66 @@ def test_resize_nearest_identity_and_downscale():
     small = multimodal.resize_nearest(img, 3, 2)
     assert small.shape == (3, 2, 3)
     assert (small == img[[0, 2, 4]][:, [0, 2]]).all()
+
+
+def test_kmeans_vectorized_full_loop_parity(spark, sf_dir):
+    """kmeans_embeddings(vectorized=True) — GEMM assignment AND GEMM
+    partial-sum mean updates — lands the same clusters as the
+    expression path after real Lloyd iterations."""
+    from scalecast_spark.datapipe.cluster import kmeans_embeddings
+    from scalecast_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    expr = (
+        kmeans_embeddings(emb, k=4, n_iter=2, vectorized=False)
+        .toPandas().sort_values("vec_id").reset_index(drop=True)
+    )
+    gemm = (
+        kmeans_embeddings(emb, k=4, n_iter=2, vectorized=True)
+        .toPandas().sort_values("vec_id").reset_index(drop=True)
+    )
+    assert (expr["cluster"].values == gemm["cluster"].values).all()
+    assert (abs(expr["sqdist"].values - gemm["sqdist"].values) < 2e-6).all()
+    # auto mode: k*d = 256 is under the default threshold -> expression
+    auto = (
+        kmeans_embeddings(emb, k=4, n_iter=2)
+        .toPandas().sort_values("vec_id").reset_index(drop=True)
+    )
+    assert (auto["sqdist"].values == expr["sqdist"].values).all()
+
+
+def test_default_decode_env_switch(monkeypatch):
+    import importlib.util
+
+    from scalecast_spark.datapipe import multimodal as mm
+
+    monkeypatch.setenv("SCALECAST_SPARK_IMAGE_DECODE", "fake")
+    assert mm.default_decode() is mm.fake_decode
+    monkeypatch.setenv("SCALECAST_SPARK_IMAGE_DECODE", "pil")
+    assert mm.default_decode() is mm.pil_decode
+    monkeypatch.setenv("SCALECAST_SPARK_IMAGE_DECODE", "bogus")
+    with pytest.raises(ValueError, match="auto|pil|fake"):
+        mm.default_decode()
+    monkeypatch.delenv("SCALECAST_SPARK_IMAGE_DECODE")
+    expected = mm.pil_decode if importlib.util.find_spec("PIL") else mm.fake_decode
+    assert mm.default_decode() is expected
+
+
+@pytest.mark.skipif(
+    __import__("importlib.util", fromlist=["util"]).find_spec("PIL") is None,
+    reason="Pillow not installed in this container",
+)
+def test_pil_decode_real_codec(spark):
+    """Pillow-present CI leg: a real PNG round-trips through
+    extract_image_features under decode=pil_decode."""
+    import io
+
+    from PIL import Image
+
+    from scalecast_spark.datapipe.multimodal import extract_image_features, pil_decode
+
+    buf = io.BytesIO()
+    Image.new("RGB", (4, 4), (10, 20, 30)).save(buf, format="PNG")
+    df = spark.createDataFrame([(1, bytearray(buf.getvalue()))], "doc_id long, payload binary")
+    out = extract_image_features(df, decode=pil_decode).collect()
+    assert out[0]["feat"][:3] == [10.0, 20.0, 30.0]
