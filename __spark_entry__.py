@@ -1194,7 +1194,7 @@ def q_sim_lsh_topk(spark, sf_dir):
     return lsh_bucket_topk(emb, [float(x) for x in q], k=10, n_planes=6)
 
 
-def q_docs_sample(spark, sf_dir):
+def q_docs_sample_strat(spark, sf_dir):
     """Deterministic stratified sampling (datapipe/sample.py): the
     sample is a pure function of md5(doc_id), reproducible across
     engines/clusters — a scan-side filter, no RNG state."""
@@ -1210,6 +1210,54 @@ def q_docs_sample(spark, sf_dir):
     return out.select(
         F.col("doc_id").cast("long").alias("doc_id"), "source"
     )
+
+
+def q_docs_sample(spark, sf_dir):
+    """Corpus-selection family (datapipe/sample.py, cluster.py), four
+    deterministic members unioned under a ``member`` tag:
+
+      * strat   — per-stratum md5 rates (scan-side filter);
+      * srccap  — ≤20 docs per source (per-domain cap: md5-ranked
+                  row_number window, WindowGroupLimit-friendly);
+      * budget  — maximal md5-ordered prefix whose n_chars sum stays
+                  ≤60k (two-phase bucketed cumsum — no global sort;
+                  only the boundary bucket pays a window);
+      * balance — topic balancing: deterministic k-means over the
+                  embeddings, ≤40 vectors per cluster (doc_id=vec_id,
+                  source=cluster).
+
+    All four are pure functions of the data, so the whole family
+    replays in SQL and hash-matches."""
+    from scalecast_spark.datapipe.cluster import balance_by_cluster
+    from scalecast_spark.datapipe.sample import (
+        cap_per_group,
+        sample_to_token_budget,
+    )
+
+    docs = _docs(spark, sf_dir)
+    strat = q_docs_sample_strat(spark, sf_dir).select(
+        F.lit("strat").alias("member"), "doc_id", "source"
+    )
+    srccap = cap_per_group(docs, "source", 20, "doc_id").select(
+        F.lit("srccap").alias("member"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "source",
+    )
+    budget = sample_to_token_budget(
+        docs.select("doc_id", "source", "n_chars"), 60000.0, "n_chars", "doc_id"
+    ).select(
+        F.lit("budget").alias("member"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "source",
+    )
+    bal = balance_by_cluster(
+        _emb(spark, sf_dir), k=8, per_cluster=40, n_iter=3
+    ).select(
+        F.lit("balance").alias("member"),
+        F.col("vec_id").cast("long").alias("doc_id"),
+        F.col("cluster").cast("string").alias("source"),
+    )
+    return strat.unionByName(srccap).unionByName(budget).unionByName(bal)
 
 
 def q_text_tfidf(spark, sf_dir):
@@ -1841,7 +1889,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         # md5-bucket deterministic sampling: keep iff the first 8 hex
         # of md5(key:salt) / 2^32 < the stratum's rate
-        "docs_sample": """
+        "docs_sample_strat": """
             SELECT doc_id, source
             FROM documents
             WHERE ('0x' || substr(md5(doc_id::VARCHAR || ':sample'), 1, 8))
@@ -2956,6 +3004,43 @@ def oracle_sql() -> dict[str, str]:
         SELECT node::BIGINT AS doc_id, cluster::BIGINT AS cluster,
                (node = cluster)::BIGINT AS is_canonical
         FROM lab
+    """
+
+    # corpus-selection family: stratified rates + per-source cap +
+    # token-budget prefix + k-means topic balance (the kmeans oracle is
+    # the SAME unrolled-Lloyd SQL that certifies emb_kmeans)
+    o["docs_sample"] = f"""
+        SELECT 'strat' AS member, doc_id, source
+        FROM ({o["docs_sample_strat"]})
+        UNION ALL
+        SELECT * FROM (
+            SELECT 'srccap' AS member, doc_id, source FROM documents
+            QUALIFY row_number() OVER (
+                PARTITION BY source
+                ORDER BY md5(doc_id::VARCHAR || ':cap'), doc_id) <= 20
+        )
+        UNION ALL
+        SELECT 'budget' AS member, doc_id, source FROM (
+            SELECT doc_id, source,
+                   sum(n_chars) OVER (
+                       ORDER BY b, h, doc_id ROWS UNBOUNDED PRECEDING) AS cum
+            FROM (
+                SELECT doc_id, source, n_chars,
+                       md5(doc_id::VARCHAR || ':budget') AS h,
+                       ('0x' || substr(md5(doc_id::VARCHAR || ':budget'), 1, 2))
+                           ::BIGINT % 256 AS b
+                FROM documents
+            )
+        ) WHERE cum <= 60000
+        UNION ALL
+        SELECT * FROM (
+            SELECT 'balance' AS member, vec_id AS doc_id,
+                   cluster::VARCHAR AS source
+            FROM ({_kmeans_oracle()})
+            QUALIFY row_number() OVER (
+                PARTITION BY cluster
+                ORDER BY md5(vec_id::VARCHAR || ':balance'), vec_id) <= 40
+        )
     """
 
     keep = set(queries().keys())

@@ -37,7 +37,8 @@ HEADLINE = {
     "text_lang_id": "q_text_lang_id",
     "text_tfidf": "q_text_tfidf",
     "text_curation": "q_text_curation",
-    "docs_sample": "q_docs_sample",
+    "docs_sample": "q_docs_sample_strat",
+    "corpus_select": "q_docs_sample",
     "sim_cosine_topk": "q_sim_cosine_topk",
     "emb_norms": "q_emb_norms",
     "emb_kmeans": "q_emb_kmeans",

@@ -198,3 +198,27 @@ def assign_clusters_vectorized(
             )
 
     return df.select(id_col, vec_col).mapInPandas(run, schema)
+
+
+def balance_by_cluster(
+    df: DataFrame,
+    k: int = 8,
+    per_cluster: int = 50,
+    n_iter: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    **kmeans_kw,
+) -> DataFrame:
+    """Topic-balanced corpus selection: cluster the embedding space
+    with deterministic k-means, then keep at most ``per_cluster``
+    vectors per cluster (md5-ranked, via sample.cap_per_group) — the
+    standard recipe for rebalancing a crawl corpus whose topic mix is
+    dominated by a few giant modes. Output (id, cluster) for joining
+    back to the documents. Fully deterministic end-to-end, so the
+    whole select replays in SQL."""
+    from scalecast_spark.datapipe.sample import cap_per_group
+
+    assigned = kmeans_embeddings(
+        df, k=k, n_iter=n_iter, vec_col=vec_col, id_col=id_col, **kmeans_kw
+    ).select(id_col, "cluster")
+    return cap_per_group(assigned, "cluster", per_cluster, id_col, salt="balance")

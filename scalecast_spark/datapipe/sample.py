@@ -12,7 +12,7 @@ hash-checkable against the DuckDB oracle).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 _M32 = float(1 << 32)
 
@@ -50,3 +50,85 @@ def stratified_sample(
         expr = F.when(cond, float(r)) if expr is None else expr.when(cond, float(r))
     rate = expr.otherwise(float(default_rate)) if expr is not None else rate
     return df.filter(_bucket(F.col(key_col), salt) < rate)
+
+
+def cap_per_group(
+    df: DataFrame,
+    group_col: str,
+    cap: int,
+    key_col: str,
+    salt: str = "cap",
+) -> DataFrame:
+    """Keep at most ``cap`` rows per group — the standard per-domain
+    cap in corpus curation (no single crawl domain may dominate the
+    training mix). Which rows survive is a pure function of the data:
+    rank within the group by md5(key:salt) (a deterministic uniform
+    draw, same trick as ``deterministic_sample``) with the raw key as
+    tie-break, keep rank ≤ cap.
+
+    Scale shape: one hash-partition shuffle on ``group_col`` + a
+    per-group window sort. Rank ≤ cap is rank-limited, so Spark's
+    WindowGroupLimit pushes the limit into the sort (top-cap heap per
+    group, not a full group sort). Hot groups are exactly the groups
+    the cap exists to shrink; AQE skew split covers the read side.
+    """
+    h = F.md5(F.concat(F.col(key_col).cast("string"), F.lit(":" + salt)))
+    w = Window.partitionBy(group_col).orderBy(h, F.col(key_col))
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= cap)
+        .drop("_rn")
+    )
+
+
+def sample_to_token_budget(
+    df: DataFrame,
+    budget: float,
+    weight_col: str,
+    key_col: str,
+    salt: str = "budget",
+    n_buckets: int = 256,
+) -> DataFrame:
+    """Deterministic prefix sample that fills a global weight budget
+    (e.g. "give me ~10B training tokens"): order every row by
+    (md5-bucket, md5, key) and keep the maximal prefix whose cumulative
+    ``weight_col`` stays ≤ ``budget``. Equivalent to the single global
+    cumulative-sum window
+
+        SUM(w) OVER (ORDER BY bucket, h, key) <= budget
+
+    but executed WITHOUT a global sort: per-bucket totals (n_buckets
+    rows) come to the driver, a prefix scan finds the boundary bucket,
+    and only that ONE bucket (~1/n_buckets of the data) pays a
+    single-partition cumulative window; everything before it is a pure
+    scan-side filter. Driver state is n_buckets rows regardless of
+    data size.
+    """
+    h = F.md5(F.concat(F.col(key_col).cast("string"), F.lit(":" + salt)))
+    bucket = F.conv(F.substring(h, 1, 2), 16, 10).cast("int") % n_buckets
+    with_b = df.withColumn("_h", h).withColumn("_b", bucket)
+    totals = {
+        r["_b"]: r["_w"]
+        for r in with_b.groupBy("_b").agg(F.sum(weight_col).alias("_w")).collect()
+    }
+    acc = 0.0
+    boundary, before = None, 0.0
+    for b in range(n_buckets):
+        w = float(totals.get(b, 0.0))
+        if acc + w > budget:
+            boundary, before = b, acc
+            break
+        acc += w
+    if boundary is None:  # whole corpus fits
+        return df
+    full = with_b.filter(F.col("_b") < boundary)
+    cum = Window.partitionBy("_b").orderBy("_h", F.col(key_col)).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    edge = (
+        with_b.filter(F.col("_b") == boundary)
+        .withColumn("_cum", F.sum(weight_col).over(cum))
+        .filter(F.col("_cum") <= budget - before)
+        .drop("_cum")
+    )
+    return full.unionByName(edge).drop("_h", "_b")

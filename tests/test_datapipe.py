@@ -402,3 +402,59 @@ def test_pil_decode_real_codec(spark):
     df = spark.createDataFrame([(1, bytearray(buf.getvalue()))], "doc_id long, payload binary")
     out = extract_image_features(df, decode=pil_decode).collect()
     assert out[0]["feat"][:3] == [10.0, 20.0, 30.0]
+
+
+def test_cap_per_group_caps_and_is_deterministic(spark, sf_dir):
+    from scalecast_spark.datapipe.sample import cap_per_group
+    from scalecast_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = cap_per_group(docs, "source", 10, "doc_id").select("doc_id", "source")
+    pdf = out.toPandas()
+    assert (pdf.groupby("source").size() <= 10).all()
+    # groups smaller than the cap survive whole
+    sizes = docs.groupBy("source").count().toPandas().set_index("source")["count"]
+    got = pdf.groupby("source").size()
+    for src, n in sizes.items():
+        assert got.get(src, 0) == min(n, 10)
+    # pure function of the data
+    again = cap_per_group(docs, "source", 10, "doc_id").select("doc_id").toPandas()
+    assert set(pdf["doc_id"]) == set(again["doc_id"])
+
+
+def test_sample_to_token_budget_matches_global_prefix(spark, sf_dir):
+    """The bucketed two-phase plan must equal the single global
+    cumulative-sum definition, replayed here in pandas."""
+    import hashlib
+
+    from scalecast_spark.datapipe.sample import sample_to_token_budget
+    from scalecast_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    budget = 20000.0
+    got = sample_to_token_budget(docs, budget, "n_chars", "doc_id")
+    ids = {r["doc_id"] for r in got.select("doc_id").collect()}
+
+    pdf = docs.toPandas()
+    pdf["h"] = [
+        hashlib.md5(f"{i}:budget".encode()).hexdigest() for i in pdf["doc_id"]
+    ]
+    pdf["b"] = [int(h[:2], 16) % 256 for h in pdf["h"]]
+    pdf = pdf.sort_values(["b", "h", "doc_id"])
+    pdf["cum"] = pdf["n_chars"].cumsum()
+    want = set(pdf[pdf["cum"] <= budget]["doc_id"])
+    assert ids == want
+    assert sum(pdf.set_index("doc_id").loc[list(ids), "n_chars"]) <= budget
+    # budget larger than the corpus -> everything survives
+    total = float(pdf["n_chars"].sum())
+    assert sample_to_token_budget(docs, total + 1, "n_chars", "doc_id").count() == len(pdf)
+
+
+def test_balance_by_cluster_caps_every_cluster(spark, sf_dir):
+    from scalecast_spark.datapipe.cluster import balance_by_cluster
+    from scalecast_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = balance_by_cluster(emb, k=4, per_cluster=20, n_iter=2).toPandas()
+    assert (out.groupby("cluster").size() <= 20).all()
+    assert out["doc_id" if "doc_id" in out else "vec_id"].is_unique
