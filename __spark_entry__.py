@@ -1224,13 +1224,18 @@ def q_docs_sample(spark, sf_dir):
                   only the boundary bucket pays a window);
       * balance — topic balancing: deterministic k-means over the
                   embeddings, ≤40 vectors per cluster (doc_id=vec_id,
-                  source=cluster).
+                  source=cluster);
+      * pack    — greedy sequence packing into ≤2048-char bins in
+                  md5-bucket stream order (source=bucket:bin; each
+                  bucket packs in one applyInPandas task, replayed in
+                  SQL as a per-bucket recursive CTE).
 
-    All four are pure functions of the data, so the whole family
+    All five are pure functions of the data, so the whole family
     replays in SQL and hash-matches."""
     from scalecast_spark.datapipe.cluster import balance_by_cluster
     from scalecast_spark.datapipe.sample import (
         cap_per_group,
+        pack_sequences,
         sample_to_token_budget,
     )
 
@@ -1257,7 +1262,19 @@ def q_docs_sample(spark, sf_dir):
         F.col("vec_id").cast("long").alias("doc_id"),
         F.col("cluster").cast("string").alias("source"),
     )
-    return strat.unionByName(srccap).unionByName(budget).unionByName(bal)
+    pack = pack_sequences(
+        docs.select("doc_id", "n_chars"), 2048.0, "n_chars", "doc_id"
+    ).select(
+        F.lit("pack").alias("member"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.concat_ws(":", F.col("bucket"), F.col("bin")).alias("source"),
+    )
+    return (
+        strat.unionByName(srccap)
+        .unionByName(budget)
+        .unionByName(bal)
+        .unionByName(pack)
+    )
 
 
 def q_text_tfidf(spark, sf_dir):
@@ -3040,6 +3057,38 @@ def oracle_sql() -> dict[str, str]:
             QUALIFY row_number() OVER (
                 PARTITION BY cluster
                 ORDER BY md5(vec_id::VARCHAR || ':balance'), vec_id) <= 40
+        )
+        UNION ALL
+        -- greedy sequence packing: per-bucket stream fold replayed as
+        -- a recursive CTE stepping rn -> rn+1 with (bin, fill) state
+        SELECT member, doc_id, source FROM (
+            WITH RECURSIVE ordered AS (
+                SELECT doc_id, n_chars::DOUBLE AS w,
+                       ('0x' || substr(md5(doc_id::VARCHAR || ':pack'), 1, 2))
+                           ::BIGINT % 256 AS b,
+                       row_number() OVER (
+                           PARTITION BY ('0x' || substr(
+                               md5(doc_id::VARCHAR || ':pack'), 1, 2))
+                               ::BIGINT % 256
+                           ORDER BY md5(doc_id::VARCHAR || ':pack'), doc_id
+                       ) AS rn
+                FROM documents
+            ),
+            packed AS (
+                SELECT b, rn, doc_id, w, 0 AS bin, w AS fill
+                FROM ordered WHERE rn = 1
+                UNION ALL
+                SELECT o.b, o.rn, o.doc_id, o.w,
+                       CASE WHEN p.fill + o.w <= 2048 THEN p.bin
+                            ELSE p.bin + 1 END,
+                       CASE WHEN p.fill + o.w <= 2048 THEN p.fill + o.w
+                            ELSE o.w END
+                FROM packed p JOIN ordered o
+                  ON o.b = p.b AND o.rn = p.rn + 1
+            )
+            SELECT 'pack' AS member, doc_id,
+                   b::VARCHAR || ':' || bin::VARCHAR AS source
+            FROM packed
         )
     """
 

@@ -132,3 +132,71 @@ def sample_to_token_budget(
         .drop("_cum")
     )
     return full.unionByName(edge).drop("_h", "_b")
+
+
+def pack_sequences(
+    df: DataFrame,
+    capacity: float,
+    weight_col: str,
+    key_col: str,
+    salt: str = "pack",
+    n_buckets: int = 256,
+) -> DataFrame:
+    """Greedy sequence packing for training-batch construction: stream
+    the corpus in deterministic (md5-bucket, md5, key) order and close
+    a bin whenever the next document would push its ``weight_col`` sum
+    (token count) past ``capacity``. Returns (key, bucket, bin) — bins
+    are 0-based per bucket, so (bucket, bin) is the global pack id.
+    Documents heavier than ``capacity`` get a bin of their own.
+
+    Packing is inherently sequential, so the parallel axis is the md5
+    bucket: each bucket's rows pack in one applyInPandas task
+    (n_buckets-way parallelism, same per-group kernel shape as the
+    per-series forecast kernels), and the greedy scan inside is a
+    vectorized-sort + linear pass. Deterministic end-to-end — the
+    whole pack replays as a per-bucket recursive CTE in SQL.
+    """
+    import pandas as pd
+
+    h = F.md5(F.concat(F.col(key_col).cast("string"), F.lit(":" + salt)))
+    bucket = F.conv(F.substring(h, 1, 2), 16, 10).cast("int") % n_buckets
+    src = df.select(
+        F.col(key_col),
+        F.col(weight_col).cast("double").alias("_w"),
+        h.alias("_h"),
+        bucket.alias("_b"),
+    )
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        [
+            src.schema[key_col],
+            T.StructField("bucket", T.IntegerType()),
+            T.StructField("bin", T.IntegerType()),
+        ]
+    )
+
+    def pack_one(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["_h", key_col]).reset_index(drop=True)
+        bins, fill, cur = [], 0.0, 0
+        first = True
+        for w in pdf["_w"]:
+            if first:
+                fill, first = w, False
+            elif fill + w <= capacity:
+                fill += w
+            else:
+                cur += 1
+                fill = w
+            bins.append(cur)
+        return pd.DataFrame(
+            {
+                key_col: pdf[key_col],
+                "bucket": pdf["_b"].astype("int32"),
+                "bin": pd.Series(bins, dtype="int32"),
+            }
+        )
+
+    return src.groupBy("_b").applyInPandas(
+        lambda _key, pdf: pack_one(pdf), out_schema
+    )

@@ -458,3 +458,40 @@ def test_balance_by_cluster_caps_every_cluster(spark, sf_dir):
     out = balance_by_cluster(emb, k=4, per_cluster=20, n_iter=2).toPandas()
     assert (out.groupby("cluster").size() <= 20).all()
     assert out["doc_id" if "doc_id" in out else "vec_id"].is_unique
+
+
+def test_pack_sequences_matches_greedy_replay(spark, sf_dir):
+    """Distributed packing must equal the sequential greedy definition
+    (md5-bucket order, close bin on overflow), replayed in pandas."""
+    import hashlib
+
+    from scalecast_spark.datapipe.sample import pack_sequences
+    from scalecast_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    cap = 2048.0
+    got = pack_sequences(docs, cap, "n_chars", "doc_id").toPandas()
+
+    pdf = docs.toPandas()
+    pdf["h"] = [hashlib.md5(f"{i}:pack".encode()).hexdigest() for i in pdf["doc_id"]]
+    pdf["b"] = [int(h[:2], 16) % 256 for h in pdf["h"]]
+    want = {}
+    for b, grp in pdf.groupby("b"):
+        grp = grp.sort_values(["h", "doc_id"])
+        fill, cur, first = 0.0, 0, True
+        for doc, w in zip(grp["doc_id"], grp["n_chars"]):
+            if first:
+                fill, first = w, False
+            elif fill + w <= cap:
+                fill += w
+            else:
+                cur += 1
+                fill = w
+            want[doc] = (b, cur)
+    assert len(got) == len(pdf)
+    for r in got.itertuples():
+        assert want[r.doc_id] == (r.bucket, r.bin)
+    # no bin overflows unless it is a single oversized doc
+    j = got.merge(pdf[["doc_id", "n_chars"]], on="doc_id")
+    sizes = j.groupby(["bucket", "bin"]).agg(w=("n_chars", "sum"), n=("doc_id", "count"))
+    assert ((sizes["w"] <= cap) | (sizes["n"] == 1)).all()
