@@ -1256,7 +1256,8 @@ def q_docs_sample(spark, sf_dir):
         "source",
     )
     bal = balance_by_cluster(
-        _emb(spark, sf_dir), k=8, per_cluster=40, n_iter=3
+        _emb(spark, sf_dir), k=8, per_cluster=40, n_iter=3,
+        vectorized=True, mean_update="exploded",
     ).select(
         F.lit("balance").alias("member"),
         F.col("vec_id").cast("long").alias("doc_id"),
@@ -1293,10 +1294,18 @@ def q_emb_kmeans(spark, sf_dir):
     """Distributed k-means corpus clustering (datapipe/cluster.py):
     md5-seeded Lloyd, 3 iterations — assignment is a scan-side
     projection, the mean update a k×d aggregate. Fully deterministic,
-    so the whole iteration chain replays in SQL (_kmeans_oracle)."""
+    so the whole iteration chain replays in SQL (_kmeans_oracle).
+
+    Runs the numpy exact-fold path with the exploded mean update:
+    bit-identical to the interpreted expression path (parity-tested at
+    both SFs) and ~2.5x faster — distances are the same left fold over
+    dimensions, means reuse the same groupBy-avg aggregation plan."""
     from scalecast_spark.datapipe.cluster import kmeans_embeddings
 
-    return kmeans_embeddings(_emb(spark, sf_dir), k=8, n_iter=3)
+    return kmeans_embeddings(
+        _emb(spark, sf_dir), k=8, n_iter=3,
+        vectorized=True, mean_update="exploded",
+    )
 
 
 def q_dedup_simhash(spark, sf_dir):

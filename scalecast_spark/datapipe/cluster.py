@@ -49,6 +49,7 @@ def kmeans_embeddings(
     id_col: str = "vec_id",
     vectorized: bool | None = None,
     vectorized_threshold: int = 4096,
+    mean_update: str = "partial",
 ) -> DataFrame:
     """Lloyd's k-means: returns (id, cluster, sqdist) for every vector.
 
@@ -58,20 +59,37 @@ def kmeans_embeddings(
 
     ``vectorized=None`` auto-selects the physical assignment strategy:
     below ``vectorized_threshold`` k*d cells the interpreted
-    column-expression argmin runs (its arithmetic order matches the SQL
-    oracle bit-for-bit); at or above it each iteration switches to one
-    numpy GEMM per Arrow batch (``assign_clusters_vectorized`` for the
-    final pass, per-batch partial (cluster, dim) sums for the mean
-    update — the n*d posexplode disappears entirely). Same argmin
-    semantics either way (ties → lowest cell; parity-tested).
+    column-expression argmin runs; at or above it each iteration
+    switches to one numpy pass per Arrow batch
+    (``assign_clusters_vectorized`` for the final pass). The numpy
+    distances are an exact left fold over dimensions, BIT-IDENTICAL to
+    the expression chain — same clusters, same sqdist, either way.
+
+    ``mean_update`` picks the vectorized-iteration mean plan:
+    ``'partial'`` (default) emits per-batch partial (cluster, dim,
+    sum, count) rows — shuffle bounded by k*d per batch, the 100 TB
+    shape; ``'exploded'`` emits (cluster, dim, x) per row and reuses
+    the SAME groupBy-avg aggregation as the expression path, making
+    the whole loop aggregation-plan-identical to it (use when the
+    result must hash-match the unrolled SQL oracle but the expression
+    assignment is too slow). Ignored on the expression path.
     """
+    if mean_update not in ("partial", "exploded"):
+        raise ValueError(f"mean_update must be partial|exploded, got {mean_update}")
     vec = F.col(vec_col).cast("array<double>")
     cents = ivf_centroids(df, k, vec_col, id_col)
     dim = len(cents[0][1])
     if vectorized is None:
         vectorized = k * dim >= vectorized_threshold
     for _ in range(n_iter):
-        if vectorized:
+        if vectorized and mean_update == "exploded":
+            means = (
+                _exploded_assignments(df, cents, vec_col)
+                .groupBy("_c", "_dim")
+                .agg(F.avg("_x").alias("_m"))
+                .collect()
+            )
+        elif vectorized:
             means = (
                 _partial_cluster_sums(df, cents, vec_col)
                 .groupBy("_c", "_dim")
@@ -103,6 +121,48 @@ def kmeans_embeddings(
     )
 
 
+def _exploded_assignments(
+    df: DataFrame,
+    cents: list[tuple[int, list[float]]],
+    vec_col: str,
+) -> DataFrame:
+    """Numpy exact-fold assignment, emitted as exploded (_c, _dim, _x)
+    rows — the same row set, per-partition row order, and downstream
+    groupBy-avg the expression path's posexplode produces, so the
+    resulting means are plan-identical to it. n*d-row shuffle: use
+    _partial_cluster_sums for the bounded-shuffle variant."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    C = np.asarray([cv for _, cv in cents], dtype=float)
+    ids = np.asarray([ci for ci, _ in cents])
+    d = C.shape[1]
+    schema = T.StructType(
+        [
+            T.StructField("_c", T.IntegerType()),
+            T.StructField("_dim", T.IntegerType()),
+            T.StructField("_x", T.DoubleType()),
+        ]
+    )
+
+    def run(batches):
+        for pdf in batches:
+            V = np.asarray([np.asarray(v, dtype=float) for v in pdf[vec_col]])
+            if len(V) == 0:
+                continue
+            best = _exact_sqdists(V, C).argmin(axis=1)
+            yield pd.DataFrame(
+                {
+                    "_c": np.repeat(ids[best], d).astype("int32"),
+                    "_dim": np.tile(np.arange(d, dtype="int32"), len(V)),
+                    "_x": V.ravel(),
+                }
+            )
+
+    return df.select(vec_col).mapInPandas(run, schema)
+
+
 def _partial_cluster_sums(
     df: DataFrame,
     cents: list[tuple[int, list[float]]],
@@ -120,7 +180,6 @@ def _partial_cluster_sums(
     C = np.asarray([cv for _, cv in cents], dtype=float)  # (k, d)
     ids = np.asarray([ci for ci, _ in cents])
     k, d = C.shape
-    cn = (C * C).sum(axis=1)
     schema = T.StructType(
         [
             T.StructField("_c", T.IntegerType()),
@@ -135,7 +194,7 @@ def _partial_cluster_sums(
             V = np.asarray([np.asarray(v, dtype=float) for v in pdf[vec_col]])
             if len(V) == 0:
                 continue
-            d2 = (V * V).sum(axis=1)[:, None] - 2.0 * (V @ C.T) + cn[None, :]
+            d2 = _exact_sqdists(V, C)
             best = d2.argmin(axis=1)
             sums = np.zeros((k, d))
             np.add.at(sums, best, V)
@@ -160,20 +219,22 @@ def assign_clusters_vectorized(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
 ) -> DataFrame:
-    """Performance twin of the expression-based assignment: one numpy
-    GEMM per Arrow batch (||v-c||² = ||v||² - 2 v·C + ||c||²) via
-    mapInPandas. Same argmin semantics (ties → lowest cell). Prefer
-    this for wide embeddings / large k, where the k × d interpreted
-    higher-order-function expressions dominate; the expression variant
-    stays the default because its arithmetic order matches the SQL
-    oracle bit-for-bit."""
+    """Performance twin of the expression-based assignment via
+    mapInPandas. Distances use an explicit per-dimension left fold —
+    ``acc += (V[:,j] - C[:,j])²`` for j = 0..d-1 — which performs the
+    SAME float64 operations in the SAME order as the interpreted
+    ``F.aggregate`` fold, so distances (and therefore argmin ties) are
+    BIT-IDENTICAL to the expression path, not merely close (the
+    expanded ||v||²-2v·C+||c||² GEMM form differs in the last ulps,
+    which a round-to-6dp hash can expose). Still vectorized: d passes
+    over an (n, k) accumulator instead of k×d interpreted expression
+    nodes per row. Prefer this for wide embeddings / large k."""
     import numpy as np
     import pandas as pd
     from pyspark.sql import types as T
 
     C = np.asarray([cv for _, cv in cents], dtype=float)  # (k, d)
     ids = [ci for ci, _ in cents]
-    cn = (C * C).sum(axis=1)
     schema = T.StructType(
         [
             df.schema[id_col],
@@ -187,7 +248,9 @@ def assign_clusters_vectorized(
             V = np.asarray(
                 [np.asarray(v, dtype=float) for v in pdf[vec_col]]
             )
-            d2 = (V * V).sum(axis=1)[:, None] - 2.0 * (V @ C.T) + cn[None, :]
+            if len(V) == 0:
+                continue
+            d2 = _exact_sqdists(V, C)
             best = d2.argmin(axis=1)  # first minimum → lowest cell
             yield pd.DataFrame(
                 {
@@ -198,6 +261,19 @@ def assign_clusters_vectorized(
             )
 
     return df.select(id_col, vec_col).mapInPandas(run, schema)
+
+
+def _exact_sqdists(V, C):
+    """(n, k) squared distances as a left fold over dimensions —
+    bit-identical to the F.aggregate/zip_with expression chain."""
+    import numpy as np
+
+    n, k = V.shape[0], C.shape[0]
+    acc = np.zeros((n, k))
+    for j in range(C.shape[1]):
+        diff = V[:, j, None] - C[None, :, j]
+        acc = acc + diff * diff
+    return acc
 
 
 def balance_by_cluster(

@@ -495,3 +495,25 @@ def test_pack_sequences_matches_greedy_replay(spark, sf_dir):
     j = got.merge(pdf[["doc_id", "n_chars"]], on="doc_id")
     sizes = j.groupby(["bucket", "bin"]).agg(w=("n_chars", "sum"), n=("doc_id", "count"))
     assert ((sizes["w"] <= cap) | (sizes["n"] == 1)).all()
+
+
+def test_kmeans_exploded_mean_update_bit_identical(spark, sf_dir):
+    """The exploded-mean vectorized loop (the wired q_emb_kmeans path)
+    must be BIT-identical to the expression path — exact-fold
+    distances + the same groupBy-avg aggregation plan."""
+    from scalecast_spark.datapipe.cluster import kmeans_embeddings
+    from scalecast_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = (
+        kmeans_embeddings(emb, k=4, n_iter=2, vectorized=False)
+        .toPandas().sort_values("vec_id").reset_index(drop=True)
+    )
+    b = (
+        kmeans_embeddings(emb, k=4, n_iter=2, vectorized=True, mean_update="exploded")
+        .toPandas().sort_values("vec_id").reset_index(drop=True)
+    )
+    assert (a["cluster"].values == b["cluster"].values).all()
+    assert (a["sqdist"].values == b["sqdist"].values).all()  # bitwise
+    with pytest.raises(ValueError, match="partial|exploded"):
+        kmeans_embeddings(emb, k=4, mean_update="bogus")
