@@ -169,20 +169,31 @@ def add_repetition_signals(
     # regexp trim, not F.trim: Spark trim strips ONLY spaces, so CRLF
     # docs would keep the \r and never match their LF twins (and
     # \r-only "blank" lines would count as content)
-    lines = F.filter(
+    lines_expr = F.filter(
         F.transform(
             F.split(c, "\n"),
             lambda x: F.regexp_replace(x, r"^\s+|\s+$", ""),
         ),
         lambda x: F.length(x) > 0,
     )
+    # materialize each array ONCE in its own projection: interpreted
+    # HOF chains get no subexpression elimination, and every column
+    # below references them 2-3 times (CollapseProject keeps non-cheap
+    # multiply-referenced aliases in a separate projection, so these
+    # really do evaluate once per row)
+    df = (
+        df.withColumn("_rep_lines", lines_expr)
+        .withColumn("_rep_ws", split_words(_norm(c)))
+        .withColumn("_rep_bg", F.array_sort(ngram_chain(F.col("_rep_ws"), 2)))
+    )
+    lines = F.col("_rep_lines")
     n_lines = F.size(lines)
     n_distinct = F.size(F.array_distinct(lines))
     dup_frac = F.when(
         n_lines > 0, F.round(1.0 - n_distinct / n_lines.cast("double"), 6)
     ).otherwise(F.lit(0.0))
 
-    bg = F.array_sort(_ngram_zip(_norm(c), 2))
+    bg = F.col("_rep_bg")
     n_bg = F.size(bg)
     # max run length over the sorted array == the mode's count; the
     # lambda touches only accumulator fields and the element (cheap)
@@ -201,8 +212,10 @@ def add_repetition_signals(
     top_frac = F.when(
         n_bg > 0, F.round(top_cnt / n_bg.cast("double"), 6)
     ).otherwise(F.lit(0.0))
-    return df.withColumn("dup_line_frac", dup_frac).withColumn(
-        "top2gram_frac", top_frac
+    return (
+        df.withColumn("dup_line_frac", dup_frac)
+        .withColumn("top2gram_frac", top_frac)
+        .drop("_rep_lines", "_rep_ws", "_rep_bg")
     )
 
 
