@@ -8,4 +8,11 @@ deterministic md5-based hashing so results are reproducible across
 engines (and checkable against a DuckDB oracle).
 """
 
-from scalecast_spark.datapipe import dedup, similarity, text, multimodal  # noqa: F401
+from scalecast_spark.datapipe import (  # noqa: F401
+    cluster,
+    dedup,
+    multimodal,
+    sample,
+    similarity,
+    text,
+)

@@ -517,3 +517,33 @@ def test_kmeans_exploded_mean_update_bit_identical(spark, sf_dir):
     assert (a["sqdist"].values == b["sqdist"].values).all()  # bitwise
     with pytest.raises(ValueError, match="partial|exploded"):
         kmeans_embeddings(emb, k=4, mean_update="bogus")
+
+
+def test_pack_sequences_oversized_and_small(spark):
+    from scalecast_spark.datapipe.sample import pack_sequences
+
+    rows = [(i, w) for i, w in enumerate([5000.0, 10.0, 10.0, 3000.0, 1.0])]
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    out = pack_sequences(df, 100.0, "w", "doc_id").toPandas()
+    assert len(out) == 5
+    j = out.merge(
+        spark.createDataFrame(rows, "doc_id long, w double").toPandas(), on="doc_id"
+    )
+    sizes = j.groupby(["bucket", "bin"]).agg(w=("w", "sum"), n=("doc_id", "count"))
+    # oversized docs sit alone in their bin; no multi-doc bin overflows
+    assert ((sizes["w"] <= 100.0) | (sizes["n"] == 1)).all()
+    # empty input packs to empty output, not an error
+    assert pack_sequences(df.filter("doc_id < 0"), 100.0, "w", "doc_id").count() == 0
+
+
+def test_token_budget_zero_and_tiny(spark):
+    from scalecast_spark.datapipe.sample import sample_to_token_budget
+
+    df = spark.createDataFrame(
+        [(i, 10.0) for i in range(20)], "doc_id long, w double"
+    )
+    # budget below every row's weight -> empty sample (never negative)
+    assert sample_to_token_budget(df, 5.0, "w", "doc_id").count() == 0
+    # zero-weight rows are free: all survive any positive budget
+    z = spark.createDataFrame([(i, 0.0) for i in range(5)], "doc_id long, w double")
+    assert sample_to_token_budget(z, 1.0, "w", "doc_id").count() == 5
