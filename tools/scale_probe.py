@@ -69,6 +69,31 @@ def curation_pipeline(docs):
     return curate_corpus(docs, bench).select("doc_id", "keep", "drop_reasons")
 
 
+def selection_pipeline(docs):
+    """Corpus-selection ops (round 4): per-source cap, token-budget
+    prefix (fixed budget — output shrinks as the corpus grows, but the
+    scan+bucket-total cost is the scaling subject), sequence packing.
+    One union + count materializes all three."""
+    from scalecast_spark.datapipe.sample import (
+        cap_per_group,
+        pack_sequences,
+        sample_to_token_budget,
+    )
+
+    capped = cap_per_group(docs, "source", 50, "doc_id")
+    packed = pack_sequences(
+        docs.select("doc_id", "n_chars"), 2048.0, "n_chars", "doc_id"
+    )
+    budget = sample_to_token_budget(
+        docs.select("doc_id", "n_chars"), 60000.0, "n_chars", "doc_id"
+    )
+    return (
+        capped.select("doc_id")
+        .unionByName(packed.select("doc_id"))
+        .unionByName(budget.select("doc_id"))
+    )
+
+
 def main():
     import shutil
 
@@ -85,10 +110,11 @@ def main():
           f"{'out_rows':>9} {'sec':>7} {'sec/1x':>7}")
     try:
         for name, fn in [("dedup", dedup_pipeline),
-                         ("curation", curation_pipeline)]:
+                         ("curation", curation_pipeline),
+                         ("selection", selection_pipeline)]:
             for axis, mutate in [("mutate", True), ("exact", False)]:
-                if name == "curation" and axis == "exact":
-                    continue  # curation is per-row; dup rate is irrelevant
+                if name in ("curation", "selection") and axis == "exact":
+                    continue  # per-row/bucketed; dup rate is irrelevant
                 if name == "dedup" and axis == "exact":
                     factors = (1, 4)  # 16x exact = 600k-pair clique graph
                 else:
