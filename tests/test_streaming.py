@@ -135,3 +135,35 @@ def test_curate_corpus_rules(spark):
     assert "repetitive_2grams" in rows[1]["drop_reasons"]
     assert rows[2]["keep"] is False
     assert "too_few_tokens" in rows[2]["drop_reasons"]
+
+
+def test_stratified_sample_stream_matches_batch(spark, sf_dir):
+    """Deterministic sampling is a stateless scan-side filter — the
+    SAME rows survive whether the corpus arrives as a table or a
+    stream (md5 of the key, no RNG state), so ingest-time downsampling
+    of a crawl firehose is exact."""
+    import tempfile
+
+    from scalecast_spark.datapipe.sample import stratified_sample
+    from scalecast_spark.sources import load_table
+    from scalecast_spark.streaming import run_available_now, stream_documents
+
+    rates = {"src0": 1.0, "src1": 0.5}
+    batch = stratified_sample(
+        load_table(spark, sf_dir, "documents"),
+        rates, "source", "doc_id", default_rate=0.2,
+    ).select("doc_id")
+    stream = stratified_sample(
+        stream_documents(spark, f"{sf_dir}/documents.parquet"),
+        rates, "source", "doc_id", default_rate=0.2,
+    ).select("doc_id")
+    assert stream.isStreaming
+    with tempfile.TemporaryDirectory() as ckpt:
+        got = {
+            r["doc_id"]
+            for r in run_available_now(
+                stream, "q_sample_stream", ckpt, output_mode="append"
+            ).collect()
+        }
+    want = {r["doc_id"] for r in batch.collect()}
+    assert got == want and len(want) > 0
