@@ -121,6 +121,20 @@ def kmeans_embeddings(
     )
 
 
+def _batch_vectors_best(pdf, vec_col: str, C):
+    """Shared per-batch kernel for the three mapInPandas assignment
+    variants: materialize the batch's vectors, exact-fold distances,
+    argmin (first minimum → lowest cell). Returns (V, d2, best) or
+    (None, None, None) for an empty batch."""
+    import numpy as np
+
+    V = np.asarray([np.asarray(v, dtype=float) for v in pdf[vec_col]])
+    if len(V) == 0:
+        return None, None, None
+    d2 = _exact_sqdists(V, C)
+    return V, d2, d2.argmin(axis=1)
+
+
 def _exploded_assignments(
     df: DataFrame,
     cents: list[tuple[int, list[float]]],
@@ -148,10 +162,9 @@ def _exploded_assignments(
 
     def run(batches):
         for pdf in batches:
-            V = np.asarray([np.asarray(v, dtype=float) for v in pdf[vec_col]])
-            if len(V) == 0:
+            V, _d2, best = _batch_vectors_best(pdf, vec_col, C)
+            if V is None:
                 continue
-            best = _exact_sqdists(V, C).argmin(axis=1)
             yield pd.DataFrame(
                 {
                     "_c": np.repeat(ids[best], d).astype("int32"),
@@ -191,11 +204,9 @@ def _partial_cluster_sums(
 
     def run(batches):
         for pdf in batches:
-            V = np.asarray([np.asarray(v, dtype=float) for v in pdf[vec_col]])
-            if len(V) == 0:
+            V, _d2, best = _batch_vectors_best(pdf, vec_col, C)
+            if V is None:
                 continue
-            d2 = _exact_sqdists(V, C)
-            best = d2.argmin(axis=1)
             sums = np.zeros((k, d))
             np.add.at(sums, best, V)
             counts = np.bincount(best, minlength=k)
@@ -245,13 +256,9 @@ def assign_clusters_vectorized(
 
     def run(batches):
         for pdf in batches:
-            V = np.asarray(
-                [np.asarray(v, dtype=float) for v in pdf[vec_col]]
-            )
-            if len(V) == 0:
+            V, d2, best = _batch_vectors_best(pdf, vec_col, C)
+            if V is None:
                 continue
-            d2 = _exact_sqdists(V, C)
-            best = d2.argmin(axis=1)  # first minimum → lowest cell
             yield pd.DataFrame(
                 {
                     id_col: pdf[id_col],

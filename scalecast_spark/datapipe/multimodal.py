@@ -82,6 +82,14 @@ def default_decode():
 
     Operators accept ``decode=None`` to mean "use this resolution";
     passing a callable always wins over the env var.
+
+    CLUSTER CAVEAT: ``auto`` probes Pillow on the DRIVER, but the
+    chosen callable executes on executors — on a cluster whose driver
+    and executor images differ, auto can silently pick the fake (or
+    pick Pillow and fail at task time). Production deployments should
+    pin ``SCALECAST_SPARK_IMAGE_DECODE=pil`` (fails loudly when an
+    executor lacks the codec) or pass the decoder explicitly; ``auto``
+    is for local / uniform-image environments.
     """
     import importlib.util
     import os
@@ -142,11 +150,19 @@ def extract_image_features(
         for pdf in it:
             feats = []
             for raw in pdf[bin_col]:
-                img = decode(bytes(raw))
-                per_c = img.reshape(-1, img.shape[-1]).astype(float)
-                feats.append(
-                    list(per_c.mean(axis=0)) + list(per_c.std(axis=0))
-                )
+                # NULL / undecodable payloads emit a NULL-feat row
+                # instead of killing the task (same policy as
+                # make_thumbnails / extract_audio_features)
+                try:
+                    if raw is None:
+                        raise ValueError("null payload")
+                    img = decode(bytes(raw))
+                    per_c = img.reshape(-1, img.shape[-1]).astype(float)
+                    feats.append(
+                        list(per_c.mean(axis=0)) + list(per_c.std(axis=0))
+                    )
+                except Exception:
+                    feats.append(None)
             yield pd.DataFrame({id_col: pdf[id_col].astype("int64"), "feat": feats})
 
     return df.select(id_col, bin_col).mapInPandas(batches, out_schema)

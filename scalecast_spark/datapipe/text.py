@@ -180,20 +180,27 @@ def add_repetition_signals(
     # HOF chains get no subexpression elimination, and every column
     # below references them 2-3 times (CollapseProject keeps non-cheap
     # multiply-referenced aliases in a separate projection, so these
-    # really do evaluate once per row)
+    # really do evaluate once per row). Temp names dodge any existing
+    # column so caller columns are never clobbered.
+    def fresh(name: str) -> str:
+        while name in df.columns:
+            name = "_" + name
+        return name
+
+    c_lines, c_ws, c_bg = fresh("_rep_lines"), fresh("_rep_ws"), fresh("_rep_bg")
     df = (
-        df.withColumn("_rep_lines", lines_expr)
-        .withColumn("_rep_ws", split_words(_norm(c)))
-        .withColumn("_rep_bg", F.array_sort(ngram_chain(F.col("_rep_ws"), 2)))
+        df.withColumn(c_lines, lines_expr)
+        .withColumn(c_ws, split_words(_norm(c)))
+        .withColumn(c_bg, F.array_sort(ngram_chain(F.col(c_ws), 2)))
     )
-    lines = F.col("_rep_lines")
+    lines = F.col(c_lines)
     n_lines = F.size(lines)
     n_distinct = F.size(F.array_distinct(lines))
     dup_frac = F.when(
         n_lines > 0, F.round(1.0 - n_distinct / n_lines.cast("double"), 6)
     ).otherwise(F.lit(0.0))
 
-    bg = F.col("_rep_bg")
+    bg = F.col(c_bg)
     n_bg = F.size(bg)
     # max run length over the sorted array == the mode's count; the
     # lambda touches only accumulator fields and the element (cheap)
@@ -215,7 +222,7 @@ def add_repetition_signals(
     return (
         df.withColumn("dup_line_frac", dup_frac)
         .withColumn("top2gram_frac", top_frac)
-        .drop("_rep_lines", "_rep_ws", "_rep_bg")
+        .drop(c_lines, c_ws, c_bg)
     )
 
 

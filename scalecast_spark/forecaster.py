@@ -33,6 +33,13 @@ from pyspark.sql import DataFrame, functions as F, Window as W
 
 from scalecast_spark.frame import DS, IS_FUTURE, SERIES, TimeSeriesFrame, Y
 from scalecast_spark.functions import metrics as METRICS
+
+# estimators whose reference twins treat exog as opt-in (Xvars=None ->
+# no regressors, models.py:432,454); everything else follows the
+# sklearn-family 'all' default (models.py:620)
+_EXOG_OPTIONAL = {
+    "arima", "auto_arima", "prophet", "tbats", "hwes", "theta", "vecm",
+}
 from scalecast_spark.functions.conformal import apply_intervals, conformal_widths
 from scalecast_spark.operators import features as FEAT
 
@@ -323,7 +330,15 @@ class Forecaster:
         if self.estimator == "naive":
             return fn(df, m=kwargs.get("m", 1))
         xvars = kwargs.pop("Xvars", None)
-        if xvars in (None, "all"):  # reference convention: 'all' = every Xvar
+        # reference Xvars defaults differ by family: sklearn-style
+        # estimators default to 'all' (models.py:620), the statsmodels
+        # family documents "If unspecified, no regressors are used"
+        # (models.py:432,454) — mapping None to all features there
+        # would feed NULL-bearing AR warm-up rows into every plain
+        # arima/prophet fit as exog and break them
+        if xvars is None:
+            xvars = [] if self.estimator in _EXOG_OPTIONAL else list(self.tsf.features)
+        elif xvars == "all":  # reference convention: 'all' = every Xvar
             xvars = list(self.tsf.features)
         return fn(df, features=xvars, **kwargs)
 

@@ -62,6 +62,11 @@ def _hannan_rissanen(
     # seasonal lags)
     n_ar = p + q + (P + Q) * m
     ml = min(max(2 * n_ar, 10), n // 2 - 1)
+    if ml < 1:
+        raise ValueError(
+            f"series too short ({n}) for the MA long-AR stage "
+            f"(needs at least 4 observations)"
+        )
     Xl = np.column_stack([z[ml - i - 1 : n - i - 1] for i in range(ml)])
     phi_l, *_ = np.linalg.lstsq(Xl, z[ml:], rcond=None)
     eps = np.zeros(n)

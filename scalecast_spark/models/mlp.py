@@ -320,6 +320,7 @@ def lstm_model(
 ) -> DataFrame:
     """Reference 'lstm' (TF LSTM stacks, models.py:818-878): the numpy
     4-gate LSTM cell with BPTT, direct multi-horizon outputs."""
+    kwargs.pop("cell", None)  # pinned; a grid passing cell= must not TypeError
     return rnn_model(
         df, features, lags=lags, hidden=hidden, epochs=epochs, lr=lr,
         cell="lstm", **kwargs,

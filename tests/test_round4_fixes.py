@@ -85,3 +85,58 @@ def test_gated_backend_sweep_runs_on_numpy_cores(spark):
         assert m in f.history, f"{m} missing from history"
         fc = f.history[m]["forecast"]
         assert fc.filter(F.col("forecast").isNotNull()).count() > 0
+
+
+def test_arima_default_ignores_feature_columns(spark):
+    """Reference semantics (models.py:432): plain arima with Xvars
+    unspecified uses NO exog — feature columns with NULL warm-up rows
+    (ar lags) must not poison the fit."""
+    f = Forecaster(_many_series_frame(spark, n_series=2, n_obs=40), future_dates=5)
+    f.set_test_length(5)
+    f.add_ar_terms([1, 2])  # NULL on first rows and on future rows
+    f.set_estimator("arima")
+    f.manual_forecast(order=(1, 0, 0))
+    out = f.export("lvl_fcsts").toPandas()
+    assert len(out) == 10 and out["forecast"].notna().all()
+    assert (out["model"] == "arima").all()
+    # explicit Xvars='all' still opts in (fails loudly on NaN exog is
+    # acceptable; here trend-only exog keeps it clean)
+    f2 = Forecaster(_many_series_frame(spark, n_series=2, n_obs=40), future_dates=5)
+    f2.set_test_length(5)
+    f2.add_time_trend()
+    f2.set_estimator("arima")
+    f2.manual_forecast(order=(1, 0, 0), Xvars="all")
+    assert f2.export("lvl_fcsts").toPandas()["forecast"].notna().all()
+
+
+def test_lstm_accepts_cell_kwarg(spark):
+    """A tuning grid that carries cell= must not TypeError against the
+    lstm alias (which pins cell='lstm')."""
+    from scalecast_spark.models.mlp import lstm_model
+
+    f = Forecaster(_many_series_frame(spark, n_series=1, n_obs=30), future_dates=3)
+    df, feats = f.tsf.df, []
+    out = lstm_model(
+        df, feats, lags=4, hidden=4, epochs=5, horizon=3, cell="lstm"
+    )
+    assert out.filter(F.col("is_future") == 1).count() == 3
+
+
+def test_image_features_null_payload_survives(spark):
+    from scalecast_spark.datapipe.multimodal import extract_image_features, fake_decode
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"ok-payload")), (2, None)],
+        "doc_id long, payload binary",
+    )
+    got = {r["doc_id"]: r["feat"] for r in
+           extract_image_features(df, decode=fake_decode).collect()}
+    assert got[1] is not None and len(got[1]) == 6
+    assert got[2] is None
+
+
+def test_hannan_rissanen_short_series_fails_loudly():
+    from scalecast_spark.models.arima import _hannan_rissanen
+
+    with pytest.raises(ValueError, match="too short"):
+        _hannan_rissanen(np.array([1.0, 2.0, 1.5]), 0, 1)
