@@ -8,7 +8,12 @@ from scalecast_spark.models.sklearn_like import (
     ridge_model,
 )
 from scalecast_spark.models.smoothing import hwes_model, theta_model
-from scalecast_spark.models.trees import gbt_model, rf_model
+from scalecast_spark.models.trees import (
+    catboost_model,
+    gbt_model,
+    rf_model,
+    xgboost_model,
+)
 from scalecast_spark.models.mlp import lstm_model, mlp_model, rnn_model
 from scalecast_spark.models.arima import (
     arima_model,
@@ -33,8 +38,8 @@ MODELS = {
     "theta": theta_model,
     "gbt": gbt_model,
     "rf": rf_model,
-    "xgboost": gbt_model,  # alias; real xgboost import-gated in trees.py
-    "catboost": gbt_model,  # alias; gradient boosting is the shared core
+    "xgboost": xgboost_model,  # 2nd-order regularized splits; real pkg gated
+    "catboost": catboost_model,  # oblivious-tree booster; real pkg gated
     "mlp": mlp_model,
     "rnn": rnn_model,
     "lstm": lstm_model,
@@ -68,7 +73,11 @@ def _kernel_factories():
         make_fit_ridge,
     )
     from scalecast_spark.models.svr_sgd import make_fit_sgd, make_fit_svr
-    from scalecast_spark.models.trees import make_fit_gbt, make_fit_rf
+    from scalecast_spark.models.trees import (
+        make_fit_gbt,
+        make_fit_rf,
+        make_fit_xgb,
+    )
 
     # NO **kw on these: an unknown grid key must raise TypeError so the
     # batched-grid path (forecaster._grid_cells) falls back to the
@@ -92,7 +101,7 @@ def _kernel_factories():
             make_fit_gbt(n_estimators, max_depth, learning_rate)
         ),
         "xgboost": lambda n_estimators=50, max_depth=3, learning_rate=0.1: (
-            make_fit_gbt(n_estimators, max_depth, learning_rate)
+            make_fit_xgb(n_estimators, max_depth, learning_rate)
         ),
         "rf": lambda n_estimators=50, max_depth=6, random_state=42: (
             make_fit_rf(n_estimators, max_depth, random_state=random_state)

