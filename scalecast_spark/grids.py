@@ -13,6 +13,19 @@ DEFAULT_GRIDS: dict[str, dict] = {
     "elasticnet": {"alpha": [0.1, 1.0], "l1_ratio": [0.25, 0.5, 0.75]},
     "knn": {"n_neighbors": [3, 5, 10]},
     "gbt": {"n_estimators": [30, 60], "max_depth": [2, 3], "learning_rate": [0.05, 0.1]},
+    # reference example.py:141-147 tunes n_estimators/learning_rate/gamma;
+    # the numpy core adds reg_lambda (its L2 leaf knob)
+    "xgboost": {
+        "n_estimators": [30, 60],
+        "learning_rate": [0.05, 0.1],
+        "gamma": [0.0, 3.0],
+        "reg_lambda": [1.0, 10.0],
+    },
+    "catboost": {
+        "n_estimators": [30, 60],
+        "max_depth": [2, 3],
+        "reg_lambda": [1.0, 10.0],
+    },
     "rf": {"n_estimators": [30, 60], "max_depth": [4, 6]},
     "mlp": {"hidden": [8, 16], "lr": [0.01, 0.005]},
     "hwes": {"m": [7], "seasonal": [True, False]},
