@@ -235,17 +235,56 @@ def arima_model(
     )
 
 
+def _seasonal_strength(y: np.ndarray, m: int) -> float:
+    """Hyndman & Athanasopoulos (FPP) seasonal-strength statistic over
+    a centered-MA + seasonal-means decomposition:
+    F_s = max(0, 1 - var(remainder)/var(detrended)). pmdarima's nsdiffs
+    uses OCSB; this published heuristic (threshold 0.64, the same one
+    forecast::stlf/statsforecast use) needs no regression tables."""
+    n = len(y)
+    if m <= 1 or n < 3 * m:
+        return 0.0
+    if m % 2 == 0:
+        w = np.r_[0.5, np.ones(m - 1), 0.5] / m
+        k = m // 2
+    else:
+        w = np.ones(m) / m
+        k = (m - 1) // 2
+    trend = np.convolve(y, w, mode="valid")
+    detr = y[k : n - k] - trend
+    idx = np.arange(k, n - k) % m
+    seas = np.array([detr[idx == j].mean() for j in range(m)])
+    rem = detr - seas[idx]
+    denom = float(np.var(detr))
+    if denom <= 0:
+        return 0.0
+    return max(0.0, 1.0 - float(np.var(rem)) / denom)
+
+
 def auto_arima_orders(
-    y: np.ndarray, max_p: int = 3, max_d: int = 1, max_q: int = 2
-) -> tuple[int, int, int]:
+    y: np.ndarray, max_p: int = 3, max_d: int = 1, max_q: int = 2,
+    m: int = 1, max_P: int = 1, max_Q: int = 1,
+):
     """Order search (reference auto_arima, auxmodels.py:6-45 via
-    pmdarima): d first by unit-root testing — AIC is NOT comparable
+    pmdarima): differencing decisions first — AIC is NOT comparable
     across differencing levels (different response variable), which is
-    also why pmdarima separates the d decision — then AIC over (p,q)
-    on the differenced series."""
+    also why pmdarima separates them — then AIC over the AR/MA grid on
+    the differenced series.
+
+    With ``m=1`` (default) returns the plain ``(p, d, q)`` tuple.
+    With ``m>1`` the pmdarima recipe extends seasonally: D∈{0,1} by the
+    FPP seasonal-strength heuristic (pmdarima: OCSB), d by ADF on the
+    seasonally-adjusted series, then AIC over (p, q, P, Q) with the
+    seasonal Hannan-Rissanen fit — returns
+    ``((p, d, q), (P, D, Q, m))``.
+    """
     from scalecast_spark.functions.stattests import _adf_stat, _ADF_CRIT
 
     w = y.astype(float)
+    D = 0
+    if m > 1 and _seasonal_strength(w, m) >= 0.64:
+        w = w[m:] - w[:-m]
+        D = 1
     d = 0
     while d < max_d:
         stat, _ = _adf_stat(w)
@@ -254,30 +293,49 @@ def auto_arima_orders(
         w = np.diff(w)
         d += 1
     n = len(w)
-    best_pq, best_aic = (1, 0), np.inf
+    Ps = range(max_P + 1) if m > 1 else (0,)
+    Qs = range(max_Q + 1) if m > 1 else (0,)
+    best, best_aic = (1, 0, 0, 0), np.inf
     for p in range(max_p + 1):
         for q in range(max_q + 1):
-            if p == 0 and q == 0:
-                continue
-            try:
-                _, _, _, resid = _hannan_rissanen(w, p, q)
-                s = max(p, q) + (0 if q == 0 else min(max(2 * (p + q), 10), n // 2 - 1))
-                use = resid[s:]
-                if len(use) < 5:
-                    continue
-                sigma2 = float(use @ use) / len(use)
-                if sigma2 <= 0:
-                    continue
-                aic = len(use) * np.log(sigma2) + 2 * (p + q + 1)
-                if aic < best_aic:
-                    best_aic, best_pq = aic, (p, q)
-            except np.linalg.LinAlgError:
-                continue
-    return (best_pq[0], d, best_pq[1])
+            for P in Ps:
+                for Q in Qs:
+                    k = p + q + P + Q
+                    if k == 0:
+                        continue
+                    try:
+                        _, _, _, resid = _hannan_rissanen(w, p, q, P, Q, m)
+                        ar_lags, ma_lags = _hr_lags(p, q, P, Q, m)
+                        ml = (
+                            0 if not ma_lags
+                            else min(max(2 * (p + q + (P + Q) * m), 10), n // 2 - 1)
+                        )
+                        s = max(ar_lags + ma_lags, default=0) + ml
+                        use = resid[s:]
+                        if len(use) < 5:
+                            continue
+                        sigma2 = float(use @ use) / len(use)
+                        if sigma2 <= 0:
+                            continue
+                        aic = len(use) * np.log(sigma2) + 2 * (k + 1)
+                        if aic < best_aic:
+                            best_aic, best = aic, (p, q, P, Q)
+                    except (np.linalg.LinAlgError, ValueError):
+                        continue
+    p, q, P, Q = best
+    if m > 1:
+        return (p, d, q), (P, D, Q, m)
+    return (p, d, q)
 
 
-def auto_arima_model(df: DataFrame, features=None, max_p: int = 3, max_d: int = 1, max_q: int = 2, **_) -> DataFrame:
+def auto_arima_model(df: DataFrame, features=None, max_p: int = 3, max_d: int = 1, max_q: int = 2,
+                     m: int = 1, max_P: int = 1, max_Q: int = 1, **_) -> DataFrame:
     def fn(y, h):
+        if m > 1:
+            order, seasonal = auto_arima_orders(
+                y, max_p, max_d, max_q, m=m, max_P=max_P, max_Q=max_Q
+            )
+            return arima_fit_forecast(y, h, order, seasonal)
         order = auto_arima_orders(y, max_p, max_d, max_q)
         return arima_fit_forecast(y, h, order)
 

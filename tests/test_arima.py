@@ -246,3 +246,36 @@ def test_prophet_tbats_through_registry(spark, sf_dir):
     summ = {r["ModelNickname"]: r for r in f.export("model_summaries").collect()}
     assert summ["prophet"]["TestSetRMSE"] > 0
     assert summ["tbats"]["TestSetRMSE"] > 0
+
+
+def test_seasonal_strength_detects_seasonality():
+    from scalecast_spark.models.arima import _seasonal_strength
+
+    t = np.arange(140)
+    rng = np.random.RandomState(3)
+    seasonal = 10.0 * np.sin(2 * np.pi * t / 7) + 0.2 * rng.randn(140)
+    noise = rng.randn(140)
+    assert _seasonal_strength(seasonal, 7) > 0.9
+    assert _seasonal_strength(noise, 7) < 0.5
+    assert _seasonal_strength(noise, 1) == 0.0  # m=1 -> no seasonality
+    assert _seasonal_strength(noise[:10], 7) == 0.0  # too short
+
+
+def test_auto_arima_seasonal_search():
+    """m>1: D picked by seasonal strength, seasonal AR/MA terms in the
+    AIC grid, and the chosen model forecasts the periodic pattern."""
+    from scalecast_spark.models.arima import arima_fit_forecast, auto_arima_orders
+
+    t = np.arange(140)
+    rng = np.random.RandomState(5)
+    y = 20.0 + 8.0 * np.sin(2 * np.pi * t / 7) + 0.3 * rng.randn(140)
+    order, seasonal = auto_arima_orders(y, m=7)
+    P, D, Q, m = seasonal
+    assert m == 7 and D == 1  # strong weekly pattern -> seasonal diff
+    _, fc = arima_fit_forecast(y, 14, order, seasonal)
+    # forecast continues the weekly shape: correlate with ground truth
+    truth = 20.0 + 8.0 * np.sin(2 * np.pi * np.arange(140, 154) / 7)
+    assert np.corrcoef(fc, truth)[0, 1] > 0.95
+    # plain call remains a 3-tuple (backward compatible)
+    o = auto_arima_orders(y[:60])
+    assert isinstance(o, tuple) and len(o) == 3
