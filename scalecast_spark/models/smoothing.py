@@ -50,55 +50,88 @@ def ses(y: np.ndarray, h: int) -> tuple[np.ndarray, np.ndarray]:
     return fitted, np.full(h, level)
 
 
-def holt(y: np.ndarray, h: int) -> tuple[np.ndarray, np.ndarray]:
+def holt(
+    y: np.ndarray, h: int, damped: bool = False
+) -> tuple[np.ndarray, np.ndarray]:
+    """Holt's linear method; ``damped`` adds the phi-damped trend
+    (Gardner & McKenzie; FPP §8.2: forecast uses the phi^1..phi^k
+    partial sums so the trend flattens to an asymptote)."""
+    phis = (0.8, 0.9, 0.95, 0.98) if damped else (1.0,)
     best = None
     for a in np.linspace(0.1, 0.9, 9):
         for b in np.linspace(0.05, 0.45, 5):
-            level, trend = y[0], y[1] - y[0]
-            fitted = np.empty(len(y))
-            for t in range(len(y)):
-                fitted[t] = level + trend
-                if t < len(y):
-                    new_level = a * y[t] + (1 - a) * (level + trend)
-                    trend = b * (new_level - level) + (1 - b) * trend
+            for phi in phis:
+                level, trend = y[0], y[1] - y[0]
+                fitted = np.empty(len(y))
+                for t in range(len(y)):
+                    fitted[t] = level + phi * trend
+                    new_level = a * y[t] + (1 - a) * (level + phi * trend)
+                    trend = b * (new_level - level) + (1 - b) * phi * trend
                     level = new_level
-            sse = float(((y - fitted) ** 2).sum())
-            if best is None or sse < best[0]:
-                best = (sse, fitted, level, trend)
-    _, fitted, level, trend = best
-    return fitted, level + trend * np.arange(1, h + 1)
+                sse = float(((y - fitted) ** 2).sum())
+                if best is None or sse < best[0]:
+                    best = (sse, fitted, level, trend, phi)
+    _, fitted, level, trend, phi = best
+    steps = np.cumsum(phi ** np.arange(1, h + 1))
+    return fitted, level + trend * steps
 
 
-def holt_winters(y: np.ndarray, h: int, m: int = 7) -> tuple[np.ndarray, np.ndarray]:
-    """Additive Holt-Winters; falls back to Holt when the series is
-    shorter than two seasons."""
+def holt_winters(
+    y: np.ndarray, h: int, m: int = 7,
+    seasonal_type: str = "add", damped: bool = False,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Holt-Winters with additive or multiplicative seasonality and
+    optional phi-damped trend (FPP §8.3; the reference's statsmodels
+    ``seasonal=`add'|'mul'`` / ``damped_trend`` pass-through,
+    models.py:970-1059). Falls back to Holt when the series is shorter
+    than two seasons; multiplicative needs strictly positive data and
+    falls back to additive otherwise."""
     n = len(y)
     if n < 2 * m:
-        return holt(y, h)
+        return holt(y, h, damped)
+    mul = seasonal_type == "mul" and np.all(y > 0)
     season0 = np.array([y[i::m][: n // m].mean() for i in range(m)])
-    season0 = season0 - season0.mean()
+    if mul:
+        season0 = season0 / season0.mean()
+    else:
+        season0 = season0 - season0.mean()
+    phis = (0.8, 0.9, 0.98) if damped else (1.0,)
     best = None
     for a in (0.2, 0.4, 0.6, 0.8):
         for b in (0.05, 0.15, 0.3):
             for g in (0.05, 0.2, 0.4):
-                level = y[:m].mean()
-                trend = (y[m : 2 * m].mean() - y[:m].mean()) / m
-                season = season0.copy()
-                fitted = np.empty(n)
-                for t in range(n):
-                    s = season[t % m]
-                    fitted[t] = level + trend + s
-                    new_level = a * (y[t] - s) + (1 - a) * (level + trend)
-                    trend = b * (new_level - level) + (1 - b) * trend
-                    season[t % m] = g * (y[t] - new_level) + (1 - g) * s
-                    level = new_level
-                sse = float(((y - fitted) ** 2).sum())
-                if best is None or sse < best[0]:
-                    best = (sse, fitted, level, trend, season.copy())
-    _, fitted, level, trend, season = best
-    fc = np.array(
-        [level + trend * (i + 1) + season[(n + i) % m] for i in range(h)]
-    )
+                for phi in phis:
+                    level = y[:m].mean()
+                    trend = (y[m : 2 * m].mean() - y[:m].mean()) / m
+                    season = season0.copy()
+                    fitted = np.empty(n)
+                    for t in range(n):
+                        s = season[t % m]
+                        base = level + phi * trend
+                        fitted[t] = base * s if mul else base + s
+                        if mul:
+                            new_level = a * (y[t] / s) + (1 - a) * base
+                        else:
+                            new_level = a * (y[t] - s) + (1 - a) * base
+                        trend = b * (new_level - level) + (1 - b) * phi * trend
+                        if mul:
+                            season[t % m] = g * (y[t] / new_level) + (1 - g) * s
+                        else:
+                            season[t % m] = g * (y[t] - new_level) + (1 - g) * s
+                        level = new_level
+                    sse = float(((y - fitted) ** 2).sum())
+                    if best is None or sse < best[0]:
+                        best = (sse, fitted, level, trend, season.copy(), phi)
+    _, fitted, level, trend, season, phi = best
+    steps = np.cumsum(phi ** np.arange(1, h + 1))
+    if mul:
+        fc = np.array(
+            [(level + trend * steps[i]) * season[(n + i) % m] for i in range(h)]
+        )
+    else:
+        fc = np.array(
+            [level + trend * steps[i] + season[(n + i) % m] for i in range(h)]
+        )
     return fitted, fc
 
 
@@ -121,11 +154,20 @@ def theta(y: np.ndarray, h: int) -> tuple[np.ndarray, np.ndarray]:
 # ------------------------------------------------- registry adapters
 
 
-def hwes_model(df: DataFrame, features=None, trend: bool = True, seasonal: bool = True, m: int = 7, **_) -> DataFrame:
+def hwes_model(
+    df: DataFrame, features=None, trend: bool = True, seasonal=True,
+    m: int = 7, damped_trend: bool = False, **_,
+) -> DataFrame:
+    """Reference 'hwes' (statsmodels ExponentialSmoothing passthrough,
+    models.py:970-1059): ``seasonal`` accepts True/'add'/'mul'/False,
+    ``damped_trend`` enables the phi-damped trend."""
     if seasonal:
-        return run_series_kernel(df, lambda y, h: holt_winters(y, h, m))
+        stype = "mul" if seasonal == "mul" else "add"
+        return run_series_kernel(
+            df, lambda y, h: holt_winters(y, h, m, stype, damped_trend)
+        )
     if trend:
-        return run_series_kernel(df, holt)
+        return run_series_kernel(df, lambda y, h: holt(y, h, damped_trend))
     return run_series_kernel(df, ses)
 
 

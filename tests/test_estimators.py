@@ -194,3 +194,32 @@ def test_xgboost_catboost_estimators_run_in_forecaster(spark):
         f.manual_forecast(n_estimators=10, max_depth=2)
         out = f.export("lvl_fcsts").toPandas()
         assert len(out) == 5 and out["forecast"].notna().all()
+
+
+def test_hwes_damped_and_multiplicative():
+    import numpy as np
+
+    from scalecast_spark.models.smoothing import holt, holt_winters
+
+    t = np.arange(60, dtype=float)
+    # strong linear trend: damped forecast must flatten vs undamped
+    y = 5.0 + 2.0 * t + np.random.RandomState(2).randn(60) * 0.1
+    _, fc_lin = holt(y, 20)
+    _, fc_damp = holt(y, 20, damped=True)
+    growth_lin = fc_lin[-1] - fc_lin[0]
+    growth_damp = fc_damp[-1] - fc_damp[0]
+    assert growth_damp < growth_lin  # phi<1 flattens the trend
+
+    # amplitude-growing seasonality: multiplicative fits far better
+    season = 1.0 + 0.4 * np.sin(2 * np.pi * t / 7)
+    ym = (10.0 + 0.5 * t) * season
+    fit_add, _ = holt_winters(ym, 7, m=7, seasonal_type="add")
+    fit_mul, _ = holt_winters(ym, 7, m=7, seasonal_type="mul")
+    sse_add = float(((ym - fit_add) ** 2).sum())
+    sse_mul = float(((ym - fit_mul) ** 2).sum())
+    assert sse_mul < sse_add
+
+    # non-positive data: mul silently falls back to additive (no NaN)
+    yneg = ym - 20.0
+    fit_fb, fc_fb = holt_winters(yneg, 7, m=7, seasonal_type="mul")
+    assert np.isfinite(fit_fb).all() and np.isfinite(fc_fb).all()
