@@ -354,14 +354,18 @@ def _fourier_cols(t: np.ndarray, period: float, order: int) -> list[np.ndarray]:
 def prophet_fit_forecast(
     y: np.ndarray, h: int, n_changepoints: int = 10,
     weekly_order: int = 3, yearly_order: int = 10, ridge: float = 1.0,
+    X: np.ndarray | None = None, Xf: np.ndarray | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """TF-free core of the prophet additive model (Taylor & Letham
-    2017; the public model is g(t) + s(t) + e): piecewise-linear trend
-    with changepoints at quantiles of the first 80% of history, Fourier
-    seasonality (weekly order 3; yearly order 10 when the history spans
-    >2 cycles), fit jointly by ridge-penalized least squares — the L2
-    stand-in for prophet's MAP estimate with a Laplace changepoint
-    prior. Daily spacing assumed, matching the engine's long frame."""
+    2017; the public model is g(t) + s(t) + beta'x(t) + e):
+    piecewise-linear trend with changepoints at quantiles of the first
+    80% of history, Fourier seasonality (weekly order 3; yearly order
+    10 when the history spans >2 cycles), and optional extra regressors
+    ``X``/``Xf`` (prophet's ``add_regressor``: the covariates enter the
+    same linear design, unpenalized), fit jointly by ridge-penalized
+    least squares — the L2 stand-in for prophet's MAP estimate with a
+    Laplace changepoint prior. Daily spacing assumed, matching the
+    engine's long frame."""
     n = len(y)
     t = np.arange(n, dtype=float)
     cps = np.quantile(t[: max(int(0.8 * n), 2)],
@@ -378,10 +382,16 @@ def prophet_fit_forecast(
         for c in _fourier_cols(t, 365.25, yearly_order):
             cols.append(c)
             pen.append(0.0)
-    X = np.column_stack(cols)
-    A = X.T @ X + np.diag(pen)
-    beta = np.linalg.solve(A, X.T @ y)
-    fitted = X @ beta
+    if X is not None and X.size:
+        if Xf is None or (h and len(Xf) != h):
+            raise ValueError("prophet with regressors needs future rows (Xf)")
+        for j in range(X.shape[1]):
+            cols.append(X[:, j].astype(float))
+            pen.append(0.0)
+    Xd = np.column_stack(cols)
+    A = Xd.T @ Xd + np.diag(pen)
+    beta = np.linalg.solve(A, Xd.T @ y)
+    fitted = Xd @ beta
 
     tf = np.arange(n, n + h, dtype=float)
     fcols = [np.ones(h), tf]
@@ -392,6 +402,9 @@ def prophet_fit_forecast(
     if n > 2 * 365:
         for c in _fourier_cols(tf, 365.25, yearly_order):
             fcols.append(c)
+    if X is not None and X.size:
+        for j in range(Xf.shape[1]):
+            fcols.append(Xf[:, j].astype(float))
     fc = np.column_stack(fcols) @ beta
     return fitted, fc
 
@@ -415,8 +428,13 @@ def prophet_model(df: DataFrame, features=None, **kwargs) -> DataFrame:
         return run_series_kernel(df, fn_real)
     except ImportError:
         pass
+    feats = list(features or [])
     return run_series_kernel(
-        df, lambda y, h: prophet_fit_forecast(y, h, **kwargs)
+        df,
+        lambda y, h, X=None, Xf=None: prophet_fit_forecast(
+            y, h, X=X, Xf=Xf, **kwargs
+        ),
+        feature_cols=feats or None,
     )
 
 

@@ -135,11 +135,50 @@ def holt_winters(
     return fitted, fc
 
 
-def theta(y: np.ndarray, h: int) -> tuple[np.ndarray, np.ndarray]:
+def _check_seasonality(y: np.ndarray, m: int) -> bool:
+    """darts-style seasonality test (utils.statistics.check_seasonality):
+    the lag-m autocorrelation must clear the Bartlett 90% significance
+    band |r_m| > 1.645 * sqrt((1 + 2*sum_{k<m} r_k^2) / n)."""
+    n = len(y)
+    if m <= 1 or n < 3 * m:
+        return False
+    # linear-detrend first: a trend drives ALL autocorrelations toward
+    # 1, so the raw lag-m ACF would flag any trending series seasonal
+    t = np.arange(n, dtype=float)
+    slope, icept = np.polyfit(t, y, 1)
+    z = y - (icept + slope * t)
+    z = z - z.mean()
+    denom = float(z @ z)
+    if denom <= 0:
+        return False
+    r = np.array([float(z[k:] @ z[:-k]) / denom for k in range(1, m + 1)])
+    band = 1.645 * np.sqrt((1.0 + 2.0 * float(r[:-1] @ r[:-1])) / n)
+    return abs(r[-1]) > band
+
+
+def theta(
+    y: np.ndarray, h: int, m: int = 0, season_mode: str = "mul"
+) -> tuple[np.ndarray, np.ndarray]:
     """Classic Theta(0,2): average of the extrapolated linear-trend line
     (theta=0) and SES of the theta=2 line. The M3-winning method in its
-    standard closed form."""
+    standard closed form.
+
+    With ``m > 1`` follows the darts Theta recipe the reference wraps
+    (models.py:880-968): test seasonality (lag-m ACF vs the Bartlett
+    band), deseasonalize by seasonal means (ratio for ``'mul'``,
+    centered for ``'add'``), run Theta, reseasonalize fitted+forecast.
+    Non-seasonal series skip the adjustment entirely."""
     n = len(y)
+    seas = None
+    if m > 1 and _check_seasonality(y, m):
+        mul = season_mode == "mul" and np.all(y > 0)
+        means = np.array([y[i::m].mean() for i in range(m)])
+        if mul:
+            seas = ("mul", means / means.mean())
+            y = y / seas[1][np.arange(n) % m]
+        else:
+            seas = ("add", means - means.mean())
+            y = y - seas[1][np.arange(n) % m]
     t = np.arange(1, n + 1, dtype=float)
     slope, icept = np.polyfit(t, y, 1)
     trend_line = icept + slope * t
@@ -148,6 +187,14 @@ def theta(y: np.ndarray, h: int) -> tuple[np.ndarray, np.ndarray]:
     fitted = 0.5 * (trend_line + fitted2)
     fut_t = np.arange(n + 1, n + h + 1, dtype=float)
     fc = 0.5 * ((icept + slope * fut_t) + np.full(h, level2))
+    if seas is not None:
+        kind, sv = seas
+        fidx = np.arange(n) % m
+        cidx = (n + np.arange(h)) % m
+        if kind == "mul":
+            fitted, fc = fitted * sv[fidx], fc * sv[cidx]
+        else:
+            fitted, fc = fitted + sv[fidx], fc + sv[cidx]
     return fitted, fc
 
 
@@ -171,5 +218,11 @@ def hwes_model(
     return run_series_kernel(df, ses)
 
 
-def theta_model(df: DataFrame, features=None, **_) -> DataFrame:
-    return run_series_kernel(df, theta)
+def theta_model(
+    df: DataFrame, features=None, m: int = 0, season_mode: str = "mul", **_
+) -> DataFrame:
+    """Reference 'theta' (darts wrapper, models.py:880-968): pass
+    ``m`` (seasonal period) to enable the darts-style
+    test-deseasonalize-reseasonalize path; default stays the pure
+    classic Theta(0,2)."""
+    return run_series_kernel(df, lambda y, h: theta(y, h, m, season_mode))

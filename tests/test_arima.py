@@ -279,3 +279,22 @@ def test_auto_arima_seasonal_search():
     # plain call remains a 3-tuple (backward compatible)
     o = auto_arima_orders(y[:60])
     assert isinstance(o, tuple) and len(o) == 3
+
+
+def test_prophet_extra_regressors():
+    """prophet add_regressor parity: a strong covariate the trend and
+    Fourier terms cannot express must cut error when supplied."""
+    from scalecast_spark.models.arima import prophet_fit_forecast
+
+    rng = np.random.RandomState(13)
+    n, h = 100, 10
+    x = rng.randn(n + h)  # aperiodic exog
+    y = 10.0 + 0.2 * np.arange(n) + 4.0 * x[:n] + 0.1 * rng.randn(n)
+    truth = 10.0 + 0.2 * np.arange(n, n + h) + 4.0 * x[n:]
+    _, fc_plain = prophet_fit_forecast(y, h)
+    _, fc_exog = prophet_fit_forecast(
+        y, h, X=x[:n, None], Xf=x[n:, None]
+    )
+    assert np.mean((fc_exog - truth) ** 2) < 0.25 * np.mean((fc_plain - truth) ** 2)
+    with pytest.raises(ValueError, match="future"):
+        prophet_fit_forecast(y, h, X=x[:n, None], Xf=None)

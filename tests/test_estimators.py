@@ -223,3 +223,29 @@ def test_hwes_damped_and_multiplicative():
     yneg = ym - 20.0
     fit_fb, fc_fb = holt_winters(yneg, 7, m=7, seasonal_type="mul")
     assert np.isfinite(fit_fb).all() and np.isfinite(fc_fb).all()
+
+
+def test_theta_seasonal_recipe():
+    import numpy as np
+
+    from scalecast_spark.models.smoothing import _check_seasonality, theta
+
+    t = np.arange(84, dtype=float)
+    rng = np.random.RandomState(9)
+    season = 1.0 + 0.3 * np.sin(2 * np.pi * t / 7)
+    y = (50.0 + 0.8 * t) * season + 0.2 * rng.randn(84)
+    assert _check_seasonality(y, 7)
+    assert not _check_seasonality(rng.randn(84), 7)
+
+    # seasonal theta tracks the periodic truth far better than plain
+    truth = (50.0 + 0.8 * np.arange(84, 98)) * (
+        1.0 + 0.3 * np.sin(2 * np.pi * np.arange(84, 98) / 7)
+    )
+    _, fc_plain = theta(y, 14)
+    _, fc_seas = theta(y, 14, m=7)
+    assert np.mean((fc_seas - truth) ** 2) < np.mean((fc_plain - truth) ** 2)
+    # non-seasonal input with m set: adjustment skipped, same as plain
+    flat = 5.0 + 0.1 * t + 0.01 * rng.randn(84)
+    _, a = theta(flat, 5)
+    _, b = theta(flat, 5, m=7)
+    assert np.allclose(a, b)
