@@ -1544,12 +1544,27 @@ def q_ts_prophet_tbats(spark, sf_dir):
     return a.unionByName(b)
 
 
+def q_text_dup_signals(spark, sf_dir):
+    """Exact-substring duplication load (Lee et al. ExactSubstr at
+    8-token window granularity, datapipe/text.repeated_spans): merged
+    corpus-repeated spans per doc + words covered."""
+    from scalecast_spark.datapipe.text import add_duplication_signals
+
+    return add_duplication_signals(_docs(spark, sf_dir), k=8).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("n_dup_spans").cast("long").alias("n_dup_spans"),
+        F.col("dup_span_words").cast("long").alias("dup_span_words"),
+    )
+
+
 def q_text_analysis(spark, sf_dir):
-    """Token count + quality score + lang-ID + fingerprint per doc."""
+    """Token count + quality score + lang-ID + fingerprint +
+    exact-substring duplication signals per doc."""
     a = q_text_quality(spark, sf_dir)
     b = q_text_lang_id(spark, sf_dir).select("doc_id", "lang_pred", "is_correct")
     c = q_text_fingerprint(spark, sf_dir).select("doc_id", "fingerprint")
-    return a.join(b, ["doc_id"]).join(c, ["doc_id"])
+    d = q_text_dup_signals(spark, sf_dir)
+    return a.join(b, ["doc_id"]).join(c, ["doc_id"]).join(d, ["doc_id"])
 
 
 def q_sim_topk(spark, sf_dir):
@@ -2985,13 +3000,63 @@ def oracle_sql() -> dict[str, str]:
     """
     # ts_prophet_tbats / ts_auto_arima / mv_vecm / ts_forecast_direct /
     # ts_cv_grid stay rows-only: iterative numpy fits, not SQL-expressible.
+    # exact-substring duplication signals: k=8 word windows repeated
+    # >=2 times corpus-wide (grouped on the n-gram STRING — equality of
+    # xxhash64 keys in Spark == equality of strings modulo collisions,
+    # same convention as the decontamination oracle), merged per doc by
+    # gaps-and-islands over 0-based window starts
+    o["text_dup_signals"] = r"""
+        WITH ws AS (
+            SELECT doc_id,
+                   list_filter(string_split(regexp_replace(
+                       lower(trim(text)), '\s+', ' ', 'g'), ' '),
+                       x -> len(x) > 0) AS w
+            FROM documents
+        ),
+        ng AS (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, greatest(len(w) - 6, 1)),
+                       i -> array_to_string(w[i:i+7], ' '))) AS g,
+                   unnest(range(0, greatest(len(w) - 7, 0))) AS pos
+            FROM ws
+        ),
+        dup AS (SELECT g FROM ng GROUP BY g HAVING count(*) >= 2),
+        hits AS (SELECT n.doc_id, n.pos FROM ng n JOIN dup USING (g)),
+        brk AS (
+            SELECT doc_id, pos,
+                   CASE WHEN lag(pos) OVER w IS NULL THEN 1
+                        WHEN pos > lag(pos) OVER w + 8 THEN 1
+                        ELSE 0 END AS b
+            FROM hits WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+        ),
+        isl AS (
+            SELECT doc_id, pos,
+                   sum(b) OVER (PARTITION BY doc_id ORDER BY pos
+                       ROWS UNBOUNDED PRECEDING) AS i
+            FROM brk
+        ),
+        spans AS (
+            SELECT doc_id, min(pos) AS s, max(pos) + 7 AS e
+            FROM isl GROUP BY doc_id, i
+        ),
+        per_doc AS (
+            SELECT doc_id, count(*) AS n_dup_spans,
+                   sum(e - s + 1) AS dup_span_words
+            FROM spans GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               coalesce(p.n_dup_spans, 0)::BIGINT AS n_dup_spans,
+               coalesce(p.dup_span_words, 0)::BIGINT AS dup_span_words
+        FROM documents d LEFT JOIN per_doc p USING (doc_id)
+    """
     o["text_analysis"] = f"""
         SELECT a.doc_id, a.n_tokens, a.q_punct_ratio, a.q_stopword_ratio,
                a.q_mean_word_len, a.q_score, b.lang_pred, b.is_correct,
-               c.fingerprint
+               c.fingerprint, dd.n_dup_spans, dd.dup_span_words
         FROM ({o["text_quality"]}) a
         JOIN ({o["text_lang_id"]}) b ON a.doc_id = b.doc_id
         JOIN ({o["text_fingerprint"]}) c ON a.doc_id = c.doc_id
+        JOIN ({o["text_dup_signals"]}) dd ON a.doc_id = dd.doc_id
     """
     o["sim_topk"] = f"""
         SELECT 'brute' AS method, vec_id, cosine_sim

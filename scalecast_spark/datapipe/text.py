@@ -407,3 +407,80 @@ def curate_corpus(
     return out.withColumn("drop_reasons", reasons).withColumn(
         "keep", F.size("drop_reasons") == 0
     )
+
+
+def repeated_spans(
+    df: DataFrame,
+    k: int = 8,
+    min_count: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact-substring duplication at k-token granularity (Lee et al.
+    2022, "Deduplicating Training Data Makes Language Models Better" —
+    the ExactSubstr criterion, discretized to word k-gram windows
+    instead of a distributed suffix array): find every k-token window
+    whose text occurs ≥ ``min_count`` times in the WHOLE corpus
+    (within- or cross-document), then merge each document's duplicated
+    windows into maximal spans. Returns (id, span_start, span_end) —
+    0-based inclusive WORD indices into the normalized token stream.
+
+    Fully declarative: posexplode the window hashes, one corpus-wide
+    count on the 8-byte hash (shuffle carries hashes, never text),
+    join back, and a per-doc gaps-and-islands window merge (windows
+    [p, p+k-1] fuse while next_pos ≤ prev_pos + k). The duplicated
+    subset is dup-rate-bounded — the full corpus never shuffles."""
+    from pyspark.sql import Window
+
+    ws = df.select(
+        id_col, split_words(_norm(F.col(text_col))).alias("_ws")
+    )
+    pos_ng = (
+        ws.select(id_col, F.posexplode(ngram_chain(F.col("_ws"), k)).alias("_pos", "_ng"))
+        .select(id_col, "_pos", F.xxhash64("_ng").alias("_h"))
+    )
+    dup = (
+        pos_ng.groupBy("_h").agg(F.count("*").alias("_c"))
+        .filter(F.col("_c") >= min_count)
+        .select("_h")
+    )
+    hits = pos_ng.join(dup, "_h").select(id_col, "_pos")
+    w = Window.partitionBy(id_col).orderBy("_pos")
+    brk = F.when(F.lag("_pos").over(w).isNull(), 1).when(
+        F.col("_pos") > F.lag("_pos").over(w) + k, 1
+    ).otherwise(0)
+    isl = F.sum("_brk").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        hits.withColumn("_brk", brk)
+        .withColumn("_isl", isl)
+        .groupBy(id_col, "_isl")
+        .agg(
+            F.min("_pos").alias("span_start"),
+            (F.max("_pos") + (k - 1)).alias("span_end"),
+        )
+        .drop("_isl")
+    )
+
+
+def add_duplication_signals(
+    df: DataFrame,
+    k: int = 8,
+    min_count: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document exact-substring duplication load: number of merged
+    duplicated spans and total words they cover (0 when clean). The
+    curation gate for boilerplate/templated content that MinHash misses
+    (documents can be globally distinct yet 60% made of corpus-repeated
+    spans)."""
+    spans = repeated_spans(df, k, min_count, text_col, id_col)
+    agg = spans.groupBy(id_col).agg(
+        F.count("*").alias("n_dup_spans"),
+        F.sum(F.col("span_end") - F.col("span_start") + 1).alias("dup_span_words"),
+    )
+    return df.join(agg, id_col, "left").na.fill(
+        {"n_dup_spans": 0, "dup_span_words": 0}
+    )

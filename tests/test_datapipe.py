@@ -547,3 +547,34 @@ def test_token_budget_zero_and_tiny(spark):
     # zero-weight rows are free: all survive any positive budget
     z = spark.createDataFrame([(i, 0.0) for i in range(5)], "doc_id long, w double")
     assert sample_to_token_budget(z, 1.0, "w", "doc_id").count() == 5
+
+
+def test_repeated_spans_exact_substring_semantics(spark):
+    from scalecast_spark.datapipe.text import add_duplication_signals, repeated_spans
+
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog again and again today"),
+        (1, "intro text then the quick brown fox jumps over the lazy dog again and ends"),
+        (2, "completely unique content with no repetition whatsoever in this one here"),
+        (3, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    spans = {
+        (r["doc_id"], r["span_start"], r["span_end"])
+        for r in repeated_spans(df, k=5).collect()
+    }
+    # the shared 11-word sentence: doc0 words 0-10, doc1 words 3-13 —
+    # overlapping 5-gram windows merged into ONE maximal span each
+    assert spans == {(0, 0, 10), (1, 3, 13)}
+    sig = {
+        r["doc_id"]: (r["n_dup_spans"], r["dup_span_words"])
+        for r in add_duplication_signals(df, k=5).collect()
+    }
+    assert sig[0] == (1, 11) and sig[1] == (1, 11)
+    assert sig[2] == (0, 0) and sig[3] == (0, 0)  # clean + empty docs
+    # within-doc repetition counts too (min_count is corpus-wide)
+    solo = spark.createDataFrame(
+        [(9, "a b c d e x x a b c d e y")], "doc_id long, text string"
+    )
+    got = repeated_spans(solo, k=5).collect()
+    assert {(r["span_start"], r["span_end"]) for r in got} == {(0, 4), (7, 11)}
