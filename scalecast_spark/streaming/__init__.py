@@ -5,9 +5,11 @@ from scalecast_spark.streaming.ops import (
     windowed_series,
     sessionize_stream,
     run_available_now,
+    ewma_stream,
 )
 
 __all__ = [
     "stream_events", "stream_documents", "dedup_stream",
     "windowed_series", "sessionize_stream", "run_available_now",
+    "ewma_stream",
 ]

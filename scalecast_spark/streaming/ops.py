@@ -224,3 +224,57 @@ def run_available_now(
     q.awaitTermination(timeout_sec)
     spark = stream_df.sparkSession
     return spark.table(query_name)
+
+
+def ewma_stream(
+    series: DataFrame,
+    alpha: float = 0.3,
+    series_col: str = SERIES,
+    ts_col: str = DS,
+    value_col: str = Y,
+) -> DataFrame:
+    """Custom stateful streaming operator via ``applyInPandasWithState``
+    (the arbitrary-state API — the ops above use Spark's NATIVE
+    stateful operators; this is the escape hatch for recursions Spark
+    has no operator for): per-series recursive EWMA
+    ``level = alpha*y + (1-alpha)*level`` carried ACROSS micro-batches
+    in explicit GroupState. State per series is two scalars — O(series)
+    total, no growth with stream length.
+
+    Ordering caveat (inherent to the API, documented not hidden): rows
+    are folded in event-time order WITHIN each micro-batch, and batches
+    in arrival order; for a source that can deliver late rows ACROSS
+    batch boundaries, pair with an upstream watermark+window stage.
+    Batch-parity vs the pandas recursion is asserted in tests.
+    Feed a RAW stream (map-only lineage): Spark disallows
+    applyInPandasWithState after a streaming aggregation."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = T.StructType(
+        [
+            T.StructField(series_col, T.StringType()),
+            T.StructField(ts_col, T.TimestampType()),
+            T.StructField(value_col, T.DoubleType()),
+            T.StructField("ewma", T.DoubleType()),
+        ]
+    )
+    state_schema = T.StructType([T.StructField("level", T.DoubleType())])
+
+    def fold(key, pdfs, state: GroupState):
+        level = state.get[0] if state.exists else None
+        out = []
+        for pdf in pdfs:
+            # (ts, value) sort: deterministic fold order under ts ties
+            pdf = pdf.sort_values([ts_col, value_col])
+            for ds, yv in zip(pdf[ts_col], pdf[value_col]):
+                yv = float(yv)
+                level = yv if level is None else alpha * yv + (1 - alpha) * level
+                out.append((key[0], ds, yv, level))
+        state.update((level,))
+        if out:
+            yield pd.DataFrame(out, columns=[series_col, ts_col, value_col, "ewma"])
+
+    return series.groupBy(series_col).applyInPandasWithState(
+        fold, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )

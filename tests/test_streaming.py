@@ -167,3 +167,46 @@ def test_stratified_sample_stream_matches_batch(spark, sf_dir):
         }
     want = {r["doc_id"] for r in batch.collect()}
     assert got == want and len(want) > 0
+
+
+def test_ewma_stream_stateful_parity(spark, sf_dir):
+    """applyInPandasWithState EWMA: the cross-batch recursive fold must
+    equal the plain pandas recursion over the whole (ordered) series."""
+    import tempfile
+
+    from scalecast_spark.sources import load_table, events_to_series
+    from scalecast_spark.streaming import run_available_now
+    from scalecast_spark.streaming.ops import ewma_stream, stream_events, windowed_series
+
+    from pyspark.sql import functions as F
+
+    alpha = 0.3
+    ev = stream_events(spark, f"{sf_dir}/events.parquet").select(
+        F.col("event_type").alias("series_id"), F.col("ts").alias("ds"),
+        F.col("value").alias("y"),
+    )
+    out = ewma_stream(ev, alpha=alpha)
+    assert out.isStreaming
+    with tempfile.TemporaryDirectory() as ckpt:
+        got = (
+            run_available_now(out, "q_ewma_stream", ckpt, output_mode="append")
+            .toPandas().sort_values(["series_id", "ds", "y"]).reset_index(drop=True)
+        )
+    # expected: same daily series from the batch reader, pandas fold
+    batch = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            F.col("event_type").alias("series_id"), F.col("ts").alias("ds"),
+            F.col("value").alias("y"),
+        )
+        .toPandas().sort_values(["series_id", "ds", "y"])
+    )
+    assert len(got) == len(batch) > 0
+    for sid, grp in batch.groupby("series_id"):
+        level, want = None, []
+        for yv in grp["y"]:
+            level = yv if level is None else alpha * yv + (1 - alpha) * level
+            want.append(level)
+        g = got[got["series_id"] == sid]["ewma"].to_numpy()
+        assert len(g) == len(want)
+        assert max(abs(g - want)) < 1e-9
