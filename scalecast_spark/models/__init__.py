@@ -75,6 +75,7 @@ def _kernel_factories():
     from scalecast_spark.models.svr_sgd import make_fit_sgd, make_fit_svr
     from scalecast_spark.models.trees import (
         make_fit_gbt,
+        make_fit_oblivious_gbt,
         make_fit_rf,
         make_fit_xgb,
     )
@@ -100,8 +101,13 @@ def _kernel_factories():
         "gbt": lambda n_estimators=50, max_depth=3, learning_rate=0.1: (
             make_fit_gbt(n_estimators, max_depth, learning_rate)
         ),
-        "xgboost": lambda n_estimators=50, max_depth=3, learning_rate=0.1: (
-            make_fit_xgb(n_estimators, max_depth, learning_rate)
+        "xgboost": lambda n_estimators=50, max_depth=3, learning_rate=0.1, \
+                reg_lambda=1.0, gamma=0.0: (
+            make_fit_xgb(n_estimators, max_depth, learning_rate, reg_lambda, gamma)
+        ),
+        "catboost": lambda n_estimators=50, max_depth=3, learning_rate=0.1, \
+                reg_lambda=1.0: (
+            make_fit_oblivious_gbt(n_estimators, max_depth, learning_rate, reg_lambda)
         ),
         "rf": lambda n_estimators=50, max_depth=6, random_state=42: (
             make_fit_rf(n_estimators, max_depth, random_state=random_state)

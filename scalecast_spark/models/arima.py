@@ -383,7 +383,7 @@ def prophet_fit_forecast(
             cols.append(c)
             pen.append(0.0)
     if X is not None and X.size:
-        if Xf is None or (h and len(Xf) != h):
+        if h and (Xf is None or len(Xf) != h):
             raise ValueError("prophet with regressors needs future rows (Xf)")
         for j in range(X.shape[1]):
             cols.append(X[:, j].astype(float))
@@ -402,9 +402,12 @@ def prophet_fit_forecast(
     if n > 2 * 365:
         for c in _fourier_cols(tf, 365.25, yearly_order):
             fcols.append(c)
-    if X is not None and X.size:
+    if X is not None and X.size and h:
         for j in range(Xf.shape[1]):
             fcols.append(Xf[:, j].astype(float))
+    elif X is not None and X.size:  # h == 0: empty future exog columns
+        for _ in range(X.shape[1]):
+            fcols.append(np.zeros(0))
     fc = np.column_stack(fcols) @ beta
     return fitted, fc
 
@@ -413,22 +416,30 @@ def prophet_model(df: DataFrame, features=None, **kwargs) -> DataFrame:
     """Reference 'prophet' (models.py:1275-1401). Uses the real prophet
     package when installed; otherwise the numpy additive-model core
     (prophet_fit_forecast) — same model family, deterministic fit."""
+    feats = list(features or [])
     try:  # pragma: no cover - env-dependent
         from prophet import Prophet  # noqa: F401
         import pandas as pd
 
-        def fn_real(y, h):
+        def fn_real(y, h, X=None, Xf=None):
             ds = pd.date_range("2000-01-01", periods=len(y), freq="D")
             m = Prophet()
-            m.fit(pd.DataFrame({"ds": ds, "y": y}))
+            frame = pd.DataFrame({"ds": ds, "y": y})
+            if X is not None and X.size:  # reference Xvars -> add_regressor
+                for j, name in enumerate(feats):
+                    m.add_regressor(name)
+                    frame[name] = X[:, j]
+            m.fit(frame)
             fut = m.make_future_dataframe(periods=h, freq="D")
+            if X is not None and X.size:
+                for j, name in enumerate(feats):
+                    fut[name] = np.concatenate([X[:, j], Xf[:, j]])
             out = m.predict(fut)["yhat"].to_numpy()
             return out[: len(y)], out[len(y):]
 
-        return run_series_kernel(df, fn_real)
+        return run_series_kernel(df, fn_real, feature_cols=feats or None)
     except ImportError:
         pass
-    feats = list(features or [])
     return run_series_kernel(
         df,
         lambda y, h, X=None, Xf=None: prophet_fit_forecast(

@@ -171,12 +171,23 @@ def theta(
     n = len(y)
     seas = None
     if m > 1 and _check_seasonality(y, m):
-        mul = season_mode == "mul" and np.all(y > 0)
-        means = np.array([y[i::m].mean() for i in range(m)])
+        # seasonal profile from the DETRENDED series: raw per-phase
+        # means of a trending series contain slope*i, which would leak
+        # a spurious sawtooth of amplitude slope*(m-1)/2 into the
+        # profile (darts deseasonalizes via seasonal_decompose, which
+        # removes the trend first, for the same reason)
+        tt = np.arange(n, dtype=float)
+        sl, ic = np.polyfit(tt, y, 1)
+        tl = ic + sl * tt
+        mul = season_mode == "mul" and np.all(y > 0) and np.all(tl > 0)
         if mul:
+            ratio = y / tl
+            means = np.array([ratio[i::m].mean() for i in range(m)])
             seas = ("mul", means / means.mean())
             y = y / seas[1][np.arange(n) % m]
         else:
+            resid = y - tl
+            means = np.array([resid[i::m].mean() for i in range(m)])
             seas = ("add", means - means.mean())
             y = y - seas[1][np.arange(n) % m]
     t = np.arange(1, n + 1, dtype=float)

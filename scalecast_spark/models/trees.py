@@ -10,8 +10,11 @@ inside the shared kernel — a few hundred rows × few features — where a
 vectorized numpy CART is plenty fast; scale comes from series-parallel
 fan-out, not single-model distribution.
 
-``xgboost``/``catboost`` nicknames alias gbt here; if the real packages
-are installed they are used instead (import-gated).
+``xgboost`` runs a dedicated second-order regularized booster
+(make_fit_xgb) and ``catboost`` an oblivious-tree booster
+(make_fit_oblivious_gbt); when the real packages are installed their
+regressors are used instead (import-gated in xgboost_model /
+catboost_model).
 """
 
 from __future__ import annotations
@@ -139,10 +142,6 @@ def make_fit_rf(
 def gbt_model(df: DataFrame, features: list[str], n_estimators: int = 50,
               max_depth: int = 3, learning_rate: float = 0.1,
               dynamic_testing=True, normalizer=None) -> DataFrame:
-    try:  # real xgboost if the env has it (reference optional extras)
-        import xgboost  # noqa: F401
-    except ImportError:
-        pass
     return run_kernel(
         df, features, make_fit_gbt(n_estimators, max_depth, learning_rate),
         dynamic_testing, normalizer,
@@ -329,10 +328,22 @@ def xgboost_model(df: DataFrame, features: list[str], n_estimators: int = 50,
                   reg_lambda: float = 1.0, gamma: float = 0.0,
                   dynamic_testing=True, normalizer=None) -> DataFrame:
     """Reference 'xgboost' (models.py xgboost extras): second-order
-    regularized boosting. Real xgboost is preferred when installed
-    (import-gated; absent from this container)."""
-    try:
-        import xgboost  # noqa: F401
+    regularized boosting. The REAL xgboost regressor is used when the
+    package is installed (import-gated; absent from this container —
+    the numpy core implements the same update rule)."""
+    try:  # pragma: no cover - env-dependent
+        from xgboost import XGBRegressor
+
+        def fit_real(X, y):
+            model = XGBRegressor(
+                n_estimators=n_estimators, max_depth=max_depth,
+                learning_rate=learning_rate, reg_lambda=reg_lambda,
+                gamma=gamma, random_state=42,
+            )
+            model.fit(np.atleast_2d(X), y)
+            return lambda A: model.predict(np.atleast_2d(A))
+
+        return run_kernel(df, features, fit_real, dynamic_testing, normalizer)
     except ImportError:
         pass
     return run_kernel(
@@ -347,9 +358,21 @@ def catboost_model(df: DataFrame, features: list[str], n_estimators: int = 50,
                    reg_lambda: float = 1.0,
                    dynamic_testing=True, normalizer=None) -> DataFrame:
     """Reference 'catboost': oblivious-tree booster with L2 leaf
-    regularization. Real catboost preferred when installed."""
-    try:
-        import catboost  # noqa: F401
+    regularization. The REAL catboost regressor is used when installed
+    (import-gated; absent here)."""
+    try:  # pragma: no cover - env-dependent
+        from catboost import CatBoostRegressor
+
+        def fit_real(X, y):
+            model = CatBoostRegressor(
+                iterations=n_estimators, depth=max_depth,
+                learning_rate=learning_rate, l2_leaf_reg=reg_lambda,
+                random_seed=42, verbose=False,
+            )
+            model.fit(np.atleast_2d(X), y)
+            return lambda A: model.predict(np.atleast_2d(A))
+
+        return run_kernel(df, features, fit_real, dynamic_testing, normalizer)
     except ImportError:
         pass
     return run_kernel(

@@ -263,17 +263,21 @@ def ewma_stream(
 
     def fold(key, pdfs, state: GroupState):
         level = state.get[0] if state.exists else None
+        # a group's micro-batch arrives as MULTIPLE Arrow chunks with no
+        # cross-chunk ordering guarantee — concatenate, then ONE sort,
+        # then fold ((ts, value) key: deterministic under ts ties)
+        chunks = [p for p in pdfs if len(p)]
+        if not chunks:
+            state.update((level,))
+            return
+        pdf = pd.concat(chunks).sort_values([ts_col, value_col])
         out = []
-        for pdf in pdfs:
-            # (ts, value) sort: deterministic fold order under ts ties
-            pdf = pdf.sort_values([ts_col, value_col])
-            for ds, yv in zip(pdf[ts_col], pdf[value_col]):
-                yv = float(yv)
-                level = yv if level is None else alpha * yv + (1 - alpha) * level
-                out.append((key[0], ds, yv, level))
+        for ds, yv in zip(pdf[ts_col], pdf[value_col]):
+            yv = float(yv)
+            level = yv if level is None else alpha * yv + (1 - alpha) * level
+            out.append((key[0], ds, yv, level))
         state.update((level,))
-        if out:
-            yield pd.DataFrame(out, columns=[series_col, ts_col, value_col, "ewma"])
+        yield pd.DataFrame(out, columns=[series_col, ts_col, value_col, "ewma"])
 
     return series.groupBy(series_col).applyInPandasWithState(
         fold, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout

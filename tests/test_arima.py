@@ -298,3 +298,13 @@ def test_prophet_extra_regressors():
     assert np.mean((fc_exog - truth) ** 2) < 0.25 * np.mean((fc_plain - truth) ** 2)
     with pytest.raises(ValueError, match="future"):
         prophet_fit_forecast(y, h, X=x[:n, None], Xf=None)
+
+
+def test_prophet_exog_h0_fitted_only():
+    from scalecast_spark.models.arima import prophet_fit_forecast
+
+    rng = np.random.RandomState(1)
+    x = rng.randn(50)
+    y = 2.0 + 3.0 * x + 0.05 * rng.randn(50)
+    fitted, fc = prophet_fit_forecast(y, 0, X=x[:, None])
+    assert len(fitted) == 50 and len(fc) == 0
