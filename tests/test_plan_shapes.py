@@ -60,6 +60,10 @@ def test_topk_uses_bounded_heap(spark, sf_dir):
 def test_scan_pruning_reaches_parquet(spark, sf_dir):
     import __spark_entry__ as entrymod
 
+    # another test may have cached documents with ALL columns; a cache
+    # hit replaces the parquet scan with an InMemoryRelation and the
+    # pruning assertion would test the wrong plan
+    spark.catalog.clearCache()
     plan = _plan(entrymod.q_dedup_exact(spark, sf_dir))
     # exact dedup needs only (doc_id, text): the scan must not read
     # lang/source/n_chars

@@ -140,3 +140,18 @@ def test_hannan_rissanen_short_series_fails_loudly():
 
     with pytest.raises(ValueError, match="too short"):
         _hannan_rissanen(np.array([1.0, 2.0, 1.5]), 0, 1)
+
+
+def test_default_xgb_catboost_grids_stay_on_batched_cv_path(spark):
+    """DEFAULT_GRIDS cells carry reg_lambda/gamma — the kernel
+    factories must accept them, or tuning silently falls off the
+    one-job CV path into |grid|*k separate jobs."""
+    from scalecast_spark.grids import get_example_grids
+
+    for est in ["xgboost", "catboost"]:
+        f = _tuned(Forecaster(_many_series_frame(spark), future_dates=5))
+        f.set_estimator(est)
+        f.ingest_grid(get_example_grids()[est])
+        cells = f._grid_cells(dynamic_tuning=False)
+        assert cells is not None and len(cells) == len(f.grid)
+        assert all(callable(c[0]) for c in cells)
