@@ -1557,14 +1557,28 @@ def q_text_dup_signals(spark, sf_dir):
     )
 
 
+def q_text_trigram_lm(spark, sf_dir):
+    """Corpus-self-trained char-trigram LM score (CCNet-style
+    perplexity filter, datapipe/text.add_trigram_logprob)."""
+    from scalecast_spark.datapipe.text import add_trigram_logprob
+
+    return add_trigram_logprob(_docs(spark, sf_dir)).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "tri_logprob"
+    )
+
+
 def q_text_analysis(spark, sf_dir):
     """Token count + quality score + lang-ID + fingerprint +
-    exact-substring duplication signals per doc."""
+    exact-substring duplication + trigram-LM signals per doc."""
     a = q_text_quality(spark, sf_dir)
     b = q_text_lang_id(spark, sf_dir).select("doc_id", "lang_pred", "is_correct")
     c = q_text_fingerprint(spark, sf_dir).select("doc_id", "fingerprint")
     d = q_text_dup_signals(spark, sf_dir)
-    return a.join(b, ["doc_id"]).join(c, ["doc_id"]).join(d, ["doc_id"])
+    e = q_text_trigram_lm(spark, sf_dir)
+    return (
+        a.join(b, ["doc_id"]).join(c, ["doc_id"])
+        .join(d, ["doc_id"]).join(e, ["doc_id"])
+    )
 
 
 def q_sim_topk(spark, sf_dir):
@@ -3049,14 +3063,40 @@ def oracle_sql() -> dict[str, str]:
                coalesce(p.dup_span_words, 0)::BIGINT AS dup_span_words
         FROM documents d LEFT JOIN per_doc p USING (doc_id)
     """
+    # corpus-self-trained unconditional trigram LM: avg ln(C3/N) per
+    # doc; round(4) because a per-doc float mean is summation-order
+    # sensitive across engines
+    o["text_trigram_lm"] = r"""
+        WITH t AS (
+            SELECT doc_id,
+                   regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS n
+            FROM documents
+        ),
+        tri AS (
+            SELECT doc_id,
+                   substr(n, unnest(range(1, greatest(len(n) - 1, 1))::BIGINT[])::INT, 3) AS g
+            FROM t
+        ),
+        c3 AS (SELECT g, count(*) AS c FROM tri GROUP BY g),
+        tot AS (SELECT sum(c) AS nt FROM c3)
+        SELECT d.doc_id,
+               round(s.lp, 4) AS tri_logprob
+        FROM documents d LEFT JOIN (
+            SELECT tri.doc_id, avg(ln(c3.c / tot.nt)) AS lp
+            FROM tri JOIN c3 USING (g) CROSS JOIN tot
+            GROUP BY tri.doc_id
+        ) s ON d.doc_id = s.doc_id
+    """
     o["text_analysis"] = f"""
         SELECT a.doc_id, a.n_tokens, a.q_punct_ratio, a.q_stopword_ratio,
                a.q_mean_word_len, a.q_score, b.lang_pred, b.is_correct,
-               c.fingerprint, dd.n_dup_spans, dd.dup_span_words
+               c.fingerprint, dd.n_dup_spans, dd.dup_span_words,
+               e.tri_logprob
         FROM ({o["text_quality"]}) a
         JOIN ({o["text_lang_id"]}) b ON a.doc_id = b.doc_id
         JOIN ({o["text_fingerprint"]}) c ON a.doc_id = c.doc_id
         JOIN ({o["text_dup_signals"]}) dd ON a.doc_id = dd.doc_id
+        JOIN ({o["text_trigram_lm"]}) e ON a.doc_id = e.doc_id
     """
     o["sim_topk"] = f"""
         SELECT 'brute' AS method, vec_id, cosine_sim

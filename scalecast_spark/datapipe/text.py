@@ -484,3 +484,49 @@ def add_duplication_signals(
     return df.join(agg, id_col, "left").na.fill(
         {"n_dup_spans": 0, "dup_span_words": 0}
     )
+
+
+def add_trigram_logprob(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    round_to: int = 4,
+) -> DataFrame:
+    """Language-model quality scoring without a language model: each
+    document's mean UNCONDITIONAL log-probability under the corpus's
+    own character-trigram distribution — ln(C3(tri)/N) averaged over
+    the doc's trigrams, counts from the whole corpus. The
+    CCNet/Wenzek et al. perplexity-filter idea with the corpus itself
+    as the reference model: natural prose is built from common
+    trigrams and scores high; gibberish/encoded blobs are built from
+    rare ones and score very low. Emits ``tri_logprob`` (NULL for docs
+    with <3 normalized chars).
+
+    Scale shape: explode char trigrams (n_chars rows/doc), ONE count
+    aggregate (trigram vocabulary is bounded — ~charset³ distinct
+    keys, independent of corpus size), N as a one-row aggregate of the
+    count table (no second corpus scan), both broadcast back. Rounded
+    to ``round_to`` dp because a per-doc float mean is
+    summation-order-sensitive across engines."""
+    norm = _norm(F.col(text_col))
+    win = F.when(
+        F.length(norm) >= 3, F.sequence(F.lit(1), F.length(norm) - 2)
+    ).otherwise(F.array().cast("array<int>"))
+    tris = df.select(
+        id_col,
+        norm.alias("_n"),
+        F.explode(win).alias("_i"),
+    ).select(id_col, F.col("_n").substr(F.col("_i"), F.lit(3)).alias("_tri"))
+    c3 = tris.groupBy("_tri").agg(F.count("*").alias("_c3"))
+    total = c3.groupBy().agg(F.sum("_c3").alias("_nt"))
+    scored = (
+        tris.join(F.broadcast(c3), "_tri")
+        .crossJoin(F.broadcast(total))
+        .groupBy(id_col)
+        .agg(
+            F.round(
+                F.avg(F.log(F.col("_c3") / F.col("_nt"))), round_to
+            ).alias("tri_logprob")
+        )
+    )
+    return df.join(scored, id_col, "left")

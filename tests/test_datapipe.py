@@ -578,3 +578,20 @@ def test_repeated_spans_exact_substring_semantics(spark):
     )
     got = repeated_spans(solo, k=5).collect()
     assert {(r["span_start"], r["span_end"]) for r in got} == {(0, 4), (7, 11)}
+
+
+def test_trigram_logprob_separates_prose_from_gibberish(spark):
+    from scalecast_spark.datapipe.text import add_trigram_logprob
+
+    rows = [
+        (0, "the cat sat on the mat and the cat sat again"),
+        (1, "the dog sat on the mat and the dog sat again"),
+        (2, "zxqj vwkp qqzz xjvw pkqz"),
+        (3, "ab"),
+        (4, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["tri_logprob"] for r in add_trigram_logprob(df).collect()}
+    # prose shares trigrams -> higher (less negative) than gibberish
+    assert got[0] > got[2] and got[1] > got[2]
+    assert got[3] is None and got[4] is None  # <3 chars -> NULL
