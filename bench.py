@@ -37,6 +37,7 @@ HEADLINE = {
     "text_lang_id": "q_text_lang_id",
     "text_tfidf": "q_text_tfidf",
     "text_curation": "q_text_curation",
+    "text_signals": "q_text_analysis",
     "docs_sample": "q_docs_sample_strat",
     "corpus_select": "q_docs_sample",
     "sim_cosine_topk": "q_sim_cosine_topk",

@@ -432,7 +432,11 @@ def repeated_spans(
     subset is dup-rate-bounded — the full corpus never shuffles."""
     from pyspark.sql import Window
 
-    ws = df.select(
+    from scalecast_spark.datapipe.dedup import _spread
+
+    # pre-explode repartition: see add_trigram_logprob (single-file
+    # corpora would otherwise explode on one task)
+    ws = df.repartition(_spread(df), id_col).select(
         id_col, split_words(_norm(F.col(text_col))).alias("_ws")
     )
     pos_ng = (
@@ -508,15 +512,24 @@ def add_trigram_logprob(
     count table (no second corpus scan), both broadcast back. Rounded
     to ``round_to`` dp because a per-doc float mean is
     summation-order-sensitive across engines."""
-    norm = _norm(F.col(text_col))
-    win = F.when(
-        F.length(norm) >= 3, F.sequence(F.lit(1), F.length(norm) - 2)
-    ).otherwise(F.array().cast("array<int>"))
-    tris = df.select(
-        id_col,
-        norm.alias("_n"),
-        F.explode(win).alias("_i"),
-    ).select(id_col, F.col("_n").substr(F.col("_i"), F.lit(3)).alias("_tri"))
+    from scalecast_spark.datapipe.dedup import _spread
+
+    # materialize the normalized text ONCE (HOF lambdas get no CSE — a
+    # norm reference inside the transform would re-run the regexp per
+    # trigram), and repartition before the explode: the corpus may
+    # arrive as one byte-small file whose exploded trigram stream is
+    # compute-heavy (AQE sizes by bytes and would coalesce it back)
+    base = df.repartition(_spread(df), id_col).select(
+        id_col, _norm(F.col(text_col)).alias("_n")
+    )
+    nn = F.col("_n")
+    tri_arr = F.transform(
+        F.when(
+            F.length(nn) >= 3, F.sequence(F.lit(1), F.length(nn) - 2)
+        ).otherwise(F.array().cast("array<int>")),
+        lambda i: nn.substr(i, F.lit(3)),
+    )
+    tris = base.select(id_col, F.explode(tri_arr).alias("_tri"))
     c3 = tris.groupBy("_tri").agg(F.count("*").alias("_c3"))
     total = c3.groupBy().agg(F.sum("_c3").alias("_nt"))
     scored = (
