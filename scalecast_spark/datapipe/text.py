@@ -364,6 +364,8 @@ def curate_corpus(
     max_contam: int = 0,
     contam_ngram: int = 8,
     scrub: bool = True,
+    max_dup_span_frac: float | None = None,
+    min_tri_logprob: float | None = None,
 ) -> DataFrame:
     """The standard pre-training curation sweep as ONE composed pass:
     C4/Gopher quality gates + repetition gates + (optional) benchmark
@@ -398,6 +400,32 @@ def curate_corpus(
         hits = contamination_hits(df, benchmark, contam_ngram, text_col, id_col)
         out = out.join(hits, id_col, "left").na.fill({"n_contam": 0})
         rules.append(("benchmark_contaminated", F.col("n_contam") > max_contam))
+    # corpus-level signals are OPT-IN: each adds an aggregate + join
+    # (batch-only — stateless streaming curation stays the default)
+    if max_dup_span_frac is not None:
+        dup = add_duplication_signals(df, text_col=text_col, id_col=id_col)
+        out = out.join(
+            dup.select(id_col, "n_dup_spans", "dup_span_words"), id_col, "left"
+        ).na.fill({"n_dup_spans": 0, "dup_span_words": 0})
+        rules.append(
+            (
+                "repeated_substrings",
+                F.try_divide(
+                    F.col("dup_span_words"), F.greatest("n_tokens", F.lit(1))
+                )
+                > max_dup_span_frac,
+            )
+        )
+    if min_tri_logprob is not None:
+        lm = add_trigram_logprob(df, text_col=text_col, id_col=id_col)
+        out = out.join(lm.select(id_col, "tri_logprob"), id_col, "left")
+        rules.append(
+            (
+                "low_lm_score",
+                F.coalesce(F.col("tri_logprob"), F.lit(float("-inf")))
+                < min_tri_logprob,
+            )
+        )
     reasons = F.filter(
         F.array(
             *[F.when(cond, F.lit(name)).otherwise(F.lit(None)) for name, cond in rules]

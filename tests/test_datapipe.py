@@ -595,3 +595,30 @@ def test_trigram_logprob_separates_prose_from_gibberish(spark):
     # prose shares trigrams -> higher (less negative) than gibberish
     assert got[0] > got[2] and got[1] > got[2]
     assert got[3] is None and got[4] is None  # <3 chars -> NULL
+
+
+def test_curate_corpus_optin_corpus_rules(spark):
+    from scalecast_spark.datapipe.text import curate_corpus
+
+    shared = "the quick brown fox jumps over the lazy dog every single day"
+    rows = [
+        (0, f"intro words here {shared} and some more trailing content okay"),
+        (1, f"other beginning text {shared} with different ending words too"),
+        (2, "zxqj vwkp qqzz xjvw pkqz mmnn ppqq rrss ttuu vvww xxyy zzaa"),
+        (3, "completely natural unique sentence with ordinary vocabulary and structure"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # tiny-corpus trigram scores are compressed: doc2 (gibberish)
+    # lands at -5.85, the prose docs at >= -5.64 — threshold between
+    out = curate_corpus(
+        df, max_dup_span_frac=0.4, min_tri_logprob=-5.7,
+        min_quality=0.0, max_dup_line_frac=1.0, max_top2gram_frac=1.0,
+    )
+    got = {r["doc_id"]: set(r["drop_reasons"]) for r in out.collect()}
+    assert "repeated_substrings" in got[0] and "repeated_substrings" in got[1]
+    assert "low_lm_score" in got[2]  # gibberish trigram score
+    assert got[3] == set()
+    # default call: no corpus-level joins, columns absent
+    plain = curate_corpus(df)
+    assert "tri_logprob" not in plain.columns
+    assert "n_dup_spans" not in plain.columns
