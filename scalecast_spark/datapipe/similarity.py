@@ -302,6 +302,40 @@ def _cell_of(vec, cents) -> "F.Column":
     return F.array_position(dots, F.array_max(dots))
 
 
+def kmeans_ivf_centroids(
+    df: DataFrame,
+    n_cells: int = 8,
+    n_iter: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> list[tuple[int, list[float]]]:
+    """K-means-trained coarse quantizer (the production IVF recipe —
+    FAISS trains its IVF lists the same way): Lloyd from the md5
+    seeds. Cells cover the data distribution instead of being random
+    members, so probe recall per cell is higher and cell sizes are
+    more balanced (less probe-cost skew). Deterministic end-to-end —
+    same seeds, same arithmetic as kmeans_embeddings."""
+    from scalecast_spark.datapipe.cluster import _exact_sqdists  # noqa: F401 (shared fold)
+    import numpy as np
+
+    from scalecast_spark.datapipe import cluster as _cluster
+
+    cents = ivf_centroids(df, n_cells, vec_col, id_col)
+    dim = len(cents[0][1])
+    for _ in range(n_iter):
+        means = (
+            _cluster._partial_cluster_sums(df, cents, vec_col)
+            .groupBy("_c", "_dim")
+            .agg((F.sum("_s") / F.sum("_n")).alias("_m"))
+            .collect()
+        )
+        by_cell = {}
+        for r in means:
+            by_cell.setdefault(r["_c"], [0.0] * dim)[r["_dim"]] = r["_m"]
+        cents = [(ci, by_cell.get(ci, cv)) for ci, cv in cents]
+    return cents
+
+
 def ivf_topk(
     df: DataFrame,
     query: list[float],
@@ -310,15 +344,27 @@ def ivf_topk(
     nprobe: int = 2,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    quantizer: str = "sample",
 ) -> DataFrame:
     """IVF ANN: assign every vector to its nearest (max dot product)
     centroid scan-side, probe the ``nprobe`` cells closest to the
     query, brute-force cosine only within them. Candidate set shrinks
     ~ nprobe/n_cells; assignment is a pure projection (no shuffle) and
-    the cell filter prunes before TakeOrderedAndProject."""
+    the cell filter prunes before TakeOrderedAndProject.
+
+    ``quantizer='sample'`` (default) uses the md5-sampled centroids —
+    deterministic AND SQL-restatable, what the correctness gate
+    certifies; ``'kmeans'`` trains the centroids with Lloyd iterations
+    first (the FAISS-style production recipe: balanced cells, higher
+    per-probe recall) at the cost of n_iter extra passes."""
     import numpy as np
 
-    cents = ivf_centroids(df, n_cells, vec_col, id_col)
+    if quantizer == "kmeans":
+        cents = kmeans_ivf_centroids(df, n_cells, vec_col=vec_col, id_col=id_col)
+    elif quantizer == "sample":
+        cents = ivf_centroids(df, n_cells, vec_col, id_col)
+    else:
+        raise ValueError(f"quantizer must be sample|kmeans, got {quantizer!r}")
     qv = np.asarray(query, dtype=float)
     ranked = sorted(
         cents, key=lambda c: (-float(np.dot(qv, np.asarray(c[1]))), c[0])

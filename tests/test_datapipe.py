@@ -622,3 +622,36 @@ def test_curate_corpus_optin_corpus_rules(spark):
     plain = curate_corpus(df)
     assert "tri_logprob" not in plain.columns
     assert "n_dup_spans" not in plain.columns
+
+
+def test_ivf_kmeans_quantizer(spark, sf_dir):
+    """quantizer='kmeans': trained cells must preserve (or beat) the
+    sampled quantizer's recall against brute force, and full-probe
+    still recovers the exact top-k."""
+    from scalecast_spark.datapipe import similarity
+    from scalecast_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter("vec_id = 0").select("embedding").collect()[0][0]
+    exact = [r["vec_id"] for r in similarity.cosine_topk(emb, q, k=10).collect()]
+
+    def recall(quant):
+        got = [
+            r["vec_id"]
+            for r in similarity.ivf_topk(
+                emb, q, k=10, n_cells=4, nprobe=2, quantizer=quant
+            ).collect()
+        ]
+        return len(set(got) & set(exact)) / 10.0
+
+    assert recall("kmeans") >= recall("sample") - 0.101  # never much worse
+    # probing every trained cell recovers the exact ranking
+    full = [
+        r["vec_id"]
+        for r in similarity.ivf_topk(
+            emb, q, k=10, n_cells=4, nprobe=4, quantizer="kmeans"
+        ).collect()
+    ]
+    assert full == exact
+    with pytest.raises(ValueError, match="sample|kmeans"):
+        similarity.ivf_topk(emb, q, quantizer="bogus")
