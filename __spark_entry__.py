@@ -1354,25 +1354,41 @@ def q_dedup_clusters(spark, sf_dir):
     )
 
 
+#: Gopher-family char-fraction columns added to q_text_curation in
+#: round 4 — shared by the Spark select and the oracle column list.
+GOPHER_COLS = (
+    ["dup_para_frac", "dup_line_char_frac", "dup_para_char_frac"]
+    + [f"top{n}gram_char_frac" for n in (2, 3, 4)]
+    + [f"dup{n}gram_char_frac" for n in range(5, 11)]
+)
+
+
 def q_text_curation(spark, sf_dir):
-    """Corpus-curation sweep per doc (datapipe/text.py): Gopher-style
-    repetition signals (dup-line fraction, top-2-gram fraction),
-    benchmark-contamination 8-gram hits against a deterministic
-    benchmark slice (doc_id % 20 == 0 stands in for an eval set), and
-    RE2-safe PII scrubbing (email/phone counts + scrubbed fingerprint).
-    Every step is engine-portable regexp/array math, so the whole sweep
+    """Corpus-curation sweep per doc (datapipe/text.py): the FULL
+    Gopher repetition family (dup line/paragraph fractions, line/para
+    char fractions, top-2/3/4-gram char fractions, dup-5..10-gram char
+    fractions — Rae et al. 2021 table A1), benchmark-contamination
+    8-gram hits against a deterministic benchmark slice
+    (doc_id % 20 == 0 stands in for an eval set), and RE2-safe PII
+    scrubbing (email/phone counts + scrubbed fingerprint). Every step
+    is engine-portable regexp/array math, so the whole sweep
     hash-matches the DuckDB oracle."""
     from scalecast_spark.datapipe.text import (
+        add_gopher_signals_fast,
         add_repetition_signals,
         contamination_hits,
         scrub_pii,
     )
 
     docs = _docs(spark, sf_dir)
-    # repetition + PII are pure per-row column math → ONE scan, no join;
-    # only the contamination count needs a (broadcast-bench) join
-    flat = scrub_pii(add_repetition_signals(docs)).select(
-        "doc_id", "dup_line_frac", "top2gram_frac", "n_emails", "n_phones",
+    # repetition + Gopher char-fracs + PII are per-row, ONE scan, no
+    # join; the Gopher family runs the Arrow kernel twin (bit-identical
+    # to the declarative version — parity-tested — and ~20x faster than
+    # its interpreted HOF folds); only the contamination count needs a
+    # (broadcast-bench) join
+    flat = scrub_pii(add_gopher_signals_fast(add_repetition_signals(docs))).select(
+        "doc_id", "dup_line_frac", "top2gram_frac", *GOPHER_COLS,
+        "n_emails", "n_phones",
         F.md5("text_scrubbed").alias("scrub_fp"),
     )
     bench = docs.filter(F.col("doc_id") % 20 == 0)
@@ -1382,7 +1398,7 @@ def q_text_curation(spark, sf_dir):
         .na.fill({"n_contam": 0})
         .select(
             F.col("doc_id").cast("long").alias("doc_id"),
-            "dup_line_frac", "top2gram_frac",
+            "dup_line_frac", "top2gram_frac", *GOPHER_COLS,
             F.col("n_contam").cast("long").alias("n_contam"),
             "n_emails", "n_phones", "scrub_fp",
         )
@@ -3210,12 +3226,67 @@ def oracle_sql() -> dict[str, str]:
     return {k: v for k, v in o.items() if k in keep}
 
 
+def _gopher_ngram_ctes() -> tuple[str, str, str]:
+    """CTE block + join clause + select columns replaying the Gopher
+    n-gram char fractions (top-2/3/4 mode coverage, dup-5..10 duplicate
+    coverage) via unnest+group-by — the declarative twin of the Spark
+    side's per-row run-length folds. Fractions are over normalized doc
+    chars, capped at 1.0, 0.0 for short docs — identical edge rules."""
+    ctes, joins, sels = [], [], []
+    for n in (2, 3, 4, 5, 6, 7, 8, 9, 10):
+        ctes.append(
+            f"""
+        ng{n} AS (
+            SELECT doc_id, array_to_string(ws[i:i+{n - 1}], ' ') AS g
+            FROM (
+                SELECT doc_id, ws, unnest(range(1, len(ws) - {n - 2})) AS i
+                FROM w WHERE len(ws) >= {n}
+            )
+        ),
+        ng{n}c AS (SELECT doc_id, g, count(*) AS c FROM ng{n} GROUP BY 1, 2)"""
+        )
+    for n in (2, 3, 4):
+        ctes.append(
+            f"""
+        top{n}ch AS (
+            SELECT a.doc_id, max(a.c * len(a.g)) AS ch
+            FROM ng{n}c a
+            JOIN (SELECT doc_id, max(c) AS mc FROM ng{n}c GROUP BY 1) m
+              ON a.doc_id = m.doc_id AND a.c = m.mc
+            GROUP BY 1
+        )"""
+        )
+        joins.append(f"LEFT JOIN top{n}ch t{n} ON r.doc_id = t{n}.doc_id")
+        sels.append(
+            f"CASE WHEN len(nm.t) > 0 THEN round(least("
+            f"coalesce(t{n}.ch, 0) / len(nm.t)::DOUBLE, 1.0), 6) "
+            f"ELSE 0.0 END AS top{n}gram_char_frac"
+        )
+    for n in range(5, 11):
+        ctes.append(
+            f"""
+        dup{n}ch AS (
+            SELECT doc_id, sum(c * len(g)) AS ch
+            FROM ng{n}c WHERE c > 1 GROUP BY 1
+        )"""
+        )
+        joins.append(f"LEFT JOIN dup{n}ch d{n} ON r.doc_id = d{n}.doc_id")
+        sels.append(
+            f"CASE WHEN len(nm.t) > 0 THEN round(least("
+            f"coalesce(d{n}.ch, 0) / len(nm.t)::DOUBLE, 1.0), 6) "
+            f"ELSE 0.0 END AS dup{n}gram_char_frac"
+        )
+    return ",".join(ctes), "\n        ".join(joins), ",\n               ".join(sels)
+
+
 def _text_curation_oracle() -> str:
-    """DuckDB replay of q_text_curation: Gopher repetition signals,
-    8-gram benchmark contamination (benchmark = doc_id % 20 == 0), and
-    RE2 PII scrub — same normalization and patterns as datapipe/text.py."""
+    """DuckDB replay of q_text_curation: the full Gopher repetition
+    family, 8-gram benchmark contamination (benchmark = doc_id % 20 ==
+    0), and RE2 PII scrub — same normalization and patterns as
+    datapipe/text.py."""
     from scalecast_spark.datapipe.text import EMAIL_RE, PHONE_RE
 
+    ng_ctes, ng_joins, ng_sels = _gopher_ngram_ctes()
     return f"""
         WITH norm AS (
             SELECT doc_id, text,
@@ -3256,6 +3327,44 @@ def _text_curation_oracle() -> str:
             SELECT doc_id, round(max(cnt) / sum(cnt)::DOUBLE, 6) AS top2gram_frac
             FROM bgc GROUP BY 1
         ),
+        pa AS (
+            SELECT doc_id,
+                   list_filter(
+                       list_transform(
+                           regexp_split_to_array(text, '\\n{{2,}}'),
+                           x -> regexp_replace(x, '^\\s+|\\s+$', '', 'g')
+                       ),
+                       x -> len(x) > 0
+                   ) AS paras
+            FROM norm
+        ),
+        parep AS (
+            SELECT doc_id,
+                   CASE WHEN len(paras) > 0
+                        THEN round(1 - len(list_distinct(paras)) / len(paras)::DOUBLE, 6)
+                        ELSE 0.0 END AS dup_para_frac
+            FROM pa
+        ),
+        lnc AS (
+            SELECT doc_id, e, count(*) AS c
+            FROM (SELECT doc_id, unnest(lines) AS e FROM ln) GROUP BY 1, 2
+        ),
+        lch AS (
+            SELECT doc_id,
+                   round(least(coalesce(sum(CASE WHEN c > 1 THEN c * len(e) END), 0)
+                         / nullif(sum(c * len(e)), 0)::DOUBLE, 1.0), 6) AS v
+            FROM lnc GROUP BY 1
+        ),
+        pac AS (
+            SELECT doc_id, e, count(*) AS c
+            FROM (SELECT doc_id, unnest(paras) AS e FROM pa) GROUP BY 1, 2
+        ),
+        pch AS (
+            SELECT doc_id,
+                   round(least(coalesce(sum(CASE WHEN c > 1 THEN c * len(e) END), 0)
+                         / nullif(sum(c * len(e)), 0)::DOUBLE, 1.0), 6) AS v
+            FROM pac GROUP BY 1
+        ),{ng_ctes},
         ng AS (
             SELECT DISTINCT doc_id, array_to_string(ws[i:i+7], ' ') AS ngram
             FROM (
@@ -3282,14 +3391,23 @@ def _text_curation_oracle() -> str:
         )
         SELECT r.doc_id::BIGINT AS doc_id, r.dup_line_frac,
                coalesce(t.top2gram_frac, 0.0) AS top2gram_frac,
+               pr.dup_para_frac,
+               coalesce(lc.v, 0.0) AS dup_line_char_frac,
+               coalesce(pc.v, 0.0) AS dup_para_char_frac,
+               {ng_sels},
                coalesce(h.n_contam, 0)::BIGINT AS n_contam,
                p.n_emails::BIGINT AS n_emails,
                p.n_phones::BIGINT AS n_phones,
                p.scrub_fp
         FROM rep r
-        LEFT JOIN top2 t USING (doc_id)
-        LEFT JOIN hits h USING (doc_id)
-        JOIN pii2 p USING (doc_id)
+        JOIN norm nm ON r.doc_id = nm.doc_id
+        JOIN parep pr ON r.doc_id = pr.doc_id
+        LEFT JOIN lch lc ON r.doc_id = lc.doc_id
+        LEFT JOIN pch pc ON r.doc_id = pc.doc_id
+        {ng_joins}
+        LEFT JOIN top2 t ON r.doc_id = t.doc_id
+        LEFT JOIN hits h ON r.doc_id = h.doc_id
+        JOIN pii2 p ON r.doc_id = p.doc_id
     """
 
 

@@ -226,6 +226,304 @@ def add_repetition_signals(
     )
 
 
+def _runlen_dup_chars(arr: Column) -> Column:
+    """Characters covered by elements occurring ≥2 times in the SORTED
+    string array (every occurrence counted): one O(n) run-length fold —
+    when a run closes with length r > 1 it contributes r·len(elem)."""
+    acc0 = F.struct(
+        F.lit("").alias("prev"),
+        F.lit(0).alias("run"),
+        F.lit(0).cast("long").alias("dup"),
+    )
+
+    def step(acc, x):
+        closing = F.when(
+            (x != acc["prev"]) & (acc["run"] > 1),
+            acc["run"].cast("long") * F.length(acc["prev"]),
+        ).otherwise(F.lit(0).cast("long"))
+        run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+        return F.struct(
+            x.alias("prev"), run.alias("run"), (acc["dup"] + closing).alias("dup")
+        )
+
+    def fin(acc):
+        return acc["dup"] + F.when(
+            acc["run"] > 1, acc["run"].cast("long") * F.length(acc["prev"])
+        ).otherwise(F.lit(0).cast("long"))
+
+    return F.aggregate(arr, acc0, step, fin)
+
+
+def _runlen_top_chars(arr: Column) -> Column:
+    """Characters covered by the most frequent element of the SORTED
+    string array (count·len; count ties break toward more characters).
+    Within a run the running count peaks at the run's last element, so
+    updating the (best_run, best_chars) lexicographic max per element
+    is exact."""
+    acc0 = F.struct(
+        F.lit("").alias("prev"),
+        F.lit(0).alias("run"),
+        F.lit(0).alias("brun"),
+        F.lit(0).cast("long").alias("bch"),
+    )
+
+    def step(acc, x):
+        run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+        ch = run.cast("long") * F.length(x)
+        better = (run > acc["brun"]) | ((run == acc["brun"]) & (ch > acc["bch"]))
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            F.when(better, run).otherwise(acc["brun"]).alias("brun"),
+            F.when(better, ch).otherwise(acc["bch"]).alias("bch"),
+        )
+
+    return F.aggregate(arr, acc0, step, lambda acc: acc["bch"])
+
+
+def _arr_total_chars(arr: Column) -> Column:
+    return F.aggregate(
+        arr,
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + F.length(x).cast("long"),
+    )
+
+
+def _char_frac(num: Column, denom: Column) -> Column:
+    """num/denom as a 6dp fraction, 0.0 on empty denominators, capped
+    at 1.0 (overlapping n-grams can cover more characters than the doc
+    holds — Gopher's 'take care not to double count' caveat, resolved
+    here by a documented cap both engines apply identically)."""
+    return F.when(
+        denom > 0,
+        F.round(F.least(num / denom.cast("double"), F.lit(1.0)), 6),
+    ).otherwise(F.lit(0.0))
+
+
+def add_gopher_signals(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_ns: tuple[int, ...] = (2, 3, 4),
+    dup_ns: tuple[int, ...] = (5, 6, 7, 8, 9, 10),
+) -> DataFrame:
+    """The COMPLETE Gopher repetition-filter family (Rae et al. 2021,
+    table A1) beyond the two signals in :func:`add_repetition_signals`:
+
+    - ``dup_para_frac`` — fraction of paragraphs that are duplicates
+      (paragraph = ``\\n{2,}``-separated block, trimmed, non-empty)
+    - ``dup_line_char_frac`` / ``dup_para_char_frac`` — fraction of
+      line/paragraph characters inside elements occurring ≥2 times
+    - ``top{n}gram_char_frac`` (n ∈ ``top_ns``) — fraction of
+      normalized-text characters covered by the single most frequent
+      word n-gram (count·len(gram), count ties → more characters)
+    - ``dup{n}gram_char_frac`` (n ∈ ``dup_ns``) — fraction of
+      normalized-text characters covered by word n-grams occurring ≥2
+      times (sum of count·len over duplicated grams, capped at 1.0 —
+      overlapping grams make the exact de-overlapped measure
+      order-dependent; the cap is the deterministic, engine-portable
+      resolution and is what the curation thresholds are tuned against)
+
+    EVERYTHING is per-row column math: each needed array (lines,
+    paragraphs, one sorted n-gram array per distinct n) materializes
+    once in its own projection, then O(n) run-length folds extract the
+    duplicate/mode statistics — zero shuffles, zero joins, full scan
+    speed on a 100 TB corpus. The explode→groupBy alternative would
+    shuffle (id, gram) pairs corpus-wide per n.
+
+    Reference: the Gopher paper's quality-filter appendix (public);
+    scalecast has no analogue — this is LLM-curation depth the engine
+    adds as first-class."""
+    c = F.col(text_col)
+
+    def fresh(name: str) -> str:
+        while name in df.columns:
+            name = "_" + name
+        return name
+
+    line_arr = F.filter(
+        F.transform(
+            F.split(c, "\n"), lambda x: F.regexp_replace(x, r"^\s+|\s+$", "")
+        ),
+        lambda x: F.length(x) > 0,
+    )
+    para_arr = F.filter(
+        F.transform(
+            F.split(c, r"\n{2,}"),
+            lambda x: F.regexp_replace(x, r"^\s+|\s+$", ""),
+        ),
+        lambda x: F.length(x) > 0,
+    )
+    ns = sorted(set(top_ns) | set(dup_ns))
+    c_norm = fresh("_gph_norm")
+    c_ws = fresh("_gph_ws")
+    c_lines = fresh("_gph_lines")
+    c_paras = fresh("_gph_paras")
+    c_ng = {n: fresh(f"_gph_ng{n}") for n in ns}
+    out = (
+        df.withColumn(c_norm, _norm(c))
+        .withColumn(c_ws, split_words(F.col(c_norm)))
+        .withColumn(c_lines, F.array_sort(line_arr))
+        .withColumn(c_paras, F.array_sort(para_arr))
+    )
+    for n in ns:
+        out = out.withColumn(c_ng[n], F.array_sort(ngram_chain(F.col(c_ws), n)))
+
+    lines, paras = F.col(c_lines), F.col(c_paras)
+    n_paras = F.size(paras)
+    dup_para_frac = F.when(
+        n_paras > 0,
+        F.round(1.0 - F.size(F.array_distinct(paras)) / n_paras.cast("double"), 6),
+    ).otherwise(F.lit(0.0))
+    doc_chars = F.length(F.col(c_norm)).cast("long")
+    out = (
+        out.withColumn("dup_para_frac", dup_para_frac)
+        .withColumn(
+            "dup_line_char_frac",
+            _char_frac(_runlen_dup_chars(lines), _arr_total_chars(lines)),
+        )
+        .withColumn(
+            "dup_para_char_frac",
+            _char_frac(_runlen_dup_chars(paras), _arr_total_chars(paras)),
+        )
+    )
+    for n in sorted(set(top_ns)):
+        out = out.withColumn(
+            f"top{n}gram_char_frac",
+            _char_frac(_runlen_top_chars(F.col(c_ng[n])), doc_chars),
+        )
+    for n in sorted(set(dup_ns)):
+        out = out.withColumn(
+            f"dup{n}gram_char_frac",
+            _char_frac(_runlen_dup_chars(F.col(c_ng[n])), doc_chars),
+        )
+    return out.drop(c_norm, c_ws, c_lines, c_paras, *c_ng.values())
+
+
+def add_gopher_signals_fast(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_ns: tuple[int, ...] = (2, 3, 4),
+    dup_ns: tuple[int, ...] = (5, 6, 7, 8, 9, 10),
+) -> DataFrame:
+    """Arrow-batched twin of :func:`add_gopher_signals` producing
+    BIT-IDENTICAL values (parity-tested in tests/test_gopher_signals.py
+    and certified transitively by the text_curation oracle hash-match).
+
+    Why a kernel exists at all: the declarative version needs one
+    array_sort + one run-length ``F.aggregate`` fold per n (9 of them)
+    and interpreted HOF lambdas get neither codegen nor subexpression
+    elimination — measured ~1.6 ms/doc at sf0.1 (8 s over 5k docs),
+    which at corpus scale is interpreter-bound, not IO-bound. A
+    Counter-based Python kernel over Arrow batches is ~20x faster per
+    doc and keeps the identical one-scan, zero-shuffle plan shape; this
+    is the documented "built-ins can't express it efficiently" carve-out
+    (same policy as the multimodal decode kernels). All input columns
+    pass through the batch, so the operator composes mid-pipeline
+    without a join-back shuffle.
+
+    Java-regex semantics are replicated exactly: ``\\s`` matches ASCII
+    whitespace only, ``trim`` strips chars ≤ U+0020, and rounding
+    replays Spark's HALF_UP ``round(x, 6)`` via Decimal on the shortest
+    float repr (Python's banker's rounding would drift on .5 ties)."""
+    import re as _re
+    from collections import Counter
+    from decimal import ROUND_HALF_UP, Decimal
+    from typing import Iterator
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    new_cols = (
+        ["dup_para_frac", "dup_line_char_frac", "dup_para_char_frac"]
+        + [f"top{n}gram_char_frac" for n in sorted(set(top_ns))]
+        + [f"dup{n}gram_char_frac" for n in sorted(set(dup_ns))]
+    )
+    clash = [c for c in new_cols if c in df.columns]
+    if clash:
+        raise ValueError(f"gopher signal columns already present: {clash}")
+    schema = T.StructType(
+        list(df.schema.fields)
+        + [T.StructField(c, T.DoubleType()) for c in new_cols]
+    )
+    java_ws = " \t\n\x0b\f\r"
+    edge_ws = _re.compile(rf"^[{java_ws}]+|[{java_ws}]+$")
+    runs_ws = _re.compile(rf"[{java_ws}]+")
+    para_re = _re.compile(r"\n{2,}")
+    jtrim = "".join(chr(i) for i in range(0x21))
+    q6 = Decimal("0.000001")
+
+    def rnd(x: float) -> float:
+        return float(Decimal(repr(x)).quantize(q6, rounding=ROUND_HALF_UP))
+
+    def frac(num: int, denom: int) -> float:
+        if denom <= 0:
+            return 0.0
+        return rnd(min(num / denom, 1.0))
+
+    def dup_chars(elems: list) -> tuple[int, int]:
+        cnt = Counter(elems)
+        tot = dup = 0
+        for e, c in cnt.items():
+            ch = len(e) * c
+            tot += ch
+            if c > 1:
+                dup += ch
+        return dup, tot
+
+    def one(text: str) -> list:
+        lines = [
+            s for s in (edge_ws.sub("", x) for x in text.split("\n")) if s
+        ]
+        paras = [
+            s for s in (edge_ws.sub("", x) for x in para_re.split(text)) if s
+        ]
+        norm = runs_ws.sub(" ", text.strip(jtrim).lower())
+        words = [w for w in norm.split(" ") if w]
+        doc_chars = len(norm)
+        n_para = len(paras)
+        dup_para = (
+            rnd(1.0 - len(set(paras)) / n_para) if n_para else 0.0
+        )
+        ld, lt = dup_chars(lines)
+        pdp, pt = dup_chars(paras)
+        row = [dup_para, frac(ld, lt), frac(pdp, pt)]
+        grams_cache: dict[int, list[str]] = {}
+
+        def grams(n: int) -> list[str]:
+            if n not in grams_cache:
+                grams_cache[n] = [
+                    " ".join(words[i : i + n])
+                    for i in range(len(words) - n + 1)
+                ]
+            return grams_cache[n]
+
+        for n in sorted(set(top_ns)):
+            g = grams(n)
+            if g:
+                cnt = Counter(g)
+                mc = max(cnt.values())
+                ch = max(c * len(e) for e, c in cnt.items() if c == mc)
+                row.append(frac(ch, doc_chars))
+            else:
+                row.append(0.0)
+        for n in sorted(set(dup_ns)):
+            d, _ = dup_chars(grams(n))
+            row.append(frac(d, doc_chars))
+        return row
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            vals = [one(t if t is not None else "") for t in pdf[text_col]]
+            out = pdf.copy()
+            for j, c in enumerate(new_cols):
+                out[c] = [v[j] for v in vals]
+            yield out
+
+    return df.mapInPandas(batches, schema)
+
+
 def ngram_chain(words: Column, n: int) -> Column:
     """Word n-grams from a words-array column as a ZIP-CHAIN of n
     shifted slices — the ONE shared construction for shingles, bigrams,
@@ -366,6 +664,7 @@ def curate_corpus(
     scrub: bool = True,
     max_dup_span_frac: float | None = None,
     min_tri_logprob: float | None = None,
+    gopher_char_gates: bool = False,
 ) -> DataFrame:
     """The standard pre-training curation sweep as ONE composed pass:
     C4/Gopher quality gates + repetition gates + (optional) benchmark
@@ -388,6 +687,10 @@ def curate_corpus(
     """
     out = add_quality_score(add_token_count(df, text_col), text_col)
     out = add_repetition_signals(out, text_col, id_col)
+    if gopher_char_gates:
+        # Arrow kernel twin: bit-identical to add_gopher_signals
+        # (parity-tested), ~20x faster, stateless → still streams
+        out = add_gopher_signals_fast(out, text_col, id_col)
     if scrub:
         out = scrub_pii(out, text_col)
     rules = [
@@ -396,6 +699,25 @@ def curate_corpus(
         ("repetitive_2grams", F.col("top2gram_frac") > max_top2gram_frac),
         ("low_quality", F.coalesce(F.col("q_score"), F.lit(0.0)) < min_quality),
     ]
+    if gopher_char_gates:
+        # the canonical Gopher thresholds (Rae et al. 2021, table A1);
+        # still pure per-row column math — the sweep stays one scan and
+        # streams in append mode like the default rules
+        for name, col, thr in [
+            ("dup_paragraphs", "dup_para_frac", 0.30),
+            ("dup_line_chars", "dup_line_char_frac", 0.20),
+            ("dup_para_chars", "dup_para_char_frac", 0.20),
+            ("top2gram_chars", "top2gram_char_frac", 0.20),
+            ("top3gram_chars", "top3gram_char_frac", 0.18),
+            ("top4gram_chars", "top4gram_char_frac", 0.16),
+            ("dup5gram_chars", "dup5gram_char_frac", 0.15),
+            ("dup6gram_chars", "dup6gram_char_frac", 0.14),
+            ("dup7gram_chars", "dup7gram_char_frac", 0.13),
+            ("dup8gram_chars", "dup8gram_char_frac", 0.12),
+            ("dup9gram_chars", "dup9gram_char_frac", 0.11),
+            ("dup10gram_chars", "dup10gram_char_frac", 0.10),
+        ]:
+            rules.append((name, F.col(col) > thr))
     if benchmark is not None:
         hits = contamination_hits(df, benchmark, contam_ngram, text_col, id_col)
         out = out.join(hits, id_col, "left").na.fill({"n_contam": 0})
