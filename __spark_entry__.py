@@ -1583,17 +1583,36 @@ def q_text_trigram_lm(spark, sf_dir):
     )
 
 
+def q_text_c4(spark, sf_dir):
+    """C4/Gopher document-structure quality signals (datapipe/
+    text.add_c4_signals): terminal-punct / short / bullet / ellipsis
+    line fractions, alpha-word fraction, symbol ratio, sentence count,
+    Gopher stop-word presence, and the C4 page-drop markers — all pure
+    JVM column math replayed verbatim by the DuckDB oracle."""
+    from scalecast_spark.datapipe.text import add_c4_signals
+
+    return add_c4_signals(_docs(spark, sf_dir)).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "term_punct_line_frac", "short_line_frac", "bullet_line_frac",
+        "ellipsis_line_frac", "alpha_word_frac", "symbol_word_ratio",
+        "n_sentences", "stop_hits_gopher",
+        "has_lorem_ipsum", "has_curly_brace", "has_js_marker",
+    )
+
+
 def q_text_analysis(spark, sf_dir):
     """Token count + quality score + lang-ID + fingerprint +
-    exact-substring duplication + trigram-LM signals per doc."""
+    exact-substring duplication + trigram-LM + C4/Gopher structure
+    signals per doc."""
     a = q_text_quality(spark, sf_dir)
     b = q_text_lang_id(spark, sf_dir).select("doc_id", "lang_pred", "is_correct")
     c = q_text_fingerprint(spark, sf_dir).select("doc_id", "fingerprint")
     d = q_text_dup_signals(spark, sf_dir)
     e = q_text_trigram_lm(spark, sf_dir)
+    f = q_text_c4(spark, sf_dir)
     return (
         a.join(b, ["doc_id"]).join(c, ["doc_id"])
-        .join(d, ["doc_id"]).join(e, ["doc_id"])
+        .join(d, ["doc_id"]).join(e, ["doc_id"]).join(f, ["doc_id"])
     )
 
 
@@ -3103,16 +3122,91 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY tri.doc_id
         ) s ON d.doc_id = s.doc_id
     """
+    # C4/Gopher structure signals — verbatim replay of add_c4_signals'
+    # column math (same spaced2 trick, same line-trim regexes)
+    stop_sum = " + ".join(
+        f"contains(sp2, ' {w} ')::INT" for w in
+        ["the", "be", "to", "of", "and", "that", "have", "with"]
+    )
+    o["text_c4"] = (
+        r"""
+        WITH norm AS (
+            SELECT doc_id, text,
+                   regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
+            FROM documents
+        ),
+        ln AS (
+            SELECT doc_id,
+                   list_filter(
+                       list_transform(string_split(text, chr(10)),
+                           x -> regexp_replace(x, '^\s+|\s+$', '', 'g')),
+                       x -> len(x) > 0) AS lines
+            FROM norm
+        ),
+        lf AS (
+            SELECT doc_id,
+                CASE WHEN len(lines) > 0 THEN round(len(list_filter(lines,
+                    x -> regexp_matches(x, '[.!?"]$'))) / len(lines)::DOUBLE, 6)
+                    ELSE 0.0 END AS term_punct_line_frac,
+                CASE WHEN len(lines) > 0 THEN round(len(list_filter(lines,
+                    x -> len(regexp_split_to_array(x, '\s+')) < 5)) / len(lines)::DOUBLE, 6)
+                    ELSE 0.0 END AS short_line_frac,
+                CASE WHEN len(lines) > 0 THEN round(len(list_filter(lines,
+                    x -> regexp_matches(x, '^[-*""" + "•" + r"""]'))) / len(lines)::DOUBLE, 6)
+                    ELSE 0.0 END AS bullet_line_frac,
+                CASE WHEN len(lines) > 0 THEN round(len(list_filter(lines,
+                    x -> regexp_matches(x, '(\.\.\.|""" + "…" + r""")$'))) / len(lines)::DOUBLE, 6)
+                    ELSE 0.0 END AS ellipsis_line_frac
+            FROM ln
+        ),
+        wf AS (
+            SELECT doc_id, text, t,
+                   replace(' ' || t || ' ', ' ', '  ') AS sp2,
+                   CASE WHEN len(t) = 0 THEN 0
+                        ELSE len(string_split(t, ' ')) END AS words
+            FROM norm
+        ),
+        sig AS (
+            SELECT doc_id,
+                CASE WHEN words > 0 THEN round(
+                    len(regexp_extract_all(sp2, ' [^ ]*[a-z][^ ]* '))
+                    / words::DOUBLE, 6) ELSE 0.0 END AS alpha_word_frac,
+                CASE WHEN words > 0 THEN round(
+                    len(regexp_extract_all(text, '#|\.\.\.|""" + "…" + r"""'))
+                    / words::DOUBLE, 6) ELSE 0.0 END AS symbol_word_ratio,
+                len(regexp_extract_all(text, '[.!?]+'))::BIGINT AS n_sentences,
+                ("""
+        + stop_sum
+        + r""")::BIGINT AS stop_hits_gopher,
+                contains(lower(text), 'lorem ipsum') AS has_lorem_ipsum,
+                contains(text, chr(123)) AS has_curly_brace,
+                contains(lower(text), 'javascript') AS has_js_marker
+            FROM wf
+        )
+        SELECT lf.doc_id, lf.term_punct_line_frac, lf.short_line_frac,
+               lf.bullet_line_frac, lf.ellipsis_line_frac,
+               s.alpha_word_frac, s.symbol_word_ratio, s.n_sentences,
+               s.stop_hits_gopher, s.has_lorem_ipsum, s.has_curly_brace,
+               s.has_js_marker
+        FROM lf JOIN sig s ON lf.doc_id = s.doc_id
+    """
+    )
     o["text_analysis"] = f"""
         SELECT a.doc_id, a.n_tokens, a.q_punct_ratio, a.q_stopword_ratio,
                a.q_mean_word_len, a.q_score, b.lang_pred, b.is_correct,
                c.fingerprint, dd.n_dup_spans, dd.dup_span_words,
-               e.tri_logprob
+               e.tri_logprob,
+               f.term_punct_line_frac, f.short_line_frac,
+               f.bullet_line_frac, f.ellipsis_line_frac,
+               f.alpha_word_frac, f.symbol_word_ratio, f.n_sentences,
+               f.stop_hits_gopher, f.has_lorem_ipsum, f.has_curly_brace,
+               f.has_js_marker
         FROM ({o["text_quality"]}) a
         JOIN ({o["text_lang_id"]}) b ON a.doc_id = b.doc_id
         JOIN ({o["text_fingerprint"]}) c ON a.doc_id = c.doc_id
         JOIN ({o["text_dup_signals"]}) dd ON a.doc_id = dd.doc_id
         JOIN ({o["text_trigram_lm"]}) e ON a.doc_id = e.doc_id
+        JOIN ({o["text_c4"]}) f ON a.doc_id = f.doc_id
     """
     o["sim_topk"] = f"""
         SELECT 'brute' AS method, vec_id, cosine_sim

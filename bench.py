@@ -38,6 +38,7 @@ HEADLINE = {
     "text_tfidf": "q_text_tfidf",
     "text_curation": "q_text_curation",
     "text_signals": "q_text_analysis",
+    "text_c4": "q_text_c4",
     "docs_sample": "q_docs_sample_strat",
     "corpus_select": "q_docs_sample",
     "sim_cosine_topk": "q_sim_cosine_topk",

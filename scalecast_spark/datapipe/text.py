@@ -400,6 +400,102 @@ def add_gopher_signals(
     return out.drop(c_norm, c_ws, c_lines, c_paras, *c_ng.values())
 
 
+#: the Gopher "must contain ≥2 of these" stop-word set (Rae et al.
+#: 2021 table A1 — public knowledge).
+GOPHER_STOPS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def add_c4_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """C4/Gopher document-structure quality signals (Raffel et al. 2020
+    §2.2 and Rae et al. 2021 table A1) as pure JVM column math — one
+    regex pass per signal, whole-stage codegen, zero shuffles:
+
+    - ``term_punct_line_frac`` — lines ending in terminal punctuation
+      (C4 keeps only such lines)
+    - ``short_line_frac`` — lines with <5 words (C4's per-line floor)
+    - ``bullet_line_frac`` / ``ellipsis_line_frac`` — Gopher's ≤90% /
+      ≤30% boilerplate-structure caps
+    - ``alpha_word_frac`` — words containing ≥1 alphabetic char
+      (Gopher requires ≥80%)
+    - ``symbol_word_ratio`` — (# or ellipsis) occurrences per word
+      (Gopher caps at 0.1)
+    - ``n_sentences`` — terminal-punctuation runs (C4 wants ≥3)
+    - ``stop_hits_gopher`` — how many of Gopher's 8 stop words appear
+      (requires ≥2)
+    - ``has_lorem_ipsum`` / ``has_curly_brace`` / ``has_js_marker`` —
+      C4's page-level drop markers
+
+    Line fractions are folds over the (small) per-doc lines array;
+    word-level signals ride the one-regex-pass ``_spaced2`` trick the
+    lang-ID/stopword counters already use. Reference scalecast has no
+    analogue — LLM-curation depth."""
+    c = F.col(text_col)
+
+    def fresh(name: str) -> str:
+        while name in df.columns:
+            name = "_" + name
+        return name
+
+    c_lines, c_norm = fresh("_c4_lines"), fresh("_c4_norm")
+    line_arr = F.filter(
+        F.transform(
+            F.split(c, "\n"), lambda x: F.regexp_replace(x, r"^\s+|\s+$", "")
+        ),
+        lambda x: F.length(x) > 0,
+    )
+    out = df.withColumn(c_lines, line_arr).withColumn(c_norm, _norm(c))
+    lines, norm = F.col(c_lines), F.col(c_norm)
+    n_lines = F.size(lines)
+
+    def line_frac(cond) -> Column:
+        return F.when(
+            n_lines > 0,
+            F.round(F.size(F.filter(lines, cond)) / n_lines.cast("double"), 6),
+        ).otherwise(F.lit(0.0))
+
+    sp2 = _spaced2(norm)
+    words = _word_count_norm(norm)
+    alpha_words = F.size(F.regexp_extract_all(sp2, F.lit(" [^ ]*[a-z][^ ]* "), F.lit(0)))
+    symbols = F.size(F.regexp_extract_all(c, F.lit(r"#|\.\.\.|…"), F.lit(0)))
+    stop_hits = None
+    for w in GOPHER_STOPS:
+        hit = F.when(sp2.contains(f" {w} "), 1).otherwise(0)
+        stop_hits = hit if stop_hits is None else stop_hits + hit
+    low = F.lower(c)
+    return (
+        out.withColumn("term_punct_line_frac", line_frac(lambda x: x.rlike('[.!?"]$')))
+        .withColumn(
+            "short_line_frac",
+            line_frac(lambda x: F.size(F.split(x, r"\s+")) < 5),
+        )
+        .withColumn("bullet_line_frac", line_frac(lambda x: x.rlike(r"^[-*•]")))
+        .withColumn(
+            "ellipsis_line_frac", line_frac(lambda x: x.rlike(r"(\.\.\.|…)$"))
+        )
+        .withColumn(
+            "alpha_word_frac",
+            F.when(
+                words > 0, F.round(alpha_words / words.cast("double"), 6)
+            ).otherwise(F.lit(0.0)),
+        )
+        .withColumn(
+            "symbol_word_ratio",
+            F.when(
+                words > 0, F.round(symbols / words.cast("double"), 6)
+            ).otherwise(F.lit(0.0)),
+        )
+        .withColumn(
+            "n_sentences",
+            F.size(F.regexp_extract_all(c, F.lit("[.!?]+"), F.lit(0))).cast("long"),
+        )
+        .withColumn("stop_hits_gopher", stop_hits.cast("long"))
+        .withColumn("has_lorem_ipsum", low.contains("lorem ipsum"))
+        .withColumn("has_curly_brace", c.contains("{"))
+        .withColumn("has_js_marker", low.contains("javascript"))
+        .drop(c_lines, c_norm)
+    )
+
+
 def add_gopher_signals_fast(
     df: DataFrame,
     text_col: str = "text",
@@ -665,6 +761,7 @@ def curate_corpus(
     max_dup_span_frac: float | None = None,
     min_tri_logprob: float | None = None,
     gopher_char_gates: bool = False,
+    c4_gates: bool = False,
 ) -> DataFrame:
     """The standard pre-training curation sweep as ONE composed pass:
     C4/Gopher quality gates + repetition gates + (optional) benchmark
@@ -691,6 +788,8 @@ def curate_corpus(
         # Arrow kernel twin: bit-identical to add_gopher_signals
         # (parity-tested), ~20x faster, stateless → still streams
         out = add_gopher_signals_fast(out, text_col, id_col)
+    if c4_gates:
+        out = add_c4_signals(out, text_col)
     if scrub:
         out = scrub_pii(out, text_col)
     rules = [
@@ -718,6 +817,24 @@ def curate_corpus(
             ("dup10gram_chars", "dup10gram_char_frac", 0.10),
         ]:
             rules.append((name, F.col(col) > thr))
+    if c4_gates:
+        # C4 (Raffel et al. 2020 §2.2) + Gopher doc-level gates; all
+        # per-row column math — the sweep stays one scan and streams
+        rules += [
+            ("gopher_word_count", ~F.col("n_tokens").between(50, 100_000)),
+            (
+                "gopher_mean_word_len",
+                ~F.coalesce(F.col("q_mean_word_len"), F.lit(0.0)).between(3.0, 10.0),
+            ),
+            ("low_alpha_words", F.col("alpha_word_frac") < 0.8),
+            ("symbol_heavy", F.col("symbol_word_ratio") > 0.1),
+            ("bullet_heavy", F.col("bullet_line_frac") > 0.9),
+            ("ellipsis_heavy", F.col("ellipsis_line_frac") > 0.3),
+            ("few_stop_words", F.col("stop_hits_gopher") < 2),
+            ("too_few_sentences", F.col("n_sentences") < 3),
+            ("lorem_ipsum", F.col("has_lorem_ipsum")),
+            ("curly_brace", F.col("has_curly_brace")),
+        ]
     if benchmark is not None:
         hits = contamination_hits(df, benchmark, contam_ngram, text_col, id_col)
         out = out.join(hits, id_col, "left").na.fill({"n_contam": 0})
