@@ -42,6 +42,7 @@ HEADLINE = {
     "docs_sample": "q_docs_sample_strat",
     "corpus_select": "q_docs_sample",
     "sim_cosine_topk": "q_sim_cosine_topk",
+    "sim_ivfpq": "q_sim_ivfpq_topk",
     "emb_norms": "q_emb_norms",
     "emb_kmeans": "q_emb_kmeans",
     "ts_stl": "q_ts_stl",
