@@ -1315,13 +1315,22 @@ def q_emb_kmeans(spark, sf_dir):
     Runs the numpy exact-fold path with the exploded mean update:
     bit-identical to the interpreted expression path (parity-tested at
     both SFs) and ~2.5x faster — distances are the same left fold over
-    dimensions, means reuse the same groupBy-avg aggregation plan."""
-    from scalecast_spark.datapipe.cluster import kmeans_embeddings
+    dimensions, means reuse the same groupBy-avg aggregation plan.
 
-    return kmeans_embeddings(
-        _emb(spark, sf_dir), k=8, n_iter=3,
-        vectorized=True, mean_update="exploded",
+    Round 4 adds the SemDeDup pass (Abbas et al. 2023,
+    datapipe/cluster.semantic_dedup): within-cluster cosine ≥ 0.4
+    marks semantic duplicates, earlier-id representative kept —
+    ``keep_sem`` column, replayed by the same oracle."""
+    from scalecast_spark.datapipe.cluster import (
+        kmeans_embeddings,
+        semantic_dedup,
     )
+
+    emb = _emb(spark, sf_dir)
+    assigned = kmeans_embeddings(
+        emb, k=8, n_iter=3, vectorized=True, mean_update="exploded"
+    )
+    return semantic_dedup(emb, threshold=0.4, assigned=assigned)
 
 
 def q_dedup_simhash(spark, sf_dir):
@@ -1926,7 +1935,35 @@ def oracle_sql() -> dict[str, str]:
         "ts_forecast_recursive": _recursive_ols_oracle(),
         "ts_ridge": _recursive_ols_oracle(alpha=25.0),
         "ts_stl": _stl_oracle(),
-        "emb_kmeans": _kmeans_oracle(),
+        # unrolled-Lloyd assignment + the SemDeDup keep rule: drop a
+        # vector iff an earlier-id same-cluster vector has cosine>=0.4
+        "emb_kmeans": f"""
+            WITH base AS MATERIALIZED (SELECT * FROM ({_kmeans_oracle()})),
+            v2 AS (
+                SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+                       unnest(embedding)::DOUBLE AS x
+                FROM embeddings
+            ),
+            prs AS (
+                SELECT a.vec_id AS ia, b.vec_id AS ib
+                FROM base a JOIN base b
+                  ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+            ),
+            cs AS (
+                SELECT p.ia, p.ib,
+                       round(sum(va.x * vb.x)
+                             / (sqrt(sum(va.x * va.x)) * sqrt(sum(vb.x * vb.x))),
+                             6) AS c
+                FROM prs p
+                JOIN v2 va ON va.vec_id = p.ia
+                JOIN v2 vb ON vb.vec_id = p.ib AND vb.i = va.i
+                GROUP BY 1, 2
+            ),
+            dropped AS (SELECT DISTINCT ib FROM cs WHERE c >= 0.4)
+            SELECT base.vec_id, base.cluster, base.sqdist,
+                   (dropped.ib IS NULL) AS keep_sem
+            FROM base LEFT JOIN dropped ON base.vec_id = dropped.ib
+        """,
         # AR(1) ARIMA: demeaned lag-ratio fit + geometric forecast decay
         "ts_backtest_kernel": _backtest_ols_oracle(fcst=5, jump=3, n_iter=2),
         "ts_arima": f"""
