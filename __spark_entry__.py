@@ -1294,16 +1294,38 @@ def q_docs_sample(spark, sf_dir):
     )
 
 
+def q_text_bm25(spark, sf_dir):
+    """Okapi BM25 ranked retrieval (datapipe/text.bm25_topk): top-10
+    docs for the query {query, spark, window} with Lucene idf. One
+    corpus scan, query-vocab-filtered explode, broadcast stats/df —
+    tagged to union into the text_tfidf family frame."""
+    from pyspark.sql import Window as W
+
+    from scalecast_spark.datapipe.text import bm25_topk
+
+    top = bm25_topk(_docs(spark, sf_dir), ["query", "spark", "window"], k=10)
+    w = W.orderBy(F.desc("bm25"), "doc_id")
+    return top.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.lit("__bm25__").alias("term"),
+        F.lit(0).cast("long").alias("tf"),
+        F.col("bm25").alias("score"),
+        F.row_number().over(w).cast("int").alias("rank"),
+    )
+
+
 def q_text_tfidf(spark, sf_dir):
     """Per-doc top-3 TF-IDF terms (datapipe/text.py tfidf_top_terms):
-    explode → tf/df aggregates → broadcast idf join → windowed top-k."""
+    explode → tf/df aggregates → broadcast idf join → windowed top-k —
+    plus the BM25 retrieval member (tagged '__bm25__' rows)."""
     from scalecast_spark.datapipe.text import tfidf_top_terms
 
-    return tfidf_top_terms(_docs(spark, sf_dir), top_k=3).select(
+    tfidf = tfidf_top_terms(_docs(spark, sf_dir), top_k=3).select(
         F.col("doc_id").cast("long").alias("doc_id"),
         "term", "tf", "score",
         F.col("rank").cast("int").alias("rank"),
     )
+    return tfidf.unionByName(q_text_bm25(spark, sf_dir))
 
 
 def q_emb_kmeans(spark, sf_dir):
@@ -2077,6 +2099,63 @@ def oracle_sql() -> dict[str, str]:
                 FROM tf JOIN idf USING (term)
             )
             WHERE rank <= 3
+            UNION ALL
+            SELECT doc_id, '__bm25__' AS term, 0::BIGINT AS tf,
+                   score, rank::INT AS rank
+            FROM (
+                SELECT doc_id, score,
+                       row_number() OVER (ORDER BY score DESC, doc_id)
+                           AS rank
+                FROM (
+                    SELECT t.doc_id,
+                           round(sum(
+                               ln((s.n - d.dft + 0.5) / (d.dft + 0.5) + 1.0)
+                               * t.tf * (1.2 + 1.0)
+                               / (t.tf + 1.2 * (1.0 - 0.75
+                                   + 0.75 * t.dl / s.avgdl))
+                           ), 6) AS score
+                    FROM (
+                        SELECT doc_id, term, count(*) AS tf, max(dl) AS dl
+                        FROM (
+                            SELECT doc_id, len(ws) AS dl, unnest(ws) AS term
+                            FROM (
+                                SELECT doc_id,
+                                       list_filter(string_split(
+                                           regexp_replace(lower(trim(text)),
+                                               '\s+', ' ', 'g'), ' '),
+                                           x -> len(x) > 0) AS ws
+                                FROM documents
+                            )
+                        )
+                        WHERE term IN ('query', 'spark', 'window')
+                        GROUP BY 1, 2
+                    ) t
+                    JOIN (
+                        SELECT term, count(DISTINCT doc_id) AS dft
+                        FROM (
+                            SELECT DISTINCT doc_id, unnest(
+                                list_filter(string_split(
+                                    regexp_replace(lower(trim(text)),
+                                        '\s+', ' ', 'g'), ' '),
+                                    x -> len(x) > 0)) AS term
+                            FROM documents
+                        )
+                        WHERE term IN ('query', 'spark', 'window')
+                        GROUP BY 1
+                    ) d USING (term)
+                    CROSS JOIN (
+                        SELECT count(*) AS n,
+                               avg(len(list_filter(string_split(
+                                   regexp_replace(lower(trim(text)),
+                                       '\s+', ' ', 'g'), ' '),
+                                   x -> len(x) > 0))) AS avgdl
+                        FROM documents
+                    ) s
+                    GROUP BY 1
+                )
+                ORDER BY score DESC, doc_id
+                LIMIT 10
+            )
         """,
         # LOESS on the uniform time grid: nearest-k window start is
         # clamp(i - k//2, 0, n-k) (verified against the engine's

@@ -1010,3 +1010,69 @@ def add_trigram_logprob(
         )
     )
     return df.join(scored, id_col, "left")
+
+
+def bm25_topk(
+    df: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Okapi BM25 ranked retrieval (Robertson & Zaragoza 2009) over the
+    corpus, Lucene idf convention: idf = ln((N - df + 0.5)/(df + 0.5)
+    + 1); score = Σ_t idf·tf·(k1+1)/(tf + k1·(1 - b + b·dl/avgdl)).
+    Returns the top-k (id, bm25) by score DESC, id ASC.
+
+    Scale shape: per-doc length projects BEFORE the explode and the
+    exploded stream filters to the query vocabulary IMMEDIATELY, so
+    the only shuffle carries (id, term, dl) rows for docs that match
+    ≥1 query term; corpus stats (N, avgdl) are a one-row aggregate of
+    the column-pruned lengths frame, broadcast-cross-joined; df_t is a
+    query-vocab-sized broadcast. Top-k is TakeOrderedAndProject."""
+    terms = sorted({t for t in query_terms})
+    if not terms:
+        raise ValueError("query_terms must be non-empty")
+    base = df.select(
+        F.col(id_col), split_words(_norm(F.col(text_col))).alias("_ws")
+    )
+    stats = base.groupBy().agg(
+        F.count("*").alias("_n"),
+        F.avg(F.size("_ws")).alias("_avgdl"),
+    )
+    hits = (
+        base.select(
+            id_col, F.size("_ws").alias("_dl"), F.explode("_ws").alias("term")
+        )
+        .filter(F.col("term").isin(terms))
+    )
+    tf = hits.groupBy(id_col, "term").agg(
+        F.count("*").alias("_tf"), F.first("_dl").alias("_dl")
+    )
+    dfreq = tf.groupBy("term").agg(F.countDistinct(id_col).alias("_dft"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "_idf",
+            F.log(
+                (F.col("_n") - F.col("_dft") + 0.5) / (F.col("_dft") + 0.5)
+                + 1.0
+            ),
+        )
+        .withColumn(
+            "_s",
+            F.col("_idf")
+            * F.col("_tf")
+            * (k1 + 1.0)
+            / (
+                F.col("_tf")
+                + k1 * (1.0 - b + b * F.col("_dl") / F.col("_avgdl"))
+            ),
+        )
+        .groupBy(id_col)
+        .agg(F.round(F.sum("_s"), 6).alias("bm25"))
+    )
+    return scored.orderBy(F.desc("bm25"), id_col).limit(k)
