@@ -1244,9 +1244,17 @@ def q_docs_sample(spark, sf_dir):
       * pack    — greedy sequence packing into ≤2048-char bins in
                   md5-bucket stream order (source=bucket:bin; each
                   bucket packs in one applyInPandas task, replayed in
-                  SQL as a per-bucket recursive CTE).
+                  SQL as a per-bucket recursive CTE);
+      * split   — deterministic 80/10/10 train/val/test hash split
+                  (source=split name; scan-side, leak-proof);
+      * mix     — DoReMi-style source-mixture budgets (src0/1/2 at
+                  50/30/20% of a 30k-char budget; per-source
+                  md5-ordered prefix);
+      * chunk   — fixed 40-token windows with 8-token overlap
+                  (source=idx:md5(chunk) so chunk CONTENT is
+                  certified, not just counts).
 
-    All five are pure functions of the data, so the whole family
+    All eight are pure functions of the data, so the whole family
     replays in SQL and hash-matches."""
     from scalecast_spark.datapipe.cluster import balance_by_cluster
     from scalecast_spark.datapipe.sample import (
@@ -1286,11 +1294,48 @@ def q_docs_sample(spark, sf_dir):
         F.col("doc_id").cast("long").alias("doc_id"),
         F.concat_ws(":", F.col("bucket"), F.col("bin")).alias("source"),
     )
+    # round-4 members: deterministic train/val/test split, DoReMi-style
+    # source-mixture budgets, and fixed-window document chunking
+    from scalecast_spark.datapipe.sample import hash_split, mix_sources
+    from scalecast_spark.datapipe.text import chunk_documents
+
+    split = hash_split(
+        docs, {"train": 0.8, "val": 0.1, "test": 0.1}, "doc_id"
+    ).select(
+        F.lit("split").alias("member"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("split").alias("source"),
+    )
+    mix = mix_sources(
+        docs.select("doc_id", "source", "n_chars"),
+        {"src0": 0.5, "src1": 0.3, "src2": 0.2},
+        30000.0,
+        "n_chars",
+        "doc_id",
+    ).select(
+        F.lit("mix").alias("member"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "source",
+    )
+    chunk = chunk_documents(
+        docs.select("doc_id", "text"), max_tokens=40, overlap=8
+    ).select(
+        F.lit("chunk").alias("member"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.concat(
+            F.col("chunk_idx").cast("string"),
+            F.lit(":"),
+            F.substring(F.md5("chunk_text"), 1, 8),
+        ).alias("source"),
+    )
     return (
         strat.unionByName(srccap)
         .unionByName(budget)
         .unionByName(bal)
         .unionByName(pack)
+        .unionByName(split)
+        .unionByName(mix)
+        .unionByName(chunk)
     )
 
 
@@ -3541,6 +3586,53 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'pack' AS member, doc_id,
                    b::VARCHAR || ':' || bin::VARCHAR AS source
             FROM packed
+        )
+        UNION ALL
+        SELECT 'split' AS member, doc_id,
+               CASE WHEN u < 0.8 THEN 'train'
+                    WHEN u < 0.9 THEN 'val'
+                    ELSE 'test' END AS source
+        FROM (
+            SELECT doc_id,
+                   ('0x' || substr(md5(doc_id::VARCHAR || ':split'), 1, 8))
+                       ::BIGINT / 4294967296.0 AS u
+            FROM documents
+        )
+        UNION ALL
+        SELECT 'mix' AS member, doc_id, source FROM (
+            SELECT doc_id, source,
+                   sum(n_chars) OVER (
+                       PARTITION BY source
+                       ORDER BY h, doc_id ROWS UNBOUNDED PRECEDING) AS cum,
+                   CASE source WHEN 'src0' THEN 0.5 * 30000.0
+                               WHEN 'src1' THEN 0.3 * 30000.0
+                               WHEN 'src2' THEN 0.2 * 30000.0 END AS allow
+            FROM (
+                SELECT doc_id, source, n_chars,
+                       md5(doc_id::VARCHAR || ':mix') AS h
+                FROM documents
+                WHERE source IN ('src0', 'src1', 'src2')
+            )
+        ) WHERE cum <= allow
+        UNION ALL
+        SELECT 'chunk' AS member, doc_id,
+               chunk_idx::VARCHAR || ':' || substr(md5(chunk_text), 1, 8)
+                   AS source
+        FROM (
+            SELECT doc_id, (s // 32)::INT AS chunk_idx,
+                   array_to_string(ws[s + 1 : s + 40], ' ') AS chunk_text
+            FROM (
+                SELECT doc_id, ws, unnest(range(0, len(ws), 32)) AS s
+                FROM (
+                    SELECT doc_id,
+                           list_filter(string_split(regexp_replace(
+                               lower(trim(text)), '\\s+', ' ', 'g'), ' '),
+                               x -> len(x) > 0) AS ws
+                    FROM documents
+                )
+                WHERE len(ws) > 0
+            )
+            WHERE s = 0 OR s + 8 < len(ws)
         )
     """
 

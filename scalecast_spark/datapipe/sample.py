@@ -200,3 +200,73 @@ def pack_sequences(
     return src.groupBy("_b").applyInPandas(
         lambda _key, pdf: pack_one(pdf), out_schema
     )
+
+
+def hash_split(
+    df: DataFrame,
+    fracs: dict[str, float],
+    key_col: str,
+    salt: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test split: each row's md5(key:salt)
+    draw lands in one of the cumulative ``fracs`` intervals (insertion
+    order; fractions must sum to ≤1, remainder → last split). Adds a
+    ``split`` column. Pure scan-side projection — the SAME rows land
+    in the same split on every engine, cluster, and run, and a row can
+    never appear in two splits (the leakage failure mode of
+    engine-RNG splits)."""
+    total = sum(fracs.values())
+    if not fracs or total > 1.0 + 1e-9:
+        raise ValueError(f"fracs must be non-empty and sum to <=1, got {fracs}")
+    u = _bucket(F.col(key_col), salt)
+    names = list(fracs)
+    expr = F.lit(names[-1])
+    acc = 0.0
+    bounds = []
+    for name in names[:-1]:
+        acc += fracs[name]
+        bounds.append((name, acc))
+    for name, hi in reversed(bounds):
+        expr = F.when(u < hi, F.lit(name)).otherwise(expr)
+    return df.withColumn("split", expr)
+
+
+def mix_sources(
+    df: DataFrame,
+    weights: dict[str, float],
+    budget: float,
+    weight_col: str,
+    key_col: str,
+    group_col: str = "source",
+    salt: str = "mix",
+) -> DataFrame:
+    """Source-mixture sampling (the DoReMi/Pile-style static mixture):
+    give each group ``weights[g] · budget`` of the ``weight_col``
+    budget (tokens/chars) and keep each group's maximal md5-ordered
+    prefix within its allowance. Groups absent from ``weights`` are
+    dropped; an over-allocated group simply keeps everything it has.
+
+    Shape: ONE cumulative-sum window partitioned by group (shuffle by
+    group + in-group sort) — no global sort. With very few giant
+    groups the per-group sort dominates; the two-phase bucketed trick
+    in sample_to_token_budget applies per (group, bucket) if that ever
+    binds. Deterministic end-to-end (md5 order), so the mixture is
+    reproducible and SQL-restatable."""
+    if not weights:
+        raise ValueError("weights must be non-empty")
+    items = sorted(weights.items())
+    alloc = F.create_map(
+        *[F.lit(x) for kv in items for x in (kv[0], float(kv[1]) * budget)]
+    )
+    h = F.md5(F.concat(F.col(key_col).cast("string"), F.lit(":" + salt)))
+    cum = Window.partitionBy(group_col).orderBy("_h", F.col(key_col)).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        df.filter(F.col(group_col).isin([k for k, _ in items]))
+        .withColumn("_h", h)
+        .withColumn("_allow", alloc[F.col(group_col)])
+        .withColumn("_cum", F.sum(weight_col).over(cum))
+        .filter(F.col("_cum") <= F.col("_allow"))
+        .drop("_h", "_allow", "_cum")
+    )

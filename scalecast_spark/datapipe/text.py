@@ -1076,3 +1076,60 @@ def bm25_topk(
         .agg(F.round(F.sum("_s"), 6).alias("bm25"))
     )
     return scored.orderBy(F.desc("bm25"), id_col).limit(k)
+
+
+def chunk_documents(
+    df: DataFrame,
+    max_tokens: int = 512,
+    overlap: int = 0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split documents into fixed-size token windows for training-
+    sequence construction: chunk i covers words
+    [i·stride, i·stride + max_tokens) of the whitespace-normalized
+    token stream, stride = max_tokens − overlap. Emits one row per
+    chunk: (all input columns minus the text, ``chunk_idx`` 0-based,
+    ``chunk_text``, ``chunk_tokens``). Empty docs yield no rows; the
+    final chunk may be short but is never empty; a chunk fully
+    contained in the previous one (tail < stride) is not emitted.
+
+    Pure JVM column math — words materialize once, chunk starts come
+    from ``sequence()``, each chunk is an array_join of a slice; the
+    explode multiplies rows by ~n_tokens/stride with no shuffle."""
+    if max_tokens <= 0 or not 0 <= overlap < max_tokens:
+        raise ValueError(
+            f"need max_tokens>0 and 0<=overlap<max_tokens, got {max_tokens}, {overlap}"
+        )
+    stride = max_tokens - overlap
+
+    def fresh(name: str) -> str:
+        while name in df.columns:
+            name = "_" + name
+        return name
+
+    c_ws = fresh("_chunk_ws")
+    out = df.withColumn(c_ws, split_words(_norm(F.col(text_col))))
+    n = F.size(F.col(c_ws))
+    # a start s is redundant iff s>0 and the previous chunk already
+    # covers through the end of the doc (n <= s-stride+max_tokens,
+    # i.e. s+overlap >= n) — emit s iff s==0 or s+overlap < n
+    starts = F.filter(
+        F.when(
+            n > 0,
+            F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(stride)),
+        ).otherwise(F.array().cast("array<int>")),
+        lambda s: (s == 0) | (s + overlap < n),
+    )
+    out = out.select(
+        *[col for col in df.columns if col != text_col],
+        F.col(c_ws),
+        F.explode(starts).alias("_start"),
+    )
+    chunk = F.slice(F.col(c_ws), F.col("_start") + 1, max_tokens)
+    return (
+        out.withColumn("chunk_idx", (F.col("_start") / stride).cast("int"))
+        .withColumn("chunk_text", F.array_join(chunk, " "))
+        .withColumn("chunk_tokens", F.least(n - F.col("_start"), F.lit(max_tokens)).cast("long"))
+        .drop(c_ws, "_start")
+    )
