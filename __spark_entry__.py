@@ -1562,7 +1562,14 @@ def q_ts_detrend_family(spark, sf_dir):
 
 
 def q_ts_decompose_stl(spark, sf_dir):
-    """Classic MA decomposition ⋈ STL (both trend/seasonal/resid)."""
+    """Classic MA decomposition ⋈ STL (both trend/seasonal/resid),
+    plus STL-residual anomaly detection (round 4:
+    functions/stattests.anomalies_from_residuals — Iglewicz-Hoaglin
+    modified z-score on the rounded STL remainder, |z|>3.5). Stats run
+    on the ROUNDED resid so the oracle's quantile_cont replays the
+    identical inputs."""
+    from scalecast_spark.functions.stattests import anomalies_from_residuals
+
     a = q_ts_decompose(spark, sf_dir).select(
         "series_id", "ds", "y",
         F.col("trend").alias("ma_trend"),
@@ -1575,7 +1582,10 @@ def q_ts_decompose_stl(spark, sf_dir):
         F.col("seasonal").alias("stl_seasonal"),
         F.col("resid").alias("stl_resid"),
     )
-    return a.join(b, ["series_id", "ds"])
+    return anomalies_from_residuals(
+        a.join(b, ["series_id", "ds"]), "stl_resid", "series_id",
+        scale_col="y",
+    )
 
 
 def q_ts_stat_tests(spark, sf_dir):
@@ -3277,12 +3287,38 @@ def oracle_sql() -> dict[str, str]:
           ON a.series_id = c.series_id AND a.ds = c.ds
     """
     o["ts_decompose_stl"] = f"""
-        SELECT a.series_id, a.ds, a.y, a.trend AS ma_trend,
-               a.seasonal AS ma_seasonal, a.resid AS ma_resid,
-               b.trend AS stl_trend, b.seasonal AS stl_seasonal,
-               b.resid AS stl_resid
-        FROM ({o["ts_decompose"]}) a
-        JOIN ({o["ts_stl"]}) b ON a.series_id = b.series_id AND a.ds = b.ds
+        WITH j AS (
+            SELECT a.series_id, a.ds, a.y, a.trend AS ma_trend,
+                   a.seasonal AS ma_seasonal, a.resid AS ma_resid,
+                   b.trend AS stl_trend, b.seasonal AS stl_seasonal,
+                   b.resid AS stl_resid
+            FROM ({o["ts_decompose"]}) a
+            JOIN ({o["ts_stl"]}) b
+              ON a.series_id = b.series_id AND a.ds = b.ds
+        ),
+        med AS (
+            SELECT series_id, quantile_cont(stl_resid, 0.5) AS med,
+                   quantile_cont(abs(y), 0.5) AS lvl
+            FROM j GROUP BY 1
+        ),
+        cen AS (
+            SELECT j.*, med.med, med.lvl FROM j JOIN med USING (series_id)
+        ),
+        mad AS (
+            SELECT series_id,
+                   quantile_cont(abs(stl_resid - med), 0.5) AS mad
+            FROM cen GROUP BY 1
+        )
+        SELECT cen.series_id, cen.ds, cen.y, cen.ma_trend,
+               cen.ma_seasonal, cen.ma_resid, cen.stl_trend,
+               cen.stl_seasonal, cen.stl_resid,
+               round(0.6745 * (cen.stl_resid - cen.med)
+                     / nullif(greatest(mad.mad, 0.001 * cen.lvl), 0), 6)
+                   AS mod_z,
+               coalesce(abs(round(0.6745 * (cen.stl_resid - cen.med)
+                     / nullif(greatest(mad.mad, 0.001 * cen.lvl), 0), 6))
+                   > 3.5, false) AS is_anomaly
+        FROM cen JOIN mad USING (series_id)
     """
     o["ts_stat_tests"] = f"""
         SELECT a.series_id, a.k2, a.pvalue, a.looks_normal,

@@ -277,3 +277,71 @@ def stl_decompose(
         )
 
     return df.select(SERIES, DS, Y).groupBy(SERIES).applyInPandas(run, schema)
+
+
+def anomalies_from_residuals(
+    df: DataFrame,
+    resid_col: str = "resid",
+    series_col: str = "series_id",
+    z_thresh: float = 3.5,
+    scale_col: str | None = None,
+    floor_frac: float = 0.001,
+) -> DataFrame:
+    """Robust anomaly flags from any residual column (typically the
+    STL remainder — the classic decompose-and-threshold detector):
+    per-series modified z-score 0.6745·(r − median)/MAD
+    (Iglewicz-Hoaglin), anomaly iff |z| > ``z_thresh`` (3.5 is their
+    recommended cut). Exact interpolated percentiles (same convention
+    the RobustScale transform hash-matches with); zero scale (constant
+    residuals) yields NULL z and ``is_anomaly`` false.
+
+    ``scale_col`` (e.g. the original ``y``) enables a scale FLOOR:
+    scale = max(MAD, floor_frac·median(|scale_col|)). Without it, a
+    near-perfect fit has MAD ≈ 0 and the z-score flags sub-0.1%%
+    interpolation wiggle as anomalous (measured: 17/60 false flags on
+    a clean synthetic series); with the floor, a residual must ALSO
+    clear ``floor_frac`` of the signal level to count.
+
+    Shape: two series-keyed aggregates (median+signal level, then MAD
+    of the centered values) broadcast back — the per-series frames are
+    n_series rows, so the joins stay broadcast at any length."""
+    aggs = [F.expr(f"percentile({resid_col}, 0.5)").alias("_med")]
+    if scale_col is not None:
+        aggs.append(
+            F.expr(f"percentile(abs({scale_col}), 0.5)").alias("_lvl")
+        )
+    med = df.groupBy(series_col).agg(*aggs)
+    centered = df.join(F.broadcast(med), series_col)
+    mad = centered.groupBy(series_col).agg(
+        F.expr(f"percentile(abs({resid_col} - _med), 0.5)").alias("_mad")
+    )
+    out = centered.join(F.broadcast(mad), series_col)
+    scale = F.col("_mad")
+    drop = ["_med", "_mad"]
+    if scale_col is not None:
+        scale = F.greatest(scale, F.lit(floor_frac) * F.col("_lvl"))
+        drop.append("_lvl")
+    z = F.round(
+        F.try_divide(
+            F.lit(0.6745) * (F.col(resid_col) - F.col("_med")),
+            F.nullif(scale, F.lit(0.0)),
+        ),
+        6,
+    )
+    return (
+        out.withColumn("mod_z", z)
+        .withColumn(
+            "is_anomaly",
+            F.coalesce(F.abs(F.col("mod_z")) > z_thresh, F.lit(False)),
+        )
+        .drop(*drop)
+    )
+
+
+def detect_anomalies(df: DataFrame, m: int = 7, z_thresh: float = 3.5) -> DataFrame:
+    """STL-residual anomaly detection: stl_decompose → modified
+    z-score threshold on the remainder, scale-floored at 0.1% of the
+    series level. Returns the decomposition plus (mod_z, is_anomaly)."""
+    return anomalies_from_residuals(
+        stl_decompose(df, m=m), "resid", "series_id", z_thresh, scale_col="y"
+    )

@@ -1,0 +1,72 @@
+"""STL-residual anomaly detection (functions/stattests)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from scalecast_spark.functions.stattests import (
+    anomalies_from_residuals,
+    detect_anomalies,
+)
+
+
+def test_modified_zscore_flags_planted_outlier(spark):
+    # residuals ~0 except one huge spike
+    rows = [("a", i, 0.1 * ((-1) ** i)) for i in range(20)]
+    rows[7] = ("a", 7, 25.0)
+    df = spark.createDataFrame(rows, ["series_id", "ds", "resid"])
+    out = anomalies_from_residuals(df)
+    flagged = [r["ds"] for r in out.filter("is_anomaly").collect()]
+    assert flagged == [7]
+    # z-scores defined for every row
+    assert out.filter(F.col("mod_z").isNull()).count() == 0
+
+
+def test_constant_residuals_no_flags(spark):
+    df = spark.createDataFrame(
+        [("a", i, 1.0) for i in range(10)], ["series_id", "ds", "resid"]
+    )
+    out = anomalies_from_residuals(df)
+    assert out.filter("is_anomaly").count() == 0  # MAD=0 -> NULL z -> false
+
+
+def test_per_series_independence(spark):
+    rows = [("quiet", i, 0.01 * ((-1) ** i)) for i in range(15)]
+    # noisy series whose 5.0 values are NOT anomalous for it
+    rows += [("noisy", i, 5.0 * ((-1) ** i)) for i in range(15)]
+    rows += [("quiet", 99, 1.0)]  # tiny in 'noisy' scale, huge for 'quiet'
+    df = spark.createDataFrame(rows, ["series_id", "ds", "resid"])
+    out = anomalies_from_residuals(df)
+    flags = {(r["series_id"], r["ds"]) for r in out.filter("is_anomaly").collect()}
+    assert ("quiet", 99) in flags
+    assert not [f for f in flags if f[0] == "noisy"]
+
+
+def test_detect_anomalies_end_to_end(spark):
+    import math
+
+    rows = []
+    for i in range(60):
+        y = 10 + 3 * math.sin(2 * math.pi * i / 7) + 0.05 * i
+        rows.append(("s", f"2024-01-{i+1:02d}" if i < 31 else None, i, y))
+    df = spark.createDataFrame(
+        [("s", i, y) for _, _, i, y in rows], ["series_id", "ds", "y"]
+    ).withColumn("ds", F.date_add(F.lit("2024-01-01").cast("date"), F.col("ds").cast("int")))
+    spiked = df.withColumn(
+        "y", F.when(F.col("ds") == F.lit("2024-02-10").cast("date"), 60.0).otherwise(F.col("y"))
+    )
+    out = detect_anomalies(spiked, m=7)
+    flagged = [str(r["ds"]) for r in out.filter("is_anomaly").collect()]
+    assert "2024-02-10" in flagged
+    # the spike has the dominant score (non-robust STL leaks some of a
+    # lone spike into neighboring residuals, so a few echoes may flag)
+    top = out.orderBy(F.abs(F.col("mod_z")).desc()).first()
+    assert str(top["ds"]) == "2024-02-10"
+    # the clean series flags nothing AWAY FROM THE EDGES: LOESS
+    # boundary bias inflates the first/last ~cycle of residuals on a
+    # trending series (known non-robust-STL artifact), so judge the
+    # interior window only
+    clean = detect_anomalies(df, m=7).filter(
+        (F.col("ds") >= F.lit("2024-01-10").cast("date"))
+        & (F.col("ds") <= F.lit("2024-02-20").cast("date"))
+    )
+    assert clean.filter("is_anomaly").count() == 0

@@ -94,6 +94,26 @@ def selection_pipeline(docs):
     )
 
 
+def signals_pipeline(docs):
+    """Round-4 text additions: the Gopher char-fraction Arrow kernel +
+    C4 structure signals + fixed-window chunking + a BM25 query — all
+    per-row / query-vocab-bounded, so wall time should track corpus
+    size ~linearly."""
+    from scalecast_spark.datapipe.text import (
+        add_c4_signals,
+        add_gopher_signals_fast,
+        bm25_topk,
+        chunk_documents,
+    )
+
+    sig = add_c4_signals(add_gopher_signals_fast(docs)).select("doc_id")
+    chunks = chunk_documents(
+        docs.select("doc_id", "text"), max_tokens=40, overlap=8
+    ).select("doc_id")
+    top = bm25_topk(docs, ["query", "spark", "window"], k=10).select("doc_id")
+    return sig.unionByName(chunks).unionByName(top)
+
+
 def main():
     import shutil
 
@@ -111,9 +131,10 @@ def main():
     try:
         for name, fn in [("dedup", dedup_pipeline),
                          ("curation", curation_pipeline),
-                         ("selection", selection_pipeline)]:
+                         ("selection", selection_pipeline),
+                         ("signals", signals_pipeline)]:
             for axis, mutate in [("mutate", True), ("exact", False)]:
-                if name in ("curation", "selection") and axis == "exact":
+                if name in ("curation", "selection", "signals") and axis == "exact":
                     continue  # per-row/bucketed; dup rate is irrelevant
                 if name == "dedup" and axis == "exact":
                     factors = (1, 4)  # 16x exact = 600k-pair clique graph
