@@ -780,7 +780,9 @@ def curate_corpus(
     frame in append mode (a crawl firehose can be curated on ingest —
     batch-parity is asserted in tests/test_streaming.py).
     Decontamination aggregates per doc, so run it as the batch step
-    (or a stream-static join in update mode) downstream.
+    (or a stream-static join — contamination_hits accepts a streaming
+    corpus against the static benchmark directly; complete-mode parity
+    is asserted in tests/test_streaming.py) downstream.
     """
     out = add_quality_score(add_token_count(df, text_col), text_col)
     out = add_repetition_signals(out, text_col, id_col)

@@ -210,3 +210,43 @@ def test_ewma_stream_stateful_parity(spark, sf_dir):
         g = got[got["series_id"] == sid]["ewma"].to_numpy()
         assert len(g) == len(want)
         assert max(abs(g - want)) < 1e-9
+
+
+def test_decontamination_stream_static_join(spark, sf_dir):
+    """Benchmark decontamination on a LIVE stream: the corpus arrives
+    as a readStream, the (static) benchmark n-gram hash set joins in
+    as a broadcast stream-static join, and the per-doc hit counts
+    aggregate in complete mode — the downstream batch-step posture the
+    curate_corpus docstring describes, exercised end-to-end."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from scalecast_spark.datapipe.text import contamination_hits
+    from scalecast_spark.sources import load_table
+    from scalecast_spark.streaming import run_available_now, stream_documents
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 20 == 0)
+    want = (
+        contamination_hits(docs, bench, n=8)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    stream = contamination_hits(
+        stream_documents(spark, f"{sf_dir}/documents.parquet"), bench, n=8
+    )
+    assert stream.isStreaming
+    with tempfile.TemporaryDirectory() as ckpt:
+        got = (
+            run_available_now(
+                stream, "q_contam_stream", ckpt, output_mode="complete"
+            )
+            .toPandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+    assert len(got) == len(want) > 0
+    assert (got["doc_id"].values == want["doc_id"].values).all()
+    assert (got["n_contam"].values == want["n_contam"].values).all()
