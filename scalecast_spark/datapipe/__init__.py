@@ -12,6 +12,7 @@ from scalecast_spark.datapipe import (  # noqa: F401
     cluster,
     dedup,
     multimodal,
+    quality_model,
     sample,
     similarity,
     text,

@@ -1,0 +1,224 @@
+"""Trainable document-quality classifier — the modern curation step
+(FineWeb-Edu / DCLM-style): label a small seed set, train a cheap
+linear model on hashed n-gram features, score the whole corpus at
+scan speed.
+
+Feature space: the fastText/Vowpal hashing trick — tokens (and
+optionally word bigrams) hash into ``n_features`` buckets with
+xxhash64, values are L1-normalized counts. No vocabulary is ever
+built or shipped: the feature map is a pure function of the text, so
+scoring is a scan-side projection on any engine.
+
+Two trainers:
+  * ``backend='gd'`` (default) — full-batch logistic regression by
+    distributed gradient descent. The DRIVER holds only the
+    (n_features+1) weight vector; each iteration is ONE scan that
+    computes per-feature gradient sums via explode → groupBy(idx) —
+    shuffle and driver state bounded by n_features, never by corpus
+    size (the same partial-aggregate shape as the k-means mean
+    update). Deterministic: no RNG, fixed iteration count, zero init.
+  * ``backend='mllib'`` — Spark MLlib LogisticRegression on the same
+    hashed features (production option: L-BFGS, regularization).
+
+Reference: scalecast has no analogue; this is LLM-curation depth.
+Public method references: Weinberger et al. 2009 (feature hashing),
+Joulin et al. 2016 (fastText).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from scalecast_spark.datapipe.text import _norm, ngram_chain, split_words
+
+
+def _feature_pairs(text_col: Column, n_features: int, bigrams: bool) -> Column:
+    """array<struct<idx int, val double>> of L1-normalized hashed
+    token (+ bigram) counts. Built once per row in its own projection
+    by callers (HOF output referenced repeatedly)."""
+    words = split_words(_norm(text_col))
+    toks = (
+        F.concat(words, ngram_chain(words, 2)) if bigrams else words
+    )
+    idxs = F.transform(
+        toks, lambda t: F.pmod(F.xxhash64(t), F.lit(n_features)).cast("int")
+    )
+    # count occurrences per bucket via sorted run-length fold, emit
+    # (idx, count/total) pairs — the array is tiny (≤ tokens/doc)
+    sorted_idx = F.array_sort(idxs)
+    n = F.size(sorted_idx)
+    acc0 = F.struct(
+        F.lit(-1).alias("prev"),
+        F.lit(0).alias("run"),
+        F.array().cast("array<struct<idx:int,val:double>>").alias("out"),
+    )
+
+    def step(acc, x):
+        closing = F.when(
+            (x != acc["prev"]) & (acc["run"] > 0),
+            F.array(
+                F.struct(
+                    acc["prev"].alias("idx"),
+                    (acc["run"] / n.cast("double")).alias("val"),
+                )
+            ),
+        ).otherwise(F.array().cast("array<struct<idx:int,val:double>>"))
+        run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            F.concat(acc["out"], closing).alias("out"),
+        )
+
+    def fin(acc):
+        return F.when(
+            acc["run"] > 0,
+            F.concat(
+                acc["out"],
+                F.array(
+                    F.struct(
+                        acc["prev"].alias("idx"),
+                        (acc["run"] / n.cast("double")).alias("val"),
+                    )
+                ),
+            ),
+        ).otherwise(acc["out"])
+
+    return F.aggregate(sorted_idx, acc0, step, fin)
+
+
+def hash_features(
+    df: DataFrame,
+    n_features: int = 1024,
+    text_col: str = "text",
+    bigrams: bool = True,
+) -> DataFrame:
+    """Adds ``features``: array<struct<idx,val>> hashed-n-gram vector
+    (sparse, L1-normalized). Pure scan-side projection."""
+    return df.withColumn(
+        "features", _feature_pairs(F.col(text_col), n_features, bigrams)
+    )
+
+
+def _dot_w(features: Column, w_lit: Column) -> Column:
+    """w·x + b for one row: fold over the sparse pairs against the
+    broadcast literal weight array (last slot = bias)."""
+    return F.aggregate(
+        features,
+        F.element_at(w_lit, -1),  # bias
+        lambda acc, p: acc + F.element_at(w_lit, p["idx"] + 1) * p["val"],
+    )
+
+
+def train_quality_classifier(
+    df: DataFrame,
+    label_col: str,
+    n_features: int = 1024,
+    text_col: str = "text",
+    bigrams: bool = True,
+    n_iter: int = 30,
+    lr: float = 2.0,
+    reg: float = 1e-4,
+    backend: str = "gd",
+) -> list[float]:
+    """Train logistic regression on hashed features; returns the
+    weight vector (length n_features+1, last = bias) for
+    :func:`score_quality`.
+
+    'gd': full-batch gradient descent, ``n_iter`` scans; per-scan the
+    per-feature gradient Σ (σ(w·x)−y)·x_j aggregates via explode →
+    groupBy(idx) with map-side combine — ≤ n_features+1 rows ever
+    reach the driver. 'mllib': pyspark.ml LogisticRegression on the
+    same features (sparse vectors)."""
+    import math
+
+    if backend == "mllib":
+        return _train_mllib(df, label_col, n_features, text_col, bigrams, reg)
+    if backend != "gd":
+        raise ValueError(f"backend must be gd|mllib, got {backend!r}")
+    feats = hash_features(df, n_features, text_col, bigrams).select(
+        F.col(label_col).cast("double").alias("_y"), "features"
+    )
+    feats = feats.localCheckpoint(eager=False)
+    n = feats.count()
+    w = [0.0] * (n_features + 1)
+    from scalecast_spark.datapipe.similarity import _lit_vec
+
+    for _ in range(n_iter):
+        w_lit = _lit_vec(w)
+        err = (F.lit(1.0) / (F.lit(1.0) + F.exp(-_dot_w(F.col("features"), w_lit)))) - F.col("_y")
+        g = (
+            feats.withColumn("_e", err)
+            .select(
+                "_e",
+                F.explode(
+                    F.concat(
+                        F.col("features"),
+                        F.array(
+                            F.struct(
+                                F.lit(n_features).alias("idx"),
+                                F.lit(1.0).alias("val"),
+                            )
+                        ),
+                    )
+                ).alias("p"),
+            )
+            .groupBy(F.col("p.idx").alias("_i"))
+            .agg(F.sum(F.col("_e") * F.col("p.val")).alias("_g"))
+            .collect()
+        )
+        grad = {r["_i"]: r["_g"] for r in g}
+        w = [
+            wi - lr * (grad.get(i, 0.0) / n + reg * wi)
+            for i, wi in enumerate(w)
+        ]
+    return w
+
+
+def _train_mllib(df, label_col, n_features, text_col, bigrams, reg):
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.functions import array_to_vector
+
+    feats = hash_features(df, n_features, text_col, bigrams)
+    dense = F.transform(
+        F.sequence(F.lit(0), F.lit(n_features - 1)),
+        lambda i: F.coalesce(
+            F.element_at(
+                F.map_from_entries(F.col("features")), i.cast("int")
+            ),
+            F.lit(0.0),
+        ),
+    )
+    train = feats.select(
+        F.col(label_col).cast("double").alias("label"),
+        array_to_vector(dense).alias("features"),
+    )
+    model = LogisticRegression(regParam=reg, standardization=False).fit(train)
+    return [float(x) for x in model.coefficients] + [float(model.intercept)]
+
+
+def score_quality(
+    df: DataFrame,
+    weights: list[float],
+    n_features: int | None = None,
+    text_col: str = "text",
+    bigrams: bool = True,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Score every document with a trained classifier: adds
+    ``q_model_score`` = σ(w·x) and ``q_model_keep``. Scan-side only —
+    the weight vector enters as one literal array (no join, no
+    shuffle), so this runs at full scan speed on any corpus."""
+    from scalecast_spark.datapipe.similarity import _lit_vec
+
+    nf = (len(weights) - 1) if n_features is None else n_features
+    pairs = _feature_pairs(F.col(text_col), nf, bigrams)
+    out = df.withColumn("_fp", pairs)
+    score = F.lit(1.0) / (
+        F.lit(1.0) + F.exp(-_dot_w(F.col("_fp"), _lit_vec(weights)))
+    )
+    return (
+        out.withColumn("q_model_score", F.round(score, 6))
+        .withColumn("q_model_keep", F.col("q_model_score") >= threshold)
+        .drop("_fp")
+    )
