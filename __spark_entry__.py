@@ -1589,10 +1589,20 @@ def q_ts_decompose_stl(spark, sf_dir):
 
 
 def q_ts_stat_tests(spark, sf_dir):
-    """Normality (D'Agostino-Pearson) ⋈ ADF unit-root per series."""
+    """Normality (D'Agostino-Pearson) ⋈ ADF unit-root ⋈ AMOC
+    mean-shift changepoint (round 4:
+    functions/stattests.detect_changepoint — prefix-sum split costs,
+    argmin via one window; fully declarative and SQL-replayed) per
+    series."""
+    from scalecast_spark.functions.stattests import detect_changepoint
+
     a = q_ts_normality(spark, sf_dir)
     b = q_ts_adf(spark, sf_dir)
-    return a.join(b, ["series_id"])
+    c = detect_changepoint(_series(spark, sf_dir)).select(
+        "series_id", "cp_index", "cp_ds", "cp_gain",
+        "mean_left", "mean_right",
+    )
+    return a.join(b, ["series_id"]).join(c, ["series_id"])
 
 
 def q_mv_corr(spark, sf_dir):
@@ -1705,17 +1715,41 @@ def q_text_c4(spark, sf_dir):
 def q_text_analysis(spark, sf_dir):
     """Token count + quality score + lang-ID + fingerprint +
     exact-substring duplication + trigram-LM + C4/Gopher structure
-    signals per doc."""
-    a = q_text_quality(spark, sf_dir)
-    b = q_text_lang_id(spark, sf_dir).select("doc_id", "lang_pred", "is_correct")
-    c = q_text_fingerprint(spark, sf_dir).select("doc_id", "fingerprint")
+    signals per doc.
+
+    Physical shape: the four PER-ROW members (quality, lang-ID,
+    fingerprint, C4) compose as chained projections over ONE corpus
+    scan — identical values to the standalone member queries (each
+    member is an add_* projection; composition changes no arithmetic)
+    but 3 fewer scans and 3 fewer joins than joining member frames.
+    Only the two aggregating members (exact-substring spans,
+    trigram-LM) still join in."""
+    from scalecast_spark.datapipe.text import (
+        add_c4_signals,
+        add_fingerprint,
+        add_lang_id,
+        add_quality_score,
+        add_token_count,
+    )
+
+    docs = _docs(spark, sf_dir)
+    base = add_c4_signals(
+        add_fingerprint(add_lang_id(add_quality_score(add_token_count(docs))))
+    ).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "q_punct_ratio", "q_stopword_ratio", "q_mean_word_len", "q_score",
+        "lang_pred",
+        (F.col("lang_pred") == F.col("lang")).cast("long").alias("is_correct"),
+        "fingerprint",
+        "term_punct_line_frac", "short_line_frac", "bullet_line_frac",
+        "ellipsis_line_frac", "alpha_word_frac", "symbol_word_ratio",
+        "n_sentences", "stop_hits_gopher",
+        "has_lorem_ipsum", "has_curly_brace", "has_js_marker",
+    )
     d = q_text_dup_signals(spark, sf_dir)
     e = q_text_trigram_lm(spark, sf_dir)
-    f = q_text_c4(spark, sf_dir)
-    return (
-        a.join(b, ["doc_id"]).join(c, ["doc_id"])
-        .join(d, ["doc_id"]).join(e, ["doc_id"]).join(f, ["doc_id"])
-    )
+    return base.join(d, ["doc_id"]).join(e, ["doc_id"])
 
 
 def q_sim_topk(spark, sf_dir):
@@ -3321,10 +3355,43 @@ def oracle_sql() -> dict[str, str]:
         FROM cen JOIN mad USING (series_id)
     """
     o["ts_stat_tests"] = f"""
+        WITH {_SQL_SERIES},
+        t AS (
+            SELECT series_id, ds, y,
+                   row_number() OVER w AS rn,
+                   sum(y) OVER (w ROWS UNBOUNDED PRECEDING) AS s1,
+                   sum(y * y) OVER (w ROWS UNBOUNDED PRECEDING) AS s2,
+                   count(*) OVER (PARTITION BY series_id) AS n,
+                   sum(y) OVER (PARTITION BY series_id) AS t1,
+                   sum(y * y) OVER (PARTITION BY series_id) AS t2
+            FROM series
+            WINDOW w AS (PARTITION BY series_id ORDER BY ds)
+        ),
+        cand AS (
+            SELECT series_id, rn, ds,
+                   (s2 - s1 * s1 / rn)
+                   + ((t2 - s2) - (t1 - s1) * (t1 - s1) / (n - rn)) AS cost,
+                   t2 - t1 * t1 / n AS sse_all,
+                   s1 / rn AS ml,
+                   (t1 - s1) / (n - rn) AS mr
+            FROM t
+            WHERE rn >= 5 AND rn <= n - 5
+        ),
+        cp AS (
+            SELECT series_id, rn AS cp_index, ds AS cp_ds,
+                   round(sse_all - cost, 6) AS cp_gain,
+                   round(ml, 6) AS mean_left, round(mr, 6) AS mean_right
+            FROM cand
+            QUALIFY row_number() OVER (
+                PARTITION BY series_id ORDER BY cost ASC, rn ASC) = 1
+        )
         SELECT a.series_id, a.k2, a.pvalue, a.looks_normal,
-               b.adf_stat, b.used_lag, b.stationary_5pct
+               b.adf_stat, b.used_lag, b.stationary_5pct,
+               cp.cp_index::INT AS cp_index, cp.cp_ds, cp.cp_gain,
+               cp.mean_left, cp.mean_right
         FROM ({o["ts_normality"]}) a
         JOIN ({o["ts_adf"]}) b ON a.series_id = b.series_id
+        JOIN cp ON a.series_id = cp.series_id
     """
     o["mv_corr"] = f"""
         SELECT series_a, series_b, 0::BIGINT AS lag, corr

@@ -345,3 +345,69 @@ def detect_anomalies(df: DataFrame, m: int = 7, z_thresh: float = 3.5) -> DataFr
     return anomalies_from_residuals(
         stl_decompose(df, m=m), "resid", "series_id", z_thresh, scale_col="y"
     )
+
+
+def detect_changepoint(
+    df: DataFrame,
+    min_seg: int = 5,
+    series_col: str = "series_id",
+    ds_col: str = "ds",
+    y_col: str = "y",
+) -> DataFrame:
+    """At-most-one-changepoint (AMOC) mean-shift detection per series:
+    for every admissible split k the cost is SSE(left)+SSE(right); the
+    changepoint is the argmin (ties → earliest k) and ``cp_gain`` is
+    the SSE reduction vs the unsplit series (the CUSUM/binary-
+    segmentation building block — Scott & Knott / Killick et al.'s
+    single-split core; iterate on the halves for multiple splits).
+
+    Fully declarative: per-series prefix sums of y and y² via ordered
+    windows turn every split cost into per-row column math, then one
+    row_number picks the argmin — two window passes, no kernels, no
+    driver loops, so it scales to any number of series and replays in
+    SQL. Returns one row per series: (series, cp_index [1-based size
+    of the left segment], cp_ds [last ds of the left segment],
+    cp_gain, mean_left, mean_right); series shorter than 2·min_seg
+    yield no row."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(series_col).orderBy(ds_col)
+    cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    y = F.col(y_col).cast("double")
+    t = (
+        df.select(series_col, ds_col, y.alias("_y"))
+        .withColumn("_rn", F.row_number().over(w))
+        .withColumn("_s1", F.sum("_y").over(cum))
+        .withColumn("_s2", F.sum(F.col("_y") * F.col("_y")).over(cum))
+        .withColumn("_n", F.count("_y").over(full))
+        .withColumn("_t1", F.sum("_y").over(full))
+        .withColumn("_t2", F.sum(F.col("_y") * F.col("_y")).over(full))
+    )
+    k = F.col("_rn").cast("double")
+    n = F.col("_n").cast("double")
+    sse_l = F.col("_s2") - F.col("_s1") * F.col("_s1") / k
+    sse_r = (F.col("_t2") - F.col("_s2")) - (
+        (F.col("_t1") - F.col("_s1")) * (F.col("_t1") - F.col("_s1")) / (n - k)
+    )
+    sse_all = F.col("_t2") - F.col("_t1") * F.col("_t1") / n
+    cand = t.filter(
+        (F.col("_rn") >= min_seg) & (F.col("_rn") <= F.col("_n") - min_seg)
+    ).withColumn("_cost", sse_l + sse_r)
+    pick = Window.partitionBy(series_col).orderBy(
+        F.asc("_cost"), F.asc("_rn")
+    )
+    return (
+        cand.withColumn("_pk", F.row_number().over(pick))
+        .filter(F.col("_pk") == 1)
+        .select(
+            series_col,
+            F.col("_rn").cast("int").alias("cp_index"),
+            F.col(ds_col).alias("cp_ds"),
+            F.round(sse_all - F.col("_cost"), 6).alias("cp_gain"),
+            F.round(F.col("_s1") / k, 6).alias("mean_left"),
+            F.round(
+                (F.col("_t1") - F.col("_s1")) / (n - k), 6
+            ).alias("mean_right"),
+        )
+    )

@@ -70,3 +70,38 @@ def test_detect_anomalies_end_to_end(spark):
         & (F.col("ds") <= F.lit("2024-02-20").cast("date"))
     )
     assert clean.filter("is_anomaly").count() == 0
+
+
+def test_changepoint_finds_planted_shift(spark):
+    from scalecast_spark.functions.stattests import detect_changepoint
+
+    rows = [("s", i, 1.0 + 0.01 * ((-1) ** i)) for i in range(30)]
+    rows += [("s", i, 9.0 + 0.01 * ((-1) ** i)) for i in range(30, 60)]
+    df = spark.createDataFrame(rows, ["series_id", "ds", "y"])
+    cp = detect_changepoint(df).collect()
+    assert len(cp) == 1
+    r = cp[0]
+    assert r["cp_index"] == 30  # left segment = first 30 points
+    assert r["mean_left"] == pytest.approx(1.0, abs=0.02)
+    assert r["mean_right"] == pytest.approx(9.0, abs=0.02)
+    assert r["cp_gain"] > 900  # 60 * (4)^2 -ish variance reduction
+
+
+def test_changepoint_flat_series_gain_near_zero(spark):
+    from scalecast_spark.functions.stattests import detect_changepoint
+
+    df = spark.createDataFrame(
+        [("s", i, 5.0 + 0.1 * ((-1) ** i)) for i in range(40)],
+        ["series_id", "ds", "y"],
+    )
+    r = detect_changepoint(df).collect()[0]
+    assert r["cp_gain"] < 0.2
+
+
+def test_changepoint_short_series_dropped(spark):
+    from scalecast_spark.functions.stattests import detect_changepoint
+
+    df = spark.createDataFrame(
+        [("s", i, float(i)) for i in range(8)], ["series_id", "ds", "y"]
+    )
+    assert detect_changepoint(df, min_seg=5).count() == 0
