@@ -544,3 +544,57 @@ def simhash_near_pairs(sim: DataFrame, max_hamming: int = 3, id_col: str = "doc_
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def hamming_near_pairs(
+    df: DataFrame,
+    hash_col: str,
+    id_col: str = "doc_id",
+    bits: int = 64,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Generalized Hamming-distance candidate pairs over any packed
+    hash column (simhash, pHash, ...): split the ``bits``-bit hash
+    into ``max_hamming + 1`` bands — pigeonhole: two hashes within
+    ``max_hamming`` bits MUST agree exactly on at least one band — so
+    the join is a per-band equi-join on small ints, then an exact
+    bit_count verify. Recall 1.0 within the radius, never an
+    all-pairs product; shuffle carries (id, hash) only."""
+    bands = max_hamming + 1
+    width = -(-bits // bands)  # ceil
+    mask = (1 << width) - 1
+    chunks = [
+        (
+            F.shiftrightunsigned(F.col(hash_col), i * width).bitwiseAND(
+                F.lit(mask)
+            )
+        ).alias(f"_hc{i}")
+        for i in range(bands)
+    ]
+    b = df.select(id_col, hash_col, *chunks)
+    pieces = []
+    for i in range(bands):
+        a_ = b.alias("a")
+        b_ = b.alias("b")
+        pieces.append(
+            a_.join(
+                b_,
+                (F.col(f"a._hc{i}") == F.col(f"b._hc{i}"))
+                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            ).select(
+                F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"),
+                F.col(f"a.{hash_col}").alias("_ha"),
+                F.col(f"b.{hash_col}").alias("_hb"),
+            )
+        )
+    cand = pieces[0]
+    for p in pieces[1:]:
+        cand = cand.unionByName(p)
+    hamming = F.bit_count(F.col("_ha").bitwiseXOR(F.col("_hb")))
+    return (
+        cand.distinct()
+        .withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -313,3 +313,100 @@ def sample_frames(
     payload): keep every n-th frame. Pure filter — prunes before any
     decode, pushed to the scan."""
     return df.filter((F.col(frame_idx_col) % every_n) == 0)
+
+
+def _dct_mat(n: int) -> np.ndarray:
+    """Orthonormal DCT-II matrix (float64): row k, col i =
+    s_k·cos(π(2i+1)k/2n), s_0=√(1/n), s_k=√(2/n). Matrix form keeps
+    the transform deterministic and dependency-free."""
+    k = np.arange(n)[:, None].astype(float)
+    i = np.arange(n)[None, :].astype(float)
+    m = np.sqrt(2.0 / n) * np.cos(np.pi * (2 * i + 1) * k / (2 * n))
+    m[0] *= 1.0 / np.sqrt(2.0)
+    return m
+
+
+def phash_of_image(img: np.ndarray, hash_size: int = 8, img_size: int = 32) -> int:
+    """64-bit perceptual hash of one decoded image (the classic pHash
+    recipe, as popularized by the imagehash library): grayscale →
+    ``img_size``² nearest-neighbor resize → 2D DCT-II → keep the
+    top-left ``hash_size``² low-frequency block → threshold at its
+    median → row-major bit pack (MSB first) into a SIGNED 64-bit int
+    (Spark LongType-compatible)."""
+    g = img.astype(float)
+    if g.ndim == 3:
+        g = g.mean(axis=2)
+    rows = (np.arange(img_size) * g.shape[0] // img_size).clip(0, g.shape[0] - 1)
+    cols = (np.arange(img_size) * g.shape[1] // img_size).clip(0, g.shape[1] - 1)
+    g = g[rows][:, cols]
+    D = _dct_mat(img_size)
+    low = (D @ g @ D.T)[:hash_size, :hash_size]
+    bits = (low > np.median(low)).flatten()
+    h = 0
+    for b in bits:
+        h = (h << 1) | int(b)
+    if h >= 1 << 63:
+        h -= 1 << 64
+    return h
+
+
+def phash_images(
+    df: DataFrame,
+    bin_col: str = "payload",
+    id_col: str = "doc_id",
+    decode=None,
+    hash_size: int = 8,
+) -> DataFrame:
+    """Per-image perceptual hash column (``phash``, signed 64-bit;
+    NULL for null/undecodable payloads): Arrow-batched mapInPandas —
+    decode + two small GEMMs per image, scan-side, no shuffle. The
+    near-dup join then runs on 8-byte hashes via Hamming pigeonhole
+    buckets (dedup.hamming_near_pairs) — images themselves never
+    shuffle. ``decode=None`` resolves via :func:`default_decode`."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    if decode is None:
+        decode = default_decode()
+    schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("phash", T.LongType()),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            hashes = []
+            for raw in pdf[bin_col]:
+                try:
+                    if raw is None:
+                        raise ValueError("null payload")
+                    hashes.append(phash_of_image(decode(bytes(raw)), hash_size))
+                except Exception:
+                    hashes.append(None)
+            yield pd.DataFrame(
+                {id_col: pdf[id_col].astype("int64"), "phash": hashes}
+            )
+
+    return df.select(id_col, bin_col).mapInPandas(batches, schema)
+
+
+def phash_near_dup(
+    df: DataFrame,
+    max_hamming: int = 6,
+    bin_col: str = "payload",
+    id_col: str = "doc_id",
+    decode=None,
+) -> DataFrame:
+    """Image near-duplicate pairs: pHash + Hamming pigeonhole buckets
+    (perceptually-similar images — recompressed, slightly resized,
+    minor edits — land within a few bits). Returns
+    (id_a, id_b, hamming). Sub-quadratic: the pair join runs on
+    (max_hamming+1)-banded 8-byte hashes, never on pixels."""
+    from scalecast_spark.datapipe.dedup import hamming_near_pairs
+
+    hashes = phash_images(df, bin_col, id_col, decode).filter(
+        F.col("phash").isNotNull()
+    )
+    return hamming_near_pairs(hashes, "phash", id_col, 64, max_hamming)
