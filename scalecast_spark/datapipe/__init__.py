@@ -14,6 +14,7 @@ from scalecast_spark.datapipe import (  # noqa: F401
     multimodal,
     quality_model,
     sample,
+    tokenizer,
     similarity,
     text,
 )
