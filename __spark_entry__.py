@@ -1173,8 +1173,11 @@ def q_ts_cv_grid(spark, sf_dir):
     Spark job per fold (kernel.run_kernel_grid: one data pass, all 12
     ridge fits amortized inside each series task); the 3 fold jobs run
     concurrently (functions/parallel.py) and each reduces Spark-side to
-    |grid| rows. Iterative model fitting is not SQL-expressible, so
-    this is rows-only (12 rows, stable schema)."""
+    |grid| rows. HASH-MATCHED since round 4: one-step-ahead validation
+    makes every fold x cell a closed-form ridge fit + linear
+    predictions, replayed end-to-end by _cv_grid_oracle (centered
+    normal equations, normalizer scales on the Gram, 4x4 Cramer,
+    engine NaN semantics)."""
     from scalecast_spark.forecaster import Forecaster
 
     f = Forecaster(_series(spark, sf_dir), future_dates=7)
@@ -3420,8 +3423,12 @@ def oracle_sql() -> dict[str, str]:
         FROM ({o["ts_stepwise_ci"]}) a
         JOIN ({o["ts_conformal_width"]}) b ON a.series_id = b.series_id
     """
-    # ts_prophet_tbats / ts_auto_arima / mv_vecm / ts_forecast_direct /
-    # ts_cv_grid stay rows-only: iterative numpy fits, not SQL-expressible.
+    # ts_prophet_tbats / ts_auto_arima / mv_vecm / ts_forecast_direct
+    # stay rows-only: iterative numpy fits, not SQL-expressible.
+    # ts_cv_grid joined the oracled set in round 4: one-step-ahead
+    # validation (peek=1) makes every fold x cell a CLOSED-FORM ridge
+    # fit + linear predictions — see _cv_grid_oracle.
+    o["ts_cv_grid"] = _cv_grid_oracle()
     # exact-substring duplication signals: k=8 word windows repeated
     # >=2 times corpus-wide (grouped on the n-gram STRING — equality of
     # xxhash64 keys in Spark == equality of strings modulo collisions,
@@ -4442,6 +4449,176 @@ def _backtest_ols_oracle(fcst: int = 5, jump: int = 1, n_iter: int = 2) -> str:
         ),
         nn AS (SELECT series_id, max(n) AS n FROM t GROUP BY 1),{its}
         {union}
+    """
+
+
+def _det3_of(M) -> str:
+    """3x3 determinant text over SQL-expression entries."""
+    return (
+        f"({M[0][0]}*({M[1][1]}*{M[2][2]} - {M[1][2]}*{M[2][1]})"
+        f" - {M[0][1]}*({M[1][0]}*{M[2][2]} - {M[1][2]}*{M[2][0]})"
+        f" + {M[0][2]}*({M[1][0]}*{M[2][1]} - {M[1][1]}*{M[2][0]}))"
+    )
+
+
+def _det4_of(M) -> str:
+    """4x4 determinant text: cofactor expansion along the first row."""
+    parts = []
+    for j in range(4):
+        minor = [[M[r][c] for c in range(4) if c != j] for r in range(1, 4)]
+        sign = "+" if j % 2 == 0 else "-"
+        parts.append(f" {sign} {M[0][j]}*{_det3_of(minor)}")
+    return "(" + "".join(parts) + ")"
+
+
+def _cv_grid_oracle() -> str:
+    """Oracle for q_ts_cv_grid (rows-only until round 4): the ridge CV
+    grid is CLOSED-FORM because cross_validate validates one-step-ahead
+    (dynamic_tuning=False -> kernel peek_every=1: every holdout step's
+    AR cells refill from ACTUAL history, so predictions are plain
+    X·beta on observed features — no recursion).
+
+    Per (fold, cell): fold slices replicate run_kernel_cv exactly
+    (chop = aside + fold*space with aside=space=test_length=7; train =
+    rows with all of ar_1..ar_3 present, i.e. rn >= 4); ridge with an
+    unpenalized intercept solves via CENTERED normal equations (same
+    identity _recursive_ols_oracle uses) — normalizer shifts cancel
+    under centering, so minmax/scale only enter as per-feature SCALES
+    on the Gram/covariances (s = clamp(range) / clamp(stddev_pop) / 1,
+    matching kernel._fit_normalizer), and predictions are
+    my + Σ w_i (x_i - mean_i)/s_i. The 4x4 solve is Cramer via cofactor
+    determinants. Engine NaN semantics replicated: n_train <= n_feat ->
+    NULL cell, any NULL pred poisons its (fold, series) rmse, any NULL
+    series rmse poisons the fold, folds average NULL-skipping, all-NULL
+    -> 0.0 (the kernel's max(count,1) guard)."""
+    alphas = [0.01, 0.1, 1.0, 10.0]
+    norms = ["minmax", "scale", "None"]
+    cells = ",\n                ".join(
+        f"({ci}, {a!r}, '{nm}')"
+        for ci, (a, nm) in enumerate((a, nm) for a in alphas for nm in norms)
+    )
+    feats = ["a1", "a2", "a3", "tt"]
+    # per-feature scale/shift CASEs (shift cancels; only scales used)
+    scales = ",\n                   ".join(
+        f"CASE c.nrm WHEN 'minmax' THEN CASE WHEN hi{i} > lo{i} "
+        f"THEN hi{i} - lo{i} ELSE 1.0 END "
+        f"WHEN 'scale' THEN CASE WHEN sd{i} > 0 THEN sd{i} ELSE 1.0 END "
+        f"ELSE 1.0 END AS s{i}"
+        for i in range(1, 5)
+    )
+    stat_aggs = []
+    for i, fi in enumerate(feats, 1):
+        stat_aggs += [
+            f"avg({fi}) AS mx{i}",
+            f"min({fi}) AS lo{i}",
+            f"max({fi}) AS hi{i}",
+            f"stddev_pop({fi}) AS sd{i}",
+            f"count(*) * covar_pop({fi}, y) AS cv{i}",
+        ]
+    for i in range(1, 5):
+        for j in range(i, 5):
+            stat_aggs.append(
+                f"count(*) * covar_pop({feats[i - 1]}, {feats[j - 1]}) AS v{i}{j}"
+            )
+    stats_sql = ",\n                   ".join(stat_aggs)
+    # scaled + ridged Gram and rhs over named stat columns
+    gram = []
+    for i in range(1, 5):
+        for j in range(i, 5):
+            ridge = " + c.alpha" if i == j else ""
+            gram.append(f"v{i}{j} / (s{i} * s{j}){ridge} AS g{i}{j}")
+    gram += [f"cv{i} / s{i} AS r{i}" for i in range(1, 5)]
+    gram_sql = ",\n                   ".join(gram)
+
+    def G(i, j):  # symmetric lookup
+        return f"g{min(i, j)}{max(i, j)}"
+
+    A = [[G(i + 1, j + 1) for j in range(4)] for i in range(4)]
+    dD = _det4_of(A)
+    wcols = []
+    for k in range(4):
+        Nk = [row[:] for row in A]
+        for i in range(4):
+            Nk[i][k] = f"r{i + 1}"
+        wcols.append(
+            f"CASE WHEN n_train > 4 AND {dD} <> 0 "
+            f"THEN {_det4_of(Nk)} / {dD} ELSE NULL END AS w{k + 1}"
+        )
+    w_sql = ",\n                   ".join(wcols)
+    pred = " + ".join(
+        f"w{i} * (h.{feats[i - 1]} - mx{i}) / s{i}" for i in range(1, 5)
+    )
+    return f"""
+        WITH {_SQL_SERIES},
+        t AS (
+            SELECT series_id, ds, y,
+                   row_number() OVER w AS rn,
+                   count(*) OVER (PARTITION BY series_id) AS n,
+                   lag(y, 1) OVER w AS a1,
+                   lag(y, 2) OVER w AS a2,
+                   lag(y, 3) OVER w AS a3,
+                   row_number() OVER w::DOUBLE AS tt
+            FROM series
+            WINDOW w AS (PARTITION BY series_id ORDER BY ds)
+        ),
+        folds(f) AS (VALUES (0), (1), (2)),
+        cells(ci, alpha, nrm) AS (VALUES
+                {cells}),
+        lim AS (
+            SELECT t.*, fo.f, t.n - 7 - fo.f * 7 AS sublim
+            FROM t CROSS JOIN folds fo
+        ),
+        tr AS (
+            SELECT * FROM lim
+            WHERE rn >= 4 AND rn <= greatest(sublim - 7, 0)
+        ),
+        hd AS (
+            SELECT * FROM lim
+            WHERE rn > greatest(sublim - 7, 0) AND rn <= sublim
+        ),
+        stats AS (
+            SELECT f, series_id, count(*) AS n_train, avg(y) AS my,
+                   {stats_sql}
+            FROM tr GROUP BY 1, 2
+        ),
+        sc AS (
+            SELECT s.*, c.ci, c.alpha, c.nrm,
+                   {scales}
+            FROM stats s CROSS JOIN cells c
+        ),
+        g AS (
+            SELECT *,
+                   {gram_sql}
+            FROM sc
+        ),
+        wts AS (
+            SELECT *,
+                   {w_sql}
+            FROM g
+        ),
+        preds AS (
+            SELECT wts.f, wts.ci, wts.series_id, h.y AS actual,
+                   wts.my + {pred} AS pred
+            FROM hd h
+            JOIN wts ON wts.f = h.f AND wts.series_id = h.series_id
+        ),
+        series_rmse AS (
+            SELECT f, ci, series_id,
+                   CASE WHEN count(*) FILTER (pred IS NULL) > 0 THEN NULL
+                        ELSE sqrt(avg((actual - pred) * (actual - pred)))
+                   END AS rmse
+            FROM preds GROUP BY 1, 2, 3
+        ),
+        fold_score AS (
+            SELECT f, ci,
+                   CASE WHEN count(*) FILTER (rmse IS NULL) > 0 THEN NULL
+                        ELSE avg(rmse) END AS score
+            FROM series_rmse GROUP BY 1, 2
+        )
+        SELECT c.alpha, c.nrm AS normalizer,
+               coalesce(round(avg(fs.score), 6), 0.0) AS mean_rmse
+        FROM cells c JOIN fold_score fs ON fs.ci = c.ci
+        GROUP BY 1, 2
     """
 
 
