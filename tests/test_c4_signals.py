@@ -71,3 +71,27 @@ def test_c4_gates_fire_in_curate_corpus(spark):
     assert {"lorem_ipsum", "curly_brace", "low_alpha_words"} <= reasons
     # default path untouched
     assert "alpha_word_frac" not in curate_corpus(df).columns
+
+
+def test_curation_report(spark):
+    from pyspark.sql import functions as F
+
+    from scalecast_spark.datapipe.text import curation_report
+
+    docs = spark.createDataFrame(
+        [
+            (0, "the cat sat on the mat and it is a fine day today ok", "a"),
+            (1, "spam spam spam spam spam spam spam spam spam spam", "a"),
+            (2, "hi", "b"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    cur = curate_corpus(docs)
+    rep = {r["reason"]: r for r in curation_report(cur).collect()}
+    assert rep["__kept__"]["n_docs"] == 1
+    assert rep["too_few_tokens"]["n_docs"] == 1
+    assert rep["repetitive_2grams"]["n_docs"] == 1
+    assert rep["__kept__"]["share"] == pytest.approx(1 / 3, abs=1e-6)
+    by_src = curation_report(cur, "source").collect()
+    a_kept = [r for r in by_src if r["source"] == "a" and r["reason"] == "__kept__"]
+    assert a_kept[0]["share"] == pytest.approx(0.5, abs=1e-6)
