@@ -32,20 +32,32 @@ from pyspark.sql import Column, DataFrame, functions as F
 from scalecast_spark.datapipe.text import _norm, ngram_chain, split_words
 
 
-def _feature_pairs(text_col: Column, n_features: int, bigrams: bool) -> Column:
-    """array<struct<idx int, val double>> of L1-normalized hashed
-    token (+ bigram) counts. Built once per row in its own projection
-    by callers (HOF output referenced repeatedly)."""
+def _hash_idxs(text_col: Column, n_features: int, bigrams: bool) -> Column:
+    """array<int> of hashed token (+ bigram) bucket indices, one entry
+    PER TOKEN (repeats kept). The classifier's hot paths run directly
+    on this: w·x over L1-normalized counts == (Σ_tokens w[idx]) / n,
+    and the gradient explode emits one (idx, 1/n) row per token — no
+    per-row pair construction at all."""
     words = split_words(_norm(text_col))
-    toks = (
-        F.concat(words, ngram_chain(words, 2)) if bigrams else words
-    )
-    idxs = F.transform(
+    toks = F.concat(words, ngram_chain(words, 2)) if bigrams else words
+    return F.transform(
         toks, lambda t: F.pmod(F.xxhash64(t), F.lit(n_features)).cast("int")
     )
+
+
+def _feature_pairs(text_col: Column, n_features: int, bigrams: bool) -> Column:
+    """array<struct<idx int, val double>> of L1-normalized hashed
+    token (+ bigram) counts — the materialized sparse-vector view for
+    external consumers (hash_features / MLlib densification).
+
+    SCALE NOTE: the run-length fold CONCATENATES its output array per
+    element, which is O(tokens²) copying per document — fine for the
+    bounded-feature MLlib densification it feeds, wrong for hot paths.
+    The GD trainer and scorer therefore run on :func:`_hash_idxs`
+    (per-token indices, linear) instead."""
     # count occurrences per bucket via sorted run-length fold, emit
-    # (idx, count/total) pairs — the array is tiny (≤ tokens/doc)
-    sorted_idx = F.array_sort(idxs)
+    # (idx, count/total) pairs
+    sorted_idx = F.array_sort(_hash_idxs(text_col, n_features, bigrams))
     n = F.size(sorted_idx)
     acc0 = F.struct(
         F.lit(-1).alias("prev"),
@@ -100,14 +112,19 @@ def hash_features(
     )
 
 
-def _dot_w(features: Column, w_lit: Column) -> Column:
-    """w·x + b for one row: fold over the sparse pairs against the
-    broadcast literal weight array (last slot = bias)."""
-    return F.aggregate(
-        features,
-        F.element_at(w_lit, -1),  # bias
-        lambda acc, p: acc + F.element_at(w_lit, p["idx"] + 1) * p["val"],
+def _dot_w_idxs(idxs: Column, w_lit: Column) -> Column:
+    """w·x + b for one row over the PER-TOKEN index array: with
+    L1-normalized counts, w·x = (Σ_tokens w[idx]) / n_tokens — one
+    linear fold, no pair materialization. Empty docs score the bias."""
+    n = F.size(idxs)
+    tok_sum = F.aggregate(
+        idxs,
+        F.lit(0.0),
+        lambda acc, i: acc + F.element_at(w_lit, i + 1),
     )
+    return F.element_at(w_lit, -1) + F.when(
+        n > 0, tok_sum / n.cast("double")
+    ).otherwise(F.lit(0.0))
 
 
 def train_quality_classifier(
@@ -136,9 +153,10 @@ def train_quality_classifier(
         return _train_mllib(df, label_col, n_features, text_col, bigrams, reg)
     if backend != "gd":
         raise ValueError(f"backend must be gd|mllib, got {backend!r}")
-    feats = hash_features(df, n_features, text_col, bigrams).select(
-        F.col(label_col).cast("double").alias("_y"), "features"
-    )
+    feats = df.select(
+        F.col(label_col).cast("double").alias("_y"),
+        _hash_idxs(F.col(text_col), n_features, bigrams).alias("_idxs"),
+    ).withColumn("_nt", F.size("_idxs"))
     feats = feats.localCheckpoint(eager=False)
     n = feats.count()
     w = [0.0] * (n_features + 1)
@@ -146,25 +164,33 @@ def train_quality_classifier(
 
     for _ in range(n_iter):
         w_lit = _lit_vec(w)
-        err = (F.lit(1.0) / (F.lit(1.0) + F.exp(-_dot_w(F.col("features"), w_lit)))) - F.col("_y")
+        err = (
+            F.lit(1.0)
+            / (F.lit(1.0) + F.exp(-_dot_w_idxs(F.col("_idxs"), w_lit)))
+        ) - F.col("_y")
+        # per-feature gradient: one row PER TOKEN carrying err/n_tokens
+        # (== err·val for the normalized count vector) plus one bias
+        # row per doc — map-side combine bounds the shuffle by
+        # n_features+1 keys
         g = (
             feats.withColumn("_e", err)
             .select(
+                (F.col("_e") / F.greatest(F.col("_nt"), F.lit(1)).cast("double")).alias("_ev"),
                 "_e",
                 F.explode(
                     F.concat(
-                        F.col("features"),
-                        F.array(
-                            F.struct(
-                                F.lit(n_features).alias("idx"),
-                                F.lit(1.0).alias("val"),
-                            )
-                        ),
+                        F.col("_idxs"), F.array(F.lit(n_features).cast("int"))
                     )
-                ).alias("p"),
+                ).alias("_i"),
             )
-            .groupBy(F.col("p.idx").alias("_i"))
-            .agg(F.sum(F.col("_e") * F.col("p.val")).alias("_g"))
+            .groupBy("_i")
+            .agg(
+                F.sum(
+                    F.when(F.col("_i") == n_features, F.col("_e")).otherwise(
+                        F.col("_ev")
+                    )
+                ).alias("_g")
+            )
             .collect()
         )
         grad = {r["_i"]: r["_g"] for r in g}
@@ -212,10 +238,9 @@ def score_quality(
     from scalecast_spark.datapipe.similarity import _lit_vec
 
     nf = (len(weights) - 1) if n_features is None else n_features
-    pairs = _feature_pairs(F.col(text_col), nf, bigrams)
-    out = df.withColumn("_fp", pairs)
+    out = df.withColumn("_fp", _hash_idxs(F.col(text_col), nf, bigrams))
     score = F.lit(1.0) / (
-        F.lit(1.0) + F.exp(-_dot_w(F.col("_fp"), _lit_vec(weights)))
+        F.lit(1.0) + F.exp(-_dot_w_idxs(F.col("_fp"), _lit_vec(weights)))
     )
     return (
         out.withColumn("q_model_score", F.round(score, 6))
