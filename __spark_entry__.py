@@ -1470,18 +1470,18 @@ def q_text_curation(spark, sf_dir):
     hash-matches the DuckDB oracle."""
     from scalecast_spark.datapipe.text import (
         add_gopher_signals_fast,
-        add_repetition_signals,
         contamination_hits,
         scrub_pii,
     )
 
     docs = _docs(spark, sf_dir)
-    # repetition + Gopher char-fracs + PII are per-row, ONE scan, no
-    # join; the Gopher family runs the Arrow kernel twin (bit-identical
-    # to the declarative version — parity-tested — and ~20x faster than
-    # its interpreted HOF folds); only the contamination count needs a
-    # (broadcast-bench) join
-    flat = scrub_pii(add_gopher_signals_fast(add_repetition_signals(docs))).select(
+    # the ENTIRE 13-signal repetition family runs in ONE Arrow kernel
+    # pass (include_base=True adds bit-exact twins of the two
+    # add_repetition_signals columns — parity-tested; the kernel is
+    # ~20x faster than the interpreted HOF folds), then PII scrubbing
+    # is JVM column math on the same scan; only the contamination
+    # count needs a (broadcast-bench) join
+    flat = scrub_pii(add_gopher_signals_fast(docs, include_base=True)).select(
         "doc_id", "dup_line_frac", "top2gram_frac", *GOPHER_COLS,
         "n_emails", "n_phones",
         F.md5("text_scrubbed").alias("scrub_fp"),

@@ -502,10 +502,15 @@ def add_gopher_signals_fast(
     id_col: str = "doc_id",
     top_ns: tuple[int, ...] = (2, 3, 4),
     dup_ns: tuple[int, ...] = (5, 6, 7, 8, 9, 10),
+    include_base: bool = False,
 ) -> DataFrame:
     """Arrow-batched twin of :func:`add_gopher_signals` producing
     BIT-IDENTICAL values (parity-tested in tests/test_gopher_signals.py
     and certified transitively by the text_curation oracle hash-match).
+
+    ``include_base=True`` prepends bit-exact twins of
+    add_repetition_signals' two signals (dup_line_frac,
+    top2gram_frac) so one kernel pass carries the full family.
 
     Why a kernel exists at all: the declarative version needs one
     array_sort + one run-length ``F.aggregate`` fold per n (9 of them)
@@ -532,7 +537,8 @@ def add_gopher_signals_fast(
     from pyspark.sql import types as T
 
     new_cols = (
-        ["dup_para_frac", "dup_line_char_frac", "dup_para_char_frac"]
+        (["dup_line_frac", "top2gram_frac"] if include_base else [])
+        + ["dup_para_frac", "dup_line_char_frac", "dup_para_char_frac"]
         + [f"top{n}gram_char_frac" for n in sorted(set(top_ns))]
         + [f"dup{n}gram_char_frac" for n in sorted(set(dup_ns))]
     )
@@ -594,6 +600,17 @@ def add_gopher_signals_fast(
                     for i in range(len(words) - n + 1)
                 ]
             return grams_cache[n]
+
+        if include_base:
+            # bit-exact twins of add_repetition_signals' two signals
+            # (parity-tested), so ONE kernel pass can carry the whole
+            # 13-signal repetition family
+            dup_line = (
+                rnd(1.0 - len(set(lines)) / len(lines)) if lines else 0.0
+            )
+            bg = grams(2)
+            top2 = rnd(max(Counter(bg).values()) / len(bg)) if bg else 0.0
+            row = [dup_line, top2] + row
 
         for n in sorted(set(top_ns)):
             g = grams(n)
@@ -785,11 +802,14 @@ def curate_corpus(
     is asserted in tests/test_streaming.py) downstream.
     """
     out = add_quality_score(add_token_count(df, text_col), text_col)
-    out = add_repetition_signals(out, text_col, id_col)
     if gopher_char_gates:
-        # Arrow kernel twin: bit-identical to add_gopher_signals
-        # (parity-tested), ~20x faster, stateless → still streams
-        out = add_gopher_signals_fast(out, text_col, id_col)
+        # Arrow kernel twin: bit-identical to the declarative signals
+        # (parity-tested), ~20x faster, stateless → still streams;
+        # include_base carries dup_line_frac/top2gram_frac in the SAME
+        # kernel pass instead of a second JVM fold chain
+        out = add_gopher_signals_fast(out, text_col, id_col, include_base=True)
+    else:
+        out = add_repetition_signals(out, text_col, id_col)
     if c4_gates:
         out = add_c4_signals(out, text_col)
     if scrub:

@@ -136,3 +136,39 @@ def test_fast_kernel_parity_on_edge_docs(spark):
     fast = add_gopher_signals_fast(df).drop("text").toPandas().set_index("doc_id").sort_index()
     for c in slow.columns:
         assert (slow[c].values == fast[c].values).all(), c
+
+
+def test_include_base_matches_column_math(spark):
+    from scalecast_spark.datapipe.text import (
+        add_gopher_signals_fast,
+        add_repetition_signals,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    want = (
+        add_repetition_signals(docs)
+        .select("doc_id", "dup_line_frac", "top2gram_frac")
+        .toPandas().set_index("doc_id").sort_index()
+    )
+    got = (
+        add_gopher_signals_fast(docs, include_base=True)
+        .select("doc_id", "dup_line_frac", "top2gram_frac")
+        .toPandas().set_index("doc_id").sort_index()
+    )
+    for c in want.columns:
+        assert (want[c].values == got[c].values).all(), c
+    # edge docs too
+    edge = spark.createDataFrame(
+        [(1, ""), (2, "one"), (3, "a b a b"), (4, "x\nx\ny")],
+        ["doc_id", "text"],
+    )
+    w2 = add_repetition_signals(edge).select(
+        "doc_id", "dup_line_frac", "top2gram_frac"
+    ).toPandas().set_index("doc_id").sort_index()
+    g2 = add_gopher_signals_fast(edge, include_base=True).select(
+        "doc_id", "dup_line_frac", "top2gram_frac"
+    ).toPandas().set_index("doc_id").sort_index()
+    for c in w2.columns:
+        assert (w2[c].values == g2[c].values).all(), c
