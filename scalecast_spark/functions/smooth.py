@@ -11,9 +11,17 @@ from __future__ import annotations
 import numpy as np
 
 
-def loess_smooth(x: np.ndarray, y: np.ndarray, frac: float = 0.3) -> np.ndarray:
+def loess_smooth(
+    x: np.ndarray,
+    y: np.ndarray,
+    frac: float = 0.3,
+    weights: np.ndarray | None = None,
+) -> np.ndarray:
     """Tricube-weighted local LINEAR fit evaluated at every x
-    (statsmodels lowess semantics with it=0 robustness iterations)."""
+    (statsmodels lowess semantics with it=0 robustness iterations).
+    ``weights`` multiplies per-point robustness weights into the local
+    tricube weights (the robust-STL hook); None leaves the math
+    untouched — bit-identical to the weightless path."""
     x = np.asarray(x, dtype=float)
     y = np.asarray(y, dtype=float)
     n = len(x)
@@ -23,6 +31,7 @@ def loess_smooth(x: np.ndarray, y: np.ndarray, frac: float = 0.3) -> np.ndarray:
     out = np.empty(n)
     order = np.argsort(x)
     xs, ys = x[order], y[order]
+    rs = weights[order] if weights is not None else None
     for pos, i in enumerate(order):
         # the k nearest x-neighbors form a contiguous run in sorted x
         lo = np.searchsorted(xs, x[i])
@@ -36,6 +45,15 @@ def loess_smooth(x: np.ndarray, y: np.ndarray, frac: float = 0.3) -> np.ndarray:
         d = np.abs(xw - x[i])
         dmax = d.max()
         w = (1.0 - (d / dmax) ** 3) ** 3 if dmax > 0 else np.ones(k)
+        if rs is not None:
+            wr = w * rs[lo : lo + k]
+            # a window whose robustness weights are ALL zero (every
+            # neighbor is an outlier — e.g. a spike's own phase
+            # subseries) would divide by zero; fall back to the plain
+            # tricube fit for that window, as robust LOWESS
+            # implementations do
+            if wr.sum() > 0:
+                w = wr
         sw = w.sum()
         sx = (w * xw).sum()
         sy = (w * yw).sum()

@@ -204,6 +204,7 @@ def stl_decompose(
     trend_frac: float | None = None,
     seasonal_frac: float = 0.6,
     n_inner: int = 2,
+    robust: int = 0,
 ) -> DataFrame:
     """STL decomposition (Cleveland et al. 1990; reference
     Forecaster.py:1394-1456 offers STL next to seasonal_decompose via
@@ -219,6 +220,13 @@ def stl_decompose(
     time (each phase's subseries is smoothed, not averaged) and the
     trend has no MA edge loss. Per-series applyInPandas — parallel
     across series, the scale axis.
+
+    ``robust`` adds Cleveland's outer robustness iterations: after
+    each pass, bisquare weights rho = (1 - min(|r|/6·median|r|, 1)²)²
+    of the remainder multiply into every LOESS local fit, so outliers
+    stop dragging the trend/seasonal (the statsmodels ``robust=True``
+    counterpart). Default 0 is BIT-identical to the pre-round-4 path
+    (the hash-matched oracle unrolls the non-robust recursion).
     """
     from scalecast_spark.functions.smooth import loess_smooth
 
@@ -240,30 +248,41 @@ def stl_decompose(
         y = pdf[Y].to_numpy(float)
         n = len(y)
         t = np.arange(1.0, n + 1.0)
+        rho = None
         trend = loess_smooth(t, y, trend_frac)
         seasonal = np.zeros(n)
-        for _ in range(n_inner):
-            d = y - trend
-            smoothed = np.empty(n)
-            for phase in range(m):
-                idx = np.arange(phase, n, m)
-                sub = d[idx]
-                if len(sub) >= 3:
-                    smoothed[idx] = loess_smooth(
-                        np.arange(float(len(sub))), sub, seasonal_frac
-                    )
-                elif len(sub):
-                    smoothed[idx] = sub.mean()
-            # low-pass filter: centered MA(m) with edge padding
-            pad = m // 2
-            padded = np.concatenate(
-                [np.full(pad, smoothed[:m].mean()), smoothed,
-                 np.full(pad, smoothed[-m:].mean())]
-            )
-            kernel = np.ones(2 * pad + 1) / (2 * pad + 1)
-            lp = np.convolve(padded, kernel, mode="valid")[:n]
-            seasonal = smoothed - lp
-            trend = loess_smooth(t, y - seasonal, trend_frac)
+        for outer in range(robust + 1):
+            for _ in range(n_inner):
+                d = y - trend
+                smoothed = np.empty(n)
+                for phase in range(m):
+                    idx = np.arange(phase, n, m)
+                    sub = d[idx]
+                    if len(sub) >= 3:
+                        smoothed[idx] = loess_smooth(
+                            np.arange(float(len(sub))), sub, seasonal_frac,
+                            weights=None if rho is None else rho[idx],
+                        )
+                    elif len(sub):
+                        smoothed[idx] = sub.mean()
+                # low-pass filter: centered MA(m) with edge padding
+                pad = m // 2
+                padded = np.concatenate(
+                    [np.full(pad, smoothed[:m].mean()), smoothed,
+                     np.full(pad, smoothed[-m:].mean())]
+                )
+                kernel = np.ones(2 * pad + 1) / (2 * pad + 1)
+                lp = np.convolve(padded, kernel, mode="valid")[:n]
+                seasonal = smoothed - lp
+                trend = loess_smooth(t, y - seasonal, trend_frac, weights=rho)
+            if outer < robust:
+                r = y - trend - seasonal
+                h = 6.0 * np.median(np.abs(r))
+                if h <= 0:
+                    rho = np.ones(n)
+                else:
+                    u = np.minimum(np.abs(r) / h, 1.0)
+                    rho = (1.0 - u * u) ** 2
         resid = y - trend - seasonal
         return pd.DataFrame(
             {
@@ -338,12 +357,17 @@ def anomalies_from_residuals(
     )
 
 
-def detect_anomalies(df: DataFrame, m: int = 7, z_thresh: float = 3.5) -> DataFrame:
+def detect_anomalies(
+    df: DataFrame, m: int = 7, z_thresh: float = 3.5, robust: int = 0
+) -> DataFrame:
     """STL-residual anomaly detection: stl_decompose → modified
     z-score threshold on the remainder, scale-floored at 0.1% of the
-    series level. Returns the decomposition plus (mod_z, is_anomaly)."""
+    series level. ``robust`` outer STL iterations keep outliers from
+    leaking into trend/seasonal (fewer echo flags around a spike).
+    Returns the decomposition plus (mod_z, is_anomaly)."""
     return anomalies_from_residuals(
-        stl_decompose(df, m=m), "resid", "series_id", z_thresh, scale_col="y"
+        stl_decompose(df, m=m, robust=robust),
+        "resid", "series_id", z_thresh, scale_col="y",
     )
 
 

@@ -105,3 +105,53 @@ def test_changepoint_short_series_dropped(spark):
         [("s", i, float(i)) for i in range(8)], ["series_id", "ds", "y"]
     )
     assert detect_changepoint(df, min_seg=5).count() == 0
+
+
+def test_robust_stl_reduces_spike_leakage(spark):
+    """With robustness iterations the lone spike's weight collapses,
+    so trend/seasonal stop absorbing it: flags CONCENTRATE around the
+    true event instead of scattering series-wide, and the spike's |z|
+    dominance grows; robust=0 stays the default (bit-identical to the
+    hash-matched oracle path)."""
+    import math
+
+    from scalecast_spark.functions.stattests import stl_decompose
+
+    rows = [
+        ("s", i, 10 + 3 * math.sin(2 * math.pi * i / 7) + 0.05 * i)
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, ["series_id", "ds", "y"]).withColumn(
+        "ds", F.date_add(F.lit("2024-01-01").cast("date"), F.col("ds").cast("int"))
+    )
+    spiked = df.withColumn(
+        "y",
+        F.when(F.col("ds") == F.lit("2024-02-10").cast("date"), 60.0).otherwise(
+            F.col("y")
+        ),
+    )
+    import datetime as _dt
+
+    plain = detect_anomalies(spiked, m=7, robust=0)
+    rob = detect_anomalies(spiked, m=7, robust=2)
+    spike = _dt.date(2024, 2, 10)
+
+    def spread(out):
+        return max(
+            abs((r["ds"] - spike).days)
+            for r in out.filter("is_anomaly").collect()
+        )
+
+    # robust: outliers stop polluting the fit series-wide, so every
+    # flag concentrates within one season of the true event; the
+    # non-robust fit leaks the spike into far-away phase means
+    assert spread(rob) <= 7 < spread(plain)
+    top = rob.orderBy(F.abs(F.col("mod_z")).desc()).first()
+    assert str(top["ds"]) == "2024-02-10"
+    # and the spike's dominance GROWS under robustness
+    tp = plain.orderBy(F.abs(F.col("mod_z")).desc()).first()
+    assert abs(top["mod_z"]) > abs(tp["mod_z"])
+    # robust=0 output identical to the original implementation's shape
+    a = stl_decompose(df, m=7).orderBy("ds").toPandas()
+    b = stl_decompose(df, m=7, robust=0).orderBy("ds").toPandas()
+    assert (a["trend"].values == b["trend"].values).all()

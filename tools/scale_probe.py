@@ -114,6 +114,51 @@ def signals_pipeline(docs):
     return sig.unionByName(chunks).unionByName(top)
 
 
+def replicate_emb(emb, factor: int):
+    """Embedding replicas: offset ids; rotate dimensions per replica —
+    rotation preserves within-replica norms and pairwise dots (same
+    cluster/dup structure per copy) while cross-replica cosines stay
+    unstructured, so near-dup volume grows linearly, not as cliques."""
+    parts = []
+    for i in range(factor):
+        p = emb.withColumn("vec_id", F.col("vec_id") + F.lit(i * 10_000_000))
+        if i > 0:
+            k = (i * 7) % 63 + 1
+            p = p.withColumn(
+                "embedding",
+                F.concat(
+                    F.slice("embedding", k + 1, 64 - k),
+                    F.slice("embedding", 1, k),
+                ),
+            )
+        parts.append(p)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def embeddings_pipeline(emb):
+    """Round-4 embedding ops under one count: Lloyd k-means (2 iters)
+    + SemDeDup marking (per-cluster GEMM) + an IVF-PQ ANN query.
+    k-means/SemDeDup are the scaling subjects (scan-side assignment +
+    cluster-bounded GEMMs); the ANN query cost is dominated by its
+    fixed quantizer build."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from scalecast_spark.datapipe.cluster import (
+        kmeans_embeddings,
+        semantic_dedup,
+    )
+    from scalecast_spark.datapipe.similarity import ivfpq_topk
+
+    assigned = kmeans_embeddings(emb, k=8, n_iter=2, vectorized=True)
+    marked = semantic_dedup(emb, threshold=0.4, assigned=assigned)
+    q = emb.select("embedding").limit(1).collect()[0][0]
+    top = ivfpq_topk(emb, [float(x) for x in q], k=10)
+    return marked.select("vec_id").unionByName(top.select("vec_id"))
+
+
 def main():
     import shutil
 
@@ -158,6 +203,20 @@ def main():
                     print(f"{name:<10} {axis:<7} {factor:>6} {n0 * factor:>8} "
                           f"{out_rows:>9} {dt:>7.2f} {dt / base_t:>7.2f}",
                           flush=True)
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        e0 = emb.count()
+        base_t = None
+        for factor in (1, 4, 16):
+            path = f"{scratch}/emb_{factor}"
+            replicate_emb(emb, factor).repartition(32).write.mode(
+                "overwrite"
+            ).parquet(path)
+            d = spark.read.parquet(path)
+            dt, out_rows = min(_timed(embeddings_pipeline, d) for _ in range(2))
+            base_t = base_t or dt
+            print(f"{'embedding':<10} {'rotate':<7} {factor:>6} "
+                  f"{e0 * factor:>8} {out_rows:>9} {dt:>7.2f} "
+                  f"{dt / base_t:>7.2f}", flush=True)
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
 
