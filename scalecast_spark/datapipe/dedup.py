@@ -510,40 +510,12 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits:
 
 
 def simhash_near_pairs(sim: DataFrame, max_hamming: int = 3, id_col: str = "doc_id") -> DataFrame:
-    """Candidate near-dup pairs by Hamming distance on simhash,
-    bucketed on 15-bit chunks (pigeonhole: ≤3 differing bits over 4
-    chunks ⇒ some chunk matches exactly) to avoid the quadratic join."""
-    chunks = [
-        (F.shiftright(F.col("simhash"), i * 15).bitwiseAND(F.lit((1 << 15) - 1))).alias(f"c{i}")
-        for i in range(4)
-    ]
-    b = sim.select(id_col, "simhash", *chunks)
-    pieces = []
-    for i in range(4):
-        a_ = b.alias("a")
-        b_ = b.alias("b")
-        pieces.append(
-            a_.join(
-                b_,
-                (F.col(f"a.c{i}") == F.col(f"b.c{i}"))
-                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-            ).select(
-                F.col(f"a.{id_col}").alias("id_a"),
-                F.col(f"b.{id_col}").alias("id_b"),
-                F.col("a.simhash").alias("sh_a"),
-                F.col("b.simhash").alias("sh_b"),
-            )
-        )
-    cand = pieces[0]
-    for p in pieces[1:]:
-        cand = cand.unionByName(p)
-    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
-    return (
-        cand.distinct()
-        .withColumn("hamming", hamming)
-        .filter(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
-    )
+    """Candidate near-dup pairs by Hamming distance on the 60-bit
+    simhash — delegates to the generalized :func:`hamming_near_pairs`
+    (at the default radius 3 that is the same 4 bands x 15 bits this
+    function historically hard-coded; one banding implementation means
+    one place for band-math fixes)."""
+    return hamming_near_pairs(sim, "simhash", id_col, 60, max_hamming)
 
 
 def hamming_near_pairs(
@@ -561,16 +533,30 @@ def hamming_near_pairs(
     bit_count verify. Recall 1.0 within the radius, never an
     all-pairs product; shuffle carries (id, hash) only."""
     bands = max_hamming + 1
-    width = -(-bits // bands)  # ceil
-    mask = (1 << width) - 1
-    chunks = [
-        (
-            F.shiftrightunsigned(F.col(hash_col), i * width).bitwiseAND(
-                F.lit(mask)
+    if bands > bits:
+        raise ValueError(
+            f"max_hamming={max_hamming} needs {bands} non-empty bands "
+            f"but the hash has only {bits} bits"
+        )
+    # distribute bits across bands as evenly as possible: a fixed
+    # ceil-width would push the last band past bit 64, where Spark's
+    # shift ops WRAP the shift count mod 64 — band `bands-1` would
+    # silently duplicate band 0 and the pigeonhole guarantee would
+    # fail exactly at radii 8/16/32 (missing true pairs). Per-band
+    # (shift, width) with sum(width) == bits keeps every band real.
+    base_w, extra = divmod(bits, bands)
+    widths = [base_w + (1 if i < extra else 0) for i in range(bands)]
+    shifts = [sum(widths[:i]) for i in range(bands)]
+    chunks = []
+    for i in range(bands):
+        if widths[i] >= 64:  # single-band degenerate case: whole hash
+            chunks.append(F.col(hash_col).alias(f"_hc{i}"))
+        else:
+            chunks.append(
+                F.shiftrightunsigned(F.col(hash_col), shifts[i])
+                .bitwiseAND(F.lit((1 << widths[i]) - 1))
+                .alias(f"_hc{i}")
             )
-        ).alias(f"_hc{i}")
-        for i in range(bands)
-    ]
     b = df.select(id_col, hash_col, *chunks)
     pieces = []
     for i in range(bands):

@@ -32,17 +32,34 @@ from pyspark.sql import Column, DataFrame, functions as F
 from scalecast_spark.datapipe.text import _norm, ngram_chain, split_words
 
 
-def _hash_idxs(text_col: Column, n_features: int, bigrams: bool) -> Column:
+def _idxs_from_words(words: Column, n_features: int, bigrams: bool) -> Column:
     """array<int> of hashed token (+ bigram) bucket indices, one entry
-    PER TOKEN (repeats kept). The classifier's hot paths run directly
-    on this: w·x over L1-normalized counts == (Σ_tokens w[idx]) / n,
-    and the gradient explode emits one (idx, 1/n) row per token — no
-    per-row pair construction at all."""
-    words = split_words(_norm(text_col))
+    PER TOKEN (repeats kept), from a MATERIALIZED words-array column.
+    The classifier's hot paths run directly on this: w·x over
+    L1-normalized counts == (Σ_tokens w[idx]) / n, and the gradient
+    explode emits one (idx, 1/n) row per token — no per-row pair
+    construction at all.
+
+    Callers must pass a projected COLUMN, not a raw split expression:
+    ngram_chain references ``words`` n+1 times and interpreted HOFs
+    get no subexpression elimination, so an inline expression would
+    re-run the normalize+split chain per reference (the repo's
+    measured 20x pitfall)."""
     toks = F.concat(words, ngram_chain(words, 2)) if bigrams else words
     return F.transform(
         toks, lambda t: F.pmod(F.xxhash64(t), F.lit(n_features)).cast("int")
     )
+
+
+def _with_idxs(df: DataFrame, text_col: str, n_features: int, bigrams: bool, out: str) -> DataFrame:
+    """Project the words array once, then derive the index array from
+    the materialized column."""
+    w = "_qm_words"
+    while w in df.columns:
+        w = "_" + w
+    return df.withColumn(w, split_words(_norm(F.col(text_col)))).withColumn(
+        out, _idxs_from_words(F.col(w), n_features, bigrams)
+    ).drop(w)
 
 
 def _feature_pairs(text_col: Column, n_features: int, bigrams: bool) -> Column:
@@ -53,11 +70,13 @@ def _feature_pairs(text_col: Column, n_features: int, bigrams: bool) -> Column:
     SCALE NOTE: the run-length fold CONCATENATES its output array per
     element, which is O(tokens²) copying per document — fine for the
     bounded-feature MLlib densification it feeds, wrong for hot paths.
-    The GD trainer and scorer therefore run on :func:`_hash_idxs`
+    The GD trainer and scorer therefore run on :func:`_idxs_from_words`
     (per-token indices, linear) instead."""
     # count occurrences per bucket via sorted run-length fold, emit
-    # (idx, count/total) pairs
-    sorted_idx = F.array_sort(_hash_idxs(text_col, n_features, bigrams))
+    # (idx, count/total) pairs. Inline split here is acceptable: this
+    # path feeds only the one-shot MLlib densification.
+    words = split_words(_norm(text_col))
+    sorted_idx = F.array_sort(_idxs_from_words(words, n_features, bigrams))
     n = F.size(sorted_idx)
     acc0 = F.struct(
         F.lit(-1).alias("prev"),
@@ -147,16 +166,14 @@ def train_quality_classifier(
     groupBy(idx) with map-side combine — ≤ n_features+1 rows ever
     reach the driver. 'mllib': pyspark.ml LogisticRegression on the
     same features (sparse vectors)."""
-    import math
-
     if backend == "mllib":
         return _train_mllib(df, label_col, n_features, text_col, bigrams, reg)
     if backend != "gd":
         raise ValueError(f"backend must be gd|mllib, got {backend!r}")
-    feats = df.select(
-        F.col(label_col).cast("double").alias("_y"),
-        _hash_idxs(F.col(text_col), n_features, bigrams).alias("_idxs"),
-    ).withColumn("_nt", F.size("_idxs"))
+    feats = _with_idxs(
+        df.select(F.col(label_col).cast("double").alias("_y"), text_col),
+        text_col, n_features, bigrams, "_idxs",
+    ).select("_y", "_idxs").withColumn("_nt", F.size("_idxs"))
     feats = feats.localCheckpoint(eager=False)
     n = feats.count()
     w = [0.0] * (n_features + 1)
@@ -238,7 +255,7 @@ def score_quality(
     from scalecast_spark.datapipe.similarity import _lit_vec
 
     nf = (len(weights) - 1) if n_features is None else n_features
-    out = df.withColumn("_fp", _hash_idxs(F.col(text_col), nf, bigrams))
+    out = _with_idxs(df, text_col, nf, bigrams, "_fp")
     score = F.lit(1.0) / (
         F.lit(1.0) + F.exp(-_dot_w_idxs(F.col("_fp"), _lit_vec(weights)))
     )

@@ -23,8 +23,18 @@ from pyspark.sql import DataFrame, functions as F
 def _dlit(v: float) -> str:
     """SQL double literal: repr round-trips the exact bits; the D
     suffix forces DOUBLE (a bare decimal literal parses as DECIMAL —
-    same value after cast, but keep the type explicit)."""
-    s = repr(float(v))
+    same value after cast, but keep the type explicit). Non-finite
+    values (NaN/inf in a query vector or diverged model weights) get
+    an explicit CAST — repr() text like 'inf' would otherwise parse
+    as a column name."""
+    f = float(v)
+    if f != f:
+        return "CAST('NaN' AS DOUBLE)"
+    if f == float("inf"):
+        return "CAST('Infinity' AS DOUBLE)"
+    if f == float("-inf"):
+        return "CAST('-Infinity' AS DOUBLE)"
+    s = repr(f)
     return s if "e" in s else s + "D"
 
 

@@ -525,7 +525,8 @@ def add_gopher_signals_fast(
     without a join-back shuffle.
 
     Java-regex semantics are replicated exactly: ``\\s`` matches ASCII
-    whitespace only, ``trim`` strips chars ≤ U+0020, and rounding
+    whitespace only, ``trim`` strips ONLY spaces (Spark SQL trim, not
+    Java String.trim), and rounding
     replays Spark's HALF_UP ``round(x, 6)`` via Decimal on the shortest
     float repr (Python's banker's rounding would drift on .5 ties)."""
     import re as _re
@@ -553,7 +554,6 @@ def add_gopher_signals_fast(
     edge_ws = _re.compile(rf"^[{java_ws}]+|[{java_ws}]+$")
     runs_ws = _re.compile(rf"[{java_ws}]+")
     para_re = _re.compile(r"\n{2,}")
-    jtrim = "".join(chr(i) for i in range(0x21))
     q6 = Decimal("0.000001")
 
     def rnd(x: float) -> float:
@@ -581,7 +581,13 @@ def add_gopher_signals_fast(
         paras = [
             s for s in (edge_ws.sub("", x) for x in para_re.split(text)) if s
         ]
-        norm = runs_ws.sub(" ", text.strip(jtrim).lower())
+        # Spark's F.trim strips ONLY spaces (not newlines/tabs) — a
+        # hypothesis counterexample ("a a" + newline) caught the kernel
+        # using Java-String.trim semantics: doc_chars 3 vs the
+        # declarative/oracle 4. Strip spaces, then collapse ASCII
+        # whitespace runs (edge non-space whitespace becomes a space
+        # and counts toward normalized doc length, same as the engine).
+        norm = runs_ws.sub(" ", text.strip(" ").lower())
         words = [w for w in norm.split(" ") if w]
         doc_chars = len(norm)
         n_para = len(paras)
@@ -1165,10 +1171,9 @@ def curation_report(curated: DataFrame, group_col: str | None = None) -> DataFra
     before anyone trusts the kept set.
 
     Shape: one explode of the (short) drop_reasons array + one
-    aggregate; totals via a window over the (tiny) aggregated frame —
-    no second corpus scan."""
-    from pyspark.sql import Window as W
-
+    aggregate for the per-reason counts, plus one column-pruned
+    count aggregate over the curated frame for the share denominators
+    (broadcast back — the aggregated frames are reason/group-sized)."""
     keys = [group_col] if group_col else []
     tagged = curated.select(
         *keys,
@@ -1179,7 +1184,6 @@ def curation_report(curated: DataFrame, group_col: str | None = None) -> DataFra
         ).alias("reason"),
     )
     counts = tagged.groupBy(*keys, "reason").agg(F.count("*").alias("n_docs"))
-    total = F.sum("n_docs").over(W.partitionBy(*keys) if keys else W.partitionBy())
     # NOTE: a doc dropped for several reasons counts once per reason,
     # so shares can sum past 1.0 — documented, it's a reason-level view
     n_corpus = curated.groupBy(*keys).agg(F.count("*").alias("_n"))
