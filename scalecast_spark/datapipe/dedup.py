@@ -584,3 +584,112 @@ def hamming_near_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def cross_dedup(
+    new_docs: DataFrame,
+    existing_docs: DataFrame,
+    k: int = 3,
+    n_hashes: int = 4,
+    bands: int = 4,
+    min_jaccard: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Incremental corpus dedup: drop every NEW document that is a
+    near-duplicate (shingle Jaccard ≥ ``min_jaccard``) of ANY existing
+    document — the dedup-the-next-crawl-against-the-training-set step
+    every refresh pipeline runs. Returns the surviving new_docs rows.
+
+    Shape: both sides MinHash independently, the LSH bucket join is
+    new×existing only (never existing×existing — the expensive side is
+    assumed already deduped), and the exact Jaccard verify touches only
+    candidate pairs via the array-intersect kernel — the same
+    sub-quadratic machinery as the in-corpus headline. Ids may overlap
+    across the two frames (they are different corpora); matching is by
+    content only."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    def _sigs(df: DataFrame, tag: str) -> DataFrame:
+        sh = word_shingles(df, k, text_col=text_col, id_col=id_col)
+        return minhash_signatures(sh, n_hashes=n_hashes, id_col=id_col).select(
+            F.col(id_col), *[f"minhash_{i}" for i in range(n_hashes)]
+        ).withColumn("_side", F.lit(tag))
+    sigs = _sigs(new_docs, "n").unionByName(_sigs(existing_docs, "e"))
+    sig_cols = [f"minhash_{i}" for i in range(n_hashes)]
+    rows_per_band = len(sig_cols) // bands
+    band_exprs = []
+    for b in range(bands):
+        cols = sig_cols[b * rows_per_band : (b + 1) * rows_per_band]
+        band_exprs.append(
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(F.concat_ws(",", *cols)).alias("bh"),
+            )
+        )
+    buckets = sigs.select(
+        id_col, "_side", F.explode(F.array(*band_exprs)).alias("bk")
+    ).select(id_col, "_side", "bk.band", "bk.bh")
+    a = buckets.filter(F.col("_side") == "n").alias("a")
+    b_ = buckets.filter(F.col("_side") == "e").alias("b")
+    cands = (
+        a.join(
+            b_,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+    new_arr = new_docs.select(
+        F.col(id_col).alias("id_a"),
+        shingle_array(F.col(text_col), k).alias("_sa"),
+    )
+    ex_arr = existing_docs.select(
+        F.col(id_col).alias("id_b"),
+        shingle_array(F.col(text_col), k).alias("_sb"),
+    )
+    verified = (
+        cands.join(new_arr, "id_a")
+        .join(ex_arr, "id_b")
+        .withColumn("_inter", F.size(F.array_intersect("_sa", "_sb")))
+        .withColumn(
+            "_union", F.size("_sa") + F.size("_sb") - F.col("_inter")
+        )
+        .filter(
+            F.when(F.col("_union") > 0, F.col("_inter") / F.col("_union"))
+            .otherwise(F.lit(1.0))
+            >= min_jaccard
+        )
+        .select(F.col("id_a").alias(id_col))
+        .distinct()
+    )
+    return new_docs.join(verified, id_col, "left_anti")
+
+
+def keep_best_per_cluster(
+    clusters: DataFrame,
+    scores: DataFrame,
+    score_col: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Pick the representative of each duplicate cluster by QUALITY
+    instead of duplicate_clusters' min-id rule: join the cluster
+    labels with any per-doc score frame (q_score, trigram LM, a
+    trained classifier) and keep the argmax per cluster (score DESC,
+    id ASC on ties — deterministic). Returns (id, cluster, score,
+    keep). Window work is per-cluster over the (dup-rate-bounded)
+    clustered subset only."""
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("cluster").orderBy(
+        F.desc(score_col), F.asc(id_col)
+    )
+    return (
+        clusters.select(id_col, "cluster")
+        .join(scores.select(id_col, score_col), id_col)
+        .withColumn("keep", F.row_number().over(w) == 1)
+    )
