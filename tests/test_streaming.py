@@ -250,3 +250,40 @@ def test_decontamination_stream_static_join(spark, sf_dir):
     assert len(got) == len(want) > 0
     assert (got["doc_id"].values == want["doc_id"].values).all()
     assert (got["n_contam"].values == want["n_contam"].values).all()
+
+
+def test_split_and_chunk_stream_parity(spark, sf_dir):
+    """hash_split and chunk_documents are stateless projections, so
+    they apply to a readStream firehose unchanged (append mode) and
+    reproduce the batch rows exactly."""
+    import tempfile
+
+    from scalecast_spark.datapipe.sample import hash_split
+    from scalecast_spark.datapipe.text import chunk_documents
+    from scalecast_spark.sources import load_table
+    from scalecast_spark.streaming import run_available_now, stream_documents
+
+    docs = load_table(spark, sf_dir, "documents")
+    fr = {"train": 0.8, "val": 0.1, "test": 0.1}
+    b1 = hash_split(docs, fr, "doc_id").select("doc_id", "split")
+    b2 = chunk_documents(
+        docs.select("doc_id", "text"), max_tokens=40, overlap=8
+    ).select("doc_id", "chunk_idx", "chunk_text")
+    stream = stream_documents(spark, f"{sf_dir}/documents.parquet")
+    s1 = hash_split(stream, fr, "doc_id").select("doc_id", "split")
+    s2 = chunk_documents(
+        stream.select("doc_id", "text"), max_tokens=40, overlap=8
+    ).select("doc_id", "chunk_idx", "chunk_text")
+    assert s1.isStreaming and s2.isStreaming
+    with tempfile.TemporaryDirectory() as ck1, tempfile.TemporaryDirectory() as ck2:
+        g1 = run_available_now(s1, "q_split_stream", ck1, output_mode="append")
+        g2 = run_available_now(s2, "q_chunk_stream", ck2, output_mode="append")
+        for got, want, keys in (
+            (g1, b1, ["doc_id"]),
+            (g2, b2, ["doc_id", "chunk_idx"]),
+        ):
+            gp = got.toPandas().sort_values(keys).reset_index(drop=True)
+            wp = want.toPandas().sort_values(keys).reset_index(drop=True)
+            assert len(gp) == len(wp) > 0
+            for c in wp.columns:
+                assert (gp[c].values == wp[c].values).all(), c
