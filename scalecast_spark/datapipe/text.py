@@ -1196,3 +1196,114 @@ def curation_report(curated: DataFrame, group_col: str | None = None) -> DataFra
         "n_docs",
         F.round(F.col("n_docs") / F.col("_n"), 6).alias("share"),
     )
+
+
+def contaminated_spans(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Positions of benchmark-overlapping word n-grams per document,
+    merged into maximal spans (gaps-and-islands, same machinery as
+    repeated_spans): (id, span_start, span_end) — 0-based inclusive
+    WORD indices into the normalized token stream. The span-level view
+    of :func:`contamination_hits` for surgical removal instead of
+    whole-document drops."""
+    from pyspark.sql import Window
+
+    from scalecast_spark.datapipe.dedup import _spread
+
+    bench_sh = (
+        benchmark.select(
+            F.explode(
+                F.array_distinct(
+                    ngram_chain(split_words(_norm(F.col(text_col))), n)
+                )
+            ).alias("_ng")
+        )
+        .select(F.xxhash64("_ng").alias("_h"))
+        .distinct()
+    )
+    ws = docs.repartition(_spread(docs), id_col).select(
+        id_col, split_words(_norm(F.col(text_col))).alias("_ws")
+    )
+    pos_ng = ws.select(
+        id_col, F.posexplode(ngram_chain(F.col("_ws"), n)).alias("_pos", "_ng")
+    ).select(id_col, "_pos", F.xxhash64("_ng").alias("_h"))
+    hits = pos_ng.join(F.broadcast(bench_sh), "_h").select(id_col, "_pos")
+    w = Window.partitionBy(id_col).orderBy("_pos")
+    brk = (
+        F.when(F.lag("_pos").over(w).isNull(), 1)
+        .when(F.col("_pos") > F.lag("_pos").over(w) + n, 1)
+        .otherwise(0)
+    )
+    isl = F.sum("_brk").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        hits.withColumn("_brk", brk)
+        .withColumn("_isl", isl)
+        .groupBy(id_col, "_isl")
+        .agg(
+            F.min("_pos").alias("span_start"),
+            (F.max("_pos") + (n - 1)).alias("span_end"),
+        )
+        .drop("_isl")
+    )
+
+
+def remove_contaminated_spans(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Span-level benchmark decontamination (the Lee et al. 2022 /
+    PaLM-style alternative to dropping whole pages): CUT every
+    benchmark-overlapping n-gram span out of the token stream and
+    rejoin the remainder. Adds ``text_decontam`` (the cleaned text —
+    normalized whitespace, unchanged when no span hits) and
+    ``n_removed_tokens``.
+
+    Shape: the span frame is contamination-rate-bounded; cutting is a
+    per-row filter of the words array against the doc's (few, merged)
+    spans collected into an array via one groupBy — the corpus body
+    never joins against exploded n-grams."""
+    spans = contaminated_spans(docs, benchmark, n, text_col, id_col)
+    per_doc = spans.groupBy(id_col).agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("_spans")
+    )
+    out = docs.join(per_doc, id_col, "left")
+
+    def fresh(name: str) -> str:
+        while name in docs.columns:
+            name = "_" + name
+        return name
+
+    c_ws = fresh("_dc_ws")
+    out = out.withColumn(c_ws, split_words(_norm(F.col(text_col))))
+    # keep word i iff NO span covers it; spans per doc are few (merged
+    # islands), so the exists() per element is over a tiny array
+    kept = F.filter(
+        F.transform(
+            F.col(c_ws),
+            lambda x, i: F.struct(x.alias("w"), i.alias("i")),
+        ),
+        lambda p: F.col("_spans").isNull()
+        | ~F.exists(
+            F.col("_spans"),
+            lambda s: (p["i"] >= s["span_start"]) & (p["i"] <= s["span_end"]),
+        ),
+    )
+    cleaned = F.array_join(F.transform(kept, lambda p: p["w"]), " ")
+    return (
+        out.withColumn("text_decontam", cleaned)
+        .withColumn(
+            "n_removed_tokens",
+            (F.size(F.col(c_ws)) - F.size(kept)).cast("long"),
+        )
+        .drop(c_ws, "_spans")
+    )

@@ -1,0 +1,80 @@
+"""Span-level benchmark decontamination (text.remove_contaminated_spans)
+plus the chunk→pack training-batch construction path."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from scalecast_spark.datapipe.text import (
+    contaminated_spans,
+    remove_contaminated_spans,
+)
+
+BENCH = "alpha bravo charlie delta echo foxtrot golf hotel"  # 8 words
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_spans_located_and_merged(spark):
+    pre = "one two three four five six seven eight nine ten"
+    post = "zz yy xx ww vv uu tt ss"
+    doc = f"{pre} {BENCH} {post}"
+    docs = _docs(spark, [(1, doc)])
+    bench = _docs(spark, [(9, BENCH)])
+    spans = contaminated_spans(docs, bench, n=8).collect()
+    assert len(spans) == 1
+    # benchmark occupies word positions 10..17
+    assert (spans[0]["span_start"], spans[0]["span_end"]) == (10, 17)
+
+
+def test_removal_cuts_exactly_the_span(spark):
+    pre = "one two three four five six seven eight nine ten"
+    post = "zz yy xx ww vv uu tt ss"
+    doc = f"{pre} {BENCH} {post}"
+    docs = _docs(spark, [(1, doc), (2, "totally clean words here")])
+    bench = _docs(spark, [(9, BENCH)])
+    out = {r["doc_id"]: r for r in remove_contaminated_spans(docs, bench, n=8).collect()}
+    assert out[1]["text_decontam"] == f"{pre} {post}"
+    assert out[1]["n_removed_tokens"] == 8
+    # clean doc untouched (normalized form) with zero removals
+    assert out[2]["text_decontam"] == "totally clean words here"
+    assert out[2]["n_removed_tokens"] == 0
+
+
+def test_multiple_hits_merge_into_one_span(spark):
+    # benchmark text appears twice back to back -> overlapping windows
+    # merge into ONE maximal span covering both occurrences
+    doc = f"start {BENCH} {BENCH} finish"
+    docs = _docs(spark, [(1, doc)])
+    bench = _docs(spark, [(9, BENCH)])
+    out = remove_contaminated_spans(docs, bench, n=8).first()
+    assert out["text_decontam"] == "start finish"
+    assert out["n_removed_tokens"] == 16
+
+
+def test_chunk_then_pack_training_batches(spark):
+    """End-to-end training-batch construction: chunk long docs to
+    <=64-token windows, then greedily pack chunks into <=256-token
+    bins — every chunk lands in exactly one bin and no bin overflows."""
+    from scalecast_spark.datapipe.sample import pack_sequences
+    from scalecast_spark.datapipe.text import chunk_documents
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    chunks = chunk_documents(
+        docs.select("doc_id", "text"), max_tokens=64, overlap=0
+    ).withColumn(
+        "chunk_id",
+        F.col("doc_id") * 1000 + F.col("chunk_idx"),
+    )
+    weights = chunks.select(
+        "chunk_id", F.col("chunk_tokens").cast("double").alias("w")
+    )
+    packed = pack_sequences(weights, 256.0, "w", "chunk_id")
+    assert packed.count() == chunks.count()
+    fill = (
+        packed.join(weights, "chunk_id")
+        .groupBy("bucket", "bin")
+        .agg(F.sum("w").alias("fill"))
+    )
+    assert fill.filter(F.col("fill") > 256.0).count() == 0
