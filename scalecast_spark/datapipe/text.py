@@ -785,6 +785,7 @@ def curate_corpus(
     min_tri_logprob: float | None = None,
     gopher_char_gates: bool = False,
     c4_gates: bool = False,
+    decontam_mode: str = "drop",
 ) -> DataFrame:
     """The standard pre-training curation sweep as ONE composed pass:
     C4/Gopher quality gates + repetition gates + (optional) benchmark
@@ -798,6 +799,11 @@ def curate_corpus(
     benchmark n-gram set, so the plan stays shuffle-free on the corpus.
     Filter ``keep`` to materialize the cleaned corpus.
 
+    ``decontam_mode='cut'`` (with a benchmark) switches from
+    drop-the-page to the span-surgery posture: overlapping n-gram
+    spans are removed FIRST (remove_contaminated_spans) and every
+    gate judges the cleaned text — no benchmark_contaminated rule.
+
     STREAMING: with ``benchmark=None`` every rule is stateless per-row
     column math, so this operator applies unchanged to a readStream
     frame in append mode (a crawl firehose can be curated on ingest —
@@ -807,6 +813,17 @@ def curate_corpus(
     corpus against the static benchmark directly; complete-mode parity
     is asserted in tests/test_streaming.py) downstream.
     """
+    if decontam_mode not in ("drop", "cut"):
+        raise ValueError(f"decontam_mode must be drop|cut, got {decontam_mode!r}")
+    if benchmark is not None and decontam_mode == "cut":
+        # surgical decontamination FIRST (Lee et al./PaLM posture):
+        # overlapping spans are cut and every downstream signal/rule
+        # judges the CLEANED text; no benchmark_contaminated rule —
+        # the doc survives on its remaining merits. The original text
+        # column is replaced (the cleaned corpus is what ships).
+        df = remove_contaminated_spans(
+            df, benchmark, contam_ngram, text_col, id_col
+        ).withColumn(text_col, F.col("text_decontam")).drop("text_decontam")
     out = add_quality_score(add_token_count(df, text_col), text_col)
     if gopher_char_gates:
         # Arrow kernel twin: bit-identical to the declarative signals
@@ -863,7 +880,7 @@ def curate_corpus(
             ("lorem_ipsum", F.col("has_lorem_ipsum")),
             ("curly_brace", F.col("has_curly_brace")),
         ]
-    if benchmark is not None:
+    if benchmark is not None and decontam_mode == "drop":
         hits = contamination_hits(df, benchmark, contam_ngram, text_col, id_col)
         out = out.join(hits, id_col, "left").na.fill({"n_contam": 0})
         rules.append(("benchmark_contaminated", F.col("n_contam") > max_contam))

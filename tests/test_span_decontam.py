@@ -78,3 +78,24 @@ def test_chunk_then_pack_training_batches(spark):
         .agg(F.sum("w").alias("fill"))
     )
     assert fill.filter(F.col("fill") > 256.0).count() == 0
+
+
+def test_curate_corpus_cut_mode(spark):
+    from scalecast_spark.datapipe.text import curate_corpus
+
+    filler = " ".join(f"word{i}" for i in range(40))
+    doc = f"{filler} {BENCH}"
+    docs = _docs(spark, [(1, doc)])
+    bench = _docs(spark, [(9, BENCH)])
+    dropped = curate_corpus(docs, bench).select("doc_id", "keep", "drop_reasons")
+    r = dropped.first()
+    assert not r["keep"] and "benchmark_contaminated" in r["drop_reasons"]
+    cut = curate_corpus(docs, bench, decontam_mode="cut")
+    c = cut.first()
+    assert c["keep"], c["drop_reasons"]  # survives on its cleaned merits
+    assert c["text"] == filler  # benchmark span gone from the text
+    assert c["n_removed_tokens"] == 8
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="decontam_mode"):
+        curate_corpus(docs, bench, decontam_mode="nope")
