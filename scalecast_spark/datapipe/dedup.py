@@ -217,23 +217,43 @@ def minhash_signatures_projection(
     )
 
 
+def _band_buckets(
+    signatures: DataFrame, bands: int, id_col: str, extra_cols: list[str] = []
+) -> DataFrame:
+    """(id, [extra...], band, bh) bucket rows shared by every LSH
+    bucketing path. Validates the signature/band fit: bands that don't
+    divide the signature length would either hash EMPTY column slices
+    (every doc in one bucket → the 'sub-quadratic' join silently goes
+    full cross product) or drop trailing minhashes (silent recall
+    change) — both fail loudly instead."""
+    sig_cols = [c for c in signatures.columns if c.startswith("minhash_")]
+    if not sig_cols or bands <= 0 or len(sig_cols) % bands != 0:
+        raise ValueError(
+            f"bands={bands} must evenly divide the {len(sig_cols)} "
+            "minhash columns (equal non-empty bands)"
+        )
+    rows_per_band = len(sig_cols) // bands
+    band_exprs = []
+    for b in range(bands):
+        cols = sig_cols[b * rows_per_band : (b + 1) * rows_per_band]
+        band_exprs.append(
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(F.concat_ws(",", *cols)).alias("bh"),
+            )
+        )
+    return signatures.select(
+        id_col, *extra_cols, F.explode(F.array(*band_exprs)).alias("bk")
+    ).select(id_col, *extra_cols, "bk.band", "bk.bh")
+
+
 def lsh_candidate_pairs(
     signatures: DataFrame, bands: int = 4, id_col: str = "doc_id"
 ) -> DataFrame:
     """Band the signature, bucket-join on (band, band-hash), emit
     candidate (id_a < id_b) pairs. Only docs sharing a full band
     collide — the join never goes quadratic in corpus size."""
-    sig_cols = [c for c in signatures.columns if c.startswith("minhash_")]
-    rows_per_band = len(sig_cols) // bands
-    band_exprs = []
-    for b in range(bands):
-        cols = sig_cols[b * rows_per_band : (b + 1) * rows_per_band]
-        band_exprs.append(
-            F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws(",", *cols)).alias("bh"))
-        )
-    buckets = signatures.select(
-        id_col, F.explode(F.array(*band_exprs)).alias("bk")
-    ).select(id_col, "bk.band", "bk.bh")
+    buckets = _band_buckets(signatures, bands, id_col)
     a = buckets.alias("a")
     b_ = buckets.alias("b")
     return (
@@ -595,6 +615,7 @@ def cross_dedup(
     min_jaccard: float = 0.5,
     text_col: str = "text",
     id_col: str = "doc_id",
+    existing_sigs: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental corpus dedup: drop every NEW document that is a
     near-duplicate (shingle Jaccard ≥ ``min_jaccard``) of ANY existing
@@ -607,31 +628,30 @@ def cross_dedup(
     candidate pairs via the array-intersect kernel — the same
     sub-quadratic machinery as the in-corpus headline. Ids may overlap
     across the two frames (they are different corpora); matching is by
-    content only."""
-    from pyspark.sql import functions as F  # noqa: F811
+    content only.
 
-    def _sigs(df: DataFrame, tag: str) -> DataFrame:
+    ``existing_sigs`` takes PRECOMPUTED signatures for the existing
+    side (columns: id + minhash_0..n-1, e.g. a persisted
+    minhash_signatures output) so incremental runs don't re-shingle
+    the full training set every refresh — only the new crawl pays the
+    signature cost."""
+
+    def _sigs(df: DataFrame) -> DataFrame:
         sh = word_shingles(df, k, text_col=text_col, id_col=id_col)
         return minhash_signatures(sh, n_hashes=n_hashes, id_col=id_col).select(
             F.col(id_col), *[f"minhash_{i}" for i in range(n_hashes)]
-        ).withColumn("_side", F.lit(tag))
-    sigs = _sigs(new_docs, "n").unionByName(_sigs(existing_docs, "e"))
-    sig_cols = [f"minhash_{i}" for i in range(n_hashes)]
-    rows_per_band = len(sig_cols) // bands
-    band_exprs = []
-    for b in range(bands):
-        cols = sig_cols[b * rows_per_band : (b + 1) * rows_per_band]
-        band_exprs.append(
-            F.struct(
-                F.lit(b).alias("band"),
-                F.md5(F.concat_ws(",", *cols)).alias("bh"),
-            )
         )
-    buckets = sigs.select(
-        id_col, "_side", F.explode(F.array(*band_exprs)).alias("bk")
-    ).select(id_col, "_side", "bk.band", "bk.bh")
-    a = buckets.filter(F.col("_side") == "n").alias("a")
-    b_ = buckets.filter(F.col("_side") == "e").alias("b")
+
+    new_sigs = _sigs(new_docs)
+    ex_sigs = (
+        existing_sigs.select(
+            F.col(id_col), *[f"minhash_{i}" for i in range(n_hashes)]
+        )
+        if existing_sigs is not None
+        else _sigs(existing_docs)
+    )
+    a = _band_buckets(new_sigs, bands, id_col).alias("a")
+    b_ = _band_buckets(ex_sigs, bands, id_col).alias("b")
     cands = (
         a.join(
             b_,
@@ -681,15 +701,22 @@ def keep_best_per_cluster(
     labels with any per-doc score frame (q_score, trigram LM, a
     trained classifier) and keep the argmax per cluster (score DESC,
     id ASC on ties — deterministic). Returns (id, cluster, score,
-    keep). Window work is per-cluster over the (dup-rate-bounded)
-    clustered subset only."""
+    keep). Accepts duplicate_clusters' frame directly (its id column
+    is ``node`` — renamed here). Members MISSING from the scores
+    frame are kept in the output with a NULL score and can never be
+    elected (nulls sort last) — an inner join would silently drop
+    them from the labeling entirely, electing the wrong survivor.
+    Window work is per-cluster over the (dup-rate-bounded) clustered
+    subset only."""
     from pyspark.sql import Window as W
 
+    if id_col not in clusters.columns and "node" in clusters.columns:
+        clusters = clusters.withColumnRenamed("node", id_col)
     w = W.partitionBy("cluster").orderBy(
-        F.desc(score_col), F.asc(id_col)
+        F.desc_nulls_last(score_col), F.asc(id_col)
     )
     return (
         clusters.select(id_col, "cluster")
-        .join(scores.select(id_col, score_col), id_col)
+        .join(scores.select(id_col, score_col), id_col, "left")
         .withColumn("keep", F.row_number().over(w) == 1)
     )

@@ -803,6 +803,10 @@ def curate_corpus(
     drop-the-page to the span-surgery posture: overlapping n-gram
     spans are removed FIRST (remove_contaminated_spans) and every
     gate judges the cleaned text — no benchmark_contaminated rule.
+    Only documents that were actually cut are rebuilt (original case,
+    but single-line — see remove_contaminated_spans' text contract),
+    so line/paragraph gates judge flattened text for THOSE docs;
+    untouched docs keep their bytes and gate normally.
 
     STREAMING: with ``benchmark=None`` every rule is stateless per-row
     column math, so this operator applies unchanged to a readStream
@@ -1281,27 +1285,49 @@ def remove_contaminated_spans(
     """Span-level benchmark decontamination (the Lee et al. 2022 /
     PaLM-style alternative to dropping whole pages): CUT every
     benchmark-overlapping n-gram span out of the token stream and
-    rejoin the remainder. Adds ``text_decontam`` (the cleaned text —
-    normalized whitespace, unchanged when no span hits) and
+    rejoin the remainder. Adds ``text_decontam`` and
     ``n_removed_tokens``.
+
+    Text contract: documents with NO hits keep their ORIGINAL text
+    verbatim (bytes untouched — case, newlines, everything); only
+    documents that were actually cut are rebuilt from the surviving
+    ORIGINAL-CASE tokens joined by single spaces (span matching
+    casefolds, the surgery does not — but line structure within a cut
+    document is not reconstructable and collapses to one line; a
+    review of an earlier version found it lowercasing and flattening
+    the WHOLE corpus, hence this explicit contract).
 
     Shape: the span frame is contamination-rate-bounded; cutting is a
     per-row filter of the words array against the doc's (few, merged)
     spans collected into an array via one groupBy — the corpus body
     never joins against exploded n-grams."""
     spans = contaminated_spans(docs, benchmark, n, text_col, id_col)
-    per_doc = spans.groupBy(id_col).agg(
-        F.collect_list(F.struct("span_start", "span_end")).alias("_spans")
-    )
-    out = docs.join(per_doc, id_col, "left")
 
     def fresh(name: str) -> str:
         while name in docs.columns:
             name = "_" + name
         return name
 
-    c_ws = fresh("_dc_ws")
-    out = out.withColumn(c_ws, split_words(_norm(F.col(text_col))))
+    c_sp, c_ws = fresh("_dc_spans"), fresh("_dc_ws")
+    if "text_decontam" in docs.columns or "n_removed_tokens" in docs.columns:
+        raise ValueError(
+            "docs already carry text_decontam/n_removed_tokens — "
+            "remove or rename them before re-running decontamination"
+        )
+    per_doc = spans.groupBy(id_col).agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias(c_sp)
+    )
+    out = docs.join(per_doc, id_col, "left")
+    # ORIGINAL-case tokens, index-aligned with the normalized stream
+    # the spans were computed on: lower() never changes whitespace, so
+    # the same trim + collapse + split yields the same token sequence
+    out = out.withColumn(
+        c_ws,
+        F.filter(
+            F.split(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "), " "),
+            lambda x: F.length(x) > 0,
+        ),
+    )
     # keep word i iff NO span covers it; spans per doc are few (merged
     # islands), so the exists() per element is over a tiny array
     kept = F.filter(
@@ -1309,18 +1335,22 @@ def remove_contaminated_spans(
             F.col(c_ws),
             lambda x, i: F.struct(x.alias("w"), i.alias("i")),
         ),
-        lambda p: F.col("_spans").isNull()
-        | ~F.exists(
-            F.col("_spans"),
+        lambda p: ~F.exists(
+            F.col(c_sp),
             lambda s: (p["i"] >= s["span_start"]) & (p["i"] <= s["span_end"]),
         ),
     )
     cleaned = F.array_join(F.transform(kept, lambda p: p["w"]), " ")
     return (
-        out.withColumn("text_decontam", cleaned)
+        out.withColumn(
+            "text_decontam",
+            F.when(F.col(c_sp).isNull(), F.col(text_col)).otherwise(cleaned),
+        )
         .withColumn(
             "n_removed_tokens",
-            (F.size(F.col(c_ws)) - F.size(kept)).cast("long"),
+            F.when(
+                F.col(c_sp).isNull(), F.lit(0)
+            ).otherwise(F.size(F.col(c_ws)) - F.size(kept)).cast("long"),
         )
-        .drop(c_ws, "_spans")
+        .drop(c_ws, c_sp)
     )

@@ -56,3 +56,29 @@ def test_keep_best_per_cluster(spark):
     out = {r["doc_id"]: r["keep"] for r in keep_best_per_cluster(clusters, scores, "q").collect()}
     # cluster 1: 2 and 3 tie at 0.9 -> lower id wins
     assert out == {1: False, 2: True, 3: False, 10: True, 11: False}
+
+
+def test_cross_dedup_validates_bands_and_reuses_sigs(spark):
+    from scalecast_spark.datapipe.dedup import minhash_signatures, word_shingles
+
+    existing = _docs(spark, [(100, BASE)])
+    new = _docs(spark, [(1, BASE), (2, "fresh unrelated words entirely")])
+    with pytest.raises(ValueError, match="bands"):
+        cross_dedup(new, existing, n_hashes=2, bands=4)
+    # precomputed existing-side signatures give identical results
+    ex_sigs = minhash_signatures(word_shingles(existing, 3), n_hashes=4)
+    a = {r["doc_id"] for r in cross_dedup(new, existing).collect()}
+    b = {r["doc_id"] for r in cross_dedup(new, existing, existing_sigs=ex_sigs).collect()}
+    assert a == b == {2}
+
+
+def test_keep_best_handles_missing_scores_and_node_frame(spark):
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1)], ["node", "cluster"]  # duplicate_clusters shape
+    )
+    scores = spark.createDataFrame([(1, 0.2), (3, 0.5)], ["doc_id", "q"])
+    rows = {r["doc_id"]: r for r in keep_best_per_cluster(clusters, scores, "q").collect()}
+    # doc 2 has no score: present in output, never elected
+    assert set(rows) == {1, 2, 3}
+    assert rows[3]["keep"] and not rows[1]["keep"] and not rows[2]["keep"]
+    assert rows[2]["q"] is None

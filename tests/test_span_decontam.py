@@ -60,12 +60,17 @@ def test_chunk_then_pack_training_batches(spark):
     from scalecast_spark.datapipe.sample import pack_sequences
     from scalecast_spark.datapipe.text import chunk_documents
 
-    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    import os
+
+    sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
     chunks = chunk_documents(
         docs.select("doc_id", "text"), max_tokens=64, overlap=0
     ).withColumn(
+        # 1e6 chunks/doc headroom: collisions would silently merge
+        # keys and break the count assertion below
         "chunk_id",
-        F.col("doc_id") * 1000 + F.col("chunk_idx"),
+        F.col("doc_id") * 1_000_000 + F.col("chunk_idx"),
     )
     weights = chunks.select(
         "chunk_id", F.col("chunk_tokens").cast("double").alias("w")
@@ -99,3 +104,22 @@ def test_curate_corpus_cut_mode(spark):
 
     with _pt.raises(ValueError, match="decontam_mode"):
         curate_corpus(docs, bench, decontam_mode="nope")
+
+
+def test_clean_docs_keep_bytes_and_cut_docs_keep_case(spark):
+    """Text contract: untouched docs pass through verbatim (case AND
+    newlines); cut docs rebuild from ORIGINAL-case tokens."""
+    clean = "Hello World.\nSecond Line Here!"
+    dirty = f"KEEP These Words {BENCH} And Tail"
+    docs = _docs(spark, [(1, clean), (2, dirty)])
+    bench = _docs(spark, [(9, BENCH)])
+    out = {r["doc_id"]: r for r in remove_contaminated_spans(docs, bench, n=8).collect()}
+    assert out[1]["text_decontam"] == clean  # bytes untouched
+    assert out[1]["n_removed_tokens"] == 0
+    assert out[2]["text_decontam"] == "KEEP These Words And Tail"  # case kept
+    assert out[2]["n_removed_tokens"] == 8
+    # re-running on a frame that already carries the outputs fails loudly
+    with pytest.raises(ValueError, match="text_decontam"):
+        remove_contaminated_spans(
+            remove_contaminated_spans(docs, bench), bench
+        )
