@@ -9,6 +9,7 @@ engines (and checkable against a DuckDB oracle).
 """
 
 from scalecast_spark.datapipe import (  # noqa: F401
+    artifacts,
     cluster,
     dedup,
     multimodal,
