@@ -1,8 +1,12 @@
 """Text-analysis operators for document pipelines.
 
-All pure JVM expressions (regexp/length/split) — no Python UDFs — so
-they run inside whole-stage codegen at full scan speed. Each operator
-is a DataFrame→DataFrame function over a ``text`` column.
+Default posture: pure JVM expressions (regexp/length/split) running
+inside whole-stage codegen at full scan speed; each operator is a
+DataFrame→DataFrame function over a ``text`` column. Two documented
+exceptions ship Arrow-batched mapInPandas kernels where interpreted
+HOF folds are provably interpreter-bound: the Gopher char-fraction
+family (add_gopher_signals_fast — bit-exact twin of the declarative
+version) — there are NO row-at-a-time Python UDFs anywhere.
 """
 
 from __future__ import annotations

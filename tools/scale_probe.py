@@ -94,6 +94,26 @@ def selection_pipeline(docs):
     )
 
 
+def crossdedup_pipeline(docs):
+    """Round-4 incremental dedup: treat half the corpus as the existing
+    training set (signatures precomputed once, as a real refresh
+    pipeline would persist them) and cross-dedup the other half
+    against it. The scaling subject is the new×existing LSH bucket
+    join + candidate verify."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from scalecast_spark.datapipe.dedup import (
+        cross_dedup,
+        minhash_signatures,
+        word_shingles,
+    )
+
+    existing = docs.filter(F.col("doc_id") % 2 == 0)
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+    ex_sigs = minhash_signatures(word_shingles(existing, 3), n_hashes=4)
+    return cross_dedup(new, existing, existing_sigs=ex_sigs).select("doc_id")
+
+
 def signals_pipeline(docs):
     """Round-4 text additions: the Gopher char-fraction Arrow kernel +
     C4 structure signals + fixed-window chunking + a BM25 query — all
@@ -177,9 +197,10 @@ def main():
         for name, fn in [("dedup", dedup_pipeline),
                          ("curation", curation_pipeline),
                          ("selection", selection_pipeline),
-                         ("signals", signals_pipeline)]:
+                         ("signals", signals_pipeline),
+                         ("crossdedup", crossdedup_pipeline)]:
             for axis, mutate in [("mutate", True), ("exact", False)]:
-                if name in ("curation", "selection", "signals") and axis == "exact":
+                if name in ("curation", "selection", "signals", "crossdedup") and axis == "exact":
                     continue  # per-row/bucketed; dup rate is irrelevant
                 if name == "dedup" and axis == "exact":
                     factors = (1, 4)  # 16x exact = 600k-pair clique graph
