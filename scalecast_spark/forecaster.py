@@ -831,6 +831,113 @@ class Forecaster:
         }
         return self
 
+    # -------------------------------------------------------- plots
+    # Presentation tier (reference Forecaster.py:1320-2063): each
+    # method computes its plot payload as one distributed frame and
+    # ALWAYS returns it; drawing happens only when matplotlib is
+    # importable (render=True), so the API is useful headless.
+    def plot(
+        self,
+        models: list[str] | None = None,
+        ci: bool = False,
+        render: bool = True,
+        path: str | None = None,
+    ) -> DataFrame:
+        """reference plot (Forecaster.py:1790-1886): history +
+        forecast overlay with optional conformal bands."""
+        from scalecast_spark import plotting as P
+
+        frame = P.forecast_plot_frame(self, models, ci=ci)
+        if render:
+            P.render_lines(frame, path=path, title="Forecasts")
+        return frame
+
+    def plot_test_set(
+        self,
+        models: list[str] | None = None,
+        include_train: bool = True,
+        render: bool = True,
+        path: str | None = None,
+    ) -> DataFrame:
+        """reference plot_test_set (Forecaster.py:1887-1998)."""
+        from scalecast_spark import plotting as P
+
+        frame = P.test_set_plot_frame(self, models, include_train)
+        if render:
+            P.render_lines(frame, path=path, title="Test-set predictions")
+        return frame
+
+    def plot_fitted(
+        self,
+        models: list[str] | None = None,
+        render: bool = True,
+        path: str | None = None,
+    ) -> DataFrame:
+        """reference plot_fitted (Forecaster.py:1999-2063)."""
+        from scalecast_spark import plotting as P
+
+        frame = P.fitted_plot_frame(self, models)
+        if render:
+            P.render_lines(frame, path=path, title="Fitted values")
+        return frame
+
+    def plot_acf(
+        self,
+        diffy: bool = False,
+        train_only: bool = False,
+        nlags: int = 24,
+        render: bool = True,
+        path: str | None = None,
+    ) -> DataFrame:
+        """reference plot_acf (Forecaster.py:1320-1343)."""
+        from scalecast_spark import plotting as P
+
+        frame = P.acf_frame(
+            self.tsf.df, nlags, diffy, train_only, self.test_length
+        )
+        if render:
+            P.render_stems(frame, y="acf", path=path, title="ACF")
+        return frame
+
+    def plot_pacf(
+        self,
+        diffy: bool = False,
+        train_only: bool = False,
+        nlags: int = 24,
+        render: bool = True,
+        path: str | None = None,
+    ) -> DataFrame:
+        """reference plot_pacf (Forecaster.py:1344-1367)."""
+        from scalecast_spark import plotting as P
+
+        frame = P.pacf_frame(
+            self.tsf.df, nlags, diffy, train_only, self.test_length
+        )
+        if render:
+            P.render_stems(frame, y="pacf", path=path, title="PACF")
+        return frame
+
+    def plot_periodogram(
+        self, diffy: bool = False, train_only: bool = False,
+        render: bool = True, path: str | None = None,
+    ) -> DataFrame:
+        """reference plot_periodogram (Forecaster.py:1368-1392):
+        per-series power spectrum via functions.stattests.periodogram."""
+        from scalecast_spark import plotting as P
+        from scalecast_spark.functions.stattests import periodogram
+
+        frame = periodogram(
+            P._prep_series(
+                self.tsf.df, diffy, train_only, self.test_length
+            )
+        )
+        if render:
+            P.render_lines(
+                frame, x="freq", y="power", hue=SERIES, series_col=None,
+                path=path, title="Periodogram",
+            )
+        return frame
+
     # ------------------------------------------------------ export
     def export(self, which: str = "model_summaries") -> DataFrame:
         """reference export (Forecaster.py:2065-2219)."""

@@ -1,0 +1,392 @@
+"""Plot surface — the reference's presentation tier, split into
+distributed DATA and gated RENDER.
+
+Reference: ``Forecaster.plot`` / ``plot_test_set`` / ``plot_fitted``
+(Forecaster.py:1790-2063) and ``plot_acf`` / ``plot_pacf`` /
+``plot_periodogram`` (Forecaster.py:1320-1392). Those draw directly
+from in-memory numpy arrays; here every ``*_frame`` function computes
+its plot-ready payload as ONE Spark plan (per-series-parallel, so a
+million-series Forecaster pays the same number of jobs as one), and
+matplotlib is an import-gated optional: absent — the frame IS the
+product (notebooks/BI read it); present — :func:`render_lines` draws
+the classic overlay chart from the same frame.
+
+Scale notes:
+  * ACF is a single window projection (demean + nlags lag columns)
+    feeding one groupBy — the window's hash partitioning on series_id
+    is reused by the aggregate, so the whole statistic costs one
+    shuffle regardless of nlags.
+  * PACF runs Durbin-Levinson per series over the (nlags+1)-row ACF
+    groups via applyInPandas — microscopic per task, never on the
+    driver.
+  * render_lines draws what it plots: callers pass the already-reduced
+    frame; the only driver materialization is the pixels' worth of
+    rows.
+"""
+
+from __future__ import annotations
+
+import warnings
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F, types as T, Window as W
+
+from scalecast_spark.frame import DS, IS_FUTURE, SERIES, Y
+
+
+def _observed(df: DataFrame) -> DataFrame:
+    """Restrict to observed rows when the frame carries the
+    is_future marker (plot inputs may be raw long frames)."""
+    if IS_FUTURE in df.columns:
+        return df.filter(F.col(IS_FUTURE) == 0)
+    return df
+
+
+def _prep_series(
+    df: DataFrame,
+    diffy: bool = False,
+    train_only: bool = False,
+    test_length: int = 0,
+) -> DataFrame:
+    """Shared preprocessing for the correlogram family (reference
+    plot_acf/plot_pacf ``diffy``/``train_only`` switches,
+    Forecaster.py:1320-1367): observed rows, optional first
+    difference, optional test-tail chop."""
+    out = _observed(df).select(SERIES, DS, Y)
+    if train_only and test_length:
+        wrev = W.partitionBy(SERIES).orderBy(F.desc(DS))
+        out = (
+            out.withColumn("_rev", F.row_number().over(wrev))
+            .filter(F.col("_rev") > test_length)
+            .drop("_rev")
+        )
+    if diffy:
+        w = W.partitionBy(SERIES).orderBy(DS)
+        out = (
+            out.withColumn(Y, F.col(Y) - F.lag(Y).over(w))
+            .filter(F.col(Y).isNotNull())
+        )
+    return out
+
+
+def acf_frame(
+    df: DataFrame,
+    nlags: int = 24,
+    diffy: bool = False,
+    train_only: bool = False,
+    test_length: int = 0,
+) -> DataFrame:
+    """Autocorrelation function per series, lags 0..nlags (reference
+    plot_acf -> statsmodels acf, Forecaster.py:1320-1343): the biased
+    estimator rho_k = sum_{t>k}((y_t-m)(y_{t-k}-m)) / sum((y_t-m)^2)
+    with m the full-series mean — statsmodels' default (adjusted=False).
+
+    One window projection (mean + nlags lag columns) into one
+    aggregate; the stack() unpivot is a pure projection. Output:
+    (series_id, lag, acf) rounded to 6dp.
+    """
+    if nlags < 1:
+        raise ValueError(f"nlags must be >= 1, got {nlags}")
+    base = _prep_series(df, diffy, train_only, test_length)
+    wfull = W.partitionBy(SERIES)
+    w = W.partitionBy(SERIES).orderBy(DS)
+    proj = base.select(
+        SERIES,
+        (F.col(Y) - F.avg(Y).over(wfull)).alias("dy"),
+        DS,
+    )
+    proj = proj.select(
+        SERIES,
+        "dy",
+        *[F.lag("dy", k).over(w).alias(f"dy_{k}") for k in range(1, nlags + 1)],
+    )
+    agg = proj.groupBy(SERIES).agg(
+        F.sum(F.col("dy") * F.col("dy")).alias("c0"),
+        *[
+            F.sum(F.col("dy") * F.col(f"dy_{k}")).alias(f"c{k}")
+            for k in range(1, nlags + 1)
+        ],
+    )
+    pairs = ", ".join(f"{k}, c{k}" for k in range(1, nlags + 1))
+    return agg.select(
+        SERIES,
+        F.expr(f"stack({nlags}, {pairs}) as (lag, ck)"),
+        "c0",
+    ).select(
+        SERIES,
+        F.col("lag").cast("int").alias("lag"),
+        F.round(F.col("ck") / F.col("c0"), 6).alias("acf"),
+    ).unionByName(
+        agg.select(
+            SERIES, F.lit(0).alias("lag"), F.lit(1.0).alias("acf")
+        )
+    ).orderBy(SERIES, "lag")
+
+
+def pacf_frame(
+    df: DataFrame,
+    nlags: int = 24,
+    diffy: bool = False,
+    train_only: bool = False,
+    test_length: int = 0,
+) -> DataFrame:
+    """Partial autocorrelation per series, lags 0..nlags (reference
+    plot_pacf -> statsmodels pacf, Forecaster.py:1344-1367), via the
+    Durbin-Levinson recursion on the ACF vector — the 'ldb' (biased
+    Levinson-Durbin) method.
+
+    The recursion is inherently sequential in lag but only ever sees
+    nlags+1 floats, so it runs per series inside applyInPandas over
+    the tiny ACF frame — distributed across series, microscopic per
+    task. Output: (series_id, lag, pacf) rounded to 6dp.
+    """
+    acf = acf_frame(df, nlags, diffy, train_only, test_length)
+    out_schema = T.StructType(
+        [
+            T.StructField(SERIES, acf.schema[SERIES].dataType),
+            T.StructField("lag", T.IntegerType()),
+            T.StructField("pacf", T.DoubleType()),
+        ]
+    )
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("lag")
+        rho = pdf["acf"].to_numpy(float)
+        n = len(rho) - 1
+        pacf = np.zeros(n + 1)
+        pacf[0] = 1.0
+        if n >= 1:
+            pacf[1] = rho[1]
+            phi_prev = np.array([rho[1]])
+            for k in range(2, n + 1):
+                num = rho[k] - float(phi_prev @ rho[k - 1 : 0 : -1])
+                den = 1.0 - float(phi_prev @ rho[1:k])
+                phi_kk = num / den if den != 0.0 else 0.0
+                phi = np.empty(k)
+                phi[:-1] = phi_prev - phi_kk * phi_prev[::-1]
+                phi[-1] = phi_kk
+                pacf[k] = phi_kk
+                phi_prev = phi
+        return pd.DataFrame(
+            {
+                SERIES: pdf[SERIES].iloc[0],
+                "lag": np.arange(n + 1, dtype=np.int32),
+                "pacf": np.round(pacf, 6),
+            }
+        )
+
+    return (
+        acf.groupBy(SERIES)
+        .applyInPandas(run, out_schema)
+        .orderBy(SERIES, "lag")
+    )
+
+
+def _null_bounds():
+    return [
+        F.lit(None).cast("double").alias("upper"),
+        F.lit(None).cast("double").alias("lower"),
+    ]
+
+
+def forecast_plot_frame(
+    f, models: list[str] | None = None, ci: bool = False
+) -> DataFrame:
+    """History + forecast overlay (reference Forecaster.plot,
+    Forecaster.py:1790-1886): one long frame
+    (series_id, ds, model, value, upper, lower); model='actuals' rows
+    carry the observed history, each named model its horizon rows,
+    with conformal bounds when ``ci`` and the model banked them."""
+    models = list(models or f.history)
+    parts = [
+        _observed(f.tsf.df).select(
+            SERIES, DS, F.lit("actuals").alias("model"),
+            F.col(Y).alias("value"), *_null_bounds(),
+        )
+    ]
+    for m in models:
+        fc = f.history[m]["forecast"]
+        has_ci = ci and "upper" in fc.columns
+        bounds = (
+            [F.col("upper"), F.col("lower")] if has_ci else _null_bounds()
+        )
+        parts.append(
+            fc.select(
+                SERIES, DS, F.lit(m).alias("model"),
+                F.col("forecast").alias("value"), *bounds,
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def test_set_plot_frame(
+    f, models: list[str] | None = None, include_train: bool = True
+) -> DataFrame:
+    """Test-tail actuals vs each model's test predictions (reference
+    plot_test_set, Forecaster.py:1887-1998). ``include_train=False``
+    keeps only the test-window actual rows."""
+    models = list(models or f.history)
+    actuals = _observed(f.tsf.df).select(
+        SERIES, DS, F.lit("actuals").alias("model"), F.col(Y).alias("value")
+    )
+    if not include_train and f.test_length:
+        wrev = W.partitionBy(SERIES).orderBy(F.desc(DS))
+        actuals = (
+            _observed(f.tsf.df)
+            .withColumn("_rev", F.row_number().over(wrev))
+            .filter(F.col("_rev") <= f.test_length)
+            .select(
+                SERIES, DS, F.lit("actuals").alias("model"),
+                F.col(Y).alias("value"),
+            )
+        )
+    parts = [actuals]
+    for m in models:
+        tp = f.history[m]["test_preds"]
+        if tp is None:
+            continue
+        parts.append(
+            tp.select(
+                SERIES, DS, F.lit(m).alias("model"),
+                F.col("forecast").alias("value"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def fitted_plot_frame(f, models: list[str] | None = None) -> DataFrame:
+    """In-sample fitted values vs actuals (reference plot_fitted,
+    Forecaster.py:1999-2063)."""
+    models = list(models or f.history)
+    parts = [
+        _observed(f.tsf.df).select(
+            SERIES, DS, F.lit("actuals").alias("model"), F.col(Y).alias("value")
+        )
+    ]
+    for m in models:
+        parts.append(
+            f.history[m]["fitted"].select(
+                SERIES, DS, F.lit(m).alias("model"),
+                F.col("forecast").alias("value"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+# ------------------------------------------------------------- render
+
+def _plt():
+    try:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        return plt
+    except ImportError:
+        return None
+
+
+def render_lines(
+    frame: DataFrame,
+    x: str = DS,
+    y: str = "value",
+    hue: str = "model",
+    series_col: str | None = SERIES,
+    path: str | None = None,
+    title: str | None = None,
+):
+    """Draw the overlay chart from a plot frame (one line per ``hue``
+    value; per-series subplots when ``series_col`` is set). Returns the
+    matplotlib Figure, or None (with a warning) when matplotlib is not
+    installed — the caller still holds the data frame either way.
+
+    The ONLY driver materialization is the frame being drawn — callers
+    pass already-reduced plot payloads (horizon + history rows), never
+    raw corpora.
+    """
+    plt = _plt()
+    if plt is None:
+        warnings.warn(
+            "matplotlib is not installed — render skipped; the returned "
+            "plot frame holds the full payload (install matplotlib to draw)"
+        )
+        return None
+    pdf = frame.toPandas()
+    panels = (
+        sorted(pdf[series_col].dropna().unique())
+        if series_col and series_col in pdf.columns
+        else [None]
+    )
+    fig, axes = plt.subplots(
+        len(panels), 1, figsize=(10, 3 * len(panels)), squeeze=False
+    )
+    for ax, panel in zip(axes[:, 0], panels):
+        sub = pdf if panel is None else pdf[pdf[series_col] == panel]
+        for name, grp in sub.groupby(hue):
+            grp = grp.sort_values(x)
+            ax.plot(grp[x], grp[y], label=str(name))
+            if {"upper", "lower"} <= set(grp.columns) and grp["upper"].notna().any():
+                ax.fill_between(
+                    grp[x], grp["lower"], grp["upper"], alpha=0.2
+                )
+        ax.legend(loc="best", fontsize=8)
+        if panel is not None:
+            ax.set_title(str(panel))
+    if title:
+        fig.suptitle(title)
+    fig.tight_layout()
+    if path:
+        fig.savefig(path)
+    return fig
+
+
+def render_stems(
+    frame: DataFrame,
+    x: str = "lag",
+    y: str = "acf",
+    series_col: str | None = SERIES,
+    path: str | None = None,
+    title: str | None = None,
+):
+    """Correlogram renderer (stem-style bars per lag), matplotlib-gated
+    exactly like :func:`render_lines`."""
+    plt = _plt()
+    if plt is None:
+        warnings.warn(
+            "matplotlib is not installed — render skipped; the returned "
+            "correlogram frame holds the full payload"
+        )
+        return None
+    pdf = frame.toPandas()
+    panels = (
+        sorted(pdf[series_col].dropna().unique())
+        if series_col and series_col in pdf.columns
+        else [None]
+    )
+    fig, axes = plt.subplots(
+        len(panels), 1, figsize=(10, 2.5 * len(panels)), squeeze=False
+    )
+    for ax, panel in zip(axes[:, 0], panels):
+        sub = pdf if panel is None else pdf[pdf[series_col] == panel]
+        sub = sub.sort_values(x)
+        ax.bar(sub[x], sub[y], width=0.3)
+        ax.axhline(0.0, linewidth=0.8)
+        if panel is not None:
+            ax.set_title(str(panel))
+    if title:
+        fig.suptitle(title)
+    fig.tight_layout()
+    if path:
+        fig.savefig(path)
+    return fig
