@@ -453,14 +453,36 @@ def q_ts_normality(spark, sf_dir):
 
 
 def q_ts_periodogram(spark, sf_dir):
-    """Per-series power spectrum (reference Forecaster.py:1368-1392,
-    scipy.periodogram semantics). The rFFT of a demeaned series is a
-    plain DFT, i.e. per-frequency cos/sin aggregate sums — fully
-    SQL-expressible, so the spectrum hash-matches the oracle (incl.
-    the engine's [1:-1] one-sided doubling convention)."""
-    from scalecast_spark.functions.stattests import periodogram
+    """Spectral/correlogram family (reference plot_periodogram +
+    plot_acf, Forecaster.py:1320-1392), member-tagged:
 
-    return _r6(periodogram(_series(spark, sf_dir)), "freq", "power")
+      * pgram — per-series power spectrum: the rFFT of a demeaned
+        series is a plain DFT, i.e. per-frequency cos/sin aggregate
+        sums (incl. the one-sided [1:-1] doubling convention);
+      * acf — autocorrelation lags 0..12 (plotting.acf_frame): ONE
+        window projection (demean + lag columns) into ONE aggregate.
+
+    Both are closed-form aggregates, so the whole family replays in
+    SQL and hash-matches. PACF (Durbin-Levinson over these ACF rows,
+    plotting.pacf_frame) is sequential-in-lag, not SQL-restatable —
+    certified instead against an independent Yule-Walker solve in
+    tests/test_plotting.py."""
+    from scalecast_spark.functions.stattests import periodogram
+    from scalecast_spark.plotting import acf_frame
+
+    pg = _r6(periodogram(_series(spark, sf_dir)), "freq", "power").select(
+        F.lit("pgram").alias("member"),
+        "series_id",
+        F.col("freq").alias("x"),
+        F.col("power").alias("value"),
+    )
+    acf = acf_frame(_series(spark, sf_dir), nlags=12).select(
+        F.lit("acf").alias("member"),
+        "series_id",
+        F.col("lag").cast("double").alias("x"),
+        F.col("acf").alias("value"),
+    )
+    return pg.unionByName(acf)
 
 
 def q_ts_adf(spark, sf_dir):
@@ -2383,12 +2405,37 @@ def oracle_sql() -> dict[str, str]:
                 FROM ks JOIN t USING (series_id)
                 GROUP BY 1, 2, 3
             )
-            SELECT series_id,
-                   round(k / n, 6) AS freq,
+            , acf_base AS (
+                SELECT series_id,
+                       y - avg(y) OVER (PARTITION BY series_id) AS dy,
+                       row_number() OVER (PARTITION BY series_id
+                                          ORDER BY ds) AS rn
+                FROM series
+            ),
+            acf_c0 AS (
+                SELECT series_id, sum(dy * dy) AS c0
+                FROM acf_base GROUP BY 1
+            ),
+            acf_ck AS (
+                SELECT d.series_id, lg.lag, sum(d.dy * p.dy) AS ck
+                FROM acf_base d
+                JOIN (SELECT unnest(range(1, 13)) AS lag) lg ON TRUE
+                JOIN acf_base p
+                  ON p.series_id = d.series_id AND p.rn = d.rn - lg.lag
+                GROUP BY 1, 2
+            )
+            SELECT 'pgram' AS member, series_id,
+                   round(k / n, 6) AS x,
                    round((re * re + im * im) / n
                          * CASE WHEN k >= 1 AND k <= floor(n / 2)::INT - 1
-                                THEN 2 ELSE 1 END, 6) AS power
+                                THEN 2 ELSE 1 END, 6) AS value
             FROM sp
+            UNION ALL
+            SELECT 'acf', series_id, 0.0, 1.0 FROM acf_c0
+            UNION ALL
+            SELECT 'acf', c.series_id, c.lag::DOUBLE,
+                   round(c.ck / z.c0, 6)
+            FROM acf_ck c JOIN acf_c0 z USING (series_id)
         """,
         "ts_normality": f"""
             WITH {_SQL_SERIES},
