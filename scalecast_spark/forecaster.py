@@ -886,14 +886,18 @@ class Forecaster:
         diffy: bool = False,
         train_only: bool = False,
         nlags: int = 24,
+        alpha: float | None = 0.05,
         render: bool = True,
         path: str | None = None,
     ) -> DataFrame:
-        """reference plot_acf (Forecaster.py:1320-1343)."""
+        """reference plot_acf (Forecaster.py:1320-1343); ``alpha``
+        adds the Bartlett confidence half-width column like the
+        statsmodels chart it mirrors."""
         from scalecast_spark import plotting as P
 
         frame = P.acf_frame(
-            self.tsf.df, nlags, diffy, train_only, self.test_length
+            self.tsf.df, nlags, diffy, train_only, self.test_length,
+            alpha=alpha,
         )
         if render:
             P.render_stems(frame, y="acf", path=path, title="ACF")
@@ -904,14 +908,17 @@ class Forecaster:
         diffy: bool = False,
         train_only: bool = False,
         nlags: int = 24,
+        alpha: float | None = 0.05,
         render: bool = True,
         path: str | None = None,
     ) -> DataFrame:
-        """reference plot_pacf (Forecaster.py:1344-1367)."""
+        """reference plot_pacf (Forecaster.py:1344-1367); ``alpha``
+        adds the z/sqrt(n) confidence half-width column."""
         from scalecast_spark import plotting as P
 
         frame = P.pacf_frame(
-            self.tsf.df, nlags, diffy, train_only, self.test_length
+            self.tsf.df, nlags, diffy, train_only, self.test_length,
+            alpha=alpha,
         )
         if render:
             P.render_stems(frame, y="pacf", path=path, title="PACF")

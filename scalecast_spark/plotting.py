@@ -76,6 +76,7 @@ def acf_frame(
     diffy: bool = False,
     train_only: bool = False,
     test_length: int = 0,
+    alpha: float | None = None,
 ) -> DataFrame:
     """Autocorrelation function per series, lags 0..nlags (reference
     plot_acf -> statsmodels acf, Forecaster.py:1320-1343): the biased
@@ -84,7 +85,12 @@ def acf_frame(
 
     One window projection (mean + nlags lag columns) into one
     aggregate; the stack() unpivot is a pure projection. Output:
-    (series_id, lag, acf) rounded to 6dp.
+    (series_id, lag, acf) rounded to 6dp. With ``alpha`` set, adds a
+    ``conf`` half-width column via Bartlett's formula (statsmodels
+    bartlett_confint=True): se(rho_k)^2 = (1 + 2*sum_{j<k} rho_j^2)/n,
+    se(rho_1)^2 = 1/n, conf = z_{1-alpha/2} * se — a window cumsum
+    over the already-tiny per-series lag rows, no extra shuffle of
+    the data itself.
     """
     if nlags < 1:
         raise ValueError(f"nlags must be >= 1, got {nlags}")
@@ -102,6 +108,7 @@ def acf_frame(
         *[F.lag("dy", k).over(w).alias(f"dy_{k}") for k in range(1, nlags + 1)],
     )
     agg = proj.groupBy(SERIES).agg(
+        F.count("dy").cast("double").alias("n"),
         F.sum(F.col("dy") * F.col("dy")).alias("c0"),
         *[
             F.sum(F.col("dy") * F.col(f"dy_{k}")).alias(f"c{k}")
@@ -109,19 +116,54 @@ def acf_frame(
         ],
     )
     pairs = ", ".join(f"{k}, c{k}" for k in range(1, nlags + 1))
-    return agg.select(
+    out = agg.select(
         SERIES,
         F.expr(f"stack({nlags}, {pairs}) as (lag, ck)"),
         "c0",
+        "n",
     ).select(
         SERIES,
         F.col("lag").cast("int").alias("lag"),
         F.round(F.col("ck") / F.col("c0"), 6).alias("acf"),
+        "n",
     ).unionByName(
         agg.select(
-            SERIES, F.lit(0).alias("lag"), F.lit(1.0).alias("acf")
+            SERIES, F.lit(0).alias("lag"), F.lit(1.0).alias("acf"), "n"
         )
-    ).orderBy(SERIES, "lag")
+    )
+    if alpha is not None:
+        from scalecast_spark.functions.normal import norm_ppf
+
+        z = norm_ppf(1.0 - alpha / 2.0)
+        wlag = (
+            W.partitionBy(SERIES)
+            .orderBy("lag")
+            .rowsBetween(W.unboundedPreceding, -1)
+        )
+        # Bartlett cumsum: rho_0^2 enters the window sum for every
+        # k>=1 contributing the constant 1; subtract it back so lag 1
+        # gets se^2 = 1/n and lag k gets (1 + 2*sum_{1<=j<k} rho_j^2)/n
+        out = out.withColumn(
+            "conf",
+            F.when(F.col("lag") == 0, F.lit(0.0)).otherwise(
+                F.round(
+                    F.lit(z)
+                    * F.sqrt(
+                        (
+                            F.lit(1.0)
+                            + F.lit(2.0)
+                            * (
+                                F.sum(F.col("acf") * F.col("acf")).over(wlag)
+                                - F.lit(1.0)
+                            )
+                        )
+                        / F.col("n")
+                    ),
+                    6,
+                )
+            ),
+        )
+    return out.drop("n").orderBy(SERIES, "lag")
 
 
 def pacf_frame(
@@ -130,6 +172,7 @@ def pacf_frame(
     diffy: bool = False,
     train_only: bool = False,
     test_length: int = 0,
+    alpha: float | None = None,
 ) -> DataFrame:
     """Partial autocorrelation per series, lags 0..nlags (reference
     plot_pacf -> statsmodels pacf, Forecaster.py:1344-1367), via the
@@ -176,11 +219,28 @@ def pacf_frame(
             }
         )
 
-    return (
-        acf.groupBy(SERIES)
-        .applyInPandas(run, out_schema)
-        .orderBy(SERIES, "lag")
-    )
+    out = acf.groupBy(SERIES).applyInPandas(run, out_schema)
+    if alpha is not None:
+        # statsmodels plot_pacf band: constant z/sqrt(n) at every lag
+        from scalecast_spark.functions.normal import norm_ppf
+
+        z = norm_ppf(1.0 - alpha / 2.0)
+        n_frame = (
+            _prep_series(df, diffy, train_only, test_length)
+            .groupBy(SERIES)
+            .agg(F.count(Y).cast("double").alias("_n"))
+        )
+        out = (
+            out.join(F.broadcast(n_frame), SERIES)
+            .withColumn(
+                "conf",
+                F.when(F.col("lag") == 0, F.lit(0.0)).otherwise(
+                    F.round(F.lit(z) / F.sqrt(F.col("_n")), 6)
+                ),
+            )
+            .drop("_n")
+        )
+    return out.orderBy(SERIES, "lag")
 
 
 def _null_bounds():
@@ -382,6 +442,8 @@ def render_stems(
         sub = sub.sort_values(x)
         ax.bar(sub[x], sub[y], width=0.3)
         ax.axhline(0.0, linewidth=0.8)
+        if "conf" in sub.columns and sub["conf"].notna().any():
+            ax.fill_between(sub[x], -sub["conf"], sub["conf"], alpha=0.15)
         if panel is not None:
             ax.set_title(str(panel))
     if title:

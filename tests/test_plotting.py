@@ -85,6 +85,30 @@ def test_acf_diffy_and_train_only(toy):
     assert np.allclose(sub2, exp2, atol=1e-6)
 
 
+def test_acf_bartlett_confidence(toy):
+    df, ys = toy
+    got = P.acf_frame(df, nlags=5, alpha=0.05).toPandas()
+    z = 1.959963984540054
+    for sid, y in ys.items():
+        rho = np.asarray(_np_acf(y, 5))
+        n = len(y)
+        exp = [0.0] + [
+            z * np.sqrt((1.0 + 2.0 * float((rho[1:k] ** 2).sum())) / n)
+            for k in range(1, 6)
+        ]
+        sub = got[got[SERIES] == sid].sort_values("lag")["conf"].to_numpy()
+        assert np.allclose(sub, exp, atol=1e-4), sid
+
+
+def test_pacf_confidence_constant(toy):
+    df, ys = toy
+    got = P.pacf_frame(df, nlags=4, alpha=0.05).toPandas()
+    sub = got[got[SERIES] == "a"].sort_values("lag")["conf"].to_numpy()
+    n = len(ys["a"])
+    assert sub[0] == 0.0
+    assert np.allclose(sub[1:], 1.959963984540054 / np.sqrt(n), atol=1e-5)
+
+
 @pytest.fixture(scope="module")
 def fitted_f(spark, sf_dir):
     series = events_to_series(load_table(spark, sf_dir, "events"))
