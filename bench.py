@@ -46,6 +46,7 @@ HEADLINE = {
     "emb_norms": "q_emb_norms",
     "emb_kmeans": "q_emb_kmeans",
     "ts_stl": "q_ts_stl",
+    "ts_correlogram": "q_ts_periodogram",
 }
 
 # the round-1 query set — the BASELINE.md comparison basis. Queries
