@@ -124,11 +124,20 @@ def acf_frame(
     ).select(
         SERIES,
         F.col("lag").cast("int").alias("lag"),
-        F.round(F.col("ck") / F.col("c0"), 6).alias("acf"),
+        # try_divide: a constant series has c0=0 and an UNDEFINED acf —
+        # NULL rows for that series, not an ANSI DIVIDE_BY_ZERO that
+        # kills the whole job (one degenerate series among millions
+        # must not fail the query)
+        F.round(F.try_divide(F.col("ck"), F.col("c0")), 6).alias("acf"),
         "n",
     ).unionByName(
         agg.select(
-            SERIES, F.lit(0).alias("lag"), F.lit(1.0).alias("acf"), "n"
+            SERIES,
+            F.lit(0).alias("lag"),
+            F.when(F.col("c0") == 0, F.lit(None).cast("double"))
+            .otherwise(F.lit(1.0))
+            .alias("acf"),
+            "n",
         )
     )
     if alpha is not None:

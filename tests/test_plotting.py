@@ -85,6 +85,32 @@ def test_acf_diffy_and_train_only(toy):
     assert np.allclose(sub2, exp2, atol=1e-6)
 
 
+def test_constant_series_yields_null_acf_not_job_failure(spark, toy):
+    """A zero-variance series has an undefined ACF: it must come back
+    as NULL rows, and must NOT kill the job for the other series
+    (ANSI DIVIDE_BY_ZERO at scale = one degenerate series fails a
+    million-series correlogram)."""
+    df, ys = toy
+    const = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                SERIES: ["flat"] * 10,
+                DS: pd.date_range("2024-01-01", periods=10),
+                Y: [5.0] * 10,
+            }
+        )
+    )
+    both = df.unionByName(const)
+    got = P.acf_frame(both, nlags=3).toPandas()
+    flat = got[got[SERIES] == "flat"]
+    assert len(flat) == 4 and flat["acf"].isna().all()
+    ok = got[got[SERIES] == "a"].sort_values("lag")["acf"].to_numpy()
+    assert np.allclose(ok, np.round(_np_acf(ys["a"], 3), 6), atol=1e-6)
+    # pacf propagates the undefined statistic as NaN, same contract
+    pflat = P.pacf_frame(const, nlags=3).toPandas()
+    assert pflat["pacf"].iloc[1:].isna().all()
+
+
 def test_acf_bartlett_confidence(toy):
     df, ys = toy
     got = P.acf_frame(df, nlags=5, alpha=0.05).toPandas()
