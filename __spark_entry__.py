@@ -2431,10 +2431,12 @@ def oracle_sql() -> dict[str, str]:
                                 THEN 2 ELSE 1 END, 6) AS value
             FROM sp
             UNION ALL
-            SELECT 'acf', series_id, 0.0, 1.0 FROM acf_c0
+            SELECT 'acf', series_id, 0.0,
+                   CASE WHEN c0 = 0 THEN NULL ELSE 1.0 END
+            FROM acf_c0
             UNION ALL
             SELECT 'acf', c.series_id, c.lag::DOUBLE,
-                   round(c.ck / z.c0, 6)
+                   round(c.ck / NULLIF(z.c0, 0), 6)
             FROM acf_ck c JOIN acf_c0 z USING (series_id)
         """,
         "ts_normality": f"""

@@ -19,7 +19,7 @@ technique as the STL/LOESS unroll).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, functions as F, types as T
 
 from scalecast_spark.datapipe.similarity import ivf_centroids
 
@@ -350,6 +350,14 @@ def semantic_dedup(
     side = df.select(F.col(id_col), vec.alias("_v")).join(
         assigned.select(id_col, "cluster"), id_col
     )
+    if method == "gemm" and not isinstance(
+        side.schema[id_col].dataType,
+        (T.ByteType, T.ShortType, T.IntegerType, T.LongType),
+    ):
+        # the GEMM kernel emits long ids; a silent cast would NULL
+        # string ids and mark nothing as duplicate — route to the
+        # parity-tested expr twin, which keeps the native id type
+        method = "expr"
     if method == "gemm":
         dropped = _semantic_dropped_gemm(side, threshold, id_col)
     else:

@@ -1085,7 +1085,10 @@ def bm25_topk(
     ≥1 query term; corpus stats (N, avgdl) are a one-row aggregate of
     the column-pruned lengths frame, broadcast-cross-joined; df_t is a
     query-vocab-sized broadcast. Top-k is TakeOrderedAndProject."""
-    terms = sorted({t for t in query_terms})
+    # document tokens come from split_words(_norm(text)) — lowercase,
+    # whitespace-free — so query terms must be normalized the same way
+    # or an uppercase term silently scores 0 against every document
+    terms = sorted({t.strip().lower() for t in query_terms} - {""})
     if not terms:
         raise ValueError("query_terms must be non-empty")
     base = df.select(

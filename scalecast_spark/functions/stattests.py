@@ -324,25 +324,33 @@ def anomalies_from_residuals(
     Shape: two series-keyed aggregates (median+signal level, then MAD
     of the centered values) broadcast back — the per-series frames are
     n_series rows, so the joins stay broadcast at any length."""
-    aggs = [F.expr(f"percentile({resid_col}, 0.5)").alias("_med")]
+    def fresh(name: str) -> str:
+        # input frames may already carry _med/_mad/_lvl (e.g. a prior
+        # anomaly pass) — collide-free temp names, same pattern as text.py
+        while name in df.columns:
+            name = "_" + name
+        return name
+
+    c_med, c_mad, c_lvl = fresh("_med"), fresh("_mad"), fresh("_lvl")
+    aggs = [F.expr(f"percentile({resid_col}, 0.5)").alias(c_med)]
     if scale_col is not None:
         aggs.append(
-            F.expr(f"percentile(abs({scale_col}), 0.5)").alias("_lvl")
+            F.expr(f"percentile(abs({scale_col}), 0.5)").alias(c_lvl)
         )
     med = df.groupBy(series_col).agg(*aggs)
     centered = df.join(F.broadcast(med), series_col)
     mad = centered.groupBy(series_col).agg(
-        F.expr(f"percentile(abs({resid_col} - _med), 0.5)").alias("_mad")
+        F.expr(f"percentile(abs({resid_col} - {c_med}), 0.5)").alias(c_mad)
     )
     out = centered.join(F.broadcast(mad), series_col)
-    scale = F.col("_mad")
-    drop = ["_med", "_mad"]
+    scale = F.col(c_mad)
+    drop = [c_med, c_mad]
     if scale_col is not None:
-        scale = F.greatest(scale, F.lit(floor_frac) * F.col("_lvl"))
-        drop.append("_lvl")
+        scale = F.greatest(scale, F.lit(floor_frac) * F.col(c_lvl))
+        drop.append(c_lvl)
     z = F.round(
         F.try_divide(
-            F.lit(0.6745) * (F.col(resid_col) - F.col("_med")),
+            F.lit(0.6745) * (F.col(resid_col) - F.col(c_med)),
             F.nullif(scale, F.lit(0.0)),
         ),
         6,

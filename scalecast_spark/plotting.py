@@ -340,8 +340,11 @@ def fitted_plot_frame(f, models: list[str] | None = None) -> DataFrame:
         )
     ]
     for m in models:
+        fit = f.history[m]["fitted"]
+        if fit is None:  # combo()/synthesize_models() bank fitted=None
+            continue
         parts.append(
-            f.history[m]["fitted"].select(
+            fit.select(
                 SERIES, DS, F.lit(m).alias("model"),
                 F.col("forecast").alias("value"),
             )
