@@ -247,26 +247,63 @@ def _band_buckets(
     ).select(id_col, *extra_cols, "bk.band", "bk.bh")
 
 
+def _pairwise_bucket_join(buckets: DataFrame, id_col: str) -> DataFrame:
+    """All (id_a < id_b) pairs within each (band, bh) bucket."""
+    a = buckets.alias("a")
+    b_ = buckets.alias("b")
+    return a.join(
+        b_,
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.bh") == F.col("b.bh"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    ).select(
+        F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+    )
+
+
 def lsh_candidate_pairs(
-    signatures: DataFrame, bands: int = 4, id_col: str = "doc_id"
+    signatures: DataFrame,
+    bands: int = 4,
+    id_col: str = "doc_id",
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Band the signature, bucket-join on (band, band-hash), emit
     candidate (id_a < id_b) pairs. Only docs sharing a full band
-    collide — the join never goes quadratic in corpus size."""
+    collide — the join never goes quadratic in corpus size.
+
+    ``max_bucket_size`` caps the per-bucket pair blowup that bucketing
+    alone cannot prevent: a template family of n near-identical docs
+    shares EVERY band hash, so one bucket emits n²/2 pairs — the
+    classic web-crawl dedup straggler, and AQE can't shrink it because
+    the pairs ARE the output. Buckets larger than the cap switch from
+    pairwise to a MIN-ID STAR: the bucket's lowest id becomes the hub
+    and each other member pairs with the hub only — O(n) pairs, and
+    the downstream transitive closure (duplicate_clusters) still
+    collapses the whole family into one component. The trade, on
+    purpose: a member that near-dups another member but NOT the hub is
+    missed — vanishingly unlikely in an oversized bucket, since every
+    member already agrees with the hub on a full minhash band. Small
+    buckets are exact-pairwise as before; ``None`` (default) disables
+    the cap, preserving exact semantics."""
     buckets = _band_buckets(signatures, bands, id_col)
-    a = buckets.alias("a")
-    b_ = buckets.alias("b")
+    if max_bucket_size is None:
+        return _pairwise_bucket_join(buckets, id_col).distinct()
+    if max_bucket_size < 2:
+        raise ValueError(f"max_bucket_size must be >= 2, got {max_bucket_size}")
+    # bucket sizes via a window over the SAME (band, bh) partitioning
+    # the joins below need — one shuffle serves the count and the joins
+    wb = W.partitionBy("band", "bh")
+    sized = buckets.withColumn("_bsz", F.count("*").over(wb))
+    small = sized.filter(F.col("_bsz") <= max_bucket_size).drop("_bsz")
+    big = sized.filter(F.col("_bsz") > max_bucket_size).drop("_bsz")
+    hub = big.groupBy("band", "bh").agg(F.min(id_col).alias("_hub"))
+    star = (
+        big.join(hub, ["band", "bh"])
+        .filter(F.col(id_col) != F.col("_hub"))
+        .select(F.col("_hub").alias("id_a"), F.col(id_col).alias("id_b"))
+    )
     return (
-        a.join(
-            b_,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bh") == F.col("b.bh"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
-        )
-        .distinct()
+        _pairwise_bucket_join(small, id_col).unionByName(star).distinct()
     )
 
 
@@ -616,6 +653,7 @@ def cross_dedup(
     text_col: str = "text",
     id_col: str = "doc_id",
     existing_sigs: DataFrame | None = None,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Incremental corpus dedup: drop every NEW document that is a
     near-duplicate (shingle Jaccard ≥ ``min_jaccard``) of ANY existing
@@ -634,7 +672,20 @@ def cross_dedup(
     side (columns: id + minhash_0..n-1, e.g. a persisted
     minhash_signatures output) so incremental runs don't re-shingle
     the full training set every refresh — only the new crawl pays the
-    signature cost."""
+    signature cost. The verify step is CANDIDATE-DRIVEN: both array
+    sides semi-join to the candidate ids before any shingle array is
+    built, so the shingle work is |candidates|-bounded and the
+    existing corpus is scanned once, column-pruned, never re-shingled
+    wholesale.
+
+    ``max_bucket_size`` bounds the hot-bucket blowup on the EXISTING
+    side: a template family in the training set that collides with
+    new docs on a full band would pair every colliding new doc with
+    all n family members. Oversized existing buckets keep only their
+    ``max_bucket_size`` lowest ids — the members are near-identical
+    by construction (full-band agreement), so matching any retained
+    member decides the new doc's fate. The new side is never capped:
+    every new doc needs its own keep/drop decision."""
 
     def _sigs(df: DataFrame) -> DataFrame:
         sh = word_shingles(df, k, text_col=text_col, id_col=id_col)
@@ -651,7 +702,19 @@ def cross_dedup(
         else _sigs(existing_docs)
     )
     a = _band_buckets(new_sigs, bands, id_col).alias("a")
-    b_ = _band_buckets(ex_sigs, bands, id_col).alias("b")
+    ex_buckets = _band_buckets(ex_sigs, bands, id_col)
+    if max_bucket_size is not None:
+        if max_bucket_size < 1:
+            raise ValueError(
+                f"max_bucket_size must be >= 1, got {max_bucket_size}"
+            )
+        wb = W.partitionBy("band", "bh").orderBy(id_col)
+        ex_buckets = (
+            ex_buckets.withColumn("_brn", F.row_number().over(wb))
+            .filter(F.col("_brn") <= max_bucket_size)
+            .drop("_brn")
+        )
+    b_ = ex_buckets.alias("b")
     cands = (
         a.join(
             b_,
@@ -664,13 +727,35 @@ def cross_dedup(
         )
         .distinct()
     )
-    new_arr = new_docs.select(
-        F.col(id_col).alias("id_a"),
-        shingle_array(F.col(text_col), k).alias("_sa"),
+    # the candidate frame feeds three joins below — materialize once so
+    # the band pipeline (and the existing-side scan it contains) does
+    # not replay per consumer
+    cands = cands.localCheckpoint(eager=False)
+    # candidate-driven verify: filter BOTH corpora down to candidate
+    # ids BEFORE building shingle arrays — the shingle cost is
+    # |candidates|-bounded, and an incremental refresh with
+    # existing_sigs never re-shingles the training set
+    new_arr = (
+        new_docs.join(
+            F.broadcast(cands.select(F.col("id_a").alias(id_col)).distinct()),
+            id_col,
+            "left_semi",
+        )
+        .select(
+            F.col(id_col).alias("id_a"),
+            shingle_array(F.col(text_col), k).alias("_sa"),
+        )
     )
-    ex_arr = existing_docs.select(
-        F.col(id_col).alias("id_b"),
-        shingle_array(F.col(text_col), k).alias("_sb"),
+    ex_arr = (
+        existing_docs.join(
+            F.broadcast(cands.select(F.col("id_b").alias(id_col)).distinct()),
+            id_col,
+            "left_semi",
+        )
+        .select(
+            F.col(id_col).alias("id_b"),
+            shingle_array(F.col(text_col), k).alias("_sb"),
+        )
     )
     verified = (
         cands.join(new_arr, "id_a")

@@ -1,0 +1,94 @@
+"""LSH hot-bucket capping (round-5 scale hardening): a template family
+of n near-identical docs shares every band hash, so one bucket would
+emit n²/2 candidate pairs. With max_bucket_size the oversized bucket
+collapses to a min-id star (n-1 pairs) while small buckets stay exact
+pairwise; cross_dedup caps its existing side and its verify step is
+candidate-driven (no wholesale re-shingle of the training corpus)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from scalecast_spark.datapipe.dedup import (
+    cross_dedup,
+    duplicate_clusters,
+    lsh_candidate_pairs,
+    minhash_signatures_projection,
+)
+
+BASE = "the quick brown fox jumps over the lazy dog near the river bank"
+
+
+def _family_docs(spark, n, extra=()):
+    rows = [(i, BASE + f" tag{i % 2}") for i in range(n)]  # near-identical
+    rows += list(extra)
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_star_collapse_bounds_template_family(spark):
+    n = 200
+    docs = spark.createDataFrame(
+        [(i, BASE) for i in range(n)], ["doc_id", "text"]
+    )
+    sigs = minhash_signatures_projection(docs, n=3, n_hashes=16)
+    capped = lsh_candidate_pairs(sigs, bands=4, max_bucket_size=10)
+    rows = capped.collect()
+    # a star from hub id 0: n-1 pairs, never n^2/2
+    assert len(rows) == n - 1
+    assert all(r["id_a"] == 0 for r in rows)
+    assert {r["id_b"] for r in rows} == set(range(1, n))
+    # the transitive closure still sees ONE family
+    clusters = duplicate_clusters(capped)
+    assert clusters.select("cluster").distinct().count() == 1
+    assert clusters.count() == n
+
+
+def test_cap_leaves_small_buckets_exact(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, BASE),
+            (2, BASE + " extra"),
+            (3, "completely different words about spark engines today"),
+        ],
+        ["doc_id", "text"],
+    )
+    sigs = minhash_signatures_projection(docs, n=3, n_hashes=16)
+    plain = {tuple(r) for r in lsh_candidate_pairs(sigs, bands=4).collect()}
+    capped = {
+        tuple(r)
+        for r in lsh_candidate_pairs(sigs, bands=4, max_bucket_size=50).collect()
+    }
+    assert plain == capped and (1, 2) in plain
+
+    with pytest.raises(ValueError, match="max_bucket_size"):
+        lsh_candidate_pairs(sigs, bands=4, max_bucket_size=1)
+
+
+def test_cross_dedup_existing_cap_same_verdicts(spark):
+    # a 50-member template family in the TRAINING corpus: every new doc
+    # that collides must still be dropped with the cap on
+    existing = _family_docs(
+        spark, 50, extra=[(900, "unrelated training text entirely")]
+    )
+    new = spark.createDataFrame(
+        [(1, BASE + " tag0"), (2, "novel fresh words with no overlap here")],
+        ["doc_id", "text"],
+    )
+    plain = {r["doc_id"] for r in cross_dedup(new, existing).collect()}
+    capped = {
+        r["doc_id"]
+        for r in cross_dedup(new, existing, max_bucket_size=5).collect()
+    }
+    assert plain == capped == {2}
+
+
+def test_cross_dedup_verify_is_candidate_driven(spark):
+    """Plan shape: both shingle-array sides sit behind a LeftSemi
+    filter on candidate ids — the training corpus is never re-shingled
+    wholesale during verify."""
+    existing = _family_docs(spark, 3)
+    new = spark.createDataFrame([(1, BASE + " tag0")], ["doc_id", "text"])
+    out = cross_dedup(new, existing)
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "simple"
+    )
+    assert plan.count("LeftSemi") >= 2
