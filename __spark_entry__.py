@@ -498,8 +498,12 @@ def q_ts_adf(spark, sf_dir):
 
 def q_ts_auto_arima(spark, sf_dir):
     """auto_arima (ADF-chosen d + AIC (p,q) search, Hannan-Rissanen
-    fit; reference models.py arima/auto_arima) — iterative estimation,
-    rows-only."""
+    fit; reference models.py arima/auto_arima) — HASH-MATCHED as of
+    round 5: the whole search is a finite composition of OLS solves
+    (ADF regression, shared long-AR innovation stage, per-cell
+    stage-2) plus an AIC argmin and a bounded forecast recursion, all
+    replayed in SQL via the dimension-agnostic Gauss-Jordan CTE — see
+    _auto_arima_oracle."""
     from scalecast_spark.frame import TimeSeriesFrame
     from scalecast_spark.models import MODELS
 
@@ -3486,15 +3490,15 @@ def oracle_sql() -> dict[str, str]:
         FROM ({o["ts_stepwise_ci"]}) a
         JOIN ({o["ts_conformal_width"]}) b ON a.series_id = b.series_id
     """
-    # ts_auto_arima / mv_vecm / ts_forecast_direct stay rows-only:
-    # network training is not SQL-expressible, the Johansen eigen step
-    # has no closed form, and auto_arima's MA cells need a 10-column
-    # long-AR stage per grid cell. ts_cv_grid joined the oracled set in
-    # round 4 (closed-form ridge folds, _cv_grid_oracle);
-    # ts_prophet_tbats joined in round 5 (Gauss-Jordan CTE linear
-    # solves, _prophet_tbats_oracle).
+    # mv_vecm / ts_forecast_direct stay rows-only: network training is
+    # not SQL-expressible and the Johansen eigen step has no closed
+    # form. ts_cv_grid joined the oracled set in round 4 (closed-form
+    # ridge folds, _cv_grid_oracle); ts_prophet_tbats and ts_auto_arima
+    # joined in round 5 (Gauss-Jordan CTE linear solves —
+    # _prophet_tbats_oracle, _auto_arima_oracle).
     o["ts_cv_grid"] = _cv_grid_oracle()
     o["ts_prophet_tbats"] = _prophet_tbats_oracle()
+    o["ts_auto_arima"] = _auto_arima_oracle()
     # exact-substring duplication signals: k=8 word windows repeated
     # >=2 times corpus-wide (grouped on the n-gram STRING — equality of
     # xxhash64 keys in Spark == equality of strings modulo collisions,
@@ -4784,6 +4788,380 @@ def _prophet_tbats_oracle() -> str:
         UNION ALL
         SELECT 'tbats', series_id, ds, round(forecast, 3) FROM bfc
     """
+
+
+def _gj_dyn(name: str, mat_cte: str, keys: str) -> str:
+    """Dimension-agnostic keyed Gauss-Jordan: ``mat_cte`` holds one
+    augmented matrix per key tuple (LIST of dim rows, each dim+R wide
+    for R right-hand sides); dims may differ across keys — ranges read
+    len(mat). Final state at k = len(mat)."""
+    return f"""
+        {name} AS (
+            SELECT {keys}, 0 AS k, mat FROM {mat_cte}
+            UNION ALL
+            SELECT {keys}, k + 1,
+                   list_transform(range(1, len(mat) + 1), r ->
+                       CASE WHEN r = k + 1
+                            THEN list_transform(mat[r], x -> x / mat[k+1][k+1])
+                            ELSE list_transform(range(1, len(mat[r]) + 1),
+                                c -> mat[r][c]
+                                     - mat[r][k+1] * mat[k+1][c]
+                                       / mat[k+1][k+1])
+                       END)
+            FROM {name} WHERE k < len(mat)
+        ),
+        {name}_fin AS MATERIALIZED (
+            SELECT {keys}, mat FROM {name} WHERE k = len(mat)
+        )"""
+
+
+def _auto_arima_oracle() -> str:
+    """Oracle for q_ts_auto_arima — full SQL replay of the order search
+    AND the chosen fit (models/arima.py:264-342 auto_arima_orders +
+    94-201 arima_fit_forecast; reference auxmodels.py:6-45 via
+    pmdarima):
+
+      1. d by ADF: the (k+2)-column Dickey-Fuller regression at
+         k = min(ceil(12*(n/100)^0.25), n//2-2) solves via the
+         dimension-agnostic Gauss-Jordan CTE with TWO right-hand sides
+         (X'y for beta, e0 for [X'X^-1]_00 -> the t-stat's SE); d=1 iff
+         stat >= -2.86 (max_d=1).
+      2. ONE shared long-AR stage: ml = min(max(2(p+q),10), n//2-1)
+         is the same for every cell of the 0..3 x 0..2 grid (p+q <= 5
+         => max(...)=10), so the innovation proxies eps are computed
+         once per series, not per cell.
+      3. per-cell stage-2 OLS on [z lags 1..p, eps lags 1..q] (rows
+         tt >= max(p,q)+ml, or p when q=0), AIC = n_use*ln(sigma2)
+         + 2(p+q+1) with the engine's skip rules (n_use >= 5, >= p+q+1
+         for MA cells, sigma2 > 0), argmin tie-broken (aic, p, q) like
+         the p-outer/q-inner numpy loop with strict <.
+      4. forecast: the zbuf/ebuf recursion as a recursive CTE carrying
+         the last 3 z and last 2 eps states (future innovations = 0),
+         reintegrated from y_n when d=1.
+
+    Every non-recursive CTE is MATERIALIZED: DuckDB otherwise inlines
+    single-use CTEs and the deep chain re-evaluates exponentially
+    (measured: lbeta alone >90 s without hints, whole query <1 s with).
+    Verified exact (6dp) vs the engine at sf0.01, sf0.001, and a
+    synthetic n=15 series exercising the variable ADF/long-AR dims."""
+
+    return f"""
+        WITH RECURSIVE {_SQL_SERIES.strip()},
+        t0 AS MATERIALIZED (
+            SELECT series_id, ds, y,
+                   row_number() OVER (PARTITION BY series_id ORDER BY ds) - 1
+                       AS tt,
+                   count(*) OVER (PARTITION BY series_id) AS n0,
+                   max(ds) OVER (PARTITION BY series_id) AS last_ds
+            FROM series
+        ),
+        meta0 AS MATERIALIZED (
+            SELECT series_id, max(n0) AS n0, max(last_ds) AS last_ds,
+                   max(CASE WHEN tt = n0 - 1 THEN y END) AS y_last,
+                   least(cast(ceil(12 * pow(max(n0) / 100.0, 0.25)) AS BIGINT),
+                         max(n0) // 2 - 2) AS adfk
+            FROM t0 GROUP BY 1
+        ),
+        -- dy over the RAW series, 0-based: dy[tt] = y[tt+1] - y[tt]
+        dy0 AS MATERIALIZED (
+            SELECT c.series_id, c.tt - 1 AS tt, c.y - p.y AS dv
+            FROM t0 c JOIN t0 p
+              ON p.series_id = c.series_id AND p.tt = c.tt - 1
+        ),
+        -- ADF design rows: tt = adfk .. n0-2; cols:
+        -- i=0 -> y[tt]; i=1..k -> dy[tt-i]; i=k+1 -> 1
+        adfx AS MATERIALIZED (
+            SELECT d.series_id, d.tt, ii.i,
+                   CASE WHEN ii.i = 0 THEN ty.y
+                        WHEN ii.i <= m.adfk THEN dl.dv
+                        ELSE 1.0 END AS v
+            FROM dy0 d
+            JOIN meta0 m USING (series_id)
+            JOIN (SELECT unnest(range(0, 32)) AS i) ii
+              ON ii.i <= m.adfk + 1
+            LEFT JOIN t0 ty
+              ON ty.series_id = d.series_id AND ty.tt = d.tt
+            LEFT JOIN dy0 dl
+              ON dl.series_id = d.series_id AND dl.tt = d.tt - ii.i
+                 AND ii.i BETWEEN 1 AND m.adfk
+            WHERE d.tt >= m.adfk
+        ),
+        adfA AS MATERIALIZED (
+            SELECT a.series_id, a.i, b.i AS j, sum(a.v * b.v) AS s
+            FROM adfx a JOIN adfx b USING (series_id, tt)
+            GROUP BY 1, 2, 3
+        ),
+        adfb AS MATERIALIZED (
+            SELECT x.series_id, x.i, sum(x.v * d.dv) AS s
+            FROM adfx x JOIN dy0 d USING (series_id, tt)
+            GROUP BY 1, 2
+        ),
+        adfmat AS MATERIALIZED (
+            SELECT a.series_id,
+                   array_agg(
+                       list_append(
+                           list_append(a.arow, b.s),
+                           CASE WHEN a.i = 0 THEN 1.0 ELSE 0.0 END)
+                       ORDER BY a.i) AS mat
+            FROM (
+                SELECT series_id, i, array_agg(s ORDER BY j) AS arow
+                FROM adfA GROUP BY 1, 2
+            ) a
+            JOIN adfb b ON b.series_id = a.series_id AND b.i = a.i
+            GROUP BY 1
+        ),
+        {_gj_dyn("adfgj", "adfmat", "series_id")},
+        adfbeta AS MATERIALIZED (
+            SELECT series_id,
+                   list_transform(range(1, len(mat) + 1),
+                                  r -> mat[r][len(mat) + 1]) AS beta,
+                   mat[1][len(mat) + 2] AS inv00
+            FROM adfgj_fin
+        ),
+        adfstat AS MATERIALIZED (
+            SELECT x.series_id,
+                   max(b.beta[1]) / sqrt(greatest(
+                       sum(pow(d.dv - x.fitv, 2))
+                       / greatest(count(*) - (max(m.adfk) + 2), 1)
+                       * max(b.inv00), 1e-300)) AS stat
+            FROM (
+                SELECT xx.series_id, xx.tt,
+                       sum(xx.v * bb.beta[xx.i + 1]) AS fitv
+                FROM adfx xx JOIN adfbeta bb USING (series_id)
+                GROUP BY 1, 2
+            ) x
+            JOIN dy0 d USING (series_id, tt)
+            JOIN adfbeta b USING (series_id)
+            JOIN meta0 m USING (series_id)
+            GROUP BY 1
+        ),
+        dsel AS MATERIALIZED (
+            SELECT series_id, CASE WHEN stat < -2.86 THEN 0 ELSE 1 END AS d
+            FROM adfstat
+        ),
+        -- work series after d differences, 0-based tt, demeaned
+        wser AS MATERIALIZED (
+            SELECT t0.series_id, dsel.d,
+                   CASE WHEN dsel.d = 0 THEN t0.tt ELSE t0.tt - 1 END AS tt,
+                   CASE WHEN dsel.d = 0 THEN t0.y ELSE t0.y - p.y END AS w
+            FROM t0
+            JOIN dsel USING (series_id)
+            LEFT JOIN t0 p
+              ON p.series_id = t0.series_id AND p.tt = t0.tt - 1
+            WHERE dsel.d = 0 OR t0.tt >= 1
+        ),
+        zser AS MATERIALIZED (
+            SELECT series_id, d, tt,
+                   w - avg(w) OVER (PARTITION BY series_id) AS z,
+                   avg(w) OVER (PARTITION BY series_id) AS mu,
+                   count(*) OVER (PARTITION BY series_id) AS n
+            FROM wser
+        ),
+        metaw AS MATERIALIZED (
+            SELECT series_id, max(d) AS d, max(n) AS n, max(mu) AS mu,
+                   least(10, max(n) // 2 - 1) AS ml
+            FROM zser GROUP BY 1
+        ),
+        -- shared long-AR stage (ml = min(max(2(p+q),10), n//2-1) = ml
+        -- for every cell of this grid): rows tt = ml..n-1, cols
+        -- i=0..ml-1 -> z[tt-i-1]
+        lx AS MATERIALIZED (
+            SELECT z0.series_id, z0.tt, ii.i, zl.z AS v
+            FROM zser z0
+            JOIN metaw m USING (series_id)
+            JOIN (SELECT unnest(range(0, 10)) AS i) ii ON ii.i < m.ml
+            JOIN zser zl
+              ON zl.series_id = z0.series_id AND zl.tt = z0.tt - ii.i - 1
+            WHERE z0.tt >= m.ml
+        ),
+        lmat AS MATERIALIZED (
+            SELECT a.series_id,
+                   array_agg(list_append(a.arow, b.s) ORDER BY a.i) AS mat
+            FROM (
+                SELECT series_id, i, array_agg(s ORDER BY j) AS arow
+                FROM (
+                    SELECT a.series_id, a.i, b.i AS j, sum(a.v * b.v) AS s
+                    FROM lx a JOIN lx b USING (series_id, tt)
+                    GROUP BY 1, 2, 3
+                ) GROUP BY 1, 2
+            ) a
+            JOIN (
+                SELECT x.series_id, x.i, sum(x.v * z0.z) AS s
+                FROM lx x JOIN zser z0 USING (series_id, tt)
+                GROUP BY 1, 2
+            ) b ON b.series_id = a.series_id AND b.i = a.i
+            GROUP BY 1
+        ),
+        {_gj_dyn("lgj", "lmat", "series_id")},
+        lbeta AS (
+            SELECT series_id,
+                   list_transform(range(1, len(mat) + 1),
+                                  r -> mat[r][len(mat) + 1]) AS beta
+            FROM lgj_fin
+        ),
+        eps AS MATERIALIZED (
+            SELECT z0.series_id, z0.tt,
+                   CASE WHEN z0.tt >= m.ml
+                        THEN z0.z - coalesce(f.fitv, 0.0)
+                        ELSE 0.0 END AS e
+            FROM zser z0
+            JOIN metaw m USING (series_id)
+            LEFT JOIN (
+                SELECT x.series_id, x.tt, sum(x.v * b.beta[x.i + 1]) AS fitv
+                FROM lx x JOIN lbeta b USING (series_id)
+                GROUP BY 1, 2
+            ) f ON f.series_id = z0.series_id AND f.tt = z0.tt
+        ),
+        grid AS MATERIALIZED (
+            SELECT pp.p, qq.q
+            FROM (SELECT unnest(range(0, 4)) AS p) pp,
+                 (SELECT unnest(range(0, 3)) AS q) qq
+            WHERE pp.p + qq.q > 0
+        ),
+        -- per-cell stage-2 design: tt = s..n-1 where s = max(p,q)+ml
+        -- (q>0) or p; cols i<p -> z[tt-i-1], else eps[tt-(i-p)-1]
+        cx AS MATERIALIZED (
+            SELECT g.p, g.q, z0.series_id, z0.tt, ii.i,
+                   CASE WHEN ii.i < g.p THEN zl.z ELSE el.e END AS v
+            FROM grid g
+            JOIN zser z0 ON TRUE
+            JOIN metaw m ON m.series_id = z0.series_id
+            JOIN (SELECT unnest(range(0, 5)) AS i) ii ON ii.i < g.p + g.q
+            LEFT JOIN zser zl
+              ON zl.series_id = z0.series_id
+                 AND zl.tt = z0.tt - ii.i - 1 AND ii.i < g.p
+            LEFT JOIN eps el
+              ON el.series_id = z0.series_id
+                 AND el.tt = z0.tt - (ii.i - g.p) - 1 AND ii.i >= g.p
+            WHERE z0.tt >= (CASE WHEN g.q > 0
+                                 THEN greatest(g.p, g.q) + m.ml
+                                 ELSE g.p END)
+        ),
+        cmat AS MATERIALIZED (
+            SELECT a.p, a.q, a.series_id,
+                   array_agg(list_append(a.arow, b.s) ORDER BY a.i) AS mat
+            FROM (
+                SELECT p, q, series_id, i, array_agg(s ORDER BY j) AS arow
+                FROM (
+                    SELECT a.p, a.q, a.series_id, a.i, b.i AS j,
+                           sum(a.v * b.v) AS s
+                    FROM cx a JOIN cx b USING (p, q, series_id, tt)
+                    GROUP BY 1, 2, 3, 4, 5
+                ) GROUP BY 1, 2, 3, 4
+            ) a
+            JOIN (
+                SELECT x.p, x.q, x.series_id, x.i, sum(x.v * z0.z) AS s
+                FROM cx x JOIN zser z0 USING (series_id, tt)
+                GROUP BY 1, 2, 3, 4
+            ) b ON b.series_id = a.series_id AND b.p = a.p AND b.q = a.q
+               AND b.i = a.i
+            GROUP BY 1, 2, 3
+        ),
+        {_gj_dyn("cgj", "cmat", "p, q, series_id")},
+        cbeta AS MATERIALIZED (
+            SELECT p, q, series_id,
+                   list_transform(range(1, len(mat) + 1),
+                                  r -> mat[r][len(mat) + 1]) AS beta
+            FROM cgj_fin
+        ),
+        cres AS MATERIALIZED (
+            SELECT x.p, x.q, x.series_id, x.tt,
+                   max(z0.z) - sum(x.v * b.beta[x.i + 1]) AS resid
+            FROM cx x
+            JOIN cbeta b USING (p, q, series_id)
+            JOIN zser z0 ON z0.series_id = x.series_id AND z0.tt = x.tt
+            GROUP BY 1, 2, 3, 4
+        ),
+        caic AS MATERIALIZED (
+            SELECT p, q, series_id,
+                   count(*) * ln(sum(resid * resid) / count(*))
+                   + 2 * (p + q + 1) AS aic
+            FROM cres
+            GROUP BY 1, 2, 3
+            HAVING count(*) >= greatest(
+                       5, CASE WHEN q > 0 THEN p + q + 1 ELSE 0 END)
+               AND sum(resid * resid) > 0
+        ),
+        best AS MATERIALIZED (
+            SELECT series_id, p, q FROM (
+                SELECT series_id, p, q,
+                       row_number() OVER (PARTITION BY series_id
+                                          ORDER BY aic ASC, p ASC, q ASC)
+                           AS r
+                FROM caic WHERE isfinite(aic)
+            ) WHERE r = 1
+        ),
+        -- chosen-cell scalars for the forecast recursion (engine
+        -- fallback when every cell was skipped: p=1, q=0)
+        coefsel AS MATERIALIZED (
+            SELECT m.series_id, m.d, m.n, m.mu,
+                   coalesce(b.p, 1) AS p, coalesce(b.q, 0) AS q
+            FROM metaw m LEFT JOIN best b USING (series_id)
+        ),
+        fco AS MATERIALIZED (
+            SELECT c.series_id, c.d, c.n, c.mu, c.p, c.q,
+                   CASE WHEN c.p >= 1 THEN cb.beta[1] ELSE 0.0 END AS ar1,
+                   CASE WHEN c.p >= 2 THEN cb.beta[2] ELSE 0.0 END AS ar2,
+                   CASE WHEN c.p >= 3 THEN cb.beta[3] ELSE 0.0 END AS ar3,
+                   CASE WHEN c.q >= 1 THEN cb.beta[c.p + 1] ELSE 0.0 END
+                       AS ma1,
+                   CASE WHEN c.q >= 2 THEN cb.beta[c.p + 2] ELSE 0.0 END
+                       AS ma2
+            FROM coefsel c
+            LEFT JOIN cbeta cb
+              ON cb.series_id = c.series_id AND cb.p = c.p AND cb.q = c.q
+        ),
+        state0 AS MATERIALIZED (
+            SELECT f.series_id, f.d, f.mu, f.ar1, f.ar2, f.ar3, f.ma1, f.ma2,
+                   m0.last_ds, m0.y_last,
+                   max(CASE WHEN z.tt = f.n - 3 THEN z.z END) AS z_a,
+                   max(CASE WHEN z.tt = f.n - 2 THEN z.z END) AS z_b,
+                   max(CASE WHEN z.tt = f.n - 1 THEN z.z END) AS z_c,
+                   coalesce(max(CASE WHEN r.tt = f.n - 2 THEN r.resid END),
+                            0.0) AS e_b,
+                   coalesce(max(CASE WHEN r.tt = f.n - 1 THEN r.resid END),
+                            0.0) AS e_c
+            FROM fco f
+            JOIN meta0 m0 USING (series_id)
+            JOIN zser z ON z.series_id = f.series_id
+            LEFT JOIN cres r
+              ON r.series_id = f.series_id AND r.p = f.p AND r.q = f.q
+                 AND r.tt IN (f.n - 2, f.n - 1)
+            GROUP BY ALL
+        ),
+        rec AS (
+            SELECT series_id, 1 AS i,
+                   (last_ds + INTERVAL '1 day')::DATE AS ds,
+                   d, mu, ar1, ar2, ar3, ma1, ma2, y_last, last_ds,
+                   ar1 * z_c + ar2 * z_b + ar3 * z_a
+                   + ma1 * e_c + ma2 * e_b AS fz,
+                   z_b AS z_a, z_c AS z_b,
+                   ar1 * z_c + ar2 * z_b + ar3 * z_a
+                   + ma1 * e_c + ma2 * e_b AS z_c,
+                   e_c AS e_b, 0.0 AS e_c2,
+                   (ar1 * z_c + ar2 * z_b + ar3 * z_a
+                    + ma1 * e_c + ma2 * e_b) + mu AS cum
+            FROM state0
+            UNION ALL
+            SELECT series_id, i + 1,
+                   (last_ds + (i + 1) * INTERVAL '1 day')::DATE,
+                   d, mu, ar1, ar2, ar3, ma1, ma2, y_last, last_ds,
+                   ar1 * z_c + ar2 * z_b + ar3 * z_a
+                   + ma1 * e_c2 + ma2 * e_b,
+                   z_b, z_c,
+                   ar1 * z_c + ar2 * z_b + ar3 * z_a
+                   + ma1 * e_c2 + ma2 * e_b,
+                   e_c2, 0.0,
+                   cum + (ar1 * z_c + ar2 * z_b + ar3 * z_a
+                          + ma1 * e_c2 + ma2 * e_b) + mu
+            FROM rec WHERE i < 7
+        )
+        SELECT series_id, ds,
+               round(CASE WHEN d = 1 THEN y_last + cum
+                          ELSE fz + mu END, 6) AS forecast
+        FROM rec
+    """
+
 
 
 def _cv_grid_oracle() -> str:
