@@ -460,15 +460,20 @@ def q_ts_periodogram(spark, sf_dir):
         series is a plain DFT, i.e. per-frequency cos/sin aggregate
         sums (incl. the one-sided [1:-1] doubling convention);
       * acf — autocorrelation lags 0..12 (plotting.acf_frame): ONE
-        window projection (demean + lag columns) into ONE aggregate.
+        window projection (demean + lag columns) into ONE aggregate;
+      * pacf — partial autocorrelation lags 0..12
+        (plotting.pacf_frame): Durbin-Levinson per series over the
+        13-row ACF groups. Sequential-in-lag but BOUNDED (12 steps
+        over 13 floats), so it replays as a recursive CTE carrying the
+        phi vector — and since the engine kernel consumes the
+        6dp-ROUNDED acf values, the oracle recursion starts from
+        bit-identical inputs (hash-matched as of round 5; previously
+        certified only against the independent Yule-Walker solve in
+        tests/test_plotting.py, which stays).
 
-    Both are closed-form aggregates, so the whole family replays in
-    SQL and hash-matches. PACF (Durbin-Levinson over these ACF rows,
-    plotting.pacf_frame) is sequential-in-lag, not SQL-restatable —
-    certified instead against an independent Yule-Walker solve in
-    tests/test_plotting.py."""
+    All three members replay in SQL and hash-match."""
     from scalecast_spark.functions.stattests import periodogram
-    from scalecast_spark.plotting import acf_frame
+    from scalecast_spark.plotting import acf_frame, pacf_frame
 
     pg = _r6(periodogram(_series(spark, sf_dir)), "freq", "power").select(
         F.lit("pgram").alias("member"),
@@ -482,7 +487,13 @@ def q_ts_periodogram(spark, sf_dir):
         F.col("lag").cast("double").alias("x"),
         F.col("acf").alias("value"),
     )
-    return pg.unionByName(acf)
+    pacf = pacf_frame(_series(spark, sf_dir), nlags=12).select(
+        F.lit("pacf").alias("member"),
+        "series_id",
+        F.col("lag").cast("double").alias("x"),
+        F.col("pacf").alias("value"),
+    )
+    return pg.unionByName(acf).unionByName(pacf)
 
 
 def q_ts_adf(spark, sf_dir):
@@ -2401,8 +2412,13 @@ def oracle_sql() -> dict[str, str]:
                        AS stationary_5pct
             FROM fin
         """,
+        # pgram/acf are closed-form aggregates; pacf replays the
+        # Durbin-Levinson recursion over the ROUNDED acf values (the
+        # engine kernel consumes acf_frame's 6dp output, so the
+        # recursion starts from bit-identical inputs) as a recursive
+        # CTE carrying the phi vector
         "ts_periodogram": f"""
-            WITH {_SQL_SERIES},
+            WITH RECURSIVE {_SQL_SERIES},
             t AS (
                 SELECT series_id, y,
                        row_number() OVER (PARTITION BY series_id
@@ -2441,6 +2457,43 @@ def oracle_sql() -> dict[str, str]:
                 JOIN acf_base p
                   ON p.series_id = d.series_id AND p.rn = d.rn - lg.lag
                 GROUP BY 1, 2
+            ),
+            rho AS MATERIALIZED (
+                SELECT series_id, array_agg(v ORDER BY lag) AS rho FROM (
+                    SELECT series_id, 0 AS lag,
+                           CASE WHEN c0 = 0 THEN NULL ELSE 1.0 END AS v
+                    FROM acf_c0
+                    UNION ALL
+                    SELECT c.series_id, c.lag,
+                           round(c.ck / NULLIF(z.c0, 0), 6)
+                    FROM acf_ck c JOIN acf_c0 z USING (series_id)
+                ) GROUP BY 1
+            ),
+            dl AS (
+                SELECT series_id, 1 AS m, [rho[2]] AS phi, rho FROM rho
+                UNION ALL
+                SELECT series_id, m + 1,
+                       list_append(
+                           list_transform(range(1, m + 1),
+                               i -> phi[i] - kk * phi[m + 1 - i]),
+                           kk),
+                       rho
+                FROM (
+                    SELECT series_id, m, phi, rho,
+                           CASE WHEN (1 - list_sum(list_transform(
+                                    range(1, m + 1),
+                                    j -> phi[j] * rho[j + 1]))) = 0
+                                THEN 0.0
+                                ELSE (rho[m + 2]
+                                      - list_sum(list_transform(
+                                            range(1, m + 1),
+                                            j -> phi[j] * rho[m + 2 - j])))
+                                     / (1 - list_sum(list_transform(
+                                            range(1, m + 1),
+                                            j -> phi[j] * rho[j + 1])))
+                           END AS kk
+                    FROM dl WHERE m < 12
+                )
             )
             SELECT 'pgram' AS member, series_id,
                    round(k / n, 6) AS x,
@@ -2456,6 +2509,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'acf', c.series_id, c.lag::DOUBLE,
                    round(c.ck / NULLIF(z.c0, 0), 6)
             FROM acf_ck c JOIN acf_c0 z USING (series_id)
+            UNION ALL
+            SELECT 'pacf', series_id, 0.0, 1.0 FROM rho
+            UNION ALL
+            SELECT 'pacf', series_id, m::DOUBLE, round(phi[m], 6)
+            FROM dl
         """,
         "ts_normality": f"""
             WITH {_SQL_SERIES},
