@@ -418,6 +418,51 @@ def pq_codebooks(
     ]
 
 
+def pq_codebooks_residual(
+    df: DataFrame,
+    cents: list[tuple[int, list[float]]],
+    m: int = 8,
+    ksub: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> list[list[tuple[int, list[float]]]]:
+    """Residual PQ codebooks — the actual FAISS IVFPQ recipe: codewords
+    quantize (v - coarse_centroid), not v, so the codebook spends its
+    ksub cells on the WITHIN-cell spread instead of re-describing the
+    coarse structure — markedly better recall at the same m·ksub
+    budget when the corpus is clustered. Same deterministic md5-ordered
+    sample as :func:`pq_codebooks`; the residual of each sampled vector
+    vs its argmax-dot cell (matching _cell_of) is computed driver-side
+    on ksub rows. One codebook set is SHARED across cells (FAISS
+    convention) — per-cell books would be n_cells× the literals for
+    marginal gain at small n_cells."""
+    import numpy as np
+
+    rows = (
+        df.withColumn("_h", F.md5(F.col(id_col).cast("string")))
+        .orderBy("_h")
+        .limit(ksub)
+        .select(vec_col)
+        .collect()
+    )
+    vecs = [[float(x) for x in r[0]] for r in rows]
+    d = len(vecs[0])
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m} subspaces")
+    sub = d // m
+    C = np.array([cv for _, cv in cents])
+    res = []
+    for v in vecs:
+        va = np.asarray(v)
+        dots = C @ va
+        ci = int(np.argmax(dots))  # ties -> lowest cell, like _cell_of
+        res.append((va - C[ci]).tolist())
+    return [
+        [(ci + 1, r[s * sub : (s + 1) * sub]) for ci, r in enumerate(res)]
+        for s in range(m)
+    ]
+
+
 def _pq_code_col(sub_col, codebook) -> "F.Column":
     """1-based nearest-codeword index for one subspace by squared L2
     (ties → lowest code, via array_position of the min).
@@ -452,14 +497,15 @@ def ivfpq_topk(
     refine: int = 4,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    residual: bool = False,
 ) -> DataFrame:
-    """IVF-PQ ANN (the FAISS IVFPQ recipe, non-residual variant):
-    coarse-quantize to ``n_cells`` IVF cells, PQ-encode every vector to
-    ``m`` sub-codes scan-side, rank the probed cells by ASYMMETRIC
-    DISTANCE COMPUTATION — the query precomputes one (m × ksub) lookup
-    table of subspace dot products, so scoring a vector is m table
-    lookups instead of a d-dim dot product — then exactly re-rank the
-    top ``k·refine`` ADC candidates with true cosine.
+    """IVF-PQ ANN (the FAISS IVFPQ recipe): coarse-quantize to
+    ``n_cells`` IVF cells, PQ-encode every vector to ``m`` sub-codes
+    scan-side, rank the probed cells by ASYMMETRIC DISTANCE
+    COMPUTATION — the query precomputes one (m × ksub) lookup table of
+    subspace dot products, so scoring a vector is m table lookups
+    instead of a d-dim dot product — then exactly re-rank the top
+    ``k·refine`` ADC candidates with true cosine.
 
     Scale shape: the 100 TB win is that the PQ codes are m bytes/vector
     (vs 4d bytes) — at m=8, a 64-dim float corpus compresses 32×, so
@@ -467,14 +513,24 @@ def ivfpq_topk(
     pure JVM lookup arithmetic (element_at into literal arrays) inside
     codegen. One scan, cell-pruned, two TakeOrderedAndProject heaps
     (k·refine then k); the exact re-rank touches only k·refine rows.
-    Divergence from FAISS defaults: codes quantize raw vectors, not
-    cell residuals (residual PQ needs per-cell code tables, which
-    would break the engine-portable SQL restatement; documented).
+
+    ``residual=True`` (round 5) closes the gap to the full FAISS
+    recipe: codes quantize (v - cell_centroid) with shared residual
+    codebooks, and the ADC decomposes q·v̂ = q·c + Σ tdot[code] and
+    ‖v̂‖² = ‖c‖² + 2·Σ c_sub·codeword[code] + Σ ‖codeword[code]‖² —
+    the extra per-cell terms are (n_cells) / (m × n_cells × ksub)
+    literal lookup tables, still pure JVM lookups. Default stays
+    non-residual: that variant is the one the sim_topk oracle
+    restates (the residual twin is recall-tested instead).
 
     Deterministic end-to-end (md5-sampled codebooks + 6dp-rounded ADC
     ranking with id tie-break) → hash-matched by the sim_topk oracle."""
     cents = ivf_centroids(df, n_cells, vec_col, id_col)
-    books = pq_codebooks(df, m, ksub, vec_col, id_col)
+    books = (
+        pq_codebooks_residual(df, cents, m, ksub, vec_col, id_col)
+        if residual
+        else pq_codebooks(df, m, ksub, vec_col, id_col)
+    )
     d = len(query)
     sub = d // m
     qv = [float(x) for x in query]
@@ -506,10 +562,29 @@ def ivfpq_topk(
     # Each stage materializes its arrays once (subvectors → distance
     # tables → codes) so nothing re-evaluates per reference.
     vec_sql = f"cast({vec_col} as array<double>)"
-    out = out.selectExpr(
-        "*",
-        *[f"slice({vec_sql}, {s * sub + 1}, {sub}) AS _sub{s}" for s in range(m)],
-    )
+    if residual:
+        # subvector = vector slice minus the assigned cell's centroid
+        # slice (literal n_cells × sub matrix per subspace)
+        csub = [
+            _mat_sql([cv[s * sub : (s + 1) * sub] for _, cv in cents])
+            for s in range(m)
+        ]
+        out = out.selectExpr(
+            "*",
+            *[
+                f"zip_with(slice({vec_sql}, {s * sub + 1}, {sub}), "
+                f"element_at({csub[s]}, cast(_cell as int)), (a, b) -> a - b) AS _sub{s}"
+                for s in range(m)
+            ],
+        )
+    else:
+        out = out.selectExpr(
+            "*",
+            *[
+                f"slice({vec_sql}, {s * sub + 1}, {sub}) AS _sub{s}"
+                for s in range(m)
+            ],
+        )
     out = out.selectExpr(
         "*",
         *[
@@ -532,9 +607,40 @@ def ivfpq_topk(
     rn2_sql = " + ".join(
         f"element_at({_vec_sql(t_n2[s])}, _code{s})" for s in range(m)
     )
+    if residual:
+        # reconstruction v̂ = c + r̂: q·v̂ gains the per-cell offset
+        # q·c; ‖v̂‖² gains ‖c‖² and the 2·c·r̂ cross terms (per-cell
+        # per-subspace lookup tables)
+        qdotc = [float(np.dot(qv, np.asarray(cv))) for _, cv in cents]
+        cn2 = [float(np.dot(cv, cv)) for _, cv in cents]
+        cdot = [
+            _mat_sql(
+                [
+                    [
+                        sum(
+                            cv[s * sub + j] * bw[j]
+                            for j in range(sub)
+                        )
+                        for _, bw in books[s]
+                    ]
+                    for _, cv in cents
+                ]
+            )
+            for s in range(m)
+        ]
+        adot_sql = f"element_at({_vec_sql(qdotc)}, cast(_cell as int)) + {adot_sql}"
+        cross_sql = " + ".join(
+            f"element_at(element_at({cdot[s]}, cast(_cell as int)), _code{s})"
+            for s in range(m)
+        )
+        rn2_sql = (
+            f"element_at({_vec_sql(cn2)}, cast(_cell as int)) "
+            f"+ 2.0 * ({cross_sql}) + {rn2_sql}"
+        )
     adc_sql = (
         f"round(try_divide(cast(0.0 as double) + {adot_sql}, "
-        f"{_dlit(qn)} * sqrt(cast(0.0 as double) + {rn2_sql})), 6) AS _adc"
+        f"{_dlit(qn)} * sqrt(greatest(cast(0.0 as double) + {rn2_sql}, "
+        f"0.0))), 6) AS _adc"
     )
     cand = (
         out.selectExpr(id_col, vec_col, adc_sql)

@@ -86,3 +86,84 @@ def test_wider_refine_converges_to_ivf_answer(spark):
         ).collect()
     ]
     assert ivf == pq
+
+
+def _clustered(spark, n_clusters=8, per=40, d=16, seed=3):
+    """Tightly clustered corpus — the regime where residual PQ's
+    codebook budget pays off (codes describe within-cell spread, not
+    the coarse structure the IVF cells already capture)."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    centers = rng.randn(n_clusters, d) * 5.0
+    rows = []
+    i = 0
+    for c in range(n_clusters):
+        for _ in range(per):
+            v = centers[c] + rng.randn(d) * 0.3
+            rows.append((i, [float(x) for x in v]))
+            i += 1
+    q = centers[0] + rng.randn(d) * 0.3
+    return (
+        spark.createDataFrame(rows, ["vec_id", "embedding"]),
+        [float(x) for x in q],
+    )
+
+
+def _recall(got, truth):
+    g = {r["vec_id"] for r in got}
+    return len(g & truth) / len(truth)
+
+
+def test_residual_pq_recall_geq_plain(spark):
+    """FAISS-recipe residual coding must not lose recall to the
+    non-residual variant on clustered data (it is the variant built
+    FOR that regime)."""
+    emb, q = _clustered(spark)
+    truth = {r["vec_id"] for r in cosine_topk(emb, q, k=10).collect()}
+    kw = dict(k=10, n_cells=8, nprobe=2, m=4, ksub=16, refine=2)
+    plain = ivfpq_topk(emb, q, residual=False, **kw).collect()
+    res = ivfpq_topk(emb, q, residual=True, **kw).collect()
+    r_plain, r_res = _recall(plain, truth), _recall(res, truth)
+    assert r_res >= r_plain
+    assert r_res >= 0.8  # the clustered regime should be nearly exact
+
+
+def test_residual_pq_exact_rerank_values(spark):
+    """Residual ADC only shapes the candidate set; returned sims are
+    the exact cosines."""
+    from scalecast_spark.datapipe.similarity import cosine_similarity_col
+
+    emb, q = _query(spark)
+    vec = F.col("embedding").cast("array<double>")
+    truth = {
+        r["vec_id"]: r["cs"]
+        for r in emb.select(
+            "vec_id", F.round(cosine_similarity_col(vec, q), 6).alias("cs")
+        ).collect()
+    }
+    out = ivfpq_topk(emb, q, k=10, residual=True).collect()
+    assert len(out) == 10
+    for r in out:
+        assert truth[r["vec_id"]] == r["cosine_sim"]
+
+
+def test_residual_codebooks_are_residuals(spark):
+    """Sampled codewords must be (v - assigned centroid) slices, not
+    raw vector slices."""
+    import numpy as np
+
+    from scalecast_spark.datapipe.similarity import (
+        ivf_centroids,
+        pq_codebooks_residual,
+    )
+
+    emb = _emb(spark)
+    cents = ivf_centroids(emb, 8)
+    plain = pq_codebooks(emb, m=8, ksub=16)
+    res = pq_codebooks_residual(emb, cents, m=8, ksub=16)
+    assert len(res) == 8 and all(len(b) == 16 for b in res)
+    # residual norms are smaller than raw norms on average (the point)
+    rawn = np.mean([np.linalg.norm(v) for b in plain for _, v in b])
+    resn = np.mean([np.linalg.norm(v) for b in res for _, v in b])
+    assert resn < rawn

@@ -72,3 +72,37 @@ def test_vecm_through_registry(spark):
     out = vecm_model(tsf.df, k_ar_diff=1, coint_rank=1)
     fut = out.filter(F.col("is_future") == 1)
     assert fut.filter(F.col("forecast").isNotNull()).count() == 10  # 2 series x 5
+
+
+def test_vecm_rank0_equals_closed_form_var_on_diffs():
+    """Round-5 strengthening (the mv_vecm query stays rows-only — the
+    Johansen eigen step has no closed form — so its degenerate member
+    is pinned against independent math): at coint_rank=0 the VECM
+    collapses to a VAR(1) on differences, i.e. per-equation OLS
+    dY_t = c + Gamma dY_{t-1}. Solve those normal equations
+    independently (numpy solve on X'X, not the model's lstsq path) and
+    replay the recursive forecast by hand; the model must agree to
+    float precision."""
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    T, n, h = 60, 3, 6
+    Ymat = np.cumsum(rng.randn(T, n), axis=0) + 50.0
+    fitted, fc = vecm_fit_forecast(Ymat, h, k_ar_diff=1, coint_rank=0)
+
+    dY = np.diff(Ymat, axis=0)
+    X = np.column_stack([np.ones(len(dY) - 1), dY[:-1]])
+    B = np.linalg.solve(X.T @ X, X.T @ dY[1:])  # (1+n) x n
+
+    exp_fitted = Ymat.copy()
+    exp_fitted[2:] = Ymat[1:-1] + X @ B
+    assert np.allclose(fitted, exp_fitted, atol=1e-8)
+
+    hist = Ymat.copy()
+    exp = []
+    for _ in range(h):
+        x = np.concatenate([[1.0], hist[-1] - hist[-2]])
+        nxt = hist[-1] + x @ B
+        exp.append(nxt)
+        hist = np.vstack([hist, nxt])
+    assert np.allclose(fc, np.array(exp), atol=1e-8)
