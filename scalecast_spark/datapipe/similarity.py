@@ -203,9 +203,25 @@ def blocked_pairwise_above(
     cluster by raising ``n_blocks`` ~ sqrt(task slots). Shuffle volume
     is n_blocks·N·d doubles (each vector replicated once per partner
     block).
+
+    Ids must be integral: the GEMM kernel emits LongType ids, and a
+    silent cast would NULL string ids (every pair would come back with
+    NULL endpoints). Fails loudly instead — use
+    ``exact_pairwise_above`` / ``lsh_near_pairs`` for non-numeric ids.
     """
     import pandas as pd
     from pyspark.sql import types as T
+
+    if not isinstance(
+        df.schema[id_col].dataType,
+        (T.ByteType, T.ShortType, T.IntegerType, T.LongType),
+    ):
+        raise TypeError(
+            f"blocked_pairwise_above needs an integral {id_col!r} "
+            f"(got {df.schema[id_col].dataType.simpleString()}); string "
+            "ids would be silently NULLed by the GEMM long-cast — use "
+            "exact_pairwise_above or lsh_near_pairs instead"
+        )
 
     pairs = [(lo, hi) for lo in range(n_blocks) for hi in range(lo, n_blocks)]
     pair_of_block: dict[int, list[int]] = {b: [] for b in range(n_blocks)}

@@ -182,6 +182,7 @@ def pacf_frame(
     train_only: bool = False,
     test_length: int = 0,
     alpha: float | None = None,
+    acf: DataFrame | None = None,
 ) -> DataFrame:
     """Partial autocorrelation per series, lags 0..nlags (reference
     plot_pacf -> statsmodels pacf, Forecaster.py:1344-1367), via the
@@ -192,8 +193,20 @@ def pacf_frame(
     nlags+1 floats, so it runs per series inside applyInPandas over
     the tiny ACF frame — distributed across series, microscopic per
     task. Output: (series_id, lag, pacf) rounded to 6dp.
+
+    ``acf`` takes a precomputed :func:`acf_frame` output (columns
+    series_id, lag, acf for lags 0..nlags) so a caller that also
+    needs the ACF — the correlogram family query, plot_acf+plot_pacf
+    together — pays the corpus scan + window aggregate ONCE
+    (localCheckpoint the shared frame; Spark does no subplan CSE
+    across union branches). The other preprocessing switches are
+    ignored when ``acf`` is given.
     """
-    acf = acf_frame(df, nlags, diffy, train_only, test_length)
+    acf = (
+        acf
+        if acf is not None
+        else acf_frame(df, nlags, diffy, train_only, test_length)
+    )
     out_schema = T.StructType(
         [
             T.StructField(SERIES, acf.schema[SERIES].dataType),

@@ -113,3 +113,15 @@ def test_acf_constant_series_oracle_parity(spark):
     """
     vals = [r[2] for r in duckdb.sql(sql).fetchall()]
     assert vals and all(v is None for v in vals)
+
+
+def test_blocked_pairwise_rejects_string_ids(spark):
+    """Same hazard class as the semantic_dedup gemm cast: string ids
+    must fail loudly, not come back as NULL pair endpoints."""
+    from scalecast_spark.datapipe.similarity import blocked_pairwise_above
+
+    df = spark.createDataFrame(
+        [("a", [1.0, 0.0]), ("b", [1.0, 0.001])], ["vec_id", "embedding"]
+    )
+    with pytest.raises(TypeError, match="integral"):
+        blocked_pairwise_above(df, 0.9)
