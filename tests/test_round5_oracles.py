@@ -1,0 +1,128 @@
+"""Randomized cross-engine robustness for the round-5 SQL oracles:
+the prophet/tbats/auto_arima numpy cores vs their DuckDB Gauss-Jordan
+replays on SYNTHETIC series the testdata never exercises (different
+lengths, trends, seasonality strengths, positivity regimes). Pure
+numpy + DuckDB — no Spark session — so these run in seconds and catch
+oracle drift the sf-fixture gate would miss."""
+
+import duckdb
+import numpy as np
+import pytest
+
+import __spark_entry__ as entrymod
+from scalecast_spark.models.arima import (
+    arima_fit_forecast,
+    auto_arima_orders,
+    prophet_fit_forecast,
+    tbats_fit_forecast,
+)
+
+
+def _con_with_events(series: dict[str, np.ndarray]):
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE events (event_type VARCHAR, ts TIMESTAMP, value DOUBLE)"
+    )
+    for sid, y in series.items():
+        con.executemany(
+            "INSERT INTO events VALUES (?, TIMESTAMP '2024-01-01' "
+            "+ to_days(CAST(? AS INT)) + INTERVAL '1 hour', ?)",
+            [(sid, i, float(v)) for i, v in enumerate(y)],
+        )
+    return con
+
+
+def _gen(seed: int, n: int, trend: float, seas: float, level: float):
+    rng = np.random.RandomState(seed)
+    t = np.arange(n)
+    y = (
+        level
+        + trend * t
+        + seas * np.sin(t * 2 * np.pi / 7)
+        + rng.randn(n) * 2.0
+    )
+    return y
+
+
+CASES = [
+    {"n": 20, "trend": 0.0, "seas": 3.0, "level": 40.0, "seed": 1},
+    {"n": 45, "trend": 1.5, "seas": 0.0, "level": 100.0, "seed": 2},
+    {"n": 33, "trend": -0.8, "seas": 6.0, "level": 500.0, "seed": 3},
+    # negative values: tbats must take the identity (no Box-Cox) path
+    {"n": 28, "trend": 0.0, "seas": 5.0, "level": 0.0, "seed": 4},
+]
+
+
+def _oracle_map(con, sql):
+    out = {}
+    for model, sid, ds, fc in con.execute(sql).fetchall():
+        out.setdefault((model, sid), []).append((str(ds), fc))
+    return {k: [v for _, v in sorted(rows)] for k, rows in out.items()}
+
+
+@pytest.mark.parametrize("case", CASES, ids=lambda c: f"seed{c['seed']}")
+def test_prophet_tbats_oracle_on_synthetic(case):
+    series = {
+        "s1": _gen(case["seed"], case["n"], case["trend"], case["seas"], case["level"]),
+        "s2": _gen(case["seed"] + 100, case["n"], 0.3, 2.0, 80.0),
+    }
+    con = _con_with_events(series)
+    got = _oracle_map(con, entrymod._prophet_tbats_oracle())
+    for sid, y in series.items():
+        _, fc_p = prophet_fit_forecast(y, 7)
+        _, fc_b = tbats_fit_forecast(y, 7)
+        assert np.allclose(
+            np.round(fc_p, 6), got[("prophet", sid)], atol=0
+        ), ("prophet", sid)
+        assert np.allclose(
+            np.round(fc_b, 3), got[("tbats", sid)], atol=0
+        ), ("tbats", sid)
+
+
+@pytest.mark.parametrize("case", CASES, ids=lambda c: f"seed{c['seed']}")
+def test_auto_arima_oracle_on_synthetic(case):
+    series = {
+        "s1": _gen(case["seed"], case["n"], case["trend"], case["seas"], case["level"]),
+        # a near-random-walk series so the ADF d=1 branch is exercised
+        "s2": 50.0
+        + np.cumsum(np.random.RandomState(case["seed"] + 7).randn(case["n"])),
+    }
+    con = _con_with_events(series)
+    rows = con.execute(entrymod._auto_arima_oracle()).fetchall()
+    got = {}
+    for sid, ds, fc in rows:
+        got.setdefault(sid, []).append((str(ds), fc))
+    got = {k: [v for _, v in sorted(rs)] for k, rs in got.items()}
+    for sid, y in series.items():
+        order = auto_arima_orders(y)
+        _, fc = arima_fit_forecast(y, 7, order)
+        assert np.allclose(np.round(fc, 6), got[sid], atol=0), (sid, order)
+
+
+def test_pacf_durbin_levinson_oracle_on_synthetic():
+    """The DL recursive CTE inside the ts_periodogram oracle vs the
+    engine's pacf kernel, on a fresh synthetic series."""
+    from scalecast_spark.plotting import pacf_frame  # noqa: F401 (engine twin)
+
+    y = _gen(9, 40, 0.5, 4.0, 60.0)
+    con = _con_with_events({"s": y})
+    sql = entrymod.oracle_sql()["ts_periodogram"]
+    rows = con.execute(sql).fetchall()
+    got = sorted(
+        (x, v) for mem, sid, x, v in rows if mem == "pacf"
+    )
+    # independent numpy Durbin-Levinson over the same ROUNDED acf
+    dy = y - y.mean()
+    c0 = float(dy @ dy)
+    rho = [1.0] + [
+        round(float(dy[k:] @ dy[:-k]) / c0, 6) for k in range(1, 13)
+    ]
+    pacf = [1.0, rho[1]]
+    phi = np.array([rho[1]])
+    for k in range(2, 13):
+        num = rho[k] - float(phi @ rho[k - 1:0:-1])
+        den = 1.0 - float(phi @ rho[1:k])
+        kk = num / den if den != 0 else 0.0
+        phi = np.append(phi - kk * phi[::-1], kk)
+        pacf.append(kk)
+    assert np.allclose([v for _, v in got], np.round(pacf, 6), atol=0)
