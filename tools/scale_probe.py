@@ -62,6 +62,31 @@ def dedup_pipeline(docs):
     return duplicate_clusters(pairs.select("id_a", "id_b"))
 
 
+def dedup_capped_pipeline(docs):
+    """The round-5 hot-bucket cap under the clique stress: identical
+    to dedup_pipeline but with max_bucket_size=8, so the exact-replica
+    axis (every doc a 16-clique) emits min-id STARS instead of n²/2
+    pairwise candidates — this pipeline runs the 16x clique corpus the
+    uncapped one cannot."""
+    from scalecast_spark.datapipe.dedup import (
+        duplicate_clusters,
+        jaccard_pairs_arrays,
+        lsh_candidate_pairs,
+        minhash_signatures,
+        shingle_array,
+        word_shingles,
+    )
+
+    sh = word_shingles(docs, 3)
+    sigs = minhash_signatures(sh, n_hashes=4)
+    cands = lsh_candidate_pairs(sigs, bands=4, max_bucket_size=8)
+    base = docs.repartition(64, F.col("doc_id")).select(
+        "doc_id", shingle_array(F.col("text"), 3).alias("_sh_arr")
+    )
+    pairs = jaccard_pairs_arrays(base, cands, min_jaccard=0.5)
+    return duplicate_clusters(pairs.select("id_a", "id_b"))
+
+
 def curation_pipeline(docs):
     from scalecast_spark.datapipe.text import curate_corpus
 
@@ -195,6 +220,7 @@ def main():
           f"{'out_rows':>9} {'sec':>7} {'sec/1x':>7}")
     try:
         for name, fn in [("dedup", dedup_pipeline),
+                         ("dedup_cap", dedup_capped_pipeline),
                          ("curation", curation_pipeline),
                          ("selection", selection_pipeline),
                          ("signals", signals_pipeline),
@@ -202,9 +228,13 @@ def main():
             for axis, mutate in [("mutate", True), ("exact", False)]:
                 if name in ("curation", "selection", "signals", "crossdedup") and axis == "exact":
                     continue  # per-row/bucketed; dup rate is irrelevant
+                if name == "dedup_cap" and axis == "mutate":
+                    continue  # same plan as dedup below the cap
                 if name == "dedup" and axis == "exact":
                     factors = (1, 4)  # 16x exact = 600k-pair clique graph
                 else:
+                    # dedup_cap exact runs the full 16x clique corpus:
+                    # the round-5 star collapse keeps candidates O(n)
                     factors = (1, 4, 16)
                 base_t = None
                 for factor in factors:
