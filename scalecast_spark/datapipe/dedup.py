@@ -581,6 +581,7 @@ def hamming_near_pairs(
     id_col: str = "doc_id",
     bits: int = 64,
     max_hamming: int = 3,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Generalized Hamming-distance candidate pairs over any packed
     hash column (simhash, pHash, ...): split the ``bits``-bit hash
@@ -588,8 +589,22 @@ def hamming_near_pairs(
     ``max_hamming`` bits MUST agree exactly on at least one band — so
     the join is a per-band equi-join on small ints, then an exact
     bit_count verify. Recall 1.0 within the radius, never an
-    all-pairs product; shuffle carries (id, hash) only."""
+    all-pairs product; shuffle carries (id, hash) only.
+
+    ``max_bucket_size`` is the same hot-bucket cap as
+    :func:`lsh_candidate_pairs`: a family of n near-identical hashes
+    shares every band chunk, so one bucket emits n²/2 pairs. Oversized
+    band buckets collapse to a min-id star (pairs still pass the exact
+    bit_count verify, so a false-colliding member beyond the radius is
+    filtered, never mislabeled); the trade — a member within radius of
+    another member but not of the hub is missed — mirrors the LSH cap
+    and only bites inside buckets that are near-identical families by
+    construction. Default None = exact pigeonhole semantics."""
     bands = max_hamming + 1
+    if max_bucket_size is not None and max_bucket_size < 2:
+        raise ValueError(
+            f"max_bucket_size must be >= 2, got {max_bucket_size}"
+        )
     if bands > bits:
         raise ValueError(
             f"max_hamming={max_hamming} needs {bands} non-empty bands "
@@ -617,8 +632,34 @@ def hamming_near_pairs(
     b = df.select(id_col, hash_col, *chunks)
     pieces = []
     for i in range(bands):
-        a_ = b.alias("a")
-        b_ = b.alias("b")
+        src = b
+        if max_bucket_size is not None:
+            wb = W.partitionBy(f"_hc{i}")
+            sized = b.withColumn("_bsz", F.count("*").over(wb))
+            small = sized.filter(F.col("_bsz") <= max_bucket_size).drop("_bsz")
+            big = sized.filter(F.col("_bsz") > max_bucket_size).drop("_bsz")
+            hub_ids = big.groupBy(f"_hc{i}").agg(F.min(id_col).alias("_hub"))
+            # the hub row itself supplies the hub hash (verify needs
+            # both endpoints' hashes for the exact bit_count filter)
+            hub = big.select(
+                F.col(id_col).alias("_hub"),
+                F.col(hash_col).alias("_hubhash"),
+                f"_hc{i}",
+            ).join(hub_ids, ["_hub", f"_hc{i}"])
+            star = (
+                big.join(hub, f"_hc{i}")
+                .filter(F.col(id_col) != F.col("_hub"))
+                .select(
+                    F.col("_hub").alias("id_a"),
+                    F.col(id_col).alias("id_b"),
+                    F.col("_hubhash").alias("_ha"),
+                    F.col(hash_col).alias("_hb"),
+                )
+            )
+            pieces.append(star)
+            src = small
+        a_ = src.alias("a")
+        b_ = src.alias("b")
         pieces.append(
             a_.join(
                 b_,

@@ -92,3 +92,55 @@ def test_cross_dedup_verify_is_candidate_driven(spark):
         out._jdf.queryExecution(), "simple"
     )
     assert plan.count("LeftSemi") >= 2
+
+
+def test_hamming_star_collapse_bounds_identical_family(spark):
+    """A family of n identical hashes shares every band chunk; with
+    the cap each band emits a star, the union dedupes, and the exact
+    bit_count verify keeps all hub pairs (hamming 0)."""
+    from scalecast_spark.datapipe.dedup import hamming_near_pairs
+
+    n = 100
+    rows = [(i, 0b101010) for i in range(n)] + [(900, 0xFFFFFF)]
+    df = spark.createDataFrame(rows, ["doc_id", "h"])
+    capped = hamming_near_pairs(
+        df, "h", bits=24, max_hamming=3, max_bucket_size=10
+    ).collect()
+    assert len(capped) == n - 1
+    assert all(r["id_a"] == 0 and r["hamming"] == 0 for r in capped)
+
+    with pytest.raises(ValueError, match="max_bucket_size"):
+        hamming_near_pairs(df, "h", bits=24, max_bucket_size=1)
+
+
+def test_hamming_cap_leaves_small_buckets_exact(spark):
+    from scalecast_spark.datapipe.dedup import hamming_near_pairs
+
+    rows = [(1, 0b1111), (2, 0b1110), (3, 0b1000_0000_1111)]
+    df = spark.createDataFrame(rows, ["doc_id", "h"])
+    plain = {tuple(r) for r in hamming_near_pairs(df, "h", bits=16, max_hamming=2).collect()}
+    capped = {
+        tuple(r)
+        for r in hamming_near_pairs(
+            df, "h", bits=16, max_hamming=2, max_bucket_size=50
+        ).collect()
+    }
+    assert plain == capped and (1, 2, 1) in plain
+
+
+def test_hamming_star_false_collisions_filtered(spark):
+    """Members of an oversized bucket beyond the radius from the hub
+    are dropped by the exact verify, never mislabeled."""
+    from scalecast_spark.datapipe.dedup import hamming_near_pairs
+
+    # 20 identical hashes + one sharing only the low band but 10 bits
+    # away overall — forced into the same oversized low-band bucket
+    rows = [(i, 0b0000_0011) for i in range(20)]
+    rows.append((500, 0b1111_1111_1100_0011))
+    df = spark.createDataFrame(rows, ["doc_id", "h"])
+    out = hamming_near_pairs(
+        df, "h", bits=16, max_hamming=3, max_bucket_size=5
+    ).collect()
+    ids = {r["id_b"] for r in out} | {r["id_a"] for r in out}
+    assert 500 not in ids
+    assert len(out) == 19  # the star over the identical family
