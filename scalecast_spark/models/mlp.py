@@ -162,6 +162,76 @@ def _clip_global(grads: list, max_norm: float = 1.0) -> list:
     return grads
 
 
+def _cell_forward(params, A, L, hidden, cell, trace=False):
+    """Shared-weight recurrent forward pass (rnn: tanh cell; lstm:
+    4-gate). Module-level so the finite-difference gradient test can
+    drive the EXACT code the trainer runs."""
+    Wx, Wh, b, W2, b2 = params
+    sig = lambda a: 1.0 / (1.0 + np.exp(-a))  # noqa: E731
+    r = len(A)
+    hs = np.zeros((L + 1, r, hidden))
+    cs = np.zeros((L + 1, r, hidden))
+    gates = []
+    for t in range(L):
+        pre = A[:, t: t + 1] @ Wx + hs[t] @ Wh + b
+        if cell == "rnn":
+            hs[t + 1] = np.tanh(pre)
+            gates.append(None)
+        else:
+            i = sig(pre[:, :hidden])
+            f = sig(pre[:, hidden: 2 * hidden])
+            g = np.tanh(pre[:, 2 * hidden: 3 * hidden])
+            o = sig(pre[:, 3 * hidden:])
+            cs[t + 1] = f * cs[t] + i * g
+            hs[t + 1] = o * np.tanh(cs[t + 1])
+            gates.append((i, f, g, o))
+    out = hs[L] @ W2 + b2
+    return (out, hs, cs, gates) if trace else out
+
+
+def _bptt_grads(params, Xs, Ts, L, hidden, cell):
+    """Full-unroll BPTT gradients of loss = Σ err² / (2·rows) — the
+    loss the analytic expressions below differentiate (gW2 =
+    hs.T @ err / rows etc.). Returns UNCLIPPED [gWx, gWh, gb, gW2,
+    gb2]; verified against central finite differences in
+    tests/test_bptt_gradcheck.py."""
+    Wx, Wh, b, W2, b2 = params
+    rows = len(Xs)
+    out, hs, cs, gates = _cell_forward(params, Xs, L, hidden, cell, trace=True)
+    err = out - Ts  # (rows, H)
+    gW2 = hs[L].T @ err / rows
+    gb2 = err.mean(axis=0)
+    gWx = np.zeros_like(Wx)
+    gWh = np.zeros_like(Wh)
+    gb = np.zeros_like(b)
+    dh = err @ W2.T
+    dc = np.zeros((rows, hidden))
+    for t in reversed(range(L)):
+        if cell == "rnn":
+            dpre = dh * (1 - hs[t + 1] ** 2)
+        else:
+            i, f, g, o = gates[t]
+            tc = np.tanh(cs[t + 1])
+            do = dh * tc
+            dc = dc + dh * o * (1 - tc**2)
+            di, df_, dg = dc * g, dc * cs[t], dc * i
+            dpre = np.concatenate(
+                [
+                    di * i * (1 - i),
+                    df_ * f * (1 - f),
+                    dg * (1 - g**2),
+                    do * o * (1 - o),
+                ],
+                axis=1,
+            )
+            dc = dc * f
+        gWx += Xs[:, t: t + 1].T @ dpre / rows
+        gWh += hs[t].T @ dpre / rows
+        gb += dpre.mean(axis=0)
+        dh = dpre @ Wh.T
+    return [gWx, gWh, gb, gW2, gb2]
+
+
 def make_direct_rnn(
     lags: int = 7, hidden: int = 16, epochs: int = 300, lr: float = 0.02,
     seed: int = 42, cell: str = "rnn",
@@ -209,63 +279,9 @@ def make_direct_rnn(
         mom = [np.zeros_like(q) for q in params]
         vel = [np.zeros_like(q) for q in params]
         beta1, beta2, eps = 0.9, 0.999, 1e-8
-        sig = lambda a: 1.0 / (1.0 + np.exp(-a))  # noqa: E731
-
-        def forward(A, trace=False):
-            r = len(A)
-            hs = np.zeros((L + 1, r, hidden))
-            cs = np.zeros((L + 1, r, hidden))
-            gates = []
-            for t in range(L):
-                pre = A[:, t: t + 1] @ Wx + hs[t] @ Wh + b
-                if cell == "rnn":
-                    hs[t + 1] = np.tanh(pre)
-                    gates.append(None)
-                else:
-                    i = sig(pre[:, :hidden])
-                    f = sig(pre[:, hidden: 2 * hidden])
-                    g = np.tanh(pre[:, 2 * hidden: 3 * hidden])
-                    o = sig(pre[:, 3 * hidden:])
-                    cs[t + 1] = f * cs[t] + i * g
-                    hs[t + 1] = o * np.tanh(cs[t + 1])
-                    gates.append((i, f, g, o))
-            out = hs[L] @ W2 + b2
-            return (out, hs, cs, gates) if trace else out
 
         for step in range(1, epochs + 1):
-            out, hs, cs, gates = forward(Xs, trace=True)
-            err = out - Ts  # (rows, H)
-            gW2 = hs[L].T @ err / rows
-            gb2 = err.mean(axis=0)
-            gWx = np.zeros_like(Wx)
-            gWh = np.zeros_like(Wh)
-            gb = np.zeros_like(b)
-            dh = err @ W2.T
-            dc = np.zeros((rows, hidden))
-            for t in reversed(range(L)):
-                if cell == "rnn":
-                    dpre = dh * (1 - hs[t + 1] ** 2)
-                else:
-                    i, f, g, o = gates[t]
-                    tc = np.tanh(cs[t + 1])
-                    do = dh * tc
-                    dc = dc + dh * o * (1 - tc**2)
-                    di, df_, dg = dc * g, dc * cs[t], dc * i
-                    dpre = np.concatenate(
-                        [
-                            di * i * (1 - i),
-                            df_ * f * (1 - f),
-                            dg * (1 - g**2),
-                            do * o * (1 - o),
-                        ],
-                        axis=1,
-                    )
-                    dc = dc * f
-                gWx += Xs[:, t: t + 1].T @ dpre / rows
-                gWh += hs[t].T @ dpre / rows
-                gb += dpre.mean(axis=0)
-                dh = dpre @ Wh.T
-            grads = _clip_global([gWx, gWh, gb, gW2, gb2])
+            grads = _clip_global(_bptt_grads(params, Xs, Ts, L, hidden, cell))
             for idx, g_ in enumerate(grads):
                 mom[idx] = beta1 * mom[idx] + (1 - beta1) * g_
                 vel[idx] = beta2 * vel[idx] + (1 - beta2) * g_ * g_
@@ -274,7 +290,7 @@ def make_direct_rnn(
                 params[idx] -= lr * mh / (np.sqrt(vh) + eps)
 
         def predict(A):
-            return forward(A) * xsd + xmu
+            return _cell_forward(params, A, L, hidden, cell) * xsd + xmu
 
         # in-sample fitted: the 1-step direct output of the window
         # ending just before each position (same semantics as the MLP)
