@@ -144,3 +144,48 @@ def test_hamming_star_false_collisions_filtered(spark):
     ids = {r["id_b"] for r in out} | {r["id_a"] for r in out}
     assert 500 not in ids
     assert len(out) == 19  # the star over the identical family
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_capped_pipeline_same_clusters_on_random_families(spark, seed):
+    """End-to-end semantic equivalence: on corpora of exact-duplicate
+    families (the workload the cap targets), the capped pipeline's
+    transitive closure must equal the uncapped one's — star collapse
+    changes the candidate GRAPH, never the components."""
+    import random
+
+    from scalecast_spark.datapipe.dedup import (
+        duplicate_clusters,
+        jaccard_pairs_arrays,
+        lsh_candidate_pairs,
+        minhash_signatures_projection,
+        shingle_array,
+    )
+    from pyspark.sql import functions as F
+
+    rng = random.Random(seed)
+    words = [f"w{j}" for j in range(40)]
+    rows, nid = [], 0
+    for fam in range(rng.randint(3, 6)):
+        text = " ".join(rng.choices(words, k=rng.randint(8, 20)))
+        for _ in range(rng.randint(1, 30)):
+            rows.append((nid, text))
+            nid += 1
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    sigs = minhash_signatures_projection(docs, n=3, n_hashes=16)
+    base = docs.select(
+        "doc_id", shingle_array(F.col("text"), 3).alias("_sh_arr")
+    )
+
+    def clusters(cands):
+        pairs = jaccard_pairs_arrays(base, cands, min_jaccard=0.5)
+        if pairs.limit(1).count() == 0:
+            return {}
+        return {
+            r["node"]: r["cluster"]
+            for r in duplicate_clusters(pairs.select("id_a", "id_b")).collect()
+        }
+
+    plain = clusters(lsh_candidate_pairs(sigs, bands=4))
+    capped = clusters(lsh_candidate_pairs(sigs, bands=4, max_bucket_size=5))
+    assert plain == capped
