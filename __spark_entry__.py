@@ -542,20 +542,20 @@ def q_ts_auto_arima(spark, sf_dir):
 
 def q_mv_vecm(spark, sf_dir):
     """VECM joint forecast over all series (numpy Johansen + two-step
-    VECM, reference MVForecaster 'vecm') — reduced-rank regression,
-    rows-only."""
+    VECM, reference MVForecaster 'vecm') — HASH-MATCHED as of round 5:
+    the Johansen step is a generalized SYMMETRIC eigenproblem in
+    disguise (S11 is SPD), so two cyclic-Jacobi runs in a recursive CTE
+    replay the full spectrum and the rest is Gauss-Jordan OLS — see
+    _vecm_oracle.  Rounded to 4dp on both sides: the eigen path
+    amplifies float noise to ~5e-8 abs, a coin-flip at 6dp."""
     from scalecast_spark.frame import TimeSeriesFrame
     from scalecast_spark.models import MODELS
 
     tsf = TimeSeriesFrame.from_long(_series(spark, sf_dir)).generate_future_dates(7)
     out = MODELS["vecm"](tsf.df)
     return _out_ts(
-        _r6(
-            out.filter(F.col("is_future") == 1).select(
-                "series_id", "ds", "forecast"
-            ),
-            "forecast",
-        )
+        out.filter(F.col("is_future") == 1)
+        .select("series_id", "ds", F.round("forecast", 4).alias("forecast"))
     )
 
 
@@ -3558,15 +3558,18 @@ def oracle_sql() -> dict[str, str]:
         FROM ({o["ts_stepwise_ci"]}) a
         JOIN ({o["ts_conformal_width"]}) b ON a.series_id = b.series_id
     """
-    # mv_vecm / ts_forecast_direct stay rows-only: network training is
-    # not SQL-expressible and the Johansen eigen step has no closed
-    # form. ts_cv_grid joined the oracled set in round 4 (closed-form
-    # ridge folds, _cv_grid_oracle); ts_prophet_tbats and ts_auto_arima
-    # joined in round 5 (Gauss-Jordan CTE linear solves —
-    # _prophet_tbats_oracle, _auto_arima_oracle).
+    # ts_forecast_direct stays rows-only: network training (BPTT) is
+    # not SQL-expressible; it is pinned instead by the finite-difference
+    # gradient check (tests/test_bptt_gradcheck.py). ts_cv_grid joined
+    # the oracled set in round 4 (closed-form ridge folds,
+    # _cv_grid_oracle); ts_prophet_tbats and ts_auto_arima joined in
+    # round 5 (Gauss-Jordan CTE linear solves — _prophet_tbats_oracle,
+    # _auto_arima_oracle); mv_vecm joined late in round 5 (Johansen via
+    # two cyclic-Jacobi recursive CTEs — _vecm_oracle).
     o["ts_cv_grid"] = _cv_grid_oracle()
     o["ts_prophet_tbats"] = _prophet_tbats_oracle()
     o["ts_auto_arima"] = _auto_arima_oracle()
+    o["mv_vecm"] = _vecm_oracle()
     # exact-substring duplication signals: k=8 word windows repeated
     # >=2 times corpus-wide (grouped on the n-gram STRING — equality of
     # xxhash64 keys in Spark == equality of strings modulo collisions,
@@ -4881,6 +4884,375 @@ def _gj_dyn(name: str, mat_cte: str, keys: str) -> str:
         {name}_fin AS MATERIALIZED (
             SELECT {keys}, mat FROM {name} WHERE k = len(mat)
         )"""
+
+
+def _gj_glob(name: str, mat_cte: str) -> str:
+    """Unkeyed dimension-agnostic Gauss-Jordan: ``mat_cte`` holds ONE
+    global augmented list-of-list matrix ``mat`` (dim rows, each dim+R
+    wide for R right-hand sides); ``{name}_fin`` is the eliminated
+    state (mat[i] = e_i | solution row i)."""
+    return f"""
+        {name} AS (
+            SELECT 0 AS k, mat FROM {mat_cte}
+            UNION ALL
+            SELECT k + 1,
+                   list_transform(range(1, len(mat) + 1), r ->
+                       CASE WHEN r = k + 1
+                            THEN list_transform(mat[r], x -> x / mat[k+1][k+1])
+                            ELSE list_transform(range(1, len(mat[r]) + 1),
+                                c -> mat[r][c]
+                                     - mat[r][k+1] * mat[k+1][c]
+                                       / mat[k+1][k+1])
+                       END)
+            FROM {name} WHERE k < len(mat)
+        ),
+        {name}_fin AS MATERIALIZED (
+            SELECT mat FROM {name} WHERE k = len(mat)
+        )"""
+
+
+#: cyclic-Jacobi sweep count — quadratic convergence puts any small
+#: symmetric matrix at an exactly-zero off-diagonal well before this
+_JACOBI_SWEEPS = 14
+
+
+def _jacobi_ctes(name: str, src: str) -> str:
+    """Cyclic Jacobi eigensolver as a recursive CTE, over the single-row
+    CTE ``src`` holding a symmetric list-of-list DOUBLE matrix column
+    ``a``.  Emits ``{name}_fin(a, v)``: ``a`` diagonalized (eigenvalues
+    on the diagonal), ``v`` the accumulated rotations (columns are the
+    eigenvectors).  Dimension-agnostic — the rotation schedule and step
+    count derive from len(a).  One rotation per recursion step; the
+    (p,q) schedule CTE must stay NON-materialized: DuckDB 1.0 silently
+    yields an empty recursion when the recursive part references a
+    MATERIALIZED CTE."""
+    return f"""
+        {name}_pairs AS (
+            SELECT row_number() OVER (ORDER BY p, q) AS idx, p, q,
+                   count(*) OVER () AS np
+            FROM (SELECT unnest(range(1, len(a) + 1)) AS p FROM {src}) pp,
+                 (SELECT unnest(range(1, len(a) + 1)) AS q FROM {src}) qq
+            WHERE p < q
+        ),
+        {name}_it AS (
+            SELECT 0 AS s, a,
+                   list_transform(range(1, len(a) + 1), i ->
+                       list_transform(range(1, len(a) + 1), j ->
+                           CAST(CASE WHEN i = j THEN 1 ELSE 0 END AS DOUBLE)))
+                       AS v
+            FROM {src}
+            UNION ALL
+            SELECT s + 1,
+                   list_transform(range(1, len(a) + 1), i ->
+                       list_transform(range(1, len(a) + 1), j ->
+                           CASE
+                             WHEN r.apq = 0 THEN a[i][j]
+                             WHEN i = r.p AND j = r.p THEN r.app - r.t * r.apq
+                             WHEN i = r.q AND j = r.q THEN r.aqq + r.t * r.apq
+                             WHEN (i = r.p AND j = r.q)
+                                  OR (i = r.q AND j = r.p) THEN 0.0
+                             WHEN j = r.p THEN r.co * a[i][r.p] - r.si * a[i][r.q]
+                             WHEN j = r.q THEN r.si * a[i][r.p] + r.co * a[i][r.q]
+                             WHEN i = r.p THEN r.co * a[r.p][j] - r.si * a[r.q][j]
+                             WHEN i = r.q THEN r.si * a[r.p][j] + r.co * a[r.q][j]
+                             ELSE a[i][j]
+                           END)) AS a,
+                   list_transform(range(1, len(v) + 1), i ->
+                       list_transform(range(1, len(v) + 1), j ->
+                           CASE
+                             WHEN r.apq = 0 THEN v[i][j]
+                             WHEN j = r.p THEN r.co * v[i][r.p] - r.si * v[i][r.q]
+                             WHEN j = r.q THEN r.si * v[i][r.p] + r.co * v[i][r.q]
+                             ELSE v[i][j]
+                           END)) AS v
+            FROM {name}_it,
+                 LATERAL (
+                    SELECT p, q, app, aqq, apq, t,
+                           1 / sqrt(1 + t * t) AS co,
+                           t / sqrt(1 + t * t) AS si
+                    FROM (
+                        SELECT p, q, app, aqq, apq,
+                               CASE WHEN apq = 0 THEN 0.0
+                                    ELSE (CASE WHEN (aqq - app) / (2 * apq) >= 0
+                                          THEN 1.0 ELSE -1.0 END)
+                                         / (abs((aqq - app) / (2 * apq))
+                                            + sqrt(((aqq - app) / (2 * apq))
+                                                   * ((aqq - app) / (2 * apq))
+                                                   + 1))
+                               END AS t
+                        FROM (
+                            SELECT pp.p, pp.q, a[pp.p][pp.p] AS app,
+                                   a[pp.q][pp.q] AS aqq, a[pp.p][pp.q] AS apq
+                            FROM {name}_pairs pp
+                            WHERE pp.idx = (s % pp.np) + 1
+                        )
+                    )
+                 ) r
+            WHERE s < {_JACOBI_SWEEPS} * (len(a) * (len(a) - 1) // 2)
+        ),
+        {name}_fin AS MATERIALIZED (
+            SELECT a, v FROM {name}_it
+            WHERE s = {_JACOBI_SWEEPS} * (len(a) * (len(a) - 1) // 2)
+        )"""
+
+
+def _mm_sql(x: str, y: str) -> str:
+    """SQL for the matrix product of two list-of-list DOUBLE columns."""
+    return (
+        f"list_transform(range(1, len({x}) + 1), i -> "
+        f"list_transform(range(1, len({y}[1]) + 1), j -> "
+        f"list_sum(list_transform(range(1, len({y}) + 1), kk -> "
+        f"{x}[i][kk] * {y}[kk][j]))))"
+    )
+
+
+def _vecm_oracle() -> str:
+    """Oracle for q_mv_vecm — full SQL replay of the Johansen VECM
+    (models/vecm.py:31-163; reference models.py:422-559 'vecm' +
+    util.py:390-428 find_optimal_coint_rank, both over statsmodels):
+
+      1. wide matrix: one row per ds, y vector ordered by series_id
+         (Spark's pivot sorts values) — dims read from the data.
+      2. S00/S01/S11 from explicit OLS residuals of dY[k:] and Y[k:-1]
+         on Z = [1, dY lag] (k_ar_diff=1): [Z'Z | Z'dY | Z'Y1] solved by
+         the global Gauss-Jordan CTE.
+      3. eigen: M = S11^-1 S01' S00^-1 S01 is similar to the SYMMETRIC
+         A = W K W with W = S11^(-1/2) and K = S01' S00^-1 S01, so two
+         cyclic-Jacobi runs (S11 -> W, then A) give the full real
+         spectrum to machine precision; eigenvectors v = W u.  The
+         engine's np.linalg.eig normalization differs, but the VECM
+         forecast is invariant to per-eigenvector scale (ect column
+         scaling is absorbed exactly by the second-stage OLS).
+      4. rank by the Osterwald-Lenum 5% trace test, clamped to n-1.
+      5. second-stage OLS of dY on [ect_1..rank, 1, dY lag] (rank enters
+         the design dynamically) and the h=7 forecast recursion, which
+         carries B/beta/rank in its state (recursive parts cannot read
+         MATERIALIZED CTEs).
+
+    Measured divergence vs the numpy engine: 2.5e-9 abs at sf0.01,
+    5.3e-8 at sf0.1 (1e-12 relative) — inverse-eigen amplification makes
+    6dp a coin-flip straddle, so BOTH sides round the forecast to 4dp
+    (margin >= 2e3 of the divergence), like the tbats member at 3dp."""
+    mm = _mm_sql
+    return f"""
+WITH RECURSIVE
+{_SQL_SERIES.strip()},
+sid AS MATERIALIZED (
+    SELECT series_id, row_number() OVER (ORDER BY series_id) AS j
+    FROM (SELECT DISTINCT series_id FROM series)
+),
+widey AS MATERIALIZED (
+    SELECT dense_rank() OVER (ORDER BY ds) - 1 AS tt, ds,
+           array_agg(y ORDER BY j) AS yv
+    FROM series JOIN sid USING (series_id)
+    GROUP BY ds
+),
+meta AS MATERIALIZED (
+    SELECT max(tt) + 1 AS T, max(len(yv)) AS n, max(ds) AS last_ds
+    FROM widey
+),
+dy AS MATERIALIZED (
+    SELECT c.tt - 1 AS t,
+           list_transform(range(1, len(c.yv) + 1), j -> c.yv[j] - p.yv[j])
+               AS dv
+    FROM widey c JOIN widey p ON p.tt = c.tt - 1
+),
+-- regression rows r = 0..rows-1 (k_ar_diff = 1): target dY[1+r],
+-- level Y[1+r], design z = [1, dY[r]]
+regrows AS MATERIALIZED (
+    SELECT d.t - 1 AS r, d.dv AS y0, w.yv AS y1,
+           list_prepend(1.0, dl.dv) AS z
+    FROM dy d
+    JOIN dy dl ON dl.t = d.t - 1
+    JOIN widey w ON w.tt = d.t
+    WHERE d.t >= 1
+),
+nr AS MATERIALIZED (
+    SELECT count(*)::DOUBLE AS rows_, max(len(z)) AS zk, max(len(y0)) AS n
+    FROM regrows
+),
+-- [Z'Z | Z'dY | Z'Y1]: zk rows, zk + 2n wide
+zcell AS MATERIALIZED (
+    SELECT ii.i, jj.j,
+           sum(z[ii.i] *
+               CASE WHEN jj.j <= nr.zk THEN z[jj.j]
+                    WHEN jj.j <= nr.zk + nr.n THEN y0[jj.j - nr.zk]
+                    ELSE y1[jj.j - nr.zk - nr.n] END) AS s
+    FROM regrows, nr,
+         LATERAL (SELECT unnest(range(1, nr.zk + 1)) AS i) ii,
+         LATERAL (SELECT unnest(range(1, nr.zk + 2 * nr.n + 1)) AS j) jj
+    GROUP BY ii.i, jj.j
+),
+zmat AS MATERIALIZED (
+    SELECT array_agg(arow ORDER BY i) AS mat
+    FROM (SELECT i, array_agg(s ORDER BY j) AS arow FROM zcell GROUP BY i)
+),
+{_gj_glob("zgj", "zmat")},
+-- residuals r0 = y0 - z.G0, r1 = y1 - z.G1 per regression row
+resid AS MATERIALIZED (
+    SELECT r.r,
+           list_transform(range(1, nr.n + 1), j ->
+               r.y0[j] - list_sum(list_transform(range(1, nr.zk + 1), i ->
+                   r.z[i] * g.mat[i][nr.zk + j]))) AS r0,
+           list_transform(range(1, nr.n + 1), j ->
+               r.y1[j] - list_sum(list_transform(range(1, nr.zk + 1), i ->
+                   r.z[i] * g.mat[i][nr.zk + nr.n + j]))) AS r1
+    FROM regrows r, zgj_fin g, nr
+),
+scell AS MATERIALIZED (
+    SELECT ii.i, jj.j,
+           sum(r0[ii.i] * r0[jj.j]) / max(nr.rows_) AS s00,
+           sum(r0[ii.i] * r1[jj.j]) / max(nr.rows_) AS s01,
+           sum(r1[ii.i] * r1[jj.j]) / max(nr.rows_) AS s11
+    FROM resid, nr,
+         LATERAL (SELECT unnest(range(1, nr.n + 1)) AS i) ii,
+         LATERAL (SELECT unnest(range(1, nr.n + 1)) AS j) jj
+    GROUP BY ii.i, jj.j
+),
+smats AS MATERIALIZED (
+    SELECT array_agg(a00 ORDER BY i) AS s00,
+           array_agg(a01 ORDER BY i) AS s01,
+           array_agg(a11 ORDER BY i) AS s11
+    FROM (
+        SELECT i, array_agg(s00 ORDER BY j) AS a00,
+               array_agg(s01 ORDER BY j) AS a01,
+               array_agg(s11 ORDER BY j) AS a11
+        FROM scell GROUP BY i
+    )
+),
+s00aug AS MATERIALIZED (
+    SELECT list_transform(range(1, len(s00) + 1), i ->
+               list_concat(s00[i],
+                   list_transform(range(1, len(s00) + 1), j ->
+                       CAST(CASE WHEN i = j THEN 1 ELSE 0 END AS DOUBLE))))
+               AS mat
+    FROM smats
+),
+{_gj_glob("s00gj", "s00aug")},
+s00inv AS MATERIALIZED (
+    SELECT list_transform(range(1, len(mat) + 1), i ->
+               list_transform(range(1, len(mat) + 1), j ->
+                   mat[i][len(mat) + j])) AS m
+    FROM s00gj_fin
+),
+-- K = S01' S00inv S01
+kmat AS MATERIALIZED (
+    SELECT {mm(mm("s01t", "inv"), "s01")} AS a
+    FROM (
+        SELECT list_transform(range(1, len(s01[1]) + 1), i ->
+                   list_transform(range(1, len(s01) + 1), j -> s01[j][i]))
+                   AS s01t,
+               s01, i.m AS inv
+        FROM smats, s00inv i
+    )
+),
+s11m AS MATERIALIZED (SELECT s11 AS a FROM smats),
+{_jacobi_ctes("s11jac", "s11m")},
+-- W = S11^(-1/2) = Q d^(-1/2) Q'
+wmat AS MATERIALIZED (
+    SELECT list_transform(range(1, len(a) + 1), i ->
+               list_transform(range(1, len(a) + 1), j ->
+                   list_sum(list_transform(range(1, len(a) + 1), kk ->
+                       v[i][kk] * v[j][kk] / sqrt(a[kk][kk]))))) AS w
+    FROM s11jac_fin
+),
+amat AS MATERIALIZED (
+    SELECT {mm(mm("w.w", "k.a"), "w.w")} AS a
+    FROM wmat w, kmat k
+),
+{_jacobi_ctes("ajac", "amat")},
+-- eigen order: lam desc, stable by index (np.argsort(-lam))
+eig AS MATERIALIZED (
+    SELECT array_agg(lam ORDER BY lam DESC, i) AS lam,
+           array_agg(i ORDER BY lam DESC, i) AS ord
+    FROM (
+        SELECT i, a[i][i] AS lam
+        FROM ajac_fin, LATERAL (SELECT unnest(range(1, len(a) + 1)) AS i)
+    )
+),
+-- beta columns: v[:,c] = W u[:, ord[c]]
+beta AS MATERIALIZED (
+    SELECT list_transform(range(1, len(w.w) + 1), i ->
+               list_transform(range(1, len(w.w) + 1), c ->
+                   list_sum(list_transform(range(1, len(w.w) + 1), kk ->
+                       w.w[i][kk] * u.v[kk][e.ord[c]])))) AS b
+    FROM wmat w, ajac_fin u, eig e
+),
+-- Osterwald-Lenum 5% trace critical values (vecm.py:22 _TRACE_CRIT_5)
+crit(m, cv) AS (VALUES (1, 3.76), (2, 15.41), (3, 29.68), (4, 47.21),
+                       (5, 68.52), (6, 94.15)),
+ranksel AS MATERIALIZED (
+    SELECT coalesce(least(min(CASE WHEN ok THEN r END), max(nn) - 1),
+                    max(nn) - 1) AS rank
+    FROM (
+        SELECT rr.r, nr.n AS nn,
+               -nr.rows_ * list_sum(list_transform(
+                   range(rr.r + 1, nr.n + 1), c ->
+                       ln(1 - least(greatest(e.lam[c], 1e-12), 1 - 1e-12))))
+                   < c.cv AS ok
+        FROM eig e, nr,
+             LATERAL (SELECT unnest(range(0, nr.n)) AS r) rr
+        JOIN crit c ON c.m = nr.n - rr.r
+    )
+),
+-- second-stage design: x = [ect_1..ect_rank, 1, dlag_1..n] = ect ++ z
+xrow AS MATERIALIZED (
+    SELECT r.r, r.y0,
+           list_concat(
+               list_transform(range(1, rk.rank + 1), c ->
+                   list_sum(list_transform(range(1, len(r.y1) + 1), jj ->
+                       r.y1[jj] * b.b[jj][c]))),
+               r.z) AS x
+    FROM regrows r, ranksel rk, beta b
+),
+bcell AS MATERIALIZED (
+    SELECT ii.i, jj.j,
+           sum(x[ii.i] * CASE WHEN jj.j <= len(x) THEN x[jj.j]
+                              ELSE y0[jj.j - len(x)] END) AS s
+    FROM xrow, nr,
+         LATERAL (SELECT unnest(range(1, len(x) + 1)) AS i) ii,
+         LATERAL (SELECT unnest(range(1, len(x) + nr.n + 1)) AS j) jj
+    GROUP BY ii.i, jj.j
+),
+bmat AS MATERIALIZED (
+    SELECT array_agg(arow ORDER BY i) AS mat
+    FROM (SELECT i, array_agg(s ORDER BY j) AS arow FROM bcell GROUP BY i)
+),
+{_gj_glob("bgj", "bmat")},
+-- h=7 forecast recursion; B/beta/rank ride in the state (the recursive
+-- part cannot read MATERIALIZED CTEs)
+fstate AS (
+    SELECT 0 AS step, w.yv AS lev, d.dv AS dlast,
+           g.mat AS bm, b.b AS bv, rk.rank AS rank
+    FROM widey w, dy d, meta m, bgj_fin g, beta b, ranksel rk
+    WHERE w.tt = m.T - 1 AND d.t = m.T - 2
+    UNION ALL
+    SELECT step + 1,
+           list_transform(range(1, len(lev) + 1), j -> lev[j] + dn.dnext[j]),
+           dn.dnext, bm, bv, rank
+    FROM fstate,
+         LATERAL (
+            SELECT list_transform(range(1, len(xx.lv) + 1), j ->
+                       list_sum(list_transform(range(1, len(xx.x) + 1), i ->
+                           xx.x[i] * xx.bmx[i][len(xx.x) + j]))) AS dnext
+            FROM (
+                SELECT list_concat(
+                           list_transform(range(1, rank + 1), c ->
+                               list_sum(list_transform(
+                                   range(1, len(lev) + 1), jj ->
+                                       lev[jj] * bv[jj][c]))),
+                           list_prepend(1.0, dlast)) AS x,
+                       bm AS bmx, lev AS lv
+            ) xx
+         ) dn
+    WHERE step < 7
+)
+SELECT s.series_id, m.last_ds + (f.step::INTEGER) AS ds,
+       round(f.lev[s.j], 4) AS forecast
+FROM fstate f, meta m
+JOIN sid s ON TRUE
+WHERE f.step >= 1
+"""
 
 
 def _auto_arima_oracle() -> str:

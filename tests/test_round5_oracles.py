@@ -126,3 +126,64 @@ def test_pacf_durbin_levinson_oracle_on_synthetic():
         phi = np.append(phi - kk * phi[::-1], kk)
         pacf.append(kk)
     assert np.allclose([v for _, v in got], np.round(pacf, 6), atol=0)
+
+
+VECM_CASES = [
+    # cointegrated trio: two random walks + linear combos, rank >= 1
+    {"seed": 11, "n": 30, "kind": "coint", "nseries": 3},
+    # independent random walks: the trace test should go low-rank
+    {"seed": 12, "n": 40, "kind": "rw", "nseries": 4},
+    # near-stationary noise around level: high rank, exercises clamp n-1
+    {"seed": 13, "n": 25, "kind": "stat", "nseries": 2},
+]
+
+
+@pytest.mark.parametrize("case", VECM_CASES, ids=lambda c: c["kind"])
+def test_vecm_oracle_on_synthetic(case):
+    """The mv_vecm Johansen/Jacobi oracle vs the numpy engine core
+    (models/vecm.py) on synthetic multivariate systems with different
+    dimensions and cointegration ranks — the dims, the rank CASE logic,
+    and both Jacobi recursions must all adapt."""
+    from scalecast_spark.models.vecm import (
+        _johansen, _TRACE_CRIT_5, vecm_fit_forecast,
+    )
+
+    rng = np.random.RandomState(case["seed"])
+    n, m = case["n"], case["nseries"]
+    if case["kind"] == "coint":
+        w1 = 50 + np.cumsum(rng.randn(n) * 3)
+        w2 = 80 + np.cumsum(rng.randn(n) * 2)
+        cols = [w1, w2, 0.5 * w1 + 0.3 * w2 + rng.randn(n)]
+    elif case["kind"] == "rw":
+        cols = [
+            100 * (j + 1) + np.cumsum(rng.randn(n) * (2 + j))
+            for j in range(m)
+        ]
+    else:
+        cols = [60 + 10 * j + rng.randn(n) * 4 for j in range(m)]
+    # series ids sorted ascending, matching the oracle's row_number order
+    series = {f"s{j}": c for j, c in enumerate(cols)}
+    Ymat = np.column_stack([series[k] for k in sorted(series)])
+
+    eigvals, _, rows_ = _johansen(Ymat, 1)
+    nn = Ymat.shape[1]
+    rank = nn
+    for r in range(nn):
+        lam = np.clip(eigvals[r:], 1e-12, 1 - 1e-12)
+        trace = -rows_ * float(np.sum(np.log(1 - lam)))
+        cv = _TRACE_CRIT_5.get(nn - r)
+        if cv is not None and trace < cv and rank == nn:
+            rank = r
+    rank = max(min(rank, nn - 1), 0)
+    _, fc = vecm_fit_forecast(Ymat, 7, 1, rank)
+
+    con = _con_with_events(series)
+    rows = con.execute(entrymod._vecm_oracle()).fetchall()
+    got = {}
+    for sid, ds, v in rows:
+        got.setdefault(sid, []).append((str(ds), v))
+    got = {k: [v for _, v in sorted(rs)] for k, rs in got.items()}
+    for j, sid in enumerate(sorted(series)):
+        assert np.allclose(
+            np.round(fc[:, j], 4), got[sid], atol=0
+        ), (sid, rank)

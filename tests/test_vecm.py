@@ -75,9 +75,10 @@ def test_vecm_through_registry(spark):
 
 
 def test_vecm_rank0_equals_closed_form_var_on_diffs():
-    """Round-5 strengthening (the mv_vecm query stays rows-only — the
-    Johansen eigen step has no closed form — so its degenerate member
-    is pinned against independent math): at coint_rank=0 the VECM
+    """Round-5 strengthening (now complemented by the full mv_vecm SQL
+    oracle — Johansen via cyclic-Jacobi recursive CTEs, see
+    __spark_entry__._vecm_oracle — this pins the degenerate member
+    against independent math): at coint_rank=0 the VECM
     collapses to a VAR(1) on differences, i.e. per-equation OLS
     dY_t = c + Gamma dY_{t-1}. Solve those normal equations
     independently (numpy solve on X'X, not the model's lstsq path) and
