@@ -1834,16 +1834,37 @@ def q_sim_topk(spark, sf_dir):
     return a.unionByName(b).unionByName(c).unionByName(d)
 
 
+def q_emb_hashdoc_pairs(spark, sf_dir):
+    """Near-dup pairs over HASHING-TRICK text embeddings
+    (datapipe/embed.embed_docs — signed md5 feature hashing, Weinberger
+    et al. 2009): the end-to-end raw-text -> vector -> blocked-GEMM
+    path for corpora with no precomputed embedding column. md5-derived
+    components/signs make the whole chain SQL-replayable."""
+    from scalecast_spark.datapipe.embed import embed_docs
+    from scalecast_spark.datapipe.similarity import blocked_pairwise_above
+
+    emb = embed_docs(_docs(spark, sf_dir)).filter(
+        F.col("embedding").isNotNull()
+    )
+    return blocked_pairwise_above(
+        emb, threshold=0.9, n_blocks=8, id_col="doc_id"
+    )
+
+
 def q_emb_near_dup(spark, sf_dir):
     """Embedding near-dup pairs: exact blocked-GEMM + LSH-bucketed twin
-    in one tagged frame (LSH ⊆ exact containment tested separately)."""
+    + hashed-doc-embedding twin in one tagged frame (LSH ⊆ exact
+    containment tested separately)."""
     a = q_emb_near_dup_pairs(spark, sf_dir).select(
         F.lit("exact").alias("method"), "id_a", "id_b", "cosine_sim"
     )
     b = q_emb_near_dup_lsh(spark, sf_dir).select(
         F.lit("lsh").alias("method"), "id_a", "id_b", "cosine_sim"
     )
-    return a.unionByName(b)
+    c = q_emb_hashdoc_pairs(spark, sf_dir).select(
+        F.lit("hashdoc").alias("method"), "id_a", "id_b", "cosine_sim"
+    )
+    return a.unionByName(b).unionByName(c)
 
 
 # ---------------------------------------------------------------- contract
@@ -3294,6 +3315,63 @@ def oracle_sql() -> dict[str, str]:
             WHERE round(dot / (na * nb), 6) >= 0.3
         """,
         "emb_near_dup_lsh": _emb_lsh_oracle(),
+        # hashing-trick doc embeddings (datapipe/embed.embed_docs):
+        # token -> md5 -> (component = first 8 hex % dim, sign = 9th
+        # nibble parity), signed counts L2-normalized; pairs via the
+        # same sparse idx-join dot as emb_near_dup_pairs. Threshold on
+        # the ROUNDED cosine, matching the blocked-GEMM kernel.
+        "emb_hashdoc_pairs": r"""
+            WITH hnorm AS (
+                SELECT doc_id,
+                       regexp_replace(lower(trim(text)), '\s+', ' ', 'g')
+                           AS t
+                FROM documents
+            ),
+            hw AS (
+                SELECT doc_id,
+                       unnest(list_filter(string_split(t, ' '),
+                              x -> len(x) > 0)) AS w
+                FROM hnorm
+            ),
+            hx AS (
+                SELECT doc_id,
+                       ('0x' || substr(md5(w), 1, 8))::BIGINT % 64 AS i,
+                       (('0x' || substr(md5(w), 9, 1))::BIGINT % 2) * 2 - 1
+                           AS sgn
+                FROM hw
+            ),
+            hc AS (
+                SELECT doc_id, i, sum(sgn)::DOUBLE AS x
+                FROM hx GROUP BY 1, 2
+            ),
+            hn AS (
+                SELECT doc_id, sqrt(sum(x * x)) AS nrm
+                FROM hc GROUP BY 1
+            ),
+            hv AS (
+                SELECT c.doc_id, c.i, c.x / n.nrm AS x
+                FROM hc c JOIN hn n USING (doc_id)
+                WHERE n.nrm > 0
+            ),
+            -- norms over ALL of a doc's components (the pair join is
+            -- sparse — shared components only — so norms must come
+            -- from a separate per-doc aggregate)
+            hnn AS (
+                SELECT doc_id, sqrt(sum(x * x)) AS n2 FROM hv GROUP BY 1
+            ),
+            hpairs AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                       sum(a.x * b.x) AS dot
+                FROM hv a JOIN hv b ON a.i = b.i AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            )
+            SELECT p.id_a, p.id_b,
+                   round(p.dot / (na.n2 * nb.n2), 6) AS cosine_sim
+            FROM hpairs p
+            JOIN hnn na ON na.doc_id = p.id_a
+            JOIN hnn nb ON nb.doc_id = p.id_b
+            WHERE round(p.dot / (na.n2 * nb.n2), 6) >= 0.9
+        """,
         "emb_norms": """
             SELECT vec_id,
                    round(sqrt(sum(x * x)), 6) AS l2_norm
@@ -3746,6 +3824,9 @@ def oracle_sql() -> dict[str, str]:
         UNION ALL
         SELECT 'lsh' AS method, id_a, id_b, cosine_sim
         FROM ({o["emb_near_dup_lsh"]})
+        UNION ALL
+        SELECT 'hashdoc' AS method, id_a, id_b, cosine_sim
+        FROM ({o["emb_hashdoc_pairs"]})
     """
     o["text_curation"] = _text_curation_oracle()
     o["dedup_clusters"] = f"""

@@ -12,6 +12,7 @@ from scalecast_spark.datapipe import (  # noqa: F401
     artifacts,
     cluster,
     dedup,
+    embed,
     multimodal,
     quality_model,
     sample,

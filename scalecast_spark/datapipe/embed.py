@@ -1,0 +1,89 @@
+"""Hashing-trick document embeddings — a deterministic, dependency-free
+text -> dense-vector bridge (Weinberger et al. 2009, "Feature Hashing
+for Large Scale Multitask Learning"; the signed variant whose random
+signs make component collisions unbiased).
+
+Each token hashes to one of ``dim`` components with a +-1 sign, both
+derived from its md5; a document's raw vector is the signed token-count
+sum and the returned embedding is its L2 normalization.  No model, no
+vocabulary, no external package — yet token-overlap cosine geometry is
+preserved well enough that the embedding-space pipelines (SemDeDup,
+k-means balancing, ANN, near-dup pairs) run END-TO-END from raw text
+when no precomputed embedding column exists.  md5 (not xxhash64) so the
+DuckDB oracle can replay the exact component/sign assignment — the same
+convention as the MinHash signature oracle (dedup.py).
+
+Scale shape: one corpus scan, explode to tokens (pre-explode
+repartition opts the stage out of AQE's bytes-blind coalescing), then
+ONE groupBy(id) whose ``dim`` conditional sums partial-aggregate
+map-side — the shuffle carries (id, dim longs) per document, never
+tokens.  The reference has no counterpart (scalecast is single-node
+time-series only); this serves the LLM-datapipe layer.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from scalecast_spark.datapipe.dedup import _spread
+from scalecast_spark.datapipe.text import _norm, split_words
+
+
+def embed_docs(
+    df: DataFrame,
+    dim: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    out_col: str = "embedding",
+) -> DataFrame:
+    """(id, embedding array<double>) — L2-normalized signed-hash
+    bag-of-words vectors; NULL embedding for documents with no tokens
+    (or the measure-zero case of fully cancelled signs).
+
+    Token multiplicity counts (bag-of-words, the standard hashing
+    trick), unlike SimHash's distinct-word signature.
+    """
+    if dim < 2:
+        raise ValueError(f"dim must be >= 2 (got {dim})")
+    toks = (
+        df.repartition(_spread(df), id_col)
+        .select(
+            F.col(id_col).alias("_id"),
+            # explode_outer: tokenless documents stay in the stream as
+            # one NULL-token row (falls through every conditional sum to
+            # an all-zero vector -> NULL embedding) — no re-attach join,
+            # which at corpus scale would be a second shuffle
+            F.explode_outer(split_words(_norm(F.col(text_col)))).alias("_w"),
+        )
+        .select(
+            "_id",
+            # one md5 per token; component and sign from disjoint hex
+            # slices (first 8 = component, 9th nibble parity = sign)
+            F.pmod(
+                F.conv(F.substring(F.md5("_w"), 1, 8), 16, 10).cast("long"),
+                F.lit(dim),
+            ).alias("_idx"),
+            (
+                F.conv(F.substring(F.md5("_w"), 9, 1), 16, 10).cast("long")
+                % 2 * 2 - 1
+            ).alias("_sgn"),
+        )
+    )
+    sums = toks.groupBy("_id").agg(
+        *[
+            F.expr(
+                f"sum(CASE WHEN _idx = {i} THEN _sgn ELSE 0 END) AS _c{i}"
+            )
+            for i in range(dim)
+        ]
+    )
+    comps = ", ".join(f"CAST(_c{i} AS DOUBLE)" for i in range(dim))
+    return sums.select(
+        F.col("_id").alias(id_col),
+        F.expr(
+            f"CASE WHEN sqrt({' + '.join(f'_c{i} * _c{i}' for i in range(dim))}) > 0 "
+            f"THEN transform(array({comps}), x -> x / "
+            f"sqrt({' + '.join(f'_c{i} * _c{i}' for i in range(dim))})) "
+            f"END"
+        ).alias(out_col),
+    )

@@ -1,0 +1,97 @@
+"""Hashing-trick document embeddings (datapipe/embed.embed_docs):
+determinism, geometry, degenerate inputs, and the end-to-end bridge
+into the embedding-space pipelines."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from scalecast_spark.datapipe.embed import embed_docs
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_embed_shape_norm_and_determinism(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "pack my box with five dozen liquor jugs"),
+        (3, "sphinx of black quartz judge my vow"),
+    ]
+    a = {r["doc_id"]: r["embedding"] for r in embed_docs(_docs(spark, rows)).collect()}
+    b = {r["doc_id"]: r["embedding"] for r in embed_docs(_docs(spark, rows)).collect()}
+    for i in rows:
+        v = np.array(a[i[0]])
+        assert len(v) == 64
+        assert abs(np.linalg.norm(v) - 1.0) < 1e-12
+        assert a[i[0]] == b[i[0]]  # bit-identical across invocations
+
+
+def test_embed_duplicate_texts_are_identical_vectors(spark):
+    rows = [
+        (1, "same exact words here"),
+        (2, "same exact words here"),
+        (3, "totally different content xyzzy"),
+    ]
+    e = {r["doc_id"]: np.array(r["embedding"])
+         for r in embed_docs(_docs(spark, rows)).collect()}
+    assert np.array_equal(e[1], e[2])
+    cos_dup = float(e[1] @ e[2])
+    cos_mix = float(e[1] @ e[3])
+    assert abs(cos_dup - 1.0) < 1e-12
+    assert cos_mix < cos_dup
+
+
+def test_embed_token_overlap_orders_cosine(spark):
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    near = "alpha beta gamma delta epsilon zeta eta IOTA"
+    far = "one two three four five six seven eight"
+    e = {r["doc_id"]: np.array(r["embedding"])
+         for r in embed_docs(_docs(spark, [(1, base), (2, near), (3, far)])).collect()}
+    assert float(e[1] @ e[2]) > float(e[1] @ e[3])
+
+
+def test_embed_empty_and_whitespace_docs_are_null(spark):
+    rows = [(1, ""), (2, "   \n\t "), (3, "ok")]
+    out = {r["doc_id"]: r["embedding"]
+           for r in embed_docs(_docs(spark, rows)).collect()}
+    assert out[1] is None
+    assert out[2] is None
+    assert out[3] is not None
+
+
+def test_embed_multiplicity_counts(spark):
+    # bag-of-words: repeating a token must change the vector (unlike
+    # SimHash's distinct-word signature)
+    e = {r["doc_id"]: np.array(r["embedding"])
+         for r in embed_docs(_docs(spark, [(1, "word other"),
+                                           (2, "word word word other")])).collect()}
+    assert not np.array_equal(e[1], e[2])
+
+
+def test_embed_dim_validation(spark):
+    with pytest.raises(ValueError, match="dim"):
+        embed_docs(_docs(spark, [(1, "x")]), dim=1)
+
+
+def test_embed_bridges_into_semantic_dedup(spark):
+    """End-to-end: raw text -> hashed embeddings -> k-means +
+    SemDeDup, no precomputed embedding column anywhere."""
+    from scalecast_spark.datapipe.cluster import (
+        kmeans_embeddings,
+        semantic_dedup,
+    )
+
+    rows = [(i, f"document number {i} about topic {i % 3} "
+                f"with shared filler words") for i in range(30)]
+    rows += [(100, rows[0][1])]  # exact duplicate of doc 0
+    emb = embed_docs(_docs(spark, rows)).filter(
+        F.col("embedding").isNotNull()
+    ).withColumnRenamed("doc_id", "vec_id")
+    assigned = kmeans_embeddings(emb, k=3, n_iter=2)
+    marked = semantic_dedup(emb, threshold=0.999, assigned=assigned)
+    dup = {r["vec_id"]: r["keep_sem"] for r in marked.collect()}
+    # the exact duplicate (higher id) must be dropped, its original kept
+    assert dup[0] is True or dup[0] == 1
+    assert dup[100] is False or dup[100] == 0
