@@ -159,6 +159,16 @@ def signals_pipeline(docs):
     return sig.unionByName(chunks).unionByName(top)
 
 
+def embed_pipeline(docs):
+    """Hashing-trick doc embeddings (datapipe/embed.embed_docs): one
+    token explode + one map-side-combined groupBy — the shuffle carries
+    (id, dim longs) per doc, so wall time should track token volume
+    ~linearly and never the pair count."""
+    from scalecast_spark.datapipe.embed import embed_docs
+
+    return embed_docs(docs).filter("embedding IS NOT NULL")
+
+
 def replicate_emb(emb, factor: int):
     """Embedding replicas: offset ids; rotate dimensions per replica —
     rotation preserves within-replica norms and pairwise dots (same
@@ -224,9 +234,11 @@ def main():
                          ("curation", curation_pipeline),
                          ("selection", selection_pipeline),
                          ("signals", signals_pipeline),
+                         ("embed", embed_pipeline),
                          ("crossdedup", crossdedup_pipeline)]:
             for axis, mutate in [("mutate", True), ("exact", False)]:
-                if name in ("curation", "selection", "signals", "crossdedup") and axis == "exact":
+                if name in ("curation", "selection", "signals", "embed",
+                            "crossdedup") and axis == "exact":
                     continue  # per-row/bucketed; dup rate is irrelevant
                 if name == "dedup_cap" and axis == "mutate":
                     continue  # same plan as dedup below the cap
