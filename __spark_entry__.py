@@ -4942,16 +4942,18 @@ def _prophet_tbats_oracle() -> str:
     """
 
 
-def _gj_dyn(name: str, mat_cte: str, keys: str) -> str:
+def _gj_dyn(name: str, mat_cte: str, keys: str = "") -> str:
     """Dimension-agnostic keyed Gauss-Jordan: ``mat_cte`` holds one
     augmented matrix per key tuple (LIST of dim rows, each dim+R wide
     for R right-hand sides); dims may differ across keys — ranges read
-    len(mat). Final state at k = len(mat)."""
+    len(mat). Final state at k = len(mat). Empty ``keys`` = one global
+    matrix (the mv_vecm oracle's _gj_glob alias)."""
+    kp = f"{keys}, " if keys else ""
     return f"""
         {name} AS (
-            SELECT {keys}, 0 AS k, mat FROM {mat_cte}
+            SELECT {kp}0 AS k, mat FROM {mat_cte}
             UNION ALL
-            SELECT {keys}, k + 1,
+            SELECT {kp}k + 1,
                    list_transform(range(1, len(mat) + 1), r ->
                        CASE WHEN r = k + 1
                             THEN list_transform(mat[r], x -> x / mat[k+1][k+1])
@@ -4963,33 +4965,15 @@ def _gj_dyn(name: str, mat_cte: str, keys: str) -> str:
             FROM {name} WHERE k < len(mat)
         ),
         {name}_fin AS MATERIALIZED (
-            SELECT {keys}, mat FROM {name} WHERE k = len(mat)
+            SELECT {kp}mat FROM {name} WHERE k = len(mat)
         )"""
 
 
 def _gj_glob(name: str, mat_cte: str) -> str:
-    """Unkeyed dimension-agnostic Gauss-Jordan: ``mat_cte`` holds ONE
-    global augmented list-of-list matrix ``mat`` (dim rows, each dim+R
-    wide for R right-hand sides); ``{name}_fin`` is the eliminated
-    state (mat[i] = e_i | solution row i)."""
-    return f"""
-        {name} AS (
-            SELECT 0 AS k, mat FROM {mat_cte}
-            UNION ALL
-            SELECT k + 1,
-                   list_transform(range(1, len(mat) + 1), r ->
-                       CASE WHEN r = k + 1
-                            THEN list_transform(mat[r], x -> x / mat[k+1][k+1])
-                            ELSE list_transform(range(1, len(mat[r]) + 1),
-                                c -> mat[r][c]
-                                     - mat[r][k+1] * mat[k+1][c]
-                                       / mat[k+1][k+1])
-                       END)
-            FROM {name} WHERE k < len(mat)
-        ),
-        {name}_fin AS MATERIALIZED (
-            SELECT mat FROM {name} WHERE k = len(mat)
-        )"""
+    """Unkeyed Gauss-Jordan over ONE global augmented matrix — the
+    keys-free face of _gj_dyn (same elimination kernel, kept as one
+    implementation so fixes cannot drift apart)."""
+    return _gj_dyn(name, mat_cte)
 
 
 #: cyclic-Jacobi sweep count — quadratic convergence puts any small

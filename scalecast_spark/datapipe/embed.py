@@ -78,12 +78,21 @@ def embed_docs(
         ]
     )
     comps = ", ".join(f"CAST(_c{i} AS DOUBLE)" for i in range(dim))
-    return sums.select(
-        F.col("_id").alias(id_col),
-        F.expr(
-            f"CASE WHEN sqrt({' + '.join(f'_c{i} * _c{i}' for i in range(dim))}) > 0 "
-            f"THEN transform(array({comps}), x -> x / "
-            f"sqrt({' + '.join(f'_c{i} * _c{i}' for i in range(dim))})) "
-            f"END"
-        ).alias(out_col),
+    ssq = " + ".join(f"_c{i} * _c{i}" for i in range(dim))
+    # hoist the norm into its own projection: HOF lambdas run
+    # interpreted with no subexpression elimination, so a norm expression
+    # inside the transform would re-sum all dim squares per element
+    return (
+        sums.select(
+            F.col("_id").alias(id_col),
+            F.expr(f"array({comps})").alias("_arr"),
+            F.expr(f"sqrt({ssq})").alias("_nrm"),
+        )
+        .select(
+            id_col,
+            F.expr(
+                f"CASE WHEN _nrm > 0 "
+                f"THEN transform(_arr, x -> x / _nrm) END"
+            ).alias(out_col),
+        )
     )

@@ -51,13 +51,10 @@ def _johansen(Ymat: np.ndarray, k_ar_diff: int = 1):
     return eigvals.real[order], eigvecs.real[:, order], rows
 
 
-def find_optimal_coint_rank(df: DataFrame, k_ar_diff: int = 1) -> dict:
-    """Johansen trace test (reference util.py:390-428): smallest r whose
-    trace statistic is below the 5% critical value."""
-    wide = _wide(df)
-    Ymat = wide.drop(columns=[DS]).to_numpy(float)
-    n = Ymat.shape[1]
-    eigvals, _, rows = _johansen(Ymat, k_ar_diff)
+def _trace_test_rank(eigvals: np.ndarray, rows: int, n: int) -> dict:
+    """The trace-test core of find_optimal_coint_rank, split out so it
+    can be exercised (and oracle-pinned) without a Spark frame: smallest
+    r whose trace statistic is below the 5% critical value."""
     stats = {}
     rank = n
     for r in range(n):
@@ -68,6 +65,16 @@ def find_optimal_coint_rank(df: DataFrame, k_ar_diff: int = 1) -> dict:
         if crit is not None and trace < crit and rank == n:
             rank = r
     return {"rank": rank, "stats": stats}
+
+
+def find_optimal_coint_rank(df: DataFrame, k_ar_diff: int = 1) -> dict:
+    """Johansen trace test (reference util.py:390-428): smallest r whose
+    trace statistic is below the 5% critical value."""
+    wide = _wide(df)
+    Ymat = wide.drop(columns=[DS]).to_numpy(float)
+    n = Ymat.shape[1]
+    eigvals, _, rows = _johansen(Ymat, k_ar_diff)
+    return _trace_test_rank(eigvals, rows, n)
 
 
 def vecm_fit_forecast(

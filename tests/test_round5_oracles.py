@@ -145,7 +145,7 @@ def test_vecm_oracle_on_synthetic(case):
     dimensions and cointegration ranks — the dims, the rank CASE logic,
     and both Jacobi recursions must all adapt."""
     from scalecast_spark.models.vecm import (
-        _johansen, _TRACE_CRIT_5, vecm_fit_forecast,
+        _johansen, _trace_test_rank, vecm_fit_forecast,
     )
 
     rng = np.random.RandomState(case["seed"])
@@ -167,13 +167,8 @@ def test_vecm_oracle_on_synthetic(case):
 
     eigvals, _, rows_ = _johansen(Ymat, 1)
     nn = Ymat.shape[1]
-    rank = nn
-    for r in range(nn):
-        lam = np.clip(eigvals[r:], 1e-12, 1 - 1e-12)
-        trace = -rows_ * float(np.sum(np.log(1 - lam)))
-        cv = _TRACE_CRIT_5.get(nn - r)
-        if cv is not None and trace < cv and rank == nn:
-            rank = r
+    # the ENGINE's rank logic (not a copy), plus vecm_model's clamp
+    rank = _trace_test_rank(eigvals, rows_, nn)["rank"]
     rank = max(min(rank, nn - 1), 0)
     _, fc = vecm_fit_forecast(Ymat, 7, 1, rank)
 
