@@ -96,3 +96,55 @@ def embed_docs(
             ).alias(out_col),
         )
     )
+
+
+def embed_docs_rowwise(
+    df: DataFrame,
+    dim: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    out_col: str = "embedding",
+) -> DataFrame:
+    """Row-local twin of :func:`embed_docs`: the whole vector is folded
+    from the token array inside one projection — no explode, no shuffle,
+    no state — so it applies UNCHANGED to a readStream firehose (append
+    mode) where the batch path's groupBy would need unbounded state.
+
+    BIT-IDENTICAL to embed_docs: the signed counts are integer sums
+    (order-free), so both paths feed the same exact integers into the
+    same normalization arithmetic (asserted in tests/test_embed.py).
+    Cost: the fold rebuilds a dim-length array per token (O(dim·tokens)
+    per row, interpreted) — prefer the batch path for backfills and this
+    one for incremental streams.
+    """
+    if dim < 2:
+        raise ValueError(f"dim must be >= 2 (got {dim})")
+    nt = f"regexp_replace(lower(trim({text_col})), '\\\\s+', ' ')"
+    toks = f"filter(split({nt}, ' '), x -> length(x) > 0)"
+    pairs = (
+        f"transform({toks}, w -> named_struct("
+        f"'i', pmod(CAST(conv(substring(md5(w), 1, 8), 16, 10) AS BIGINT), {dim}), "
+        f"'s', CAST(conv(substring(md5(w), 9, 1), 16, 10) AS BIGINT) % 2 * 2 - 1))"
+    )
+    counts = (
+        f"aggregate({pairs}, array_repeat(CAST(0 AS BIGINT), {dim}), "
+        f"(acc, x) -> transform(acc, (v, i) -> v + IF(x.i = i, x.s, CAST(0 AS BIGINT))))"
+    )
+    return (
+        df.select(F.col(id_col), F.expr(counts).alias("_cnt"))
+        .select(
+            id_col,
+            "_cnt",
+            F.expr(
+                "sqrt(aggregate(_cnt, CAST(0 AS BIGINT), "
+                "(a, v) -> a + v * v))"
+            ).alias("_nrm"),
+        )
+        .select(
+            id_col,
+            F.expr(
+                "CASE WHEN _nrm > 0 "
+                "THEN transform(_cnt, v -> CAST(v AS DOUBLE) / _nrm) END"
+            ).alias(out_col),
+        )
+    )

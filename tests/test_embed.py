@@ -95,3 +95,51 @@ def test_embed_bridges_into_semantic_dedup(spark):
     # the exact duplicate (higher id) must be dropped, its original kept
     assert dup[0] is True or dup[0] == 1
     assert dup[100] is False or dup[100] == 0
+
+
+def test_embed_rowwise_bit_identical_to_batch(spark):
+    """The row-local fold and the explode+groupBy path feed the same
+    exact integer counts into the same normalization arithmetic, so the
+    vectors must be BIT-identical."""
+    from scalecast_spark.datapipe.embed import embed_docs_rowwise
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "word word word other"),
+        (3, ""),
+        (4, "  \n\t "),
+        (5, "Mixed CASE   and\nnewlines\tand repeats repeats"),
+    ]
+    df = _docs(spark, rows)
+    batch = {r["doc_id"]: r["embedding"] for r in embed_docs(df).collect()}
+    roww = {r["doc_id"]: r["embedding"]
+            for r in embed_docs_rowwise(df).collect()}
+    assert set(batch) == set(roww)
+    for k in batch:
+        assert batch[k] == roww[k], k  # exact, not approx
+
+
+def test_embed_rowwise_stream_parity(spark, sf_dir):
+    """embed_docs_rowwise is a stateless projection, so it applies to a
+    readStream firehose unchanged (append mode) and reproduces the
+    batch embed_docs vectors exactly."""
+    import tempfile
+
+    from scalecast_spark.datapipe.embed import embed_docs_rowwise
+    from scalecast_spark.sources import load_table
+    from scalecast_spark.streaming import run_available_now, stream_documents
+
+    docs = load_table(spark, sf_dir, "documents")
+    want = embed_docs(docs).toPandas().sort_values("doc_id").reset_index(drop=True)
+    stream = stream_documents(spark, f"{sf_dir}/documents.parquet")
+    s = embed_docs_rowwise(stream)
+    assert s.isStreaming
+    with tempfile.TemporaryDirectory() as ck:
+        got = run_available_now(s, "q_embed_stream", ck, output_mode="append")
+        gp = got.toPandas().sort_values("doc_id").reset_index(drop=True)
+    assert len(gp) == len(want) > 0
+    assert list(gp["doc_id"]) == list(want["doc_id"])
+    for a, b in zip(gp["embedding"], want["embedding"]):
+        assert (a is None) == (b is None)
+        if a is not None:
+            assert list(a) == list(b)
