@@ -45,6 +45,7 @@ HEADLINE = {
     "sim_ivfpq": "q_sim_ivfpq_topk",
     "emb_norms": "q_emb_norms",
     "emb_kmeans": "q_emb_kmeans",
+    "emb_hashdoc": "q_emb_hashdoc_pairs",
     "ts_stl": "q_ts_stl",
     "ts_correlogram": "q_ts_periodogram",
 }

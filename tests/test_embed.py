@@ -143,3 +143,36 @@ def test_embed_rowwise_stream_parity(spark, sf_dir):
         assert (a is None) == (b is None)
         if a is not None:
             assert list(a) == list(b)
+
+
+def test_embed_rowwise_parity_fuzz(spark):
+    """Hypothesis sweep over adversarial text (unicode, regex-special
+    chars, mixed whitespace): the two independent expression
+    implementations (F.* builders vs hand-written SQL strings) must
+    stay bit-identical."""
+    from hypothesis import given, settings, strategies as st
+
+    from scalecast_spark.datapipe.embed import embed_docs_rowwise
+
+    texts = st.lists(
+        st.text(
+            alphabet=st.characters(
+                blacklist_categories=("Cs",), max_codepoint=0x2FFF
+            ),
+            max_size=40,
+        ),
+        min_size=1,
+        max_size=4,
+    )
+
+    @settings(max_examples=15, deadline=None)
+    @given(texts)
+    def check(docs):
+        rows = [(i, t) for i, t in enumerate(docs)]
+        df = _docs(spark, rows)
+        a = {r["doc_id"]: r["embedding"] for r in embed_docs(df).collect()}
+        b = {r["doc_id"]: r["embedding"]
+             for r in embed_docs_rowwise(df).collect()}
+        assert a == b
+
+    check()
