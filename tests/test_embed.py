@@ -176,3 +176,23 @@ def test_embed_rowwise_parity_fuzz(spark):
         assert a == b
 
     check()
+
+
+def test_embed_bridges_into_ivfpq_ann(spark):
+    """End-to-end: raw text -> hashed embeddings -> IVF-PQ ANN; the
+    exact duplicate of the query doc must surface at rank 1 with
+    cosine ~1."""
+    from scalecast_spark.datapipe.similarity import ivfpq_topk
+
+    rows = [(i, f"doc {i} talks about subject {i % 5} in passing")
+            for i in range(40)]
+    rows.append((99, rows[7][1]))  # duplicate of doc 7
+    emb = embed_docs(_docs(spark, rows)).filter(
+        F.col("embedding").isNotNull()
+    ).withColumnRenamed("doc_id", "vec_id")
+    q = emb.filter(F.col("vec_id") == 7).collect()[0]["embedding"]
+    top = ivfpq_topk(emb.filter(F.col("vec_id") != 7), list(q), k=3,
+                     n_cells=4, m=8, nprobe=4)
+    best = top.orderBy(F.desc("cosine_sim")).collect()[0]
+    assert best["vec_id"] == 99
+    assert best["cosine_sim"] > 0.999
