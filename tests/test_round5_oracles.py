@@ -135,6 +135,9 @@ VECM_CASES = [
     {"seed": 12, "n": 40, "kind": "rw", "nseries": 4},
     # near-stationary noise around level: high rank, exercises clamp n-1
     {"seed": 13, "n": 25, "kind": "stat", "nseries": 2},
+    # 7 series: n-r > 6 has NO Osterwald-Lenum critical value — both
+    # sides must skip those r (engine: crit None; oracle: crit join gap)
+    {"seed": 14, "n": 35, "kind": "rw", "nseries": 7},
 ]
 
 
