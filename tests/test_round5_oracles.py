@@ -185,3 +185,50 @@ def test_vecm_oracle_on_synthetic(case):
         assert np.allclose(
             np.round(fc[:, j], 4), got[sid], atol=0
         ), (sid, rank)
+
+
+SMOOTH_CASES = [
+    # strong weekly seasonality + trend: HWES grid should pick
+    # different cells than the fixture corpus does
+    {"seed": 21, "n": 35, "trend": 1.2, "seas": 8.0, "level": 120.0},
+    # trendless, noisy: SES/theta-dominant regime
+    {"seed": 22, "n": 28, "trend": 0.0, "seas": 0.5, "level": 60.0},
+    # short series right at the 2m HWES fallback boundary (n = 2m = 14
+    # -> HWES still runs; exercises the shortest valid seasonal path)
+    {"seed": 23, "n": 14, "trend": -0.5, "seas": 4.0, "level": 200.0},
+]
+
+
+@pytest.mark.parametrize("case", SMOOTH_CASES, ids=lambda c: f"seed{c['seed']}")
+def test_smoothing_family_oracle_on_synthetic(case):
+    """The SES/Holt/HWES/Theta recursion-and-grid oracle vs the numpy
+    engine cores on synthetic series — different data moves the SSE
+    argmin to grid cells and recursion states the sf fixtures never
+    select."""
+    from scalecast_spark.models.smoothing import (
+        holt, holt_winters, ses, theta,
+    )
+
+    series = {
+        "s1": _gen(case["seed"], case["n"], case["trend"], case["seas"],
+                   case["level"]),
+        "s2": _gen(case["seed"] + 50, case["n"], 0.2, 2.0, 90.0),
+    }
+    con = _con_with_events(series)
+    sql = entrymod.oracle_sql()["ts_smoothing_family"]
+    got = {}
+    for sid, ds, f_ses, f_holt, f_hw, f_th in con.execute(sql).fetchall():
+        got.setdefault(sid, []).append((str(ds), f_ses, f_holt, f_hw, f_th))
+    got = {k: [v[1:] for v in sorted(rs)] for k, rs in got.items()}
+    for sid, y in series.items():
+        _, fc_ses = ses(y, 7)
+        _, fc_holt = holt(y, 7)
+        _, fc_hw = holt_winters(y, 7, m=7)
+        _, fc_th = theta(y, 7)
+        want = list(zip(
+            np.round(fc_ses, 6), np.round(fc_holt, 6),
+            np.round(fc_hw, 6), np.round(fc_th, 6),
+        ))
+        assert len(got[sid]) == 7
+        for g, w in zip(got[sid], want):
+            assert g == pytest.approx(w, abs=0), (sid, g, w)
