@@ -232,3 +232,29 @@ def test_smoothing_family_oracle_on_synthetic(case):
         assert len(got[sid]) == 7
         for g, w in zip(got[sid], want):
             assert g == pytest.approx(w, abs=0), (sid, g, w)
+
+
+@pytest.mark.parametrize("case", CASES, ids=lambda c: f"seed{c['seed']}")
+def test_arima_family_oracle_on_synthetic(case):
+    """The ts_arima two-member oracle (AR(1) Hannan-Rissanen closed
+    form; ARIMA(0,1,0)(0,1,0,7) double-difference reintegration) vs the
+    numpy engine core on fresh series — exercises phi/mu/reintegration
+    states the fixtures never produce."""
+    series = {
+        "s1": _gen(case["seed"], case["n"], case["trend"], case["seas"],
+                   case["level"]),
+        "s2": _gen(case["seed"] + 200, case["n"], -0.4, 3.0, 150.0),
+    }
+    con = _con_with_events(series)
+    got = _oracle_map(con, entrymod.oracle_sql()["ts_arima"])
+    for sid, y in series.items():
+        _, fc_ar1 = arima_fit_forecast(y, 7, order=(1, 0, 0))
+        _, fc_sar = arima_fit_forecast(
+            y, 7, order=(0, 1, 0), seasonal_order=(0, 1, 0, 7)
+        )
+        assert np.allclose(
+            np.round(fc_ar1, 6), got[("ar1", sid)], atol=0
+        ), ("ar1", sid)
+        assert np.allclose(
+            np.round(fc_sar, 6), got[("sarima", sid)], atol=0
+        ), ("sarima", sid)
