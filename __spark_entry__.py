@@ -948,7 +948,7 @@ def q_sim_cosine_topk(spark, sf_dir):
     from scalecast_spark.datapipe.similarity import cosine_topk
 
     emb = _emb(spark, sf_dir)
-    q = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    q = emb.orderBy("vec_id").select("embedding").limit(1).collect()[0][0]
     return cosine_topk(emb, [float(x) for x in q], k=10)
 
 
@@ -962,7 +962,7 @@ def q_sim_ivf_topk(spark, sf_dir):
     from scalecast_spark.datapipe.similarity import ivf_topk
 
     emb = _emb(spark, sf_dir)
-    q = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    q = emb.orderBy("vec_id").select("embedding").limit(1).collect()[0][0]
     return ivf_topk(emb, [float(x) for x in q], k=10, n_cells=8, nprobe=2)
 
 
@@ -976,7 +976,7 @@ def q_sim_ivfpq_topk(spark, sf_dir):
     from scalecast_spark.datapipe.similarity import ivfpq_topk
 
     emb = _emb(spark, sf_dir)
-    q = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    q = emb.orderBy("vec_id").select("embedding").limit(1).collect()[0][0]
     return ivfpq_topk(
         emb, [float(x) for x in q], k=10, n_cells=8, nprobe=2, m=8, ksub=16
     )
@@ -1264,7 +1264,7 @@ def q_sim_lsh_topk(spark, sf_dir):
     from scalecast_spark.datapipe.similarity import lsh_bucket_topk
 
     emb = _emb(spark, sf_dir)
-    q = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    q = emb.orderBy("vec_id").select("embedding").limit(1).collect()[0][0]
     return lsh_bucket_topk(emb, [float(x) for x in q], k=10, n_planes=6)
 
 
@@ -3143,7 +3143,7 @@ def oracle_sql() -> dict[str, str]:
             WITH q AS (
                 SELECT generate_subscripts(embedding, 1) AS i,
                        unnest(embedding)::DOUBLE AS qv
-                FROM embeddings WHERE vec_id = 0
+                FROM embeddings WHERE vec_id = (SELECT min(vec_id) FROM embeddings)
             ),
             v AS (
                 SELECT vec_id, generate_subscripts(embedding, 1) AS i,
@@ -3174,7 +3174,7 @@ def oracle_sql() -> dict[str, str]:
             q AS (
                 SELECT generate_subscripts(embedding, 1) AS i,
                        unnest(embedding)::DOUBLE AS qv
-                FROM embeddings WHERE vec_id = 0
+                FROM embeddings WHERE vec_id = (SELECT min(vec_id) FROM embeddings)
             ),
             v AS (
                 SELECT vec_id, generate_subscripts(embedding, 1) AS i,
@@ -3224,7 +3224,7 @@ def oracle_sql() -> dict[str, str]:
             q AS (
                 SELECT generate_subscripts(embedding, 1) AS i,
                        unnest(embedding)::DOUBLE AS qv
-                FROM embeddings WHERE vec_id = 0
+                FROM embeddings WHERE vec_id = (SELECT min(vec_id) FROM embeddings)
             ),
             v AS (
                 SELECT vec_id, generate_subscripts(embedding, 1) AS i,
@@ -3426,7 +3426,7 @@ def oracle_sql() -> dict[str, str]:
                 SELECT j.j AS j, embedding[j.j + 1]::DOUBLE AS qx
                 FROM embeddings
                 CROSS JOIN (SELECT unnest(range(64)) AS j) j
-                WHERE vec_id = 0
+                WHERE vec_id = (SELECT min(vec_id) FROM embeddings)
             ),
             qsig AS (
                 SELECT sum(CASE WHEN dot > 0 THEN (1::BIGINT << i)
