@@ -14,7 +14,12 @@ from scalecast_spark.models.trees import (
     rf_model,
     xgboost_model,
 )
-from scalecast_spark.models.mlp import lstm_model, mlp_model, rnn_model
+from scalecast_spark.models.mlp import (
+    direct_linear_model,
+    lstm_model,
+    mlp_model,
+    rnn_model,
+)
 from scalecast_spark.models.arima import (
     arima_model,
     auto_arima_model,
@@ -43,6 +48,7 @@ MODELS = {
     "mlp": mlp_model,
     "rnn": rnn_model,
     "lstm": lstm_model,
+    "direct_linear": direct_linear_model,
     "arima": arima_model,
     "auto_arima": auto_arima_model,
     "prophet": prophet_model,

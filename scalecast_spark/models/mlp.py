@@ -341,3 +341,53 @@ def lstm_model(
         df, features, lags=lags, hidden=hidden, epochs=epochs, lr=lr,
         cell="lstm", **kwargs,
     )
+
+
+def make_direct_linear(lags: int = 7, alpha: float = 10.0):
+    """DIRECT per-step linear (ridge) forecaster — the linear
+    degenerate of the reference's direct multi-horizon strategy
+    (reference models.py:651-671 sliding-window input/target
+    matrices): the SAME sliding-window design X (rows, L) the network
+    members train on, but with the H-column target matrix fit by ONE
+    centered normal-equations solve with H right-hand sides (X'X is
+    shared across the horizon steps; only X'T_h differs), intercept
+    unpenalized via centering. Closed form => SQL-restatable: the
+    q_ts_forecast_direct oracle replays the multi-RHS solve with the
+    keyed Gauss-Jordan CTE (_gj_dyn). ``alpha > 0`` keeps the Gram SPD
+    on any input (constant series included), so neither side needs a
+    degenerate-fallback branch."""
+
+    def model_fn(y: np.ndarray, h: int):
+        y = np.asarray(y, dtype=float)
+        n = len(y)
+        fitted = np.full(n, np.nan)
+        H = max(h, 1)
+        L = max(1, min(lags, n - H - 1))
+        X, T = sliding_windows(y, L, H)
+        if not len(X):  # shorter than one window: flat-line
+            return fitted, np.full(h, y[-1] if n else np.nan)
+        xmu = X.mean(axis=0)
+        tmu = T.mean(axis=0)
+        Xc = X - xmu
+        G = Xc.T @ Xc + alpha * np.eye(L)
+        B = np.linalg.solve(G, Xc.T @ (T - tmu))  # (L, H) multi-RHS
+        Xin, _ = sliding_windows(y, L, 1)
+        if len(Xin):  # 1-step direct output = fitted (parity with MLP)
+            fitted[L:] = (Xin - xmu) @ B[:, 0] + tmu[0]
+        fc = (y[n - L:] - xmu) @ B + tmu
+        if h > H:
+            fc = np.concatenate([fc, np.full(h - H, fc[-1])])
+        return fitted, fc[:h]
+
+    return model_fn
+
+
+def direct_linear_model(
+    df: DataFrame, features=None, lags: int = 7, alpha: float = 10.0,
+    **kwargs,
+) -> DataFrame:
+    """Direct multi-horizon ridge under the sliding-window strategy —
+    hash-matched member of the ts_forecast_direct family."""
+    from scalecast_spark.models.kernel import run_series_kernel
+
+    return run_series_kernel(df, make_direct_linear(lags, alpha))

@@ -152,3 +152,53 @@ def test_gen_rnn_grid(spark):
     f.limit_grid_size(2, random_seed=1)
     f.tune()
     assert f.best_params is not None and "hidden" in f.best_params
+
+
+def test_direct_linear_exact_on_trend():
+    """Ridge with small alpha on a pure linear trend: each horizon step
+    is recovered near-exactly (the design spans the trend), and the
+    forecast continues the line — unlike the network members, this is a
+    closed-form solve, so tolerance is tight."""
+    from scalecast_spark.models.mlp import make_direct_linear
+
+    y = np.arange(60, dtype=float)
+    fitted, fc = make_direct_linear(lags=5, alpha=1e-8)(y, 7)
+    np.testing.assert_allclose(fc, 60.0 + np.arange(7), atol=1e-5)
+    assert np.isnan(fitted[:5]).all()
+    np.testing.assert_allclose(fitted[5:], y[5:], atol=1e-5)
+
+
+def test_direct_linear_matches_independent_solve():
+    """Member parity vs an independently-built normal-equations solve
+    (lstsq on the augmented centered system) on noisy data."""
+    from scalecast_spark.models.mlp import make_direct_linear
+
+    rng = np.random.RandomState(7)
+    y = np.sin(np.arange(80) * 0.3) * 5 + rng.randn(80)
+    L, H, alpha = 7, 7, 10.0
+    X, T = sliding_windows(y, L, H)
+    xmu, tmu = X.mean(0), T.mean(0)
+    Xc, Tc = X - xmu, T - tmu
+    B = np.linalg.lstsq(
+        np.vstack([Xc, np.sqrt(alpha) * np.eye(L)]),
+        np.vstack([Tc, np.zeros((L, H))]),
+        rcond=None,
+    )[0]
+    want = (y[-L:] - xmu) @ B + tmu
+    _, fc = make_direct_linear(lags=L, alpha=alpha)(y, H)
+    np.testing.assert_allclose(fc, want, rtol=1e-9)
+
+
+def test_direct_linear_short_and_constant():
+    from scalecast_spark.models.mlp import make_direct_linear
+
+    # shorter than one window: flat-line on last value
+    _, fc = make_direct_linear(lags=7)(np.array([5.0, 6.0]), 3)
+    np.testing.assert_array_equal(fc, [6.0, 6.0, 6.0])
+    # constant series: ridge keeps the Gram SPD; forecast ~= constant
+    _, fc = make_direct_linear(lags=7, alpha=10.0)(np.full(40, 3.0), 7)
+    np.testing.assert_allclose(fc, 3.0, atol=1e-9)
+    # h beyond trained horizon H extends with the last direct step
+    y = np.arange(30, dtype=float)
+    _, fc = make_direct_linear(lags=4, alpha=1e-8)(y, 3)
+    assert len(fc) == 3
