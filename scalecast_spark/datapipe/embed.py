@@ -29,12 +29,23 @@ from scalecast_spark.datapipe.dedup import _spread
 from scalecast_spark.datapipe.text import _norm, split_words
 
 
+#: above this dim the dense plan's per-component expressions stop
+#: paying off: the groupBy emits ``dim`` CASE-WHEN sums and the norm a
+#: ``dim``-term product chain, which leaves whole-stage codegen by
+#: dim≈256 and exceeds the SQL parser's complexity cap outright at
+#: dim=1024 (FAILED_TO_PARSE_TOO_COMPLEX, measured round 6) — while
+#: real corpora have far fewer distinct tokens per doc than 256, so
+#: the sparse representation is also smaller on the wire.
+_DENSE_DIM_MAX = 128
+
+
 def embed_docs(
     df: DataFrame,
     dim: int = 64,
     text_col: str = "text",
     id_col: str = "doc_id",
     out_col: str = "embedding",
+    method: str = "auto",
 ) -> DataFrame:
     """(id, embedding array<double>) — L2-normalized signed-hash
     bag-of-words vectors; NULL embedding for documents with no tokens
@@ -42,9 +53,24 @@ def embed_docs(
 
     Token multiplicity counts (bag-of-words, the standard hashing
     trick), unlike SimHash's distinct-word signature.
+
+    ``method``: ``'dense'`` aggregates ``dim`` conditional sums in one
+    pass (fastest at small dim; expression count grows with dim and
+    the plan degrades past ~256 — see ``_DENSE_DIM_MAX``); ``'sparse'``
+    pre-aggregates signed counts per (doc, component) and scatters them
+    into the array through a map lookup — expression count CONSTANT in
+    dim, shuffle rows bounded by distinct components per doc (≤ tokens,
+    ≤ dim), so it is the scale path for wide embeddings. Both paths
+    sum the same integers in a different order, so they are
+    BIT-IDENTICAL (asserted in tests/test_embed.py). ``'auto'`` picks
+    dense for dim <= 128, sparse above.
     """
     if dim < 2:
         raise ValueError(f"dim must be >= 2 (got {dim})")
+    if method not in ("auto", "dense", "sparse"):
+        raise ValueError(f"unknown method {method!r}")
+    if method == "auto":
+        method = "dense" if dim <= _DENSE_DIM_MAX else "sparse"
     toks = (
         df.repartition(_spread(df), id_col)
         .select(
@@ -69,6 +95,36 @@ def embed_docs(
             ).alias("_sgn"),
         )
     )
+    if method == "sparse":
+        # (id, component) signed counts first — the groupBy keys extend
+        # the repartition's id-hash partitioning, so NEITHER aggregate
+        # below re-shuffles (ClusteredDistribution(id, idx) is satisfied
+        # by HashPartitioning(id)); the only wire cost stays the initial
+        # id repartition. The NULL-token row of a tokenless document
+        # falls out of the conditional collect (collect_list drops NULL
+        # entries) leaving an empty map -> NULL norm -> NULL embedding,
+        # same as the dense path's all-zero vector.
+        cnt = toks.groupBy("_id", "_idx").agg(F.sum("_sgn").alias("_c"))
+        return (
+            cnt.groupBy("_id")
+            .agg(
+                F.expr(
+                    "map_from_entries(collect_list("
+                    "CASE WHEN _idx IS NOT NULL "
+                    "THEN struct(_idx, _c) END))"
+                ).alias("_m"),
+                F.expr("sqrt(sum(_c * _c))").alias("_nrm"),
+            )
+            .select(
+                F.col("_id").alias(id_col),
+                F.expr(
+                    f"CASE WHEN _nrm > 0 THEN transform("
+                    f"sequence(0, {dim - 1}), "
+                    f"i -> coalesce(CAST(_m[CAST(i AS BIGINT)] AS DOUBLE), "
+                    f"CAST(0 AS DOUBLE)) / _nrm) END"
+                ).alias(out_col),
+            )
+        )
     sums = toks.groupBy("_id").agg(
         *[
             F.expr(

@@ -196,3 +196,65 @@ def test_embed_bridges_into_ivfpq_ann(spark):
     best = top.orderBy(F.desc("cosine_sim")).collect()[0]
     assert best["vec_id"] == 99
     assert best["cosine_sim"] > 0.999
+
+
+def test_embed_sparse_bit_identical_to_dense(spark):
+    """The sparse (id, component) pre-aggregation path sums the same
+    integers as the dense dim-wide conditional-sum path, so the
+    normalized vectors are BIT-identical — including the NULL embedding
+    for tokenless documents."""
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog the the"),
+        (2, "pack my box with five dozen liquor jugs"),
+        (3, "   "),  # tokenless -> NULL on both paths
+        (4, "sphinx of black quartz judge my vow sphinx"),
+    ]
+    dense = {
+        r["doc_id"]: r["embedding"]
+        for r in embed_docs(_docs(spark, rows), dim=64, method="dense").collect()
+    }
+    sparse = {
+        r["doc_id"]: r["embedding"]
+        for r in embed_docs(_docs(spark, rows), dim=64, method="sparse").collect()
+    }
+    assert dense.keys() == sparse.keys()
+    assert dense[3] is None and sparse[3] is None
+    for k in (1, 2, 4):
+        assert dense[k] == sparse[k]  # exact float equality
+
+
+def test_embed_auto_picks_sparse_above_cap(spark):
+    """auto routes dim>128 to the sparse plan: the dense plan fails to
+    even PARSE at dim=1024 (expression complexity), so this is the only
+    viable wide-dim path — verify it builds, normalizes, and matches
+    the rowwise streaming twin bit-for-bit at dim=512."""
+    from scalecast_spark.datapipe.embed import embed_docs_rowwise
+
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta"),
+        (2, "alpha beta gamma delta epsilon zeta eta iota"),
+        (3, ""),
+    ]
+    for dim in (512, 1024):
+        out = {
+            r["doc_id"]: r["embedding"]
+            for r in embed_docs(_docs(spark, rows), dim=dim).collect()
+        }
+        assert out[3] is None
+        v = np.array(out[1])
+        assert len(v) == dim
+        assert abs(np.linalg.norm(v) - 1.0) < 1e-12
+    batch = {
+        r["doc_id"]: r["embedding"]
+        for r in embed_docs(_docs(spark, rows), dim=512).collect()
+    }
+    roww = {
+        r["doc_id"]: r["embedding"]
+        for r in embed_docs_rowwise(_docs(spark, rows), dim=512).collect()
+    }
+    assert batch == roww
+
+
+def test_embed_method_validation(spark):
+    with pytest.raises(ValueError, match="unknown method"):
+        embed_docs(_docs(spark, [(1, "a b")]), method="magic")

@@ -40,7 +40,45 @@ AUDIT = [
     "salted_agg",
     "ts_sessionize",
     "ts_stat_tests",
+    # bench/scale paths that are family MEMBERS (or scale variants)
+    # rather than queries() keys — resolved via EXTRA below
+    "emb_hashdoc",
+    "sim_ivfpq_residual",
+    "embed_sparse_d512",
 ]
+
+
+def _q_sim_ivfpq_residual(spark, sf_dir):
+    """Residual-PQ variant of the ivfpq member (similarity.ivfpq_topk
+    residual=True) — codes quantize (v - centroid), ADC adds per-cell
+    offset tables; audited separately per the round-5 verdict."""
+    from scalecast_spark.datapipe.similarity import ivfpq_topk
+
+    emb = entrymod._emb(spark, sf_dir)
+    q = emb.orderBy("vec_id").select("embedding").limit(1).collect()[0][0]
+    return ivfpq_topk(
+        emb, [float(x) for x in q], k=10, n_cells=8, nprobe=2, m=8,
+        ksub=16, residual=True,
+    )
+
+
+def _q_embed_sparse_d512(spark, sf_dir):
+    """Wide-dim hashing-trick embedding through the SPARSE aggregation
+    path (embed_docs method='sparse' auto-selected above dim 128) —
+    the dense dim-wide CASE-WHEN plan leaves codegen at dim>=256 and
+    fails to parse at dim=1024, so this is the scale path for wide
+    vectors; audited to prove it stays one-shuffle and rowUDF-free."""
+    from scalecast_spark.datapipe.embed import embed_docs
+
+    return embed_docs(entrymod._docs(spark, sf_dir), dim=512)
+
+
+#: AUDIT names that are not queries() keys -> direct callables
+EXTRA = {
+    "emb_hashdoc": lambda s, d: entrymod.q_emb_hashdoc_pairs(s, d),
+    "sim_ivfpq_residual": _q_sim_ivfpq_residual,
+    "embed_sparse_d512": _q_embed_sparse_d512,
+}
 
 
 def _scalar_bcast_count(plan: str) -> int:
@@ -50,12 +88,20 @@ def _scalar_bcast_count(plan: str) -> int:
     one build row per probe row. Detected as a BroadcastExchange
     IdentityBroadcastMode (the BNLJ build mode; hash joins use
     HashedRelationBroadcastMode) whose immediate child is a global
-    HashAggregate(keys=[])."""
+    HashAggregate(keys=[]). The child is matched within the next few
+    lines (not strictly i+1) so AQE / reused-exchange wrapper nodes
+    between the exchange and its aggregate don't reclassify a benign
+    scalar join as a red-flag nlj; the failure direction stays
+    conservative (an unmatched scalar join counts as nlj, never the
+    reverse, because only a keyless aggregate build can match)."""
     lines = plan.splitlines()
     n = 0
     for i, ln in enumerate(lines):
         if "BroadcastExchange IdentityBroadcastMode" in ln:
-            if i + 1 < len(lines) and "HashAggregate(keys=[]" in lines[i + 1]:
+            if any(
+                "HashAggregate(keys=[]" in nxt
+                for nxt in lines[i + 1 : i + 4]
+            ):
                 n += 1
     return n
 
@@ -114,7 +160,7 @@ def main():
     ]
     details = []
     for name in AUDIT:
-        df = qs[name](spark, sf_dir)
+        df = (EXTRA.get(name) or qs[name])(spark, sf_dir)
         plan = df._sc._jvm.PythonSQLUtils.explainString(
             df._jdf.queryExecution(), "simple"
         )
