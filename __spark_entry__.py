@@ -967,18 +967,22 @@ def q_sim_ivf_topk(spark, sf_dir):
 
 
 def q_sim_ivfpq_topk(spark, sf_dir):
-    """IVF-PQ ANN top-k (datapipe/similarity.ivfpq_topk): md5-sampled
-    coarse cells + product-quantization codebooks (m=8 subspaces ×
-    ksub=16 codewords), asymmetric-distance scoring via lookup tables,
-    exact top-40 re-rank. Every step — sample, subspace argmin
-    encoding, ADC sum, re-rank — is SQL-restatable, so the full PQ
-    index hash-matches the oracle."""
+    """IVF-PQ ANN top-k (datapipe/similarity.ivfpq_topk) in the full
+    FAISS configuration (round 6): md5-sampled coarse cells,
+    RESIDUAL coding (v - centroid), codebooks Lloyd-TRAINED for 2
+    iterations from the md5-sample init (m=8 subspaces × ksub=16
+    codewords), asymmetric-distance scoring with per-cell offset
+    tables, exact top-40 re-rank. Every step — sample, residual,
+    training iterations, subspace argmin encoding, ADC sum, re-rank —
+    is SQL-restatable, so the full trained index hash-matches the
+    oracle (_ivfpq_oracle unrolls the Lloyd iterations as CTEs)."""
     from scalecast_spark.datapipe.similarity import ivfpq_topk
 
     emb = _emb(spark, sf_dir)
     q = emb.orderBy("vec_id").select("embedding").limit(1).collect()[0][0]
     return ivfpq_topk(
-        emb, [float(x) for x in q], k=10, n_cells=8, nprobe=2, m=8, ksub=16
+        emb, [float(x) for x in q], k=10, n_cells=8, nprobe=2, m=8,
+        ksub=16, residual=True, train_iters=2,
     )
 
 
@@ -3219,93 +3223,7 @@ def oracle_sql() -> dict[str, str]:
         # IVF-PQ: same md5-sample conventions; sub=8 dims per subspace
         # (64-dim embeddings, m=8), ksub=16 codewords, nprobe=2,
         # candidates = k*refine = 40, exact re-rank to 10
-        "sim_ivfpq_topk": """
-            WITH cents AS (
-                SELECT row_number() OVER (ORDER BY md5(vec_id::VARCHAR)) AS ci,
-                       embedding
-                FROM embeddings
-                ORDER BY md5(vec_id::VARCHAR) LIMIT 8
-            ),
-            ce AS (
-                SELECT ci, generate_subscripts(embedding, 1) AS i,
-                       unnest(embedding)::DOUBLE AS cv
-                FROM cents
-            ),
-            q AS (
-                SELECT generate_subscripts(embedding, 1) AS i,
-                       unnest(embedding)::DOUBLE AS qv
-                FROM embeddings WHERE vec_id = (SELECT min(vec_id) FROM embeddings)
-            ),
-            v AS (
-                SELECT vec_id, generate_subscripts(embedding, 1) AS i,
-                       unnest(embedding)::DOUBLE AS vv
-                FROM embeddings
-            ),
-            vdots AS (
-                SELECT v.vec_id, ce.ci, sum(v.vv * ce.cv) AS dp
-                FROM v JOIN ce USING (i) GROUP BY 1, 2
-            ),
-            assign AS (
-                SELECT vec_id, ci FROM vdots
-                QUALIFY row_number() OVER (
-                    PARTITION BY vec_id ORDER BY dp DESC, ci ASC) = 1
-            ),
-            qdots AS (
-                SELECT ce.ci, sum(q.qv * ce.cv) AS dp
-                FROM q JOIN ce USING (i) GROUP BY 1
-            ),
-            probe AS (SELECT ci FROM qdots ORDER BY dp DESC, ci ASC LIMIT 2),
-            cw AS (
-                SELECT row_number() OVER (ORDER BY md5(vec_id::VARCHAR)) AS code,
-                       embedding
-                FROM embeddings
-                ORDER BY md5(vec_id::VARCHAR) LIMIT 16
-            ),
-            cwe AS (
-                SELECT code, i, (i - 1) // 8 AS s, cv FROM (
-                    SELECT code, generate_subscripts(embedding, 1) AS i,
-                           unnest(embedding)::DOUBLE AS cv
-                    FROM cw
-                )
-            ),
-            venc AS (
-                SELECT vec_id, s, code FROM (
-                    SELECT v.vec_id, c.s, c.code,
-                           sum((v.vv - c.cv) * (v.vv - c.cv)) AS d2
-                    FROM v JOIN cwe c ON v.i = c.i
-                    GROUP BY 1, 2, 3
-                )
-                QUALIFY row_number() OVER (
-                    PARTITION BY vec_id, s ORDER BY d2 ASC, code ASC) = 1
-            ),
-            qt AS (
-                SELECT c.s, c.code, sum(q.qv * c.cv) AS dp,
-                       sum(c.cv * c.cv) AS n2
-                FROM q JOIN cwe c ON q.i = c.i
-                GROUP BY 1, 2
-            ),
-            qn AS (SELECT sqrt(sum(qv * qv)) AS n FROM q),
-            adc AS (
-                SELECT e.vec_id,
-                       round(sum(t.dp) / (qn.n * sqrt(sum(t.n2))), 6) AS adc_cos
-                FROM venc e JOIN qt t ON e.s = t.s AND e.code = t.code, qn
-                WHERE e.vec_id IN
-                      (SELECT a.vec_id FROM assign a JOIN probe p USING (ci))
-                GROUP BY e.vec_id, qn.n
-            ),
-            cand AS (
-                SELECT vec_id FROM adc ORDER BY adc_cos DESC, vec_id LIMIT 40
-            )
-            SELECT v.vec_id,
-                   round(sum(vv * qv)
-                         / (sqrt(sum(vv * vv)) * sqrt(sum(qv * qv))), 6)
-                       AS cosine_sim
-            FROM v JOIN q USING (i)
-            WHERE v.vec_id IN (SELECT vec_id FROM cand)
-            GROUP BY v.vec_id
-            ORDER BY cosine_sim DESC, vec_id
-            LIMIT 10
-        """,
+        "sim_ivfpq_topk": _ivfpq_oracle(),
         "emb_near_dup_pairs": """
             WITH v AS (
                 SELECT vec_id, generate_subscripts(embedding, 1) AS i,
@@ -4987,6 +4905,177 @@ def _gj_glob(name: str, mat_cte: str) -> str:
     keys-free face of _gj_dyn (same elimination kernel, kept as one
     implementation so fixes cannot drift apart)."""
     return _gj_dyn(name, mat_cte)
+
+
+def _ivfpq_oracle(
+    n_train: int = 2,
+    n_cells: int = 8,
+    nprobe: int = 2,
+    m: int = 8,
+    ksub: int = 16,
+    k: int = 10,
+    refine: int = 4,
+) -> str:
+    """Oracle for q_sim_ivfpq_topk — full SQL replay of the round-6
+    default IVFPQ configuration (similarity.ivfpq_topk residual=True,
+    train_iters=2): md5-sampled coarse cells, RESIDUAL vectors
+    (v - assigned centroid, argmax-dot ties -> lowest cell), codebooks
+    Lloyd-TRAINED from the md5-sample init with the iterations
+    UNROLLED as CTE pairs (nearest-code assignment with ties -> lowest
+    code, then per-(subspace, code, dim) AVG recenter with
+    empty-codeword carry-over via coalesce — exactly
+    similarity.pq_codebooks_trained), then the residual ADC:
+    q·v̂ = q·c + Σ tdot[code], ‖v̂‖² = ‖c‖² + 2·Σ c_s·cw + Σ ‖cw‖²,
+    top k·refine by 6dp-rounded ADC, exact-cosine re-rank to k.
+    Multi-referenced CTEs are MATERIALIZED (DuckDB inlining re-runs
+    them exponentially otherwise; no recursive CTE here so it's safe).
+    """
+    sub = 64 // m
+    it = []
+    prev = "cb0"
+    for t in range(n_train):
+        nxt = f"cb{t + 1}"
+        it.append(f"""
+            enc{t} AS MATERIALIZED (
+                SELECT vec_id, s, code FROM (
+                    SELECT r.vec_id, c.s, c.code,
+                           sum((r.rv - c.cv) * (r.rv - c.cv)) AS d2
+                    FROM r JOIN {prev} c ON r.i = c.i
+                    GROUP BY 1, 2, 3)
+                QUALIFY row_number() OVER (
+                    PARTITION BY vec_id, s ORDER BY d2 ASC, code ASC) = 1
+            ),
+            mean{t} AS MATERIALIZED (
+                SELECT e.s, e.code, r.i, avg(r.rv) AS mv
+                FROM enc{t} e
+                JOIN r ON r.vec_id = e.vec_id AND r.s = e.s
+                GROUP BY 1, 2, 3
+            ),
+            {nxt} AS MATERIALIZED (
+                SELECT c.code, c.i, c.s, coalesce(m.mv, c.cv) AS cv
+                FROM {prev} c LEFT JOIN mean{t} m
+                     ON m.s = c.s AND m.code = c.code AND m.i = c.i
+            )""")
+        prev = nxt
+    iters = ",".join(it)
+    return f"""
+            WITH cents AS MATERIALIZED (
+                SELECT row_number() OVER (ORDER BY md5(vec_id::VARCHAR)) AS ci,
+                       embedding
+                FROM embeddings
+                ORDER BY md5(vec_id::VARCHAR) LIMIT {n_cells}
+            ),
+            ce AS MATERIALIZED (
+                SELECT ci, generate_subscripts(embedding, 1) AS i,
+                       unnest(embedding)::DOUBLE AS cv
+                FROM cents
+            ),
+            q AS MATERIALIZED (
+                SELECT generate_subscripts(embedding, 1) AS i,
+                       unnest(embedding)::DOUBLE AS qv
+                FROM embeddings
+                WHERE vec_id = (SELECT min(vec_id) FROM embeddings)
+            ),
+            v AS MATERIALIZED (
+                SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+                       unnest(embedding)::DOUBLE AS vv
+                FROM embeddings
+            ),
+            vdots AS (
+                SELECT v.vec_id, ce.ci, sum(v.vv * ce.cv) AS dp
+                FROM v JOIN ce USING (i) GROUP BY 1, 2
+            ),
+            assign AS MATERIALIZED (
+                SELECT vec_id, ci FROM vdots
+                QUALIFY row_number() OVER (
+                    PARTITION BY vec_id ORDER BY dp DESC, ci ASC) = 1
+            ),
+            qdots AS (
+                SELECT ce.ci, sum(q.qv * ce.cv) AS dp
+                FROM q JOIN ce USING (i) GROUP BY 1
+            ),
+            probe AS MATERIALIZED (
+                SELECT ci FROM qdots ORDER BY dp DESC, ci ASC LIMIT {nprobe}
+            ),
+            r AS MATERIALIZED (
+                SELECT v.vec_id, v.i, (v.i - 1) // {sub} AS s,
+                       v.vv - ce.cv AS rv
+                FROM v
+                JOIN assign a ON a.vec_id = v.vec_id
+                JOIN ce ON ce.ci = a.ci AND ce.i = v.i
+            ),
+            cb0 AS MATERIALIZED (
+                -- codeword sample OFFSET past the centroid sample: the
+                -- first n_cells md5-ordered vectors are the centroids,
+                -- whose residuals are (near-)zero duplicates — see
+                -- similarity.pq_codebooks_residual
+                SELECT cw.code, r.i, r.s, r.rv AS cv
+                FROM (
+                    SELECT row_number() OVER (ORDER BY md5(vec_id::VARCHAR))
+                               - {n_cells} AS code,
+                           vec_id
+                    FROM embeddings
+                    ORDER BY md5(vec_id::VARCHAR)
+                    LIMIT {ksub} OFFSET {n_cells}
+                ) cw
+                JOIN r ON r.vec_id = cw.vec_id
+            ),
+            {iters},
+            venc AS MATERIALIZED (
+                SELECT vec_id, s, code FROM (
+                    SELECT r.vec_id, c.s, c.code,
+                           sum((r.rv - c.cv) * (r.rv - c.cv)) AS d2
+                    FROM r JOIN {prev} c ON r.i = c.i
+                    GROUP BY 1, 2, 3)
+                QUALIFY row_number() OVER (
+                    PARTITION BY vec_id, s ORDER BY d2 ASC, code ASC) = 1
+            ),
+            qt AS MATERIALIZED (
+                SELECT c.s, c.code, sum(q.qv * c.cv) AS dp,
+                       sum(c.cv * c.cv) AS n2
+                FROM q JOIN {prev} c ON q.i = c.i
+                GROUP BY 1, 2
+            ),
+            qc AS MATERIALIZED (
+                SELECT ce.ci, sum(q.qv * ce.cv) AS qdc,
+                       sum(ce.cv * ce.cv) AS cn2
+                FROM q JOIN ce USING (i) GROUP BY 1
+            ),
+            crx AS MATERIALIZED (
+                SELECT ce.ci, c.s, c.code, sum(ce.cv * c.cv) AS x
+                FROM ce JOIN {prev} c ON ce.i = c.i
+                GROUP BY 1, 2, 3
+            ),
+            qn AS (SELECT sqrt(sum(qv * qv)) AS n FROM q),
+            adc AS (
+                SELECT e.vec_id,
+                       round((qc.qdc + sum(t.dp))
+                             / (qn.n * sqrt(greatest(
+                                    qc.cn2 + 2 * sum(x.x) + sum(t.n2),
+                                    (0.0)::DOUBLE))), 6) AS adc_cos
+                FROM venc e
+                JOIN assign a ON a.vec_id = e.vec_id
+                JOIN qt t ON t.s = e.s AND t.code = e.code
+                JOIN crx x ON x.ci = a.ci AND x.s = e.s AND x.code = e.code
+                JOIN qc ON qc.ci = a.ci
+                CROSS JOIN qn
+                WHERE a.ci IN (SELECT ci FROM probe)
+                GROUP BY e.vec_id, qc.qdc, qc.cn2, qn.n
+            ),
+            cand AS (
+                SELECT vec_id FROM adc
+                ORDER BY adc_cos DESC, vec_id LIMIT {k * refine}
+            )
+            SELECT v.vec_id,
+                   round(sum(vv * qv)
+                         / (sqrt(sum(vv * vv)) * sqrt(sum(qv * qv))), 6)
+                       AS cosine_sim
+            FROM v JOIN q USING (i)
+            WHERE v.vec_id IN (SELECT vec_id FROM cand)
+            GROUP BY v.vec_id
+            ORDER BY cosine_sim DESC, vec_id
+            LIMIT {k}
+    """
 
 
 def _direct_member_ctes(p: str, lags: int, alpha: float) -> str:

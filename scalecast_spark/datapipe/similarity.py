@@ -451,12 +451,21 @@ def pq_codebooks_residual(
     vs its argmax-dot cell (matching _cell_of) is computed driver-side
     on ksub rows. One codebook set is SHARED across cells (FAISS
     convention) — per-cell books would be n_cells× the literals for
-    marginal gain at small n_cells."""
+    marginal gain at small n_cells.
+
+    The sample starts AT OFFSET len(cents) in md5 order: the first
+    n_cells md5-ordered vectors ARE the coarse centroids, so their
+    residuals are (near-)zero — without the offset up to n_cells init
+    codewords collapse to the identical zero vector, wasting codebook
+    capacity and creating exact distance TIES whose argmin then hinges
+    on float-noise summation order (observed engine-vs-oracle code
+    flips, round 6). Disjoint sampling removes the degeneracy."""
     import numpy as np
 
     rows = (
         df.withColumn("_h", F.md5(F.col(id_col).cast("string")))
         .orderBy("_h")
+        .offset(len(cents))
         .limit(ksub)
         .select(vec_col)
         .collect()
@@ -477,6 +486,90 @@ def pq_codebooks_residual(
         [(ci + 1, r[s * sub : (s + 1) * sub]) for ci, r in enumerate(res)]
         for s in range(m)
     ]
+
+
+def pq_codebooks_trained(
+    df: DataFrame,
+    m: int = 8,
+    ksub: int = 16,
+    n_iter: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    cents: list[tuple[int, list[float]]] | None = None,
+) -> list[list[tuple[int, list[float]]]]:
+    """Lloyd-TRAINED product-quantization codebooks — the full FAISS
+    recipe (Jégou et al. 2011 §III trains each subspace with k-means;
+    the md5 sample is only the init): starting from
+    :func:`pq_codebooks` (or :func:`pq_codebooks_residual` when
+    ``cents`` is given), each iteration assigns every vector's
+    subspace slice to its nearest codeword and recenters the codeword
+    on the assigned slices' mean. Trained codewords cover the
+    within-subspace distribution instead of echoing ksub arbitrary
+    members, so quantization error — and therefore ADC recall at the
+    same m·ksub budget — improves on clustered corpora (asserted in
+    tests/test_ivfpq.py).
+
+    Scale shape: one scan per iteration; the assignment runs scan-side
+    against the literal codebooks (same collapsed-transform expression
+    as the encoder) and the mean update is ONE groupBy over
+    (subspace, code, dim) — at most m·ksub·(d/m) = d·ksub cells
+    shuffled/collected per iteration, independent of corpus size.
+    Empty codewords keep their previous value (deterministic;
+    FAISS splits large cells instead — a data-dependent heuristic the
+    SQL replay could not restate). Mirrors kmeans_embeddings'
+    posexplode + groupBy-avg mean plan so the DuckDB oracle replays
+    the iterations with plain AVG (same 6dp convention)."""
+    books = (
+        pq_codebooks_residual(df, cents, m, ksub, vec_col, id_col)
+        if cents is not None
+        else pq_codebooks(df, m, ksub, vec_col, id_col)
+    )
+    sub = len(books[0][0][1])
+    vec = F.col(vec_col).cast("array<double>")
+    if cents is not None:
+        cb = _lit_mat([cv for _, cv in cents])
+        vec = F.zip_with(
+            vec,
+            F.element_at(cb, _cell_of(vec, cents).cast("int")),
+            lambda a, b: a - b,
+        )
+    for _ in range(n_iter):
+        entries = F.array(
+            *[
+                F.struct(
+                    F.lit(s).alias("_s"),
+                    _pq_code_col(
+                        F.slice(vec, s * sub + 1, sub), books[s]
+                    ).alias("_code"),
+                    F.slice(vec, s * sub + 1, sub).alias("_sl"),
+                )
+                for s in range(m)
+            ]
+        )
+        rows = (
+            df.select(F.explode(entries).alias("_e"))
+            .select(
+                F.col("_e._s").alias("_s"),
+                F.col("_e._code").alias("_code"),
+                F.posexplode(F.col("_e._sl")).alias("_dim", "_x"),
+            )
+            .groupBy("_s", "_code", "_dim")
+            .agg(F.avg("_x").alias("_m"))
+            .collect()
+        )
+        upd: dict[tuple[int, int], list[float]] = {}
+        for r in rows:
+            upd.setdefault((r["_s"], r["_code"]), [0.0] * sub)[
+                r["_dim"]
+            ] = r["_m"]
+        books = [
+            [
+                (code, upd.get((s, code), cw))
+                for code, cw in books[s]
+            ]
+            for s in range(m)
+        ]
+    return books
 
 
 def _pq_code_col(sub_col, codebook) -> "F.Column":
@@ -514,6 +607,7 @@ def ivfpq_topk(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     residual: bool = False,
+    train_iters: int = 0,
 ) -> DataFrame:
     """IVF-PQ ANN (the FAISS IVFPQ recipe): coarse-quantize to
     ``n_cells`` IVF cells, PQ-encode every vector to ``m`` sub-codes
@@ -535,18 +629,34 @@ def ivfpq_topk(
     codebooks, and the ADC decomposes q·v̂ = q·c + Σ tdot[code] and
     ‖v̂‖² = ‖c‖² + 2·Σ c_sub·codeword[code] + Σ ‖codeword[code]‖² —
     the extra per-cell terms are (n_cells) / (m × n_cells × ksub)
-    literal lookup tables, still pure JVM lookups. Default stays
-    non-residual: that variant is the one the sim_topk oracle
-    restates (the residual twin is recall-tested instead).
+    literal lookup tables, still pure JVM lookups. The default stays
+    NON-residual on purpose: residual coding pays off when the corpus
+    is clustered (IVF cells capture real structure — recall ≥ plain,
+    tested on a clustered corpus), but on an unclustered corpus the
+    centroid-norm + cross terms dominate the reconstruction and
+    recall measurably DROPS (5 → 2 of 10 on the near-random test
+    fixture, round 6) — a data-dependent trade the caller should opt
+    into, not inherit.
 
-    Deterministic end-to-end (md5-sampled codebooks + 6dp-rounded ADC
-    ranking with id tie-break) → hash-matched by the sim_topk oracle."""
+    ``train_iters > 0`` (round 6) Lloyd-trains the codebooks from the
+    md5-sample init (:func:`pq_codebooks_trained`) — one extra scan
+    per iteration at index-build time, better recall at the same code
+    budget. Every variant stays deterministic end-to-end (md5 seeds +
+    posexplode-avg means + 6dp-rounded ADC ranking with id tie-break);
+    the sim_topk family oracle restates the residual+trained
+    configuration, unrolling the training iterations in SQL."""
     cents = ivf_centroids(df, n_cells, vec_col, id_col)
-    books = (
-        pq_codebooks_residual(df, cents, m, ksub, vec_col, id_col)
-        if residual
-        else pq_codebooks(df, m, ksub, vec_col, id_col)
-    )
+    if train_iters > 0:
+        books = pq_codebooks_trained(
+            df, m, ksub, train_iters, vec_col, id_col,
+            cents=cents if residual else None,
+        )
+    else:
+        books = (
+            pq_codebooks_residual(df, cents, m, ksub, vec_col, id_col)
+            if residual
+            else pq_codebooks(df, m, ksub, vec_col, id_col)
+        )
     d = len(query)
     sub = d // m
     qv = [float(x) for x in query]
