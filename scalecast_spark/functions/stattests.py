@@ -159,12 +159,17 @@ def periodogram(df: DataFrame) -> DataFrame:
     return df.select(SERIES, DS, Y).groupBy(SERIES).applyInPandas(run, schema)
 
 
-def seasonal_decompose(df: DataFrame, m: int = 7) -> DataFrame:
+def seasonal_decompose(df: DataFrame, m: int | str = 7) -> DataFrame:
     """Classic additive moving-average decomposition (reference
     Forecaster.seasonal_decompose → statsmodels, Forecaster.py:1394-1456)
     as PURE window expressions: trend = centered MA(m) (split-weight
     endpoints for even m, statsmodels convention), seasonal = phase
-    means of (y - trend) re-centered, resid = remainder."""
+    means of (y - trend) re-centered, resid = remainder.  ``m='auto'``
+    resolves the period from the frame's inferred frequency."""
+    if m == "auto":
+        from scalecast_spark.functions.seasonal import resolve_m
+
+        m = resolve_m(m, df)
     w = W.partitionBy(SERIES).orderBy(DS)
     if m % 2 == 1:
         half = m // 2

@@ -495,9 +495,15 @@ def tbats_fit_forecast(
     return inv(fitted_z), inv(fc_z)
 
 
-def tbats_model(df: DataFrame, features=None, m: int = 7, **kwargs) -> DataFrame:
+def tbats_model(df: DataFrame, features=None, m: int | str = 7, **kwargs) -> DataFrame:
     """Reference 'tbats' (models.py:1061-1147). Real tbats package when
-    installed; otherwise the numpy TBATS core (tbats_fit_forecast)."""
+    installed; otherwise the numpy TBATS core (tbats_fit_forecast).
+    ``m='auto'`` resolves the season length from the frame's inferred
+    frequency (functions/seasonal.py)."""
+    if m == "auto":
+        from scalecast_spark.functions.seasonal import resolve_m
+
+        m = resolve_m(m, df)
     try:  # pragma: no cover - env-dependent
         from tbats import TBATS  # noqa: F401
 

@@ -16,12 +16,19 @@ from pyspark.sql import DataFrame, functions as F, Window as W
 from scalecast_spark.frame import DS, IS_FUTURE, SERIES, Y
 
 
-def naive_model(df: DataFrame, m: int = 1, features: list[str] | None = None) -> DataFrame:
+def naive_model(df: DataFrame, m: int | str = 1, features: list[str] | None = None) -> DataFrame:
     """Return the frame with a ``forecast`` column: lag-m in-sample,
-    tiled last-season on future rows.
+    tiled last-season on future rows.  ``m=1`` is the plain naive;
+    ``m='auto'`` resolves the seasonal-naive period from the frame's
+    inferred frequency (functions/seasonal.py — reference
+    util.py:58-83 freq table).
 
     ``features`` is accepted (and ignored) for registry signature parity.
     """
+    if m == "auto":
+        from scalecast_spark.functions.seasonal import resolve_m
+
+        m = resolve_m(m, df)
     w = W.partitionBy(SERIES).orderBy(DS)
 
     # in-sample: one shared window sort

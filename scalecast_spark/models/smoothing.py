@@ -214,12 +214,19 @@ def theta(
 
 def hwes_model(
     df: DataFrame, features=None, trend: bool = True, seasonal=True,
-    m: int = 7, damped_trend: bool = False, **_,
+    m: int | str = "auto", damped_trend: bool = False, **_,
 ) -> DataFrame:
     """Reference 'hwes' (statsmodels ExponentialSmoothing passthrough,
     models.py:970-1059): ``seasonal`` accepts True/'add'/'mul'/False,
-    ``damped_trend`` enables the phi-damped trend."""
+    ``damped_trend`` enables the phi-damped trend. ``m='auto'`` (the
+    round-6 default) resolves the season length from the frame's
+    inferred frequency (functions/seasonal.py — reference
+    util.py:58-83), so daily data gets 7, monthly 12, weekly 52
+    without an explicit argument."""
     if seasonal:
+        from scalecast_spark.functions.seasonal import resolve_m
+
+        m = resolve_m(m, df)
         stype = "mul" if seasonal == "mul" else "add"
         return run_series_kernel(
             df, lambda y, h: holt_winters(y, h, m, stype, damped_trend)
@@ -230,10 +237,15 @@ def hwes_model(
 
 
 def theta_model(
-    df: DataFrame, features=None, m: int = 0, season_mode: str = "mul", **_
+    df: DataFrame, features=None, m: int | str = 0, season_mode: str = "mul", **_
 ) -> DataFrame:
     """Reference 'theta' (darts wrapper, models.py:880-968): pass
     ``m`` (seasonal period) to enable the darts-style
-    test-deseasonalize-reseasonalize path; default stays the pure
+    test-deseasonalize-reseasonalize path — ``m='auto'`` resolves it
+    from the frame's inferred frequency; the default stays the pure
     classic Theta(0,2)."""
+    if m == "auto":
+        from scalecast_spark.functions.seasonal import resolve_m
+
+        m = resolve_m(m, df)
     return run_series_kernel(df, lambda y, h: theta(y, h, m, season_mode))

@@ -358,12 +358,19 @@ class DeseasonTransform(Transform):
     seasonal_decompose). Phase = row_number mod m, so it works for any
     frequency; the seasonal profile continues onto future rows naturally
     (the reference needs an internal seasonal-naive forecast for that).
+
+    ``m='auto'`` (the default since round 6) resolves the season length
+    from the frame's modal gap at fit time via the reference's
+    freq->length table (util.py:58-83 — functions/seasonal.py): daily
+    data deseasons at 7, monthly at 12, weekly at 52, hourly at 24 —
+    instead of the old hard-coded 12, which silently mis-phased any
+    non-monthly series.
     """
 
-    m: int = 12
+    m: int | str = "auto"
     params: DataFrame | None = None
 
-    def __init__(self, m: int = 12):
+    def __init__(self, m: int | str = "auto"):
         self.m = m
         self.params = None
 
@@ -373,6 +380,9 @@ class DeseasonTransform(Transform):
         )
 
     def fit(self, df: DataFrame, train_only_cutoff=None):
+        from scalecast_spark.functions.seasonal import resolve_m
+
+        self.m = resolve_m(self.m, df)
         src = self._phased(df).filter(F.col(IS_FUTURE) == 0)
         if train_only_cutoff is not None:
             src = src.filter(F.col(DS) <= F.lit(train_only_cutoff))
