@@ -547,7 +547,8 @@ def q_mv_vecm(spark, sf_dir):
     disguise (S11 is SPD), so two cyclic-Jacobi runs in a recursive CTE
     replay the full spectrum and the rest is Gauss-Jordan OLS — see
     _vecm_oracle.  Rounded to 4dp on both sides: the eigen path
-    amplifies float noise to ~5e-8 abs, a coin-flip at 6dp."""
+    amplifies float noise to ~5e-8 abs, a coin-flip at 6dp (COVERAGE.md
+    'Oracle rounding precision per member')."""
     from scalecast_spark.frame import TimeSeriesFrame
     from scalecast_spark.models import MODELS
 
@@ -1184,7 +1185,8 @@ def q_ts_tbats(spark, sf_dir):
     pow(lam*fz+1, 1/lam) amplifies float noise ~1e4x at the fitted
     lambdas (base ~1e-4), so engine-vs-oracle divergence is ~2e-8 —
     a 6dp hash would coin-flip on rounding-boundary straddles while
-    3dp still checks 7 significant digits of a ~1e3-scale value."""
+    3dp still checks 7 significant digits of a ~1e3-scale value
+    (COVERAGE.md 'Oracle rounding precision per member')."""
     from scalecast_spark.frame import TimeSeriesFrame
     from scalecast_spark.models import MODELS
 
@@ -2555,7 +2557,9 @@ def oracle_sql() -> dict[str, str]:
                    round(c.ck / NULLIF(z.c0, 0), 6)
             FROM acf_ck c JOIN acf_c0 z USING (series_id)
             UNION ALL
-            SELECT 'pacf', series_id, 0.0, 1.0 FROM rho
+            SELECT 'pacf', series_id, 0.0,
+                   CASE WHEN rho[1] IS NULL THEN NULL ELSE 1.0 END
+            FROM rho
             UNION ALL
             SELECT 'pacf', series_id, m::DOUBLE, round(phi[m], 6)
             FROM dl
@@ -4119,7 +4123,7 @@ def _yj_oracle() -> str:
         g(lam) AS (SELECT * FROM (VALUES {lams})),
         ll AS (
             SELECT g.lam,
-                   -0.5 * count(*) * ln(var_pop({yj("d.x", "g.lam")}))
+                   -0.5 * count(*) * ln(NULLIF(var_pop({yj("d.x", "g.lam")}), 0))
                    + (g.lam - 1) * sum(sign(d.x) * ln(1 + abs(d.x))) AS ll
             FROM d CROSS JOIN g
             GROUP BY g.lam
@@ -4152,7 +4156,7 @@ def _boxcox_oracle() -> str:
         g(lam) AS (SELECT * FROM (VALUES {lams})),
         ll AS (
             SELECT g.lam,
-                   -0.5 * count(*) * ln(var_pop({bc.format(x="s.y", lam="g.lam")}))
+                   -0.5 * count(*) * ln(NULLIF(var_pop({bc.format(x="s.y", lam="g.lam")}), 0))
                    + (g.lam - 1) * sum(ln(s.y)) AS ll
             FROM series s CROSS JOIN g
             WHERE s.y > 0
@@ -4796,9 +4800,9 @@ def _prophet_tbats_oracle() -> str:
         bgrid(lam) AS (SELECT * FROM (VALUES {lams})),
         bll AS (
             SELECT s.series_id, g.lam,
-                   -0.5 * count(*) * ln(var_pop(
+                   -0.5 * count(*) * ln(NULLIF(var_pop(
                        CASE WHEN abs(g.lam) < 1e-12 THEN ln(s.y)
-                            ELSE (pow(s.y, g.lam) - 1) / g.lam END))
+                            ELSE (pow(s.y, g.lam) - 1) / g.lam END), 0))
                    + (g.lam - 1) * sum(ln(s.y)) AS ll
             FROM series s JOIN bpos USING (series_id) CROSS JOIN bgrid g
             WHERE bpos.use_bc
@@ -5286,7 +5290,8 @@ def _vecm_oracle() -> str:
     Measured divergence vs the numpy engine: 2.5e-9 abs at sf0.01,
     5.3e-8 at sf0.1 (1e-12 relative) — inverse-eigen amplification makes
     6dp a coin-flip straddle, so BOTH sides round the forecast to 4dp
-    (margin >= 2e3 of the divergence), like the tbats member at 3dp."""
+    (margin >= 2e3 of the divergence), like the tbats member at 3dp
+    (COVERAGE.md 'Oracle rounding precision per member')."""
     mm = _mm_sql
     return f"""
 WITH RECURSIVE

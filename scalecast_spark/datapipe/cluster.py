@@ -356,7 +356,20 @@ def semantic_dedup(
     ):
         # the GEMM kernel emits long ids; a silent cast would NULL
         # string ids and mark nothing as duplicate — route to the
-        # parity-tested expr twin, which keeps the native id type
+        # parity-tested expr twin, which keeps the native id type.
+        # Warn (don't raise like blocked_pairwise_above does) because
+        # the expr twin IS result-equivalent here, but the caller
+        # asked for a specific kernel and should know it switched.
+        import warnings
+
+        warnings.warn(
+            f"semantic_dedup: method='gemm' requires an integral id "
+            f"column; '{id_col}' is "
+            f"{side.schema[id_col].dataType.simpleString()} — falling "
+            f"back to the parity-tested method='expr' kernel",
+            UserWarning,
+            stacklevel=2,
+        )
         method = "expr"
     if method == "gemm":
         dropped = _semantic_dropped_gemm(side, threshold, id_col)

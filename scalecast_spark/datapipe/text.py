@@ -1031,7 +1031,8 @@ def add_trigram_logprob(
     keys, independent of corpus size), N as a one-row aggregate of the
     count table (no second corpus scan), both broadcast back. Rounded
     to ``round_to`` dp because a per-doc float mean is
-    summation-order-sensitive across engines."""
+    summation-order-sensitive across engines (COVERAGE.md 'Oracle
+    rounding precision per member')."""
     from scalecast_spark.datapipe.dedup import _spread
 
     # materialize the normalized text ONCE (HOF lambdas get no CSE — a

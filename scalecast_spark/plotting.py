@@ -200,8 +200,21 @@ def pacf_frame(
     together — pays the corpus scan + window aggregate ONCE
     (localCheckpoint the shared frame; Spark does no subplan CSE
     across union branches). The other preprocessing switches are
-    ignored when ``acf`` is given.
+    ignored when ``acf`` is given — which is why ``alpha`` is
+    rejected in that mode: the confidence band's n comes from the
+    raw series after those same preprocessing switches, so it could
+    silently disagree with however the supplied acf was prepared
+    (and with df=None it would crash outright).
     """
+    if acf is not None and alpha is not None:
+        raise ValueError(
+            "pacf_frame: 'alpha' cannot be combined with a precomputed "
+            "'acf' frame — the band's sample size n is derived from the "
+            "raw series, which is not available / not guaranteed to match "
+            "the supplied acf's preprocessing. Compute the band via "
+            "pacf_frame(df, ..., alpha=...) or join one from acf_frame's "
+            "conf column."
+        )
     acf = (
         acf
         if acf is not None
@@ -219,6 +232,20 @@ def pacf_frame(
         pdf = pdf.sort_values("lag")
         rho = pdf["acf"].to_numpy(float)
         n = len(rho) - 1
+        if np.isnan(rho).any():
+            # zero-variance series: acf_frame NULLs every lag (the
+            # try_divide / c0=0 convention), so the PACF is undefined
+            # too — emit NULL at every lag INCLUDING 0, mirroring the
+            # acf member, instead of a hardcoded 1.0 + NaN tail (NaN
+            # is not NULL through Arrow, so it would hash-diverge
+            # from the SQL oracle's NULL propagation).
+            return pd.DataFrame(
+                {
+                    SERIES: pdf[SERIES].iloc[: n + 1],
+                    "lag": np.arange(n + 1, dtype=np.int32),
+                    "pacf": pd.array([None] * (n + 1), dtype="Float64"),
+                }
+            )
         pacf = np.zeros(n + 1)
         pacf[0] = 1.0
         if n >= 1:

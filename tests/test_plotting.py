@@ -106,9 +106,11 @@ def test_constant_series_yields_null_acf_not_job_failure(spark, toy):
     assert len(flat) == 4 and flat["acf"].isna().all()
     ok = got[got[SERIES] == "a"].sort_values("lag")["acf"].to_numpy()
     assert np.allclose(ok, np.round(_np_acf(ys["a"], 3), 6), atol=1e-6)
-    # pacf propagates the undefined statistic as NaN, same contract
+    # pacf propagates the undefined statistic as NULL at EVERY lag
+    # (round 6: including lag 0, mirroring the acf member — a
+    # hardcoded 1.0 there would diverge from the SQL oracle's NULL)
     pflat = P.pacf_frame(const, nlags=3).toPandas()
-    assert pflat["pacf"].iloc[1:].isna().all()
+    assert pflat["pacf"].isna().all()
 
 
 def test_acf_bartlett_confidence(toy):
