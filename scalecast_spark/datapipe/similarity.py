@@ -595,6 +595,110 @@ def _pq_code_col(sub_col, codebook) -> "F.Column":
     return F.array_position(dists, F.array_min(dists)).cast("int")
 
 
+def _pq_encode_cols(
+    out: DataFrame,
+    cents,
+    books,
+    vec_col: str,
+    residual: bool,
+) -> DataFrame:
+    """Append the PQ encode columns (``_sub{s}`` subvectors, ``_d{s}``
+    codeword distance tables, ``_code{s}`` 1-based nearest-codeword
+    indices) to a frame that already carries ``_cell``. Shared by
+    :func:`ivfpq_topk` (query-side) and :func:`ivfpq_encode`
+    (index-/stream-side) so both encode bit-identically.
+
+    Pure stateless projection over literal lookup tables — no shuffle,
+    no state — so it applies unchanged to a readStream frame. The
+    whole thing is assembled as selectExpr SQL strings (4 py4j calls +
+    1 parse), not Column-API chains: the m·ksub fold tree built
+    operator-by-operator cost ~1.6 s of driver time per query
+    (measured) — string assembly is ~free. Each stage materializes its
+    arrays once (subvectors → distance tables → codes) so nothing
+    re-evaluates per reference."""
+    m = len(books)
+    d = len(cents[0][1])
+    sub = d // m
+    vec_sql = f"cast({vec_col} as array<double>)"
+    if residual:
+        # subvector = vector slice minus the assigned cell's centroid
+        # slice (literal n_cells × sub matrix per subspace)
+        csub = [
+            _mat_sql([cv[s * sub : (s + 1) * sub] for _, cv in cents])
+            for s in range(m)
+        ]
+        out = out.selectExpr(
+            "*",
+            *[
+                f"zip_with(slice({vec_sql}, {s * sub + 1}, {sub}), "
+                f"element_at({csub[s]}, cast(_cell as int)), (a, b) -> a - b) AS _sub{s}"
+                for s in range(m)
+            ],
+        )
+    else:
+        out = out.selectExpr(
+            "*",
+            *[
+                f"slice({vec_sql}, {s * sub + 1}, {sub}) AS _sub{s}"
+                for s in range(m)
+            ],
+        )
+    out = out.selectExpr(
+        "*",
+        *[
+            f"transform({_mat_sql([cv for _, cv in books[s]])}, "
+            f"c -> aggregate(zip_with(_sub{s}, c, (a, b) -> (a - b) * (a - b)), "
+            f"cast(0.0 as double), (acc, x) -> acc + x)) AS _d{s}"
+            for s in range(m)
+        ],
+    )
+    return out.selectExpr(
+        "*",
+        *[
+            f"cast(array_position(_d{s}, array_min(_d{s})) as int) AS _code{s}"
+            for s in range(m)
+        ],
+    )
+
+
+def ivfpq_encode(
+    df: DataFrame,
+    cents,
+    books,
+    vec_col: str = "embedding",
+    residual: bool = False,
+    cell_col: str = "cell",
+    code_col: str = "pq_codes",
+) -> DataFrame:
+    """PQ-encode a vector frame against a FIXED index (centroids +
+    per-subspace codebooks, e.g. from ``artifacts.load_centroids`` /
+    ``load_pq_codebooks``): every row gains its IVF ``cell`` (1-based
+    argmax-dot, ties → lowest) and its ``pq_codes`` array (m 1-based
+    nearest-codeword indices, squared-L2, ties → lowest; the residual
+    variant quantizes v − cell_centroid).
+
+    This is the missing index-build half of :func:`ivfpq_topk` made
+    first-class: encode the corpus ONCE, persist (id, cell, codes) —
+    m bytes/vector at ksub ≤ 256 — and serve queries from the code
+    table instead of re-encoding per query. Because the encode is a
+    pure stateless projection (literal lookup tables, no shuffle, no
+    state), the SAME function applies to a readStream firehose in
+    append mode — see ``streaming.ops.ivfpq_encode_stream`` for the
+    crawl-increment wiring. Rows with a NULL ``vec_col`` pass through
+    with NULL cell/codes (tokenless docs from embed_docs_rowwise).
+    """
+    vec = F.col(vec_col).cast("array<double>")
+    out = df.withColumn("_cell", _cell_of(vec, cents))
+    out = _pq_encode_cols(out, cents, books, vec_col, residual)
+    m = len(books)
+    codes = "array(" + ", ".join(f"_code{s}" for s in range(m)) + ")"
+    return out.selectExpr(
+        *df.columns,
+        f"cast(_cell as int) AS {cell_col}",
+        f"CASE WHEN _cell IS NOT NULL THEN {codes} END AS {code_col}",
+    )
+
+
 def ivfpq_topk(
     df: DataFrame,
     query: list[float],
@@ -681,52 +785,7 @@ def ivfpq_topk(
     out = df.withColumn("_cell", _cell_of(vec, cents)).filter(
         F.col("_cell").isin(*probe)
     )
-    # the whole encode+ADC projection is assembled as selectExpr SQL
-    # strings (4 py4j calls + 1 parse), not Column-API chains: the
-    # m·ksub fold tree built operator-by-operator cost ~1.6 s of
-    # driver time per query (measured) — string assembly is ~free.
-    # Each stage materializes its arrays once (subvectors → distance
-    # tables → codes) so nothing re-evaluates per reference.
-    vec_sql = f"cast({vec_col} as array<double>)"
-    if residual:
-        # subvector = vector slice minus the assigned cell's centroid
-        # slice (literal n_cells × sub matrix per subspace)
-        csub = [
-            _mat_sql([cv[s * sub : (s + 1) * sub] for _, cv in cents])
-            for s in range(m)
-        ]
-        out = out.selectExpr(
-            "*",
-            *[
-                f"zip_with(slice({vec_sql}, {s * sub + 1}, {sub}), "
-                f"element_at({csub[s]}, cast(_cell as int)), (a, b) -> a - b) AS _sub{s}"
-                for s in range(m)
-            ],
-        )
-    else:
-        out = out.selectExpr(
-            "*",
-            *[
-                f"slice({vec_sql}, {s * sub + 1}, {sub}) AS _sub{s}"
-                for s in range(m)
-            ],
-        )
-    out = out.selectExpr(
-        "*",
-        *[
-            f"transform({_mat_sql([cv for _, cv in books[s]])}, "
-            f"c -> aggregate(zip_with(_sub{s}, c, (a, b) -> (a - b) * (a - b)), "
-            f"cast(0.0 as double), (acc, x) -> acc + x)) AS _d{s}"
-            for s in range(m)
-        ],
-    )
-    out = out.selectExpr(
-        "*",
-        *[
-            f"cast(array_position(_d{s}, array_min(_d{s})) as int) AS _code{s}"
-            for s in range(m)
-        ],
-    )
+    out = _pq_encode_cols(out, cents, books, vec_col, residual)
     adot_sql = " + ".join(
         f"element_at({_vec_sql(t_dot[s])}, _code{s})" for s in range(m)
     )

@@ -6,10 +6,11 @@ from scalecast_spark.streaming.ops import (
     sessionize_stream,
     run_available_now,
     ewma_stream,
+    ivfpq_encode_stream,
 )
 
 __all__ = [
     "stream_events", "stream_documents", "dedup_stream",
     "windowed_series", "sessionize_stream", "run_available_now",
-    "ewma_stream",
+    "ewma_stream", "ivfpq_encode_stream",
 ]

@@ -282,3 +282,53 @@ def ewma_stream(
     return series.groupBy(series_col).applyInPandasWithState(
         fold, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
     )
+
+
+def ivfpq_encode_stream(
+    docs: DataFrame,
+    centroids_path: str,
+    codebooks_path: str,
+    dim: int = 64,
+    residual: bool = False,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """PQ-encode a document firehose against a PERSISTED IVF-PQ index:
+    the crawl-increment completion of cross_dedup's batch analogue.
+    Nightly (or continuous), new documents stream in, get the
+    hashing-trick embedding (embed.embed_docs_rowwise — row-local,
+    stateless) and the (cell, pq_codes) encoding against the
+    centroids/codebooks saved at index-build time
+    (artifacts.save_centroids / save_pq_codebooks), so the serving
+    code table grows by append without ever re-encoding the corpus.
+
+    Every stage is a pure projection — no shuffle, no watermark, no
+    state — so the plan runs in append mode with per-micro-batch cost
+    proportional to the increment, and the SAME composition on a batch
+    frame is bit-identical (integer-sum embeddings + literal-table
+    encode; asserted in tests/test_pq_stream.py). Tokenless docs pass
+    through with NULL embedding/cell/codes rather than being dropped —
+    the downstream writer decides.
+
+    100 TB posture: the driver holds only the index literals
+    (n_cells·d + m·ksub·(d/m) floats ≈ a few hundred KB at production
+    sizes); executors see one selectExpr chain inside codegen. Index
+    REFRESH (retraining centroids on drifted data) is a batch concern:
+    rebuild with kmeans_ivf_centroids/pq_codebooks_trained, save new
+    artifacts, restart the stream — codes are versioned by artifact
+    path.
+    """
+    from scalecast_spark.datapipe.artifacts import (
+        load_centroids,
+        load_pq_codebooks,
+    )
+    from scalecast_spark.datapipe.embed import embed_docs_rowwise
+    from scalecast_spark.datapipe.similarity import ivfpq_encode
+
+    cents = load_centroids(centroids_path)
+    books = load_pq_codebooks(codebooks_path)
+    emb = embed_docs_rowwise(
+        docs.select(id_col, text_col), dim=dim,
+        text_col=text_col, id_col=id_col,
+    )
+    return ivfpq_encode(emb, cents, books, residual=residual)

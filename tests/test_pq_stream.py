@@ -1,0 +1,167 @@
+"""Streaming IVF-PQ encode against a persisted index
+(streaming.ops.ivfpq_encode_stream + datapipe.similarity.ivfpq_encode):
+the crawl-increment story — build the index once in batch, save the
+artifacts, then PQ-encode a document firehose with a stateless
+append-mode plan that is BIT-identical to the batch encoding."""
+
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from scalecast_spark.datapipe.artifacts import (
+    load_centroids,
+    load_pq_codebooks,
+    save_centroids,
+    save_pq_codebooks,
+)
+from scalecast_spark.datapipe.embed import embed_docs
+from scalecast_spark.datapipe.similarity import (
+    ivf_centroids,
+    ivfpq_encode,
+    pq_codebooks,
+    pq_codebooks_residual,
+)
+from scalecast_spark.sources import load_table
+
+DIM, M, KSUB, NCELLS = 16, 4, 8, 4
+
+
+@pytest.fixture(scope="module")
+def index_art(spark, sf_dir, tmp_path_factory):
+    """Batch index build on the documents fixture: hashing-trick
+    embeddings -> IVF centroids + plain & residual PQ codebooks,
+    persisted as JSON artifacts (the engine-portable envelope)."""
+    root = tmp_path_factory.mktemp("pqidx")
+    emb = embed_docs(load_table(spark, sf_dir, "documents"), dim=DIM)
+    emb = emb.filter(F.col("embedding").isNotNull())
+    cents = ivf_centroids(emb, NCELLS, "embedding", "doc_id")
+    books = pq_codebooks(emb, M, KSUB, "embedding", "doc_id")
+    rbooks = pq_codebooks_residual(emb, cents, M, KSUB, "embedding", "doc_id")
+    cp, bp, rp = str(root / "cents"), str(root / "books"), str(root / "rbooks")
+    save_centroids(cents, cp)
+    save_pq_codebooks(books, bp)
+    save_pq_codebooks(rbooks, rp)
+    return cp, bp, rp, emb
+
+
+def test_artifact_roundtrip(index_art):
+    cp, bp, _, _ = index_art
+    cents = load_centroids(cp)
+    books = load_pq_codebooks(bp)
+    assert len(cents) == NCELLS and len(cents[0][1]) == DIM
+    assert len(books) == M and len(books[0]) == KSUB
+    assert len(books[0][0][1]) == DIM // M
+
+
+def test_ivfpq_encode_batch_shape(index_art):
+    """Every doc gets a 1-based cell and an m-array of 1-based codes;
+    NULL embeddings pass through as NULL cell/codes."""
+    cp, bp, _, emb = index_art
+    spark = emb.sparkSession
+    cents, books = load_centroids(cp), load_pq_codebooks(bp)
+    with_null = emb.unionByName(
+        spark.createDataFrame(
+            [(999_999_999, None)], "doc_id long, embedding array<double>"
+        )
+    )
+    out = ivfpq_encode(with_null, cents, books).toPandas()
+    nn = out[out["doc_id"] != 999_999_999]
+    assert nn["cell"].between(1, NCELLS).all()
+    assert all(len(c) == M for c in nn["pq_codes"])
+    assert all(1 <= x <= KSUB for c in nn["pq_codes"] for x in c)
+    null_row = out[out["doc_id"] == 999_999_999].iloc[0]
+    assert null_row["cell"] is None or null_row["cell"] != null_row["cell"]
+    assert null_row["pq_codes"] is None
+
+
+def test_encode_matches_topk_internal_codes(index_art):
+    """ivfpq_encode must agree with the codes ivfpq_topk assigns
+    internally (shared _pq_encode_cols): re-derive the topk path's
+    encode on the same frame and compare cell+codes row by row."""
+    cp, bp, _, emb = index_art
+    from scalecast_spark.datapipe.similarity import (
+        _cell_of,
+        _pq_encode_cols,
+    )
+
+    cents, books = load_centroids(cp), load_pq_codebooks(bp)
+    via_encode = (
+        ivfpq_encode(emb, cents, books)
+        .select("doc_id", "cell", "pq_codes")
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    internal = _pq_encode_cols(
+        emb.withColumn(
+            "_cell", _cell_of(F.col("embedding").cast("array<double>"), cents)
+        ),
+        cents,
+        books,
+        "embedding",
+        residual=False,
+    )
+    via_topk = (
+        internal.selectExpr(
+            "doc_id",
+            "cast(_cell as int) AS cell",
+            "array(" + ", ".join(f"_code{s}" for s in range(M)) + ") AS pq_codes",
+        )
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert (via_encode["cell"] == via_topk["cell"]).all()
+    assert [list(c) for c in via_encode["pq_codes"]] == [
+        list(c) for c in via_topk["pq_codes"]
+    ]
+
+
+@pytest.mark.parametrize("residual", [False, True])
+def test_stream_encode_bit_identical_to_batch(
+    spark, sf_dir, index_art, residual
+):
+    """AvailableNow drain of ivfpq_encode_stream == batch
+    embed_docs -> ivfpq_encode, cell and codes EXACTLY equal (integer
+    sums + literal lookup tables leave no float ambiguity)."""
+    from scalecast_spark.streaming import (
+        ivfpq_encode_stream,
+        run_available_now,
+        stream_documents,
+    )
+
+    cp, bp, rp, emb = index_art
+    cents = load_centroids(cp)
+    books = load_pq_codebooks(rp if residual else bp)
+    batch = (
+        ivfpq_encode(emb, cents, books, residual=residual)
+        .select("doc_id", "cell", "pq_codes")
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    stream = ivfpq_encode_stream(
+        stream_documents(spark, f"{sf_dir}/documents.parquet"),
+        cp,
+        rp if residual else bp,
+        dim=DIM,
+        residual=residual,
+    ).select("doc_id", "cell", "pq_codes")
+    assert stream.isStreaming
+    with tempfile.TemporaryDirectory() as ckpt:
+        got = (
+            run_available_now(
+                stream, f"q_pq_stream_{int(residual)}", ckpt,
+                output_mode="append",
+            )
+            .filter(F.col("pq_codes").isNotNull())
+            .toPandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+    assert len(got) == len(batch) > 0
+    assert (got["cell"].to_numpy() == batch["cell"].to_numpy()).all()
+    assert [list(c) for c in got["pq_codes"]] == [
+        list(c) for c in batch["pq_codes"]
+    ]
