@@ -1715,15 +1715,44 @@ def q_ts_smoothing_family(spark, sf_dir):
     )
 
 
+def q_ts_mv_linear(spark, sf_dir):
+    """MV wide-lag ridge member (models/mv_linear.py — the linear core
+    of the reference SKLearnMV strategy, models.py:164-420): every
+    target regressed on L=2 lags of ALL series, alpha=5 ridge with
+    unpenalized intercept, 7-step JOINT recursion (each step's
+    predictions of every series feed every other's lag vector). One
+    applyInPandas task per MV family; oracle replays the (n·L)² Gram +
+    n-RHS Gauss-Jordan solve and the recursion as a state-carrying
+    recursive CTE (_mv_linear_oracle)."""
+    from scalecast_spark.frame import TimeSeriesFrame
+    from scalecast_spark.models import MODELS
+
+    tsf = TimeSeriesFrame.from_long(_series(spark, sf_dir)).generate_future_dates(7)
+    out = MODELS["mv_linear"](tsf.df, lags=2, alpha=5.0)
+    return _out_ts(
+        _r6(
+            out.filter(F.col("is_future") == 1).select(
+                "series_id", "ds", "forecast"
+            ),
+            "forecast",
+        )
+    )
+
+
 def q_ts_recursive_ols(spark, sf_dir):
-    """Recursive multi-step OLS (mlr) + ridge forecasts in one frame."""
+    """Recursive multi-step OLS (mlr) + ridge + MV wide-lag ridge
+    (round 6: the SKLearnMV linear member, q_ts_mv_linear) forecasts
+    in one frame."""
     a = q_ts_forecast_recursive(spark, sf_dir).select(
         "series_id", "ds", F.col("forecast").alias("fc_mlr")
     )
     b = q_ts_ridge(spark, sf_dir).select(
         "series_id", "ds", F.col("forecast").alias("fc_ridge")
     )
-    return a.join(b, ["series_id", "ds"])
+    c = q_ts_mv_linear(spark, sf_dir).select(
+        "series_id", "ds", F.col("forecast").alias("fc_mv")
+    )
+    return a.join(b, ["series_id", "ds"]).join(c, ["series_id", "ds"])
 
 
 def q_ts_intervals(spark, sf_dir):
@@ -3558,9 +3587,12 @@ def oracle_sql() -> dict[str, str]:
         JOIN ({o["ts_theta"]}) d ON a.series_id = d.series_id AND a.ds = d.ds
     """
     o["ts_recursive_ols"] = f"""
-        SELECT a.series_id, a.ds, a.forecast AS fc_mlr, b.forecast AS fc_ridge
+        SELECT a.series_id, a.ds, a.forecast AS fc_mlr,
+               b.forecast AS fc_ridge, c.forecast AS fc_mv
         FROM ({o["ts_forecast_recursive"]}) a
         JOIN ({o["ts_ridge"]}) b ON a.series_id = b.series_id AND a.ds = b.ds
+        JOIN ({_mv_linear_oracle()}) c
+          ON a.series_id = c.series_id AND a.ds = c.ds
     """
     o["ts_intervals"] = f"""
         SELECT a.series_id, a.step, a.ci_range AS ci_step,
@@ -4902,6 +4934,107 @@ def _gj_dyn(name: str, mat_cte: str, keys: str = "") -> str:
         {name}_fin AS MATERIALIZED (
             SELECT {kp}mat FROM {name} WHERE k = len(mat)
         )"""
+
+
+def _mv_linear_oracle(L: int = 2, alpha: float = 5.0, h: int = 7) -> str:
+    """Oracle for q_ts_mv_linear — full SQL replay of the MV wide-lag
+    ridge (models/mv_linear.mv_linear_fit_forecast): the per-ds series
+    vector is aggregated in series_id order into one [T x n] list
+    matrix, the centered (n·L)² Gram with alpha on the slope diagonal
+    is augmented with ALL n targets' moment columns and solved by the
+    global Gauss-Jordan CTE, and the joint recursion rides a
+    state-carrying recursive CTE (hist = last L rows; each step
+    appends the jointly predicted row and drops the oldest — B / xmu /
+    tmu travel IN the state because DuckDB 1.0 recursion cannot read
+    MATERIALIZED CTEs). Design column c = (l-1)·n + s — lag l of
+    series s, series in series_id order — matching the numpy engine
+    exactly. Dimension-agnostic: n derives from the data, so the same
+    SQL replays the synthetic-SF fixture's 8 series."""
+    a = f"({alpha!r})::DOUBLE"
+
+    def x(i: str, c: str) -> str:
+        # design entry: lag l = (c-1)//n + 1 of series s = (c-1)%n + 1
+        # for window row i (0-based) -> level at time i + L + 1 - l
+        return (
+            f"ym[{i} + {L} + 1 - (({c} - 1) // n + 1)]"
+            f"[({c} - 1) % n + 1]"
+        )
+
+    return f"""
+        WITH RECURSIVE {_SQL_SERIES.strip()},
+        mvw AS MATERIALIZED (
+            SELECT ds, array_agg(y ORDER BY series_id) AS yr
+            FROM series GROUP BY ds
+        ),
+        mvs AS MATERIALIZED (
+            SELECT array_agg(DISTINCT series_id ORDER BY series_id) AS sids,
+                   count(DISTINCT series_id) AS n
+            FROM series
+        ),
+        mvy AS MATERIALIZED (
+            SELECT (SELECT array_agg(yr ORDER BY ds) FROM mvw) AS ym,
+                   (SELECT count(*) FROM mvw) AS T,
+                   (SELECT max(ds) FROM mvw) AS last_ds,
+                   n, sids
+            FROM mvs
+        ),
+        mvmu AS MATERIALIZED (
+            SELECT ym, T, last_ds, sids, n,
+                   n * {L} AS D, T - {L} AS R,
+                   list_transform(range(1, n * {L} + 1), c ->
+                       list_sum(list_transform(range(0, T - {L}), i ->
+                           {x("i", "c")})) / (T - {L})) AS xmu,
+                   list_transform(range(1, n + 1), j ->
+                       list_sum(list_transform(range(0, T - {L}), i ->
+                           ym[i + {L} + 1][j])) / (T - {L})) AS tmu
+            FROM mvy
+        ),
+        mvmat AS (
+            SELECT list_transform(range(1, D + 1), p ->
+                       list_transform(range(1, D + n + 1), c ->
+                           CASE WHEN c <= D THEN
+                               list_sum(list_transform(range(0, R), i ->
+                                   ({x("i", "p")} - xmu[p])
+                                   * ({x("i", "c")} - xmu[c])))
+                               + (CASE WHEN p = c THEN {a}
+                                       ELSE (0.0)::DOUBLE END)
+                           ELSE
+                               list_sum(list_transform(range(0, R), i ->
+                                   ({x("i", "p")} - xmu[p])
+                                   * (ym[i + {L} + 1][c - D] - tmu[c - D])))
+                           END)) AS mat
+            FROM mvmu
+        ),
+        {_gj_dyn("mvgj", "mvmat")},
+        mvfc AS (
+            SELECT 0 AS step,
+                   list_transform(range(m.T - {L} + 1, m.T + 1),
+                       t -> m.ym[t]) AS hist,
+                   g.mat AS B, m.xmu, m.tmu, m.n, m.D, m.last_ds
+            FROM mvmu m, mvgj_fin g
+            UNION ALL
+            SELECT step + 1,
+                   list_append(hist[2:],
+                       list_transform(range(1, n + 1), j ->
+                           tmu[j]
+                           + list_sum(list_transform(range(1, D + 1), c ->
+                               (hist[{L} + 1 - ((c - 1) // n + 1)]
+                                    [(c - 1) % n + 1] - xmu[c])
+                               * B[c][D + j])))),
+                   B, xmu, tmu, n, D, last_ds
+            FROM mvfc WHERE step < {h}
+        )
+        SELECT sj.sid AS series_id,
+               (f.last_ds + f.step * INTERVAL '1 day')::DATE AS ds,
+               round(f.hist[{L}][sj.j], 6) AS forecast
+        FROM mvfc f
+        CROSS JOIN (
+            SELECT unnest(sids) AS sid,
+                   unnest(range(1, n + 1)) AS j
+            FROM mvs
+        ) sj
+        WHERE f.step >= 1
+    """
 
 
 def _gj_glob(name: str, mat_cte: str) -> str:

@@ -27,6 +27,7 @@ from scalecast_spark.models.arima import (
     tbats_model,
 )
 from scalecast_spark.models.vecm import vecm_model
+from scalecast_spark.models.mv_linear import mv_linear_model
 from scalecast_spark.models.svr_sgd import sgd_model, svr_model
 
 #: estimator registry (the reference's cfg.py:26-54 Estimator table);
@@ -54,6 +55,7 @@ MODELS = {
     "prophet": prophet_model,
     "tbats": tbats_model,
     "vecm": vecm_model,
+    "mv_linear": mv_linear_model,
     "svr": svr_model,
     "sgd": sgd_model,
 }
