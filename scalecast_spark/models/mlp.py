@@ -232,6 +232,117 @@ def _bptt_grads(params, Xs, Ts, L, hidden, cell):
     return [gWx, gWh, gb, gW2, gb2]
 
 
+def _train_cell(
+    Xs: np.ndarray,
+    Ts: np.ndarray,
+    L: int,
+    hidden: int,
+    epochs: int,
+    lr: float,
+    seed: int,
+    cell: str,
+    record_loss: bool = False,
+) -> tuple[list, list[float]]:
+    """The make_direct_rnn training loop, extracted verbatim so the
+    loss-history kernel (:func:`rnn_loss_frame`) trains EXACTLY the
+    network the estimator ships — init, clip, Adam step order all
+    bit-identical. Returns (trained params, per-epoch losses — empty
+    unless ``record_loss``; losses are loss(params) BEFORE each
+    epoch's update, the Σerr²/(2·rows) objective the finite-difference
+    gradient check pins)."""
+    rng = np.random.RandomState(seed)
+    rows = len(Xs)
+    G = 4 if cell == "lstm" else 1  # gate multiplier
+    Wx = rng.randn(1, G * hidden) * 0.5
+    Wh = rng.randn(hidden, G * hidden) * np.sqrt(1.0 / hidden)
+    b = np.zeros(G * hidden)
+    if cell == "lstm":
+        b[hidden: 2 * hidden] = 1.0  # forget-gate bias
+    W2 = rng.randn(hidden, Ts.shape[1]) * np.sqrt(1.0 / hidden)
+    b2 = np.zeros(Ts.shape[1])
+    params = [Wx, Wh, b, W2, b2]
+    mom = [np.zeros_like(q) for q in params]
+    vel = [np.zeros_like(q) for q in params]
+    beta1, beta2, eps = 0.9, 0.999, 1e-8
+    losses: list[float] = []
+
+    for step in range(1, epochs + 1):
+        if record_loss:
+            err = _cell_forward(params, Xs, L, hidden, cell) - Ts
+            losses.append(float(np.sum(err * err) / (2.0 * rows)))
+        grads = _clip_global(_bptt_grads(params, Xs, Ts, L, hidden, cell))
+        for idx, g_ in enumerate(grads):
+            mom[idx] = beta1 * mom[idx] + (1 - beta1) * g_
+            vel[idx] = beta2 * vel[idx] + (1 - beta2) * g_ * g_
+            mh = mom[idx] / (1 - beta1**step)
+            vh = vel[idx] / (1 - beta2**step)
+            params[idx] -= lr * mh / (np.sqrt(vh) + eps)
+    return params, losses
+
+
+def rnn_loss_frame(
+    df: DataFrame,
+    lags: int = 7,
+    hidden: int = 16,
+    epochs: int = 300,
+    lr: float = 0.02,
+    cell: str = "rnn",
+    seed: int = 42,
+) -> DataFrame:
+    """Per-epoch training-loss curves for the rnn/lstm estimator, one
+    curve per series — the distributed data source behind
+    plotting.plot_rnn_loss (the reference plots a single TF History,
+    util.py:23-56; here every series trains its own cell inside the
+    kernel, so the loss history is a FRAME: (series_id, epoch, loss)).
+
+    Runs the estimator's exact training (_train_cell — same init,
+    clipping, Adam order) with loss recording on; cost is one extra
+    forward pass per epoch, only when this diagnostic is requested.
+    """
+    import pandas as pd
+    from pyspark.sql import types as T2
+
+    from scalecast_spark.frame import DS, IS_FUTURE, SERIES, Y
+
+    if cell not in ("rnn", "lstm"):
+        raise ValueError(f"cell must be 'rnn' or 'lstm', got {cell!r}")
+    schema = T2.StructType(
+        [
+            T2.StructField(SERIES, df.schema[SERIES].dataType),
+            T2.StructField("epoch", T2.IntegerType()),
+            T2.StructField("loss", T2.DoubleType()),
+        ]
+    )
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(DS)
+        obs = pdf[pdf[IS_FUTURE] == 0] if IS_FUTURE in pdf.columns else pdf
+        y = obs[Y].to_numpy(float)
+        sid = pdf[SERIES].iloc[0]
+        n = len(y)
+        H = 1 if IS_FUTURE not in pdf.columns else max(
+            int((pdf[IS_FUTURE] == 1).sum()), 1
+        )
+        L = max(1, min(lags, n - H - 1))
+        X, T = sliding_windows(y, L, H)
+        if len(X) < 2:
+            return pd.DataFrame({SERIES: [], "epoch": [], "loss": []})
+        xmu, xsd = y.mean(), y.std() or 1.0
+        _, losses = _train_cell(
+            (X - xmu) / xsd, (T - xmu) / xsd, L, hidden, epochs, lr,
+            seed, cell, record_loss=True,
+        )
+        return pd.DataFrame(
+            {
+                SERIES: sid,
+                "epoch": np.arange(1, len(losses) + 1, dtype=np.int32),
+                "loss": losses,
+            }
+        )
+
+    return df.groupBy(SERIES).applyInPandas(run, schema)
+
+
 def make_direct_rnn(
     lags: int = 7, hidden: int = 16, epochs: int = 300, lr: float = 0.02,
     seed: int = 42, cell: str = "rnn",
@@ -263,31 +374,11 @@ def make_direct_rnn(
         X, T = sliding_windows(y, L, H)
         if len(X) < 2:  # degenerate series: flat-line
             return fitted, np.full(h, y[-1] if n else np.nan)
-        rng = np.random.RandomState(seed)
         xmu, xsd = y.mean(), y.std() or 1.0
         Xs, Ts = (X - xmu) / xsd, (T - xmu) / xsd
-        rows = len(Xs)
-        G = 4 if cell == "lstm" else 1  # gate multiplier
-        Wx = rng.randn(1, G * hidden) * 0.5
-        Wh = rng.randn(hidden, G * hidden) * np.sqrt(1.0 / hidden)
-        b = np.zeros(G * hidden)
-        if cell == "lstm":
-            b[hidden: 2 * hidden] = 1.0  # forget-gate bias
-        W2 = rng.randn(hidden, H) * np.sqrt(1.0 / hidden)
-        b2 = np.zeros(H)
-        params = [Wx, Wh, b, W2, b2]
-        mom = [np.zeros_like(q) for q in params]
-        vel = [np.zeros_like(q) for q in params]
-        beta1, beta2, eps = 0.9, 0.999, 1e-8
-
-        for step in range(1, epochs + 1):
-            grads = _clip_global(_bptt_grads(params, Xs, Ts, L, hidden, cell))
-            for idx, g_ in enumerate(grads):
-                mom[idx] = beta1 * mom[idx] + (1 - beta1) * g_
-                vel[idx] = beta2 * vel[idx] + (1 - beta2) * g_ * g_
-                mh = mom[idx] / (1 - beta1**step)
-                vh = vel[idx] / (1 - beta2**step)
-                params[idx] -= lr * mh / (np.sqrt(vh) + eps)
+        params, _ = _train_cell(
+            Xs, Ts, L, hidden, epochs, lr, seed, cell
+        )
 
         def predict(A):
             return _cell_forward(params, A, L, hidden, cell) * xsd + xmu

@@ -504,3 +504,79 @@ def render_stems(
     if path:
         fig.savefig(path)
     return fig
+
+
+def plot_reduction_errors(f, path: str | None = None, title: str | None = None):
+    """Error trajectory of backward feature elimination (reference
+    util.plot_reduction_errors, util.py:85-110): the validation error
+    after each accepted drop recorded by selection.reduce_Xvars
+    (``f.pfi_dropped_vars`` / ``f.pfi_error_values`` — driver-sized
+    lists, one float per drop, so there is nothing to distribute).
+    Returns the matplotlib Figure, or the (n_dropped, error) pairs
+    when matplotlib is absent — same gating contract as render_lines.
+    """
+    dropped = getattr(f, "pfi_dropped_vars", None)
+    errors = getattr(f, "pfi_error_values", None)
+    if errors is None:
+        raise ValueError(
+            "plot_reduction_errors: call selection.reduce_Xvars(f, ...) "
+            "first — it records pfi_dropped_vars / pfi_error_values"
+        )
+    pairs = list(enumerate(errors))
+    plt = _plt()
+    if plt is None:
+        warnings.warn(
+            "matplotlib is not installed — render skipped; returning the "
+            "(n_dropped, error) trajectory"
+        )
+        return pairs
+    fig, ax = plt.subplots(figsize=(12, 6))
+    ax.plot([p[0] for p in pairs], [p[1] for p in pairs], marker="o")
+    for i, name in enumerate(dropped or []):
+        ax.annotate(
+            str(name), (i + 1, errors[i + 1]), fontsize=7, rotation=45
+        )
+    ax.set_xlabel("dropped Xvars")
+    ax.set_ylabel("error")
+    if title:
+        ax.set_title(title)
+    fig.tight_layout()
+    if path:
+        fig.savefig(path)
+    return fig
+
+
+def plot_rnn_loss(
+    loss_frame: DataFrame,
+    title: str | None = None,
+    path: str | None = None,
+):
+    """Training-loss curves of the rnn/lstm estimator (reference
+    util.plot_rnn_loss over one TF History, util.py:23-56) from the
+    (series_id, epoch, loss) frame produced by
+    models.mlp.rnn_loss_frame — one curve per series, because every
+    series trains its own cell inside the kernel. The only driver
+    materialization is the loss frame itself (epochs × series floats).
+    Returns the Figure, or None with a warning when matplotlib is
+    absent (the caller still holds the frame)."""
+    plt = _plt()
+    if plt is None:
+        warnings.warn(
+            "matplotlib is not installed — render skipped; the loss "
+            "frame holds the full payload"
+        )
+        return None
+    pdf = loss_frame.toPandas()
+    fig, ax = plt.subplots(figsize=(12, 6))
+    for sid, grp in pdf.groupby(SERIES):
+        grp = grp.sort_values("epoch")
+        ax.plot(grp["epoch"], grp["loss"], label=str(sid))
+    ax.set_xlabel("epoch")
+    ax.set_ylabel("loss")
+    ax.legend(loc="upper right", fontsize=8)
+    if title:
+        ax.set_title(title)
+    fig.tight_layout()
+    if path:
+        fig.savefig(path)
+    return fig

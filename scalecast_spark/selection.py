@@ -154,6 +154,12 @@ def reduce_Xvars(
     f.set_estimator(estimator)
     feats = list(f.tsf.features)
     best_v = _score(f, feats, val_len)
+    # reduction trajectory (reference pfi_dropped_vars /
+    # pfi_error_values, Forecaster.py:451-631) — consumed by
+    # plotting.plot_reduction_errors; error_values[0] is the
+    # all-features score, then one entry per accepted drop
+    f.pfi_dropped_vars = []
+    f.pfi_error_values = [best_v]
     if method == "shap":
         if estimator not in ("mlr", "ridge", "lasso", "elasticnet", "sgd"):
             raise ValueError(
@@ -176,6 +182,8 @@ def reduce_Xvars(
                 break
             feats = [x for x in feats if x != c]
             best_v = v
+            f.pfi_dropped_vars.append(c)
+            f.pfi_error_values.append(v)
     else:
         while len(feats) > keep_at_least:
             # importance proxy: score WITHOUT each feature; the one
@@ -196,6 +204,8 @@ def reduce_Xvars(
                 break
             feats = [x for x in feats if x != drop_c]
             best_v = v
+            f.pfi_dropped_vars.append(drop_c)
+            f.pfi_error_values.append(v)
     dropped = [c for c in f.tsf.features if c not in feats]
     if dropped:
         f.tsf = f.tsf.drop_features(*dropped)
