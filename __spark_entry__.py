@@ -5219,12 +5219,18 @@ def _direct_member_ctes(p: str, lags: int, alpha: float) -> str:
     """CTE chain replaying one direct-linear family member
     (models/mlp.py make_direct_linear): per series, the sliding-window
     design over L = min(lags, n-8) lags with R = n - L - 6 window rows,
-    the centered ridge Gram [X'X + alpha*I | X'T] with SEVEN right-hand
-    sides (one per horizon step), solved by the keyed multi-RHS
-    Gauss-Jordan CTE. All window math is list arithmetic over the
-    per-series y array — 0-based window start i, 1-based list index:
-    x_j = ya[i+j], target_s = ya[i+L+s]. Emits {p}fc(series_id, step,
-    ds, forecast)."""
+    the centered+standardized ridge Gram [Xs'Xs + alpha*I | Xs'T] with
+    SEVEN right-hand sides (one per horizon step), solved by the keyed
+    multi-RHS Gauss-Jordan CTE. Columns standardize by their population
+    RMS after centering (sx_j = sqrt(Σ_i (x_ij − xmu_j)² / R), zero →
+    1), dividing PER TERM inside the sums exactly as the engine's
+    Xc / sx elementwise divide does — the correlation-scale Gram is
+    what keeps Gauss-Jordan-vs-LAPACK divergence ~1e-10 (the raw
+    level-scale Gram straddled 6 dp at L=14, alpha=1; round-6/7 red
+    row). All window math is list arithmetic over the per-series y
+    array — 0-based window start i, 1-based list index: x_j = ya[i+j],
+    target_s = ya[i+L+s]. Emits {p}fc(series_id, step, ds,
+    forecast)."""
     a = f"({alpha!r})::DOUBLE"
     return f"""
         {p}stats AS MATERIALIZED (
@@ -5247,22 +5253,35 @@ def _direct_member_ctes(p: str, lags: int, alpha: float) -> str:
                            i -> ya[i + L + s])) / R) AS tmu
             FROM {p}stats
         ),
+        {p}sd AS MATERIALIZED (
+            SELECT series_id, ya, n, last_ds, L, R, xmu, tmu,
+                   list_transform(sxx, v ->
+                       CASE WHEN v > 0 THEN sqrt(v / R)
+                            ELSE (1.0)::DOUBLE END) AS sx
+            FROM (
+                SELECT *, list_transform(range(1, L + 1), j ->
+                    list_sum(list_transform(range(0, R), i ->
+                        (ya[i + j] - xmu[j])
+                        * (ya[i + j] - xmu[j])))) AS sxx
+                FROM {p}mu
+            )
+        ),
         {p}mat AS (
             SELECT series_id,
                    list_transform(range(1, L + 1), p ->
                        list_transform(range(1, L + 8), c ->
                            CASE WHEN c <= L THEN
                                list_sum(list_transform(range(0, R), i ->
-                                   (ya[i + p] - xmu[p])
-                                   * (ya[i + c] - xmu[c])))
+                                   ((ya[i + p] - xmu[p]) / sx[p])
+                                   * ((ya[i + c] - xmu[c]) / sx[c])))
                                + (CASE WHEN p = c THEN {a}
                                        ELSE (0.0)::DOUBLE END)
                            ELSE
                                list_sum(list_transform(range(0, R), i ->
-                                   (ya[i + p] - xmu[p])
+                                   ((ya[i + p] - xmu[p]) / sx[p])
                                    * (ya[i + c] - tmu[c - L])))
                            END)) AS mat
-            FROM {p}mu
+            FROM {p}sd
         ),
         {_gj_dyn(p + "gj", p + "mat", "series_id")},
         {p}fc AS (
@@ -5270,9 +5289,9 @@ def _direct_member_ctes(p: str, lags: int, alpha: float) -> str:
                    (m.last_ds + s.step * INTERVAL '1 day')::DATE AS ds,
                    m.tmu[s.step]
                    + list_sum(list_transform(range(1, m.L + 1), j ->
-                       (m.ya[m.n - m.L + j] - m.xmu[j])
+                       ((m.ya[m.n - m.L + j] - m.xmu[j]) / m.sx[j])
                        * g.mat[j][m.L + s.step])) AS forecast
-            FROM {p}mu m
+            FROM {p}sd m
             JOIN {p}gj_fin g USING (series_id)
             CROSS JOIN steps s
         )"""
@@ -5285,9 +5304,15 @@ def _direct_linear_oracle() -> str:
     models/mlp.py make_direct_linear): direct_l7 (L=7, alpha=10) and
     direct_l14 (L=14, alpha=1). After Gauss-Jordan, augmented columns
     L+1..L+7 of each row hold the per-step slope solutions; the
-    forecast re-centers with the step intercept tmu_s. Measured
-    divergence vs the engine's np.linalg.solve: ~1e-12 relative —
-    6dp-safe."""
+    forecast re-scales with sx and re-centers with the step intercept
+    tmu_s. The round-8 standardization (correlation-scale Gram) is
+    what makes the replay 6dp-safe: measured max |engine − oracle|
+    forecast divergence is 7.3e-12 absolute on the sf0.01 fixture and
+    1.2e-10 on the tools/synth_sf.py off-fixture sweep (both members,
+    value scales to ~9e4) — a >4e3 margin under 0.5e-6, per
+    COVERAGE.md's rule. The previous raw-scale Gram (~1e8 entries at
+    L=14, alpha=1) diverged up to 3e-6 and straddled 6 dp (round-6/7
+    red row)."""
     return f"""
         WITH RECURSIVE {_SQL_SERIES.strip()},
         steps AS (SELECT unnest(range(1, 8)) AS step),

@@ -440,13 +440,25 @@ def make_direct_linear(lags: int = 7, alpha: float = 10.0):
     (reference models.py:651-671 sliding-window input/target
     matrices): the SAME sliding-window design X (rows, L) the network
     members train on, but with the H-column target matrix fit by ONE
-    centered normal-equations solve with H right-hand sides (X'X is
-    shared across the horizon steps; only X'T_h differs), intercept
-    unpenalized via centering. Closed form => SQL-restatable: the
-    q_ts_forecast_direct oracle replays the multi-RHS solve with the
-    keyed Gauss-Jordan CTE (_gj_dyn). ``alpha > 0`` keeps the Gram SPD
-    on any input (constant series included), so neither side needs a
-    degenerate-fallback branch."""
+    centered+STANDARDIZED normal-equations solve with H right-hand
+    sides (X'X is shared across the horizon steps; only X'T_h
+    differs), intercept unpenalized via centering. Closed form =>
+    SQL-restatable: the q_ts_forecast_direct oracle replays the
+    multi-RHS solve with the keyed Gauss-Jordan CTE (_gj_dyn).
+    ``alpha > 0`` keeps the Gram SPD on any input (constant series
+    included; zero-variance columns get scale 1), so neither side
+    needs a degenerate-fallback branch.
+
+    Columns are standardized (divided by their population RMS after
+    centering) before the Gram — the standard ridge convention (the
+    penalty is scale-equivariant), and load-bearing for the
+    correctness gate: on raw level-scale series the centered Gram has
+    ~1e8-scale entries, and with small alpha the Gauss-Jordan replay
+    vs np.linalg.solve diverged up to 3e-6 absolute in the forecasts
+    (round-6/7 red row, 18/70 values straddling 6 dp). The
+    correlation-scale Gram keeps engine-vs-oracle divergence ~1e-10
+    absolute (measured, tools/synth_sf.py sweep) — >2e3 margin under
+    the 6 dp rounding per COVERAGE.md's convention."""
 
     def model_fn(y: np.ndarray, h: int):
         y = np.asarray(y, dtype=float)
@@ -460,12 +472,18 @@ def make_direct_linear(lags: int = 7, alpha: float = 10.0):
         xmu = X.mean(axis=0)
         tmu = T.mean(axis=0)
         Xc = X - xmu
-        G = Xc.T @ Xc + alpha * np.eye(L)
-        B = np.linalg.solve(G, Xc.T @ (T - tmu))  # (L, H) multi-RHS
+        # population RMS of each centered column (explicit formula so
+        # the SQL replay states the identical arithmetic; np.std would
+        # re-center internally)
+        sx = np.sqrt((Xc * Xc).sum(axis=0) / len(Xc))
+        sx[sx == 0.0] = 1.0
+        Xs = Xc / sx
+        G = Xs.T @ Xs + alpha * np.eye(L)
+        B = np.linalg.solve(G, Xs.T @ (T - tmu))  # (L, H) multi-RHS
         Xin, _ = sliding_windows(y, L, 1)
         if len(Xin):  # 1-step direct output = fitted (parity with MLP)
-            fitted[L:] = (Xin - xmu) @ B[:, 0] + tmu[0]
-        fc = (y[n - L:] - xmu) @ B + tmu
+            fitted[L:] = ((Xin - xmu) / sx) @ B[:, 0] + tmu[0]
+        fc = ((y[n - L:] - xmu) / sx) @ B + tmu
         if h > H:
             fc = np.concatenate([fc, np.full(h - H, fc[-1])])
         return fitted, fc[:h]

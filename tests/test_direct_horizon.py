@@ -170,7 +170,10 @@ def test_direct_linear_exact_on_trend():
 
 def test_direct_linear_matches_independent_solve():
     """Member parity vs an independently-built normal-equations solve
-    (lstsq on the augmented centered system) on noisy data."""
+    (lstsq on the augmented centered+standardized system) on noisy
+    data — the ridge is defined in the standardized column space
+    (round 8; the correlation-scale Gram is what keeps the SQL replay
+    inside 6 dp)."""
     from scalecast_spark.models.mlp import make_direct_linear
 
     rng = np.random.RandomState(7)
@@ -179,12 +182,14 @@ def test_direct_linear_matches_independent_solve():
     X, T = sliding_windows(y, L, H)
     xmu, tmu = X.mean(0), T.mean(0)
     Xc, Tc = X - xmu, T - tmu
+    sx = np.sqrt((Xc * Xc).sum(0) / len(Xc))
+    sx[sx == 0.0] = 1.0
     B = np.linalg.lstsq(
-        np.vstack([Xc, np.sqrt(alpha) * np.eye(L)]),
+        np.vstack([Xc / sx, np.sqrt(alpha) * np.eye(L)]),
         np.vstack([Tc, np.zeros((L, H))]),
         rcond=None,
     )[0]
-    want = (y[-L:] - xmu) @ B + tmu
+    want = ((y[-L:] - xmu) / sx) @ B + tmu
     _, fc = make_direct_linear(lags=L, alpha=alpha)(y, H)
     np.testing.assert_allclose(fc, want, rtol=1e-9)
 
