@@ -42,7 +42,13 @@ HEADLINE = {
     "docs_sample": "q_docs_sample_strat",
     "corpus_select": "q_docs_sample",
     "sim_cosine_topk": "q_sim_cosine_topk",
-    "sim_ivfpq": "q_sim_ivfpq_topk",
+    # round 8: the ivfpq line item split into its two real phases —
+    # build (train + encode + persist, forced fresh each run) and
+    # serve (ADC search over the persisted code table, no rebuild).
+    # Bench order guarantees build runs first so serve's cache hit is
+    # the deployment shape, not an accident.
+    "sim_ivfpq_build": "q_sim_ivfpq_build",
+    "sim_ivfpq_serve": "q_sim_ivfpq_serve",
     "emb_norms": "q_emb_norms",
     "emb_kmeans": "q_emb_kmeans",
     "emb_hashdoc": "q_emb_hashdoc_pairs",

@@ -741,6 +741,158 @@ def ivfpq_encode(
     )
 
 
+def _adc_cosine_sql(
+    qv: list[float],
+    cents,
+    books,
+    residual: bool,
+    cell_expr: str,
+    code_exprs: list[str],
+) -> str:
+    """Asymmetric-distance cosine score as ONE SQL expression over a
+    row that already carries its IVF cell (``cell_expr``, 1-based int)
+    and its m PQ codes (``code_exprs[s]``, 1-based). Shared by
+    :func:`ivfpq_topk` (codes as freshly-encoded ``_code{s}`` columns)
+    and :func:`ivfpq_search` (codes as ``element_at`` into a persisted
+    array), so serve-side scoring is bit-identical to build-side.
+
+    The query precomputes driver-side lookup tables — subspace dots
+    t_dot (m × ksub) and codeword norms² t_n2 — so scoring a vector is
+    m ``element_at`` lookups into literal arrays, pure JVM arithmetic
+    inside codegen. ``residual`` adds the per-cell reconstruction
+    terms: q·v̂ = q·c + Σ tdot[code], ‖v̂‖² = ‖c‖² + 2·Σ c_sub·cw[code]
+    + Σ ‖cw[code]‖² (Jégou et al. 2011 §IV)."""
+    m = len(books)
+    d = len(cents[0][1])
+    sub = d // m
+    qn = float(np.sqrt(sum(x * x for x in qv)))
+    t_dot = [
+        [
+            sum(qv[s * sub + j] * cv[j] for j in range(sub))
+            for _, cv in books[s]
+        ]
+        for s in range(m)
+    ]
+    t_n2 = [
+        [sum(x * x for x in cv) for _, cv in books[s]] for s in range(m)
+    ]
+    adot_sql = " + ".join(
+        f"element_at({_vec_sql(t_dot[s])}, {code_exprs[s]})"
+        for s in range(m)
+    )
+    rn2_sql = " + ".join(
+        f"element_at({_vec_sql(t_n2[s])}, {code_exprs[s]})"
+        for s in range(m)
+    )
+    if residual:
+        # reconstruction v̂ = c + r̂: q·v̂ gains the per-cell offset
+        # q·c; ‖v̂‖² gains ‖c‖² and the 2·c·r̂ cross terms (per-cell
+        # per-subspace lookup tables)
+        qdotc = [float(np.dot(qv, np.asarray(cv))) for _, cv in cents]
+        cn2 = [float(np.dot(cv, cv)) for _, cv in cents]
+        cdot = [
+            _mat_sql(
+                [
+                    [
+                        sum(
+                            cv[s * sub + j] * bw[j]
+                            for j in range(sub)
+                        )
+                        for _, bw in books[s]
+                    ]
+                    for _, cv in cents
+                ]
+            )
+            for s in range(m)
+        ]
+        adot_sql = f"element_at({_vec_sql(qdotc)}, {cell_expr}) + {adot_sql}"
+        cross_sql = " + ".join(
+            f"element_at(element_at({cdot[s]}, {cell_expr}), {code_exprs[s]})"
+            for s in range(m)
+        )
+        rn2_sql = (
+            f"element_at({_vec_sql(cn2)}, {cell_expr}) "
+            f"+ 2.0 * ({cross_sql}) + {rn2_sql}"
+        )
+    return (
+        f"round(try_divide(cast(0.0 as double) + {adot_sql}, "
+        f"{_dlit(qn)} * sqrt(greatest(cast(0.0 as double) + {rn2_sql}, "
+        f"0.0))), 6)"
+    )
+
+
+def ivfpq_search(
+    codes_df: DataFrame,
+    cents,
+    books,
+    query: list[float],
+    k: int = 10,
+    nprobe: int = 2,
+    refine: int = 4,
+    residual: bool = False,
+    id_col: str = "vec_id",
+    cell_col: str = "cell",
+    code_col: str = "pq_codes",
+    vec_col: str | None = None,
+) -> DataFrame:
+    """Serve-side IVF-PQ search over a PERSISTED code table — the
+    missing half of :func:`ivfpq_encode`: the corpus was encoded ONCE
+    to (id, cell, pq_codes) and saved (m bytes/vector); each query now
+    costs one cell-pruned scan of the code table scored by ADC lookups
+    — NO index rebuild, NO re-encode, NO raw-vector read.
+
+    This is the 100 TB serving economics the ivfpq recipe exists for:
+    a 1 B × 64-dim float corpus is 256 GB of vectors but 8 GB of codes
+    at m=8; Q queries against :func:`ivfpq_topk` pay Q index builds
+    (training scans included), against this function they pay Q code-
+    table scans of nprobe/n_cells of 8 GB. The parquet reader prunes
+    on ``cell`` (partition or min/max pruning when the table is
+    written partitioned/sorted by cell), and the score is m
+    ``element_at`` lookups into literal arrays inside codegen.
+
+    ``vec_col`` (optional): if the code table kept the raw vectors,
+    the top ``k*refine`` ADC candidates are exactly re-ranked by true
+    cosine — with the same index this returns BIT-identically what
+    :func:`ivfpq_topk` returns (asserted in tests/test_pq_stream.py),
+    so the gate's ivfpq hash also certifies this path. Without
+    ``vec_col`` the ADC score itself ranks (codes-only deployment);
+    column ``adc_sim`` holds the 6dp-rounded approximate cosine.
+
+    ``cents`` / ``books`` / ``residual`` must be the SAME artifacts
+    and mode the table was encoded with (persist them next to the
+    table via ``artifacts.save_centroids`` / ``save_pq_codebooks``).
+    """
+    m = len(books)
+    qv = [float(x) for x in query]
+    ranked = sorted(
+        cents, key=lambda c: (-float(np.dot(qv, np.asarray(c[1]))), c[0])
+    )
+    probe = {ci for ci, _ in ranked[:nprobe]}
+    adc_sql = _adc_cosine_sql(
+        qv, cents, books, residual,
+        cell_expr=f"cast({cell_col} as int)",
+        code_exprs=[f"element_at({code_col}, {s + 1})" for s in range(m)],
+    )
+    out = codes_df.filter(F.col(cell_col).isin(*probe))
+    if vec_col is None:
+        return (
+            out.selectExpr(id_col, f"{adc_sql} AS adc_sim")
+            .orderBy(F.desc("adc_sim"), id_col)
+            .limit(k)
+        )
+    cand = (
+        out.selectExpr(id_col, vec_col, f"{adc_sql} AS _adc")
+        .orderBy(F.desc("_adc"), id_col)
+        .limit(k * refine)
+    )
+    sim = cosine_similarity_col(F.col(vec_col).cast("array<double>"), qv)
+    return (
+        cand.select(id_col, F.round(sim, 6).alias("cosine_sim"))
+        .orderBy(F.desc("cosine_sim"), id_col)
+        .limit(k)
+    )
+
+
 def ivfpq_topk(
     df: DataFrame,
     query: list[float],
@@ -754,6 +906,8 @@ def ivfpq_topk(
     id_col: str = "vec_id",
     residual: bool = False,
     train_iters: int = 0,
+    cents=None,
+    books=None,
 ) -> DataFrame:
     """IVF-PQ ANN (the FAISS IVFPQ recipe): coarse-quantize to
     ``n_cells`` IVF cells, PQ-encode every vector to ``m`` sub-codes
@@ -790,19 +944,30 @@ def ivfpq_topk(
     budget. Every variant stays deterministic end-to-end (md5 seeds +
     posexplode-avg means + 6dp-rounded ADC ranking with id tie-break);
     the sim_topk family oracle restates the residual+trained
-    configuration, unrolling the training iterations in SQL."""
-    cents = ivf_centroids(df, n_cells, vec_col, id_col)
-    if train_iters > 0:
-        books = pq_codebooks_trained(
-            df, m, ksub, train_iters, vec_col, id_col,
-            cents=cents if residual else None,
-        )
-    else:
-        books = (
-            pq_codebooks_residual(df, cents, m, ksub, vec_col, id_col)
-            if residual
-            else pq_codebooks(df, m, ksub, vec_col, id_col)
-        )
+    configuration, unrolling the training iterations in SQL.
+
+    ``cents=`` / ``books=`` (round 8) pass a PREBUILT index through —
+    e.g. from ``artifacts.load_centroids`` / ``load_pq_codebooks`` —
+    so the (training-scan-heavy) index build is paid once, not once
+    per query; ``n_cells`` / ``ksub`` / ``train_iters`` are ignored
+    when both are given. For a corpus already PQ-encoded by
+    :func:`ivfpq_encode`, skip the encode too: :func:`ivfpq_search`
+    serves straight off the (id, cell, codes) table."""
+    if cents is None:
+        cents = ivf_centroids(df, n_cells, vec_col, id_col)
+    if books is None:
+        if train_iters > 0:
+            books = pq_codebooks_trained(
+                df, m, ksub, train_iters, vec_col, id_col,
+                cents=cents if residual else None,
+            )
+        else:
+            books = (
+                pq_codebooks_residual(df, cents, m, ksub, vec_col, id_col)
+                if residual
+                else pq_codebooks(df, m, ksub, vec_col, id_col)
+            )
+    m = len(books)
     d = len(query)
     sub = d // m
     qv = [float(x) for x in query]
@@ -811,66 +976,18 @@ def ivfpq_topk(
         cents, key=lambda c: (-float(np.dot(qv, np.asarray(c[1]))), c[0])
     )
     probe = {ci for ci, _ in ranked[:nprobe]}
-    # ADC lookup tables (driver-side, m×ksub floats): subspace dot with
-    # the query, and codeword norm² for the reconstruction norm
-    t_dot = [
-        [
-            sum(qv[s * sub + j] * cv[j] for j in range(sub))
-            for _, cv in books[s]
-        ]
-        for s in range(m)
-    ]
-    t_n2 = [
-        [sum(x * x for x in cv) for _, cv in books[s]] for s in range(m)
-    ]
     vec = F.col(vec_col).cast("array<double>")
     out = df.withColumn("_cell", _cell_of(vec, cents)).filter(
         F.col("_cell").isin(*probe)
     )
     out = _pq_encode_cols(out, cents, books, vec_col, residual)
-    adot_sql = " + ".join(
-        f"element_at({_vec_sql(t_dot[s])}, _code{s})" for s in range(m)
-    )
-    rn2_sql = " + ".join(
-        f"element_at({_vec_sql(t_n2[s])}, _code{s})" for s in range(m)
-    )
-    if residual:
-        # reconstruction v̂ = c + r̂: q·v̂ gains the per-cell offset
-        # q·c; ‖v̂‖² gains ‖c‖² and the 2·c·r̂ cross terms (per-cell
-        # per-subspace lookup tables)
-        qdotc = [float(np.dot(qv, np.asarray(cv))) for _, cv in cents]
-        cn2 = [float(np.dot(cv, cv)) for _, cv in cents]
-        cdot = [
-            _mat_sql(
-                [
-                    [
-                        sum(
-                            cv[s * sub + j] * bw[j]
-                            for j in range(sub)
-                        )
-                        for _, bw in books[s]
-                    ]
-                    for _, cv in cents
-                ]
-            )
-            for s in range(m)
-        ]
-        adot_sql = f"element_at({_vec_sql(qdotc)}, cast(_cell as int)) + {adot_sql}"
-        cross_sql = " + ".join(
-            f"element_at(element_at({cdot[s]}, cast(_cell as int)), _code{s})"
-            for s in range(m)
-        )
-        rn2_sql = (
-            f"element_at({_vec_sql(cn2)}, cast(_cell as int)) "
-            f"+ 2.0 * ({cross_sql}) + {rn2_sql}"
-        )
-    adc_sql = (
-        f"round(try_divide(cast(0.0 as double) + {adot_sql}, "
-        f"{_dlit(qn)} * sqrt(greatest(cast(0.0 as double) + {rn2_sql}, "
-        f"0.0))), 6) AS _adc"
+    adc_sql = _adc_cosine_sql(
+        qv, cents, books, residual,
+        cell_expr="cast(_cell as int)",
+        code_exprs=[f"_code{s}" for s in range(m)],
     )
     cand = (
-        out.selectExpr(id_col, vec_col, adc_sql)
+        out.selectExpr(id_col, vec_col, f"{adc_sql} AS _adc")
         .orderBy(F.desc("_adc"), id_col)
         .limit(k * refine)
     )

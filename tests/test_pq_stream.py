@@ -165,3 +165,92 @@ def test_stream_encode_bit_identical_to_batch(
     assert [list(c) for c in got["pq_codes"]] == [
         list(c) for c in batch["pq_codes"]
     ]
+
+
+@pytest.mark.parametrize("residual", [False, True])
+def test_search_over_code_table_matches_topk(index_art, residual):
+    """Serve-side path (round 8): ivfpq_search over the persisted
+    (id, cell, pq_codes) table, with the raw vectors kept for the
+    exact re-rank, returns BIT-identically what ivfpq_topk returns
+    against the same prebuilt index — the gate's ivfpq hash therefore
+    certifies the serve path too."""
+    from scalecast_spark.datapipe.similarity import ivfpq_search, ivfpq_topk
+
+    cp, bp, rp, emb = index_art
+    cents = load_centroids(cp)
+    books = load_pq_codebooks(rp if residual else bp)
+    q = [float(x) for x in
+         emb.orderBy("doc_id").select("embedding").limit(1).collect()[0][0]]
+    via_topk = ivfpq_topk(
+        emb, q, k=5, nprobe=2, residual=residual,
+        cents=cents, books=books, id_col="doc_id",
+    ).collect()
+    codes = ivfpq_encode(emb, cents, books, residual=residual)
+    via_search = ivfpq_search(
+        codes, cents, books, q, k=5, nprobe=2, residual=residual,
+        id_col="doc_id", vec_col="embedding",
+    ).collect()
+    assert [r.asDict() for r in via_topk] == [r.asDict() for r in via_search]
+    assert len(via_topk) == 5
+
+
+def test_search_codes_only_no_vectors(index_art):
+    """Codes-only deployment: search a code table that DROPPED the
+    raw vectors (the m-bytes/vector serving shape) — ADC rank only,
+    schema (id, adc_sim), candidates confined to the probed cells."""
+    from scalecast_spark.datapipe.similarity import ivfpq_search
+
+    cp, bp, _, emb = index_art
+    cents, books = load_centroids(cp), load_pq_codebooks(bp)
+    q = [float(x) for x in
+         emb.orderBy("doc_id").select("embedding").limit(1).collect()[0][0]]
+    codes = ivfpq_encode(emb, cents, books).select(
+        "doc_id", "cell", "pq_codes"
+    )
+    got = ivfpq_search(
+        codes, cents, books, q, k=5, nprobe=2, id_col="doc_id"
+    )
+    assert got.columns == ["doc_id", "adc_sim"]
+    rows = got.collect()
+    assert len(rows) == 5
+    sims = [r["adc_sim"] for r in rows]
+    assert sims == sorted(sims, reverse=True)
+    # self-query: the query vector's own doc must surface
+    assert rows[0]["doc_id"] == 0
+
+
+def test_stream_encoded_table_searchable(spark, sf_dir, index_art):
+    """End-to-end crawl-increment + serve: the STREAM-encoded code
+    table (ivfpq_encode_stream drain) searches identically to the
+    batch-encoded one — encode bit-parity extends through the serve
+    path."""
+    from scalecast_spark.datapipe.similarity import ivfpq_search
+    from scalecast_spark.streaming import (
+        ivfpq_encode_stream,
+        run_available_now,
+        stream_documents,
+    )
+
+    cp, bp, _, emb = index_art
+    cents, books = load_centroids(cp), load_pq_codebooks(bp)
+    q = [float(x) for x in
+         emb.orderBy("doc_id").select("embedding").limit(1).collect()[0][0]]
+    stream = ivfpq_encode_stream(
+        stream_documents(spark, f"{sf_dir}/documents.parquet"),
+        cp, bp, dim=DIM,
+    ).select("doc_id", "cell", "pq_codes")
+    with tempfile.TemporaryDirectory() as ckpt:
+        drained = run_available_now(
+            stream, "q_pq_serve_stream", ckpt, output_mode="append"
+        ).filter(F.col("pq_codes").isNotNull())
+        drained = spark.createDataFrame(drained.toPandas())
+        got = ivfpq_search(
+            drained, cents, books, q, k=5, nprobe=2, id_col="doc_id"
+        ).collect()
+    batch_codes = ivfpq_encode(emb, cents, books).select(
+        "doc_id", "cell", "pq_codes"
+    )
+    want = ivfpq_search(
+        batch_codes, cents, books, q, k=5, nprobe=2, id_col="doc_id"
+    ).collect()
+    assert [r.asDict() for r in got] == [r.asDict() for r in want]
