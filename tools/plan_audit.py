@@ -44,6 +44,9 @@ AUDIT = [
     # rather than queries() keys — resolved via EXTRA below
     "emb_hashdoc",
     "sim_ivfpq_residual",
+    "sim_ivfpq_trained",
+    "sim_ivfpq_serve",
+    "ts_mv_linear",
     "embed_sparse_d512",
 ]
 
@@ -73,10 +76,40 @@ def _q_embed_sparse_d512(spark, sf_dir):
     return embed_docs(entrymod._docs(spark, sf_dir), dim=512)
 
 
+def _q_sim_ivfpq_trained(spark, sf_dir):
+    """The gate's trained-residual ivfpq configuration (round 8):
+    ADC query plan against the shared prebuilt trained index
+    (cents=/books= pass-through). NOTE the training loop itself is
+    NOT auditable by plan markers — its round-6 75x regression was
+    pure per-row expression cost on a clean-looking plan — so the
+    training path is guarded by the scale_probe trainer-throughput
+    floor instead (tools/scale_probe.py TRAINER_FLOORS)."""
+    return entrymod.q_sim_ivfpq_topk(spark, sf_dir)
+
+
+def _q_sim_ivfpq_serve(spark, sf_dir):
+    """Serve-side search over the persisted code table (round 8,
+    similarity.ivfpq_search): the plan must be a cell-filtered
+    parquet scan of (id, cell, codes) + literal-lookup ADC + two
+    top-k heaps — no join, no shuffle, no rebuild."""
+    return entrymod.q_sim_ivfpq_serve(spark, sf_dir)
+
+
+def _q_ts_mv_linear(spark, sf_dir):
+    """The SKLearnMV wide-lag joint-recursion member of
+    ts_recursive_ols (models/mv_linear.py) — audited standalone per
+    the round-7 verdict so the pivot-to-wide + per-fold solve path
+    has its own PLANS.md row."""
+    return entrymod.q_ts_mv_linear(spark, sf_dir)
+
+
 #: AUDIT names that are not queries() keys -> direct callables
 EXTRA = {
     "emb_hashdoc": lambda s, d: entrymod.q_emb_hashdoc_pairs(s, d),
     "sim_ivfpq_residual": _q_sim_ivfpq_residual,
+    "sim_ivfpq_trained": _q_sim_ivfpq_trained,
+    "sim_ivfpq_serve": _q_sim_ivfpq_serve,
+    "ts_mv_linear": _q_ts_mv_linear,
     "embed_sparse_d512": _q_embed_sparse_d512,
 }
 

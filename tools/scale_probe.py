@@ -214,6 +214,81 @@ def embeddings_pipeline(emb):
     return marked.select("vec_id").unionByName(top.select("vec_id"))
 
 
+#: Iterative index/model BUILDERS: wall-time per input row is the
+#: scale signal the plan-marker audit cannot see — the round-6
+#: pq_codebooks_trained regression (~34 ms/row, 87 s of the sf0.1
+#: bench) passed every 0-rowUDF / no-NLJ check because the damage was
+#: per-row interpreted-expression cost on a clean-looking plan.
+#: Floors are input rows/sec on the 16x replica corpus (fixed plan-
+#: compile cost amortized), set ~10x under the measured post-fix
+#: throughput and ~100x ABOVE the regressed one, so the probe fails
+#: loudly on a reintroduced per-row expression stack without tripping
+#: on host jitter. Round-8 measurements at 16x (32k vectors, 64-dim):
+#: pq_train ~5.5k rows/s (regressed round-6 code: ~30 rows/s),
+#: kmeans_train ~12k rows/s.
+TRAINER_FLOORS = {"pq_train": 700.0, "kmeans_train": 900.0}
+
+
+def pq_train_builder(emb):
+    """2 Lloyd iterations of residual PQ codebook training (the
+    round-6 regression site, similarity.pq_codebooks_trained)."""
+    from scalecast_spark.datapipe.similarity import (
+        ivf_centroids,
+        pq_codebooks_trained,
+    )
+
+    cents = ivf_centroids(emb, 8, "embedding", "vec_id")
+    books = pq_codebooks_trained(
+        emb, 8, 16, 2, "embedding", "vec_id", cents=cents
+    )
+    return sum(len(b) for b in books)
+
+
+def kmeans_train_builder(emb):
+    """2 Lloyd iterations of full-vector k-means
+    (cluster.kmeans_embeddings vectorized path)."""
+    from scalecast_spark.datapipe.cluster import kmeans_embeddings
+
+    return kmeans_embeddings(emb, k=8, n_iter=2, vectorized=True).count()
+
+
+def trainer_probe(spark, sf_dir, scratch) -> bool:
+    """Throughput floor for iterative builders; returns True if every
+    trainer clears its TRAINER_FLOORS rows/sec on the 16x replica."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    e0 = emb.count()
+    path = f"{scratch}/trainer_16"
+    replicate_emb(emb, 16).repartition(32).write.mode("overwrite").parquet(path)
+    d = spark.read.parquet(path)
+    rows = e0 * 16
+    ok = True
+    print(f"\ntrainer-throughput floor (16x = {rows} vectors; "
+          f"min of 2 runs; FAIL below floor)")
+    print(f"{'trainer':<14} {'sec':>7} {'rows/s':>9} {'floor':>7}  verdict")
+    for name, fn in [("pq_train", pq_train_builder),
+                     ("kmeans_train", kmeans_train_builder)]:
+        dt = min(_timed(lambda x: _as_counted(fn, x), d)[0] for _ in range(2))
+        rps = rows / dt
+        floor = TRAINER_FLOORS[name]
+        verdict = "ok" if rps >= floor else "FAIL (scale-killer)"
+        ok = ok and rps >= floor
+        print(f"{name:<14} {dt:>7.2f} {rps:>9.0f} {floor:>7.0f}  {verdict}",
+              flush=True)
+    return ok
+
+
+class _Counted:
+    def __init__(self, n):
+        self._n = n
+
+    def count(self):
+        return self._n
+
+
+def _as_counted(fn, d):
+    return _Counted(fn(d))
+
+
 def main():
     import shutil
 
@@ -280,8 +355,13 @@ def main():
             print(f"{'embedding':<10} {'rotate':<7} {factor:>6} "
                   f"{e0 * factor:>8} {out_rows:>9} {dt:>7.2f} "
                   f"{dt / base_t:>7.2f}", flush=True)
+        trainers_ok = trainer_probe(spark, sf_dir, scratch)
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
+    if not trainers_ok:
+        print("\nTRAINER FLOOR VIOLATED — an iterative builder fell "
+              "below its rows/sec floor (see TRAINER_FLOORS docstring)")
+        sys.exit(1)
 
 
 def _timed(fn, d):
