@@ -1031,7 +1031,8 @@ def _ivfpq_index(spark, sf_dir, rebuild: bool = False):
         (
             ivfpq_encode(emb, cents, books, residual=True)
             .write.mode("overwrite")
-            .parquet(path)
+            .partitionBy("cell")  # directory pruning: a query scans
+            .parquet(path)  # only its nprobe/n_cells of the table
         )
         _IVFPQ_IDX[sf_dir] = (cents, books, qv, path)
     return _IVFPQ_IDX[sf_dir]

@@ -158,6 +158,9 @@ def audit_plan(plan: str) -> dict:
         "pushed": sorted(
             set(re.findall(r"PushedFilters: \[([^\]]*)\]", plan)) - {""}
         )[:2],
+        "partition_filters": sorted(
+            set(re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)) - {""}
+        )[:2],
         "readschema": sorted(
             set(m[:100] for m in re.findall(r"ReadSchema: struct<([^>]*)", plan))
         )[:2],
@@ -205,9 +208,14 @@ def main():
             f"| {a['codegen']} | {'y' if a['topk'] else ''} "
             f"| {a['python_udf']} | {a['arrow_udf']} |"
         )
-        if a["pushed"] or a["readschema"]:
+        if a["pushed"] or a["readschema"] or a["partition_filters"]:
+            pf = (
+                f" PartitionFilters {a['partition_filters']!r};"
+                if a["partition_filters"]
+                else ""
+            )
             details.append(
-                f"- **{name}**: PushedFilters {a['pushed']!r}; "
+                f"- **{name}**: PushedFilters {a['pushed']!r};{pf} "
                 f"ReadSchema {a['readschema']!r}"
             )
     lines += [
