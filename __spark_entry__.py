@@ -1070,6 +1070,30 @@ def q_sim_ivfpq_build(spark, sf_dir):
     return spark.read.parquet(path)
 
 
+def q_sim_ivfpq_serve_batch(spark, sf_dir):
+    """BENCH-ONLY: batch ANN serving (similarity.ivfpq_search_batch) —
+    64 queries scored against the persisted code table in ONE job.
+    The per-query ADC tables and probe sets move in-plan (transforms
+    over the literal index), queries broadcast, the code-table scan is
+    shared by all 64 and dynamic-partition-pruned to the union of
+    probed cells, and per-query top-k is a map-side-limited window.
+    Wall time should sit far under 64 × the single-query serve cost —
+    that ratio IS the batch-serving economics."""
+    from scalecast_spark.datapipe.similarity import ivfpq_search_batch
+
+    cents, books, _, path = _ivfpq_index(spark, sf_dir)
+    queries = (
+        _emb(spark, sf_dir)
+        .orderBy("vec_id")
+        .limit(64)
+        .selectExpr("vec_id AS query_id", "embedding")
+    )
+    return ivfpq_search_batch(
+        spark.read.parquet(path), queries, cents, books, k=10, nprobe=2,
+        residual=True, vec_col="embedding",
+    )
+
+
 def q_sim_ivfpq_serve(spark, sf_dir):
     """Serve-side ANN search over the PERSISTED code table
     (datapipe/similarity.ivfpq_search): ADC scoring of the saved

@@ -49,6 +49,7 @@ HEADLINE = {
     # the deployment shape, not an accident.
     "sim_ivfpq_build": "q_sim_ivfpq_build",
     "sim_ivfpq_serve": "q_sim_ivfpq_serve",
+    "sim_ivfpq_serve_batch": "q_sim_ivfpq_serve_batch",
     "emb_norms": "q_emb_norms",
     "emb_kmeans": "q_emb_kmeans",
     "emb_hashdoc": "q_emb_hashdoc_pairs",

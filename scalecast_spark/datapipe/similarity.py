@@ -893,6 +893,179 @@ def ivfpq_search(
     )
 
 
+def ivfpq_search_batch(
+    codes_df: DataFrame,
+    queries_df: DataFrame,
+    cents,
+    books,
+    k: int = 10,
+    nprobe: int = 2,
+    refine: int = 4,
+    residual: bool = False,
+    id_col: str = "vec_id",
+    cell_col: str = "cell",
+    code_col: str = "pq_codes",
+    qid_col: str = "query_id",
+    qvec_col: str = "embedding",
+    vec_col: str | None = None,
+) -> DataFrame:
+    """BATCH serve: score a whole frame of queries against the
+    persisted code table in ONE job — the throughput shape of real ANN
+    serving, where queries arrive thousands at a time and per-query
+    driver round-trips (:func:`ivfpq_search` builds its ADC tables and
+    probe set driver-side) would dominate.
+
+    Everything the single-query path precomputes on the driver moves
+    in-plan, per QUERY ROW, against the literal index tables:
+      * centroid dots + top-``nprobe`` probe cells — ``transform`` over
+        the literal centroid matrix, ``array_sort`` on (-dot, cell)
+        structs (the single-query tie-break), ``slice`` nprobe;
+      * the (m × ksub) ADC dot tables — one ``transform`` per subspace
+        over the literal codebooks against the query's slice.
+    Queries then ``explode`` to (query, probed cell) rows and
+    BROADCAST-join the code table on ``cell`` — the big side streams,
+    never shuffles, and each code-table row is scored for every query
+    probing its cell by m ``element_at`` lookups into the query row's
+    own table columns. Per-query top-k is a ``row_number`` window over
+    (qid) — the only shuffle, keyed by query, and the rank filter
+    compiles to map-side WindowGroupLimit (Spark 3.5+), so each input
+    partition ships at most k·refine rows per query, never the full
+    candidate set. On a cell-partitioned code table the broadcast side
+    also drives DYNAMIC partition pruning: the scan reads only the
+    union of probed cells, verified in the physical plan
+    (PartitionFilters: ... dynamicpruning#...).
+
+    Scale: |Q| queries × nprobe cells fan the broadcast side to
+    |Q|·nprobe rows (tables: m·ksub doubles each) — thousands of
+    queries fit in one broadcast comfortably; the code-table scan is
+    shared by ALL of them, vs Q separate cell-pruned scans for Q
+    single-query calls. With ``vec_col`` the top k·refine per query
+    exactly re-rank by true cosine (both arrays in-plan).
+
+    Same ADC arithmetic and 6dp rounding as :func:`ivfpq_search`;
+    per-query results match the single-query path (parity-tested in
+    tests/test_pq_stream.py). The only representational difference:
+    query-side dots here are sequential ``aggregate`` folds while the
+    driver path uses numpy dot — identical at 6dp away from rounding
+    straddles."""
+    from pyspark.sql import Window
+
+    m = len(books)
+    d = len(cents[0][1])
+    sub = d // m
+    ncells = len(cents)
+    cents_mat = _mat_sql([cv for _, cv in cents])
+    q = queries_df.selectExpr(
+        qid_col, f"cast({qvec_col} as array<double>) AS _qv"
+    )
+    q = q.selectExpr(
+        "*",
+        f"transform({cents_mat}, c -> aggregate(zip_with(_qv, c, "
+        f"(a, b) -> a * b), cast(0.0 as double), (acc, x) -> acc + x)) "
+        f"AS _cdots",
+        "sqrt(aggregate(_qv, cast(0.0 as double), "
+        "(acc, x) -> acc + x * x)) AS _qn",
+    )
+    # top-nprobe cells by (-dot, cell_id) — array_sort on structs
+    # reproduces the driver-side sorted(cents, key=(-dot, id)) order
+    q = q.selectExpr(
+        "*",
+        f"slice(transform(array_sort(transform(_cdots, "
+        f"(dd, i) -> struct(-dd AS nd, i + 1 AS ci))), "
+        f"s -> s.ci), 1, {nprobe}) AS _probe",
+    )
+    q = q.selectExpr(
+        qid_col, "_qv", "_qn", "_cdots", "_probe",
+        *[
+            f"transform({_mat_sql([cv for _, cv in books[s]])}, "
+            f"c -> aggregate(zip_with(slice(_qv, {s * sub + 1}, {sub}), c, "
+            f"(a, b) -> a * b), cast(0.0 as double), (acc, x) -> acc + x)) "
+            f"AS _t{s}"
+            for s in range(m)
+        ],
+    )
+    qx = q.selectExpr(
+        qid_col, "_qv", "_qn", "_cdots",
+        *[f"_t{s}" for s in range(m)],
+        "explode(_probe) AS _pcell",
+    )
+    code_exprs = [f"element_at({code_col}, {s + 1})" for s in range(m)]
+    cell_expr = f"cast({cell_col} as int)"
+    t_n2 = [
+        [sum(x * x for x in cv) for _, cv in books[s]] for s in range(m)
+    ]
+    adot = " + ".join(
+        f"element_at(_t{s}, {code_exprs[s]})" for s in range(m)
+    )
+    rn2 = " + ".join(
+        f"element_at({_vec_sql(t_n2[s])}, {code_exprs[s]})"
+        for s in range(m)
+    )
+    if residual:
+        cn2 = [float(np.dot(cv, cv)) for _, cv in cents]
+        cdot = [
+            _mat_sql(
+                [
+                    [
+                        sum(cv[s * sub + j] * bw[j] for j in range(sub))
+                        for _, bw in books[s]
+                    ]
+                    for _, cv in cents
+                ]
+            )
+            for s in range(m)
+        ]
+        adot = f"element_at(_cdots, {cell_expr}) + {adot}"
+        cross = " + ".join(
+            f"element_at(element_at({cdot[s]}, {cell_expr}), {code_exprs[s]})"
+            for s in range(m)
+        )
+        rn2 = (
+            f"element_at({_vec_sql(cn2)}, {cell_expr}) "
+            f"+ 2.0 * ({cross}) + {rn2}"
+        )
+    adc = (
+        f"round(try_divide(cast(0.0 as double) + {adot}, "
+        f"_qn * sqrt(greatest(cast(0.0 as double) + {rn2}, 0.0))), 6)"
+    )
+    joined = codes_df.join(
+        F.broadcast(qx), F.col(cell_col) == F.col("_pcell")
+    )
+    keep = [qid_col, id_col] + (["_qv", "_qn", vec_col] if vec_col else [])
+    scored = joined.selectExpr(*keep, f"{adc} AS _adc")
+    w = Window.partitionBy(qid_col).orderBy(F.desc("_adc"), F.col(id_col))
+    if vec_col is None:
+        return (
+            scored.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= k)
+            .select(qid_col, id_col, F.col("_adc").alias("adc_sim"))
+        )
+    cand = (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k * refine)
+    )
+    vec = F.col(vec_col).cast("array<double>")
+    sim = F.try_divide(
+        F.aggregate(
+            F.zip_with(vec, F.col("_qv"), lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        _norm(vec) * F.col("_qn"),
+    )
+    wr = Window.partitionBy(qid_col).orderBy(
+        F.desc("cosine_sim"), F.col(id_col)
+    )
+    return (
+        cand.select(
+            qid_col, id_col, F.round(sim, 6).alias("cosine_sim")
+        )
+        .withColumn("_rn", F.row_number().over(wr))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
 def ivfpq_topk(
     df: DataFrame,
     query: list[float],

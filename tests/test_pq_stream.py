@@ -254,3 +254,74 @@ def test_stream_encoded_table_searchable(spark, sf_dir, index_art):
         batch_codes, cents, books, q, k=5, nprobe=2, id_col="doc_id"
     ).collect()
     assert [r.asDict() for r in got] == [r.asDict() for r in want]
+
+
+@pytest.mark.parametrize("residual", [False, True])
+def test_batch_search_matches_single_query(index_art, residual):
+    """ivfpq_search_batch (round 8): Q queries in one job must return,
+    per query, exactly what Q ivfpq_search calls return — the ADC
+    tables/probe sets move in-plan but the arithmetic and (score desc,
+    id) tie-break are the same."""
+    from scalecast_spark.datapipe.similarity import (
+        ivfpq_search,
+        ivfpq_search_batch,
+    )
+
+    cp, bp, rp, emb = index_art
+    spark = emb.sparkSession
+    cents = load_centroids(cp)
+    books = load_pq_codebooks(rp if residual else bp)
+    codes = ivfpq_encode(emb, cents, books, residual=residual)
+    qrows = emb.orderBy("doc_id").limit(4).collect()
+    queries = spark.createDataFrame(
+        [(r["doc_id"], r["embedding"]) for r in qrows],
+        "query_id long, embedding array<double>",
+    )
+    batch = ivfpq_search_batch(
+        codes, queries, cents, books, k=5, nprobe=2, residual=residual,
+        id_col="doc_id", vec_col="embedding",
+    )
+    got = {}
+    for r in batch.collect():
+        got.setdefault(r["query_id"], []).append(
+            (r["doc_id"], r["cosine_sim"])
+        )
+    for r in qrows:
+        single = ivfpq_search(
+            codes, cents, books, [float(x) for x in r["embedding"]],
+            k=5, nprobe=2, residual=residual,
+            id_col="doc_id", vec_col="embedding",
+        ).collect()
+        assert got[r["doc_id"]] == [
+            (x["doc_id"], x["cosine_sim"]) for x in single
+        ]
+
+
+def test_batch_search_plan_shape(index_art, tmp_path):
+    """The batch-serve plan must keep its scale guarantees: queries
+    broadcast (code table never shuffles for the join), the rank
+    filter compiles to map-side WindowGroupLimit, and a
+    cell-partitioned code table gets dynamic partition pruning."""
+    from scalecast_spark.datapipe.similarity import ivfpq_search_batch
+
+    cp, bp, _, emb = index_art
+    spark = emb.sparkSession
+    cents, books = load_centroids(cp), load_pq_codebooks(bp)
+    path = str(tmp_path / "codes")
+    ivfpq_encode(emb, cents, books).write.partitionBy("cell").parquet(path)
+    codes = spark.read.parquet(path)
+    queries = (
+        emb.orderBy("doc_id").limit(3)
+        .selectExpr("doc_id AS query_id", "embedding")
+    )
+    out = ivfpq_search_batch(
+        codes, queries, cents, books, k=5, nprobe=2, id_col="doc_id"
+    )
+    out.count()  # finalize AQE so the executed plan is inspectable
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "WindowGroupLimit" in plan
+    assert "dynamicpruning" in plan
+    assert "BatchEvalPython" not in plan

@@ -46,6 +46,7 @@ AUDIT = [
     "sim_ivfpq_residual",
     "sim_ivfpq_trained",
     "sim_ivfpq_serve",
+    "sim_ivfpq_serve_batch",
     "ts_mv_linear",
     "embed_sparse_d512",
 ]
@@ -109,6 +110,7 @@ EXTRA = {
     "sim_ivfpq_residual": _q_sim_ivfpq_residual,
     "sim_ivfpq_trained": _q_sim_ivfpq_trained,
     "sim_ivfpq_serve": _q_sim_ivfpq_serve,
+    "sim_ivfpq_serve_batch": lambda s, d: entrymod.q_sim_ivfpq_serve_batch(s, d),
     "ts_mv_linear": _q_ts_mv_linear,
     "embed_sparse_d512": _q_embed_sparse_d512,
 }
