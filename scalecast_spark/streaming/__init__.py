@@ -7,10 +7,11 @@ from scalecast_spark.streaming.ops import (
     run_available_now,
     ewma_stream,
     ivfpq_encode_stream,
+    ivfpq_search_stream,
 )
 
 __all__ = [
     "stream_events", "stream_documents", "dedup_stream",
     "windowed_series", "sessionize_stream", "run_available_now",
-    "ewma_stream", "ivfpq_encode_stream",
+    "ewma_stream", "ivfpq_encode_stream", "ivfpq_search_stream",
 ]

@@ -332,3 +332,65 @@ def ivfpq_encode_stream(
         text_col=text_col, id_col=id_col,
     )
     return ivfpq_encode(emb, cents, books, residual=residual)
+
+
+def ivfpq_search_stream(
+    queries: DataFrame,
+    codes_path: str,
+    centroids_path: str,
+    codebooks_path: str,
+    results_path: str,
+    checkpoint_dir: str,
+    timeout_sec: int = 120,
+    **search_kwargs,
+) -> DataFrame:
+    """Serve a STREAM of query vectors against the persisted code
+    table — the query-side completion of the crawl-increment story
+    (ivfpq_encode_stream grows the table; this answers from it).
+
+    Streaming DataFrames cannot run the per-query ranking window
+    (row_number is unsupported in append mode), so each micro-batch
+    of queries is handed to the BATCH operator via ``foreachBatch`` —
+    the idiomatic stream-vs-static pattern: inside the callback the
+    micro-batch is a plain batch frame, so
+    :func:`~scalecast_spark.datapipe.similarity.ivfpq_search_batch`
+    applies unchanged, keeping its scale shape (queries broadcast,
+    dynamic partition pruning of the code-table scan, map-side
+    WindowGroupLimit top-k) and its exact parity with single-query
+    serve. Results append to ``results_path`` as parquet —
+    per-micro-batch output is k rows per query, nothing driver-bound.
+
+    This helper drains with Trigger.AvailableNow and returns the
+    accumulated results as a batch frame (the house test pattern, cf.
+    :func:`run_available_now`); a production deployment wires the
+    same ``foreachBatch`` body under its own trigger/sink. Index
+    refresh is a restart, same as ivfpq_encode_stream: codes and
+    artifacts are versioned by path."""
+    from scalecast_spark.datapipe.artifacts import (
+        load_centroids,
+        load_pq_codebooks,
+    )
+    from scalecast_spark.datapipe.similarity import ivfpq_search_batch
+
+    spark = queries.sparkSession
+    cents = load_centroids(centroids_path)
+    books = load_pq_codebooks(codebooks_path)
+    codes = spark.read.parquet(codes_path)
+
+    def _serve_batch(batch_df: DataFrame, _batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        (
+            ivfpq_search_batch(codes, batch_df, cents, books, **search_kwargs)
+            .write.mode("append")
+            .parquet(results_path)
+        )
+
+    q = (
+        queries.writeStream.foreachBatch(_serve_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_sec)
+    return spark.read.parquet(results_path)

@@ -325,3 +325,45 @@ def test_batch_search_plan_shape(index_art, tmp_path):
     assert "WindowGroupLimit" in plan
     assert "dynamicpruning" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_query_stream_served_matches_batch(spark, index_art, tmp_path):
+    """ivfpq_search_stream: a drained query firehose returns, per
+    query, exactly what the batch operator returns on the same
+    queries — the foreachBatch body IS ivfpq_search_batch, so parity
+    extends the whole chain: single == batch == streamed."""
+    from scalecast_spark.datapipe.similarity import ivfpq_search_batch
+    from scalecast_spark.streaming import ivfpq_search_stream
+
+    cp, bp, _, emb = index_art
+    cents, books = load_centroids(cp), load_pq_codebooks(bp)
+    codes_path = str(tmp_path / "codes")
+    ivfpq_encode(emb, cents, books).write.partitionBy("cell").parquet(
+        codes_path
+    )
+    qdir = str(tmp_path / "queries")
+    queries = (
+        emb.orderBy("doc_id").limit(5)
+        .selectExpr("doc_id AS query_id", "embedding")
+    )
+    queries.write.parquet(qdir)
+    qstream = (
+        spark.readStream.schema("query_id long, embedding array<double>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(qdir)
+    )
+    assert qstream.isStreaming
+    got = ivfpq_search_stream(
+        qstream, codes_path, cp, bp,
+        results_path=str(tmp_path / "results"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        k=5, nprobe=2, id_col="doc_id", vec_col="embedding",
+    ).toPandas().sort_values(["query_id", "cosine_sim", "doc_id"],
+                             ascending=[True, False, True])
+    want = ivfpq_search_batch(
+        spark.read.parquet(codes_path), queries, cents, books,
+        k=5, nprobe=2, id_col="doc_id", vec_col="embedding",
+    ).toPandas().sort_values(["query_id", "cosine_sim", "doc_id"],
+                             ascending=[True, False, True])
+    assert len(got) == len(want) == 25
+    assert got.reset_index(drop=True).equals(want.reset_index(drop=True))
