@@ -113,6 +113,11 @@ def main():
                 "protocol": "min_of_2_per_query",
                 "queries": times,
                 "sf": float(sf),
+                # host weather at measurement time: this VM shows ~5x
+                # run-to-run jitter from EXTERNAL load (SCALE.md "Bench
+                # noise"); a high load1 with zero local activity marks
+                # a contended run
+                "load1": round(os.getloadavg()[0], 2),
             }
         )
     )
