@@ -742,42 +742,56 @@ def ivfpq_encode(
 
 
 def _adc_cosine_sql(
-    qv: list[float],
+    qv: list[float] | None,
     cents,
     books,
     residual: bool,
     cell_expr: str,
     code_exprs: list[str],
+    tdot_exprs: list[str] | None = None,
+    qdotc_expr: str | None = None,
+    qn_expr: str | None = None,
 ) -> str:
     """Asymmetric-distance cosine score as ONE SQL expression over a
     row that already carries its IVF cell (``cell_expr``, 1-based int)
     and its m PQ codes (``code_exprs[s]``, 1-based). Shared by
-    :func:`ivfpq_topk` (codes as freshly-encoded ``_code{s}`` columns)
-    and :func:`ivfpq_search` (codes as ``element_at`` into a persisted
-    array), so serve-side scoring is bit-identical to build-side.
+    :func:`ivfpq_topk` (codes as freshly-encoded ``_code{s}`` columns),
+    :func:`ivfpq_search` (codes as ``element_at`` into a persisted
+    array), and :func:`ivfpq_search_batch` — so every serve path
+    scores bit-identically to build-and-query.
 
-    The query precomputes driver-side lookup tables — subspace dots
-    t_dot (m × ksub) and codeword norms² t_n2 — so scoring a vector is
-    m ``element_at`` lookups into literal arrays, pure JVM arithmetic
-    inside codegen. ``residual`` adds the per-cell reconstruction
-    terms: q·v̂ = q·c + Σ tdot[code], ‖v̂‖² = ‖c‖² + 2·Σ c_sub·cw[code]
-    + Σ ‖cw[code]‖² (Jégou et al. 2011 §IV)."""
+    The query-DEPENDENT tables — subspace dots tdot (m × ksub), the
+    per-cell q·c offsets, and ‖q‖ — come either from ``qv`` (computed
+    driver-side, embedded as literals: the single-query paths) or as
+    SQL expressions over per-query-row columns (``tdot_exprs`` /
+    ``qdotc_expr`` / ``qn_expr``: the batch path, where each query row
+    carries its own tables). The query-INDEPENDENT tables (codeword
+    norms² t_n2, centroid norms², centroid-codeword cross dots) are
+    always index literals. Either way, scoring a vector is m
+    ``element_at`` lookups, pure JVM arithmetic inside codegen.
+    ``residual`` adds the per-cell reconstruction terms: q·v̂ = q·c +
+    Σ tdot[code], ‖v̂‖² = ‖c‖² + 2·Σ c_sub·cw[code] + Σ ‖cw[code]‖²
+    (Jégou et al. 2011 §IV)."""
     m = len(books)
     d = len(cents[0][1])
     sub = d // m
-    qn = float(np.sqrt(sum(x * x for x in qv)))
-    t_dot = [
-        [
-            sum(qv[s * sub + j] * cv[j] for j in range(sub))
-            for _, cv in books[s]
+    if tdot_exprs is None:
+        tdot_exprs = [
+            _vec_sql(
+                [
+                    sum(qv[s * sub + j] * cv[j] for j in range(sub))
+                    for _, cv in books[s]
+                ]
+            )
+            for s in range(m)
         ]
-        for s in range(m)
-    ]
+    if qn_expr is None:
+        qn_expr = _dlit(float(np.sqrt(sum(x * x for x in qv))))
     t_n2 = [
         [sum(x * x for x in cv) for _, cv in books[s]] for s in range(m)
     ]
     adot_sql = " + ".join(
-        f"element_at({_vec_sql(t_dot[s])}, {code_exprs[s]})"
+        f"element_at({tdot_exprs[s]}, {code_exprs[s]})"
         for s in range(m)
     )
     rn2_sql = " + ".join(
@@ -788,7 +802,10 @@ def _adc_cosine_sql(
         # reconstruction v̂ = c + r̂: q·v̂ gains the per-cell offset
         # q·c; ‖v̂‖² gains ‖c‖² and the 2·c·r̂ cross terms (per-cell
         # per-subspace lookup tables)
-        qdotc = [float(np.dot(qv, np.asarray(cv))) for _, cv in cents]
+        if qdotc_expr is None:
+            qdotc_expr = _vec_sql(
+                [float(np.dot(qv, np.asarray(cv))) for _, cv in cents]
+            )
         cn2 = [float(np.dot(cv, cv)) for _, cv in cents]
         cdot = [
             _mat_sql(
@@ -805,7 +822,7 @@ def _adc_cosine_sql(
             )
             for s in range(m)
         ]
-        adot_sql = f"element_at({_vec_sql(qdotc)}, {cell_expr}) + {adot_sql}"
+        adot_sql = f"element_at({qdotc_expr}, {cell_expr}) + {adot_sql}"
         cross_sql = " + ".join(
             f"element_at(element_at({cdot[s]}, {cell_expr}), {code_exprs[s]})"
             for s in range(m)
@@ -816,7 +833,7 @@ def _adc_cosine_sql(
         )
     return (
         f"round(try_divide(cast(0.0 as double) + {adot_sql}, "
-        f"{_dlit(qn)} * sqrt(greatest(cast(0.0 as double) + {rn2_sql}, "
+        f"{qn_expr} * sqrt(greatest(cast(0.0 as double) + {rn2_sql}, "
         f"0.0))), 6)"
     )
 
@@ -953,7 +970,6 @@ def ivfpq_search_batch(
     m = len(books)
     d = len(cents[0][1])
     sub = d // m
-    ncells = len(cents)
     cents_mat = _mat_sql([cv for _, cv in cents])
     q = queries_df.selectExpr(
         qid_col, f"cast({qvec_col} as array<double>) AS _qv"
@@ -989,44 +1005,13 @@ def ivfpq_search_batch(
         *[f"_t{s}" for s in range(m)],
         "explode(_probe) AS _pcell",
     )
-    code_exprs = [f"element_at({code_col}, {s + 1})" for s in range(m)]
-    cell_expr = f"cast({cell_col} as int)"
-    t_n2 = [
-        [sum(x * x for x in cv) for _, cv in books[s]] for s in range(m)
-    ]
-    adot = " + ".join(
-        f"element_at(_t{s}, {code_exprs[s]})" for s in range(m)
-    )
-    rn2 = " + ".join(
-        f"element_at({_vec_sql(t_n2[s])}, {code_exprs[s]})"
-        for s in range(m)
-    )
-    if residual:
-        cn2 = [float(np.dot(cv, cv)) for _, cv in cents]
-        cdot = [
-            _mat_sql(
-                [
-                    [
-                        sum(cv[s * sub + j] * bw[j] for j in range(sub))
-                        for _, bw in books[s]
-                    ]
-                    for _, cv in cents
-                ]
-            )
-            for s in range(m)
-        ]
-        adot = f"element_at(_cdots, {cell_expr}) + {adot}"
-        cross = " + ".join(
-            f"element_at(element_at({cdot[s]}, {cell_expr}), {code_exprs[s]})"
-            for s in range(m)
-        )
-        rn2 = (
-            f"element_at({_vec_sql(cn2)}, {cell_expr}) "
-            f"+ 2.0 * ({cross}) + {rn2}"
-        )
-    adc = (
-        f"round(try_divide(cast(0.0 as double) + {adot}, "
-        f"_qn * sqrt(greatest(cast(0.0 as double) + {rn2}, 0.0))), 6)"
+    adc = _adc_cosine_sql(
+        None, cents, books, residual,
+        cell_expr=f"cast({cell_col} as int)",
+        code_exprs=[f"element_at({code_col}, {s + 1})" for s in range(m)],
+        tdot_exprs=[f"_t{s}" for s in range(m)],
+        qdotc_expr="_cdots",
+        qn_expr="_qn",
     )
     joined = codes_df.join(
         F.broadcast(qx), F.col(cell_col) == F.col("_pcell")
