@@ -367,3 +367,55 @@ def test_query_stream_served_matches_batch(spark, index_art, tmp_path):
                              ascending=[True, False, True])
     assert len(got) == len(want) == 25
     assert got.reset_index(drop=True).equals(want.reset_index(drop=True))
+
+
+def test_batch_matches_single_on_random_vectors(spark):
+    """Off-fixture guard for the one representational difference
+    between the batch and single-query serve paths: probe-cell
+    selection and query norms use sequential SQL aggregate folds
+    in-plan vs numpy dots on the driver. Random corpora across
+    several seeds must still produce identical per-query results
+    (cells are well-separated in dot space away from measure-zero
+    ties, and everything downstream is 6dp-rounded)."""
+    import numpy as np
+
+    from scalecast_spark.datapipe.similarity import (
+        ivf_centroids,
+        ivfpq_encode,
+        ivfpq_search,
+        ivfpq_search_batch,
+        pq_codebooks,
+    )
+
+    for seed in (0, 1, 2):
+        rng = np.random.RandomState(seed)
+        vecs = rng.randn(120, 16).round(3)  # round: parquet-free exactness
+        emb = spark.createDataFrame(
+            [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+            "vec_id long, embedding array<double>",
+        )
+        cents = ivf_centroids(emb, 4, "embedding", "vec_id")
+        books = pq_codebooks(emb, 4, 8, "embedding", "vec_id")
+        codes = ivfpq_encode(emb, cents, books)
+        qidx = rng.choice(120, 3, replace=False)
+        queries = spark.createDataFrame(
+            [(int(i), [float(x) for x in vecs[i]]) for i in qidx],
+            "query_id long, embedding array<double>",
+        )
+        batch = ivfpq_search_batch(
+            codes, queries, cents, books, k=5, nprobe=2,
+            vec_col="embedding",
+        )
+        got = {}
+        for r in batch.collect():
+            got.setdefault(r["query_id"], []).append(
+                (r["vec_id"], r["cosine_sim"])
+            )
+        for i in qidx:
+            single = ivfpq_search(
+                codes, cents, books, [float(x) for x in vecs[i]],
+                k=5, nprobe=2, vec_col="embedding",
+            ).collect()
+            assert got[int(i)] == [
+                (x["vec_id"], x["cosine_sim"]) for x in single
+            ], f"seed={seed} query={i}"
