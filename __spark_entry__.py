@@ -1009,6 +1009,7 @@ def _ivfpq_index(spark, sf_dir, rebuild: bool = False):
     build (the bench's sim_ivfpq_build query must pay the real cost
     every run, not a cache hit)."""
     if rebuild or sf_dir not in _IVFPQ_IDX:
+        import shutil
         import tempfile
 
         from scalecast_spark.datapipe.similarity import (
@@ -1016,6 +1017,13 @@ def _ivfpq_index(spark, sf_dir, rebuild: bool = False):
             ivfpq_encode,
             pq_codebooks_trained,
         )
+
+        if sf_dir in _IVFPQ_IDX:  # rebuild: drop the superseded table
+            import os
+
+            shutil.rmtree(
+                os.path.dirname(_IVFPQ_IDX[sf_dir][3]), ignore_errors=True
+            )
 
         emb = _emb(spark, sf_dir)
         qv = [
