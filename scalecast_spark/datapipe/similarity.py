@@ -100,6 +100,90 @@ def cosine_topk(
     )
 
 
+def cosine_topk_batch(
+    df: DataFrame,
+    queries_df: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    qid_col: str = "query_id",
+    qvec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k for a BATCH of queries in one job — the brute-force
+    twin of :func:`ivfpq_search_batch` and the ground-truth side of
+    :func:`ann_recall`. Queries broadcast; every (vector, query) pair
+    scores one JVM fold dot product; per-query top-k is a row_number
+    window whose rank filter compiles to map-side WindowGroupLimit, so
+    the shuffle carries ≤ k rows per query per partition, never the
+    |corpus|·|Q| product. O(N·d·|Q|) compute by construction — the
+    correctness baseline ANN methods are measured against, not the
+    serving path."""
+    from pyspark.sql import Window
+
+    q = queries_df.selectExpr(
+        qid_col,
+        f"cast({qvec_col} as array<double>) AS _qv",
+        f"sqrt(aggregate(cast({qvec_col} as array<double>), "
+        "cast(0.0 as double), (acc, x) -> acc + x * x)) AS _qn",
+    )
+    vec = F.col(vec_col).cast("array<double>")
+    sim = F.try_divide(
+        F.aggregate(
+            F.zip_with(vec, F.col("_qv"), lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        _norm(vec) * F.col("_qn"),
+    )
+    w = Window.partitionBy(qid_col).orderBy(
+        F.desc("cosine_sim"), F.col(id_col)
+    )
+    return (
+        df.crossJoin(F.broadcast(q))
+        .select(qid_col, id_col, F.round(sim, 6).alias("cosine_sim"))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
+def ann_recall(
+    got: DataFrame,
+    truth: DataFrame,
+    id_col: str = "vec_id",
+    qid_col: str | None = None,
+):
+    """recall = |got ∩ truth| / |truth| over result-id sets — the
+    standard ANN quality metric, for tuning nprobe/ksub/m against the
+    brute-force baseline (:func:`cosine_topk` / `cosine_topk_batch`).
+
+    With ``qid_col=None`` both frames are single-query results and a
+    float returns (NaN on empty truth). With ``qid_col`` both frames
+    are batch results and a (qid, recall) DataFrame returns — queries
+    missing from ``got`` entirely score 0, never drop out."""
+    if qid_col is None:
+        t = truth.select(id_col).distinct()
+        n_truth = t.count()
+        if n_truth == 0:
+            return float("nan")
+        n_hit = got.select(id_col).distinct().join(t, id_col).count()
+        return n_hit / n_truth
+    keys = [qid_col, id_col]
+    g = got.select(*keys).distinct()
+    t = truth.select(*keys).distinct()
+    per_truth = t.groupBy(qid_col).agg(F.count("*").alias("_n_truth"))
+    per_hit = g.join(t, keys).groupBy(qid_col).agg(
+        F.count("*").alias("_n_hit")
+    )
+    return (
+        per_truth.join(per_hit, qid_col, "left")
+        .selectExpr(
+            qid_col,
+            "coalesce(_n_hit, 0) / _n_truth AS recall",
+        )
+    )
+
+
 def _hyperplanes(dim: int, n_planes: int, seed: str = "scalecast") -> np.ndarray:
     """Deterministic pseudo-random hyperplanes from md5(seed,i,j) —
     reproducible across runs/engines without RNG state."""

@@ -419,3 +419,64 @@ def test_batch_matches_single_on_random_vectors(spark):
             assert got[int(i)] == [
                 (x["vec_id"], x["cosine_sim"]) for x in single
             ], f"seed={seed} query={i}"
+
+
+def test_cosine_topk_batch_matches_single_and_recall(index_art):
+    """cosine_topk_batch per-query == cosine_topk per query; ann_recall
+    returns 1.0 against itself (scalar + per-query forms) and scores
+    the IVF-PQ serve path sensibly in [0, 1]."""
+    from scalecast_spark.datapipe.similarity import (
+        ann_recall,
+        cosine_topk,
+        cosine_topk_batch,
+        ivfpq_search_batch,
+    )
+
+    cp, bp, _, emb = index_art
+    spark = emb.sparkSession
+    cents, books = load_centroids(cp), load_pq_codebooks(bp)
+    qrows = emb.orderBy("doc_id").limit(3).collect()
+    queries = spark.createDataFrame(
+        [(r["doc_id"], r["embedding"]) for r in qrows],
+        "query_id long, embedding array<double>",
+    )
+    batch = cosine_topk_batch(
+        emb, queries, k=5, id_col="doc_id"
+    )
+    got = {}
+    for r in batch.collect():
+        got.setdefault(r["query_id"], []).append(
+            (r["doc_id"], r["cosine_sim"])
+        )
+    for r in qrows:
+        single = cosine_topk(
+            emb, [float(x) for x in r["embedding"]], k=5, id_col="doc_id"
+        ).collect()
+        assert got[r["doc_id"]] == [
+            (x["doc_id"], x["cosine_sim"]) for x in single
+        ]
+    # scalar recall of a frame against itself
+    one = cosine_topk(
+        emb, [float(x) for x in qrows[0]["embedding"]], k=5, id_col="doc_id"
+    )
+    assert ann_recall(one, one, id_col="doc_id") == 1.0
+    # per-query recall: truth vs itself = 1.0 everywhere; ANN in [0,1]
+    per = {
+        r["query_id"]: r["recall"]
+        for r in ann_recall(
+            batch, batch, id_col="doc_id", qid_col="query_id"
+        ).collect()
+    }
+    assert set(per.values()) == {1.0}
+    ann = ivfpq_search_batch(
+        ivfpq_encode(emb, cents, books), queries, cents, books,
+        k=5, nprobe=2, id_col="doc_id", vec_col="embedding",
+    )
+    rec = {
+        r["query_id"]: r["recall"]
+        for r in ann_recall(
+            ann, batch, id_col="doc_id", qid_col="query_id"
+        ).collect()
+    }
+    assert set(rec) == set(per)
+    assert all(0.0 <= v <= 1.0 for v in rec.values())
