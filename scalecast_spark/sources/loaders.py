@@ -40,6 +40,79 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+_EXT_FMT = {
+    ".parquet": "parquet", ".orc": "orc", ".csv": "csv",
+    ".json": "json", ".jsonl": "json", ".ndjson": "json",
+    ".txt": "text", ".tsv": "csv",
+}
+
+
+def read_any(
+    spark: SparkSession,
+    path: str,
+    fmt: str | None = None,
+    schema=None,
+    **options,
+) -> DataFrame:
+    """Format-inferring reader for the sources a reference user brings
+    along (the reference's own examples ingest CSVs —
+    e.g. examples/avocado.csv pandas reads): parquet / orc / csv /
+    json(-lines) / text, chosen by extension or explicit ``fmt``.
+
+    Scale notes baked into the defaults:
+      * CSV/JSON get ``header=true`` and, ONLY when no ``schema`` is
+        passed, ``inferSchema=true`` — inference costs an extra full
+        scan, so at 100 TB pass an explicit schema (or sample a file
+        first); parquet/orc carry their own schema and never pay this.
+      * ``.tsv`` maps to csv with a tab separator.
+      * every extra keyword lands in ``DataFrameReader.option``
+        untouched (compression, timestampFormat, multiLine, ...).
+    """
+    import os
+
+    if fmt is None:
+        ext = os.path.splitext(path.rstrip("/"))[1].lower()
+        fmt = _EXT_FMT.get(ext, "parquet")
+    reader = spark.read.format(fmt)
+    if fmt == "csv":
+        opts = {"header": "true"}
+        if path.rstrip("/").lower().endswith(".tsv"):
+            opts["sep"] = "\t"
+        if schema is None:
+            opts["inferSchema"] = "true"
+        opts.update({k: str(v) for k, v in options.items()})
+        reader = reader.options(**opts)
+    elif fmt == "json":
+        reader = reader.options(**{k: str(v) for k, v in options.items()})
+    elif options:
+        reader = reader.options(**{k: str(v) for k, v in options.items()})
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.load(path)
+
+
+def long_from_columns(
+    df: DataFrame,
+    series_col: str,
+    ds_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Shape arbitrary (series, date, value) columns into the engine's
+    canonical long format (series_id string, ds, y double) — the
+    bridge from any ``read_any`` frame to ``TimeSeriesFrame.from_long``
+    (the reference's ``Forecaster(current_dates=…, y=…)`` ingest,
+    src/scalecast/Forecaster.py:67-94, generalized to a distributed
+    table of MANY series). Pure projection: no shuffle, pushdown-safe."""
+    ds = F.col(ds_col)
+    if dict(df.dtypes).get(ds_col) == "string":
+        ds = F.to_timestamp(ds)
+    return df.select(
+        F.col(series_col).cast("string").alias(SERIES),
+        ds.alias(DS),
+        F.col(y_col).cast("double").alias(Y),
+    )
+
+
 def events_to_series(
     events: DataFrame,
     bucket: str = "day",
