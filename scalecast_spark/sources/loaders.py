@@ -47,6 +47,26 @@ _EXT_FMT = {
 }
 
 
+def _parquet_nanos_cols(path: str) -> list:
+    """Column names stored as parquet TIMESTAMP(NANOS) — the pandas /
+    pyarrow ``to_parquet`` default (datetime64[ns]). Spark cannot read
+    that logical type natively (PARQUET_TYPE_ILLEGAL), or, with
+    ``spark.sql.legacy.parquet.nanosAsLong``, reads it as a raw bigint
+    of nanoseconds. Footer-only inspection: reads metadata, not data,
+    so it is O(files) regardless of table size."""
+    try:
+        import pyarrow as pa
+        import pyarrow.dataset as pads
+
+        schema = pads.dataset(path, format="parquet").schema
+        return [
+            f.name for f in schema
+            if pa.types.is_timestamp(f.type) and f.type.unit == "ns"
+        ]
+    except Exception:
+        return []
+
+
 def read_any(
     spark: SparkSession,
     path: str,
@@ -67,12 +87,32 @@ def read_any(
       * ``.tsv`` maps to csv with a tab separator.
       * every extra keyword lands in ``DataFrameReader.option``
         untouched (compression, timestampFormat, multiLine, ...).
+      * pandas' default ``to_parquet`` writes TIMESTAMP(NANOS)
+        columns, which this Spark can't read natively; they are
+        footer-detected and converted to proper timestamps
+        (microsecond truncation — integer division, no float
+        round-trip), so a user's default pandas file just loads.
+      * an unrecognized extension raises instead of guessing — the
+        parquet default applies only to extensionless / directory
+        paths (Spark-written datasets).
     """
     import os
 
     if fmt is None:
         ext = os.path.splitext(path.rstrip("/"))[1].lower()
+        if ext and ext not in _EXT_FMT:
+            raise ValueError(
+                f"read_any: unsupported extension {ext!r} for {path!r}; "
+                f"pass fmt= explicitly (one of "
+                f"{sorted(set(_EXT_FMT.values()))}) or use a supported "
+                f"extension ({sorted(_EXT_FMT)})"
+            )
         fmt = _EXT_FMT.get(ext, "parquet")
+    ns_cols = _parquet_nanos_cols(path) if fmt == "parquet" else []
+    if ns_cols:
+        # runtime-settable SQL conf; without it the read throws
+        # PARQUET_TYPE_ILLEGAL on TIMESTAMP(NANOS) columns
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     reader = spark.read.format(fmt)
     if fmt == "csv":
         opts = {"header": "true"}
@@ -88,7 +128,12 @@ def read_any(
         reader = reader.options(**{k: str(v) for k, v in options.items()})
     if schema is not None:
         reader = reader.schema(schema)
-    return reader.load(path)
+    df = reader.load(path)
+    dtypes = dict(df.dtypes) if ns_cols else {}
+    for c in ns_cols:
+        if dtypes.get(c) == "bigint":
+            df = df.withColumn(c, F.expr(f"timestamp_micros(`{c}` div 1000)"))
+    return df
 
 
 def long_from_columns(

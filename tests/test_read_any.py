@@ -57,6 +57,27 @@ def test_round_trip_formats(spark, tmp_path, series_pdf, fmt):
     assert got["y"].round(6).tolist() == want["y"].round(6).tolist()
 
 
+def test_nanos_parquet_reads_as_timestamp(spark, tmp_path, series_pdf):
+    """pandas' DEFAULT to_parquet (datetime64[ns] -> TIMESTAMP(NANOS))
+    must land as a real timestamp column with the original values —
+    the single most likely real-user input to this helper."""
+    path = str(tmp_path / "nanos.parquet")
+    series_pdf.to_parquet(path)
+    raw = read_any(spark, path)
+    assert dict(raw.dtypes)["ds"] == "timestamp"
+    got = raw.orderBy("series_id", "ds").toPandas()
+    want = series_pdf.copy()
+    want["ds"] = want["ds"].astype("datetime64[us]")
+    assert got["ds"].tolist() == want["ds"].tolist()
+
+
+def test_unknown_extension_raises(spark, tmp_path):
+    """An unrecognized extension must fail fast with the supported
+    list, not fall through to a confusing 'not a Parquet file'."""
+    with pytest.raises(ValueError, match="unsupported extension"):
+        read_any(spark, str(tmp_path / "data.xlsx"))
+
+
 def test_explicit_schema_skips_inference(spark, tmp_path, series_pdf):
     """An explicit schema must be honored verbatim (the 100 TB path —
     no inference scan) and types land as declared."""
