@@ -28,6 +28,7 @@ from scalecast_spark.models.arima import (
 )
 from scalecast_spark.models.vecm import vecm_model
 from scalecast_spark.models.mv_linear import mv_linear_model
+from scalecast_spark.models.mv_kernel import mv_model
 from scalecast_spark.models.svr_sgd import sgd_model, svr_model
 
 #: estimator registry (the reference's cfg.py:26-54 Estimator table);
@@ -56,6 +57,7 @@ MODELS = {
     "tbats": tbats_model,
     "vecm": vecm_model,
     "mv_linear": mv_linear_model,
+    "mv_sklearn": mv_model,  # estimator= selects any kernel estimator
     "svr": svr_model,
     "sgd": sgd_model,
 }
@@ -127,6 +129,17 @@ def _kernel_factories():
 
 
 KERNEL_FACTORIES = _kernel_factories()
+
+# per-estimator MV aliases — the reference MVForecaster accepts every
+# sklearn estimator (models.py:164-420, registry cfg.py:50-54); each
+# mv_<name> is the joint wide-lag recursive strategy over that
+# estimator's kernel core (models/mv_kernel.mv_model)
+for _est in _kernel_factories():
+    MODELS[f"mv_{_est}"] = (
+        lambda df, features=None, _e=_est, **kw:
+        mv_model(df, estimator=_e, features=features, **kw)
+    )
+del _est
 
 
 __all__ = [

@@ -500,3 +500,61 @@ def direct_linear_model(
     from scalecast_spark.models.kernel import run_series_kernel
 
     return run_series_kernel(df, make_direct_linear(lags, alpha))
+
+
+def fixed_net_params(rows: int, cols: int, offset: float) -> np.ndarray:
+    """Deterministic closed-form weight grid ``sin(offset + i*cols +
+    j) * 0.5`` — NOT an initializer for training (RandomState stays
+    the trainers' init). Exists so a single forward pass of the
+    production cell code is exactly restatable in SQL: the oracle
+    embeds these values as double literals, so there is no
+    cross-engine ``sin`` bit-matching dependency."""
+    i, j = np.indices((rows, cols), dtype=float)
+    return np.sin(offset + i * cols + j) * 0.5
+
+
+def make_fixed_cell_forward(lags: int = 4, hidden: int = 2,
+                            cell: str = "rnn"):
+    """Fixed-weight SINGLE FORWARD PASS of the network cells — no
+    training. Drives the PRODUCTION recurrence (:func:`_cell_forward`,
+    the exact code the BPTT trainers run) and the MLP forward over the
+    last ``lags`` standardized observations, with closed-form weights
+    (:func:`fixed_net_params`). This is the deterministic,
+    hash-matched driver-gate member for the network family (round-8
+    verdict #2): 150-epoch Adam training is not SQL-restatable, but
+    the inference math is, and this member pins it end-to-end
+    (standardize -> recurrence/gates -> output layer -> de-standardize)
+    against a DuckDB replay. Series shorter than ``lags+1`` flat-line
+    (same degenerate convention as the trained members)."""
+    if cell not in ("rnn", "lstm", "mlp"):
+        raise ValueError(f"cell must be rnn/lstm/mlp, got {cell!r}")
+
+    def model_fn(y: np.ndarray, h: int):
+        y = np.asarray(y, dtype=float)
+        n = len(y)
+        fitted = np.full(n, np.nan)
+        H = max(h, 1)
+        if n <= lags:
+            return fitted, np.full(h, y[-1] if n else np.nan)
+        xmu, xsd = y.mean(), y.std() or 1.0
+        A = (y[None, n - lags:] - xmu) / xsd
+        if cell == "mlp":
+            W1 = fixed_net_params(lags, hidden, 1.0)
+            b1 = fixed_net_params(1, hidden, 2.0)[0]
+            W2 = fixed_net_params(hidden, H, 3.0)
+            b2 = fixed_net_params(1, H, 4.0)[0]
+            out = np.tanh(A @ W1 + b1) @ W2 + b2
+        else:
+            G = 4 if cell == "lstm" else 1
+            Wx = fixed_net_params(1, G * hidden, 1.0)
+            Wh = fixed_net_params(hidden, G * hidden, 2.0)
+            b = fixed_net_params(1, G * hidden, 3.0)[0]
+            W2 = fixed_net_params(hidden, H, 4.0)
+            b2 = fixed_net_params(1, H, 5.0)[0]
+            out = _cell_forward([Wx, Wh, b, W2, b2], A, lags, hidden, cell)
+        fc = out[0] * xsd + xmu
+        if h > H:
+            fc = np.concatenate([fc, np.full(h - H, fc[-1])])
+        return fitted, fc[:h]
+
+    return model_fn

@@ -21,11 +21,7 @@ recursion, microseconds of numpy. No driver collect.
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
-from pyspark.sql import DataFrame, functions as F
-from pyspark.sql import types as T
-
-from scalecast_spark.frame import DS, IS_FUTURE, SERIES, Y
+from pyspark.sql import DataFrame
 
 
 def mv_linear_fit_forecast(
@@ -97,53 +93,10 @@ def mv_linear_model(
     ``features`` is accepted (and ignored) for registry parity — the
     design is derived from the series themselves.
     """
-    fam = family_col or "_mvfam"
-    src = df if family_col else df.withColumn(fam, F.lit(0))
-    schema = T.StructType(
-        [
-            T.StructField(SERIES, df.schema[SERIES].dataType),
-            T.StructField(DS, df.schema[DS].dataType),
-            T.StructField("forecast", T.DoubleType()),
-        ]
-    )
+    from scalecast_spark.models.mv_kernel import mv_apply
+
     L, a = int(lags), float(alpha)
-
-    def fit_predict(pdf: pd.DataFrame) -> pd.DataFrame:
-        wide = (
-            pdf[pdf[IS_FUTURE] == 0]
-            .pivot_table(index=DS, columns=SERIES, values=Y, aggfunc="first")
-            .sort_index()
-        )
-        sids = sorted(wide.columns)
-        wide = wide[sids]
-        Ymat = wide.to_numpy(float)
-        fut = pdf[pdf[IS_FUTURE] == 1]
-        h = int(fut.groupby(SERIES)[DS].count().max()) if len(fut) else 0
-        fitted, fc = mv_linear_fit_forecast(Ymat, h, L, a)
-        frames = [
-            pd.DataFrame(
-                {
-                    SERIES: sid,
-                    DS: wide.index,
-                    "forecast": fitted[:, j],
-                }
-            )
-            for j, sid in enumerate(sids)
-        ]
-        if h:
-            for j, sid in enumerate(sids):
-                fds = sorted(fut.loc[fut[SERIES] == sid, DS])
-                steps = min(len(fds), h)
-                frames.append(
-                    pd.DataFrame(
-                        {
-                            SERIES: sid,
-                            DS: fds[:steps],
-                            "forecast": fc[:steps, j],
-                        }
-                    )
-                )
-        return pd.concat(frames, ignore_index=True)
-
-    scored = src.groupBy(fam).applyInPandas(fit_predict, schema)
-    return df.join(scored, [SERIES, DS], "left")
+    return mv_apply(
+        df, family_col,
+        lambda Ymat, h: mv_linear_fit_forecast(Ymat, h, L, a),
+    )

@@ -1,0 +1,141 @@
+"""Generic multivariate wide-lag kernel (models/mv_kernel.py) — the
+full SKLearnMV surface (reference models.py:164-420: MVForecaster
+re-wraps the entire sklearn family; test/test_MVForecaster.py:39-107
+sweeps rf/gbt/etc. through it). The linear member stays the
+hash-matched driver-gate core (mv_linear); these tests pin the
+generalization: same design layout, same joint recursion, any kernel
+estimator."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from scalecast_spark.models import KERNEL_FACTORIES, MODELS
+from scalecast_spark.models.mv_kernel import (
+    mv_design,
+    mv_fit_forecast,
+    mv_model,
+)
+from scalecast_spark.models.mv_linear import mv_linear_fit_forecast
+
+
+def _ymat(T=40, n=3, seed=0):
+    rng = np.random.RandomState(seed)
+    base = np.cumsum(rng.randn(T, 1), axis=0)
+    return base + rng.randn(T, n) * 0.3 + np.arange(n) * 5.0
+
+
+def test_ridge_member_matches_closed_form():
+    """mv_fit_forecast with the kernel ridge must reproduce
+    mv_linear_fit_forecast: centered-Gram ridge with unpenalized
+    intercept and augmented-column ridge with unpenalized intercept
+    are the same estimator."""
+    Y = _ymat()
+    f1, fc1 = mv_linear_fit_forecast(Y, 7, lags=2, alpha=5.0)
+    f2, fc2 = mv_fit_forecast(Y, 7, 2, KERNEL_FACTORIES["ridge"](alpha=5.0))
+    assert np.allclose(fc1, fc2, atol=1e-7)
+    assert np.allclose(f1, f2, atol=1e-7)
+
+
+def test_knn_joint_recursion_vs_pure_numpy():
+    """The knn member against an independent recompute of the exact
+    semantics: squared-euclidean k-NN per step, every step's joint
+    prediction appended to the history before the next step."""
+    Y = _ymat(T=30, n=2, seed=1)
+    L, k, h = 2, 3, 4
+    _, fc = mv_fit_forecast(Y, h, L, KERNEL_FACTORIES["knn"](n_neighbors=k))
+
+    X, Yt = mv_design(Y, L)
+    hist = Y.copy()
+    for step in range(h):
+        x = np.array(
+            [hist[-(c // 2 + 1), c % 2] for c in range(2 * L)], dtype=float
+        )
+        d = ((X - x) ** 2).sum(axis=1)
+        idx = np.argsort(d, kind="stable")[:k]
+        nxt = Yt[idx].mean(axis=0)
+        assert np.allclose(fc[step], nxt, atol=1e-12)
+        hist = np.vstack([hist, nxt])
+
+
+def test_recursion_feeds_back_across_series():
+    """Joint semantics, not per-series: perturbing ONLY series 0's
+    history must move series 1's step-2+ forecast (series 1 sees
+    series 0's step-1 prediction through its lag vector)."""
+    Y = _ymat(T=30, n=2, seed=2)
+    fit = KERNEL_FACTORIES["knn"](n_neighbors=3)
+    _, fc = mv_fit_forecast(Y, 3, 2, fit)
+    Yp = Y.copy()
+    Yp[-1, 0] += Y[:, 0].std() * 3
+    _, fcp = mv_fit_forecast(Yp, 3, 2, fit)
+    assert not np.allclose(fc[1:, 1], fcp[1:, 1])
+
+
+@pytest.mark.parametrize("est", ["rf", "gbt", "xgboost", "catboost", "mlp"])
+def test_nonlinear_members_run_and_are_deterministic(est):
+    Y = _ymat(T=35, n=2, seed=3)
+    kw = {"n_estimators": 10} if est != "mlp" else {"epochs": 30}
+    a = mv_fit_forecast(Y, 5, 2, KERNEL_FACTORIES[est](**kw))[1]
+    b = mv_fit_forecast(Y, 5, 2, KERNEL_FACTORIES[est](**kw))[1]
+    assert a.shape == (5, 2)
+    assert np.isfinite(a).all()
+    assert np.array_equal(a, b)  # seeded cores: bit-identical reruns
+
+
+def test_mv_model_end_to_end_with_families(spark):
+    """Distributed path: two independent families in one frame,
+    forecasts land on every future row, and each family's numbers
+    equal its standalone single-family run (family isolation)."""
+    from scalecast_spark.frame import TimeSeriesFrame
+
+    rows = []
+    for fam, sids in [("a", ["x", "y"]), ("b", ["u", "v"])]:
+        Y = _ymat(T=30, n=2, seed=ord(fam[0]))
+        for j, sid in enumerate(sids):
+            for i in range(30):
+                rows.append(
+                    {
+                        "series_id": f"{fam}_{sid}",
+                        "ds": pd.Timestamp("2024-01-01") + pd.Timedelta(days=i),
+                        "y": float(Y[i, j]),
+                        "fam": fam,
+                    }
+                )
+    pdf = pd.DataFrame(rows)
+    long = spark.createDataFrame(pdf)
+    tsf = TimeSeriesFrame.from_long(
+        long.select("series_id", "ds", "y")
+    ).generate_future_dates(5)
+    withfam = tsf.df.withColumn(
+        "fam", F.split(F.col("series_id"), "_")[0]
+    )
+    out = mv_model(
+        withfam, estimator="rf", lags=2, family_col="fam", n_estimators=10
+    )
+    fut = out.filter("is_future = 1")
+    assert fut.filter(F.col("forecast").isNull()).count() == 0
+    got = {
+        (r["series_id"], r["ds"]): r["forecast"]
+        for r in fut.collect()
+    }
+    # standalone family-a run must agree (no cross-family bleed)
+    solo = mv_model(
+        withfam.filter(F.col("fam") == "a"),
+        estimator="rf", lags=2, n_estimators=10,
+    )
+    for r in solo.filter("is_future = 1").collect():
+        assert got[(r["series_id"], r["ds"])] == pytest.approx(
+            r["forecast"], abs=1e-12
+        )
+
+
+def test_registry_aliases_exist():
+    for est in KERNEL_FACTORIES:
+        assert f"mv_{est}" in MODELS
+    assert "mv_sklearn" in MODELS
+
+
+def test_unknown_estimator_raises(spark):
+    with pytest.raises(ValueError, match="unknown estimator"):
+        mv_model(spark.range(1), estimator="nope")
