@@ -94,6 +94,7 @@ def main():
     # and can't flatter a query below its true plan cost; extra tries
     # only shrink the chance a contention burst spans every sample.
     times: dict[str, float] = {}
+    loads: dict[str, float] = {}
     for name, fn_name in HEADLINE.items():
         fn = getattr(entrymod, fn_name)
         best = None
@@ -103,6 +104,10 @@ def main():
             dt = time.time() - start
             best = dt if best is None else min(best, dt)
         times[name] = round(best, 3)
+        # per-query host weather (round 9, VERDICT r8 #4): lets a slow
+        # query be adjudicated against contention AT ITS OWN runtime,
+        # not the run-level average
+        loads[name] = round(os.getloadavg()[0], 2)
     total = round(sum(times.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
@@ -120,6 +125,7 @@ def main():
                 # noise"); a high load1 with zero local activity marks
                 # a contended run
                 "load1": round(os.getloadavg()[0], 2),
+                "load1_per_query": loads,
             }
         )
     )

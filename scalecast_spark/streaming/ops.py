@@ -392,5 +392,23 @@ def ivfpq_search_stream(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout_sec)
+    # awaitTermination returns False on timeout with the query STILL
+    # RUNNING — reading results then would return a partial (and, on a
+    # reused results_path, stale) answer. Stop and fail loudly instead.
+    if not q.awaitTermination(timeout_sec):
+        q.stop()
+        raise TimeoutError(
+            f"ivfpq_search_stream: drain did not finish within "
+            f"{timeout_sec}s; partial results left at {results_path!r}"
+        )
+    import os
+
+    if not os.path.exists(results_path):
+        # zero-batch stream (empty queries source): never wrote
+        # parquet — return an empty frame with the operator's true
+        # result schema (derived from a zero-row batch plan)
+        empty = spark.createDataFrame([], queries.schema)
+        return ivfpq_search_batch(
+            codes, empty, cents, books, **search_kwargs
+        ).limit(0)
     return spark.read.parquet(results_path)

@@ -321,6 +321,18 @@ def test_batch_search_plan_shape(index_art, tmp_path):
     plan = out._sc._jvm.PythonSQLUtils.explainString(
         out._jdf.queryExecution(), "formatted"
     )
+    # the plan-RENDERING substrings below are pinned against Spark 4.x;
+    # a Spark upgrade that renames nodes should produce this clear skip
+    # rather than an opaque substring mismatch (the semantics they pin
+    # — broadcast join, map-side group-limit, dynamic pruning — don't
+    # go away with a rename)
+    major = int(spark.version.split(".")[0])
+    if major != 4:
+        pytest.skip(
+            f"plan-shape substrings pinned for Spark 4.x plan "
+            f"rendering; running {spark.version} — re-pin the node "
+            f"names for this version"
+        )
     assert "BroadcastHashJoin" in plan
     assert "WindowGroupLimit" in plan
     assert "dynamicpruning" in plan
