@@ -277,6 +277,133 @@ def trainer_probe(spark, sf_dir, scratch) -> bool:
     return ok
 
 
+def _fs_bytes_read(spark) -> int:
+    """Process-wide bytes read through Hadoop's local FileSystem —
+    REAL I/O, not plan markers. local[*] runs executors in this JVM,
+    so the delta across a query is exactly what its scans read
+    (shuffle files bypass the Hadoop FS and don't pollute it)."""
+    it = (
+        spark._jvm.org.apache.hadoop.fs.FileSystem
+        .getGlobalStorageStatistics().iterator()
+    )
+    total = 0
+    while it.hasNext():
+        s = it.next()
+        if s.getScheme() == "file":
+            v = s.getLong("bytesRead")
+            total += int(v) if v else 0
+    return total
+
+
+def serve_probe(spark, sf_dir, scratch) -> bool:
+    """I/O proportionality of the ANN serve paths (round-9, VERDICT r8
+    #5): bytes READ by a search against the cell-partitioned code
+    table must scale with nprobe/n_cells — the probed fraction — not
+    with the corpus. Measured with Hadoop FS byte counters, so the
+    partition-pruning claim is a measurement, not an inference from
+    PushedFilters markers. Probes the 16x replica corpus (same scale
+    posture as the trainer floor)."""
+    from scalecast_spark.datapipe.similarity import (
+        ivf_centroids,
+        ivfpq_encode,
+        ivfpq_search,
+        ivfpq_search_batch,
+        pq_codebooks_trained,
+    )
+
+    emb0 = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    path16 = f"{scratch}/serve_emb16"
+    replicate_emb(emb0, 16).repartition(32).write.mode(
+        "overwrite"
+    ).parquet(path16)
+    emb = spark.read.parquet(path16)
+    n_cells = 16
+    cents = ivf_centroids(emb, n_cells, "embedding", "vec_id")
+    books = pq_codebooks_trained(
+        emb, 8, 16, 1, "embedding", "vec_id", cents=cents
+    )
+    codes_path = f"{scratch}/serve_codes"
+    ivfpq_encode(emb, cents, books).write.mode("overwrite").partitionBy(
+        "cell"
+    ).parquet(codes_path)
+    codes = spark.read.parquet(codes_path)
+    table_bytes = sum(
+        os.path.getsize(os.path.join(r, f))
+        for r, _, fs in os.walk(codes_path)
+        for f in fs
+    )
+    qv = [
+        float(x)
+        for x in emb.orderBy("vec_id").select("embedding").limit(1)
+        .collect()[0][0]
+    ]
+
+    def measure(fn) -> int:
+        b0 = _fs_bytes_read(spark)
+        fn()
+        return _fs_bytes_read(spark) - b0
+
+    # warm the file-listing caches outside the timers/counters
+    codes.count()
+    got = {}
+    for nprobe in (1, 4, n_cells):
+        got[nprobe] = measure(
+            lambda np_=nprobe: ivfpq_search(
+                codes, cents, books, qv, k=10, nprobe=np_
+            ).collect()
+        )
+    import numpy as np
+
+    qdf = (
+        emb.orderBy("vec_id").limit(8)
+        .selectExpr("vec_id AS query_id", "embedding")
+    )
+    # the probed-cell UNION these 8 queries legitimately need (driver
+    # recompute of the operator's own top-nprobe ranking) — the batch
+    # scan must read THIS fraction, not the whole table
+    union = set()
+    for r in qdf.collect():
+        v = np.asarray([float(x) for x in r["embedding"]])
+        ranked = sorted(
+            cents, key=lambda c: (-float(np.dot(v, np.asarray(c[1]))), c[0])
+        )
+        union |= {ci for ci, _ in ranked[:2]}
+    qside = measure(lambda: qdf.collect())
+    batch_bytes = measure(
+        lambda: ivfpq_search_batch(
+            codes, qdf, cents, books, k=10, nprobe=2
+        ).collect()
+    )
+    full = got[n_cells]
+    print(f"\nserve-path I/O proportionality (16x = {emb.count()} vectors, "
+          f"{n_cells} cells, code table {table_bytes / 1e6:.1f} MB on "
+          f"disk, {full / 1e6:.2f} MB of ADC columns after column "
+          f"pruning)")
+    print(f"{'probe':<22} {'bytes_read':>11} {'of_full_scan':>13}")
+    for nprobe in (1, 4, n_cells):
+        print(f"nprobe={nprobe:<15} {got[nprobe]:>11} "
+              f"{got[nprobe] / full:>12.1%}")
+    print(f"{'batch Q=8 nprobe=2':<22} {batch_bytes:>11} "
+          f"{batch_bytes / full:>12.1%}  (probed union "
+          f"{len(union)}/{n_cells} cells = {len(union) / n_cells:.0%} "
+          f"expected + 2x query-side {qside}B: the DPP subquery "
+          f"re-executes the broadcast side)")
+    # proportionality: a 1-cell probe reads ~1/16 of the ADC columns
+    # (cell skew + footers bounded by the slack), 4 cells ~4x that,
+    # and the batch path's code-table scan reads ONLY the probed-cell
+    # union (dynamic partition pruning, measured not inferred)
+    ok = (
+        got[1] <= full / 3
+        and got[4] <= full * (4 / n_cells) * 2.5
+        and got[1] < got[4] < full
+        and batch_bytes <= full * (len(union) / n_cells) * 1.3 + 3 * qside
+    )
+    if not ok:
+        print("SERVE I/O NOT PROPORTIONAL — a probed search read more "
+              "of the code table than nprobe/n_cells allows")
+    return ok
+
+
 class _Counted:
     def __init__(self, n):
         self._n = n
@@ -356,11 +483,14 @@ def main():
                   f"{e0 * factor:>8} {out_rows:>9} {dt:>7.2f} "
                   f"{dt / base_t:>7.2f}", flush=True)
         trainers_ok = trainer_probe(spark, sf_dir, scratch)
+        serve_ok = serve_probe(spark, sf_dir, scratch)
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
     if not trainers_ok:
         print("\nTRAINER FLOOR VIOLATED — an iterative builder fell "
               "below its rows/sec floor (see TRAINER_FLOORS docstring)")
+        sys.exit(1)
+    if not serve_ok:
         sys.exit(1)
 
 
