@@ -492,3 +492,72 @@ def test_cosine_topk_batch_matches_single_and_recall(index_art):
     }
     assert set(rec) == set(per)
     assert all(0.0 <= v <= 1.0 for v in rec.values())
+
+
+def test_ivfpq_tune_meets_target_and_is_cheapest(index_art):
+    """The auto-tuner returns the CHEAPEST (nprobe asc, refine asc)
+    config meeting the target. The reachable target is discovered
+    from an exhaustive sweep first (ADC at this tiny M/KSUB is too
+    coarse to promise any particular recall a priori), then the tuner
+    must stop at the FIRST config in cost order that clears it."""
+    from scalecast_spark.datapipe.similarity import ivfpq_tune
+
+    cp, bp, _, emb = index_art
+    cents, books = load_centroids(cp), load_pq_codebooks(bp)
+    codes = ivfpq_encode(emb, cents, books)
+    queries = (
+        emb.orderBy("doc_id").limit(4)
+        .selectExpr("doc_id AS query_id", "embedding")
+    )
+    kw = dict(
+        corpus_df=emb, k=5, id_col="doc_id", vec_col="embedding",
+        refines=(2, 4),
+    )
+    sweep = ivfpq_tune(
+        codes, queries, cents, books, target_recall=2.0, **kw
+    )
+    assert sweep["met"] is False
+    order = [(r["nprobe"], r["refine"]) for r in sweep["swept"]]
+    assert order == sorted(order)  # cost order: nprobe asc, refine asc
+    best = max(r["recall"] for r in sweep["swept"])
+    assert 0.0 < best <= 1.0
+    out = ivfpq_tune(
+        codes, queries, cents, books, target_recall=best, **kw
+    )
+    assert out["met"] is True
+    assert out["recall"] >= best
+    # cheapest-first: the winner is the first sweep entry >= target
+    first = next(r for r in sweep["swept"] if r["recall"] >= best)
+    assert (out["nprobe"], out["refine"]) == (
+        first["nprobe"], first["refine"]
+    )
+    # and the tuner stopped there, not after
+    assert len(out["swept"]) == sweep["swept"].index(first) + 1
+
+
+def test_ivfpq_tune_unreachable_target_reports_best(index_art):
+    from scalecast_spark.datapipe.similarity import ivfpq_tune
+
+    cp, bp, _, emb = index_art
+    cents, books = load_centroids(cp), load_pq_codebooks(bp)
+    codes = ivfpq_encode(emb, cents, books)
+    queries = (
+        emb.orderBy("doc_id").limit(2)
+        .selectExpr("doc_id AS query_id", "embedding")
+    )
+    out = ivfpq_tune(
+        codes, queries, cents, books, corpus_df=emb,
+        target_recall=2.0, k=5, id_col="doc_id", nprobes=(1, 2),
+    )
+    assert out["met"] is False
+    assert out["recall"] == max(r["recall"] for r in out["swept"])
+    assert len(out["swept"]) == 2  # exhausted the sweep
+
+
+def test_ivfpq_tune_requires_exactly_one_truth_source(index_art):
+    from scalecast_spark.datapipe.similarity import ivfpq_tune
+
+    cp, bp, _, emb = index_art
+    cents, books = load_centroids(cp), load_pq_codebooks(bp)
+    with pytest.raises(ValueError, match="exactly one"):
+        ivfpq_tune(emb, emb, cents, books)
