@@ -139,3 +139,33 @@ def test_registry_aliases_exist():
 def test_unknown_estimator_raises(spark):
     with pytest.raises(ValueError, match="unknown estimator"):
         mv_model(spark.range(1), estimator="nope")
+
+
+def test_mv_estimators_through_forecaster_api(spark, sf_dir):
+    """The reference MVForecaster surface end-to-end: set_estimator on
+    an mv_* alias -> manual_forecast -> TestSet metrics + optimize_on
+    ranking + set_best_model, all through the standard Forecaster
+    (the long format makes MV 'just more rows'; SURVEY §2 MV rows)."""
+    from scalecast_spark import Forecaster
+    from scalecast_spark.sources import events_to_series, load_table
+
+    series = events_to_series(load_table(spark, sf_dir, "events"))
+    fc = Forecaster(series, future_dates=7)
+    fc.set_test_length(7)
+    fc.set_estimator("mv_linear").manual_forecast(lags=2, alpha=5.0)
+    fc.set_estimator("mv_rf").manual_forecast(
+        lags=2, n_estimators=10, call_me="mv_rf10"
+    )
+    fc.set_estimator("mv_knn").manual_forecast(lags=2, n_neighbors=5)
+    assert set(fc.history) == {"mv_linear", "mv_rf10", "mv_knn"}
+    summ = {
+        r["ModelNickname"]: r
+        for r in fc.export("model_summaries").collect()
+    }
+    for m in fc.history:
+        assert summ[m]["TestSetRMSE"] > 0
+    fc.set_best_model(determine_best_by="TestSetRMSE")
+    assert fc.best_model in fc.history
+    fcsts = fc.export("lvl_fcsts")
+    counts = {r["model"]: r["count"] for r in fcsts.groupBy("model").count().collect()}
+    assert all(v == 7 * 5 for v in counts.values())
