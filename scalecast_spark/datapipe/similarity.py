@@ -17,7 +17,7 @@ from __future__ import annotations
 import hashlib
 
 import numpy as np
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 
 def _dlit(v: float) -> str:
@@ -1377,4 +1377,183 @@ def ivf_topk(
         .select(id_col, F.round(sim, 6).alias("cosine_sim"))
         .orderBy(F.desc("cosine_sim"), id_col)
         .limit(k)
+    )
+
+
+# ------------------------------------------------ serving operations
+# The operational tail of the build-once/serve-many ANN story
+# (round 9): streaming increments (ivfpq_encode_stream) append small
+# files per cell and slowly drift away from the build-time centroids;
+# these helpers measure both and fix the first.
+
+
+def _fs_listing(spark, path: str) -> tuple[int, int]:
+    """(n_data_files, total_bytes) under ``path`` via the Hadoop FS
+    API — works on any filesystem the cluster mounts, not just local."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    it = fs.listFiles(p, True)
+    files = size = 0
+    while it.hasNext():
+        st = it.next()
+        name = st.getPath().getName()
+        if name.startswith(("_", ".")):
+            continue  # _SUCCESS, checksums, hidden
+        files += 1
+        size += int(st.getLen())
+    return files, size
+
+
+def ivfpq_cell_stats(codes_df: DataFrame, cell_col: str = "cell") -> DataFrame:
+    """Per-cell occupancy of a code table: (cell, n_rows, share).
+    One map-side-combined groupBy — n_cells rows out regardless of
+    corpus size. Feeds skew decisions (a hot cell wants more
+    files_per_cell at compaction; extreme skew wants centroid
+    retraining, see :func:`ivfpq_assign_stats`)."""
+    total = F.sum("n_rows").over(Window.partitionBy())
+    return (
+        codes_df.groupBy(cell_col)
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .withColumn("share", F.round(F.col("n_rows") / total, 6))
+        .orderBy(cell_col)
+    )
+
+
+def ivfpq_compact(
+    spark,
+    in_path: str,
+    out_path: str,
+    cell_col: str = "cell",
+    files_per_cell: int = 1,
+    id_col: str = "vec_id",
+) -> dict:
+    """Compact a cell-partitioned code table that streaming increments
+    have fragmented (every ivfpq_encode_stream micro-batch appends ≥1
+    small file per touched cell — after a day of 1-minute triggers a
+    cell dir holds ~1440 files and the serve-path scan pays per-file
+    open/footer costs that dwarf the data read).
+
+    Rewrites the table with ``files_per_cell`` files per cell
+    (repartition on (cell[, salt]) so the shuffle is keyed by cell and
+    the writer emits whole files per partition dir; salt splits hot
+    cells). Writes to ``out_path`` — versioned paths, NOT in-place:
+    Spark cannot safely overwrite its own input, and the serve fleet
+    swaps paths atomically the same way index refreshes do
+    (ivfpq_encode_stream docstring). Row-count equality is verified
+    before returning.
+
+    Returns {files_before, files_after, bytes_before, bytes_after,
+    rows} for the operator's log line."""
+    if in_path.rstrip("/") == out_path.rstrip("/"):
+        raise ValueError(
+            "ivfpq_compact: out_path must differ from in_path (Spark "
+            "cannot rewrite its own input in place; use versioned paths)"
+        )
+    df = spark.read.parquet(in_path)
+    files_before, bytes_before = _fs_listing(spark, in_path)
+    n_in = df.count()
+    if files_per_cell <= 1:
+        out = df.repartition(F.col(cell_col))
+    else:
+        out = df.repartition(
+            F.col(cell_col),
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(files_per_cell)),
+        )
+    out.write.mode("overwrite").partitionBy(cell_col).parquet(out_path)
+    compacted = spark.read.parquet(out_path)
+    n_out = compacted.count()
+    if n_out != n_in:
+        raise RuntimeError(
+            f"ivfpq_compact: row count changed ({n_in} -> {n_out}); "
+            f"output at {out_path!r} is NOT safe to swap in"
+        )
+    files_after, bytes_after = _fs_listing(spark, out_path)
+    return {
+        "files_before": files_before,
+        "files_after": files_after,
+        "bytes_before": bytes_before,
+        "bytes_after": bytes_after,
+        "rows": n_in,
+    }
+
+
+def ivfpq_assign_stats(
+    df: DataFrame,
+    cents,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assignment-quality stats of a vector frame against FIXED
+    centroids: per cell, (n_rows, share, avg_sim, p05_sim) where sim
+    is the cosine of each vector to its ASSIGNED centroid. Run once on
+    the build corpus (the baseline), then on each increment; falling
+    sims mean the increments no longer resemble what the quantizer was
+    trained on. Pure projection + one bounded groupBy — n_cells rows
+    out at any corpus size."""
+    vec = F.col(vec_col).cast("array<double>")
+    cb = _lit_mat([cv for _, cv in cents])
+    cn = F.array(*[
+        F.lit(float(np.sqrt(np.dot(cv, cv)))) for _, cv in cents
+    ])
+    dots = F.transform(
+        cb,
+        lambda c: F.aggregate(
+            F.zip_with(vec, c, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+    )
+    cell = F.array_position(dots, F.array_max(dots))
+    sim = F.try_divide(
+        F.array_max(dots), _norm(vec) * F.element_at(cn, cell.cast("int"))
+    )
+    total = F.sum("n_rows").over(Window.partitionBy())
+    return (
+        df.select(cell.alias("cell"), sim.alias("_sim"))
+        .groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.avg("_sim"), 6).alias("avg_sim"),
+            F.round(F.percentile("_sim", F.lit(0.05)), 6).alias("p05_sim"),
+        )
+        .withColumn("share", F.round(F.col("n_rows") / total, 6))
+        .orderBy("cell")
+    )
+
+
+def ivfpq_drift(baseline: DataFrame, current: DataFrame) -> DataFrame:
+    """Join two :func:`ivfpq_assign_stats` frames (build-time baseline
+    vs a new increment) into the per-cell drift report: sim deltas and
+    occupancy shift. ``d_avg_sim`` persistently below zero across
+    cells = the increments sit farther from every centroid than the
+    build corpus did → retrain the coarse quantizer and re-encode
+    (index refresh is a path swap, same as compaction). Cells present
+    on only one side keep NULL deltas rather than dropping — a brand
+    new hot cell IS drift signal."""
+    b = baseline.select(
+        "cell",
+        F.col("n_rows").alias("n_base"),
+        F.col("share").alias("share_base"),
+        F.col("avg_sim").alias("avg_sim_base"),
+        F.col("p05_sim").alias("p05_sim_base"),
+    )
+    c = current.select(
+        "cell",
+        F.col("n_rows").alias("n_cur"),
+        F.col("share").alias("share_cur"),
+        F.col("avg_sim").alias("avg_sim_cur"),
+        F.col("p05_sim").alias("p05_sim_cur"),
+    )
+    return (
+        b.join(c, "cell", "full_outer")
+        .withColumn(
+            "d_avg_sim", F.round(F.col("avg_sim_cur") - F.col("avg_sim_base"), 6)
+        )
+        .withColumn(
+            "d_p05_sim", F.round(F.col("p05_sim_cur") - F.col("p05_sim_base"), 6)
+        )
+        .withColumn(
+            "d_share", F.round(F.col("share_cur") - F.col("share_base"), 6)
+        )
+        .orderBy("cell")
     )

@@ -561,3 +561,72 @@ def test_ivfpq_tune_requires_exactly_one_truth_source(index_art):
     cents, books = load_centroids(cp), load_pq_codebooks(bp)
     with pytest.raises(ValueError, match="exactly one"):
         ivfpq_tune(emb, emb, cents, books)
+
+
+def test_ivfpq_compact_merges_increment_files(index_art, tmp_path):
+    """The operational tail: many small appends (the streaming-
+    increment shape) -> one file per cell, same rows, fewer files;
+    in-place rewrite refused; files_per_cell splits hot cells."""
+    from scalecast_spark.datapipe.similarity import (
+        ivfpq_cell_stats,
+        ivfpq_compact,
+    )
+
+    cp, bp, _, emb = index_art
+    spark = emb.sparkSession
+    cents, books = load_centroids(cp), load_pq_codebooks(bp)
+    frag = str(tmp_path / "frag")
+    codes = ivfpq_encode(emb, cents, books).withColumnRenamed(
+        "doc_id", "vec_id"
+    )
+    for i in range(5):  # 5 "micro-batches" of appends
+        codes.filter(F.pmod(F.col("vec_id"), F.lit(5)) == i).repartition(
+            4
+        ).write.mode("append").partitionBy("cell").parquet(frag)
+    out = str(tmp_path / "compacted")
+    stats = ivfpq_compact(spark, frag, out)
+    assert stats["files_after"] < stats["files_before"]
+    assert stats["rows"] == codes.count()
+    before = ivfpq_cell_stats(spark.read.parquet(frag)).collect()
+    after = ivfpq_cell_stats(spark.read.parquet(out)).collect()
+    assert [r.asDict() for r in before] == [r.asDict() for r in after]
+    # one file per cell when files_per_cell=1
+    n_cells_present = len(after)
+    assert stats["files_after"] == n_cells_present
+    with pytest.raises(ValueError, match="must differ"):
+        ivfpq_compact(spark, frag, frag + "/")
+    # hot-cell splitting: more output files allowed, rows identical
+    out2 = str(tmp_path / "compacted2")
+    stats2 = ivfpq_compact(spark, frag, out2, files_per_cell=2)
+    assert stats2["rows"] == stats["rows"]
+    assert stats2["files_after"] >= stats["files_after"]
+
+
+def test_ivfpq_assign_stats_and_drift(index_art):
+    """Baseline-vs-increment drift: the build corpus scored against
+    its own centroids is the baseline; a deliberately-corrupted
+    increment (vectors negated -> cosine to every centroid flips)
+    must show falling sims in the drift report, while an identical
+    increment shows zero drift."""
+    from scalecast_spark.datapipe.similarity import (
+        ivfpq_assign_stats,
+        ivfpq_drift,
+    )
+
+    cp, _, _, emb = index_art
+    cents = load_centroids(cp)
+    base = ivfpq_assign_stats(emb, cents)
+    rows = base.collect()
+    assert sum(r["n_rows"] for r in rows) == emb.count()
+    assert abs(sum(r["share"] for r in rows) - 1.0) < 1e-4
+    assert all(-1.0 <= r["p05_sim"] <= r["avg_sim"] <= 1.0 for r in rows)
+    # identical increment: zero drift on every joined cell
+    same = ivfpq_drift(base, ivfpq_assign_stats(emb, cents)).collect()
+    assert all(r["d_avg_sim"] == 0.0 for r in same)
+    # corrupted increment: negated vectors score the OPPOSITE cosine
+    bad = emb.withColumn(
+        "embedding", F.transform("embedding", lambda x: -x)
+    )
+    drift = ivfpq_drift(base, ivfpq_assign_stats(bad, cents)).collect()
+    joined = [r for r in drift if r["d_avg_sim"] is not None]
+    assert joined and all(r["d_avg_sim"] < 0 for r in joined)
