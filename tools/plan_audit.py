@@ -48,6 +48,8 @@ AUDIT = [
     "sim_ivfpq_serve",
     "sim_ivfpq_serve_batch",
     "ts_mv_linear",
+    "ts_mv_knn",
+    "ts_networks_forward",
     "embed_sparse_d512",
 ]
 
@@ -104,6 +106,22 @@ def _q_ts_mv_linear(spark, sf_dir):
     return entrymod.q_ts_mv_linear(spark, sf_dir)
 
 
+def _q_ts_mv_knn(spark, sf_dir):
+    """The round-9 non-linear SKLearnMV member (models/mv_kernel.py
+    mv_model with the k-NN core): same one-Arrow-task-per-family
+    shape as ts_mv_linear — the generic kernel must not have added a
+    shuffle or a rowUDF over the linear member's plan."""
+    return entrymod.q_ts_mv_knn(spark, sf_dir)
+
+
+def _q_ts_networks_forward(spark, sf_dir):
+    """The round-9 fixed-weight network forward-pass members of
+    ts_forecast_direct (models/mlp.py make_fixed_cell_forward via
+    run_series_kernel) — one Arrow batch per series, no extra
+    shuffles beyond the series groupBy + the final join."""
+    return entrymod.q_ts_forecast_direct(spark, sf_dir)
+
+
 #: AUDIT names that are not queries() keys -> direct callables
 EXTRA = {
     "emb_hashdoc": lambda s, d: entrymod.q_emb_hashdoc_pairs(s, d),
@@ -112,6 +130,8 @@ EXTRA = {
     "sim_ivfpq_serve": _q_sim_ivfpq_serve,
     "sim_ivfpq_serve_batch": lambda s, d: entrymod.q_sim_ivfpq_serve_batch(s, d),
     "ts_mv_linear": _q_ts_mv_linear,
+    "ts_mv_knn": _q_ts_mv_knn,
+    "ts_networks_forward": _q_ts_networks_forward,
     "embed_sparse_d512": _q_embed_sparse_d512,
 }
 
