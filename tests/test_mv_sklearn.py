@@ -169,3 +169,28 @@ def test_mv_estimators_through_forecaster_api(spark, sf_dir):
     fcsts = fc.export("lvl_fcsts")
     counts = {r["model"]: r["count"] for r in fcsts.groupBy("model").count().collect()}
     assert all(v == 7 * 5 for v in counts.values())
+
+
+def test_mv_grid_tune_and_auto_forecast(spark, sf_dir):
+    """MV estimators flow through the grid-tune -> auto_forecast loop
+    (the reference MVForecaster tune/CV surface with optimize_on
+    aggregation): the chosen cell comes from the ingested grid and
+    the final forecast runs with it."""
+    from scalecast_spark import Forecaster
+    from scalecast_spark.sources import events_to_series, load_table
+
+    series = events_to_series(load_table(spark, sf_dir, "events"))
+    fc = Forecaster(series, future_dates=7)
+    fc.set_test_length(7)
+    fc.set_validation_length(7)
+    fc.set_estimator("mv_knn")
+    fc.ingest_grid({"lags": [2, 3], "n_neighbors": [3, 5]})
+    fc.tune()
+    assert fc.best_params["lags"] in (2, 3)
+    assert fc.best_params["n_neighbors"] in (3, 5)
+    fc.auto_forecast()
+    assert fc.history["mv_knn"]["summary"]["TestSetRMSE"] > 0
+    assert (
+        fc.history["mv_knn"]["summary"]["hyperparams"]["n_neighbors"]
+        == fc.best_params["n_neighbors"]
+    )
