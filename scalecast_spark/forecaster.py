@@ -40,6 +40,16 @@ from scalecast_spark.functions import metrics as METRICS
 _EXOG_OPTIONAL = {
     "arima", "auto_arima", "prophet", "tbats", "hwes", "theta", "vecm",
 }
+
+
+def _exog_optional(name: str) -> bool:
+    """Estimators whose Xvars default is NONE rather than 'all': the
+    statsmodels family (docstring at _run_model) and every MV
+    estimator — the MV design derives from the series lags, and exog
+    there means FAMILY-SHARED regressors (calendar/trend), so
+    per-series features like ar_1 must never flow in silently; a user
+    opts in with an explicit Xvars list of shared columns."""
+    return name in _EXOG_OPTIONAL or name.startswith("mv_") or name == "mv_sklearn"
 from scalecast_spark.functions.conformal import apply_intervals, conformal_widths
 from scalecast_spark.operators import features as FEAT
 
@@ -337,7 +347,7 @@ class Forecaster:
         # would feed NULL-bearing AR warm-up rows into every plain
         # arima/prophet fit as exog and break them
         if xvars is None:
-            xvars = [] if self.estimator in _EXOG_OPTIONAL else list(self.tsf.features)
+            xvars = [] if _exog_optional(self.estimator) else list(self.tsf.features)
         elif xvars == "all":  # reference convention: 'all' = every Xvar
             xvars = list(self.tsf.features)
         return fn(df, features=xvars, **kwargs)

@@ -46,13 +46,25 @@ def mv_design(Ymat: np.ndarray, lags: int) -> tuple[np.ndarray, np.ndarray]:
 
 
 def mv_fit_forecast(
-    Ymat: np.ndarray, h: int, lags: int, fit_fn
+    Ymat: np.ndarray,
+    h: int,
+    lags: int,
+    fit_fn,
+    exog: np.ndarray | None = None,
+    exog_future: np.ndarray | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Fit one ``fit_fn`` model per target series on the shared
     wide-lag design and forecast ``h`` steps jointly (each step's
     predicted row appended to the history so every later step consumes
     every series' earlier predictions — the SKLearnMV recursive
     semantics, reference models.py:268-333).
+
+    ``exog`` ([T x p], one row per observed time) appends the family's
+    shared regressors at the TARGET time to every design row — the
+    reference MVForecaster's Xvars (calendar/trend features shared by
+    the family, models.py:204-247); ``exog_future`` ([>=h x p]) must
+    then supply their future values (known for generated
+    calendar/trend features), consumed positionally by the recursion.
 
     Returns (fitted [T x n] — first L rows echo actuals, matching
     mv_linear_fit_forecast's pre-sample convention — and
@@ -63,6 +75,20 @@ def mv_fit_forecast(
     if Tn < L + 2:
         raise ValueError(f"need at least lags+2={L + 2} rows (got {Tn})")
     X, Yt = mv_design(Ymat, L)
+    if exog is not None:
+        exog = np.atleast_2d(np.asarray(exog, float))
+        if len(exog) != Tn:
+            raise ValueError(
+                f"exog has {len(exog)} rows, need one per observed "
+                f"time ({Tn})"
+            )
+        if int(h) > 0:
+            if exog_future is None or len(exog_future) < int(h):
+                raise ValueError(
+                    "exog given: exog_future must supply >= h rows"
+                )
+            exog_future = np.atleast_2d(np.asarray(exog_future, float))
+        X = np.hstack([X, exog[L:]])
     predictors = [fit_fn(X, Yt[:, j]) for j in range(n)]
 
     fitted = Ymat.copy()
@@ -71,23 +97,38 @@ def mv_fit_forecast(
 
     hist = Ymat.copy()
     out = []
-    for _ in range(int(h)):
+    for step in range(int(h)):
         x = np.empty((1, n * L))
         for c in range(n * L):
             l, s = c // n + 1, c % n
             x[0, c] = hist[-l, s]
+        if exog is not None:
+            x = np.hstack([x, exog_future[step: step + 1]])
         nxt = np.array([float(p(x)[0]) for p in predictors])
         out.append(nxt)
         hist = np.vstack([hist, nxt])
     return fitted, np.asarray(out).reshape(int(h), n)
 
 
-def mv_apply(df: DataFrame, family_col: str | None, core) -> DataFrame:
+def mv_apply(
+    df: DataFrame,
+    family_col: str | None,
+    core,
+    feature_cols: list[str] | None = None,
+) -> DataFrame:
     """Distribute a per-family MV core (``core(Ymat, h) -> (fitted,
     fc)``) over the long frame: pivot each family wide inside its
     applyInPandas task, run the core, and re-join the long forecast
     column. The family groupBy is the ONLY shuffle; at 100 TB the key
-    must be the family, never the corpus."""
+    must be the family, never the corpus.
+
+    With ``feature_cols`` the core is called ``core(Ymat, h, X_obs,
+    X_fut)`` where the exog matrices carry the family's SHARED
+    regressors per ds (first value per ds — calendar/trend features
+    are identical across a family's series by construction, the
+    reference MVForecaster Xvars posture); future rows must carry
+    their regressor values, which generated calendar/trend features
+    do."""
     fam = family_col or "_mvfam"
     src = df if family_col else df.withColumn(fam, F.lit(0))
     schema = T.StructType(
@@ -97,6 +138,7 @@ def mv_apply(df: DataFrame, family_col: str | None, core) -> DataFrame:
             T.StructField("forecast", T.DoubleType()),
         ]
     )
+    feats = list(feature_cols or [])
 
     def fit_predict(pdf: pd.DataFrame) -> pd.DataFrame:
         wide = (
@@ -109,7 +151,24 @@ def mv_apply(df: DataFrame, family_col: str | None, core) -> DataFrame:
         Ymat = wide.to_numpy(float)
         fut = pdf[pdf[IS_FUTURE] == 1]
         h = int(fut.groupby(SERIES)[DS].count().max()) if len(fut) else 0
-        fitted, fc = core(Ymat, h)
+        if feats:
+            per_ds = (
+                pdf.sort_values([DS, SERIES])
+                .groupby(DS, as_index=True)[feats]
+                .first()
+                .sort_index()
+            )
+            obs_idx = wide.index
+            X_obs = per_ds.loc[obs_idx].to_numpy(float)
+            fut_idx = sorted(set(fut[DS]))
+            X_fut = (
+                per_ds.loc[fut_idx].to_numpy(float)
+                if fut_idx
+                else np.empty((0, len(feats)))
+            )
+            fitted, fc = core(Ymat, h, X_obs, X_fut)
+        else:
+            fitted, fc = core(Ymat, h)
         frames = [
             pd.DataFrame({SERIES: sid, DS: wide.index, "forecast": fitted[:, j]})
             for j, sid in enumerate(sids)
@@ -140,11 +199,14 @@ def mv_model(
     """Registry adapter ('mv_sklearn' and the per-estimator 'mv_*'
     aliases): joint wide-lag forecast with ANY kernel estimator —
     the reference MVForecaster surface (set_estimator over the whole
-    sklearn family). ``features`` accepted (ignored) for registry
-    parity; the design derives from the series themselves.
+    sklearn family). ``features`` names shared exog regressor columns
+    (calendar/trend features generated into the future) appended to
+    the wide-lag design at the target time — the MVForecaster Xvars;
+    omit for the lags-only design.
 
     >>> MODELS["mv_rf"](tsf.df, lags=3, n_estimators=100)
     >>> MODELS["mv_sklearn"](tsf.df, estimator="gbt", lags=2)
+    >>> mv_model(df, "ridge", features=["t", "dowsin1"], lags=2)
     """
     from scalecast_spark.models import KERNEL_FACTORIES
 
@@ -155,6 +217,15 @@ def mv_model(
         )
     fit_fn = KERNEL_FACTORIES[estimator](**est_kwargs)
     L = int(lags)
+    feats = list(features) if features else None
+    if feats:
+        return mv_apply(
+            df, family_col,
+            lambda Ymat, h, Xo, Xf: mv_fit_forecast(
+                Ymat, h, L, fit_fn, exog=Xo, exog_future=Xf
+            ),
+            feature_cols=feats,
+        )
     return mv_apply(
         df, family_col, lambda Ymat, h: mv_fit_forecast(Ymat, h, L, fit_fn)
     )

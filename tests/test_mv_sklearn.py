@@ -194,3 +194,83 @@ def test_mv_grid_tune_and_auto_forecast(spark, sf_dir):
         fc.history["mv_knn"]["summary"]["hyperparams"]["n_neighbors"]
         == fc.best_params["n_neighbors"]
     )
+
+
+def test_exog_design_matches_closed_form():
+    """Ridge with exog == the closed-form augmented-design solve
+    computed independently: design [wide-lags | x_t], multi-target."""
+    rng = np.random.RandomState(4)
+    Y = _ymat(T=40, n=2, seed=4)
+    xg = rng.rand(40, 1) * 3.0
+    Y = Y + 2.5 * xg  # real exog effect on both series
+    xf = rng.rand(5, 1) * 3.0
+    _, fc = mv_fit_forecast(
+        Y, 5, 2, KERNEL_FACTORIES["ridge"](alpha=1.0),
+        exog=xg, exog_future=xf,
+    )
+    # independent recompute: augmented design + unpenalized-intercept
+    # ridge per target + joint recursion
+    X, Yt = mv_design(Y, 2)
+    Xa = np.hstack([X, xg[2:], np.ones((len(X), 1))])
+    p = Xa.shape[1]
+    pen = np.eye(p); pen[-1, -1] = 0.0
+    B = np.linalg.solve(Xa.T @ Xa + pen, Xa.T @ Yt)
+    hist = Y.copy()
+    for step in range(5):
+        x = np.array([hist[-(c // 2 + 1), c % 2] for c in range(4)])
+        xa = np.concatenate([x, xf[step], [1.0]])
+        nxt = xa @ B
+        assert np.allclose(fc[step], nxt, atol=1e-8)
+        hist = np.vstack([hist, nxt])
+
+
+def test_exog_future_moves_the_forecast():
+    Y = _ymat(T=40, n=2, seed=5)
+    xg = np.linspace(0, 1, 40).reshape(-1, 1)
+    Y = Y + 4.0 * xg
+    fit = KERNEL_FACTORIES["ridge"](alpha=1.0)
+    lo = mv_fit_forecast(Y, 3, 2, fit, exog=xg,
+                         exog_future=np.zeros((3, 1)))[1]
+    hi = mv_fit_forecast(Y, 3, 2, fit, exog=xg,
+                         exog_future=np.ones((3, 1)) * 5.0)[1]
+    assert (hi > lo).all()
+
+
+def test_exog_validation_errors():
+    Y = _ymat(T=20, n=2, seed=6)
+    fit = KERNEL_FACTORIES["ridge"]()
+    with pytest.raises(ValueError, match="one per observed"):
+        mv_fit_forecast(Y, 2, 2, fit, exog=np.ones((5, 1)),
+                        exog_future=np.ones((2, 1)))
+    with pytest.raises(ValueError, match="exog_future"):
+        mv_fit_forecast(Y, 2, 2, fit, exog=np.ones((20, 1)))
+
+
+def test_mv_exog_through_spark_and_forecaster_default(spark, sf_dir):
+    """features= flows into the shared-exog design on the distributed
+    path, and the Forecaster does NOT silently feed per-series
+    features to mv estimators (Xvars default None for mv_*)."""
+    from scalecast_spark import Forecaster
+    from scalecast_spark.frame import TimeSeriesFrame
+    from scalecast_spark.operators.features import add_time_trend
+    from scalecast_spark.sources import events_to_series, load_table
+
+    series = events_to_series(load_table(spark, sf_dir, "events"))
+    tsf = TimeSeriesFrame.from_long(series).generate_future_dates(7)
+    df, _ = add_time_trend(tsf.df)
+    out = mv_model(df, estimator="ridge", features=["t"], lags=2, alpha=1.0)
+    fut = out.filter("is_future = 1")
+    assert fut.filter(F.col("forecast").isNull()).count() == 0
+    base = mv_model(df, estimator="ridge", lags=2, alpha=1.0)
+    a = {(r["series_id"], r["ds"]): r["forecast"] for r in fut.collect()}
+    b = {
+        (r["series_id"], r["ds"]): r["forecast"]
+        for r in base.filter("is_future = 1").collect()
+    }
+    assert a != b  # the exog column genuinely entered the design
+    # Forecaster default: ar features exist but mv gets NO implicit Xvars
+    fc = Forecaster(series, future_dates=7)
+    fc.set_test_length(7)
+    fc.add_ar_terms(2)
+    fc.set_estimator("mv_linear").manual_forecast(lags=2, alpha=5.0)
+    assert fc.history["mv_linear"]["summary"]["TestSetRMSE"] > 0
