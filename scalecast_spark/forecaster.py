@@ -440,6 +440,124 @@ class Forecaster:
             self.best_params = {}
         return self.manual_forecast(call_me=call_me, **self.best_params)
 
+    def transfer_predict(
+        self,
+        transfer_from: "Forecaster",
+        model: str,
+        call_me: str | None = None,
+        save_to_history: bool = True,
+    ) -> "Forecaster":
+        """Predict THIS object's series with a model trained on
+        ANOTHER object's data — the reference ``transfer_predict``
+        (_Forecaster_parent.py:1869-1943). The reference reuses its
+        pickled in-memory regressor; this engine keeps no driver-side
+        fitted object (100M series would not fit one), so the
+        Spark-native translation is a COGROUPED kernel
+        (models/kernel.transfer_kernel): per series, fit on the
+        source object's rows and apply to this object's rows inside
+        one Arrow task — trained-parameter reuse without retraining
+        on this object's data, fully distributed.
+
+        Supported for the kernel estimator family (the reference
+        limits it to sklearn-API models the same way). Requires this
+        object to carry the source model's feature columns — transfer
+        the recipe first (``infer_apply_Xvar_selection``). TestSet
+        metrics are computed by transferring onto the marked test
+        frame (the source model recursively predicts this object's
+        test span), matching manual_forecast's evaluation shape."""
+        from scalecast_spark.models import KERNEL_FACTORIES, MODELS
+        from scalecast_spark.models.kernel import transfer_kernel
+
+        if model not in transfer_from.history:
+            raise ValueError(f"{model!r} not evaluated on transfer_from")
+        summary = transfer_from.history[model]["summary"]
+        est = summary["estimator"]
+        if est not in KERNEL_FACTORIES:
+            raise ValueError(
+                f"transfer_predict supports the kernel estimator family "
+                f"{sorted(KERNEL_FACTORIES)}; {est!r} is not in it"
+            )
+        hp = dict(summary.get("hyperparams") or {})
+        xvars = hp.pop("Xvars", None)
+        dyn = hp.pop("dynamic_testing", True)
+        # the normalizer the source run actually used: explicit
+        # hyperparam, else the adapter's own default (e.g. ridge_model
+        # defaults to 'minmax')
+        import inspect
+
+        sig = inspect.signature(MODELS[est]).parameters
+        normalizer = hp.pop(
+            "normalizer",
+            sig["normalizer"].default if "normalizer" in sig else None,
+        )
+        if xvars is None or xvars == "all":
+            feats = list(transfer_from.tsf.features)
+        else:
+            feats = list(xvars)
+        missing = [c for c in feats if c not in self.tsf.features]
+        if missing:
+            raise ValueError(
+                f"transfer target lacks feature columns {missing}; apply "
+                f"the source's feature recipe first "
+                f"(infer_apply_Xvar_selection)"
+            )
+        fit_fn = KERNEL_FACTORIES[est](**hp)
+        src = transfer_from.tsf.df
+        name = call_me or model
+
+        test_df = None
+        test_metrics: dict[str, float] | None = None
+        per_series_test = None
+        widths = None
+        if self.test_length:
+            marked = _mark_test_rows(self.tsf.df, self.test_length)
+            scored = transfer_kernel(
+                src, marked, feats, fit_fn,
+                dynamic_testing=dyn, normalizer=normalizer,
+            )
+            test_df = scored.filter(F.col(IS_FUTURE) == 1).select(
+                SERIES, DS, Y, "forecast"
+            ).cache()
+            per_series_test, test_metrics = self._metric_summary(
+                test_df, self.metrics
+            )
+            widths = conformal_widths(
+                test_df, actual=Y, forecast="forecast", cilevel=self.cilevel
+            )
+
+        full = transfer_kernel(
+            src, self.tsf.df, feats, fit_fn,
+            dynamic_testing=dyn, normalizer=normalizer,
+        )
+        fitted = full.filter(
+            (F.col(IS_FUTURE) == 0) & F.col("forecast").isNotNull()
+        ).select(SERIES, DS, Y, "forecast")
+        fc = full.filter(F.col(IS_FUTURE) == 1).select(SERIES, DS, "forecast")
+        if widths is not None:
+            fc = apply_intervals(fc, widths)
+        per_series_in, insample_metrics = self._metric_summary(
+            fitted, self.metrics
+        )
+        out_summary = {
+            "estimator": est,
+            "hyperparams": dict(summary.get("hyperparams") or {}),
+            "transferred_from": model,
+        }
+        for m, v in (test_metrics or {}).items():
+            out_summary[f"TestSet{m.upper()}"] = v
+        for m, v in insample_metrics.items():
+            out_summary[f"InSample{m.upper()}"] = v
+        if save_to_history:
+            self.history[name] = {
+                "forecast": fc,
+                "fitted": fitted,
+                "test_preds": test_df,
+                "per_series_test_metrics": per_series_test,
+                "per_series_insample_metrics": per_series_in,
+                "summary": out_summary,
+            }
+        return self
+
     # ------------------------------------------------------ tuning
     def ingest_grid(self, grid: dict[str, list]) -> "Forecaster":
         """dict-of-lists → cartesian product

@@ -126,6 +126,95 @@ def run_kernel(
     return df.join(preds, on=[SERIES, DS], how="left")
 
 
+def transfer_kernel(
+    src_df: DataFrame,
+    dst_df: DataFrame,
+    features: list[str],
+    fit_fn: Callable[[np.ndarray, np.ndarray], Callable[[np.ndarray], float]],
+    dynamic_testing: bool | int = True,
+    normalizer: str | None = None,
+) -> DataFrame:
+    """Fit on SOURCE series, predict on DESTINATION series — the
+    reference's ``transfer_predict`` (apply an already-trained model
+    to another object's data without retraining,
+    _Forecaster_parent.py:1869-1943) in model-as-data form: the
+    engine keeps no driver-side fitted object, so each series' (fit
+    on src, apply to dst) pair runs inside ONE cogrouped Arrow task —
+    a transfer over 100M series distributes exactly like a fit, and
+    the Arrow payload per task is the two series, KBs.
+
+    Same recursion semantics as :func:`run_kernel` on the dst side
+    (AR cells overwritten from the rolling dst history; dst future
+    rows predicted recursively), but the model parameters come from
+    the SRC rows. Dst series with no src twin forecast NaN — there is
+    no model to transfer. Adds ``forecast`` to ``dst_df``."""
+    ar_lags = {int(m.group(1)): c for c in features for m in [_AR_RE.match(c)] if m}
+    feat = list(features)
+    peek_every = (
+        0 if dynamic_testing is True else 1 if dynamic_testing is False
+        else int(dynamic_testing)
+    )
+    schema = T.StructType(
+        [
+            T.StructField(SERIES, dst_df.schema[SERIES].dataType),
+            T.StructField(DS, dst_df.schema[DS].dataType),
+            T.StructField("forecast", T.DoubleType()),
+        ]
+    )
+
+    def fit_apply(src_pdf: pd.DataFrame, pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(DS).reset_index(drop=True)
+        out = pdf[[SERIES, DS]].copy()
+        train = (
+            src_pdf[src_pdf[IS_FUTURE] == 0].dropna(subset=feat + [Y])
+            if len(src_pdf)
+            else src_pdf
+        )
+        if len(train) <= max(len(feat), 1):
+            out["forecast"] = np.nan
+            return out
+        train = train.sort_values(DS)
+        Xtr = np.column_stack([train[c].to_numpy(float) for c in feat])
+        norm = _fit_normalizer(normalizer, Xtr)
+        predict = fit_fn(norm(Xtr), train[Y].to_numpy(float))
+
+        fitted = np.full(len(pdf), np.nan)
+        ok = (pdf[feat].notna().all(axis=1) & (pdf[IS_FUTURE] == 0)).to_numpy()
+        if ok.any():
+            Xall = np.column_stack(
+                [pdf.loc[ok, c].to_numpy(float) for c in feat]
+            )
+            fitted[ok] = predict(norm(Xall))
+
+        obs = pdf[pdf[IS_FUTURE] == 0]
+        hist = list(obs[Y].to_numpy(float))
+        fut_idx = pdf.index[pdf[IS_FUTURE] == 1].tolist()
+        for step, i in enumerate(fut_idx, start=1):
+            row = pdf.loc[i, feat].copy()
+            for k, cname in ar_lags.items():
+                if k <= len(hist):
+                    row[cname] = hist[-k]
+            x = norm(row.to_numpy(float).reshape(1, -1))
+            pred = float(predict(x))
+            fitted[i] = pred
+            actual = pdf.at[i, Y]
+            if peek_every and step % peek_every == 0 and not pd.isna(actual):
+                hist.append(float(actual))
+            else:
+                hist.append(pred)
+        out["forecast"] = fitted
+        return out
+
+    cols = [SERIES, DS, IS_FUTURE, Y, *feat]
+    preds = (
+        src_df.select(*cols)
+        .groupBy(SERIES)
+        .cogroup(dst_df.select(*cols).groupBy(SERIES))
+        .applyInPandas(fit_apply, schema)
+    )
+    return dst_df.join(preds, on=[SERIES, DS], how="left")
+
+
 def run_kernel_grid(
     df: DataFrame,
     features: list[str],
