@@ -630,3 +630,50 @@ def test_ivfpq_assign_stats_and_drift(index_art):
     drift = ivfpq_drift(base, ivfpq_assign_stats(bad, cents)).collect()
     joined = [r for r in drift if r["d_avg_sim"] is not None]
     assert joined and all(r["d_avg_sim"] < 0 for r in joined)
+
+
+def test_index_lifecycle_stream_compact_search(spark, sf_dir, index_art, tmp_path):
+    """The full operate-the-index story in one flow: stream-encode the
+    corpus (appends small files per micro-batch), compact to one file
+    per cell, and verify search results over the compacted table are
+    IDENTICAL to the fragmented one (compaction is physical layout
+    only, never semantics)."""
+    from scalecast_spark.datapipe.similarity import (
+        ivfpq_compact,
+        ivfpq_search,
+    )
+    from scalecast_spark.streaming import (
+        ivfpq_encode_stream,
+        stream_documents,
+    )
+
+    cp, bp, _, emb = index_art
+    cents, books = load_centroids(cp), load_pq_codebooks(bp)
+    frag = str(tmp_path / "lifecycle_codes")
+    stream = ivfpq_encode_stream(
+        stream_documents(spark, f"{sf_dir}/documents.parquet"),
+        cp, bp, dim=DIM,
+    ).select(
+        F.col("doc_id").alias("vec_id"), "cell", "pq_codes"
+    ).filter(F.col("pq_codes").isNotNull())
+    q = (
+        stream.writeStream.format("parquet")
+        .option("path", frag)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .partitionBy("cell")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    compacted = str(tmp_path / "lifecycle_compacted")
+    stats = ivfpq_compact(spark, frag, compacted)
+    assert stats["rows"] > 0
+    qv = [float(x) for x in
+          emb.orderBy("doc_id").select("embedding").limit(1).collect()[0][0]]
+    before = ivfpq_search(
+        spark.read.parquet(frag), cents, books, qv, k=5, nprobe=2
+    ).collect()
+    after = ivfpq_search(
+        spark.read.parquet(compacted), cents, books, qv, k=5, nprobe=2
+    ).collect()
+    assert [r.asDict() for r in before] == [r.asDict() for r in after]
