@@ -50,6 +50,7 @@ AUDIT = [
     "ts_mv_linear",
     "ts_mv_knn",
     "ts_networks_forward",
+    "dedup_cross",
     "embed_sparse_d512",
 ]
 
@@ -132,6 +133,9 @@ EXTRA = {
     "ts_mv_linear": _q_ts_mv_linear,
     "ts_mv_knn": _q_ts_mv_knn,
     "ts_networks_forward": _q_ts_networks_forward,
+    # round-9 incremental dedup (broadcast-new bucket join + candidate-
+    # driven verify): the plan must show broadcasts, no corpus SMJ
+    "dedup_cross": lambda s, d: entrymod.q_dedup_cross_bench(s, d),
     "embed_sparse_d512": _q_embed_sparse_d512,
 }
 
