@@ -402,16 +402,17 @@ def rnn_model(
     **kwargs,
 ) -> DataFrame:
     """Reference 'rnn' (TF SimpleRNN stacks, models.py:561-816). The
-    TF-free implementation is a REAL SimpleRNN cell trained with BPTT
-    (make_direct_rnn) under the reference's direct multi-horizon
-    strategy; per-series parallel through run_series_kernel. TF remains
-    the gated upgrade when installed. ``cell='mlp'`` selects the
-    flat-window direct MLP (the pre-round-4 behavior) for comparison."""
-    try:  # pragma: no cover - env-dependent
-        import tensorflow  # noqa: F401
-        # TF backend wiring lands when TF is available in the image
-    except ImportError:
-        pass
+    numpy implementation IS the estimator — a real SimpleRNN cell
+    trained with full-unroll BPTT (make_direct_rnn) under the
+    reference's direct multi-horizon strategy, per-series parallel
+    through run_series_kernel, gradient-checked against central
+    finite differences (tests/test_bptt_gradcheck.py). A Keras-backed
+    variant is NOT silently substituted when TF happens to be
+    installed (unlike xgboost/catboost, where the real package
+    computes the same objective, a TF training loop would change the
+    numbers); a user wanting TF plugs their own estimator in via
+    ``models.add_estimator``. ``cell='mlp'`` selects the flat-window
+    direct MLP (the pre-round-4 behavior) for comparison."""
     from scalecast_spark.models.kernel import run_series_kernel
 
     if cell == "mlp":
