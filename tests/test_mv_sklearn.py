@@ -274,3 +274,38 @@ def test_mv_exog_through_spark_and_forecaster_default(spark, sf_dir):
     fc.add_ar_terms(2)
     fc.set_estimator("mv_linear").manual_forecast(lags=2, alpha=5.0)
     assert fc.history["mv_linear"]["summary"]["TestSetRMSE"] > 0
+
+
+def test_mv_through_backtest_pipeline(spark, sf_dir):
+    """MVPipeline parity (reference Pipeline.py:464-593 — long format
+    makes combine/break no-ops): the MV kernel runs inside the
+    rolling-origin backtest exactly like univariate estimators, and
+    backtest_metrics aggregates it per (model, iteration)."""
+    from scalecast_spark.models import MODELS
+    from scalecast_spark.pipeline import backtest, backtest_metrics
+    from scalecast_spark.sources import events_to_series, load_table
+
+    series = events_to_series(load_table(spark, sf_dir, "events"))
+    bt = backtest(
+        series,
+        {
+            "mv_knn": lambda df: MODELS["mv_knn"](
+                df, lags=2, n_neighbors=5
+            ),
+            "naive": lambda df: MODELS["naive"](df, m=7),
+        },
+        fcst_length=7,
+        n_iter=2,
+    )
+    n_series = series.select("series_id").distinct().count()
+    counts = {
+        (r["model"], r["iteration"]): r["count"]
+        for r in bt.groupBy("model", "iteration").count().collect()
+    }
+    assert set(counts) == {("mv_knn", 0), ("mv_knn", 1),
+                           ("naive", 0), ("naive", 1)}
+    assert all(v == 7 * n_series for v in counts.values())
+    mets = backtest_metrics(bt, metrics=["rmse", "mae"]).toPandas()
+    mv_rows = mets[mets["model"] == "mv_knn"]
+    assert len(mv_rows) == 3  # 2 iterations + the average row
+    assert mv_rows["rmse"].notna().all() and mv_rows["mae"].notna().all()
