@@ -240,14 +240,18 @@ def ivfpq_tune(
     if refines is None:
         refines = [1, 2, 4] if vec_col else [1]
     refines = sorted({int(r) for r in refines if int(r) >= 1})
-    if truth_df is None:
+    owns_truth = truth_df is None
+    if owns_truth:
         truth_df = cosine_topk_batch(
             corpus_df, queries_df, k=k,
             vec_col=corpus_vec_col, id_col=id_col,
             qid_col=qid_col, qvec_col=qvec_col,
         )
-    truth_df = truth_df.cache()
-    truth_df.count()  # materialize once for the whole sweep
+        # cache ONLY a truth frame we computed ourselves — calling
+        # unpersist on a caller-provided frame would silently drop
+        # the caller's own cache of it
+        truth_df = truth_df.cache()
+        truth_df.count()  # materialize once for the whole sweep
     swept = []
     best = None
     try:
@@ -272,7 +276,8 @@ def ivfpq_tune(
                 if rec >= target_recall:
                     return {**row, "met": True, "swept": swept}
     finally:
-        truth_df.unpersist()
+        if owns_truth:
+            truth_df.unpersist()
     return {**(best or {"nprobe": None, "refine": None,
                         "recall": float("nan")}),
             "met": False, "swept": swept}
