@@ -5,6 +5,7 @@ from scalecast_spark.streaming.ops import (
     windowed_series,
     sessionize_stream,
     run_available_now,
+    anomaly_stream,
     ewma_stream,
     ivfpq_encode_stream,
     ivfpq_search_stream,
@@ -13,5 +14,5 @@ from scalecast_spark.streaming.ops import (
 __all__ = [
     "stream_events", "stream_documents", "dedup_stream",
     "windowed_series", "sessionize_stream", "run_available_now",
-    "ewma_stream", "ivfpq_encode_stream", "ivfpq_search_stream",
+    "anomaly_stream", "ewma_stream", "ivfpq_encode_stream", "ivfpq_search_stream",
 ]

@@ -284,6 +284,100 @@ def ewma_stream(
     )
 
 
+def anomaly_stream(
+    series: DataFrame,
+    alpha: float = 0.1,
+    z_thresh: float = 3.5,
+    min_obs: int = 5,
+    series_col: str = SERIES,
+    ts_col: str = DS,
+    value_col: str = Y,
+) -> DataFrame:
+    """Streaming anomaly flags — the live twin of the batch residual
+    detector (functions/stattests.anomalies_from_residuals): per
+    series, an exponentially weighted mean/variance pair carried
+    across micro-batches in GroupState; each arriving value is scored
+    against the state BEFORE it is absorbed (an outlier must not mask
+    itself), then folded in with the standard EW update
+    (West 1979 / RiskMetrics):
+
+        z      = (y − level) / sqrt(var / W)    [pre-update state]
+        d      = y − level
+        level += alpha·d
+        var    = (1 − alpha)·(var + alpha·d²)
+
+    where W = (1−alpha)·(1−(1−alpha)^m) is the recursion's cumulative
+    weight after m updates — the Adam-style bias correction: the raw
+    EW variance starts at 0 and carries only W of the true variance
+    early on, which INFLATES warm-up z-scores by 1/sqrt(W) (measured:
+    a clean N(0,1) stream false-flagged its 6th row at alpha=0.1
+    without the correction).
+
+    ``is_anomaly`` = |z| > z_thresh, suppressed for the first
+    ``min_obs`` rows of a series (even corrected variance from 4
+    points is noisy) and for zero variance (constant history ⇒ NULL
+    z, same convention as the batch detector,
+    functions/stattests.anomalies_from_residuals). State per series
+    is three scalars — O(series) total, no growth with stream length.
+    Same ordering caveat as :func:`ewma_stream` (event-time order
+    within a batch, arrival order across; watermark upstream for late
+    data)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = T.StructType(
+        [
+            T.StructField(series_col, T.StringType()),
+            T.StructField(ts_col, T.TimestampType()),
+            T.StructField(value_col, T.DoubleType()),
+            T.StructField("level", T.DoubleType()),
+            T.StructField("z", T.DoubleType()),
+            T.StructField("is_anomaly", T.BooleanType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("level", T.DoubleType()),
+            T.StructField("var", T.DoubleType()),
+            T.StructField("n", T.LongType()),
+        ]
+    )
+    cols = [series_col, ts_col, value_col, "level", "z", "is_anomaly"]
+
+    def fold(key, pdfs, state: GroupState):
+        level, var, n = state.get if state.exists else (None, 0.0, 0)
+        chunks = [p for p in pdfs if len(p)]
+        if not chunks:
+            state.update((level, var, n))
+            return
+        pdf = pd.concat(chunks).sort_values([ts_col, value_col])
+        out = []
+        for ds, yv in zip(pdf[ts_col], pdf[value_col]):
+            yv = float(yv)
+            if level is None:
+                level, var, z, flag = yv, 0.0, None, False
+            else:
+                w = (1 - alpha) * (1 - (1 - alpha) ** (n - 1)) if n > 1 else 0.0
+                z = (
+                    (yv - level) / (var / w) ** 0.5
+                    if var > 0 and w > 0 else None
+                )
+                flag = bool(
+                    n >= min_obs and z is not None and abs(z) > z_thresh
+                )
+                d = yv - level
+                level = level + alpha * d
+                var = (1 - alpha) * (var + alpha * d * d)
+            n += 1
+            out.append((key[0], ds, yv, level, z, flag))
+        state.update((level, var, n))
+        yield pd.DataFrame(out, columns=cols)
+
+    return series.groupBy(series_col).applyInPandasWithState(
+        fold, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
+
+
 def ivfpq_encode_stream(
     docs: DataFrame,
     centroids_path: str,

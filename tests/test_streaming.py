@@ -287,3 +287,84 @@ def test_split_and_chunk_stream_parity(spark, sf_dir):
             assert len(gp) == len(wp) > 0
             for c in wp.columns:
                 assert (gp[c].values == wp[c].values).all(), c
+
+
+def test_anomaly_stream_parity_and_spike(spark, sf_dir, tmp_path):
+    """Streaming anomaly detector: (1) the cross-batch EW mean/var
+    recursion equals the plain pandas recursion over the ordered
+    series — including z and flags; (2) an injected spike is flagged
+    while the clean prefix is not; (3) scoring uses the PRE-update
+    state (the spike itself does not suppress its own flag)."""
+    import tempfile
+
+    import numpy as np
+    import pandas as pd
+
+    from scalecast_spark.streaming import anomaly_stream, run_available_now
+
+    alpha, zt, min_obs = 0.1, 3.5, 5
+    rng = np.random.RandomState(0)
+    rows = []
+    for sid in ["a", "b"]:
+        y = 50 + rng.randn(60)
+        y[40] += 30.0  # unmistakable spike
+        for i, v in enumerate(y):
+            rows.append(
+                {
+                    "series_id": sid,
+                    "ds": pd.Timestamp("2024-01-01") + pd.Timedelta(hours=i),
+                    "y": float(v),
+                }
+            )
+    pdf = pd.DataFrame(rows)
+    src = str(tmp_path / "anom_src")
+    # two time-ordered file batches (oldest first): the detector folds
+    # batches in ARRIVAL order (the documented ordering contract), so
+    # the multi-batch state-carry test must deliver time-ordered files
+    import time as _time
+
+    cut = pd.Timestamp("2024-01-01") + pd.Timedelta(hours=30)
+    spark.createDataFrame(pdf[pdf["ds"] < cut]).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    _time.sleep(1.1)  # distinct mtimes -> deterministic file order
+    spark.createDataFrame(pdf[pdf["ds"] >= cut]).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    stream = (
+        spark.readStream.schema("series_id string, ds timestamp, y double")
+        .option("maxFilesPerTrigger", 1)  # force multi-batch state carry
+        .option("latestFirst", "false")
+        .parquet(src)
+    )
+    out = anomaly_stream(stream, alpha=alpha, z_thresh=zt, min_obs=min_obs)
+    assert out.isStreaming
+    with tempfile.TemporaryDirectory() as ckpt:
+        got = (
+            run_available_now(out, "q_anom_stream", ckpt, output_mode="append")
+            .toPandas().sort_values(["series_id", "ds"]).reset_index(drop=True)
+        )
+    assert len(got) == len(pdf)
+    for sid, grp in pdf.groupby("series_id"):
+        grp = grp.sort_values("ds")
+        level, var, n = None, 0.0, 0
+        want_flags, want_levels = [], []
+        for yv in grp["y"]:
+            if level is None:
+                level, var, flag = yv, 0.0, False
+            else:
+                w = (1 - alpha) * (1 - (1 - alpha) ** (n - 1)) if n > 1 else 0.0
+                z = (yv - level) / (var / w) ** 0.5 if var > 0 and w > 0 else None
+                flag = bool(n >= min_obs and z is not None and abs(z) > zt)
+                d = yv - level
+                level += alpha * d
+                var = (1 - alpha) * (var + alpha * d * d)
+            n += 1
+            want_flags.append(flag)
+            want_levels.append(level)
+        g = got[got["series_id"] == sid].sort_values("ds")
+        assert np.allclose(g["level"].to_numpy(), want_levels, atol=1e-9)
+        assert list(g["is_anomaly"]) == want_flags
+        flags = g["is_anomaly"].to_numpy()
+        assert flags[40]  # the spike is caught...
+        assert not flags[:40].any()  # ...and the clean prefix is quiet
