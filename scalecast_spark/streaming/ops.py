@@ -466,6 +466,19 @@ def ivfpq_search_stream(
     )
     from scalecast_spark.datapipe.similarity import ivfpq_search_batch
 
+    import os
+
+    if os.path.exists(results_path):
+        # append-mode parquet on a reused path would MERGE this run's
+        # rows with a previous run's — a silently-wrong (stale) answer.
+        # The caller owns result versioning; fail before starting.
+        raise FileExistsError(
+            f"ivfpq_search_stream: results_path {results_path!r} already "
+            f"exists; results append in foreachBatch, so a reused path "
+            f"would mix stale rows into this run's answer. Point "
+            f"results_path at a fresh location (version by run id)."
+        )
+
     spark = queries.sparkSession
     cents = load_centroids(centroids_path)
     books = load_pq_codebooks(codebooks_path)
@@ -495,8 +508,6 @@ def ivfpq_search_stream(
             f"ivfpq_search_stream: drain did not finish within "
             f"{timeout_sec}s; partial results left at {results_path!r}"
         )
-    import os
-
     if not os.path.exists(results_path):
         # zero-batch stream (empty queries source): never wrote
         # parquet — return an empty frame with the operator's true

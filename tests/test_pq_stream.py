@@ -381,6 +381,33 @@ def test_query_stream_served_matches_batch(spark, index_art, tmp_path):
     assert got.reset_index(drop=True).equals(want.reset_index(drop=True))
 
 
+def test_search_stream_rejects_reused_results_path(
+    spark, index_art, tmp_path
+):
+    """A reused results_path must raise up front, never silently merge
+    a previous run's appended rows into this run's answer. The check
+    fires before any artifact load or query start, so no checkpoint or
+    stream state is created either."""
+    from scalecast_spark.streaming import ivfpq_search_stream
+
+    cp, bp, _, emb = index_art
+    stale = tmp_path / "results"
+    stale.mkdir()
+    (stale / "part-stale.parquet").write_bytes(b"")
+    (tmp_path / "queries").mkdir()
+    qstream = (
+        spark.readStream.schema("query_id long, embedding array<double>")
+        .parquet(str(tmp_path / "queries"))
+    )
+    with pytest.raises(FileExistsError, match="already\\s+exists"):
+        ivfpq_search_stream(
+            qstream, str(tmp_path / "codes"), cp, bp,
+            results_path=str(stale),
+            checkpoint_dir=str(tmp_path / "ckpt"),
+        )
+    assert not (tmp_path / "ckpt").exists()
+
+
 def test_batch_matches_single_on_random_vectors(spark):
     """Off-fixture guard for the one representational difference
     between the batch and single-query serve paths: probe-cell
