@@ -1407,11 +1407,22 @@ def q_ts_forecast_direct(spark, sf_dir):
     production cell code (models/mlp.py make_fixed_cell_forward —
     the same _cell_forward the trained estimators call), replayed in
     SQL by _networks_forward_ctes, closing the round-8 verdict's
-    'networks gate row validates nothing' gap."""
+    'networks gate row validates nothing' gap.
+
+    Round 10 applies the same trick to the TREE family (round-9
+    verdict #2): rf_fwd / gbt_fwd / cat_fwd are fixed-structure
+    forest forward passes through the production _predict_tree /
+    _predict_oblivious inference kernels (models/trees.py
+    make_fixed_forest_forward — the exact routines the trained
+    rf/gbt/xgboost/catboost estimators call), replayed in SQL as
+    nested CASE WHEN / leaf-table indexing by _forest_forward_ctes,
+    so tree-model inference no longer rides the rows-only networks
+    gate row."""
     from scalecast_spark.frame import TimeSeriesFrame
     from scalecast_spark.models import MODELS
     from scalecast_spark.models.kernel import run_series_kernel
     from scalecast_spark.models.mlp import make_fixed_cell_forward
+    from scalecast_spark.models.trees import make_fixed_forest_forward
 
     tsf = TimeSeriesFrame.from_long(_series(spark, sf_dir)).generate_future_dates(7)
 
@@ -1424,8 +1435,8 @@ def q_ts_forecast_direct(spark, sf_dir):
             "forecast",
         )
 
-    def fwd_member(tag, cell):
-        out = run_series_kernel(tsf.df, make_fixed_cell_forward(4, 2, cell))
+    def fwd_member(tag, model_fn):
+        out = run_series_kernel(tsf.df, model_fn)
         return _r6(
             out.filter(F.col("is_future") == 1).select(
                 F.lit(tag).alias("model"), "series_id", "ds", "forecast"
@@ -1436,9 +1447,12 @@ def q_ts_forecast_direct(spark, sf_dir):
     return _out_ts(
         member("direct_l7", lags=7, alpha=10.0)
         .unionByName(member("direct_l14", lags=14, alpha=1.0))
-        .unionByName(fwd_member("rnn_fwd", "rnn"))
-        .unionByName(fwd_member("lstm_fwd", "lstm"))
-        .unionByName(fwd_member("mlp_fwd", "mlp"))
+        .unionByName(fwd_member("rnn_fwd", make_fixed_cell_forward(4, 2, "rnn")))
+        .unionByName(fwd_member("lstm_fwd", make_fixed_cell_forward(4, 2, "lstm")))
+        .unionByName(fwd_member("mlp_fwd", make_fixed_cell_forward(4, 2, "mlp")))
+        .unionByName(fwd_member("rf_fwd", make_fixed_forest_forward("rf")))
+        .unionByName(fwd_member("gbt_fwd", make_fixed_forest_forward("gbt")))
+        .unionByName(fwd_member("cat_fwd", make_fixed_forest_forward("cat")))
     )
 
 
@@ -5886,6 +5900,82 @@ def _networks_forward_ctes(lags: int = 4, hidden: int = 2) -> str:
     return ",\n".join(ctes)
 
 
+def _forest_forward_ctes(lags: int = 4, depth: int = 2,
+                         n_trees: int = 3) -> str:
+    """CTE chain replaying the FIXED-STRUCTURE forest forward passes
+    (models/trees.py make_fixed_forest_forward — the production
+    _predict_tree / _predict_oblivious inference kernels, no
+    training): a fitted CART tree is nested CASE WHEN on the
+    standardized window, an oblivious tree is a bit-index into its
+    2^depth leaf table. Structure constants (fixed_cart_spec /
+    fixed_oblivious_spec) are embedded as full-precision double
+    literals, same policy as _networks_forward_ctes. Reads nf_base
+    (emitted by _networks_forward_ctes) and steps; emits
+    ff_{rf,gbt,cat}_fc(series_id, ds, forecast)."""
+    from scalecast_spark.models.trees import (
+        FOREST_FWD_KINDS,
+        fixed_cart_spec,
+        fixed_oblivious_spec,
+    )
+
+    lit = lambda v: f"({float(v)!r})::DOUBLE"  # noqa: E731
+    n_int = (1 << depth) - 1
+
+    def cart(feats, thrs, leaves, k=0):
+        # heap recursion mirrors _predict_tree: <= threshold -> left
+        if k >= n_int:
+            return lit(leaves[k - n_int])
+        return (
+            f"CASE WHEN s{feats[k] + 1} <= {lit(thrs[k])} "
+            f"THEN {cart(feats, thrs, leaves, 2 * k + 1)} "
+            f"ELSE {cart(feats, thrs, leaves, 2 * k + 2)} END"
+        )
+
+    def obli(spec):
+        # _predict_oblivious: idx = fold(idx*2 + (col > thr)); i.e.
+        # level l contributes bit 2^(depth-1-l)
+        splits, values = spec
+        idx = " + ".join(
+            f"(CASE WHEN s{j + 1} > {lit(thr)} "
+            f"THEN {1 << (len(splits) - 1 - lvl)} ELSE 0 END)"
+            for lvl, (j, thr) in enumerate(splits)
+        )
+        whens = " ".join(
+            f"WHEN {i} THEN {lit(v)}" for i, v in enumerate(values)
+        )
+        return f"(CASE ({idx}) {whens} END)"
+
+    ctes = []
+    for kind, (salt, lr) in FOREST_FWD_KINDS.items():
+        cases = []
+        for s in range(1, 8):
+            if kind == "cat":
+                z = " + ".join(
+                    f"{lit(lr)} * "
+                    f"{obli(fixed_oblivious_spec(s, t, lags, depth))}"
+                    for t in range(n_trees)
+                )
+            else:
+                trees = " + ".join(
+                    cart(*fixed_cart_spec(s, t, lags, depth, salt))
+                    for t in range(n_trees)
+                )
+                z = (
+                    f"({trees}) / {n_trees}.0" if kind == "rf"
+                    else f"{lit(lr)} * ({trees})"
+                )
+            cases.append(f"WHEN {s} THEN {z}")
+        ctes.append(f"""
+        ff_{kind}_fc AS (
+            SELECT series_id,
+                   (last_ds + s.step * INTERVAL '1 day')::DATE AS ds,
+                   (CASE s.step {' '.join(cases)} END) * sd + mu
+                       AS forecast
+            FROM nf_base CROSS JOIN steps s
+        )""")
+    return ",\n".join(ctes)
+
+
 def _direct_linear_oracle() -> str:
     """Oracle for q_ts_forecast_direct — full SQL replay of both
     linear members of the direct multi-horizon family (the reference's
@@ -5907,7 +5997,8 @@ def _direct_linear_oracle() -> str:
         steps AS (SELECT unnest(range(1, 8)) AS step),
         {_direct_member_ctes("d7", 7, 10.0)},
         {_direct_member_ctes("d14", 14, 1.0)},
-        {_networks_forward_ctes()}
+        {_networks_forward_ctes()},
+        {_forest_forward_ctes()}
         SELECT 'direct_l7' AS model, series_id, ds,
                round(forecast, 6) AS forecast
         FROM d7fc
@@ -5923,6 +6014,15 @@ def _direct_linear_oracle() -> str:
         UNION ALL
         SELECT 'mlp_fwd', series_id, ds, round(forecast, 6)
         FROM nf_mlp_fc
+        UNION ALL
+        SELECT 'rf_fwd', series_id, ds, round(forecast, 6)
+        FROM ff_rf_fc
+        UNION ALL
+        SELECT 'gbt_fwd', series_id, ds, round(forecast, 6)
+        FROM ff_gbt_fc
+        UNION ALL
+        SELECT 'cat_fwd', series_id, ds, round(forecast, 6)
+        FROM ff_cat_fc
     """
 
 

@@ -380,3 +380,130 @@ def catboost_model(df: DataFrame, features: list[str], n_estimators: int = 50,
         make_fit_oblivious_gbt(n_estimators, max_depth, learning_rate, reg_lambda),
         dynamic_testing, normalizer,
     )
+
+
+# --- fixed-structure forest forward (SQL-restatable gate members) -----
+
+
+def _fixed_grid(offset: float, n: int, scale: float) -> list[float]:
+    """Closed-form constant grid ``sin(offset + i) * scale`` — the
+    tree analogue of mlp.fixed_net_params: NOT a training initializer,
+    just deterministic data-independent structure that an oracle can
+    embed as full-precision double literals (no cross-engine ``sin``)."""
+    return [float(np.sin(offset + i) * scale) for i in range(n)]
+
+
+def fixed_cart_spec(
+    step: int, tree: int, lags: int = 4, depth: int = 2, salt: float = 0.0,
+) -> tuple[list[int], list[float], list[float]]:
+    """Structure of ONE fixed full-depth CART tree for forecast
+    horizon ``step``: heap-ordered internal nodes k=0..2^depth-2 with
+    ``(feature[k], threshold[k])`` and leaves i=0..2^depth-1 with
+    ``value[i]`` (leaf i is heap node 2^depth-1+i). Thresholds span
+    ±0.8 — inside the typical range of standardized observations, so
+    routing is data-dependent (different series land in different
+    leaves; asserted in tests/test_forest_forward.py)."""
+    n_int = (1 << depth) - 1
+    feats = [(step + tree + k) % lags for k in range(n_int)]
+    thrs = _fixed_grid(0.7 + salt + step * 1.3 + tree * 2.9, n_int, 0.8)
+    leaves = _fixed_grid(1.1 + salt + step * 0.9 + tree * 1.7, 1 << depth, 0.5)
+    return feats, thrs, leaves
+
+
+def fixed_oblivious_spec(
+    step: int, tree: int, lags: int = 4, depth: int = 2,
+) -> list:
+    """Structure of ONE fixed oblivious tree (one (feature, threshold)
+    per LEVEL + a 2^depth leaf table), in the exact [splits, values]
+    envelope _predict_oblivious consumes."""
+    splits = [
+        ((step + 2 * tree + lvl) % lags,
+         float(np.sin(2.3 + step * 1.1 + tree * 1.9 + lvl) * 0.8))
+        for lvl in range(depth)
+    ]
+    values = np.array(_fixed_grid(3.1 + step * 0.7 + tree * 1.3, 1 << depth, 0.5))
+    return [splits, values]
+
+
+def tree_from_spec(
+    feats: list[int], thrs: list[float], leaves: list[float], depth: int,
+) -> _Tree:
+    """Materialize a fixed_cart_spec as the production ``_Tree`` so
+    prediction runs through the exact ``_predict_tree`` the trained
+    rf/gbt/xgboost estimators call."""
+    n_int = (1 << depth) - 1
+
+    def build(k: int) -> _Tree:
+        if k >= n_int:
+            return _Tree(value=leaves[k - n_int])
+        node = _Tree(value=0.0)
+        node.feature, node.threshold = feats[k], thrs[k]
+        node.left = build(2 * k + 1)
+        node.right = build(2 * k + 2)
+        return node
+
+    return build(0)
+
+
+#: member -> (salt into fixed_cart_spec, shrinkage); rf averages, the
+#: boosted members sum shrunken tree outputs from a zero base
+FOREST_FWD_KINDS = {"rf": (0.0, None), "gbt": (5.0, 0.3), "cat": (None, 0.4)}
+
+
+def make_fixed_forest_forward(
+    kind: str = "rf", lags: int = 4, depth: int = 2, n_trees: int = 3,
+):
+    """Fixed-STRUCTURE forest forward pass — no training. Drives the
+    PRODUCTION tree inference kernels (:func:`_predict_tree` for the
+    rf/gbt members — the same routine the trained rf, gbt and numpy
+    xgboost estimators call — and :func:`_predict_oblivious` for the
+    catboost-style member) over the last ``lags`` standardized
+    observations, one fixed forest per forecast horizon, with
+    closed-form structure (fixed_cart_spec / fixed_oblivious_spec).
+
+    This is the deterministic, hash-matched driver-gate member for the
+    tree family (round-9 verdict #2, the make_fixed_cell_forward trick
+    applied to trees): greedy CART split SEARCH is not worth restating
+    in SQL, but fitted-tree inference is nested CASE WHEN, and this
+    member pins it end-to-end (standardize -> route -> aggregate ->
+    de-standardize) against a DuckDB replay (__spark_entry__
+    _forest_forward_ctes). Reference twins: rf/gbt/xgboost/catboost
+    wrappers src/scalecast/models.py:21-162 via cfg.py:34-41,
+    exercised in test/test_Forecaster.py:119-143. Series shorter than
+    ``lags+1`` flat-line (same convention as make_fixed_cell_forward)."""
+    if kind not in FOREST_FWD_KINDS:
+        raise ValueError(f"kind must be one of {sorted(FOREST_FWD_KINDS)}, got {kind!r}")
+    salt, lr = FOREST_FWD_KINDS[kind]
+
+    def model_fn(y: np.ndarray, h: int):
+        y = np.asarray(y, dtype=float)
+        n = len(y)
+        fitted = np.full(n, np.nan)
+        if n <= lags:
+            return fitted, np.full(h, y[-1] if n else np.nan)
+        xmu, xsd = y.mean(), y.std() or 1.0
+        A = (y[None, n - lags:] - xmu) / xsd
+        fc = np.empty(h)
+        for s in range(1, h + 1):
+            if kind == "cat":
+                z = sum(
+                    lr * _predict_oblivious(
+                        fixed_oblivious_spec(s, t, lags, depth), A
+                    )[0]
+                    for t in range(n_trees)
+                )
+            else:
+                preds = [
+                    _predict_tree(
+                        tree_from_spec(
+                            *fixed_cart_spec(s, t, lags, depth, salt), depth
+                        ),
+                        A,
+                    )[0]
+                    for t in range(n_trees)
+                ]
+                z = float(np.mean(preds)) if kind == "rf" else lr * sum(preds)
+            fc[s - 1] = z * xsd + xmu
+        return fitted, fc
+
+    return model_fn
