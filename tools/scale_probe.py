@@ -139,6 +139,30 @@ def crossdedup_pipeline(docs):
     return cross_dedup(new, existing, existing_sigs=ex_sigs).select("doc_id")
 
 
+def crossdedup_smj_pipeline(docs):
+    """Round-10 axis (round-9 verdict #4): the SAME new×existing
+    cross-dedup but with ``broadcast_new=False`` — the fallback
+    contract for increments too large to broadcast, where the bucket
+    join must survive as a shuffle join sized by AQE. The new side
+    grows with the replica factor, so at 16x this is a genuinely
+    large-increment refresh; near-linear sec/1x here is what licenses
+    the documented "set False when the increment is huge" guidance."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from scalecast_spark.datapipe.dedup import (
+        cross_dedup,
+        minhash_signatures,
+        word_shingles,
+    )
+
+    existing = docs.filter(F.col("doc_id") % 2 == 0)
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+    ex_sigs = minhash_signatures(word_shingles(existing, 3), n_hashes=4)
+    return cross_dedup(
+        new, existing, existing_sigs=ex_sigs, broadcast_new=False
+    ).select("doc_id")
+
+
 def signals_pipeline(docs):
     """Round-4 text additions: the Gopher char-fraction Arrow kernel +
     C4 structure signals + fixed-window chunking + a BM25 query — all
@@ -250,6 +274,79 @@ def kmeans_train_builder(emb):
     from scalecast_spark.datapipe.cluster import kmeans_embeddings
 
     return kmeans_embeddings(emb, k=8, n_iter=2, vectorized=True).count()
+
+
+def stream_state_probe(spark, scratch, n_series: int = 100_000) -> bool:
+    """Round-10 probe (round-9 verdict #8): GroupState footprint and
+    per-batch latency of the applyInPandasWithState operators
+    (ewma_stream / anomaly_stream) at many-series scale. Two
+    micro-batches over the SAME 1e5-series universe must leave
+    EXACTLY n_series state rows (state is keyed by series — bounded
+    by |series|, not stream length), and the second batch — the one
+    paying a 1e5-row state-store read-modify-write — must not blow up
+    vs the first. Reported from Spark's own progress telemetry
+    (stateOperators.numRowsTotal / durationMs.triggerExecution), not
+    wall-clock guesses."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from scalecast_spark.streaming.ops import anomaly_stream, ewma_stream
+
+    indir = f"{scratch}/ss_in"
+    base = spark.range(n_series).select(
+        F.concat(F.lit("s"), F.col("id")).alias("series_id"),
+        F.col("id"),
+    )
+    for b in range(2):
+        (
+            base.select(
+                "series_id",
+                F.to_timestamp(F.lit(f"2024-01-0{b + 1}")).alias("ds"),
+                (F.sin(F.col("id") * 0.7 + b) * 10.0).alias("y"),
+            )
+            .coalesce(1)  # ONE file per write -> maxFilesPerTrigger=1
+            .write.mode("append").parquet(indir)  # gives 2 micro-batches
+        )
+    ok = True
+    print(f"\nstreaming GroupState probe ({n_series} series x 2 "
+          f"micro-batches; state must stay == n_series)")
+    print(f"{'operator':<16} {'batch':>5} {'in_rows':>8} {'state_rows':>10} "
+          f"{'state_MB':>8} {'batch_sec':>9}  verdict")
+    for name, op in [("ewma_stream", ewma_stream),
+                     ("anomaly_stream", anomaly_stream)]:
+        src = (
+            spark.readStream
+            .schema("series_id string, ds timestamp, y double")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(indir)
+        )
+        q = (
+            op(src).writeStream.format("noop")
+            .option("checkpointLocation", f"{scratch}/ss_ckpt_{name}")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(600):
+            q.stop()
+            print(f"{name:<16} TIMED OUT")
+            return False
+        progs = [p for p in q.recentProgress
+                 if p["numInputRows"] and p["stateOperators"]]
+        for i, p in enumerate(progs):
+            so = p["stateOperators"][0]
+            rows_total = so["numRowsTotal"]
+            mb = so.get("memoryUsedBytes", 0) / 1e6
+            sec = p["durationMs"]["triggerExecution"] / 1e3
+            good = rows_total == n_series
+            ok = ok and good
+            print(f"{name:<16} {i + 1:>5} {p['numInputRows']:>8} "
+                  f"{rows_total:>10} {mb:>8.1f} {sec:>9.2f}  "
+                  f"{'ok' if good else 'FAIL (state grew past |series|)'}",
+                  flush=True)
+        if len(progs) != 2:
+            print(f"{name:<16} expected 2 stateful batches, saw "
+                  f"{len(progs)} — FAIL")
+            ok = False
+    return ok
 
 
 def trainer_probe(spark, sf_dir, scratch) -> bool:
@@ -420,6 +517,10 @@ def main():
     import shutil
 
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    # optional positional filters: probe only the named pipelines
+    # ("embedding", "trainers", "serve" name the non-docs blocks)
+    only = set(sys.argv[2:])
+    want = lambda name: not only or name in only  # noqa: E731
     scratch = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), ".probe_tmp")
     from scalecast_spark import get_session
@@ -437,10 +538,13 @@ def main():
                          ("selection", selection_pipeline),
                          ("signals", signals_pipeline),
                          ("embed", embed_pipeline),
-                         ("crossdedup", crossdedup_pipeline)]:
+                         ("crossdedup", crossdedup_pipeline),
+                         ("crossd_smj", crossdedup_smj_pipeline)]:
+            if not want(name):
+                continue
             for axis, mutate in [("mutate", True), ("exact", False)]:
                 if name in ("curation", "selection", "signals", "embed",
-                            "crossdedup") and axis == "exact":
+                            "crossdedup", "crossd_smj") and axis == "exact":
                     continue  # per-row/bucketed; dup rate is irrelevant
                 if name == "dedup_cap" and axis == "mutate":
                     continue  # same plan as dedup below the cap
@@ -468,27 +572,38 @@ def main():
                     print(f"{name:<10} {axis:<7} {factor:>6} {n0 * factor:>8} "
                           f"{out_rows:>9} {dt:>7.2f} {dt / base_t:>7.2f}",
                           flush=True)
-        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-        e0 = emb.count()
-        base_t = None
-        for factor in (1, 4, 16):
-            path = f"{scratch}/emb_{factor}"
-            replicate_emb(emb, factor).repartition(32).write.mode(
-                "overwrite"
-            ).parquet(path)
-            d = spark.read.parquet(path)
-            dt, out_rows = min(_timed(embeddings_pipeline, d) for _ in range(2))
-            base_t = base_t or dt
-            print(f"{'embedding':<10} {'rotate':<7} {factor:>6} "
-                  f"{e0 * factor:>8} {out_rows:>9} {dt:>7.2f} "
-                  f"{dt / base_t:>7.2f}", flush=True)
-        trainers_ok = trainer_probe(spark, sf_dir, scratch)
-        serve_ok = serve_probe(spark, sf_dir, scratch)
+        if want("embedding"):
+            emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+            e0 = emb.count()
+            base_t = None
+            for factor in (1, 4, 16):
+                path = f"{scratch}/emb_{factor}"
+                replicate_emb(emb, factor).repartition(32).write.mode(
+                    "overwrite"
+                ).parquet(path)
+                d = spark.read.parquet(path)
+                dt, out_rows = min(
+                    _timed(embeddings_pipeline, d) for _ in range(2)
+                )
+                base_t = base_t or dt
+                print(f"{'embedding':<10} {'rotate':<7} {factor:>6} "
+                      f"{e0 * factor:>8} {out_rows:>9} {dt:>7.2f} "
+                      f"{dt / base_t:>7.2f}", flush=True)
+        trainers_ok = trainer_probe(spark, sf_dir, scratch) \
+            if want("trainers") else True
+        serve_ok = serve_probe(spark, sf_dir, scratch) \
+            if want("serve") else True
+        state_ok = stream_state_probe(spark, scratch) \
+            if want("streamstate") else True
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
     if not trainers_ok:
         print("\nTRAINER FLOOR VIOLATED — an iterative builder fell "
               "below its rows/sec floor (see TRAINER_FLOORS docstring)")
+        sys.exit(1)
+    if not state_ok:
+        print("\nSTREAM STATE PROBE FAILED — GroupState grew past the "
+              "series universe or a drain timed out")
         sys.exit(1)
     if not serve_ok:
         sys.exit(1)
