@@ -210,6 +210,96 @@ def q_ts_seasonal_features(spark, sf_dir):
     return out
 
 
+def q_ts_feature_ops(spark, sf_dir):
+    """Round 10: the remaining pytest-only §2.2 feature generators
+    promoted into the hash gate (they are pure projections, so the
+    oracle restates each directly): add_cycle (irregular-period
+    Fourier pair, reference _Forecaster_parent.py:448-481),
+    add_other_regressor (date-window dummy, :483-507),
+    add_combo_regressors (elementwise product, :535-570),
+    add_poly_terms (:572-593), add_exp_terms (:595-629),
+    add_logged_terms (:631-673) and add_lagged_terms (regressor lags,
+    :1358-1434; NULL before the series start on both engines)."""
+    from scalecast_spark.operators.features import (
+        add_combo_regressors,
+        add_cycle,
+        add_exp_terms,
+        add_lagged_terms,
+        add_logged_terms,
+        add_other_regressor,
+        add_poly_terms,
+        add_seasonal_regressors,
+        add_time_trend,
+    )
+
+    df, _ = add_time_trend(_series(spark, sf_dir))
+    df, _ = add_seasonal_regressors(
+        df, ["month", "dayofweek"], raw=True, sincos=False
+    )
+    df, _ = add_cycle(df, 30.0, fourier_order=1, called="c30")
+    df, _ = add_other_regressor(df, "promo", "2024-01-10", "2024-01-20")
+    df, _ = add_combo_regressors(df, "month", "dayofweek")
+    df, _ = add_poly_terms(df, "t", pwr=3)
+    df, _ = add_exp_terms(df, "t", pwr=0.5)
+    df, _ = add_logged_terms(df, "t")
+    df, _ = add_lagged_terms(df, "month", lags=1)
+    return df.select(
+        "series_id",
+        F.col("ds").cast("date").alias("ds"),
+        F.round("c30sin1", 6).alias("c30sin"),
+        F.round("c30cos1", 6).alias("c30cos"),
+        F.col("promo").cast("double").alias("promo"),
+        F.col("month_dayofweek").cast("double").alias("month_x_dow"),
+        F.col("t^2").cast("double").alias("t_sq"),
+        F.col("t^3").cast("double").alias("t_cube"),
+        F.round(F.col("`t^0.5`"), 6).alias("t_sqrt"),
+        F.round("ln_t", 6).alias("ln_t"),
+        F.col("month_lag_1").cast("double").alias("month_lag1"),
+    )
+
+
+def q_ts_transform_pointwise(spark, sf_dir):
+    """Round 10: the remaining pytest-only §2.3 SeriesTransformer
+    members promoted into the hash gate — Log (reference
+    SeriesTransformer.py:313-345), Sqrt (:347-379), fixed-lambda
+    Box-Cox (_utils.py:75-87), and the STACKED Diff(7)∘Diff(1)
+    forward transform (:560-698) through the production Pipeline
+    (prefix rows re-appear NULL via the left join — the reference's
+    dropna trim is what removed them)."""
+    from scalecast_spark.operators.transforms import (
+        BoxCoxTransform,
+        DiffTransform,
+        LogTransform,
+        Pipeline,
+        SqrtTransform,
+    )
+
+    base = _series(spark, sf_dir).withColumn("is_future", F.lit(0))
+
+    def member(t, name):
+        out = t.fit(base).transform(base, "y")
+        return out.select(
+            "series_id",
+            F.col("ds").cast("date").alias("ds"),
+            F.round("y", 6).alias(name),
+        )
+
+    stacked = Pipeline([DiffTransform(7), DiffTransform(1)]).fit_transform(
+        base, "y"
+    )
+    d = stacked.select(
+        "series_id",
+        F.col("ds").cast("date").alias("ds"),
+        F.round("y", 6).alias("d7d1"),
+    )
+    return (
+        member(LogTransform(), "y_log")
+        .join(member(SqrtTransform(), "y_sqrt"), ["series_id", "ds"])
+        .join(member(BoxCoxTransform(0.5), "y_bc"), ["series_id", "ds"])
+        .join(d, ["series_id", "ds"], "left")
+    )
+
+
 def q_ts_scale(spark, sf_dir):
     from scalecast_spark.operators.transforms import ScaleTransform
 
@@ -640,8 +730,26 @@ def q_ts_combo(spark, sf_dir):
     f.set_estimator("hwes")
     f.manual_forecast(trend=False, seasonal=False, call_me="ses")
     f.combo(["naive", "ses"], call_me="combo")
-    fc = f.history["combo"]["forecast"]
-    return _out_ts(_r6(fc.select("series_id", "ds", "forecast"), "forecast"))
+    # round 10: synthesize_models promoted from pytest into the gate —
+    # same member average but with normal-approx CIs from the
+    # cross-model standard error (reference Forecaster.py:217-259);
+    # the bounds ride as synth_lo / synth_hi rows so the CI math is
+    # hash-certified alongside the point synthesis
+    f.synthesize_models(["naive", "ses"], call_me="synth")
+    combo = f.history["combo"]["forecast"].select(
+        F.lit("combo").alias("model"), "series_id", "ds", "forecast"
+    )
+    syn = f.history["synth"]["forecast"]
+    members = combo
+    for tag, col in (("synth", "forecast"),
+                     ("synth_lo", "lower"), ("synth_hi", "upper")):
+        members = members.unionByName(
+            syn.select(
+                F.lit(tag).alias("model"), "series_id", "ds",
+                F.col(col).alias("forecast"),
+            )
+        )
+    return _out_ts(_r6(members, "forecast"))
 
 
 def q_ts_deseason(spark, sf_dir):
@@ -664,16 +772,27 @@ def q_ts_seasonal_naive(spark, sf_dir):
 
 
 def q_ts_metrics(spark, sf_dir):
+    """Round 10 completes the §2.6 point-metric family in the gate:
+    all 8 built-ins (reference Metrics.py via util.metrics) plus a
+    CUSTOM metric registered through the METRIC_EXPRS extension point
+    (reference custom-metrics hook, _Forecaster_parent.py
+    add_metric): medae = median absolute error, exact percentile."""
     from scalecast_spark.functions import metrics as M
     from scalecast_spark.models import naive_model
 
+    M.METRIC_EXPRS.setdefault(
+        "medae",
+        lambda a, f: F.expr(f"percentile(abs({f} - {a}), 0.5)"),
+    )
     df = _series(spark, sf_dir).withColumn("is_future", F.lit(0))
     scored = naive_model(df, m=7).filter(F.col("forecast").isNotNull())
+    cols = ["rmse", "mae", "smape", "r2", "bias",
+            "abias", "mse", "mape", "medae"]
     out = M.evaluate(
         scored, actual="y", forecast="forecast", by=["series_id"],
-        metrics=["rmse", "mae", "smape", "r2", "bias"],
+        metrics=cols,
     )
-    return _r6(out, "rmse", "mae", "smape", "r2", "bias")
+    return _r6(out, *cols)
 
 
 def q_ts_conformal_width(spark, sf_dir):
@@ -1866,20 +1985,30 @@ def q_ts_rolling_windows(spark, sf_dir):
 
 
 def q_ts_trend_seasonal(spark, sf_dir):
-    """Time trend + calendar regressors + fitted linear trend line."""
+    """Time trend + calendar regressors + fitted linear trend line;
+    round 10 joins in the remaining §2.2 feature generators
+    (q_ts_feature_ops: cycle/other/combo/poly/exp/logged/lagged)."""
     a = q_ts_seasonal_features(spark, sf_dir)
     b = q_ts_linear_trend(spark, sf_dir).select(
         "series_id", "ds", "y", F.col("forecast").alias("trend_fit")
     )
-    return a.join(b, ["series_id", "ds"])
+    c = q_ts_feature_ops(spark, sf_dir)
+    return a.join(b, ["series_id", "ds"]).join(c, ["series_id", "ds"])
 
 
 def q_ts_scalers(spark, sf_dir):
-    """Scale / MinMax / RobustScale transforms in one frame."""
+    """Scale / MinMax / RobustScale transforms in one frame; round 10
+    joins in the pointwise Log/Sqrt/BoxCox members and the stacked
+    Diff(7)∘Diff(1) (q_ts_transform_pointwise)."""
     a = q_ts_scale(spark, sf_dir)
     b = q_ts_minmax(spark, sf_dir).select("series_id", "ds", "y_mm")
     c = q_ts_robust_scale(spark, sf_dir).select("series_id", "ds", "y_robust")
-    return a.join(b, ["series_id", "ds"]).join(c, ["series_id", "ds"])
+    d = q_ts_transform_pointwise(spark, sf_dir)
+    return (
+        a.join(b, ["series_id", "ds"])
+        .join(c, ["series_id", "ds"])
+        .join(d, ["series_id", "ds"])
+    )
 
 
 def q_ts_power_transforms(spark, sf_dir):
@@ -2407,6 +2536,47 @@ def oracle_sql() -> dict[str, str]:
                    round(sin({pi} * (dayofweek(ds) + 1) / 7.0), 6) AS dowsin1,
                    round(cos({pi} * (dayofweek(ds) + 1) / 7.0), 6) AS dowcos1
             FROM series
+        """,
+        "ts_feature_ops": f"""
+            WITH {_SQL_SERIES},
+            fbase AS (
+                SELECT series_id, ds,
+                       row_number() OVER (PARTITION BY series_id
+                                          ORDER BY ds)::DOUBLE AS t,
+                       month(ds)::DOUBLE AS month,
+                       (dayofweek(ds) + 1)::DOUBLE AS dow
+                FROM series
+            )
+            SELECT series_id, ds,
+                   round(sin({pi} * t / 30.0), 6) AS c30sin,
+                   round(cos({pi} * t / 30.0), 6) AS c30cos,
+                   CASE WHEN ds BETWEEN DATE '2024-01-10'
+                                    AND DATE '2024-01-20'
+                        THEN 1.0 ELSE 0.0 END AS promo,
+                   month * dow AS month_x_dow,
+                   t * t AS t_sq,
+                   t * t * t AS t_cube,
+                   round(sqrt(t), 6) AS t_sqrt,
+                   round(ln(t), 6) AS ln_t,
+                   lag(month) OVER (PARTITION BY series_id ORDER BY ds)
+                       AS month_lag1
+            FROM fbase
+        """,
+        "ts_transform_pointwise": f"""
+            WITH {_SQL_SERIES},
+            dd AS (
+                SELECT series_id, ds, y,
+                       y - lag(y, 7) OVER (PARTITION BY series_id
+                                           ORDER BY ds) AS d7
+                FROM series
+            )
+            SELECT series_id, ds,
+                   round(ln(y), 6) AS y_log,
+                   round(sqrt(y), 6) AS y_sqrt,
+                   round((pow(y, 0.5) - 1.0) / 0.5, 6) AS y_bc,
+                   round(d7 - lag(d7) OVER (PARTITION BY series_id
+                                            ORDER BY ds), 6) AS d7d1
+            FROM dd
         """,
         "ts_scale": f"""
             WITH {_SQL_SERIES}
@@ -3140,7 +3310,13 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(2 * abs(f - y) / (abs(y) + abs(f))), 6) AS smape,
                    round(1 - sum(pow(y - f, 2))
                          / (sum(pow(y, 2)) - pow(sum(y), 2) / count(y)), 6) AS r2,
-                   round(sum(f - y), 6) AS bias
+                   round(sum(f - y), 6) AS bias,
+                   round(abs(sum(f - y)), 6) AS abias,
+                   round(avg(pow(f - y, 2)), 6) AS mse,
+                   CASE WHEN min(abs(y)) > 0
+                        THEN round(avg(abs((f - y) / y)), 6)
+                   END AS mape,
+                   round(quantile_cont(abs(f - y), 0.5), 6) AS medae
             FROM sn GROUP BY series_id
         """,
         "ts_conformal_width": f"""
@@ -3823,17 +3999,24 @@ def oracle_sql() -> dict[str, str]:
     """
     o["ts_trend_seasonal"] = f"""
         SELECT a.series_id, a.ds, a.t, a.month, a.dayofweek,
-               a.dowsin1, a.dowcos1, b.y, b.forecast AS trend_fit
+               a.dowsin1, a.dowcos1, b.y, b.forecast AS trend_fit,
+               c.c30sin, c.c30cos, c.promo, c.month_x_dow, c.t_sq,
+               c.t_cube, c.t_sqrt, c.ln_t, c.month_lag1
         FROM ({o["ts_seasonal_features"]}) a
         JOIN ({o["ts_linear_trend"]}) b
           ON a.series_id = b.series_id AND a.ds = b.ds
+        JOIN ({o["ts_feature_ops"]}) c
+          ON a.series_id = c.series_id AND a.ds = c.ds
     """
     o["ts_scalers"] = f"""
-        SELECT a.series_id, a.ds, a.y_scaled, b.y_mm, c.y_robust
+        SELECT a.series_id, a.ds, a.y_scaled, b.y_mm, c.y_robust,
+               d.y_log, d.y_sqrt, d.y_bc, d.d7d1
         FROM ({o["ts_scale"]}) a
         JOIN ({o["ts_minmax"]}) b ON a.series_id = b.series_id AND a.ds = b.ds
         JOIN ({o["ts_robust_scale"]}) c
           ON a.series_id = c.series_id AND a.ds = c.ds
+        JOIN ({o["ts_transform_pointwise"]}) d
+          ON a.series_id = d.series_id AND a.ds = d.ds
     """
     o["ts_power_transforms"] = f"""
         SELECT a.series_id, a.ds, a.y_pt, b.x_pt
@@ -6977,9 +7160,19 @@ def _combo_oracle() -> str:
     """Oracle for q_ts_combo: 0.5 * (naive(m=7) tail tile + SES level
     at the grid-MLE alpha). The naive member's step-i forecast is the
     observation at rev = 8 - i; the SES member reuses the closed-form
-    level replay from _ses_oracle."""
+    level replay from _ses_oracle.
+
+    Round 10 adds the synthesize_models members (reference
+    Forecaster.py:217-259): synth = the same 2-member mean, and
+    synth_lo/synth_hi = mean ∓ z·se where for n=2 models
+    se = stddev_samp/sqrt(2) = |a − b|/2; z is the engine's exact
+    inverse-normal two_sided_z(0.95) embedded as a full-precision
+    literal (no cross-engine erfinv dependency)."""
     import numpy as np
 
+    from scalecast_spark.functions.normal import two_sided_z
+
+    z = f"({two_sided_z(0.95)!r})"
     alphas = ", ".join(f"({v!r})" for v in np.linspace(0.05, 0.95, 19))
     return f"""
         WITH {_SQL_SERIES},
@@ -7019,14 +7212,27 @@ def _combo_oracle() -> str:
             FROM t JOIN best b USING (series_id)
             GROUP BY 1
         ),
-        last AS (SELECT series_id, max(ds) AS last_ds FROM series GROUP BY 1)
-        SELECT l.series_id,
-               (last.last_ds + i.i * INTERVAL '1 day')::DATE AS ds,
-               round(0.5 * (l.level_t + nv.y), 6) AS forecast
-        FROM lev l
-        JOIN last USING (series_id)
-        CROSS JOIN (SELECT unnest(range(1, 8)) AS i) i
-        JOIN t nv ON nv.series_id = l.series_id AND nv.rev = 8 - i.i
+        last AS (SELECT series_id, max(ds) AS last_ds FROM series GROUP BY 1),
+        mem AS (
+            SELECT l.series_id,
+                   (last.last_ds + i.i * INTERVAL '1 day')::DATE AS ds,
+                   0.5 * (l.level_t + nv.y) AS mean_fc,
+                   abs(l.level_t - nv.y) / 2.0 AS se
+            FROM lev l
+            JOIN last USING (series_id)
+            CROSS JOIN (SELECT unnest(range(1, 8)) AS i) i
+            JOIN t nv ON nv.series_id = l.series_id AND nv.rev = 8 - i.i
+        )
+        SELECT 'combo' AS model, series_id, ds, round(mean_fc, 6) AS forecast
+        FROM mem
+        UNION ALL
+        SELECT 'synth', series_id, ds, round(mean_fc, 6) FROM mem
+        UNION ALL
+        SELECT 'synth_lo', series_id, ds, round(mean_fc - {z} * se, 6)
+        FROM mem
+        UNION ALL
+        SELECT 'synth_hi', series_id, ds, round(mean_fc + {z} * se, 6)
+        FROM mem
     """
 
 
