@@ -52,6 +52,10 @@ AUDIT = [
     "ts_networks_forward",
     "dedup_cross",
     "embed_sparse_d512",
+    # round-10 gate members
+    "ts_forest_forward",
+    "ts_feature_ops",
+    "ts_transform_pointwise",
 ]
 
 
@@ -123,6 +127,44 @@ def _q_ts_networks_forward(spark, sf_dir):
     return entrymod.q_ts_forecast_direct(spark, sf_dir)
 
 
+def _q_ts_forest_forward(spark, sf_dir):
+    """The round-10 fixed-structure forest forward members of
+    ts_forecast_direct (models/trees.py make_fixed_forest_forward via
+    run_series_kernel) — same one-Arrow-batch-per-series shape as the
+    network forwards; the tree routing is all driver-side numpy
+    inside the kernel, so the plan must show no new shuffle/rowUDF
+    over the networks row."""
+    from pyspark.sql import functions as F
+
+    from scalecast_spark.frame import TimeSeriesFrame
+    from scalecast_spark.models.kernel import run_series_kernel
+    from scalecast_spark.models.trees import make_fixed_forest_forward
+
+    tsf = TimeSeriesFrame.from_long(
+        entrymod._series(spark, sf_dir)
+    ).generate_future_dates(7)
+    out = run_series_kernel(tsf.df, make_fixed_forest_forward("rf"))
+    return out.filter(F.col("is_future") == 1).select(
+        "series_id", "ds", "forecast"
+    )
+
+
+def _q_ts_feature_ops(spark, sf_dir):
+    """The round-10 §2.2 feature-generator members of
+    ts_trend_seasonal (q_ts_feature_ops: cycle/other/combo/poly/exp/
+    logged/lagged) — pure window + projection expressions; the plan
+    must be one series shuffle feeding codegen'd column math, zero
+    Arrow, zero rowUDF."""
+    return entrymod.q_ts_feature_ops(spark, sf_dir)
+
+
+def _q_ts_transform_pointwise(spark, sf_dir):
+    """The round-10 §2.3 pointwise-transform members of ts_scalers
+    (Log/Sqrt/BoxCox + stacked Diff(7)∘Diff(1)) — projections plus
+    two window lags on the same series partitioning."""
+    return entrymod.q_ts_transform_pointwise(spark, sf_dir)
+
+
 #: AUDIT names that are not queries() keys -> direct callables
 EXTRA = {
     "emb_hashdoc": lambda s, d: entrymod.q_emb_hashdoc_pairs(s, d),
@@ -137,6 +179,9 @@ EXTRA = {
     # driven verify): the plan must show broadcasts, no corpus SMJ
     "dedup_cross": lambda s, d: entrymod.q_dedup_cross_bench(s, d),
     "embed_sparse_d512": _q_embed_sparse_d512,
+    "ts_forest_forward": _q_ts_forest_forward,
+    "ts_feature_ops": _q_ts_feature_ops,
+    "ts_transform_pointwise": _q_ts_transform_pointwise,
 }
 
 
