@@ -1562,3 +1562,103 @@ def ivfpq_drift(baseline: DataFrame, current: DataFrame) -> DataFrame:
         )
         .orderBy("cell")
     )
+
+
+def ivfpq_delete_ids(
+    spark,
+    in_path: str,
+    out_path: str,
+    ids: list,
+    id_col: str = "vec_id",
+    cell_col: str = "cell",
+) -> dict:
+    """Delete vectors by id from a cell-partitioned code table — the
+    retraction / right-to-be-forgotten operator every serving index
+    needs (a user delete must leave the ANN index, not just the
+    corpus). Emits a complete new table at ``out_path`` (versioned
+    paths, same swap contract as :func:`ivfpq_compact`).
+
+    100 TB shape — data I/O proportional to the DELETE, not the table:
+
+    1. LOCATE: one column-pruned scan of (id, cell) with the id set
+       broadcast (a retraction batch is small by nature) finds which
+       cells actually hold the ids — typically a handful out of
+       thousands.
+    2. REWRITE only those cells: the read carries a ``cell IN (...)``
+       partition filter (directory pruning — untouched cells are
+       never opened), anti-joins the broadcast ids, and writes the
+       surviving rows partitioned by cell.
+    3. LINK the untouched cell directories into ``out_path`` with the
+       Hadoop FileSystem copy API — file-level transfer with zero
+       decode (server-side copy on object stores), so the unaffected
+       99% of the table costs metadata, not compute.
+
+    Row accounting is verified before returning (rows_out must equal
+    rows_in − ids actually present); requesting ids that don't exist
+    is fine — they simply count 0. Returns {rows_before, rows_after,
+    ids_requested, ids_deleted, cells_total, cells_touched}."""
+    if in_path.rstrip("/") == out_path.rstrip("/"):
+        raise ValueError(
+            "ivfpq_delete_ids: out_path must differ from in_path "
+            "(versioned paths; Spark cannot rewrite its own input)"
+        )
+    ids = [int(i) for i in ids]
+    table = spark.read.parquet(in_path)
+    id_df = spark.createDataFrame(
+        [(i,) for i in ids], f"{id_col} long"
+    ).distinct()
+    n_in = table.count()
+    hit = (
+        table.select(id_col, cell_col)
+        .join(F.broadcast(id_df), id_col)
+        .groupBy(cell_col)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .collect()
+    )
+    touched = sorted(int(r[cell_col]) for r in hit)
+    n_del = int(sum(r["_n"] for r in hit))
+    all_cells = sorted(
+        int(r[cell_col])
+        for r in table.select(cell_col).distinct().collect()
+    )
+
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    dst_root = jvm.org.apache.hadoop.fs.Path(out_path)
+    fs = dst_root.getFileSystem(conf)
+    fs.mkdirs(dst_root)
+    if touched:
+        kept = (
+            spark.read.parquet(in_path)
+            .filter(F.col(cell_col).isin(touched))  # directory pruning
+            .join(F.broadcast(id_df), id_col, "left_anti")
+        )
+        kept.repartition(F.col(cell_col)).write.mode("append").partitionBy(
+            cell_col
+        ).parquet(out_path)
+    for cell in all_cells:
+        if cell in touched:
+            continue
+        src = jvm.org.apache.hadoop.fs.Path(f"{in_path}/{cell_col}={cell}")
+        dst = jvm.org.apache.hadoop.fs.Path(f"{out_path}/{cell_col}={cell}")
+        if not jvm.org.apache.hadoop.fs.FileUtil.copy(
+            fs, src, fs, dst, False, conf
+        ):
+            raise RuntimeError(
+                f"ivfpq_delete_ids: failed to transfer untouched cell "
+                f"dir {str(src)!r}"
+            )
+    n_out = spark.read.parquet(out_path).count()
+    if n_out != n_in - n_del:
+        raise RuntimeError(
+            f"ivfpq_delete_ids: row accounting failed ({n_in} - {n_del} "
+            f"!= {n_out}); output at {out_path!r} is NOT safe to swap in"
+        )
+    return {
+        "rows_before": n_in,
+        "rows_after": n_out,
+        "ids_requested": len(ids),
+        "ids_deleted": n_del,
+        "cells_total": len(all_cells),
+        "cells_touched": len(touched),
+    }

@@ -704,3 +704,68 @@ def test_index_lifecycle_stream_compact_search(spark, sf_dir, index_art, tmp_pat
         spark.read.parquet(compacted), cents, books, qv, k=5, nprobe=2
     ).collect()
     assert [r.asDict() for r in before] == [r.asDict() for r in after]
+
+
+def test_ivfpq_delete_ids_partition_pruned(index_art, tmp_path):
+    """Retraction: deleted ids leave the code table AND the serve
+    results; untouched cell directories transfer FILE-IDENTICAL
+    (names + sizes — proof they were linked, not re-encoded); absent
+    ids count zero; in-place delete refused; accounting verified."""
+    import os
+
+    from scalecast_spark.datapipe.similarity import (
+        ivfpq_delete_ids,
+        ivfpq_search,
+    )
+
+    cp, bp, _, emb = index_art
+    spark = emb.sparkSession
+    cents, books = load_centroids(cp), load_pq_codebooks(bp)
+    src = str(tmp_path / "codes_v1")
+    codes = ivfpq_encode(emb, cents, books).withColumnRenamed(
+        "doc_id", "vec_id"
+    )
+    codes.repartition(F.col("cell")).write.partitionBy("cell").parquet(src)
+    # pick 3 ids from ONE cell so at least one cell stays untouched
+    one_cell = codes.groupBy("cell").count().orderBy("count").collect()
+    victim_cell = int(one_cell[-1]["cell"])
+    victims = [
+        int(r["vec_id"])
+        for r in codes.filter(F.col("cell") == victim_cell)
+        .select("vec_id").orderBy("vec_id").limit(3).collect()
+    ]
+    dst = str(tmp_path / "codes_v2")
+    stats = ivfpq_delete_ids(
+        spark, src, dst, victims + [99_999_999]  # one absent id
+    )
+    assert stats["ids_deleted"] == 3
+    assert stats["ids_requested"] == 4
+    assert stats["rows_after"] == stats["rows_before"] - 3
+    assert stats["cells_touched"] >= 1
+    assert stats["cells_touched"] < stats["cells_total"]
+    out = spark.read.parquet(dst)
+    assert out.filter(F.col("vec_id").isin(victims)).count() == 0
+    # untouched cells: file listings identical (linked, not rewritten)
+    touched_dirs = {f"cell={victim_cell}"}
+    for d in os.listdir(src):
+        if not d.startswith("cell=") or d in touched_dirs:
+            continue
+        a = sorted(
+            (f, os.path.getsize(os.path.join(src, d, f)))
+            for f in os.listdir(os.path.join(src, d))
+            if not f.startswith((".", "_"))
+        )
+        b = sorted(
+            (f, os.path.getsize(os.path.join(dst, d, f)))
+            for f in os.listdir(os.path.join(dst, d))
+            if not f.startswith((".", "_"))
+        )
+        assert a == b, d
+    # the deleted ids can no longer be served
+    q = [float(x) for x in
+         emb.filter(F.col("doc_id") == victims[0])
+         .select("embedding").first()[0]]
+    hits = ivfpq_search(out, cents, books, q, k=5, nprobe=NCELLS)
+    assert victims[0] not in [int(r["vec_id"]) for r in hits.collect()]
+    with pytest.raises(ValueError, match="must differ"):
+        ivfpq_delete_ids(spark, src, src, victims)
