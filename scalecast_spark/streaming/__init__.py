@@ -6,6 +6,7 @@ from scalecast_spark.streaming.ops import (
     sessionize_stream,
     run_available_now,
     anomaly_stream,
+    cross_dedup_stream,
     ewma_stream,
     ivfpq_encode_stream,
     ivfpq_search_stream,
@@ -14,5 +15,5 @@ from scalecast_spark.streaming.ops import (
 __all__ = [
     "stream_events", "stream_documents", "dedup_stream",
     "windowed_series", "sessionize_stream", "run_available_now",
-    "anomaly_stream", "ewma_stream", "ivfpq_encode_stream", "ivfpq_search_stream",
+    "anomaly_stream", "cross_dedup_stream", "ewma_stream", "ivfpq_encode_stream", "ivfpq_search_stream",
 ]

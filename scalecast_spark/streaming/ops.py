@@ -517,3 +517,83 @@ def ivfpq_search_stream(
             codes, empty, cents, books, **search_kwargs
         ).limit(0)
     return spark.read.parquet(results_path)
+
+
+def cross_dedup_stream(
+    new_docs: DataFrame,
+    existing_docs_path: str,
+    results_path: str,
+    checkpoint_dir: str,
+    existing_sigs_path: str | None = None,
+    timeout_sec: int = 300,
+    **cross_kwargs,
+) -> DataFrame:
+    """Streamed incremental corpus dedup — the crawl-firehose twin of
+    :func:`~scalecast_spark.datapipe.dedup.cross_dedup`: every
+    micro-batch of NEW documents is deduplicated against the persisted
+    training corpus, and only the survivors append to
+    ``results_path``. This closes the nightly-refresh loop in
+    streaming form the same way ivfpq_search_stream closes ANN serve:
+    the batch operator IS the micro-batch body (``foreachBatch``, the
+    idiomatic stream-vs-static pattern), so batch and streamed
+    survivors are identical by construction — cross_dedup's keep/drop
+    decision is per-new-doc against the existing side only, so
+    splitting the new corpus across micro-batches cannot change any
+    decision.
+
+    Scale shape inherited from the batch operator: a micro-batch is a
+    small increment by definition, so the default ``broadcast_new``
+    turns the LSH bucket join into one streamed pass over the existing
+    bands; pass ``existing_sigs_path`` (a persisted
+    minhash_signatures output) so the training set is never
+    re-shingled per batch — only re-SCANNED, column-pruned, for the
+    candidate-driven verify. Same results_path contract as
+    ivfpq_search_stream: appends mean a reused path would merge stale
+    rows, so a pre-existing path fails fast; a timeout stops the query
+    and raises rather than returning partial results."""
+    import os
+
+    from scalecast_spark.datapipe.dedup import cross_dedup
+
+    if os.path.exists(results_path):
+        raise FileExistsError(
+            f"cross_dedup_stream: results_path {results_path!r} already "
+            f"exists; survivors append per micro-batch, so a reused path "
+            f"would mix stale rows into this run's answer. Point "
+            f"results_path at a fresh location (version by run id)."
+        )
+    spark = new_docs.sparkSession
+    existing = spark.read.parquet(existing_docs_path)
+    ex_sigs = (
+        spark.read.parquet(existing_sigs_path)
+        if existing_sigs_path is not None
+        else None
+    )
+
+    def _dedup_batch(batch_df: DataFrame, _batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        (
+            cross_dedup(
+                batch_df, existing, existing_sigs=ex_sigs, **cross_kwargs
+            )
+            .write.mode("append")
+            .parquet(results_path)
+        )
+
+    q = (
+        new_docs.writeStream.foreachBatch(_dedup_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(timeout_sec):
+        q.stop()
+        raise TimeoutError(
+            f"cross_dedup_stream: drain did not finish within "
+            f"{timeout_sec}s; partial results left at {results_path!r}"
+        )
+    if not os.path.exists(results_path):
+        # zero-batch stream: survivors have the new_docs schema
+        return spark.createDataFrame([], new_docs.schema)
+    return spark.read.parquet(results_path)

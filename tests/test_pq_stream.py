@@ -769,3 +769,59 @@ def test_ivfpq_delete_ids_partition_pruned(index_art, tmp_path):
     assert victims[0] not in [int(r["vec_id"]) for r in hits.collect()]
     with pytest.raises(ValueError, match="must differ"):
         ivfpq_delete_ids(spark, src, src, victims)
+
+
+def test_cross_dedup_stream_matches_batch(spark, sf_dir, tmp_path):
+    """Streamed incremental dedup == the batch operator on the same
+    new corpus: keep/drop is per-new-doc vs the existing side only, so
+    micro-batch splits cannot change any decision. Also pins the
+    results_path reuse contract."""
+    from scalecast_spark.datapipe.dedup import (
+        cross_dedup,
+        minhash_signatures,
+        word_shingles,
+    )
+    from scalecast_spark.streaming import cross_dedup_stream
+
+    docs = load_table(spark, sf_dir, "documents")
+    existing = docs.filter(F.col("doc_id") % 2 == 0)
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+    ex_path = str(tmp_path / "existing")
+    existing.write.parquet(ex_path)
+    sig_path = str(tmp_path / "ex_sigs")
+    minhash_signatures(word_shingles(existing, 3), n_hashes=4).write.parquet(
+        sig_path
+    )
+    new_dir = str(tmp_path / "new")
+    # two files -> two micro-batches
+    new.filter(F.col("doc_id") % 4 == 1).coalesce(1).write.mode(
+        "append"
+    ).parquet(new_dir)
+    new.filter(F.col("doc_id") % 4 == 3).coalesce(1).write.mode(
+        "append"
+    ).parquet(new_dir)
+    nstream = (
+        spark.readStream.schema(new.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(new_dir)
+    )
+    got = cross_dedup_stream(
+        nstream, ex_path,
+        results_path=str(tmp_path / "survivors"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        existing_sigs_path=sig_path,
+    )
+    want = cross_dedup(
+        new, existing,
+        existing_sigs=spark.read.parquet(sig_path),
+    )
+    got_ids = sorted(r["doc_id"] for r in got.select("doc_id").collect())
+    want_ids = sorted(r["doc_id"] for r in want.select("doc_id").collect())
+    assert got_ids == want_ids
+    assert len(got_ids) < new.count()  # something was actually dropped
+    with pytest.raises(FileExistsError, match="already\\s+exists"):
+        cross_dedup_stream(
+            nstream, ex_path,
+            results_path=str(tmp_path / "survivors"),
+            checkpoint_dir=str(tmp_path / "ckpt2"),
+        )
