@@ -1603,6 +1603,15 @@ def ivfpq_delete_ids(
             "(versioned paths; Spark cannot rewrite its own input)"
         )
     ids = [int(i) for i in ids]
+    _pre = spark._jvm.org.apache.hadoop.fs.Path(out_path)
+    _pre_fs = _pre.getFileSystem(spark._jsc.hadoopConfiguration())
+    if _pre_fs.exists(_pre):
+        # FileUtil.copy into an existing dir would NEST cell dirs and
+        # the append-write would merge stale rows — fail before work
+        raise FileExistsError(
+            f"ivfpq_delete_ids: out_path {out_path!r} already exists; "
+            f"use a fresh versioned path"
+        )
     table = spark.read.parquet(in_path)
     id_df = spark.createDataFrame(
         [(i,) for i in ids], f"{id_col} long"

@@ -769,6 +769,8 @@ def test_ivfpq_delete_ids_partition_pruned(index_art, tmp_path):
     assert victims[0] not in [int(r["vec_id"]) for r in hits.collect()]
     with pytest.raises(ValueError, match="must differ"):
         ivfpq_delete_ids(spark, src, src, victims)
+    with pytest.raises(FileExistsError, match="already exists"):
+        ivfpq_delete_ids(spark, src, dst, victims)
 
 
 def test_cross_dedup_stream_matches_batch(spark, sf_dir, tmp_path):
