@@ -1594,18 +1594,23 @@ def ivfpq_delete_ids(
        99% of the table costs metadata, not compute.
 
     Row accounting is verified before returning (rows_out must equal
-    rows_in − ids actually present); requesting ids that don't exist
-    is fine — they simply count 0. Returns {rows_before, rows_after,
-    ids_requested, ids_deleted, cells_total, cells_touched}."""
+    rows_in − rows matched); requesting ids that don't exist is fine —
+    they simply count 0. Returns {rows_before, rows_after,
+    rows_deleted, ids_requested, ids_deleted, cells_total,
+    cells_touched} — ids_* are DISTINCT-id counts, rows_deleted counts
+    matched rows (they differ when an id appears in multiple rows,
+    e.g. a re-sent streaming increment that was never compacted)."""
     if in_path.rstrip("/") == out_path.rstrip("/"):
         raise ValueError(
             "ivfpq_delete_ids: out_path must differ from in_path "
             "(versioned paths; Spark cannot rewrite its own input)"
         )
-    ids = [int(i) for i in ids]
-    _pre = spark._jvm.org.apache.hadoop.fs.Path(out_path)
-    _pre_fs = _pre.getFileSystem(spark._jsc.hadoopConfiguration())
-    if _pre_fs.exists(_pre):
+    ids = sorted({int(i) for i in ids})
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    dst_root = jvm.org.apache.hadoop.fs.Path(out_path)
+    dst_fs = dst_root.getFileSystem(conf)
+    if dst_fs.exists(dst_root):
         # FileUtil.copy into an existing dir would NEST cell dirs and
         # the append-write would merge stale rows — fail before work
         raise FileExistsError(
@@ -1613,32 +1618,28 @@ def ivfpq_delete_ids(
             f"use a fresh versioned path"
         )
     table = spark.read.parquet(in_path)
-    id_df = spark.createDataFrame(
-        [(i,) for i in ids], f"{id_col} long"
-    ).distinct()
+    id_df = spark.createDataFrame([(i,) for i in ids], f"{id_col} long")
     n_in = table.count()
+    matched = table.select(id_col, cell_col).join(F.broadcast(id_df), id_col)
     hit = (
-        table.select(id_col, cell_col)
-        .join(F.broadcast(id_df), id_col)
-        .groupBy(cell_col)
-        .agg(F.count(F.lit(1)).alias("_n"))
+        matched.groupBy(cell_col)
+        .agg(F.count(F.lit(1)).alias("_rows"))
         .collect()
     )
     touched = sorted(int(r[cell_col]) for r in hit)
-    n_del = int(sum(r["_n"] for r in hit))
+    rows_del = int(sum(r["_rows"] for r in hit))
+    # global distinct (an id re-encoded into two cells across appends
+    # would double-count under a per-cell distinct sum)
+    ids_del = matched.select(id_col).distinct().count() if hit else 0
     all_cells = sorted(
         int(r[cell_col])
         for r in table.select(cell_col).distinct().collect()
     )
 
-    jvm = spark._jvm
-    conf = spark._jsc.hadoopConfiguration()
-    dst_root = jvm.org.apache.hadoop.fs.Path(out_path)
-    fs = dst_root.getFileSystem(conf)
-    fs.mkdirs(dst_root)
+    dst_fs.mkdirs(dst_root)
     if touched:
         kept = (
-            spark.read.parquet(in_path)
+            table
             .filter(F.col(cell_col).isin(touched))  # directory pruning
             .join(F.broadcast(id_df), id_col, "left_anti")
         )
@@ -1650,24 +1651,28 @@ def ivfpq_delete_ids(
             continue
         src = jvm.org.apache.hadoop.fs.Path(f"{in_path}/{cell_col}={cell}")
         dst = jvm.org.apache.hadoop.fs.Path(f"{out_path}/{cell_col}={cell}")
+        # src and dst may live on DIFFERENT filesystems (hdfs -> s3a
+        # index promotion) — resolve each side's FS from its own path
         if not jvm.org.apache.hadoop.fs.FileUtil.copy(
-            fs, src, fs, dst, False, conf
+            src.getFileSystem(conf), src, dst_fs, dst, False, conf
         ):
             raise RuntimeError(
                 f"ivfpq_delete_ids: failed to transfer untouched cell "
                 f"dir {str(src)!r}"
             )
     n_out = spark.read.parquet(out_path).count()
-    if n_out != n_in - n_del:
+    if n_out != n_in - rows_del:
         raise RuntimeError(
-            f"ivfpq_delete_ids: row accounting failed ({n_in} - {n_del} "
-            f"!= {n_out}); output at {out_path!r} is NOT safe to swap in"
+            f"ivfpq_delete_ids: row accounting failed ({n_in} - "
+            f"{rows_del} != {n_out}); output at {out_path!r} is NOT "
+            f"safe to swap in"
         )
     return {
         "rows_before": n_in,
         "rows_after": n_out,
+        "rows_deleted": rows_del,
         "ids_requested": len(ids),
-        "ids_deleted": n_del,
+        "ids_deleted": ids_del,
         "cells_total": len(all_cells),
         "cells_touched": len(touched),
     }

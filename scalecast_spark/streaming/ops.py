@@ -200,6 +200,52 @@ def dedup_stream(
     return out.drop("_h")
 
 
+def _hadoop_exists(spark: SparkSession, path: str) -> bool:
+    """Path existence through the Hadoop FS API — os.path only sees
+    the local filesystem, so an s3a://, hdfs://, etc. sink path would
+    always read as absent (a reuse guard that never fires and a
+    zero-batch check that discards real results)."""
+    p = spark._jvm.org.apache.hadoop.fs.Path(path)
+    return p.getFileSystem(spark._jsc.hadoopConfiguration()).exists(p)
+
+
+def _check_sink_paths(
+    op: str, spark: SparkSession, results_path: str, checkpoint_dir: str
+) -> None:
+    """Append-sink path contract shared by the foreachBatch serve/dedup
+    streams. Results and checkpoint must travel TOGETHER:
+
+      * both absent   -> fresh run, fine;
+      * both present  -> RESUME of an interrupted drain — committed
+        micro-batches are skipped and their output is already in
+        results_path, so appending continues correctly;
+      * results without checkpoint -> a fresh run would APPEND onto a
+        previous run's rows (silently wrong answer) — refuse;
+      * checkpoint without results -> committed batches would be
+        skipped but their output is gone — rows silently missing —
+        refuse."""
+    res, ckpt = (
+        _hadoop_exists(spark, results_path),
+        _hadoop_exists(spark, checkpoint_dir),
+    )
+    if res and not ckpt:
+        raise FileExistsError(
+            f"{op}: results_path {results_path!r} already exists but "
+            f"checkpoint_dir {checkpoint_dir!r} does not — a fresh run "
+            f"would mix a previous run's appended rows into this "
+            f"answer. Use fresh paths for both (version by run id), or "
+            f"pass the ORIGINAL checkpoint_dir to resume."
+        )
+    if ckpt and not res:
+        raise FileNotFoundError(
+            f"{op}: checkpoint_dir {checkpoint_dir!r} exists but "
+            f"results_path {results_path!r} does not — resuming would "
+            f"skip the committed micro-batches whose output is gone. "
+            f"Use fresh paths for both, or restore the original "
+            f"results_path."
+        )
+
+
 def run_available_now(
     stream_df: DataFrame,
     query_name: str,
@@ -466,20 +512,9 @@ def ivfpq_search_stream(
     )
     from scalecast_spark.datapipe.similarity import ivfpq_search_batch
 
-    import os
-
-    if os.path.exists(results_path):
-        # append-mode parquet on a reused path would MERGE this run's
-        # rows with a previous run's — a silently-wrong (stale) answer.
-        # The caller owns result versioning; fail before starting.
-        raise FileExistsError(
-            f"ivfpq_search_stream: results_path {results_path!r} already "
-            f"exists; results append in foreachBatch, so a reused path "
-            f"would mix stale rows into this run's answer. Point "
-            f"results_path at a fresh location (version by run id)."
-        )
-
     spark = queries.sparkSession
+    _check_sink_paths("ivfpq_search_stream", spark, results_path,
+                      checkpoint_dir)
     cents = load_centroids(centroids_path)
     books = load_pq_codebooks(codebooks_path)
     codes = spark.read.parquet(codes_path)
@@ -506,9 +541,12 @@ def ivfpq_search_stream(
         q.stop()
         raise TimeoutError(
             f"ivfpq_search_stream: drain did not finish within "
-            f"{timeout_sec}s; partial results left at {results_path!r}"
+            f"{timeout_sec}s; partial results left at {results_path!r}. "
+            f"To RESUME (keeping committed batches) rerun with the SAME "
+            f"results_path and checkpoint_dir; to restart clean, use "
+            f"fresh paths for BOTH."
         )
-    if not os.path.exists(results_path):
+    if not _hadoop_exists(spark, results_path):
         # zero-batch stream (empty queries source): never wrote
         # parquet — return an empty frame with the operator's true
         # result schema (derived from a zero-row batch plan)
@@ -547,22 +585,17 @@ def cross_dedup_stream(
     bands; pass ``existing_sigs_path`` (a persisted
     minhash_signatures output) so the training set is never
     re-shingled per batch — only re-SCANNED, column-pruned, for the
-    candidate-driven verify. Same results_path contract as
-    ivfpq_search_stream: appends mean a reused path would merge stale
-    rows, so a pre-existing path fails fast; a timeout stops the query
-    and raises rather than returning partial results."""
-    import os
-
+    candidate-driven verify. Same sink contract as ivfpq_search_stream
+    (_check_sink_paths): results_path and checkpoint_dir travel
+    together — both fresh for a new run, both reused to RESUME an
+    interrupted drain (committed batches skip, appends continue),
+    mismatched states fail fast; a timeout stops the query and raises
+    rather than returning partial results."""
     from scalecast_spark.datapipe.dedup import cross_dedup
 
-    if os.path.exists(results_path):
-        raise FileExistsError(
-            f"cross_dedup_stream: results_path {results_path!r} already "
-            f"exists; survivors append per micro-batch, so a reused path "
-            f"would mix stale rows into this run's answer. Point "
-            f"results_path at a fresh location (version by run id)."
-        )
     spark = new_docs.sparkSession
+    _check_sink_paths("cross_dedup_stream", spark, results_path,
+                      checkpoint_dir)
     existing = spark.read.parquet(existing_docs_path)
     ex_sigs = (
         spark.read.parquet(existing_sigs_path)
@@ -591,9 +624,12 @@ def cross_dedup_stream(
         q.stop()
         raise TimeoutError(
             f"cross_dedup_stream: drain did not finish within "
-            f"{timeout_sec}s; partial results left at {results_path!r}"
+            f"{timeout_sec}s; partial results left at {results_path!r}. "
+            f"To RESUME (keeping committed batches) rerun with the SAME "
+            f"results_path and checkpoint_dir; to restart clean, use "
+            f"fresh paths for BOTH."
         )
-    if not os.path.exists(results_path):
+    if not _hadoop_exists(spark, results_path):
         # zero-batch stream: survivors have the new_docs schema
         return spark.createDataFrame([], new_docs.schema)
     return spark.read.parquet(results_path)

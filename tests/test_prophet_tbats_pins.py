@@ -22,7 +22,6 @@ What each pin certifies:
   ts_prophet_tbats gate family on the positive fixture series.
 """
 
-import math
 from statistics import NormalDist
 
 import numpy as np
@@ -175,8 +174,3 @@ def test_cores_are_deterministic():
         f2, c2 = fn()
         assert np.array_equal(f1, f2, equal_nan=True)
         assert np.array_equal(c1, c2)
-
-
-def _unused_math_guard():  # pragma: no cover
-    # keep the math import honest if tolerances move to ulp-based
-    return math.ulp(1.0)

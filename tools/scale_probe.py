@@ -518,8 +518,18 @@ def main():
 
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     # optional positional filters: probe only the named pipelines
-    # ("embedding", "trainers", "serve" name the non-docs blocks)
+    # ("embedding", "trainers", "serve", "streamstate" name the
+    # non-docs blocks). Unknown names are an ERROR — a typo must not
+    # skip every probe and exit 0 as a green run.
+    known = {"dedup", "dedup_cap", "curation", "selection", "signals",
+             "embed", "crossdedup", "crossd_smj",
+             "embedding", "trainers", "serve", "streamstate"}
     only = set(sys.argv[2:])
+    unknown = only - known
+    if unknown:
+        print(f"unknown probe name(s) {sorted(unknown)}; "
+              f"known: {sorted(known)}")
+        sys.exit(2)
     want = lambda name: not only or name in only  # noqa: E731
     scratch = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), ".probe_tmp")
