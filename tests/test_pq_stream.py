@@ -827,3 +827,56 @@ def test_cross_dedup_stream_matches_batch(spark, sf_dir, tmp_path):
             results_path=str(tmp_path / "survivors"),
             checkpoint_dir=str(tmp_path / "ckpt2"),
         )
+
+
+def test_cross_dedup_stream_resume_contract(spark, sf_dir, tmp_path):
+    """The sink contract's RESUME leg: drain file 1, then add file 2
+    and rerun with the SAME results_path + checkpoint_dir — batch 0
+    must be skipped (no duplicate survivors), batch 1 appended, and
+    the union equal the one-shot answer. Mismatched path states fail
+    fast in both directions."""
+    from scalecast_spark.datapipe.dedup import cross_dedup
+    from scalecast_spark.streaming import cross_dedup_stream
+
+    docs = load_table(spark, sf_dir, "documents")
+    existing = docs.filter(F.col("doc_id") % 2 == 0)
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+    ex_path = str(tmp_path / "existing")
+    existing.write.parquet(ex_path)
+    new_dir = str(tmp_path / "new")
+    res, ckpt = str(tmp_path / "survivors"), str(tmp_path / "ckpt")
+    half1 = new.filter(F.col("doc_id") % 4 == 1)
+    half2 = new.filter(F.col("doc_id") % 4 == 3)
+
+    def drain():
+        return cross_dedup_stream(
+            spark.readStream.schema(new.schema)
+            .option("maxFilesPerTrigger", 1).parquet(new_dir),
+            ex_path, results_path=res, checkpoint_dir=ckpt,
+        )
+
+    half1.coalesce(1).write.mode("append").parquet(new_dir)
+    first = drain().select("doc_id").collect()
+    first_ids = sorted(r["doc_id"] for r in first)
+    half2.coalesce(1).write.mode("append").parquet(new_dir)
+    resumed = drain().select("doc_id").collect()  # both paths exist
+    got = sorted(r["doc_id"] for r in resumed)
+    want = sorted(
+        r["doc_id"]
+        for r in cross_dedup(new, existing).select("doc_id").collect()
+    )
+    assert got == want  # batch 0 not re-run (else dup ids), batch 1 in
+    assert set(first_ids) < set(got)
+    # mismatched states: results without checkpoint / vice versa
+    with pytest.raises(FileExistsError, match="checkpoint_dir"):
+        cross_dedup_stream(
+            spark.readStream.schema(new.schema).parquet(new_dir),
+            ex_path, results_path=res,
+            checkpoint_dir=str(tmp_path / "ckpt_fresh"),
+        )
+    with pytest.raises(FileNotFoundError, match="results_path"):
+        cross_dedup_stream(
+            spark.readStream.schema(new.schema).parquet(new_dir),
+            ex_path, results_path=str(tmp_path / "res_fresh"),
+            checkpoint_dir=ckpt,
+        )
