@@ -278,6 +278,7 @@ def ewma_stream(
     series_col: str = SERIES,
     ts_col: str = DS,
     value_col: str = Y,
+    state_ttl_ms: int | None = None,
 ) -> DataFrame:
     """Custom stateful streaming operator via ``applyInPandasWithState``
     (the arbitrary-state API — the ops above use Spark's NATIVE
@@ -286,6 +287,19 @@ def ewma_stream(
     ``level = alpha*y + (1-alpha)*level`` carried ACROSS micro-batches
     in explicit GroupState. State per series is two scalars — O(series)
     total, no growth with stream length.
+
+    ``state_ttl_ms`` (processing-time milliseconds) bounds state under SERIES
+    CHURN, the axis O(series) doesn't cover: on an open-world key
+    space (one series per user/session/crawl-host) dormant keys would
+    accumulate forever under NoTimeout. With a TTL, a series idle for
+    that long (processing time) is EVICTED; if it later reappears its
+    recursion re-initializes from the next value — the documented
+    restart semantics, identical to a brand-new series. Choose a TTL
+    well above the longest expected gap between a live series' events.
+    TTLs are a CONTINUOUS-query feature: under Trigger.AvailableNow a
+    query with processing-time timeouts stays alive waiting for future
+    timers instead of terminating after the drain (observed on Spark
+    4.x) — leave state_ttl_ms unset for bounded drains.
 
     Ordering caveat (inherent to the API, documented not hidden): rows
     are folded in event-time order WITHIN each micro-batch, and batches
@@ -308,6 +322,9 @@ def ewma_stream(
     state_schema = T.StructType([T.StructField("level", T.DoubleType())])
 
     def fold(key, pdfs, state: GroupState):
+        if state_ttl_ms is not None and state.hasTimedOut:
+            state.remove()  # dormant series evicted; restart on return
+            return
         level = state.get[0] if state.exists else None
         # a group's micro-batch arrives as MULTIPLE Arrow chunks with no
         # cross-chunk ordering guarantee — concatenate, then ONE sort,
@@ -315,6 +332,8 @@ def ewma_stream(
         chunks = [p for p in pdfs if len(p)]
         if not chunks:
             state.update((level,))
+            if state_ttl_ms is not None:
+                state.setTimeoutDuration(state_ttl_ms)
             return
         pdf = pd.concat(chunks).sort_values([ts_col, value_col])
         out = []
@@ -323,10 +342,17 @@ def ewma_stream(
             level = yv if level is None else alpha * yv + (1 - alpha) * level
             out.append((key[0], ds, yv, level))
         state.update((level,))
+        if state_ttl_ms is not None:
+            state.setTimeoutDuration(state_ttl_ms)
         yield pd.DataFrame(out, columns=[series_col, ts_col, value_col, "ewma"])
 
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if state_ttl_ms is not None
+        else GroupStateTimeout.NoTimeout
+    )
     return series.groupBy(series_col).applyInPandasWithState(
-        fold, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+        fold, out_schema, state_schema, "append", timeout
     )
 
 
@@ -338,6 +364,7 @@ def anomaly_stream(
     series_col: str = SERIES,
     ts_col: str = DS,
     value_col: str = Y,
+    state_ttl_ms: int | None = None,
 ) -> DataFrame:
     """Streaming anomaly flags — the live twin of the batch residual
     detector (functions/stattests.anomalies_from_residuals): per
@@ -364,8 +391,11 @@ def anomaly_stream(
     points is noisy) and for zero variance (constant history ⇒ NULL
     z, same convention as the batch detector,
     functions/stattests.anomalies_from_residuals). State per series
-    is three scalars — O(series) total, no growth with stream length.
-    Same ordering caveat as :func:`ewma_stream` (event-time order
+    is three scalars — O(series) total, no growth with stream length;
+    ``state_ttl_ms`` bounds state under series CHURN exactly as in
+    :func:`ewma_stream` (dormant series evicted, reappearing ones
+    restart their recursion). Same ordering caveat as
+    :func:`ewma_stream` (event-time order
     within a batch, arrival order across; watermark upstream for late
     data)."""
     import pandas as pd
@@ -391,10 +421,15 @@ def anomaly_stream(
     cols = [series_col, ts_col, value_col, "level", "z", "is_anomaly"]
 
     def fold(key, pdfs, state: GroupState):
+        if state_ttl_ms is not None and state.hasTimedOut:
+            state.remove()  # dormant series evicted; restart on return
+            return
         level, var, n = state.get if state.exists else (None, 0.0, 0)
         chunks = [p for p in pdfs if len(p)]
         if not chunks:
             state.update((level, var, n))
+            if state_ttl_ms is not None:
+                state.setTimeoutDuration(state_ttl_ms)
             return
         pdf = pd.concat(chunks).sort_values([ts_col, value_col])
         out = []
@@ -417,10 +452,17 @@ def anomaly_stream(
             n += 1
             out.append((key[0], ds, yv, level, z, flag))
         state.update((level, var, n))
+        if state_ttl_ms is not None:
+            state.setTimeoutDuration(state_ttl_ms)
         yield pd.DataFrame(out, columns=cols)
 
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if state_ttl_ms is not None
+        else GroupStateTimeout.NoTimeout
+    )
     return series.groupBy(series_col).applyInPandasWithState(
-        fold, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+        fold, out_schema, state_schema, "append", timeout
     )
 
 

@@ -368,3 +368,76 @@ def test_anomaly_stream_parity_and_spike(spark, sf_dir, tmp_path):
         flags = g["is_anomaly"].to_numpy()
         assert flags[40]  # the spike is caught...
         assert not flags[:40].any()  # ...and the clean prefix is quiet
+
+
+def test_stream_state_ttl_evicts_dormant_series(spark, tmp_path):
+    """state_ttl_ms bounds GroupState under series CHURN on a
+    CONTINUOUS query: a series active within the TTL keeps its
+    cross-batch continuation; after idling past the TTL the
+    processing-time timer fires, state is evicted, and the series
+    RE-INITIALIZES from its next value (ewma == raw, not the
+    NoTimeout continuation)."""
+    import time
+    from datetime import datetime
+
+    from scalecast_spark.streaming.ops import ewma_stream
+
+    src, ckpt = str(tmp_path / "src"), str(tmp_path / "ckpt")
+    outdir = str(tmp_path / "out")
+    schema = "series_id string, ds timestamp, y double"
+    alpha = 0.5
+
+    def write(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    def wait_rows(n, deadline=120):
+        t0 = time.time()
+        while time.time() - t0 < deadline:
+            try:
+                df = spark.read.parquet(outdir).toPandas()
+                if len(df) >= n:
+                    return df
+            except Exception:
+                pass
+            time.sleep(0.5)
+        raise AssertionError(f"sink never reached {n} rows")
+
+    def ewma_at(df, sid, day):
+        sel = df[(df["series_id"] == sid)
+                 & (df["ds"] == datetime(2024, 1, day))]
+        assert len(sel) == 1
+        return float(sel["ewma"].iloc[0])
+
+    write([("A", datetime(2024, 1, 1), 10.0),
+           ("B", datetime(2024, 1, 1), 100.0)])
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = (
+        ewma_stream(stream, alpha=alpha, state_ttl_ms=15000)
+        .writeStream.format("parquet")
+        .option("path", outdir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+    try:
+        d1 = wait_rows(2)
+        assert ewma_at(d1, "A", 1) == 10.0
+        assert ewma_at(d1, "B", 1) == 100.0
+        # within the TTL: the recursion CONTINUES across batches
+        write([("A", datetime(2024, 1, 2), 20.0)])
+        d2 = wait_rows(3)
+        assert abs(ewma_at(d2, "A", 2)
+                   - (alpha * 20.0 + (1 - alpha) * 10.0)) < 1e-9
+        time.sleep(25.0)  # idle past the TTL: timers fire, state evicts
+        write([("A", datetime(2024, 1, 3), 40.0),
+               ("B", datetime(2024, 1, 3), 200.0)])
+        d3 = wait_rows(5)
+        # restart semantics: ewma == raw value, NOT the NoTimeout
+        # continuations (0.5*200+0.5*100=150 / 0.5*40+0.5*15=27.5)
+        assert ewma_at(d3, "B", 3) == 200.0
+        assert ewma_at(d3, "A", 3) == 40.0
+    finally:
+        q.stop()
