@@ -215,26 +215,42 @@ def _check_sink_paths(
     """Append-sink path contract shared by the foreachBatch serve/dedup
     streams. Results and checkpoint must travel TOGETHER:
 
-      * both absent   -> fresh run, fine;
+      * both absent   -> fresh run; the results_path is recorded in a
+        marker file inside the checkpoint so the pairing is durable;
       * both present  -> RESUME of an interrupted drain — committed
         micro-batches are skipped and their output is already in
-        results_path, so appending continues correctly;
+        results_path, so appending continues correctly; the marker
+        must name THIS results_path (a checkpoint from one run paired
+        with another run's results directory would pass a bare
+        existence check while both skipping batches AND appending onto
+        foreign rows);
       * results without checkpoint -> a fresh run would APPEND onto a
         previous run's rows (silently wrong answer) — refuse;
       * checkpoint without results -> committed batches would be
         skipped but their output is gone — rows silently missing —
-        refuse."""
-    res, ckpt = (
-        _hadoop_exists(spark, results_path),
-        _hadoop_exists(spark, checkpoint_dir),
-    )
+        refuse.
+
+    'Checkpoint exists' means committed progress (an offsets/ dir):
+    a marker-only checkpoint from a run that crashed before batch 0 is
+    still fresh."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+
+    def _p(path):
+        return jvm.org.apache.hadoop.fs.Path(path)
+
+    marker = _p(f"{checkpoint_dir}/__scalecast_results_path__")
+    fs = marker.getFileSystem(conf)
+    res = _hadoop_exists(spark, results_path)
+    ckpt = _hadoop_exists(spark, f"{checkpoint_dir}/offsets")
     if res and not ckpt:
         raise FileExistsError(
             f"{op}: results_path {results_path!r} already exists but "
-            f"checkpoint_dir {checkpoint_dir!r} does not — a fresh run "
-            f"would mix a previous run's appended rows into this "
-            f"answer. Use fresh paths for both (version by run id), or "
-            f"pass the ORIGINAL checkpoint_dir to resume."
+            f"checkpoint_dir {checkpoint_dir!r} holds no committed "
+            f"progress — a fresh run would mix a previous run's "
+            f"appended rows into this answer. Use fresh paths for both "
+            f"(version by run id), or pass the ORIGINAL checkpoint_dir "
+            f"to resume."
         )
     if ckpt and not res:
         raise FileNotFoundError(
@@ -244,6 +260,29 @@ def _check_sink_paths(
             f"Use fresh paths for both, or restore the original "
             f"results_path."
         )
+    if res and ckpt and fs.exists(marker):
+        stream = fs.open(marker)
+        try:
+            recorded = jvm.org.apache.commons.io.IOUtils.toString(
+                stream, "UTF-8"
+            )
+        finally:
+            stream.close()
+        if recorded.strip() != results_path:
+            raise FileExistsError(
+                f"{op}: checkpoint_dir {checkpoint_dir!r} was created "
+                f"for results_path {recorded.strip()!r}, not "
+                f"{results_path!r} — resuming against a different "
+                f"results directory would skip committed batches AND "
+                f"append onto foreign rows. Reunite the original pair "
+                f"or start fresh with both paths new."
+            )
+    if not fs.exists(marker):
+        out = fs.create(marker, True)
+        try:
+            out.write(bytearray(results_path.encode("utf-8")))
+        finally:
+            out.close()
 
 
 def run_available_now(

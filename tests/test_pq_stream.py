@@ -880,3 +880,33 @@ def test_cross_dedup_stream_resume_contract(spark, sf_dir, tmp_path):
             ex_path, results_path=str(tmp_path / "res_fresh"),
             checkpoint_dir=ckpt,
         )
+
+
+def test_sink_marker_binds_results_to_checkpoint(spark, sf_dir, tmp_path):
+    """A checkpoint resumed against a DIFFERENT (but existing) results
+    directory must be refused: bare existence checks pass for any
+    mismatched pair, so the marker written at first start is what
+    detects it."""
+    from scalecast_spark.datapipe.dedup import cross_dedup  # noqa: F401
+    from scalecast_spark.streaming import cross_dedup_stream
+
+    docs = load_table(spark, sf_dir, "documents")
+    existing = docs.filter(F.col("doc_id") % 2 == 0)
+    new = docs.filter(F.col("doc_id") % 2 == 1).limit(20)
+    ex_path = str(tmp_path / "existing")
+    existing.write.parquet(ex_path)
+    new_dir = str(tmp_path / "new")
+    new.coalesce(1).write.parquet(new_dir)
+    res_a, ckpt = str(tmp_path / "res_a"), str(tmp_path / "ckpt")
+    cross_dedup_stream(
+        spark.readStream.schema(new.schema).parquet(new_dir),
+        ex_path, results_path=res_a, checkpoint_dir=ckpt,
+    )
+    # a foreign results dir that happens to exist
+    res_b = str(tmp_path / "res_b")
+    spark.read.parquet(res_a).limit(1).write.parquet(res_b)
+    with pytest.raises(FileExistsError, match="was created\\s+for"):
+        cross_dedup_stream(
+            spark.readStream.schema(new.schema).parquet(new_dir),
+            ex_path, results_path=res_b, checkpoint_dir=ckpt,
+        )
