@@ -910,3 +910,29 @@ def test_sink_marker_binds_results_to_checkpoint(spark, sf_dir, tmp_path):
             spark.readStream.schema(new.schema).parquet(new_dir),
             ex_path, results_path=res_b, checkpoint_dir=ckpt,
         )
+
+
+def test_ivfpq_delete_ids_duplicate_rows_accounting(index_art, tmp_path):
+    """A re-sent streaming increment can leave the same vec_id in two
+    rows; deleting that id must remove BOTH rows and report them
+    separately: rows_deleted=2, ids_deleted=1 (and duplicate ids in
+    the REQUEST are deduped: ids_requested counts distinct)."""
+    from scalecast_spark.datapipe.similarity import ivfpq_delete_ids
+
+    cp, bp, _, emb = index_art
+    spark = emb.sparkSession
+    cents, books = load_centroids(cp), load_pq_codebooks(bp)
+    codes = ivfpq_encode(emb, cents, books).withColumnRenamed(
+        "doc_id", "vec_id"
+    )
+    victim = int(codes.select("vec_id").orderBy("vec_id").first()[0])
+    dup = codes.unionByName(codes.filter(F.col("vec_id") == victim))
+    src = str(tmp_path / "dup_codes")
+    dup.repartition(F.col("cell")).write.partitionBy("cell").parquet(src)
+    stats = ivfpq_delete_ids(
+        spark, src, str(tmp_path / "dup_codes_v2"), [victim, victim]
+    )
+    assert stats["rows_deleted"] == 2
+    assert stats["ids_deleted"] == 1
+    assert stats["ids_requested"] == 1
+    assert stats["rows_after"] == stats["rows_before"] - 2
