@@ -1620,17 +1620,17 @@ def ivfpq_delete_ids(
     table = spark.read.parquet(in_path)
     id_df = spark.createDataFrame([(i,) for i in ids], f"{id_col} long")
     n_in = table.count()
-    matched = table.select(id_col, cell_col).join(F.broadcast(id_df), id_col)
-    hit = (
-        matched.groupBy(cell_col)
-        .agg(F.count(F.lit(1)).alias("_rows"))
+    # matched rows are bounded by the retraction batch (x any dup
+    # factor), so ONE collect covers rows, distinct ids AND cells —
+    # no second job re-running the locate join
+    matched = (
+        table.select(id_col, cell_col)
+        .join(F.broadcast(id_df), id_col)
         .collect()
     )
-    touched = sorted(int(r[cell_col]) for r in hit)
-    rows_del = int(sum(r["_rows"] for r in hit))
-    # global distinct (an id re-encoded into two cells across appends
-    # would double-count under a per-cell distinct sum)
-    ids_del = matched.select(id_col).distinct().count() if hit else 0
+    touched = sorted({int(r[cell_col]) for r in matched})
+    rows_del = len(matched)
+    ids_del = len({r[id_col] for r in matched})
     all_cells = sorted(
         int(r[cell_col])
         for r in table.select(cell_col).distinct().collect()

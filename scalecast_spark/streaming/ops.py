@@ -235,11 +235,9 @@ def _check_sink_paths(
     still fresh."""
     jvm = spark._jvm
     conf = spark._jsc.hadoopConfiguration()
-
-    def _p(path):
-        return jvm.org.apache.hadoop.fs.Path(path)
-
-    marker = _p(f"{checkpoint_dir}/__scalecast_results_path__")
+    marker = jvm.org.apache.hadoop.fs.Path(
+        f"{checkpoint_dir}/__scalecast_results_path__"
+    )
     fs = marker.getFileSystem(conf)
     res = _hadoop_exists(spark, results_path)
     ckpt = _hadoop_exists(spark, f"{checkpoint_dir}/offsets")
