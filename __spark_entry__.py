@@ -749,7 +749,45 @@ def q_ts_combo(spark, sf_dir):
                 F.col(col).alias("forecast"),
             )
         )
-    return _out_ts(_r6(members, "forecast"))
+    return _out_ts(_r6(members.unionByName(_diff_revert_member(spark, sf_dir)),
+                       "forecast"))
+
+
+def _diff_revert_member(spark, sf_dir):
+    """diff_revert member (round 10): hash-certifies the DIFF REVERT —
+    SURVEY §7.4 hard part #2, previously round-trip-pytest-only. A
+    stacked Diff(7)∘Diff(1) Pipeline transforms the series, a
+    deterministic diff-space 'forecast' (the per-series mean of the
+    transformed observations) fills the 7 future rows, and the
+    production Pipeline.invert reconstructs LEVELS through both
+    stages: Diff(1) seeds from the last observed d7 and running-sums
+    the predictions, Diff(7) anchors each future row on the actual
+    level 7 steps back in its residue class — all distributed window
+    math (transforms.DiffTransform.invert), replayed in SQL by the
+    diff_revert arm of _combo_oracle."""
+    from scalecast_spark.frame import TimeSeriesFrame
+    from scalecast_spark.operators.transforms import DiffTransform, Pipeline
+
+    tsf = TimeSeriesFrame.from_long(_series(spark, sf_dir))
+    df = tsf.generate_future_dates(7).df
+    pipe = Pipeline([DiffTransform(7), DiffTransform(1)])
+    tr = pipe.fit_transform(df, "y")
+    pred = tr.filter(F.col("is_future") == 0).groupBy("series_id").agg(
+        F.avg("y").alias("_p")
+    )
+    tr = (
+        tr.join(F.broadcast(pred), "series_id")
+        .withColumn(
+            "y",
+            F.when(F.col("is_future") == 1, F.col("_p")).otherwise(F.col("y")),
+        )
+        .drop("_p")
+    )
+    rev = pipe.invert(tr, "y")
+    return rev.filter(F.col("is_future") == 1).select(
+        F.lit("diff_revert").alias("model"), "series_id", "ds",
+        F.col("y").alias("forecast"),
+    )
 
 
 def q_ts_deseason(spark, sf_dir):
@@ -7213,6 +7251,23 @@ def _combo_oracle() -> str:
             GROUP BY 1
         ),
         last AS (SELECT series_id, max(ds) AS last_ds FROM series GROUP BY 1),
+        dd AS (
+            SELECT series_id, ds, y, rn, n,
+                   y - lag(y, 7) OVER (PARTITION BY series_id
+                                       ORDER BY rn) AS d7
+            FROM t
+        ),
+        dd2 AS (
+            SELECT series_id, rn, n, d7,
+                   d7 - lag(d7) OVER (PARTITION BY series_id
+                                      ORDER BY rn) AS d7d1
+            FROM dd
+        ),
+        dp AS (
+            SELECT series_id, avg(d7d1) AS pred,
+                   max(CASE WHEN rn = n THEN d7 END) AS d7_last
+            FROM dd2 GROUP BY 1
+        ),
         mem AS (
             SELECT l.series_id,
                    (last.last_ds + i.i * INTERVAL '1 day')::DATE AS ds,
@@ -7233,6 +7288,19 @@ def _combo_oracle() -> str:
         UNION ALL
         SELECT 'synth_hi', series_id, ds, round(mean_fc + {z} * se, 6)
         FROM mem
+        UNION ALL
+        -- diff_revert: Diff(1) revert seeds from the last observed d7
+        -- and running-sums i copies of the mean prediction; Diff(7)
+        -- revert anchors on the actual level 7 back in the residue
+        -- class (the naive-member row rev = 8 - i IS that anchor)
+        SELECT 'diff_revert', dp.series_id,
+               (last.last_ds + i.i * INTERVAL '1 day')::DATE AS ds,
+               round(anch.y + dp.d7_last + i.i * dp.pred, 6)
+        FROM dp
+        JOIN last USING (series_id)
+        CROSS JOIN (SELECT unnest(range(1, 8)) AS i) i
+        JOIN t anch ON anch.series_id = dp.series_id
+                   AND anch.rev = 8 - i.i
     """
 
 
