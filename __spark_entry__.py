@@ -764,7 +764,14 @@ def _diff_revert_member(spark, sf_dir):
     the predictions, Diff(7) anchors each future row on the actual
     level 7 steps back in its residue class — all distributed window
     math (transforms.DiffTransform.invert), replayed in SQL by the
-    diff_revert arm of _combo_oracle."""
+    diff_revert arm of _combo_oracle.
+
+    The lo/hi twins certify CI RE-DERIVATION AFTER UNDIFFERENCING
+    (the other half of hard part #2, reference
+    SeriesTransformer.py:604-698): diff-space bounds pred ∓/± the
+    per-series stddev of the transformed observations ride the SAME
+    Pipeline.invert as extra columns, so interval reconstruction uses
+    the identical anchors/running sums as the point path."""
     from scalecast_spark.frame import TimeSeriesFrame
     from scalecast_spark.operators.transforms import DiffTransform, Pipeline
 
@@ -773,21 +780,32 @@ def _diff_revert_member(spark, sf_dir):
     pipe = Pipeline([DiffTransform(7), DiffTransform(1)])
     tr = pipe.fit_transform(df, "y")
     pred = tr.filter(F.col("is_future") == 0).groupBy("series_id").agg(
-        F.avg("y").alias("_p")
+        F.avg("y").alias("_p"),
+        F.stddev_samp("y").alias("_w"),
     )
+    tr = tr.join(F.broadcast(pred), "series_id")
+    fut = F.col("is_future") == 1
     tr = (
-        tr.join(F.broadcast(pred), "series_id")
-        .withColumn(
-            "y",
-            F.when(F.col("is_future") == 1, F.col("_p")).otherwise(F.col("y")),
-        )
-        .drop("_p")
+        tr.withColumn("lower", F.when(fut, F.col("_p") - F.col("_w")))
+        .withColumn("upper", F.when(fut, F.col("_p") + F.col("_w")))
+        .withColumn("y", F.when(fut, F.col("_p")).otherwise(F.col("y")))
+        .drop("_p", "_w")
     )
-    rev = pipe.invert(tr, "y")
-    return rev.filter(F.col("is_future") == 1).select(
+    rev = pipe.invert(tr, "y", "lower", "upper")
+    out = rev.filter(fut)
+    member = out.select(
         F.lit("diff_revert").alias("model"), "series_id", "ds",
         F.col("y").alias("forecast"),
     )
+    for tag, col in (("diff_revert_lo", "lower"),
+                     ("diff_revert_hi", "upper")):
+        member = member.unionByName(
+            out.select(
+                F.lit(tag).alias("model"), "series_id", "ds",
+                F.col(col).alias("forecast"),
+            )
+        )
+    return member
 
 
 def q_ts_deseason(spark, sf_dir):
@@ -7265,6 +7283,7 @@ def _combo_oracle() -> str:
         ),
         dp AS (
             SELECT series_id, avg(d7d1) AS pred,
+                   stddev_samp(d7d1) AS w,
                    max(CASE WHEN rn = n THEN d7 END) AS d7_last
             FROM dd2 GROUP BY 1
         ),
@@ -7293,12 +7312,15 @@ def _combo_oracle() -> str:
         -- and running-sums i copies of the mean prediction; Diff(7)
         -- revert anchors on the actual level 7 back in the residue
         -- class (the naive-member row rev = 8 - i IS that anchor)
-        SELECT 'diff_revert', dp.series_id,
+        SELECT m.tag, dp.series_id,
                (last.last_ds + i.i * INTERVAL '1 day')::DATE AS ds,
-               round(anch.y + dp.d7_last + i.i * dp.pred, 6)
+               round(anch.y + dp.d7_last + i.i * (dp.pred + m.k * dp.w), 6)
         FROM dp
         JOIN last USING (series_id)
         CROSS JOIN (SELECT unnest(range(1, 8)) AS i) i
+        CROSS JOIN (VALUES ('diff_revert', 0.0),
+                           ('diff_revert_lo', -1.0),
+                           ('diff_revert_hi', 1.0)) m(tag, k)
         JOIN t anch ON anch.series_id = dp.series_id
                    AND anch.rev = 8 - i.i
     """
