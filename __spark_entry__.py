@@ -1038,12 +1038,21 @@ def q_mv_corr_lags(spark, sf_dir):
 
 
 def q_ts_line_up_dates(spark, sf_dir):
+    """MV date alignment; round 10 joins in add_series (reference
+    add_series — another series as a ds-aligned, 0-padded regressor,
+    operators/xvars.py:58): the full click series lands on every
+    lined-up row as click_x, padded where the alignment window starts
+    before click's own staggered start."""
     from scalecast_spark.operators.multivariate import line_up_dates
+    from scalecast_spark.operators.xvars import add_series
 
     staggered = _series(spark, sf_dir).filter(
         F.dayofmonth("ds") >= F.length("series_id")
     )
-    return _out_ts(_r6(line_up_dates(staggered), "y"))
+    lined = line_up_dates(staggered)
+    other = _series(spark, sf_dir).filter(F.col("series_id") == "click")
+    out, _ = add_series(lined, other, "click_x")
+    return _out_ts(_r6(out, "y", "click_x"))
 
 
 def q_dedup_exact_keep(spark, sf_dir):
@@ -3611,9 +3620,14 @@ def oracle_sql() -> dict[str, str]:
                     FROM stag GROUP BY series_id
                 )
             )
-            SELECT series_id, ds, round(y, 6) AS y
-            FROM stag, bounds
-            WHERE ds BETWEEN bounds.lo AND bounds.hi
+            SELECT s.series_id, s.ds, round(s.y, 6) AS y,
+                   round(coalesce(c.y, 0.0), 6) AS click_x
+            FROM stag s
+            CROSS JOIN bounds
+            LEFT JOIN (
+                SELECT ds, y FROM series WHERE series_id = 'click'
+            ) c ON c.ds = s.ds
+            WHERE s.ds BETWEEN bounds.lo AND bounds.hi
         """,
         "dedup_exact": rf"""
             SELECT 'exact' AS member, doc_id::BIGINT AS doc_id
