@@ -209,30 +209,68 @@ def _hadoop_exists(spark: SparkSession, path: str) -> bool:
     return p.getFileSystem(spark._jsc.hadoopConfiguration()).exists(p)
 
 
+def _qualified(spark: SparkSession, path: str) -> str:
+    """Canonical form of a path for identity comparison: scheme- and
+    authority-qualified against its own filesystem, trailing slashes
+    normalized by the Path constructor — so '/a/b', '/a/b/' and
+    'file:///a/b' all compare equal. Raw string comparison would
+    spuriously refuse a legitimate resume that spells the same
+    directory differently (ADVICE r10)."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    return str(p.getFileSystem(conf).makeQualified(p))
+
+
+def _has_commits(spark: SparkSession, checkpoint_dir: str) -> bool:
+    """True iff the checkpoint records at least one COMMITTED
+    micro-batch. Spark's file-sink WAL order is offsets/<n> BEFORE the
+    batch executes and commits/<n> AFTER it finishes — so offsets alone
+    mean an in-flight batch, not finished output. Gating 'committed
+    progress' on offsets/ (the pre-r11 behavior) mislabeled a crash
+    after offsets/0-but-before-output as resumable-with-missing-rows."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(f"{checkpoint_dir}/commits")
+    fs = p.getFileSystem(conf)
+    if not fs.exists(p):
+        return False
+    for st in fs.listStatus(p):
+        if not st.getPath().getName().startswith("."):
+            return True
+    return False
+
+
 def _check_sink_paths(
     op: str, spark: SparkSession, results_path: str, checkpoint_dir: str
 ) -> None:
-    """Append-sink path contract shared by the foreachBatch serve/dedup
-    streams. Results and checkpoint must travel TOGETHER:
+    """Sink path contract shared by the foreachBatch serve/dedup
+    streams. Results and checkpoint must travel TOGETHER; combined
+    with the per-batch idempotent sink (each micro-batch OVERWRITES
+    its own ``batch_id=<n>`` directory under results_path), every
+    crash window resumes exactly-once:
 
-      * both absent   -> fresh run; the results_path is recorded in a
-        marker file inside the checkpoint so the pairing is durable;
-      * both present  -> RESUME of an interrupted drain — committed
-        micro-batches are skipped and their output is already in
-        results_path, so appending continues correctly; the marker
-        must name THIS results_path (a checkpoint from one run paired
-        with another run's results directory would pass a bare
-        existence check while both skipping batches AND appending onto
-        foreign rows);
-      * results without checkpoint -> a fresh run would APPEND onto a
-        previous run's rows (silently wrong answer) — refuse;
-      * checkpoint without results -> committed batches would be
-        skipped but their output is gone — rows silently missing —
-        refuse.
+      * crash after offsets/<n>, before any output -> batch n re-runs
+        and writes its directory once;
+      * crash after (partial or full) batch output, before
+        commits/<n>  -> batch n re-runs and overwrites its OWN
+        directory — no duplicate rows (this window was at-least-once
+        before r11, when batches appended to a shared directory);
+      * crash after commits/<n> -> batch n skips; its directory is
+        already complete.
 
-    'Checkpoint exists' means committed progress (an offsets/ dir):
-    a marker-only checkpoint from a run that crashed before batch 0 is
-    still fresh."""
+    The states this guard refuses (all fail-fast, never silent):
+
+      * results exist but the checkpoint has no marker -> a fresh run
+        would mix a previous run's rows into this answer;
+      * committed progress but results_path is gone -> committed
+        batches would skip with their output missing;
+      * the checkpoint's marker names a DIFFERENT results_path ->
+        a mismatched pair would skip committed batches AND write next
+        to foreign rows. Paths are compared in qualified form (scheme +
+        authority, trailing slash stripped), so spelling the same
+        directory differently is not a mismatch.
+    """
     jvm = spark._jvm
     conf = spark._jsc.hadoopConfiguration()
     marker = jvm.org.apache.hadoop.fs.Path(
@@ -240,47 +278,55 @@ def _check_sink_paths(
     )
     fs = marker.getFileSystem(conf)
     res = _hadoop_exists(spark, results_path)
-    ckpt = _hadoop_exists(spark, f"{checkpoint_dir}/offsets")
-    if res and not ckpt:
-        raise FileExistsError(
-            f"{op}: results_path {results_path!r} already exists but "
-            f"checkpoint_dir {checkpoint_dir!r} holds no committed "
-            f"progress — a fresh run would mix a previous run's "
-            f"appended rows into this answer. Use fresh paths for both "
-            f"(version by run id), or pass the ORIGINAL checkpoint_dir "
-            f"to resume."
-        )
-    if ckpt and not res:
+    committed = _has_commits(spark, checkpoint_dir)
+    res_q = _qualified(spark, results_path)
+    if committed and not res:
         raise FileNotFoundError(
-            f"{op}: checkpoint_dir {checkpoint_dir!r} exists but "
-            f"results_path {results_path!r} does not — resuming would "
-            f"skip the committed micro-batches whose output is gone. "
-            f"Use fresh paths for both, or restore the original "
-            f"results_path."
+            f"{op}: checkpoint_dir {checkpoint_dir!r} records committed "
+            f"micro-batches but results_path {results_path!r} does not "
+            f"exist — resuming would skip those batches with their "
+            f"output gone. Use fresh paths for both, or restore the "
+            f"original results_path."
         )
-    if res and ckpt and fs.exists(marker):
+    if fs.exists(marker):
         stream = fs.open(marker)
         try:
             recorded = jvm.org.apache.commons.io.IOUtils.toString(
                 stream, "UTF-8"
-            )
+            ).strip()
         finally:
             stream.close()
-        if recorded.strip() != results_path:
+        if _qualified(spark, recorded) != res_q:
             raise FileExistsError(
                 f"{op}: checkpoint_dir {checkpoint_dir!r} was created "
-                f"for results_path {recorded.strip()!r}, not "
+                f"for results_path {recorded!r}, not "
                 f"{results_path!r} — resuming against a different "
                 f"results directory would skip committed batches AND "
-                f"append onto foreign rows. Reunite the original pair "
+                f"write next to foreign rows. Reunite the original pair "
                 f"or start fresh with both paths new."
             )
-    if not fs.exists(marker):
-        out = fs.create(marker, True)
-        try:
-            out.write(bytearray(results_path.encode("utf-8")))
-        finally:
-            out.close()
+        return  # same pair -> resume (idempotent batch dirs make every
+        # offsets/commits/results combination safe)
+    if res:
+        raise FileExistsError(
+            f"{op}: results_path {results_path!r} already exists but "
+            f"checkpoint_dir {checkpoint_dir!r} holds no marker for it "
+            f"— a fresh run would mix a previous run's rows into this "
+            f"answer. Use fresh paths for both (version by run id), or "
+            f"pass the ORIGINAL checkpoint_dir to resume."
+        )
+    if committed:
+        raise FileExistsError(
+            f"{op}: checkpoint_dir {checkpoint_dir!r} has committed "
+            f"progress but no results marker — it was not created by "
+            f"this module's sinks; refusing to adopt it. Use a fresh "
+            f"checkpoint_dir."
+        )
+    out = fs.create(marker, True)
+    try:
+        out.write(bytearray(res_q.encode("utf-8")))
+    finally:
+        out.close()
 
 
 def run_available_now(
@@ -293,9 +339,30 @@ def run_available_now(
     """Drain the source into an in-memory table with Trigger.AvailableNow
     and return the materialized result as a batch DataFrame.
     ``output_mode`` defaults to 'complete' for aggregating streams;
-    pass 'append' for row-level operators (dedup_stream)."""
+    pass 'append' for row-level operators (dedup_stream).
+
+    Refuses plans carrying PROCESSING-TIME GroupState timeouts
+    (``ewma_stream``/``anomaly_stream`` with ``state_ttl_ms`` set): under
+    AvailableNow such a query drains the backlog and then stays alive
+    waiting for future wall-clock timers instead of terminating — a
+    silent hang until the awaitTermination timeout (observed on Spark
+    4.x; ADVICE r10 #4). TTLs are a continuous-trigger feature; for a
+    bounded drain leave ``state_ttl_ms`` unset."""
     if output_mode is None:
         output_mode = "complete" if stream_df.isStreaming else "append"
+    if stream_df.isStreaming and "ProcessingTimeTimeout" in (
+        stream_df._jdf.queryExecution().analyzed().toString()
+    ):
+        raise ValueError(
+            f"run_available_now({query_name!r}): the plan contains a "
+            f"stateful operator with ProcessingTimeTimeout (a "
+            f"state_ttl_ms-bounded ewma_stream/anomaly_stream). "
+            f"Trigger.AvailableNow never terminates while processing-"
+            f"time timers are registered — the drain would hang until "
+            f"the timeout. Leave state_ttl_ms unset for bounded "
+            f"drains, or run the TTL'd query under a continuous "
+            f"trigger."
+        )
     q = (
         stream_df.writeStream.format("memory")
         .queryName(query_name)
@@ -337,6 +404,8 @@ def ewma_stream(
     query with processing-time timeouts stays alive waiting for future
     timers instead of terminating after the drain (observed on Spark
     4.x) — leave state_ttl_ms unset for bounded drains.
+    :func:`run_available_now` detects the combination from the plan and
+    raises up front rather than hanging.
 
     Ordering caveat (inherent to the API, documented not hidden): rows
     are folded in event-time order WITHIN each micro-batch, and batches
@@ -576,7 +645,8 @@ def ivfpq_search_stream(
     applies unchanged, keeping its scale shape (queries broadcast,
     dynamic partition pruning of the code-table scan, map-side
     WindowGroupLimit top-k) and its exact parity with single-query
-    serve. Results append to ``results_path`` as parquet —
+    serve. Each micro-batch writes (idempotently overwrites on replay)
+    its own ``batch_id=<n>`` parquet directory under ``results_path`` —
     per-micro-batch output is k rows per query, nothing driver-bound.
 
     This helper drains with Trigger.AvailableNow and returns the
@@ -598,13 +668,18 @@ def ivfpq_search_stream(
     books = load_pq_codebooks(codebooks_path)
     codes = spark.read.parquet(codes_path)
 
-    def _serve_batch(batch_df: DataFrame, _batch_id: int) -> None:
+    def _serve_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        # idempotent per-batch sink: each micro-batch owns (and on
+        # replay OVERWRITES) its own batch_id=<n> directory, so a crash
+        # between output and the commits/<n> WAL entry re-runs the
+        # batch without duplicating rows — exactly-once end to end
+        # (foreachBatch append to a shared dir is only at-least-once)
         (
             ivfpq_search_batch(codes, batch_df, cents, books, **search_kwargs)
-            .write.mode("append")
-            .parquet(results_path)
+            .write.mode("overwrite")
+            .parquet(f"{results_path}/batch_id={batch_id}")
         )
 
     q = (
@@ -633,7 +708,8 @@ def ivfpq_search_stream(
         return ivfpq_search_batch(
             codes, empty, cents, books, **search_kwargs
         ).limit(0)
-    return spark.read.parquet(results_path)
+    # batch_id is sink plumbing (the idempotency key), not a result col
+    return spark.read.parquet(results_path).drop("batch_id")
 
 
 def cross_dedup_stream(
@@ -682,15 +758,18 @@ def cross_dedup_stream(
         else None
     )
 
-    def _dedup_batch(batch_df: DataFrame, _batch_id: int) -> None:
+    def _dedup_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        # idempotent per-batch sink — see ivfpq_search_stream: replay
+        # of an uncommitted batch overwrites its own directory, closing
+        # the at-least-once window of a shared append dir
         (
             cross_dedup(
                 batch_df, existing, existing_sigs=ex_sigs, **cross_kwargs
             )
-            .write.mode("append")
-            .parquet(results_path)
+            .write.mode("overwrite")
+            .parquet(f"{results_path}/batch_id={batch_id}")
         )
 
     q = (
@@ -711,4 +790,5 @@ def cross_dedup_stream(
     if not _hadoop_exists(spark, results_path):
         # zero-batch stream: survivors have the new_docs schema
         return spark.createDataFrame([], new_docs.schema)
-    return spark.read.parquet(results_path)
+    # batch_id is sink plumbing (the idempotency key), not a result col
+    return spark.read.parquet(results_path).drop("batch_id")

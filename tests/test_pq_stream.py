@@ -936,3 +936,89 @@ def test_ivfpq_delete_ids_duplicate_rows_accounting(index_art, tmp_path):
     assert stats["ids_deleted"] == 1
     assert stats["ids_requested"] == 1
     assert stats["rows_after"] == stats["rows_before"] - 2
+
+
+def test_crash_between_output_and_commit_no_duplicates(spark, sf_dir, tmp_path):
+    """The at-least-once window ADVICE r10 flagged: Spark writes
+    offsets/<n> BEFORE executing batch n and commits/<n> AFTER — a
+    crash in between re-runs the batch on resume. With the r11
+    idempotent sink (each batch overwrites its own batch_id=<n> dir)
+    the replay must NOT duplicate rows. Simulated by deleting the
+    commits entry after a successful drain."""
+    import os
+
+    from scalecast_spark.datapipe.dedup import cross_dedup
+    from scalecast_spark.streaming import cross_dedup_stream
+
+    docs = load_table(spark, sf_dir, "documents")
+    existing = docs.filter(F.col("doc_id") % 2 == 0)
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+    ex_path = str(tmp_path / "existing")
+    existing.write.parquet(ex_path)
+    new_dir = str(tmp_path / "new")
+    res, ckpt = str(tmp_path / "survivors"), str(tmp_path / "ckpt")
+    half1 = new.filter(F.col("doc_id") % 4 == 1)
+    half2 = new.filter(F.col("doc_id") % 4 == 3)
+
+    def drain():
+        return cross_dedup_stream(
+            spark.readStream.schema(new.schema)
+            .option("maxFilesPerTrigger", 1).parquet(new_dir),
+            ex_path, results_path=res, checkpoint_dir=ckpt,
+        )
+
+    half1.coalesce(1).write.mode("append").parquet(new_dir)
+    first = sorted(r["doc_id"] for r in drain().select("doc_id").collect())
+    # simulate the crash window: batch 0's output landed but its
+    # commit never did -> on resume Spark MUST re-run batch 0
+    commits = os.path.join(ckpt, "commits")
+    removed = [f for f in os.listdir(commits) if not f.startswith(".")]
+    assert removed, "drain committed nothing?"
+    for f in removed:
+        os.remove(os.path.join(commits, f))
+        crc = os.path.join(commits, f".{f}.crc")  # ChecksumFs shadow
+        if os.path.exists(crc):
+            os.remove(crc)
+    half2.coalesce(1).write.mode("append").parquet(new_dir)
+    got = sorted(r["doc_id"] for r in drain().select("doc_id").collect())
+    want = sorted(
+        r["doc_id"]
+        for r in cross_dedup(new, existing).select("doc_id").collect()
+    )
+    assert got == want  # replayed batch 0 overwrote itself: no dups
+    assert len(got) == len(set(got))
+    assert set(first) < set(got)
+
+
+def test_resume_accepts_equivalent_path_spellings(spark, sf_dir, tmp_path):
+    """ADVICE r10: the marker compare must not refuse a resume that
+    spells the same results directory differently (trailing slash,
+    file:// scheme). Both respellings must resume cleanly; a genuinely
+    different directory must still be refused."""
+    from scalecast_spark.streaming import cross_dedup_stream
+
+    docs = load_table(spark, sf_dir, "documents")
+    existing = docs.filter(F.col("doc_id") % 2 == 0)
+    new = docs.filter(F.col("doc_id") % 2 == 1).limit(20)
+    ex_path = str(tmp_path / "existing")
+    existing.write.parquet(ex_path)
+    new_dir = str(tmp_path / "new")
+    new.coalesce(1).write.parquet(new_dir)
+    res, ckpt = str(tmp_path / "res"), str(tmp_path / "ckpt")
+
+    def drain(res_spelling):
+        return cross_dedup_stream(
+            spark.readStream.schema(new.schema).parquet(new_dir),
+            ex_path, results_path=res_spelling, checkpoint_dir=ckpt,
+        )
+
+    base = drain(res).count()
+    assert base > 0
+    assert drain(res + "/").count() == base  # trailing slash
+    assert drain("file://" + res).count() == base  # scheme-qualified
+    with pytest.raises(FileExistsError, match="was created\\s+for"):
+        other = str(tmp_path / "other")
+        spark.read.parquet(res).limit(1).write.parquet(
+            other + "/batch_id=0"
+        )
+        drain(other)

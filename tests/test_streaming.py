@@ -441,3 +441,31 @@ def test_stream_state_ttl_evicts_dormant_series(spark, tmp_path):
         assert ewma_at(d3, "A", 3) == 40.0
     finally:
         q.stop()
+
+
+def test_run_available_now_rejects_processing_time_ttl(spark, tmp_path):
+    """ADVICE r10: state_ttl_ms + Trigger.AvailableNow hangs forever
+    (the drain waits for future processing-time timers). The guard in
+    run_available_now must detect the combination from the plan and
+    raise BEFORE starting the query, not rely on docstrings."""
+    from datetime import datetime
+
+    from scalecast_spark.streaming.ops import ewma_stream, run_available_now
+
+    src = str(tmp_path / "src")
+    schema = "series_id string, ds timestamp, y double"
+    spark.createDataFrame(
+        [("A", datetime(2024, 1, 1), 1.0)], schema
+    ).write.parquet(src)
+    stream = spark.readStream.schema(schema).parquet(src)
+    ttl = ewma_stream(stream, state_ttl_ms=60000)
+    with pytest.raises(ValueError, match="ProcessingTimeTimeout"):
+        run_available_now(
+            ttl, "ttl_guard_q", str(tmp_path / "ckpt"), output_mode="append"
+        )
+    # and the same plan WITHOUT the TTL drains fine through the guard
+    ok = run_available_now(
+        ewma_stream(stream), "ttl_guard_ok", str(tmp_path / "ckpt2"),
+        output_mode="append",
+    )
+    assert ok.count() == 1
