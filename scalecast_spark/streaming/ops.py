@@ -462,6 +462,94 @@ def ewma_stream(
     )
 
 
+def ewma_stream_tws(
+    series: DataFrame,
+    alpha: float = 0.3,
+    series_col: str = SERIES,
+    ts_col: str = DS,
+    value_col: str = Y,
+    state_ttl_ms: int | None = None,
+) -> DataFrame:
+    """``transformWithStateInPandas`` twin of :func:`ewma_stream` —
+    Spark 4.x's arbitrary-state successor API. Two properties the
+    GroupState path can't offer (SCALE.md round-11 adjudication):
+
+      * state TTL WITHOUT liveness: ``ValueState(ttlDurationMs=...)``
+        expires dormant-series state on its own — no processing-time
+        timers, so a TTL'd query still terminates under
+        Trigger.AvailableNow (the exact combination
+        :func:`run_available_now` must REFUSE for ``ewma_stream``);
+      * a long-lived Python worker per executor amortizes the
+        ~0.2 ms/series per-group overhead that caps the GroupState
+        path around 10^6 hot series per micro-batch.
+
+    ENVIRONMENT-GATED: the TWS state protocol is protobuf-based and
+    raises ImportError here if ``google.protobuf`` is not installed
+    (this container: absent — the driver worker dies importing
+    ``StateMessage_pb2``). Also requires the RocksDB state store:
+    ``spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+    "org.apache.spark.sql.execution.streaming.state."
+    "RocksDBStateStoreProvider")`` before starting the query.
+    Semantics match ewma_stream: fold in (ts, value) order within each
+    micro-batch, level carried across batches, expired/absent state
+    re-initializes from the next value."""
+    try:
+        import google.protobuf  # noqa: F401  (TWS state protocol)
+    except ImportError as e:
+        raise ImportError(
+            "ewma_stream_tws needs the 'protobuf' package "
+            "(transformWithStateInPandas serializes state requests "
+            "with it); install protobuf or use ewma_stream"
+        ) from e
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    out_schema = T.StructType(
+        [
+            T.StructField(series_col, T.StringType()),
+            T.StructField(ts_col, T.TimestampType()),
+            T.StructField(value_col, T.DoubleType()),
+            T.StructField("ewma", T.DoubleType()),
+        ]
+    )
+    state_schema = T.StructType([T.StructField("level", T.DoubleType())])
+
+    class _EwmaProcessor(StatefulProcessor):
+        def init(self, handle):
+            self._level = handle.getValueState(
+                "level", state_schema, ttlDurationMs=state_ttl_ms
+            )
+
+        def handleInputRows(self, key, rows, timer_values):
+            level = self._level.get()[0] if self._level.exists() else None
+            chunks = [p for p in rows if len(p)]
+            if not chunks:
+                return
+            pdf = pd.concat(chunks).sort_values([ts_col, value_col])
+            out = []
+            for ds, yv in zip(pdf[ts_col], pdf[value_col]):
+                yv = float(yv)
+                level = (
+                    yv if level is None
+                    else alpha * yv + (1 - alpha) * level
+                )
+                out.append((key[0], ds, yv, level))
+            self._level.update((level,))
+            yield pd.DataFrame(
+                out, columns=[series_col, ts_col, value_col, "ewma"]
+            )
+
+        def close(self):
+            pass
+
+    return series.groupBy(series_col).transformWithStateInPandas(
+        statefulProcessor=_EwmaProcessor(),
+        outputStructType=out_schema,
+        outputMode="Append",
+        timeMode="None",
+    )
+
+
 def anomaly_stream(
     series: DataFrame,
     alpha: float = 0.1,

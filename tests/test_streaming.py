@@ -469,3 +469,80 @@ def test_run_available_now_rejects_processing_time_ttl(spark, tmp_path):
         output_mode="append",
     )
     assert ok.count() == 1
+
+
+def _has_protobuf():
+    try:
+        import google.protobuf  # noqa: F401
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(
+    not _has_protobuf(),
+    reason="transformWithStateInPandas needs the protobuf package "
+    "(absent in this container — SCALE.md round-11 adjudication)",
+)
+def test_ewma_stream_tws_parity_and_ttl_drain(spark, sf_dir, tmp_path):
+    """Env-gated lane for the transformWithStateInPandas twin: (a)
+    parity with the GroupState ewma_stream on the same source, and (b)
+    the property that motivates it — a TTL'd query still TERMINATES
+    under Trigger.AvailableNow (ValueState TTL needs no processing-time
+    timers), the combination run_available_now must refuse for the
+    GroupState path."""
+    from scalecast_spark.streaming.ops import (
+        ewma_stream,
+        ewma_stream_tws,
+        run_available_now,
+        stream_events,
+    )
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        ev = stream_events(spark, f"{sf_dir}/events.parquet").select(
+            F.col("event_type").alias("series_id"), F.col("ts").alias("ds"),
+            F.col("value").alias("y"),
+        )
+        got = run_available_now(
+            ewma_stream_tws(ev, alpha=0.3, state_ttl_ms=3_600_000),
+            "q_tws", str(tmp_path / "ck1"), output_mode="append",
+        ).toPandas().sort_values(["series_id", "ds", "y"]).reset_index(drop=True)
+        want = run_available_now(
+            ewma_stream(ev, alpha=0.3),
+            "q_gs", str(tmp_path / "ck2"), output_mode="append",
+        ).toPandas().sort_values(["series_id", "ds", "y"]).reset_index(drop=True)
+        assert len(got) == len(want) > 0
+        assert (got["ewma"] - want["ewma"]).abs().max() < 1e-9
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev
+            )
+
+
+def test_ewma_stream_tws_raises_without_protobuf(spark, tmp_path):
+    """The gate itself: without protobuf the operator must fail with a
+    clear ImportError at CONSTRUCTION, not a crashed driver worker at
+    query start."""
+    if _has_protobuf():
+        pytest.skip("protobuf installed; gate inactive")
+    from datetime import datetime
+
+    from scalecast_spark.streaming.ops import ewma_stream_tws
+
+    src = str(tmp_path / "src")
+    schema = "series_id string, ds timestamp, y double"
+    spark.createDataFrame(
+        [("A", datetime(2024, 1, 1), 1.0)], schema
+    ).write.parquet(src)
+    stream = spark.readStream.schema(schema).parquet(src)
+    with pytest.raises(ImportError, match="protobuf"):
+        ewma_stream_tws(stream)
