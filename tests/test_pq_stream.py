@@ -740,9 +740,16 @@ def test_ivfpq_delete_ids_partition_pruned(index_art, tmp_path):
     )
     assert stats["ids_deleted"] == 3
     assert stats["ids_requested"] == 4
-    assert stats["rows_after"] == stats["rows_before"] - 3
+    assert stats["rows_touched_after"] == stats["rows_touched_before"] - 3
     assert stats["cells_touched"] >= 1
     assert stats["cells_touched"] < stats["cells_total"]
+    assert stats["untouched_transfer"] == "copy"
+    # accounting scope is the touched cells, but the FULL table must
+    # still reconcile (untouched cells transfer file-identically)
+    assert (
+        spark.read.parquet(dst).count()
+        == spark.read.parquet(src).count() - stats["rows_deleted"]
+    )
     out = spark.read.parquet(dst)
     assert out.filter(F.col("vec_id").isin(victims)).count() == 0
     # untouched cells: file listings identical (linked, not rewritten)
@@ -935,7 +942,7 @@ def test_ivfpq_delete_ids_duplicate_rows_accounting(index_art, tmp_path):
     assert stats["rows_deleted"] == 2
     assert stats["ids_deleted"] == 1
     assert stats["ids_requested"] == 1
-    assert stats["rows_after"] == stats["rows_before"] - 2
+    assert stats["rows_touched_after"] == stats["rows_touched_before"] - 2
 
 
 def test_crash_between_output_and_commit_no_duplicates(spark, sf_dir, tmp_path):
@@ -1022,3 +1029,42 @@ def test_resume_accepts_equivalent_path_spellings(spark, sf_dir, tmp_path):
             other + "/batch_id=0"
         )
         drain(other)
+
+
+def test_ivfpq_delete_ids_rename_fast_path(index_art, tmp_path):
+    """move_untouched=True on a same-FS pair: untouched cells are
+    RENAMED (metadata-only) into the new version — they vanish from
+    in_path (documented destructive retire-in-place semantics) and the
+    output is identical to what the copy path would produce."""
+    import os
+
+    from scalecast_spark.datapipe.similarity import ivfpq_delete_ids
+
+    cp, bp, _, emb = index_art
+    spark = emb.sparkSession
+    cents, books = load_centroids(cp), load_pq_codebooks(bp)
+    codes = ivfpq_encode(emb, cents, books).withColumnRenamed(
+        "doc_id", "vec_id"
+    )
+    src = str(tmp_path / "mv_codes_v1")
+    codes.repartition(F.col("cell")).write.partitionBy("cell").parquet(src)
+    n_total = spark.read.parquet(src).count()
+    by_cell = codes.groupBy("cell").count().orderBy("count").collect()
+    victim_cell = int(by_cell[-1]["cell"])
+    victims = [
+        int(r["vec_id"])
+        for r in codes.filter(F.col("cell") == victim_cell)
+        .select("vec_id").orderBy("vec_id").limit(2).collect()
+    ]
+    dst = str(tmp_path / "mv_codes_v2")
+    stats = ivfpq_delete_ids(
+        spark, src, dst, victims, move_untouched=True
+    )
+    assert stats["untouched_transfer"] == "rename"
+    assert stats["rows_deleted"] == 2
+    out = spark.read.parquet(dst)
+    assert out.count() == n_total - 2
+    assert out.filter(F.col("vec_id").isin(victims)).count() == 0
+    # in_path retains ONLY the touched cell (retire-in-place contract)
+    left = [d for d in os.listdir(src) if d.startswith("cell=")]
+    assert left == [f"cell={victim_cell}"]

@@ -501,6 +501,108 @@ def serve_probe(spark, sf_dir, scratch) -> bool:
     return ok
 
 
+def delete_probe(spark, sf_dir, scratch) -> bool:
+    """Accounting proportionality of ivfpq_delete_ids (round-10
+    verdict #4): with the r11 rework, everything EXCEPT the one
+    column-pruned (id, cell) locate scan must cost the same at 16x
+    the table — touched-cell rewrite, pruned counts, and listing
+    fingerprints are all delete-sized. Measured with Hadoop FS byte
+    counters at 1x vs 16x replicas, same 8-id single-cell delete:
+    bytes_other = total delete I/O minus a separately-measured locate
+    pass must stay ~flat while bytes_locate grows with the table."""
+    from scalecast_spark.datapipe.similarity import (
+        ivf_centroids,
+        ivfpq_delete_ids,
+        ivfpq_encode,
+        pq_codebooks_trained,
+    )
+
+    emb0 = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    n_cells = 16
+    cents = ivf_centroids(emb0, n_cells, "embedding", "vec_id")
+    books = pq_codebooks_trained(
+        emb0, 8, 16, 1, "embedding", "vec_id", cents=cents
+    )
+
+    def measure(fn):
+        b0, t0 = _fs_bytes_read(spark), time.time()
+        out = fn()
+        return out, _fs_bytes_read(spark) - b0, time.time() - t0
+
+    rows = {}
+    for factor in (1, 16):
+        src = f"{scratch}/del_codes_{factor}x"
+        codes = ivfpq_encode(replicate_emb(emb0, factor), cents, books)
+        codes.repartition(F.col("cell")).write.mode("overwrite").partitionBy(
+            "cell"
+        ).parquet(src)
+        table_bytes = sum(
+            os.path.getsize(os.path.join(r, f))
+            for r, _, fs in os.walk(src)
+            for f in fs
+        )
+        table = spark.read.parquet(src)
+        table.count()  # warm listing caches outside the counters
+        one_cell = int(table.groupBy("cell").count()
+                       .orderBy(F.desc("count")).first()["cell"])
+        victims = [
+            int(r["vec_id"])
+            for r in table.filter(F.col("cell") == one_cell)
+            .select("vec_id").orderBy("vec_id").limit(8).collect()
+        ]
+        # the locate pass alone (the component ALLOWED to grow):
+        id_df = spark.createDataFrame(
+            [(i,) for i in victims], "vec_id long"
+        )
+        _, locate_bytes, _ = measure(
+            lambda: table.select("vec_id", "cell")
+            .join(F.broadcast(id_df), "vec_id")
+            .groupBy("vec_id")
+            .agg(F.count("*"), F.collect_set("cell"))
+            .collect()
+        )
+        stats, copy_bytes, copy_sec = measure(
+            lambda: ivfpq_delete_ids(
+                spark, src, f"{scratch}/del_codes_{factor}x_v2", victims
+            )
+        )
+        assert stats["rows_deleted"] == 8 and stats["cells_touched"] == 1
+        # the rename fast path (move_untouched=True) — metadata-only
+        # transfer of untouched cells; DESTROYS src, so it runs last
+        mstats, move_bytes, move_sec = measure(
+            lambda: ivfpq_delete_ids(
+                spark, src, f"{scratch}/del_codes_{factor}x_v3", victims,
+                move_untouched=True,
+            )
+        )
+        assert mstats["untouched_transfer"] == "rename"
+        rows[factor] = (
+            table_bytes, locate_bytes,
+            copy_bytes - locate_bytes, copy_sec,
+            move_bytes - locate_bytes, move_sec,
+        )
+    print("\ndelete accounting proportionality (8-id single-cell "
+          "delete; *_other = I/O beyond the locate scan)")
+    print(f"{'factor':>6} {'table_MB':>9} {'locate_MB':>10} "
+          f"{'copy_other_MB':>14} {'move_other_MB':>14} {'sec':>6}")
+    for f_, (tb, lb, cb, _cs, mb, ms) in rows.items():
+        print(f"{f_:>6} {tb / 1e6:>9.1f} {lb / 1e6:>10.2f} "
+              f"{cb / 1e6:>14.2f} {mb / 1e6:>14.2f} {ms:>6.1f}")
+    # move_untouched: non-locate I/O must NOT scale with the table
+    # (3x slack for footer/listing noise against 16x data growth);
+    # copy mode is EXPECTED to read ~the untouched bytes on local FS —
+    # the documented reason the fast path exists (server-side copy on
+    # object stores pays it on the store, not the client)
+    ok = (
+        rows[16][4] <= rows[1][4] * 3
+        and rows[16][2] > rows[16][4] * 2  # copy really pays the bytes
+    )
+    if not ok:
+        print("DELETE ACCOUNTING NOT PROPORTIONAL — non-locate I/O of "
+              "the rename path grew with the table")
+    return ok
+
+
 class _Counted:
     def __init__(self, n):
         self._n = n
@@ -523,7 +625,7 @@ def main():
     # skip every probe and exit 0 as a green run.
     known = {"dedup", "dedup_cap", "curation", "selection", "signals",
              "embed", "crossdedup", "crossd_smj",
-             "embedding", "trainers", "serve", "streamstate"}
+             "embedding", "trainers", "serve", "streamstate", "delete"}
     only = set(sys.argv[2:])
     unknown = only - known
     if unknown:
@@ -605,6 +707,8 @@ def main():
             if want("serve") else True
         state_ok = stream_state_probe(spark, scratch) \
             if want("streamstate") else True
+        delete_ok = delete_probe(spark, sf_dir, scratch) \
+            if want("delete") else True
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
     if not trainers_ok:
@@ -616,6 +720,10 @@ def main():
               "series universe or a drain timed out")
         sys.exit(1)
     if not serve_ok:
+        sys.exit(1)
+    if not delete_ok:
+        print("\nDELETE ACCOUNTING PROBE FAILED — non-locate I/O grew "
+              "with the table (see delete_probe docstring)")
         sys.exit(1)
 
 
