@@ -749,8 +749,9 @@ def q_ts_combo(spark, sf_dir):
                 F.col(col).alias("forecast"),
             )
         )
-    return _out_ts(_r6(members.unionByName(_diff_revert_member(spark, sf_dir)),
-                       "forecast"))
+    base = _out_ts(members.unionByName(_diff_revert_member(spark, sf_dir)))
+    # round 11: the auto_Xvar_select search path rides as axs_* rows
+    return _r6(base.unionByName(_axs_member(spark, sf_dir)), "forecast")
 
 
 def _diff_revert_member(spark, sf_dir):
@@ -806,6 +807,73 @@ def _diff_revert_member(spark, sf_dir):
             )
         )
     return member
+
+
+def _axs_fixture(spark, sf_dir):
+    """Margin-engineered single series on the events date spine:
+    y = 40 + 0.5*t + 3*dayofweek + 0.3*((37t mod 11) - 5) — trend, a
+    dayofweek-LINEAR seasonal component (so ONE raw calendar regressor
+    captures it exactly), and an 11-periodic integer wiggle (coprime
+    with 7: it cannot alias into the weekly term). All-rational
+    arithmetic: Spark and DuckDB agree bit-for-bit on y, and the
+    staged auto_Xvar_select decisions carry fixed margins the
+    FIXTURES.md regen contract pins."""
+    spine = _series(spark, sf_dir).select("ds").distinct()
+    return (
+        spine.withColumn(
+            "rn", F.row_number().over(W.orderBy("ds")).cast("double")
+        )
+        .withColumn("series_id", F.lit("axs"))
+        .withColumn(
+            "y",
+            40.0 + 0.5 * F.col("rn")
+            + 3.0 * F.dayofweek("ds").cast("double")
+            + ((F.col("rn") * 37 % 11) - 5) * 0.3,
+        )
+        .select("series_id", "ds", "y")
+    )
+
+
+def _axs_member(spark, sf_dir):
+    """auto_Xvar_select SEARCH PATH in the hash gate (r10 verdict #3;
+    reference Forecaster.py:658-1163): AR-order sweep → greedy
+    trend/seasonal/AR combination on the margin-engineered fixture.
+    Emits every candidate's validation RMSE (axs_cand<i> rows, the
+    candidate feature set as series_id), the chosen recipe (axs_pick<k>
+    rows), and the final mlr forecast on the selected features
+    (axs_fc rows). The oracle re-derives each candidate score (centered
+    normal equations + the kernel's dynamic AR recursion as recursive
+    CTEs) and re-picks with the same strict-improvement rules, with
+    decision predicates guarding the dependent rows — a flipped
+    decision breaks row content, not just values."""
+    from scalecast_spark.forecaster import Forecaster
+    from scalecast_spark.selection import auto_Xvar_select
+
+    f = Forecaster(_axs_fixture(spark, sf_dir), future_dates=7)
+    f.add_ar_terms(2).add_time_trend().add_seasonal_regressors(
+        "dayofweek", raw=True
+    )
+    f.set_validation_length(7)
+    chosen = auto_Xvar_select(f, estimator="mlr", max_ar=2)
+    d0 = (
+        f.tsf.df.filter(F.col("is_future") == 0)
+        .agg(F.max(F.col("ds").cast("date")))
+        .collect()[0][0]
+    )
+    rows = [
+        (f"axs_cand{i}", "+".join(feats), d0, round(float(v), 6))
+        for i, (feats, v) in enumerate(f.axs_trajectory, 1)
+    ]
+    rows += [(f"axs_pick{k}", c, d0, float(k)) for k, c in enumerate(chosen, 1)]
+    traj = spark.createDataFrame(
+        rows, "model string, series_id string, ds date, forecast double"
+    )
+    f.manual_forecast(call_me="axs")
+    fc = f.history["axs"]["forecast"].select(
+        F.lit("axs_fc").alias("model"), "series_id",
+        F.col("ds").cast("date").alias("ds"), "forecast",
+    )
+    return traj.unionByName(fc)
 
 
 def q_ts_deseason(spark, sf_dir):
@@ -7226,6 +7294,230 @@ def _recursive_ols_oracle(alpha: float = 0.0) -> str:
     """
 
 
+def _axs_oracle_arms() -> tuple[str, str]:
+    """CTEs + UNION arms replaying the axs_* members of q_ts_combo —
+    the auto_Xvar_select SEARCH PATH (r10 verdict #3).
+
+    The fixture (see _axs_fixture) is rebuilt from the events date
+    spine with all-rational arithmetic (DuckDB dayofweek is Sunday=0,
+    Spark's is Sunday=1 — hence dw = dayofweek(ds)+1). Each candidate's
+    validation RMSE is re-derived exactly as the kernel computes it:
+    OLS by centered normal equations (covar_pop/var_pop entries — the
+    1/n factors cancel in the Cramer ratios), static X·β predictions
+    for the AR-free candidates, and the kernel's dynamic recursion
+    (predictions refeed ar_1/ar_2, t and dayofweek read from the
+    validation rows) as recursive CTEs for the AR-bearing ones. The
+    staged decisions are re-taken with the engine's strict-improvement
+    rules (first candidate wins sweep ties), and every
+    decision-dependent row carries the decision PREDICATES in its
+    WHERE clause — a flipped decision changes row content/count, not
+    just values."""
+    # 3x3 Cramer for the full candidate / final fit: features (t, dw, a1)
+    A = [["vtt", "vtd", "vta"], ["vtd", "vdd", "vda"], ["vta", "vda", "vaa"]]
+    rhs = ["cty", "cdy", "cay"]
+    dD = _det3_sql(A)
+
+    def _num(k: int) -> str:
+        Mk = [row[:] for row in A]
+        for i in range(3):
+            Mk[i][k] = rhs[i]
+        return _det3_sql(Mk)
+
+    w3 = ",\n               ".join(
+        f"{_num(k)} / {dD} AS {nm}" for k, nm in enumerate(["bt", "bd", "ba"])
+    )
+    co3 = (
+        f"my - ({_num(0)} / {dD}) * mt - ({_num(1)} / {dD}) * md"
+        f" - ({_num(2)} / {dD}) * ma AS co"
+    )
+
+    def _c3x3(tag: str, lo: str) -> str:
+        """Stats + solved coefs for the (t, dw, a1) design trained on
+        rn in [lo, hi] — tag 'v' (validation split) or 'f' (full)."""
+        hi = "axn.n - 7" if tag == "v" else "axn.n"
+        return f"""
+        axst{tag} AS (
+            SELECT covar_pop(rn, rn) AS vtt, covar_pop(rn, dw) AS vtd,
+                   covar_pop(rn, a1) AS vta, covar_pop(dw, dw) AS vdd,
+                   covar_pop(dw, a1) AS vda, covar_pop(a1, a1) AS vaa,
+                   covar_pop(rn, y) AS cty, covar_pop(dw, y) AS cdy,
+                   covar_pop(a1, y) AS cay,
+                   avg(y) AS my, avg(rn) AS mt, avg(dw) AS md,
+                   avg(a1) AS ma
+            FROM axl, axn WHERE rn >= {lo} AND rn <= {hi}
+        ),
+        axcf{tag} AS (
+            SELECT {w3},
+               {co3}
+            FROM axst{tag}
+        )"""
+
+    ctes = f"""
+        axsp AS (
+            SELECT ds,
+                   (row_number() OVER (ORDER BY ds))::DOUBLE AS rn,
+                   (dayofweek(ds) + 1)::DOUBLE AS dw
+            FROM (SELECT DISTINCT ds FROM series)
+        ),
+        axl AS (
+            SELECT ds, rn, dw,
+                   40.0 + 0.5 * rn + 3.0 * dw
+                       + ((CAST(rn * 37 AS BIGINT) % 11) - 5) * 0.3 AS y,
+                   lag(40.0 + 0.5 * rn + 3.0 * dw
+                       + ((CAST(rn * 37 AS BIGINT) % 11) - 5) * 0.3, 1)
+                       OVER (ORDER BY rn) AS a1,
+                   lag(40.0 + 0.5 * rn + 3.0 * dw
+                       + ((CAST(rn * 37 AS BIGINT) % 11) - 5) * 0.3, 2)
+                       OVER (ORDER BY rn) AS a2
+            FROM axsp
+        ),
+        axn AS (SELECT max(rn) AS n, max(ds) AS last_ds FROM axl),
+        axv AS (SELECT l.* FROM axl l, axn WHERE l.rn > axn.n - 7),
+        -- cand1 [ar_1]: 1-feature OLS, dynamic recursion (pred refeeds)
+        axc1 AS (
+            SELECT covar_pop(a1, y) / var_pop(a1) AS ca,
+                   avg(y) - covar_pop(a1, y) / var_pop(a1) * avg(a1) AS co
+            FROM axl, axn WHERE rn >= 2 AND rn <= axn.n - 7
+        ),
+        axr1 AS (
+            SELECT 1 AS i, w.co + w.ca * h.y AS pred
+            FROM axc1 w, axn, axl h WHERE h.rn = axn.n - 7
+            UNION ALL
+            SELECT r.i + 1, w.co + w.ca * r.pred
+            FROM axr1 r, axc1 w WHERE r.i < 7
+        ),
+        axs1 AS (
+            SELECT sqrt(avg((v.y - r.pred) * (v.y - r.pred))) AS s
+            FROM axr1 r JOIN axn ON true
+            JOIN axv v ON v.rn = axn.n - 7 + r.i
+        ),
+        -- cand2 [ar_1, ar_2]: 2x2 centered, recursion carries 2 lags
+        axc2 AS (
+            SELECT (covar_pop(a1, y) * var_pop(a2)
+                    - covar_pop(a2, y) * covar_pop(a1, a2))
+                   / (var_pop(a1) * var_pop(a2)
+                      - covar_pop(a1, a2) * covar_pop(a1, a2)) AS b1,
+                   (covar_pop(a2, y) * var_pop(a1)
+                    - covar_pop(a1, y) * covar_pop(a1, a2))
+                   / (var_pop(a1) * var_pop(a2)
+                      - covar_pop(a1, a2) * covar_pop(a1, a2)) AS b2,
+                   avg(y) AS my, avg(a1) AS m1, avg(a2) AS m2
+            FROM axl, axn WHERE rn >= 3 AND rn <= axn.n - 7
+        ),
+        axr2 AS (
+            SELECT 1 AS i,
+                   w.my + w.b1 * (h1.y - w.m1) + w.b2 * (h2.y - w.m2) AS pred,
+                   h1.y AS prev
+            FROM axc2 w, axn, axl h1, axl h2
+            WHERE h1.rn = axn.n - 7 AND h2.rn = axn.n - 8
+            UNION ALL
+            SELECT r.i + 1,
+                   w.my + w.b1 * (r.pred - w.m1) + w.b2 * (r.prev - w.m2),
+                   r.pred
+            FROM axr2 r, axc2 w WHERE r.i < 7
+        ),
+        axs2 AS (
+            SELECT sqrt(avg((v.y - r.pred) * (v.y - r.pred))) AS s
+            FROM axr2 r JOIN axn ON true
+            JOIN axv v ON v.rn = axn.n - 7 + r.i
+        ),
+        -- cand3 [t]: static X·β
+        axc3 AS (
+            SELECT covar_pop(rn, y) / var_pop(rn) AS bt,
+                   avg(y) AS my, avg(rn) AS mt
+            FROM axl, axn WHERE rn <= axn.n - 7
+        ),
+        axs3 AS (
+            SELECT sqrt(avg((v.y - (w.my + w.bt * (v.rn - w.mt)))
+                            * (v.y - (w.my + w.bt * (v.rn - w.mt))))) AS s
+            FROM axv v, axc3 w
+        ),
+        -- cand4 [t, dayofweek]: 2x2 centered, static X·β
+        axc4 AS (
+            SELECT (covar_pop(rn, y) * var_pop(dw)
+                    - covar_pop(dw, y) * covar_pop(rn, dw))
+                   / (var_pop(rn) * var_pop(dw)
+                      - covar_pop(rn, dw) * covar_pop(rn, dw)) AS bt,
+                   (covar_pop(dw, y) * var_pop(rn)
+                    - covar_pop(rn, y) * covar_pop(rn, dw))
+                   / (var_pop(rn) * var_pop(dw)
+                      - covar_pop(rn, dw) * covar_pop(rn, dw)) AS bd,
+                   avg(y) AS my, avg(rn) AS mt, avg(dw) AS md
+            FROM axl, axn WHERE rn <= axn.n - 7
+        ),
+        axs4 AS (
+            SELECT sqrt(avg(e * e)) AS s FROM (
+                SELECT v.y - (w.my + w.bt * (v.rn - w.mt)
+                              + w.bd * (v.dw - w.md)) AS e
+                FROM axv v, axc4 w)
+        ),
+        -- cand5 [t, dayofweek, ar_1]: 3x3 Cramer, recursion refeeds a1
+        {_c3x3("v", "2").lstrip()},
+        axr5 AS (
+            SELECT 1 AS i,
+                   w.co + w.bt * v.rn + w.bd * v.dw + w.ba * h.y AS pred
+            FROM axcfv w, axn, axl h, axv v
+            WHERE h.rn = axn.n - 7 AND v.rn = axn.n - 6
+            UNION ALL
+            SELECT r.i + 1,
+                   w.co + w.bt * v.rn + w.bd * v.dw + w.ba * r.pred
+            FROM axr5 r, axcfv w, axn, axv v
+            WHERE v.rn = axn.n - 6 + r.i AND r.i < 7
+        ),
+        axs5 AS (
+            SELECT sqrt(avg((v.y - r.pred) * (v.y - r.pred))) AS s
+            FROM axr5 r JOIN axn ON true
+            JOIN axv v ON v.rn = axn.n - 7 + r.i
+        ),
+        axsc AS (
+            SELECT axs1.s AS s1, axs2.s AS s2, axs3.s AS s3,
+                   axs4.s AS s4, axs5.s AS s5
+            FROM axs1, axs2, axs3, axs4, axs5
+        ),
+        -- final forecast on the chosen set, trained on ALL observed
+        {_c3x3("f", "2").lstrip()},
+        axrf AS (
+            SELECT 1 AS i, axn.last_ds + INTERVAL '1 day' AS ds,
+                   w.co + w.bt * (axn.n + 1)
+                       + w.bd * (dayofweek(axn.last_ds + INTERVAL '1 day') + 1)
+                       + w.ba * h.y AS pred
+            FROM axcff w, axn, axl h WHERE h.rn = axn.n
+            UNION ALL
+            SELECT r.i + 1, r.ds + INTERVAL '1 day',
+                   w.co + w.bt * (axn.n + r.i + 1)
+                       + w.bd * (dayofweek(r.ds + INTERVAL '1 day') + 1)
+                       + w.ba * r.pred
+            FROM axrf r, axcff w, axn WHERE r.i < 7
+        )"""
+    arms = """
+        UNION ALL
+        SELECT 'axs_cand1', 'ar_1', axn.last_ds, round(s1, 6)
+        FROM axsc, axn
+        UNION ALL
+        SELECT 'axs_cand2', 'ar_1+ar_2', axn.last_ds, round(s2, 6)
+        FROM axsc, axn
+        UNION ALL
+        SELECT 'axs_cand3', 't', axn.last_ds, round(s3, 6) FROM axsc, axn
+        UNION ALL
+        SELECT 'axs_cand4', 't+dayofweek', axn.last_ds, round(s4, 6)
+        FROM axsc, axn
+        UNION ALL
+        SELECT 'axs_cand5', 't+dayofweek+ar_1', axn.last_ds, round(s5, 6)
+        FROM axsc, axn WHERE s1 <= s2 AND s4 < s3
+        UNION ALL
+        SELECT 'axs_pick1', 't', axn.last_ds, 1.0 FROM axsc, axn
+        UNION ALL
+        SELECT 'axs_pick2', 'dayofweek', axn.last_ds, 2.0
+        FROM axsc, axn WHERE s4 < s3
+        UNION ALL
+        SELECT 'axs_pick3', 'ar_1', axn.last_ds, 3.0
+        FROM axsc, axn WHERE s1 <= s2 AND s4 < s3 AND s5 < s4
+        UNION ALL
+        SELECT 'axs_fc', 'axs', r.ds::DATE, round(r.pred, 6)
+        FROM axrf r, axsc WHERE s1 <= s2 AND s4 < s3 AND s5 < s4"""
+    return ctes, arms
+
+
 def _combo_oracle() -> str:
     """Oracle for q_ts_combo: 0.5 * (naive(m=7) tail tile + SES level
     at the grid-MLE alpha). The naive member's step-i forecast is the
@@ -7244,8 +7536,9 @@ def _combo_oracle() -> str:
 
     z = f"({two_sided_z(0.95)!r})"
     alphas = ", ".join(f"({v!r})" for v in np.linspace(0.05, 0.95, 19))
+    axs_ctes, axs_arms = _axs_oracle_arms()
     return f"""
-        WITH {_SQL_SERIES},
+        WITH RECURSIVE {_SQL_SERIES.strip().rstrip()},
         t AS (
             SELECT series_id, ds, y,
                    row_number() OVER (PARTITION BY series_id ORDER BY ds) AS rn,
@@ -7310,7 +7603,8 @@ def _combo_oracle() -> str:
             JOIN last USING (series_id)
             CROSS JOIN (SELECT unnest(range(1, 8)) AS i) i
             JOIN t nv ON nv.series_id = l.series_id AND nv.rev = 8 - i.i
-        )
+        ),
+        {axs_ctes.strip()}
         SELECT 'combo' AS model, series_id, ds, round(mean_fc, 6) AS forecast
         FROM mem
         UNION ALL
@@ -7337,6 +7631,7 @@ def _combo_oracle() -> str:
                            ('diff_revert_hi', 1.0)) m(tag, k)
         JOIN t anch ON anch.series_id = dp.series_id
                    AND anch.rev = 8 - i.i
+        {axs_arms}
     """
 
 

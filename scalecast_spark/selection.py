@@ -78,9 +78,16 @@ def auto_Xvar_select(
     """Staged feature search (reference Forecaster.py:658-1163):
     best trend representation → best seasonal representation → best AR
     order → best combination, each stage scored on the validation
-    slice. Returns (and applies) the winning feature set."""
+    slice. Returns (and applies) the winning feature set.
+
+    Every candidate the search evaluates is recorded on
+    ``f.axs_trajectory`` as ``(features, score)`` in evaluation order —
+    the search-path artifact (mirrors reduce_Xvars' pfi_* trajectory),
+    consumed by the gate's axs_cand* members so the STAGED DECISIONS
+    are hash-certified, not just the estimator under them."""
     val_len = monitor_length or f.validation_length or 7
     f.set_estimator(estimator)
+    f.axs_trajectory = []
     all_feats = list(f.tsf.features)
     trend_feats = [c for c in all_feats if c == "t" or c.startswith("t^")]
     seas_feats = [
@@ -110,6 +117,7 @@ def auto_Xvar_select(
     best_ar: list[str] = []
     best_v = float("inf")
     for cand, v in zip(ar_cands, ar_scores):
+        f.axs_trajectory.append((list(cand), v))
         if not math.isnan(v) and v < best_v:
             best_v, best_ar = v, cand
     if best_ar:
@@ -121,6 +129,7 @@ def auto_Xvar_select(
     for g in groups:
         cand = chosen + g
         v = _score(f, cand, val_len)
+        f.axs_trajectory.append((list(cand), v))
         if not math.isnan(v) and v < best_v:
             best_v, chosen = v, cand
     if chosen:
