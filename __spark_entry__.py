@@ -736,9 +736,20 @@ def q_ts_combo(spark, sf_dir):
     # the bounds ride as synth_lo / synth_hi rows so the CI math is
     # hash-certified alongside the point synthesis
     f.synthesize_models(["naive", "ses"], call_me="synth")
+    # round 11: add_signals promoted into the gate (reference
+    # Forecaster.py:367-407, the regressor feed of the combo/stacking
+    # workflows): the naive model's fitted values + forecasts join the
+    # frame as signal_naive (head rows before the first fitted value
+    # filled with actuals), emitted as signal_naive rows over observed
+    # AND future dates so both the join and the fill are hash-certified
+    f.add_signals(["naive"])
+    signals = f.tsf.df.select(
+        F.lit("signal_naive").alias("model"), "series_id", "ds",
+        F.col("signal_naive").alias("forecast"),
+    )
     combo = f.history["combo"]["forecast"].select(
         F.lit("combo").alias("model"), "series_id", "ds", "forecast"
-    )
+    ).unionByName(signals)
     syn = f.history["synth"]["forecast"]
     members = combo
     for tag, col in (("synth", "forecast"),
@@ -2292,13 +2303,41 @@ def q_ts_mv_knn(spark, sf_dir):
     )
 
 
+def q_ts_transfer(spark, sf_dir):
+    """transfer_predict promoted into the gate (r10 verdict #6;
+    reference _Forecaster_parent.py:1869-1943): an mlr trained on the
+    SOURCE object's series ([ar_1, t]) predicts a DESTINATION object
+    whose series is deliberately different (y doubled) — so the
+    forecast provably carries the source's coefficients through the
+    destination's history/recursion (a plain refit on the destination
+    would scale the coefficients and produce different values). The
+    cogrouped transfer_kernel runs fit-on-src/apply-to-dst inside one
+    Arrow task per series."""
+    from scalecast_spark.forecaster import Forecaster
+
+    src = Forecaster(_series(spark, sf_dir), future_dates=7)
+    src.add_ar_terms(1).add_time_trend()
+    src.set_estimator("mlr")
+    src.manual_forecast(call_me="mlr_src")
+    dst = Forecaster(
+        _series(spark, sf_dir).withColumn("y", F.col("y") * 2.0),
+        future_dates=7,
+    )
+    dst.add_ar_terms(1).add_time_trend()
+    dst.transfer_predict(src, "mlr_src", call_me="mlr_xfer")
+    return dst.history["mlr_xfer"]["forecast"].select(
+        "series_id", "ds", "forecast"
+    )
+
+
 def q_ts_recursive_ols(spark, sf_dir):
     """Recursive multi-step OLS (mlr) + ridge + MV wide-lag ridge
     (round 6: the SKLearnMV linear member, q_ts_mv_linear) + MV k-NN
     (round 9: the first NON-LINEAR SKLearnMV member — the generic MV
     kernel models/mv_kernel.mv_model with the k-NN core; joint
-    recursion replayed step-by-step in SQL, _mv_knn_oracle) forecasts
-    in one frame."""
+    recursion replayed step-by-step in SQL, _mv_knn_oracle) + the
+    cross-object transfer_predict member (round 11, q_ts_transfer)
+    forecasts in one frame."""
     a = q_ts_forecast_recursive(spark, sf_dir).select(
         "series_id", "ds", F.col("forecast").alias("fc_mlr")
     )
@@ -2311,20 +2350,34 @@ def q_ts_recursive_ols(spark, sf_dir):
     d = q_ts_mv_knn(spark, sf_dir).select(
         "series_id", "ds", F.col("forecast").alias("fc_mv_knn")
     )
+    e = q_ts_transfer(spark, sf_dir).select(
+        "series_id", F.col("ds").cast("date").alias("ds"),
+        F.round("forecast", 6).alias("fc_transfer"),
+    )
     return (
         a.join(b, ["series_id", "ds"])
         .join(c, ["series_id", "ds"])
         .join(d, ["series_id", "ds"])
+        .join(e, ["series_id", "ds"])
     )
 
 
 def q_ts_intervals(spark, sf_dir):
-    """Step-wise dynamic widths ⋈ flat conformal width per series."""
+    """Step-wise dynamic widths ⋈ flat conformal width per series;
+    round 11 adds the transfer_cis member (reference
+    _Forecaster_parent.py:295-361): widths handed to another model
+    through functions/intervals.transfer_cis must arrive IDENTICAL —
+    the hash pins the no-mutation contract of the transfer."""
+    from scalecast_spark.functions.intervals import transfer_cis
+
     a = q_ts_stepwise_ci(spark, sf_dir).withColumnRenamed("ci_range", "ci_step")
     b = q_ts_conformal_width(spark, sf_dir).withColumnRenamed(
         "ci_range", "ci_naive"
     )
-    return a.join(b, ["series_id"])
+    c = transfer_cis(
+        q_ts_conformal_width(spark, sf_dir)
+    ).withColumnRenamed("ci_range", "ci_transfer")
+    return a.join(b, ["series_id"]).join(c, ["series_id"])
 
 
 def q_ts_prophet_tbats(spark, sf_dir):
@@ -4263,17 +4316,19 @@ def oracle_sql() -> dict[str, str]:
     o["ts_recursive_ols"] = f"""
         SELECT a.series_id, a.ds, a.forecast AS fc_mlr,
                b.forecast AS fc_ridge, c.forecast AS fc_mv,
-               d.forecast AS fc_mv_knn
+               d.forecast AS fc_mv_knn, e.forecast AS fc_transfer
         FROM ({o["ts_forecast_recursive"]}) a
         JOIN ({o["ts_ridge"]}) b ON a.series_id = b.series_id AND a.ds = b.ds
         JOIN ({_mv_linear_oracle()}) c
           ON a.series_id = c.series_id AND a.ds = c.ds
         JOIN ({_mv_knn_oracle()}) d
           ON a.series_id = d.series_id AND a.ds = d.ds
+        JOIN ({_transfer_oracle()}) e
+          ON a.series_id = e.series_id AND a.ds = e.ds
     """
     o["ts_intervals"] = f"""
         SELECT a.series_id, a.step, a.ci_range AS ci_step,
-               b.ci_range AS ci_naive
+               b.ci_range AS ci_naive, b.ci_range AS ci_transfer
         FROM ({o["ts_stepwise_ci"]}) a
         JOIN ({o["ts_conformal_width"]}) b ON a.series_id = b.series_id
     """
@@ -7294,6 +7349,80 @@ def _recursive_ols_oracle(alpha: float = 0.0) -> str:
     """
 
 
+def _transfer_oracle() -> str:
+    """Oracle for the fc_transfer member of q_ts_recursive_ols —
+    transfer_predict (reference _Forecaster_parent.py:1869-1943,
+    engine models/kernel.transfer_kernel): per series, an mlr on
+    [ar_1, t] fits on the SOURCE rows (the plain event series) and
+    recursively predicts the DESTINATION's 7 future steps, where the
+    destination series is y DOUBLED. Coefficients come from the
+    source's centered normal equations (2x2 Cramer); the recursion
+    seeds ar_1 from the destination's (doubled) last observation and
+    refeeds its own predictions; t continues the destination's row
+    index. Any refit-on-destination implementation would double the
+    coefficients and diverge — the hash certifies genuine parameter
+    transfer."""
+    return """
+        WITH RECURSIVE series AS (
+            SELECT event_type AS series_id,
+                   date_trunc('day', ts)::DATE AS ds,
+                   SUM(value)::DOUBLE AS y
+            FROM events
+            GROUP BY 1, 2
+        ),
+        t AS (
+            SELECT series_id, ds, y,
+                   row_number() OVER (PARTITION BY series_id
+                                      ORDER BY ds) AS rn,
+                   row_number() OVER (PARTITION BY series_id
+                                      ORDER BY ds DESC) AS rev,
+                   count(*) OVER (PARTITION BY series_id) AS n_obs
+            FROM series
+        ),
+        train AS (
+            SELECT c.series_id, c.rn::DOUBLE AS tt, c.y, l1.y AS a
+            FROM t c
+            JOIN t l1 ON l1.series_id = c.series_id AND l1.rn = c.rn - 1
+        ),
+        cf AS (
+            SELECT series_id,
+                   (covar_pop(a, y) * var_pop(tt)
+                    - covar_pop(tt, y) * covar_pop(a, tt))
+                   / (var_pop(a) * var_pop(tt)
+                      - covar_pop(a, tt) * covar_pop(a, tt)) AS ba,
+                   (covar_pop(tt, y) * var_pop(a)
+                    - covar_pop(a, y) * covar_pop(a, tt))
+                   / (var_pop(a) * var_pop(tt)
+                      - covar_pop(a, tt) * covar_pop(a, tt)) AS bt,
+                   avg(y) AS my, avg(a) AS ma, avg(tt) AS mt
+            FROM train GROUP BY 1
+        ),
+        meta AS (
+            SELECT series_id, max(ds) AS last_ds, max(n_obs) AS n_obs
+            FROM t GROUP BY 1
+        ),
+        rec AS (
+            SELECT m.series_id, 1 AS i, m.last_ds + INTERVAL '1 day' AS ds,
+                   cf.my - cf.ba * cf.ma - cf.bt * cf.mt
+                       + cf.ba * (2.0 * yl.y)
+                       + cf.bt * (m.n_obs + 1) AS pred
+            FROM meta m
+            JOIN cf USING (series_id)
+            JOIN t yl ON yl.series_id = m.series_id AND yl.rev = 1
+            UNION ALL
+            SELECT r.series_id, r.i + 1, r.ds + INTERVAL '1 day',
+                   cf.my - cf.ba * cf.ma - cf.bt * cf.mt
+                       + cf.ba * r.pred + cf.bt * (m.n_obs + r.i + 1)
+            FROM rec r
+            JOIN cf ON cf.series_id = r.series_id
+            JOIN meta m ON m.series_id = r.series_id
+            WHERE r.i < 7
+        )
+        SELECT series_id, ds::DATE AS ds, round(pred, 6) AS forecast
+        FROM rec
+    """
+
+
 def _axs_oracle_arms() -> tuple[str, str]:
     """CTEs + UNION arms replaying the axs_* members of q_ts_combo —
     the auto_Xvar_select SEARCH PATH (r10 verdict #3).
@@ -7631,6 +7760,20 @@ def _combo_oracle() -> str:
                            ('diff_revert_hi', 1.0)) m(tag, k)
         JOIN t anch ON anch.series_id = dp.series_id
                    AND anch.rev = 8 - i.i
+        UNION ALL
+        -- add_signals: naive fitted values (y lag 7) with the NaN head
+        -- filled from actuals, over observed rows ...
+        SELECT 'signal_naive', series_id, ds,
+               round(coalesce(lag(y, 7) OVER (
+                   PARTITION BY series_id ORDER BY ds), y), 6)
+        FROM series
+        UNION ALL
+        -- ... and the naive horizon tile over the future rows
+        SELECT 'signal_naive', nv.series_id,
+               (last.last_ds + i.i * INTERVAL '1 day')::DATE, round(nv.y, 6)
+        FROM last
+        CROSS JOIN (SELECT unnest(range(1, 8)) AS i) i
+        JOIN t nv ON nv.series_id = last.series_id AND nv.rev = 8 - i.i
         {axs_arms}
     """
 
