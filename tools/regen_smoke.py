@@ -1,0 +1,140 @@
+"""Testdata-regen smoke: the checks a NEW testdata generation (or a
+tools/synth_sf.py corpus) must pass before the oracle gate can be
+trusted on it (FIXTURES.md "Regen contract"; r10 verdict #7).
+
+Two classes of guard:
+
+1. DISCONTINUOUS decision margins — places where the gate's
+   engine-vs-oracle agreement rides on a decision that a last-ulp
+   cross-engine difference could flip. Rounded-value checks only fail
+   AFTER the flip; these margins fail BEFORE it:
+     * forest-forward routing (tests/test_forest_forward.py): every
+       standardized observation must sit > 1e-4 from every fixed-tree
+       threshold it is compared against;
+     * auto_Xvar_select staged decisions (__spark_entry__._axs_member):
+       every adjacent candidate-score pair must differ by > 1e-4 and
+       the pinned decision directions must hold (ar_1 wins the sweep,
+       seasonal accepted, AR accepted).
+
+2. The full oracle gate itself (tools/oracle_check.py) — catches the
+   continuous failure modes (a 6dp straddle like the round-8 raw-scale
+   ridge Gram would fail here outright).
+
+Usage: python tools/regen_smoke.py [sf_dir]   # exit 0 = safe to adopt
+"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pandas as pd
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def forest_routing_margin(ser: pd.DataFrame, lags=4, depth=2, n_trees=3) -> float:
+    """Min |standardized observation − threshold| across every fixed
+    tree/oblivious spec (same quantity as
+    tests/test_forest_forward._routing_margin)."""
+    from scalecast_spark.models.trees import (
+        fixed_cart_spec,
+        fixed_oblivious_spec,
+    )
+
+    thr_by_feat = {j: set() for j in range(lags)}
+    for s in range(1, 8):
+        for t in range(n_trees):
+            for salt in (0.0, 5.0):
+                feats, thrs, _ = fixed_cart_spec(s, t, lags, depth, salt)
+                for j, thr in zip(feats, thrs):
+                    thr_by_feat[j].add(thr)
+            for j, thr in fixed_oblivious_spec(s, t, lags, depth)[0]:
+                thr_by_feat[j].add(thr)
+    worst = np.inf
+    for _, g in ser.groupby("series_id"):
+        y = g.sort_values("ds")["y"].to_numpy(float)
+        a = (y[-lags:] - y.mean()) / (y.std() or 1.0)
+        for j in range(lags):
+            for thr in thr_by_feat[j]:
+                worst = min(worst, abs(a[j] - thr))
+    return float(worst)
+
+
+def axs_margins(spark, sf_dir: str):
+    """Run the auto_Xvar_select fixture search and return the staged
+    decision margins + whether the pinned directions hold."""
+    import __spark_entry__ as e
+    from scalecast_spark.forecaster import Forecaster
+    from scalecast_spark.selection import auto_Xvar_select
+
+    f = Forecaster(e._axs_fixture(spark, sf_dir), future_dates=7)
+    f.add_ar_terms(2).add_time_trend().add_seasonal_regressors(
+        "dayofweek", raw=True
+    )
+    f.set_validation_length(7)
+    auto_Xvar_select(f, estimator="mlr", max_ar=2)
+    s = [v for _, v in f.axs_trajectory]
+    assert len(s) == 5, f"expected 5 candidates, saw {len(s)}"
+    margins = {
+        "sweep |s_ar1 - s_ar12|": abs(s[0] - s[1]),
+        "seasonal |s_t - s_tdow|": abs(s[2] - s[3]),
+        "ar-accept |s_tdow - s_full|": abs(s[3] - s[4]),
+    }
+    pinned = s[0] <= s[1] and s[3] < s[2] and s[4] < s[3]
+    return margins, pinned
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    from scalecast_spark import get_session
+
+    spark = get_session("regen-smoke")
+    import __spark_entry__ as e
+
+    failures = []
+
+    ser = e._series(spark, sf_dir).toPandas()
+    ser["ds"] = pd.to_datetime(ser["ds"]).dt.date
+    m = forest_routing_margin(ser)
+    print(f"forest-forward routing margin: {m:.3e} (need > 1e-4)")
+    if m <= 1e-4:
+        failures.append(
+            "forest routing margin too thin — an observation sits near a "
+            "fixed-tree threshold; regenerate with a different seed or "
+            "adjust fixed_cart_spec salts"
+        )
+
+    margins, pinned = axs_margins(spark, sf_dir)
+    for k, v in margins.items():
+        print(f"axs decision margin {k}: {v:.3e} (need > 1e-4)")
+        if v <= 1e-4:
+            failures.append(f"axs margin {k} too thin")
+    print(f"axs pinned decision directions hold: {pinned}")
+    if not pinned:
+        failures.append(
+            "axs pinned decisions flipped (oracle arms guard on "
+            "s_ar1<=s_ar12, s_tdow<s_t, s_full<s_tdow) — the fixture "
+            "formula in _axs_fixture needs retuning for this spine"
+        )
+
+    print("\nrunning the full oracle gate ...")
+    rc = subprocess.call(
+        [sys.executable, os.path.join(os.path.dirname(__file__),
+                                      "oracle_check.py"), sf_dir]
+    )
+    if rc != 0:
+        failures.append("oracle_check gate failed")
+
+    if failures:
+        print("\nREGEN SMOKE FAILED:")
+        for f_ in failures:
+            print(f"  - {f_}")
+        sys.exit(1)
+    print("\nregen smoke passed — corpus safe to adopt")
+
+
+if __name__ == "__main__":
+    main()
