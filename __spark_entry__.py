@@ -2330,6 +2330,46 @@ def q_ts_transfer(spark, sf_dir):
     )
 
 
+def q_forecaster_ttf(spark, sf_dir):
+    """BENCH-ONLY (not a gate query — the search loop's decisions are
+    hash-certified via the axs_* members; this line exists so
+    Forecaster-surface regressions show in BENCH, r10 verdict #8): the
+    reference-shaped tune_test_forecast workload
+    (test/test_Forecaster.py:119-143 shape — tune each estimator on a
+    grid against the validation slice, auto_forecast the winner) over
+    3 kernel estimators x 2-cell grids, scaled to the testdata spine
+    (30-day daily series vs the reference's 770 monthly obs)."""
+    from scalecast_spark.forecaster import Forecaster
+    from scalecast_spark.selection import tune_test_forecast
+
+    f = Forecaster(_series(spark, sf_dir), future_dates=7)
+    f.set_test_length(7)
+    f.set_validation_length(7)
+    f.add_ar_terms(3).add_time_trend().add_seasonal_regressors(
+        "dayofweek", raw=True
+    )
+    tune_test_forecast(
+        f,
+        ["mlr", "ridge", "knn"],
+        grids={
+            "mlr": {"normalizer": [None, "scale"]},
+            "ridge": {"alpha": [0.1, 1.0], "normalizer": ["minmax"]},
+            "knn": {"n_neighbors": [4, 8]},
+        },
+        error="raise",
+    )
+    parts = [
+        f.history[m]["forecast"].select(
+            F.lit(m).alias("model"), "series_id", "ds", "forecast"
+        )
+        for m in ["mlr", "ridge", "knn"]
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def q_ts_recursive_ols(spark, sf_dir):
     """Recursive multi-step OLS (mlr) + ridge + MV wide-lag ridge
     (round 6: the SKLearnMV linear member, q_ts_mv_linear) + MV k-NN

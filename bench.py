@@ -60,6 +60,11 @@ HEADLINE = {
     "emb_hashdoc": "q_emb_hashdoc_pairs",
     "ts_stl": "q_ts_stl",
     "ts_correlogram": "q_ts_periodogram",
+    # round 11 (r10 verdict #8): the reference-shaped Forecaster
+    # workload — tune_test_forecast over 3 estimators x 2-cell grids
+    # (BASELINE.md parity shape) — so Forecaster-surface regressions
+    # are visible in the bench, not only query-shaped paths
+    "forecaster_ttf": "q_forecaster_ttf",
 }
 
 # the round-1 query set — the BASELINE.md comparison basis. Queries
