@@ -761,8 +761,13 @@ def q_ts_combo(spark, sf_dir):
             )
         )
     base = _out_ts(members.unionByName(_diff_revert_member(spark, sf_dir)))
-    # round 11: the auto_Xvar_select search path rides as axs_* rows
-    return _r6(base.unionByName(_axs_member(spark, sf_dir)), "forecast")
+    # round 11: the auto_Xvar_select and reduce_Xvars search paths
+    # ride as axs_* / rxv_* rows
+    return _r6(
+        base.unionByName(_axs_member(spark, sf_dir))
+        .unionByName(_rxv_member(spark, sf_dir)),
+        "forecast",
+    )
 
 
 def _diff_revert_member(spark, sf_dir):
@@ -842,6 +847,59 @@ def _axs_fixture(spark, sf_dir):
             + ((F.col("rn") * 37 % 11) - 5) * 0.3,
         )
         .select("series_id", "ds", "y")
+    )
+
+
+def _rxv_member(spark, sf_dir):
+    """reduce_Xvars(method='shap') SEARCH PATH in the hash gate (r10
+    verdict #3's other §2.9 driver; reference Forecaster.py:451-631):
+    on the axs fixture plus a deliberately-harmful ingested regressor
+    (junk = t²/100, ingested through the public ingest_Xvars_df date
+    join — a spurious curvature term that fits wiggle noise on train
+    and EXTRAPOLATES badly on the validation tail, so dropping it
+    improves the score STRUCTURALLY, robust to spine length), the
+    backward elimination must (a) rank junk least important by exact
+    linear SHAP, (b) drop it because the validation score improves,
+    and (c) STOP when dropping the next-least-important feature
+    degrades (either t or dayofweek — the oracle replays both
+    branches). Emits the three SHAP
+    importances (rxv_imp rows — hash-certifying functions/shap.py's
+    closed form |beta_j|·mean|x_j − mean_j|), every evaluated candidate
+    score (rxv_cand rows, including the REJECTED final attempt), and
+    the kept recipe (rxv_kept rows). Oracle arms re-derive all of it
+    with decision predicates guarding dependent rows."""
+    from scalecast_spark.forecaster import Forecaster
+    from scalecast_spark.operators.xvars import ingest_Xvars_df
+    from scalecast_spark.selection import reduce_Xvars
+
+    f = Forecaster(_axs_fixture(spark, sf_dir), future_dates=7)
+    f.add_time_trend().add_seasonal_regressors("dayofweek", raw=True)
+    xdf = _axs_fixture(spark, sf_dir).select(
+        "ds",
+        (F.row_number().over(W.orderBy("ds"))
+         * F.row_number().over(W.orderBy("ds")) / 100.0)
+        .cast("double").alias("junk"),
+    )
+    df2, names = ingest_Xvars_df(f.tsf.df, xdf)
+    f.tsf = f.tsf.with_features(df2, names)
+    f.set_validation_length(7)
+    kept = reduce_Xvars(f, estimator="mlr", method="shap")
+    d0 = (
+        f.tsf.df.filter(F.col("is_future") == 0)
+        .agg(F.max(F.col("ds").cast("date")))
+        .collect()[0][0]
+    )
+    rows = [
+        ("rxv_imp", feat, d0, round(float(v), 6))
+        for feat, v in f.rxv_importances.items()
+    ]
+    rows += [
+        (f"rxv_cand{i}", "+".join(feats), d0, round(float(v), 6))
+        for i, (feats, v) in enumerate(f.rxv_trajectory, 1)
+    ]
+    rows += [(f"rxv_kept{k}", c, d0, float(k)) for k, c in enumerate(kept, 1)]
+    return spark.createDataFrame(
+        rows, "model string, series_id string, ds date, forecast double"
     )
 
 
@@ -7687,6 +7745,137 @@ def _axs_oracle_arms() -> tuple[str, str]:
     return ctes, arms
 
 
+def _rxv_oracle_arms() -> tuple[str, str]:
+    """CTEs + UNION arms replaying the rxv_* members of q_ts_combo —
+    reduce_Xvars(method='shap') (r10 verdict #3; reference
+    Forecaster.py:451-631). References the axs CTEs (axl/axn/axsc)
+    from _axs_oracle_arms, which must appear earlier in the same WITH.
+
+    SHAP importances use the linear closed form |beta_j|·mean|x_j −
+    mean_j| (functions/shap.py, Lundberg & Lee 2017) with betas from
+    the full-sample 3x3 centered normal equations. Candidate scores
+    are static X·β validation RMSEs (no AR features in this member);
+    the drop-junk candidate's score is definitionally the axs s4
+    ([t, dayofweek]) and is read from axsc. Decision predicates: junk
+    must rank least important, the junk drop must not degrade
+    (r2 <= r1), and the follow-up t drop must degrade (r3 > r2) —
+    every dependent row carries them in WHERE."""
+    A = [["vtt", "vtd", "vtj"], ["vtd", "vdd", "vdj"], ["vtj", "vdj", "vjj"]]
+    rhs = ["cty", "cdy", "cjy"]
+    dD = _det3_sql(A)
+
+    def _num(k: int) -> str:
+        Mk = [row[:] for row in A]
+        for i in range(3):
+            Mk[i][k] = rhs[i]
+        return _det3_sql(Mk)
+
+    w3 = ",\n               ".join(
+        f"{_num(k)} / {dD} AS {nm}" for k, nm in enumerate(["bt", "bd", "bj"])
+    )
+    co3 = (
+        f"my - ({_num(0)} / {dD}) * mt - ({_num(1)} / {dD}) * md"
+        f" - ({_num(2)} / {dD}) * mj AS co"
+    )
+
+    def _fit(tag: str, hi: str) -> str:
+        return f"""
+        rxst{tag} AS (
+            SELECT covar_pop(rn, rn) AS vtt, covar_pop(rn, dw) AS vtd,
+                   covar_pop(rn, jx) AS vtj, covar_pop(dw, dw) AS vdd,
+                   covar_pop(dw, jx) AS vdj, covar_pop(jx, jx) AS vjj,
+                   covar_pop(rn, y) AS cty, covar_pop(dw, y) AS cdy,
+                   covar_pop(jx, y) AS cjy,
+                   avg(y) AS my, avg(rn) AS mt, avg(dw) AS md,
+                   avg(jx) AS mj
+            FROM rxl, axn WHERE rn <= {hi}
+        ),
+        rxcf{tag} AS (
+            SELECT {w3},
+               {co3}
+            FROM rxst{tag}
+        )"""
+
+    ctes = f"""
+        rxl AS (
+            SELECT rn, dw, y, rn * rn / 100.0 AS jx
+            FROM axl
+        ),
+        rxval AS (SELECT l.* FROM rxl l, axn WHERE l.rn > axn.n - 7),
+        {_fit("f", "axn.n").lstrip()},
+        {_fit("t", "axn.n - 7").lstrip()},
+        rxmad AS (
+            SELECT avg(abs(l.rn - s.mt)) AS madt,
+                   avg(abs(l.dw - s.md)) AS madw,
+                   avg(abs(l.jx - s.mj)) AS madj
+            FROM rxl l, rxstf s
+        ),
+        rximp AS (
+            SELECT abs(c.bt) * m.madt AS imp_t,
+                   abs(c.bd) * m.madw AS imp_d,
+                   abs(c.bj) * m.madj AS imp_j
+            FROM rxcff c, rxmad m
+        ),
+        rxs1 AS (
+            SELECT sqrt(avg(e * e)) AS s FROM (
+                SELECT v.y - (c.co + c.bt * v.rn + c.bd * v.dw
+                              + c.bj * v.jx) AS e
+                FROM rxval v, rxcft c)
+        ),
+        rxc3 AS (
+            SELECT covar_pop(dw, y) / var_pop(dw) AS bd,
+                   avg(y) AS my, avg(dw) AS md
+            FROM rxl, axn WHERE rn <= axn.n - 7
+        ),
+        rxs3 AS (
+            SELECT sqrt(avg(e * e)) AS s FROM (
+                SELECT v.y - (c.my + c.bd * (v.dw - c.md)) AS e
+                FROM rxval v, rxc3 c)
+        ),
+        rxsc AS (
+            -- r3 = drop-t branch ([dayofweek]); axsc.s3 = drop-dw
+            -- branch ([t], definitionally the axs [t] candidate)
+            SELECT rxs1.s AS r1, axsc.s4 AS r2, rxs3.s AS r3,
+                   axsc.s3 AS r3b
+            FROM rxs1, axsc, rxs3
+        )"""
+    arms = """
+        UNION ALL
+        SELECT 'rxv_imp', 't', axn.last_ds, round(imp_t, 6)
+        FROM rximp, axn
+        UNION ALL
+        SELECT 'rxv_imp', 'dayofweek', axn.last_ds, round(imp_d, 6)
+        FROM rximp, axn
+        UNION ALL
+        SELECT 'rxv_imp', 'junk', axn.last_ds, round(imp_j, 6)
+        FROM rximp, axn
+        UNION ALL
+        SELECT 'rxv_cand1', 't+dayofweek+junk', axn.last_ds, round(r1, 6)
+        FROM rxsc, axn
+        UNION ALL
+        SELECT 'rxv_cand2', 't+dayofweek', axn.last_ds, round(r2, 6)
+        FROM rxsc, rximp, axn
+        WHERE imp_j < imp_t AND imp_j < imp_d
+        UNION ALL
+        SELECT 'rxv_cand3',
+               CASE WHEN imp_t < imp_d THEN 'dayofweek' ELSE 't' END,
+               axn.last_ds,
+               round(CASE WHEN imp_t < imp_d THEN r3 ELSE r3b END, 6)
+        FROM rxsc, rximp, axn
+        WHERE imp_j < imp_t AND imp_j < imp_d AND r2 <= r1
+        UNION ALL
+        SELECT 'rxv_kept1', 't', axn.last_ds, 1.0
+        FROM rxsc, rximp, axn
+        WHERE imp_j < imp_t AND imp_j < imp_d AND r2 <= r1
+          AND (CASE WHEN imp_t < imp_d THEN r3 ELSE r3b END) > r2
+        UNION ALL
+        SELECT 'rxv_kept2', 'dayofweek', axn.last_ds, 2.0
+        FROM rxsc, rximp, axn
+        WHERE imp_j < imp_t AND imp_j < imp_d AND r2 <= r1
+          AND (CASE WHEN imp_t < imp_d THEN r3 ELSE r3b END) > r2"""
+    return ctes, arms
+
+
 def _combo_oracle() -> str:
     """Oracle for q_ts_combo: 0.5 * (naive(m=7) tail tile + SES level
     at the grid-MLE alpha). The naive member's step-i forecast is the
@@ -7706,6 +7895,7 @@ def _combo_oracle() -> str:
     z = f"({two_sided_z(0.95)!r})"
     alphas = ", ".join(f"({v!r})" for v in np.linspace(0.05, 0.95, 19))
     axs_ctes, axs_arms = _axs_oracle_arms()
+    rxv_ctes, rxv_arms = _rxv_oracle_arms()
     return f"""
         WITH RECURSIVE {_SQL_SERIES.strip().rstrip()},
         t AS (
@@ -7773,7 +7963,8 @@ def _combo_oracle() -> str:
             CROSS JOIN (SELECT unnest(range(1, 8)) AS i) i
             JOIN t nv ON nv.series_id = l.series_id AND nv.rev = 8 - i.i
         ),
-        {axs_ctes.strip()}
+        {axs_ctes.strip()},
+        {rxv_ctes.strip()}
         SELECT 'combo' AS model, series_id, ds, round(mean_fc, 6) AS forecast
         FROM mem
         UNION ALL
@@ -7815,6 +8006,7 @@ def _combo_oracle() -> str:
         CROSS JOIN (SELECT unnest(range(1, 8)) AS i) i
         JOIN t nv ON nv.series_id = last.series_id AND nv.rev = 8 - i.i
         {axs_arms}
+        {rxv_arms}
     """
 
 

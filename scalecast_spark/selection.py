@@ -169,6 +169,11 @@ def reduce_Xvars(
     # all-features score, then one entry per accepted drop
     f.pfi_dropped_vars = []
     f.pfi_error_values = [best_v]
+    # full attempt log incl. REJECTED drops (the gate's rxv_cand*
+    # members replay every evaluated candidate, mirroring
+    # axs_trajectory); rxv_importances carries the shap ranking
+    f.rxv_trajectory = [(list(feats), best_v)]
+    f.rxv_importances = {}
     if method == "shap":
         if estimator not in ("mlr", "ridge", "lasso", "elasticnet", "sgd"):
             raise ValueError(
@@ -181,12 +186,14 @@ def reduce_Xvars(
             r["feature"]: r["importance"]
             for r in linear_shap_importance(f.tsf.df, feats).collect()
         }
+        f.rxv_importances = dict(imp)
         # least important first; features the fit never saw rank last
         order = sorted(feats, key=lambda c: imp.get(c, float("inf")))
         for c in order:
             if len(feats) <= keep_at_least:
                 break
             v = _score(f, [x for x in feats if x != c], val_len)
+            f.rxv_trajectory.append(([x for x in feats if x != c], v))
             if math.isnan(v) or v > best_v:
                 break
             feats = [x for x in feats if x != c]
@@ -208,6 +215,10 @@ def reduce_Xvars(
                 on_error="nan",
             )
             scores = dict(zip(feats, vals))
+            for c, v_ in scores.items():
+                f.rxv_trajectory.append(
+                    ([x for x in feats if x != c], v_)
+                )
             drop_c, v = min(scores.items(), key=lambda t: t[1])
             if math.isnan(v) or v > best_v:
                 break

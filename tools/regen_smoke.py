@@ -87,6 +87,50 @@ def axs_margins(spark, sf_dir: str):
     return margins, pinned
 
 
+def rxv_margins(spark, sf_dir: str):
+    """Run the reduce_Xvars(shap) fixture search and return its
+    decision margins + whether the pinned directions hold (junk ranks
+    least important, the junk drop improves, the t drop degrades)."""
+    import __spark_entry__ as e
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window as W
+    from scalecast_spark.forecaster import Forecaster
+    from scalecast_spark.operators.xvars import ingest_Xvars_df
+    from scalecast_spark.selection import reduce_Xvars
+
+    f = Forecaster(e._axs_fixture(spark, sf_dir), future_dates=7)
+    f.add_time_trend().add_seasonal_regressors("dayofweek", raw=True)
+    xdf = e._axs_fixture(spark, sf_dir).select(
+        "ds",
+        (F.row_number().over(W.orderBy("ds"))
+         * F.row_number().over(W.orderBy("ds")) / 100.0)
+        .cast("double").alias("junk"),
+    )
+    df2, names = ingest_Xvars_df(f.tsf.df, xdf)
+    f.tsf = f.tsf.with_features(df2, names)
+    f.set_validation_length(7)
+    reduce_Xvars(f, estimator="mlr", method="shap")
+    imp = f.rxv_importances
+    s = [v for _, v in f.rxv_trajectory]
+    assert len(s) == 3, f"expected 3 evaluated candidates, saw {len(s)}"
+    margins = {
+        "rank |imp_junk - next|": min(imp["t"], imp["dayofweek"])
+        - imp["junk"],
+        "rank |imp_t - imp_dayofweek|": abs(imp["t"] - imp["dayofweek"]),
+        "drop-accept |s_full - s_nojunk|": abs(s[0] - s[1]),
+        "drop-reject |s_nojunk - s_next|": abs(s[1] - s[2]),
+    }
+    # either second-attempt branch (drop t / drop dayofweek) is fine —
+    # the oracle replays both; what must hold: junk ranks least, the
+    # junk drop does not degrade, the follow-up drop degrades
+    pinned = (
+        imp["junk"] < min(imp["t"], imp["dayofweek"])
+        and s[1] <= s[0]
+        and s[2] > s[1]
+    )
+    return margins, pinned
+
+
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     from scalecast_spark import get_session
@@ -118,6 +162,19 @@ def main():
             "axs pinned decisions flipped (oracle arms guard on "
             "s_ar1<=s_ar12, s_tdow<s_t, s_full<s_tdow) — the fixture "
             "formula in _axs_fixture needs retuning for this spine"
+        )
+
+    margins, pinned = rxv_margins(spark, sf_dir)
+    for k, v in margins.items():
+        print(f"rxv decision margin {k}: {v:.3e} (need > 1e-4)")
+        if v <= 1e-4:
+            failures.append(f"rxv margin {k} too thin")
+    print(f"rxv pinned decision directions hold: {pinned}")
+    if not pinned:
+        failures.append(
+            "rxv pinned decisions flipped (oracle arms guard on the "
+            "junk-least-important ranking, r2<=r1, r3>r2) — retune the "
+            "junk formula in __spark_entry__._rxv_member"
         )
 
     print("\nrunning the full oracle gate ...")
