@@ -761,11 +761,13 @@ def q_ts_combo(spark, sf_dir):
             )
         )
     base = _out_ts(members.unionByName(_diff_revert_member(spark, sf_dir)))
-    # round 11: the auto_Xvar_select and reduce_Xvars search paths
-    # ride as axs_* / rxv_* rows
+    # round 11: the auto_Xvar_select / reduce_Xvars /
+    # find_statistical_transformation search paths ride as
+    # axs_* / rxv_* / fst rows
     return _r6(
         base.unionByName(_axs_member(spark, sf_dir))
-        .unionByName(_rxv_member(spark, sf_dir)),
+        .unionByName(_rxv_member(spark, sf_dir))
+        .unionByName(_fst_member(spark, sf_dir)),
         "forecast",
     )
 
@@ -825,28 +827,77 @@ def _diff_revert_member(spark, sf_dir):
     return member
 
 
-def _axs_fixture(spark, sf_dir):
+def _axs_fixture(spark, sf_dir, trend: float = 0.5, name: str = "axs"):
     """Margin-engineered single series on the events date spine:
-    y = 40 + 0.5*t + 3*dayofweek + 0.3*((37t mod 11) - 5) — trend, a
+    y = 40 + trend*t + 3*dayofweek + 0.3*((37t mod 11) - 5) — trend, a
     dayofweek-LINEAR seasonal component (so ONE raw calendar regressor
     captures it exactly), and an 11-periodic integer wiggle (coprime
     with 7: it cannot alias into the weekly term). All-rational
     arithmetic: Spark and DuckDB agree bit-for-bit on y, and the
     staged auto_Xvar_select decisions carry fixed margins the
-    FIXTURES.md regen contract pins."""
+    FIXTURES.md regen contract pins. ``trend=3.0`` is the
+    TREND-DOMINATED variant the fst_fx member uses: it is lag-1-ADF
+    nonstationary with a wide margin on ANY spine length (the trend
+    dwarfs mean reversion) and its weekly strength falls below 0.5
+    (the trend dominates the variance)."""
     spine = _series(spark, sf_dir).select("ds").distinct()
     return (
         spine.withColumn(
             "rn", F.row_number().over(W.orderBy("ds")).cast("double")
         )
-        .withColumn("series_id", F.lit("axs"))
+        .withColumn("series_id", F.lit(name))
         .withColumn(
             "y",
-            40.0 + 0.5 * F.col("rn")
+            40.0 + trend * F.col("rn")
             + 3.0 * F.dayofweek("ds").cast("double")
             + ((F.col("rn") * 37 % 11) - 5) * 0.3,
         )
         .select("series_id", "ds", "y")
+    )
+
+
+def _fst_member(spark, sf_dir):
+    """find_statistical_transformation in the hash gate (r10 verdict
+    #3's §2.11 search; reference util.py:575-689 'statistical'
+    strategy, engine transform_search.py:30): the diagnostics-driven
+    transform recipe — ADF nonstationarity → (log if strictly
+    positive) + first difference; weekly seasonal strength > 0.5 →
+    seasonal difference. Emits one row per chosen step with its
+    1-based position. The oracle re-derives the three diagnostics
+    (reusing the hash-matched ADF arm, min(y), and the phase-mean
+    strength ratio) and re-takes the decisions as WHERE predicates —
+    a flipped diagnostic changes which rows exist. The third
+    Scale/round-trip-scored search (find_optimal_transformation)
+    stays pytest-certified BY DESIGN: its Scale candidate is accepted
+    or rejected on ~1e-13 revert round-trip noise, which no
+    cross-engine oracle can replay (COVERAGE.md round-11 note)."""
+    from scalecast_spark.operators import transforms as TR
+    from scalecast_spark.transform_search import (
+        find_statistical_transformation,
+    )
+
+    df = _series(spark, sf_dir)
+    steps = find_statistical_transformation(df, m=7, adf_maxlag=1)
+    # the trend-dominated fixture exercises the complementary branch
+    # (nonstationary + positive -> log + first difference) at the gate
+    # SF, where the event series is stationary under the lag-1 ADF
+    fx = _axs_fixture(spark, sf_dir, trend=3.0, name="axs_trend")
+    steps_fx = find_statistical_transformation(fx, m=7, adf_maxlag=1)
+
+    def nm(s):
+        if isinstance(s, TR.LogTransform):
+            return "log"
+        if isinstance(s, TR.DiffTransform):
+            return f"diff{s.m}"
+        return type(s).__name__.lower()
+
+    d0 = df.agg(F.max(F.col("ds").cast("date"))).collect()[0][0]
+    rows = [("fst", nm(s), d0, float(i)) for i, s in enumerate(steps, 1)]
+    rows += [
+        ("fst_fx", nm(s), d0, float(i)) for i, s in enumerate(steps_fx, 1)
+    ]
+    return spark.createDataFrame(
+        rows, "model string, series_id string, ds date, forecast double"
     )
 
 
@@ -2710,6 +2761,123 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
+_AXS_TREND_CTE = """series AS (
+    SELECT 'axs_trend' AS series_id, ds,
+           40.0 + 3.0 * rn + 3.0 * dw
+               + ((CAST(rn * 37 AS BIGINT) % 11) - 5) * 0.3 AS y
+    FROM (
+        SELECT ds, (row_number() OVER (ORDER BY ds))::DOUBLE AS rn,
+               (dayofweek(ds) + 1)::DOUBLE AS dw
+        FROM (SELECT DISTINCT date_trunc('day', ts)::DATE AS ds
+              FROM events)
+    )
+)"""
+
+
+def _fst_arm_sql(tag: str, series_cte: str) -> str:
+    """One fst oracle arm: re-derive find_statistical_transformation's
+    three diagnostics over ``series_cte`` — lag-1 ADF nonstationarity
+    (via _adf1_sql, the hash-certified variant), strict positivity,
+    and weekly seasonal strength (stddev of day-of-week phase means /
+    overall stddev, NULL-safe like the engine's try_divide) — and emit
+    the chosen transform steps as rows whose existence AND 1-based
+    ordinals follow from the flags."""
+    return f"""
+        SELECT '{tag}' AS model, v.nm AS series_id, v.ds, v.ord AS forecast
+        FROM (
+            WITH {series_cte},
+            flags AS (
+                SELECT
+                    (SELECT count(*) FROM ({_adf1_sql(series_cte)}) a
+                      WHERE NOT a.stationary_5pct) > 0 AS nonstat,
+                    (SELECT min(y) FROM series) > 0 AS pos,
+                    coalesce((SELECT max(strength) FROM (
+                        SELECT CASE WHEN s2.os > 0 THEN s1.ps / s2.os
+                               END AS strength
+                        FROM (SELECT series_id, stddev_pop(pm) AS ps
+                              FROM (SELECT series_id, dayofweek(ds) AS p,
+                                           avg(y) AS pm
+                                    FROM series GROUP BY 1, 2)
+                              GROUP BY 1) s1
+                        JOIN (SELECT series_id, stddev_pop(y) AS os
+                              FROM series GROUP BY 1) s2
+                          USING (series_id)
+                    )) > 0.5, false) AS seas,
+                    (SELECT max(ds) FROM series) AS last_ds
+            )
+            SELECT 'log' AS nm, last_ds AS ds, 1.0 AS ord
+            FROM flags WHERE nonstat AND pos
+            UNION ALL
+            SELECT 'diff1', last_ds, CASE WHEN pos THEN 2.0 ELSE 1.0 END
+            FROM flags WHERE nonstat
+            UNION ALL
+            SELECT 'diff7', last_ds,
+                   1.0 + CASE WHEN nonstat THEN
+                             CASE WHEN pos THEN 2.0 ELSE 1.0 END
+                         ELSE 0.0 END
+            FROM flags WHERE seas
+        ) v
+    """
+
+
+def _adf1_sql(series_cte: str) -> str:
+    """Lag-1 ADF restatement (dy ~ y_(t-1) + dy_(t-1) + const, 3x3
+    Cramer, t-stat vs the -2.86 5%% critical value) over any series
+    CTE — the hash-certified fixed-lag variant (ts_adf gate member).
+    Parameterized by the series source so the fst oracle arms can run
+    the SAME math on the engineered fixtures."""
+    return f"""
+            WITH {series_cte},
+            t AS (
+                SELECT series_id, y,
+                       row_number() OVER (PARTITION BY series_id ORDER BY ds) AS rn,
+                       lag(y, 1) OVER (PARTITION BY series_id ORDER BY ds) AS l1,
+                       lag(y, 2) OVER (PARTITION BY series_id ORDER BY ds) AS l2
+                FROM series
+            ),
+            r AS (
+                -- dy_t ~ y_(t-1) + dy_(t-1) + const, rows t >= 3
+                SELECT series_id, y - l1 AS d, l1 AS x1, l1 - l2 AS x2
+                FROM t WHERE rn >= 3
+            ),
+            s AS (
+                SELECT series_id, count(*)::DOUBLE AS m,
+                       sum(x1 * x1) AS a11, sum(x1 * x2) AS a12, sum(x1) AS a13,
+                       sum(x2 * x2) AS a22, sum(x2) AS a23,
+                       sum(x1 * d) AS t1, sum(x2 * d) AS t2, sum(d) AS t3,
+                       sum(d * d) AS dd
+                FROM r GROUP BY 1
+            ),
+            sol AS (
+                SELECT series_id, m, t1, t2, t3, dd,
+                       a11*(a22*m - a23*a23) - a12*(a12*m - a23*a13)
+                           + a13*(a12*a23 - a22*a13) AS det,
+                       t1*(a22*m - a23*a23) - a12*(t2*m - a23*t3)
+                           + a13*(t2*a23 - a22*t3) AS det1,
+                       a11*(t2*m - a23*t3) - t1*(a12*m - a23*a13)
+                           + a13*(a12*t3 - t2*a13) AS det2,
+                       a11*(a22*t3 - t2*a23) - a12*(a12*t3 - t2*a13)
+                           + t1*(a12*a23 - a22*a13) AS det3,
+                       (a22*m - a23*a23) AS adj00
+                FROM s
+            ),
+            fin AS (
+                SELECT series_id,
+                       det1 / det AS b1,
+                       (dd - (det1*t1 + det2*t2 + det3*t3) / det)
+                           / (m - 3) AS s2,
+                       adj00 / det AS inv00
+                FROM sol
+            )
+            SELECT series_id,
+                   round(b1 / sqrt(greatest(s2 * inv00, 1e-300)), 6) AS adf_stat,
+                   1 AS used_lag,
+                   b1 / sqrt(greatest(s2 * inv00, 1e-300)) < -2.86
+                       AS stationary_5pct
+            FROM fin
+        """
+
+
 def oracle_sql() -> dict[str, str]:
     pi = "3.141592653589793"
     # marker-word counting mirrors datapipe/text.py exactly: normalize
@@ -3200,56 +3368,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT t.series_id, t.ds, round(s.yi - s.trend, 6) AS y_detrended
             FROM sm s JOIN t ON t.series_id = s.series_id AND t.rn = s.irn
         """.format(series=_SQL_SERIES.strip()),
-        "ts_adf": f"""
-            WITH {_SQL_SERIES},
-            t AS (
-                SELECT series_id, y,
-                       row_number() OVER (PARTITION BY series_id ORDER BY ds) AS rn,
-                       lag(y, 1) OVER (PARTITION BY series_id ORDER BY ds) AS l1,
-                       lag(y, 2) OVER (PARTITION BY series_id ORDER BY ds) AS l2
-                FROM series
-            ),
-            r AS (
-                -- dy_t ~ y_(t-1) + dy_(t-1) + const, rows t >= 3
-                SELECT series_id, y - l1 AS d, l1 AS x1, l1 - l2 AS x2
-                FROM t WHERE rn >= 3
-            ),
-            s AS (
-                SELECT series_id, count(*)::DOUBLE AS m,
-                       sum(x1 * x1) AS a11, sum(x1 * x2) AS a12, sum(x1) AS a13,
-                       sum(x2 * x2) AS a22, sum(x2) AS a23,
-                       sum(x1 * d) AS t1, sum(x2 * d) AS t2, sum(d) AS t3,
-                       sum(d * d) AS dd
-                FROM r GROUP BY 1
-            ),
-            sol AS (
-                SELECT series_id, m, t1, t2, t3, dd,
-                       a11*(a22*m - a23*a23) - a12*(a12*m - a23*a13)
-                           + a13*(a12*a23 - a22*a13) AS det,
-                       t1*(a22*m - a23*a23) - a12*(t2*m - a23*t3)
-                           + a13*(t2*a23 - a22*t3) AS det1,
-                       a11*(t2*m - a23*t3) - t1*(a12*m - a23*a13)
-                           + a13*(a12*t3 - t2*a13) AS det2,
-                       a11*(a22*t3 - t2*a23) - a12*(a12*t3 - t2*a13)
-                           + t1*(a12*a23 - a22*a13) AS det3,
-                       (a22*m - a23*a23) AS adj00
-                FROM s
-            ),
-            fin AS (
-                SELECT series_id,
-                       det1 / det AS b1,
-                       (dd - (det1*t1 + det2*t2 + det3*t3) / det)
-                           / (m - 3) AS s2,
-                       adj00 / det AS inv00
-                FROM sol
-            )
-            SELECT series_id,
-                   round(b1 / sqrt(greatest(s2 * inv00, 1e-300)), 6) AS adf_stat,
-                   1 AS used_lag,
-                   b1 / sqrt(greatest(s2 * inv00, 1e-300)) < -2.86
-                       AS stationary_5pct
-            FROM fin
-        """,
+        "ts_adf": _adf1_sql(_SQL_SERIES.strip()),
         # pgram/acf are closed-form aggregates; pacf replays the
         # Durbin-Levinson recursion over the ROUNDED acf values (the
         # engine kernel consumes acf_frame's 6dp output, so the
@@ -4787,6 +4906,20 @@ def oracle_sql() -> dict[str, str]:
         )
     """
 
+    # round 11: find_statistical_transformation arms appended to the
+    # ts_combo oracle — one over the event series (stationary under
+    # the lag-1 ADF at the gate SF -> seasonal-difference branch) and
+    # one over the trend-dominated fixture (nonstationary -> log +
+    # first-difference branch), so BOTH decision paths are exercised.
+    # Flags are re-derived from data; a flipped diagnostic changes
+    # which rows exist and their ordinals.
+    o["ts_combo"] = f"""
+        SELECT * FROM ({o["ts_combo"]})
+        UNION ALL
+        {_fst_arm_sql("fst", _SQL_SERIES.strip())}
+        UNION ALL
+        {_fst_arm_sql("fst_fx", _AXS_TREND_CTE)}
+    """
     keep = set(queries().keys())
     return {k: v for k, v in o.items() if k in keep}
 

@@ -28,14 +28,17 @@ from scalecast_spark.forecaster import _mark_test_rows
 
 
 def find_statistical_transformation(
-    df: DataFrame, m: int = 7, log_if_positive: bool = True
+    df: DataFrame, m: int = 7, log_if_positive: bool = True,
+    adf_maxlag: int | None = None,
 ) -> list[TR.Transform]:
     """Diagnostics-driven transform list (one decision for the whole
     frame, using the worst-case series like the reference's single
-    object)."""
+    object). ``adf_maxlag`` is passed through to the ADF test (None =
+    auto-lag; the gate's fst members pin it to 1, the variant whose
+    statistic is hash-certified against the SQL oracle)."""
     steps: list[TR.Transform] = []
     src = df if IS_FUTURE in df.columns else df.withColumn(IS_FUTURE, F.lit(0))
-    adf = adf_test(src).collect()
+    adf = adf_test(src, maxlag=adf_maxlag).collect()
     nonstationary = any(not r["stationary_5pct"] for r in adf)
     strictly_pos = (
         src.filter(F.col(IS_FUTURE) == 0).agg(F.min(Y)).collect()[0][0] > 0
