@@ -56,6 +56,10 @@ AUDIT = [
     "ts_forest_forward",
     "ts_feature_ops",
     "ts_transform_pointwise",
+    # round-11: cross-object transfer (cogrouped fit-on-src/apply-to-
+    # dst kernel) — the plan must show ONE cogroup exchange pair, no
+    # driver-side model shipping
+    "ts_transfer",
 ]
 
 
@@ -178,6 +182,7 @@ EXTRA = {
     # round-9 incremental dedup (broadcast-new bucket join + candidate-
     # driven verify): the plan must show broadcasts, no corpus SMJ
     "dedup_cross": lambda s, d: entrymod.q_dedup_cross_bench(s, d),
+    "ts_transfer": lambda s, d: entrymod.q_ts_transfer(s, d),
     "embed_sparse_d512": _q_embed_sparse_d512,
     "ts_forest_forward": _q_ts_forest_forward,
     "ts_feature_ops": _q_ts_feature_ops,
@@ -236,7 +241,7 @@ def audit_plan(plan: str) -> dict:
             set(m[:100] for m in re.findall(r"ReadSchema: struct<([^>]*)", plan))
         )[:2],
         "python_udf": len(re.findall(r"BatchEvalPython", plan)),
-        "arrow_udf": len(re.findall(r"FlatMapGroupsInPandas|MapInPandas|ArrowEvalPython", plan)),
+        "arrow_udf": len(re.findall(r"FlatMapGroupsInPandas|FlatMapCoGroupsInPandas|MapInPandas|ArrowEvalPython", plan)),
     }
 
 
