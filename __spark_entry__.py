@@ -767,7 +767,8 @@ def q_ts_combo(spark, sf_dir):
     return _r6(
         base.unionByName(_axs_member(spark, sf_dir))
         .unionByName(_rxv_member(spark, sf_dir))
-        .unionByName(_fst_member(spark, sf_dir)),
+        .unionByName(_fst_member(spark, sf_dir))
+        .unionByName(_dbsl_member(spark, sf_dir)),
         "forecast",
     )
 
@@ -853,6 +854,65 @@ def _axs_fixture(spark, sf_dir, trend: float = 0.5, name: str = "axs"):
             + ((F.col("rn") * 37 % 11) - 5) * 0.3,
         )
         .select("series_id", "ds", "y")
+    )
+
+
+def _dbsl_member(spark, sf_dir):
+    """determine_best_series_length in the hash gate (the last
+    pytest-only §2.9 search; reference Forecaster.py:1178-1256): on a
+    STRUCTURAL-BREAK fixture (trend slope 4.0 breaking to 0.5 at
+    n−16, everything defined relative to the spine end so the story
+    holds on any spine length), the history-length grid {15, 20, ...}
+    must score monotonically worse as the window reaches back across
+    the break — the L=15 window is entirely post-break and wins with
+    a >2 RMSE margin. Emits every candidate length's validation RMSE
+    (dbsl_cand rows) and the chosen length (dbsl_pick). The oracle
+    re-fits the [t, dayofweek] OLS per candidate window (one grouped
+    aggregate over a lengths table — no per-L scan) and re-picks by
+    the engine's first-strictly-better rule (ORDER BY score, L)."""
+    from scalecast_spark.forecaster import Forecaster
+    from scalecast_spark.selection import determine_best_series_length
+
+    spine = _series(spark, sf_dir).select("ds").distinct()
+    fx = (
+        spine.withColumn(
+            "rn", F.row_number().over(W.orderBy("ds")).cast("double")
+        )
+        .withColumn("n", F.count("*").over(W.partitionBy(F.lit(1))))
+        .withColumn("series_id", F.lit("dbsl"))
+        .withColumn("brk", F.col("n") - 16)
+        .withColumn(
+            "trend",
+            F.when(F.col("rn") <= F.col("brk"), 4.0 * F.col("rn")).otherwise(
+                4.0 * F.col("brk") + 0.5 * (F.col("rn") - F.col("brk"))
+            ),
+        )
+        .withColumn(
+            "y",
+            40.0 + F.col("trend")
+            + 3.0 * F.dayofweek("ds").cast("double")
+            + ((F.col("rn") * 37 % 11) - 5) * 0.3,
+        )
+        .select("series_id", "ds", "y")
+    )
+    f = Forecaster(fx, future_dates=7)
+    f.add_time_trend().add_seasonal_regressors("dayofweek", raw=True)
+    f.set_validation_length(7)
+    best = determine_best_series_length(
+        f, estimator="mlr", min_obs=15, step=5, chop=False
+    )
+    d0 = (
+        f.tsf.df.filter(F.col("is_future") == 0)
+        .agg(F.max(F.col("ds").cast("date")))
+        .collect()[0][0]
+    )
+    rows = [
+        ("dbsl_cand", str(int(L)), d0, round(float(v), 6))
+        for L, v in f.dbsl_trajectory
+    ]
+    rows.append(("dbsl_pick", str(int(best)), d0, float(best)))
+    return spark.createDataFrame(
+        rows, "model string, series_id string, ds date, forecast double"
     )
 
 
@@ -2772,6 +2832,68 @@ _AXS_TREND_CTE = """series AS (
               FROM events)
     )
 )"""
+
+
+_DBSL_ARM = """
+        SELECT m.model, m.series_id, m.ds, m.forecast
+        FROM (
+            WITH dbl AS (
+                SELECT ds, rn, dw,
+                       40.0 + CASE WHEN rn <= n - 16 THEN 4.0 * rn
+                              ELSE 4.0 * (n - 16)
+                                   + 0.5 * (rn - (n - 16)) END
+                            + 3.0 * dw
+                            + ((CAST(rn * 37 AS BIGINT) % 11) - 5) * 0.3
+                           AS y
+                FROM (
+                    SELECT ds,
+                           (row_number() OVER (ORDER BY ds))::DOUBLE AS rn,
+                           (dayofweek(ds) + 1)::DOUBLE AS dw,
+                           (count(*) OVER ())::DOUBLE AS n
+                    FROM (SELECT DISTINCT date_trunc('day', ts)::DATE AS ds
+                          FROM events)
+                )
+            ),
+            dbn AS (SELECT max(rn) AS n, max(ds) AS last_ds FROM dbl),
+            dlen AS (
+                SELECT unnest(range(15,
+                    (SELECT n FROM dbn)::BIGINT + 1, 5))::DOUBLE AS L
+            ),
+            dtr AS (
+                SELECT l.L, d.rn, d.dw, d.y
+                FROM dbl d, dlen l, dbn
+                WHERE d.rn > dbn.n - l.L AND d.rn <= dbn.n - 7
+            ),
+            dcf AS (
+                SELECT L,
+                       (covar_pop(rn, y) * var_pop(dw)
+                        - covar_pop(dw, y) * covar_pop(rn, dw))
+                       / (var_pop(rn) * var_pop(dw)
+                          - covar_pop(rn, dw) * covar_pop(rn, dw)) AS bt,
+                       (covar_pop(dw, y) * var_pop(rn)
+                        - covar_pop(rn, y) * covar_pop(rn, dw))
+                       / (var_pop(rn) * var_pop(dw)
+                          - covar_pop(rn, dw) * covar_pop(rn, dw)) AS bd,
+                       avg(y) AS my, avg(rn) AS mt, avg(dw) AS md
+                FROM dtr GROUP BY L
+            ),
+            dsc AS (
+                SELECT L, sqrt(avg(e * e)) AS s FROM (
+                    SELECT c.L,
+                           v.y - (c.my + c.bt * (v.rn - c.mt)
+                                  + c.bd * (v.dw - c.md)) AS e
+                    FROM dbl v, dbn, dcf c WHERE v.rn > dbn.n - 7
+                ) GROUP BY L
+            )
+            SELECT 'dbsl_cand' AS model, L::INT::VARCHAR AS series_id,
+                   (SELECT last_ds FROM dbn) AS ds, round(s, 6) AS forecast
+            FROM dsc
+            UNION ALL
+            SELECT 'dbsl_pick', L::INT::VARCHAR,
+                   (SELECT last_ds FROM dbn), L
+            FROM dsc QUALIFY row_number() OVER (ORDER BY s ASC, L ASC) = 1
+        ) m
+"""
 
 
 def _fst_arm_sql(tag: str, series_cte: str) -> str:
@@ -4919,6 +5041,8 @@ def oracle_sql() -> dict[str, str]:
         {_fst_arm_sql("fst", _SQL_SERIES.strip())}
         UNION ALL
         {_fst_arm_sql("fst_fx", _AXS_TREND_CTE)}
+        UNION ALL
+        {_DBSL_ARM}
     """
     keep = set(queries().keys())
     return {k: v for k, v in o.items() if k in keep}

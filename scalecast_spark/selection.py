@@ -284,6 +284,9 @@ def determine_best_series_length(
         return float(v) if v is not None else float("nan")
 
     vals = run_jobs([lambda L=L: _trial(L) for L in lengths], on_error="nan")
+    # candidate log for the gate's dbsl_* members (mirrors
+    # axs_trajectory / rxv_trajectory)
+    f.dbsl_trajectory = list(zip(lengths, vals))
     best_len, best_v = n_obs, float("inf")
     for length, v in zip(lengths, vals):
         if not math.isnan(v) and v < best_v:

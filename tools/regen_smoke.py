@@ -131,6 +131,25 @@ def rxv_margins(spark, sf_dir: str):
     return margins, pinned
 
 
+def dbsl_margins(spark, sf_dir: str):
+    """Run the determine_best_series_length structural-break fixture
+    and return the winner's margin over the runner-up + whether the
+    post-break window (L=15) wins."""
+    import __spark_entry__ as e
+
+    got = {
+        r["series_id"]: r["forecast"]
+        for r in e._dbsl_member(spark, sf_dir)
+        .filter("model = 'dbsl_cand'").collect()
+    }
+    scores = sorted(got.values())
+    picked = (
+        e._dbsl_member(spark, sf_dir)
+        .filter("model = 'dbsl_pick'").collect()[0]["series_id"]
+    )
+    return {"winner margin": scores[1] - scores[0]}, picked == "15"
+
+
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     from scalecast_spark import get_session
@@ -175,6 +194,19 @@ def main():
             "rxv pinned decisions flipped (oracle arms guard on the "
             "junk-least-important ranking, r2<=r1, r3>r2) — retune the "
             "junk formula in __spark_entry__._rxv_member"
+        )
+
+    margins, pinned = dbsl_margins(spark, sf_dir)
+    for k, v in margins.items():
+        print(f"dbsl decision margin {k}: {v:.3e} (need > 1e-4)")
+        if v <= 1e-4:
+            failures.append(f"dbsl margin {k} too thin")
+    print(f"dbsl pinned decision (L=15 wins) holds: {pinned}")
+    if not pinned:
+        failures.append(
+            "dbsl pinned decision flipped — the structural-break "
+            "fixture in _dbsl_member no longer favors the post-break "
+            "window; retune the break offset/slopes"
         )
 
     print("\nrunning the full oracle gate ...")
