@@ -41,20 +41,49 @@ def tune_test_forecast(
     error: str = "warn",
 ) -> Forecaster:
     """Loop models → (optional grid search) → forecast (reference
-    _utils.py:89-142 with raise/warn/ignore error policy)."""
+    _utils.py:89-142 with raise/warn/ignore error policy).
+
+    Round 11: the per-model GRID EVALUATIONS run concurrently on
+    isolated shallow clones — the frames are shared immutable
+    DataFrames, so a clone costs nothing; estimator/grid/best_params
+    land on the clone, and only the winning forecasts bank
+    sequentially on the real object. The model loop was the last
+    serial stage of this workload (each tune's CV folds already run
+    concurrently), so 3 models' grids now overlap instead of queueing."""
+    import copy
+
+    from scalecast_spark.functions.parallel import run_jobs
     from scalecast_spark.grids import DEFAULT_GRIDS
 
     grids = grids or {}
-    for m in models:
+    plan = [(m, grids.get(m, DEFAULT_GRIDS.get(m))) for m in models]
+
+    def _tune_one(m: str, grid: dict):
+        g = copy.copy(f)
+        g.history = dict(f.history)  # isolate any banking on the clone
+        g.set_estimator(m)
+        g.ingest_grid(grid)
+        if cross_validate:
+            g.cross_validate(k=k, test_length=g.validation_length)
+        else:
+            g.tune()
+        return g.best_params, g.grid_evaluated
+
+    tuned = run_jobs(
+        [
+            (lambda m=m, gr=gr: _tune_one(m, gr)) if gr
+            else (lambda: (None, None))
+            for m, gr in plan
+        ],
+        on_error="raise" if error == "raise" else "nan",
+    )
+    for (m, grid), res in zip(plan, tuned):
         try:
+            if isinstance(res, float):  # nan: that model's tune failed
+                raise RuntimeError(f"grid evaluation failed for {m!r}")
             f.set_estimator(m)
-            grid = grids.get(m, DEFAULT_GRIDS.get(m))
             if grid:
-                f.ingest_grid(grid)
-                if cross_validate:
-                    f.cross_validate(k=k, test_length=f.validation_length)
-                else:
-                    f.tune()
+                f.best_params, f.grid_evaluated = res
                 f.auto_forecast(call_me=m)
             else:
                 f.best_params = {}
