@@ -660,6 +660,106 @@ def anomaly_stream(
     )
 
 
+def anomaly_stream_tws(
+    series: DataFrame,
+    alpha: float = 0.1,
+    z_thresh: float = 3.5,
+    min_obs: int = 5,
+    series_col: str = SERIES,
+    ts_col: str = DS,
+    value_col: str = Y,
+    state_ttl_ms: int | None = None,
+) -> DataFrame:
+    """``transformWithStateInPandas`` twin of :func:`anomaly_stream` —
+    same EW mean/variance recursion with bias-corrected warm-up
+    z-scores, carried in a TWS ValueState. Motivation and gating
+    identical to :func:`ewma_stream_tws`: ValueState TTL expires
+    dormant-series state without processing-time timers (composes
+    with Trigger.AvailableNow), and the state protocol needs the
+    protobuf package (absent in this container — raises ImportError
+    at construction; SCALE.md round-11 adjudication). Requires the
+    RocksDB state store provider conf before the query starts."""
+    try:
+        import google.protobuf  # noqa: F401  (TWS state protocol)
+    except ImportError as e:
+        raise ImportError(
+            "anomaly_stream_tws needs the 'protobuf' package "
+            "(transformWithStateInPandas serializes state requests "
+            "with it); install protobuf or use anomaly_stream"
+        ) from e
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    out_schema = T.StructType(
+        [
+            T.StructField(series_col, T.StringType()),
+            T.StructField(ts_col, T.TimestampType()),
+            T.StructField(value_col, T.DoubleType()),
+            T.StructField("level", T.DoubleType()),
+            T.StructField("z", T.DoubleType()),
+            T.StructField("is_anomaly", T.BooleanType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("level", T.DoubleType()),
+            T.StructField("var", T.DoubleType()),
+            T.StructField("n", T.LongType()),
+        ]
+    )
+    cols = [series_col, ts_col, value_col, "level", "z", "is_anomaly"]
+
+    class _AnomalyProcessor(StatefulProcessor):
+        def init(self, handle):
+            self._st = handle.getValueState(
+                "ewstate", state_schema, ttlDurationMs=state_ttl_ms
+            )
+
+        def handleInputRows(self, key, rows, timer_values):
+            if self._st.exists():
+                level, var, n = self._st.get()
+            else:
+                level, var, n = None, 0.0, 0
+            chunks = [p for p in rows if len(p)]
+            if not chunks:
+                return
+            pdf = pd.concat(chunks).sort_values([ts_col, value_col])
+            out = []
+            for ds, yv in zip(pdf[ts_col], pdf[value_col]):
+                yv = float(yv)
+                if level is None:
+                    level, var, z, flag = yv, 0.0, None, False
+                else:
+                    w = (
+                        (1 - alpha) * (1 - (1 - alpha) ** (n - 1))
+                        if n > 1 else 0.0
+                    )
+                    z = (
+                        (yv - level) / (var / w) ** 0.5
+                        if var > 0 and w > 0 else None
+                    )
+                    flag = bool(
+                        n >= min_obs and z is not None and abs(z) > z_thresh
+                    )
+                    d = yv - level
+                    level = level + alpha * d
+                    var = (1 - alpha) * (var + alpha * d * d)
+                n += 1
+                out.append((key[0], ds, yv, level, z, flag))
+            self._st.update((level, var, int(n)))
+            yield pd.DataFrame(out, columns=cols)
+
+        def close(self):
+            pass
+
+    return series.groupBy(series_col).transformWithStateInPandas(
+        statefulProcessor=_AnomalyProcessor(),
+        outputStructType=out_schema,
+        outputMode="Append",
+        timeMode="None",
+    )
+
+
 def ivfpq_encode_stream(
     docs: DataFrame,
     centroids_path: str,

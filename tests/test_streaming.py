@@ -546,3 +546,65 @@ def test_ewma_stream_tws_raises_without_protobuf(spark, tmp_path):
     stream = spark.readStream.schema(schema).parquet(src)
     with pytest.raises(ImportError, match="protobuf"):
         ewma_stream_tws(stream)
+
+
+@pytest.mark.skipif(
+    not _has_protobuf(),
+    reason="transformWithStateInPandas needs the protobuf package "
+    "(absent in this container — SCALE.md round-11 adjudication)",
+)
+def test_anomaly_stream_tws_parity(spark, sf_dir, tmp_path):
+    """Env-gated: the TWS anomaly twin must match the GroupState
+    anomaly_stream row-for-row on the same drained source."""
+    from scalecast_spark.streaming.ops import (
+        anomaly_stream,
+        anomaly_stream_tws,
+        run_available_now,
+        stream_events,
+    )
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        ev = stream_events(spark, f"{sf_dir}/events.parquet").select(
+            F.col("event_type").alias("series_id"), F.col("ts").alias("ds"),
+            F.col("value").alias("y"),
+        )
+        got = run_available_now(
+            anomaly_stream_tws(ev, state_ttl_ms=3_600_000),
+            "q_anom_tws", str(tmp_path / "ck1"), output_mode="append",
+        ).toPandas().sort_values(["series_id", "ds", "y"]).reset_index(drop=True)
+        want = run_available_now(
+            anomaly_stream(ev),
+            "q_anom_gs", str(tmp_path / "ck2"), output_mode="append",
+        ).toPandas().sort_values(["series_id", "ds", "y"]).reset_index(drop=True)
+        assert len(got) == len(want) > 0
+        assert (got["level"] - want["level"]).abs().max() < 1e-9
+        assert (got["is_anomaly"] == want["is_anomaly"]).all()
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev
+            )
+
+
+def test_anomaly_stream_tws_raises_without_protobuf(spark, tmp_path):
+    if _has_protobuf():
+        pytest.skip("protobuf installed; gate inactive")
+    from datetime import datetime
+
+    from scalecast_spark.streaming.ops import anomaly_stream_tws
+
+    src = str(tmp_path / "src")
+    schema = "series_id string, ds timestamp, y double"
+    spark.createDataFrame(
+        [("A", datetime(2024, 1, 1), 1.0)], schema
+    ).write.parquet(src)
+    with pytest.raises(ImportError, match="protobuf"):
+        anomaly_stream_tws(spark.readStream.schema(schema).parquet(src))
