@@ -760,17 +760,26 @@ def q_ts_combo(spark, sf_dir):
                 F.col(col).alias("forecast"),
             )
         )
-    base = _out_ts(members.unionByName(_diff_revert_member(spark, sf_dir)))
     # round 11: the auto_Xvar_select / reduce_Xvars /
-    # find_statistical_transformation search paths ride as
-    # axs_* / rxv_* / fst rows
-    return _r6(
-        base.unionByName(_axs_member(spark, sf_dir))
-        .unionByName(_rxv_member(spark, sf_dir))
-        .unionByName(_fst_member(spark, sf_dir))
-        .unionByName(_dbsl_member(spark, sf_dir)),
-        "forecast",
+    # find_statistical_transformation / determine_best_series_length
+    # search paths ride as axs_* / rxv_* / fst / dbsl_* rows. The five
+    # member builders each run a driver-side search issuing small
+    # Spark jobs — independent, so they build CONCURRENTLY
+    from scalecast_spark.functions.parallel import run_jobs
+
+    extra = run_jobs(
+        [
+            lambda: _diff_revert_member(spark, sf_dir),
+            lambda: _axs_member(spark, sf_dir),
+            lambda: _rxv_member(spark, sf_dir),
+            lambda: _fst_member(spark, sf_dir),
+            lambda: _dbsl_member(spark, sf_dir),
+        ]
     )
+    base = _out_ts(members.unionByName(extra[0]))
+    for m in extra[1:]:
+        base = base.unionByName(m)
+    return _r6(base, "forecast")
 
 
 def _diff_revert_member(spark, sf_dir):
