@@ -2396,8 +2396,79 @@ def q_ts_stat_tests(spark, sf_dir):
     return a.join(b, ["series_id"]).join(c, ["series_id"])
 
 
+def _varlag_member(spark, sf_dir):
+    """find_optimal_lag_order in the hash gate (r11; reference
+    util.py / Forecaster find_optimal_lag_order via statsmodels VAR
+    select_order; engine functions/var_select.py:15): the VAR
+    lag-order search over the TWO alphabetically-first series
+    (corpus-agnostic subset, keeps every SQL solve statically small),
+    maxlags=3. Emits each candidate order's AIC and BIC and the
+    argmin picks. The oracle replays the multi-equation OLS per
+    (order, equation) through the dimension-agnostic Gauss-Jordan
+    CTE, forms the 2x2 residual covariance, and re-derives
+    logdet + penalty exactly as var_select.py does."""
+    from scalecast_spark.functions.var_select import find_optimal_lag_order
+
+    ser = _series(spark, sf_dir)
+    keep = [
+        r["series_id"]
+        for r in ser.select("series_id").distinct()
+        .orderBy("series_id").limit(2).collect()
+    ]
+    sub = ser.filter(F.col("series_id").isin(keep))
+    out = find_optimal_lag_order(sub, maxlags=3)
+    d0 = ser.agg(F.max(F.col("ds").cast("date"))).collect()[0][0]
+    rows = []
+    for p, (aic, bic) in out["scores"].items():
+        rows.append(("varlag_aic", str(p), int(p), round(aic, 6)))
+        rows.append(("varlag_bic", str(p), int(p), round(bic, 6)))
+    rows.append(("varlag_pick", "aic", int(out["aic"]), float(out["aic"])))
+    rows.append(("varlag_pick", "bic", int(out["bic"]), float(out["bic"])))
+    del d0  # picks/scores are date-free; schema matches mv_corr
+    return spark.createDataFrame(
+        rows, "series_a string, series_b string, lag long, corr double"
+    )
+
+
+def _coint_member(spark, sf_dir):
+    """find_optimal_coint_rank in the hash gate (r11; reference
+    util.py:390-428 via statsmodels select_coint_rank; engine
+    models/vecm.py:70 — Johansen trace test, Osterwald-Lenum 5%
+    criticals): over the two alphabetically-first series, so the
+    Johansen eigenproblem is 2x2 and CLOSED-FORM (the quadratic in
+    tr/det of M = S11⁻¹S01ᵀS00⁻¹S01 — no Jacobi sweep needed, unlike
+    the full-family mv_vecm oracle). Emits each rank's trace statistic
+    and critical value plus the chosen rank; the oracle re-derives the
+    reduced-rank regression residuals (centered 2-regressor OLS on
+    [1, ΔY_{t-1}]), the product-moment matrices, the quadratic
+    eigenvalues, and the smallest-passing-rank rule."""
+    from scalecast_spark.models.vecm import find_optimal_coint_rank
+
+    ser = _series(spark, sf_dir)
+    keep = [
+        r["series_id"]
+        for r in ser.select("series_id").distinct()
+        .orderBy("series_id").limit(2).collect()
+    ]
+    out = find_optimal_coint_rank(
+        ser.filter(F.col("series_id").isin(keep)), k_ar_diff=1
+    )
+    rows = []
+    for r, s in out["stats"].items():
+        rows.append(("coint_trace", str(r), int(r), round(s["trace"], 6)))
+        rows.append(("coint_crit", str(r), int(r), float(s["crit_5pct"])))
+    rows.append(
+        ("coint_pick", "rank", int(out["rank"]), float(out["rank"]))
+    )
+    return spark.createDataFrame(
+        rows, "series_a string, series_b string, lag long, corr double"
+    )
+
+
 def q_mv_corr(spark, sf_dir):
-    """Cross-series correlation matrix + lagged click→purchase corr."""
+    """Cross-series correlation matrix + lagged click→purchase corr;
+    round 11 adds the VAR lag-order search (varlag_* rows) and the
+    Johansen coint-rank search (coint_* rows)."""
     m = q_mv_corr_matrix(spark, sf_dir).select(
         "series_a", "series_b", F.lit(0).cast("long").alias("lag"), "corr"
     )
@@ -2407,7 +2478,11 @@ def q_mv_corr(spark, sf_dir):
         "lag",
         "corr",
     )
-    return m.unionByName(l)
+    return (
+        m.unionByName(l)
+        .unionByName(_varlag_member(spark, sf_dir))
+        .unionByName(_coint_member(spark, sf_dir))
+    )
 
 
 def q_ts_smoothing_family(spark, sf_dir):
@@ -2903,6 +2978,298 @@ _DBSL_ARM = """
             FROM dsc QUALIFY row_number() OVER (ORDER BY s ASC, L ASC) = 1
         ) m
 """
+
+
+def _varlag_arm_sql() -> str:
+    """Oracle arm for the varlag_* members of q_mv_corr —
+    find_optimal_lag_order (functions/var_select.py:15). Per candidate
+    order p∈{1,2,3}: the two-equation VAR OLS solves through the
+    dimension-agnostic Gauss-Jordan CTE (k = 1+2p normal equations per
+    equation), residuals rejoin the design rows by t, the 2x2 residual
+    covariance gives logdet, and AIC/BIC = logdet + penalty·k·(k·p+1)/
+    rows exactly as the engine computes them. Picks via the engine's
+    first-smallest-on-ties argmin (ORDER BY score, p). The series pair
+    is the two alphabetically-first ids — corpus-agnostic, matching
+    the member."""
+    lag_cols = ", ".join(
+        f"lag(y{s}, {i}) OVER (ORDER BY t) AS x{s}_{i}"
+        for i in (1, 2, 3) for s in (1, 2)
+    )
+    blocks, score_sel = [], []
+    for p in (1, 2, 3):
+        k = 1 + 2 * p
+        xs = "[1.0, " + ", ".join(
+            f"x{s}_{i}" for i in range(1, p + 1) for s in (1, 2)
+        ) + "]"
+        blocks.append(f"""
+        v{p}d AS (
+            SELECT 'e1' AS series_id, t, y1 AS yy, {xs} AS xs
+            FROM vd WHERE t > {p}
+            UNION ALL
+            SELECT 'e2', t, y2, {xs} FROM vd WHERE t > {p}
+        ),
+        v{p}A AS (
+            SELECT series_id, ii.i AS i, jj.j AS j,
+                   sum(xs[ii.i] * xs[jj.j]) AS s
+            FROM v{p}d,
+                 (SELECT unnest(range(1, {k + 1})) AS i) ii,
+                 (SELECT unnest(range(1, {k + 1})) AS j) jj
+            GROUP BY 1, 2, 3
+        ),
+        v{p}b AS (
+            SELECT series_id, ii.i AS i, sum(xs[ii.i] * yy) AS s
+            FROM v{p}d, (SELECT unnest(range(1, {k + 1})) AS i) ii
+            GROUP BY 1, 2
+        ),
+        v{p}row AS (
+            SELECT series_id, i, array_agg(s ORDER BY j) AS arow
+            FROM v{p}A GROUP BY 1, 2
+        ),
+        v{p}mat AS (
+            SELECT r.series_id,
+                   array_agg(list_append(r.arow, b.s) ORDER BY r.i) AS mat
+            FROM v{p}row r
+            JOIN v{p}b b ON b.series_id = r.series_id AND b.i = r.i
+            GROUP BY 1
+        ),
+        {_gj_cte(f"v{p}gj", f"v{p}mat", k).strip()},
+        v{p}res AS (
+            SELECT d.series_id, d.t,
+                   d.yy - list_sum(list_transform(range(1, {k + 1}),
+                       i -> d.xs[i] * g.beta[i])) AS r
+            FROM v{p}d d JOIN v{p}gj_beta g USING (series_id)
+        ),
+        v{p}sc AS (
+            SELECT {p} AS p,
+                   ln((sum(a.r * a.r) / count(*))
+                      * (sum(b.r * b.r) / count(*))
+                      - (sum(a.r * b.r) / count(*))
+                      * (sum(a.r * b.r) / count(*)))
+                       + 2.0 * {2 * (2 * p + 1)} / count(*) AS aic,
+                   ln((sum(a.r * a.r) / count(*))
+                      * (sum(b.r * b.r) / count(*))
+                      - (sum(a.r * b.r) / count(*))
+                      * (sum(a.r * b.r) / count(*)))
+                       + ln(count(*)) * {2 * (2 * p + 1)} / count(*) AS bic
+            FROM v{p}res a JOIN v{p}res b
+              ON a.t = b.t AND a.series_id = 'e1' AND b.series_id = 'e2'
+        )""")
+        score_sel.append(f"SELECT p, aic, bic FROM v{p}sc")
+    scores_union = "\n            UNION ALL\n            ".join(score_sel)
+    ctes = ",".join(blocks)
+    return f"""
+        SELECT m.series_a, m.series_b, m.lag, m.corr
+        FROM (
+            WITH RECURSIVE series AS (
+                SELECT event_type AS series_id,
+                       date_trunc('day', ts)::DATE AS ds,
+                       SUM(value)::DOUBLE AS y
+                FROM events GROUP BY 1, 2
+            ),
+            vw AS (
+                SELECT ds,
+                       max(CASE WHEN srn = 1 THEN y END) AS y1,
+                       max(CASE WHEN srn = 2 THEN y END) AS y2
+                FROM (
+                    SELECT s.series_id, s.ds, s.y, d.srn
+                    FROM series s
+                    JOIN (SELECT series_id,
+                                 row_number() OVER (ORDER BY series_id)
+                                     AS srn
+                          FROM (SELECT DISTINCT series_id FROM series))
+                        d USING (series_id)
+                    WHERE d.srn <= 2
+                )
+                GROUP BY ds
+            ),
+            vt AS (
+                SELECT row_number() OVER (ORDER BY ds) AS t, y1, y2
+                FROM vw
+            ),
+            vd AS (
+                SELECT t, y1, y2, {lag_cols}
+                FROM vt
+            ),
+            {ctes.strip()},
+            vsc AS (
+                {scores_union}
+            )
+            SELECT 'varlag_aic' AS series_a, p::VARCHAR AS series_b,
+                   p::BIGINT AS lag, round(aic, 6) AS corr FROM vsc
+            UNION ALL
+            SELECT 'varlag_bic', p::VARCHAR, p::BIGINT, round(bic, 6)
+            FROM vsc
+            UNION ALL
+            SELECT 'varlag_pick', 'aic', p::BIGINT, p::DOUBLE FROM vsc
+            QUALIFY row_number() OVER (ORDER BY aic ASC, p ASC) = 1
+            UNION ALL
+            SELECT 'varlag_pick', 'bic', p::BIGINT, p::DOUBLE FROM vsc
+            QUALIFY row_number() OVER (ORDER BY bic ASC, p ASC) = 1
+        ) m
+    """
+
+
+def _coint_arm_sql() -> str:
+    """Oracle arm for the coint_* members of q_mv_corr —
+    find_optimal_coint_rank (models/vecm.py:70, Johansen 1991 trace
+    test). For the 2-series subset the generalized eigenproblem is
+    closed-form: residualize ΔY_t and Y_{t-1} on [1, ΔY_{t-1}]
+    (centered 2-regressor OLS), form S00/S01/S11 as residual product
+    moments, and the eigenvalues of M = S11⁻¹S01ᵀS00⁻¹S01 come from
+    the quadratic tr/det formula (det M = det(S01)²/(det S00·det S11)).
+    Trace statistics use the engine's exact clip bounds; rank =
+    smallest r whose trace clears the Osterwald-Lenum 5% critical."""
+
+    def _resid(v: str) -> str:
+        """Residual of v on [1, a, b] via centered normal equations."""
+        det = "(vaa * vbb - vab * vab)"
+        ba = f"((c_a_{v} * vbb - c_b_{v} * vab) / {det})"
+        bb = f"((c_b_{v} * vaa - c_a_{v} * vab) / {det})"
+        return (
+            f"(j.{v} - st.m_{v}) - {ba} * (j.a - st.ma)"
+            f" - {bb} * (j.b - st.mb)"
+        )
+
+    agg = ["covar_pop(a, a) AS vaa", "covar_pop(a, b) AS vab",
+           "covar_pop(b, b) AS vbb", "avg(a) AS ma", "avg(b) AS mb",
+           "count(*) AS rows_"]
+    for v in ("d1", "d2", "ly1", "ly2"):
+        agg += [f"covar_pop(a, {v}) AS c_a_{v}",
+                f"covar_pop(b, {v}) AS c_b_{v}",
+                f"avg({v}) AS m_{v}"]
+    agg_sql = ",\n                   ".join(agg)
+    resid_cols = ",\n                   ".join(
+        f"{_resid(v)} AS r_{v}" for v in ("d1", "d2", "ly1", "ly2")
+    )
+    smoms = []
+    for i, ri in enumerate(("r_d1", "r_d2"), 1):
+        for j, rj in enumerate(("r_d1", "r_d2"), 1):
+            if j >= i:
+                smoms.append(f"avg({ri} * {rj}) AS s00_{i}{j}")
+        for j, rj in enumerate(("r_ly1", "r_ly2"), 1):
+            smoms.append(f"avg({ri} * {rj}) AS s01_{i}{j}")
+    for i, ri in enumerate(("r_ly1", "r_ly2"), 1):
+        for j, rj in enumerate(("r_ly1", "r_ly2"), 1):
+            if j >= i:
+                smoms.append(f"avg({ri} * {rj}) AS s11_{i}{j}")
+    smom_sql = ",\n                   ".join(smoms)
+    return f"""
+        SELECT m.series_a, m.series_b, m.lag, m.corr
+        FROM (
+            WITH series AS (
+                SELECT event_type AS series_id,
+                       date_trunc('day', ts)::DATE AS ds,
+                       SUM(value)::DOUBLE AS y
+                FROM events GROUP BY 1, 2
+            ),
+            cw AS (
+                SELECT ds,
+                       max(CASE WHEN srn = 1 THEN y END) AS y1,
+                       max(CASE WHEN srn = 2 THEN y END) AS y2
+                FROM (
+                    SELECT s.series_id, s.ds, s.y, d.srn
+                    FROM series s
+                    JOIN (SELECT series_id,
+                                 row_number() OVER (ORDER BY series_id)
+                                     AS srn
+                          FROM (SELECT DISTINCT series_id FROM series))
+                        d USING (series_id)
+                    WHERE d.srn <= 2
+                )
+                GROUP BY ds
+            ),
+            ct AS (
+                SELECT row_number() OVER (ORDER BY ds) AS t, y1, y2
+                FROM cw
+            ),
+            cdy0 AS (
+                SELECT t,
+                       y1 - lag(y1) OVER w AS d1,
+                       y2 - lag(y2) OVER w AS d2,
+                       lag(y1) OVER w AS ly1,
+                       lag(y2) OVER w AS ly2
+                FROM ct WINDOW w AS (ORDER BY t)
+            ),
+            cdy AS (
+                SELECT t, d1, d2, ly1, ly2,
+                       lag(d1) OVER (ORDER BY t) AS a,
+                       lag(d2) OVER (ORDER BY t) AS b
+                FROM cdy0
+            ),
+            cj AS (SELECT * FROM cdy WHERE a IS NOT NULL),
+            cst AS (
+                SELECT {agg_sql}
+                FROM cj
+            ),
+            cres AS (
+                SELECT {resid_cols}
+                FROM cj j, cst st
+            ),
+            cmom AS (
+                SELECT {smom_sql},
+                       (SELECT rows_ FROM cst) AS rows_
+                FROM cres
+            ),
+            ceig AS (
+                SELECT rows_,
+                       -- M = S11^-1 S01^T S00^-1 S01; closed-form 2x2
+                       (s11_22 * (s01_11 * bb11 + s01_21 * bb21)
+                        - s11_12 * (s01_12 * bb11 + s01_22 * bb21)) / d11
+                       + (s11_11 * (s01_12 * bb12 + s01_22 * bb22)
+                          - s11_12 * (s01_11 * bb12 + s01_21 * bb22))
+                         / d11 AS trm,
+                       ((s01_11 * s01_22 - s01_12 * s01_21)
+                        * (s01_11 * s01_22 - s01_12 * s01_21))
+                       / (d00 * d11) AS detm
+                FROM (
+                    SELECT *,
+                           s00_11 * s00_22 - s00_12 * s00_12 AS d00,
+                           s11_11 * s11_22 - s11_12 * s11_12 AS d11,
+                           -- B = S00^-1 S01
+                           (s00_22 * s01_11 - s00_12 * s01_21) /
+                               (s00_11 * s00_22 - s00_12 * s00_12) AS bb11,
+                           (s00_22 * s01_12 - s00_12 * s01_22) /
+                               (s00_11 * s00_22 - s00_12 * s00_12) AS bb12,
+                           (s00_11 * s01_21 - s00_12 * s01_11) /
+                               (s00_11 * s00_22 - s00_12 * s00_12) AS bb21,
+                           (s00_11 * s01_22 - s00_12 * s01_12) /
+                               (s00_11 * s00_22 - s00_12 * s00_12) AS bb22
+                    FROM cmom
+                )
+            ),
+            clam AS (
+                SELECT rows_,
+                       least(greatest((trm + sqrt(greatest(
+                           trm * trm - 4 * detm, 0.0))) / 2, 1e-12),
+                           1.0 - 1e-12) AS lam1,
+                       least(greatest((trm - sqrt(greatest(
+                           trm * trm - 4 * detm, 0.0))) / 2, 1e-12),
+                           1.0 - 1e-12) AS lam2
+                FROM ceig
+            ),
+            ctr AS (
+                SELECT rows_,
+                       -rows_ * (ln(1 - lam1) + ln(1 - lam2)) AS tr0,
+                       -rows_ * ln(1 - lam2) AS tr1
+                FROM clam
+            )
+            SELECT 'coint_trace' AS series_a, '0' AS series_b,
+                   0::BIGINT AS lag, round(tr0, 6) AS corr FROM ctr
+            UNION ALL
+            SELECT 'coint_trace', '1', 1, round(tr1, 6) FROM ctr
+            UNION ALL
+            SELECT 'coint_crit', '0', 0, 15.41 FROM ctr
+            UNION ALL
+            SELECT 'coint_crit', '1', 1, 3.76 FROM ctr
+            UNION ALL
+            SELECT 'coint_pick', 'rank',
+                   CASE WHEN tr0 < 15.41 THEN 0
+                        WHEN tr1 < 3.76 THEN 1 ELSE 2 END,
+                   CASE WHEN tr0 < 15.41 THEN 0.0
+                        WHEN tr1 < 3.76 THEN 1.0 ELSE 2.0 END
+            FROM ctr
+        ) m
+    """
 
 
 def _fst_arm_sql(tag: str, series_cte: str) -> str:
@@ -4651,6 +5018,10 @@ def oracle_sql() -> dict[str, str]:
         UNION ALL
         SELECT 'click' AS series_a, 'purchase' AS series_b, lag, corr
         FROM ({o["mv_corr_lags"]})
+        UNION ALL
+        {_varlag_arm_sql()}
+        UNION ALL
+        {_coint_arm_sql()}
     """
     o["ts_smoothing_family"] = f"""
         SELECT a.series_id, a.ds, a.forecast AS fc_ses,

@@ -209,6 +209,29 @@ def main():
             "window; retune the break offset/slopes"
         )
 
+    # MV searches (varlag_* / coint_* members of mv_corr): argmin and
+    # threshold margins
+    mv = {
+        (r["series_a"], r["series_b"]): r["corr"]
+        for r in e._varlag_member(spark, sf_dir).collect()
+    }
+    aics = sorted(v for (a, _), v in mv.items() if a == "varlag_aic")
+    bics = sorted(v for (a, _), v in mv.items() if a == "varlag_bic")
+    co = {
+        (r["series_a"], r["series_b"]): r["corr"]
+        for r in e._coint_member(spark, sf_dir).collect()
+    }
+    mv_margins = {
+        "varlag AIC winner": aics[1] - aics[0],
+        "varlag BIC winner": bics[1] - bics[0],
+        "coint trace0 vs crit": abs(co[("coint_trace", "0")] - 15.41),
+        "coint trace1 vs crit": abs(co[("coint_trace", "1")] - 3.76),
+    }
+    for k, v in mv_margins.items():
+        print(f"mv-search decision margin {k}: {v:.3e} (need > 1e-4)")
+        if v <= 1e-4:
+            failures.append(f"mv-search margin {k} too thin")
+
     print("\nrunning the full oracle gate ...")
     rc = subprocess.call(
         [sys.executable, os.path.join(os.path.dirname(__file__),
