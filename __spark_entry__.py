@@ -2730,10 +2730,17 @@ def q_text_c4(spark, sf_dir):
     )
 
 
-def q_text_analysis(spark, sf_dir):
+def q_text_analysis_base(spark, sf_dir):
     """Token count + quality score + lang-ID + fingerprint +
     exact-substring duplication + trigram-LM + C4/Gopher structure
-    signals per doc.
+    signals per doc; round 11 joins in the ExactSubstr dedup ACTION
+    (remove_duplicate_spans — Lee 2022's cut, keep-first semantics)
+    certified by a text fingerprint: dedup_fp = md5 of the post-cut
+    text, so the hash pins the byte-exact surgery (verbatim untouched
+    docs, space-rejoined survivors), and n_dedup_removed pins the
+    accounting. The bench keeps timing the round-1-comparable
+    composition (q_text_signals_bench) plus a NEW text_dedup_cut line,
+    same split convention as dedup_exact.
 
     Physical shape: the four PER-ROW members (quality, lang-ID,
     fingerprint, C4) compose as chained projections over ONE corpus
@@ -2768,6 +2775,34 @@ def q_text_analysis(spark, sf_dir):
     d = q_text_dup_signals(spark, sf_dir)
     e = q_text_trigram_lm(spark, sf_dir)
     return base.join(d, ["doc_id"]).join(e, ["doc_id"])
+
+
+def q_text_signals_bench(spark, sf_dir):
+    """The round-1-comparable text_signals composition (bench series
+    continuity; the GATE's text_analysis adds the r11 dedup-cut
+    member on top)."""
+    return q_text_analysis_base(spark, sf_dir)
+
+
+def q_text_dedup_cut(spark, sf_dir):
+    """ExactSubstr dedup cut alone (bench line + gate member source):
+    per doc, words removed by the keep-first duplicate-span surgery
+    and the md5 fingerprint of the post-cut text."""
+    from scalecast_spark.datapipe.text import remove_duplicate_spans
+
+    return remove_duplicate_spans(_docs(spark, sf_dir)).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("n_dedup_removed"),
+        F.md5("text_dedup").alias("dedup_fp"),
+    )
+
+
+def q_text_analysis(spark, sf_dir):
+    """GATE composition: the round-1 signals + the r11 dedup-cut
+    member (see q_text_analysis_base docstring)."""
+    return q_text_analysis_base(spark, sf_dir).join(
+        q_text_dedup_cut(spark, sf_dir), ["doc_id"]
+    )
 
 
 def q_sim_topk(spark, sf_dir):
@@ -5115,6 +5150,85 @@ def oracle_sql() -> dict[str, str]:
                coalesce(p.dup_span_words, 0)::BIGINT AS dup_span_words
         FROM documents d LEFT JOIN per_doc p USING (doc_id)
     """
+    # r11: the ExactSubstr dedup CUT (text.remove_duplicate_spans,
+    # keep_first=True). Same window/span machinery as text_dup_signals
+    # (string-keyed grouping ≙ the engine's xxhash64 buckets), PLUS the
+    # canonical-occurrence exclusion (min(doc_id·1e7 + pos) per window
+    # survives) and the byte-exact surgery: untouched docs keep their
+    # ORIGINAL text verbatim, cut docs are rebuilt from the surviving
+    # ORIGINAL-CASE tokens space-joined — md5'd on both sides, so the
+    # hash certifies the string surgery itself, not just counts
+    o["text_dedup_cut"] = r"""
+        WITH ws AS (
+            SELECT doc_id,
+                   list_filter(string_split(regexp_replace(
+                       lower(trim(text)), '\s+', ' ', 'g'), ' '),
+                       x -> len(x) > 0) AS w,
+                   list_filter(string_split(regexp_replace(
+                       trim(text), '\s+', ' ', 'g'), ' '),
+                       x -> len(x) > 0) AS wo
+            FROM documents
+        ),
+        ng AS (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, greatest(len(w) - 6, 1)),
+                       i -> array_to_string(w[i:i+7], ' '))) AS g,
+                   unnest(range(0, greatest(len(w) - 7, 0))) AS pos
+            FROM ws
+        ),
+        dupc AS (
+            SELECT g, min(doc_id * 10000000 + pos) AS c0
+            FROM ng GROUP BY g HAVING count(*) >= 2
+        ),
+        hits AS (
+            SELECT n.doc_id, n.pos
+            FROM ng n JOIN dupc d USING (g)
+            WHERE n.doc_id * 10000000 + n.pos <> d.c0
+        ),
+        brk AS (
+            SELECT doc_id, pos,
+                   CASE WHEN lag(pos) OVER w IS NULL THEN 1
+                        WHEN pos > lag(pos) OVER w + 8 THEN 1
+                        ELSE 0 END AS b
+            FROM hits WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+        ),
+        isl AS (
+            SELECT doc_id, pos,
+                   sum(b) OVER (PARTITION BY doc_id ORDER BY pos
+                       ROWS UNBOUNDED PRECEDING) AS i
+            FROM brk
+        ),
+        spans AS (
+            SELECT doc_id, min(pos) AS s, max(pos) + 7 AS e
+            FROM isl GROUP BY doc_id, i
+        ),
+        sp AS (
+            SELECT doc_id, array_agg({'s': s, 'e': e}) AS sps
+            FROM spans GROUP BY doc_id
+        ),
+        cut AS (
+            SELECT w.doc_id, d.text, sp.sps, w.wo,
+                   list_transform(
+                       list_filter(range(0, len(w.wo)), i ->
+                           len(list_filter(sp.sps, x ->
+                               i >= x.s AND i <= x.e)) = 0),
+                       i -> w.wo[i + 1]) AS kept
+            FROM ws w
+            JOIN documents d USING (doc_id)
+            LEFT JOIN sp USING (doc_id)
+        )
+        SELECT doc_id,
+               CASE WHEN sps IS NULL THEN 0
+                    ELSE len(wo) - len(kept) END::BIGINT
+                   AS n_dedup_removed,
+               md5(CASE WHEN sps IS NULL THEN text
+                        -- array_to_string([]) is NULL in DuckDB but
+                        -- Spark's array_join gives '' — a fully-cut
+                        -- doc must fingerprint the empty string
+                        ELSE coalesce(array_to_string(kept, ' '), '')
+                   END) AS dedup_fp
+        FROM cut
+    """
     # corpus-self-trained unconditional trigram LM: avg ln(C3/N) per
     # doc; round(4) because a per-doc float mean is summation-order
     # sensitive across engines
@@ -5217,13 +5331,14 @@ def oracle_sql() -> dict[str, str]:
                f.bullet_line_frac, f.ellipsis_line_frac,
                f.alpha_word_frac, f.symbol_word_ratio, f.n_sentences,
                f.stop_hits_gopher, f.has_lorem_ipsum, f.has_curly_brace,
-               f.has_js_marker
+               f.has_js_marker, g.n_dedup_removed, g.dedup_fp
         FROM ({o["text_quality"]}) a
         JOIN ({o["text_lang_id"]}) b ON a.doc_id = b.doc_id
         JOIN ({o["text_fingerprint"]}) c ON a.doc_id = c.doc_id
         JOIN ({o["text_dup_signals"]}) dd ON a.doc_id = dd.doc_id
         JOIN ({o["text_trigram_lm"]}) e ON a.doc_id = e.doc_id
         JOIN ({o["text_c4"]}) f ON a.doc_id = f.doc_id
+        JOIN ({o["text_dedup_cut"]}) g ON a.doc_id = g.doc_id
     """
     o["sim_topk"] = f"""
         SELECT 'brute' AS method, vec_id, cosine_sim

@@ -42,7 +42,11 @@ HEADLINE = {
     "text_lang_id": "q_text_lang_id",
     "text_tfidf": "q_text_tfidf",
     "text_curation": "q_text_curation",
-    "text_signals": "q_text_analysis",
+    # round 11: the GATE's text_analysis gained the ExactSubstr
+    # dedup-cut member; the bench keeps timing the round-1-comparable
+    # composition (same split convention as dedup_exact) and the cut
+    # gets its own line below
+    "text_signals": "q_text_signals_bench",
     "text_c4": "q_text_c4",
     "docs_sample": "q_docs_sample_strat",
     "corpus_select": "q_docs_sample",
@@ -65,6 +69,10 @@ HEADLINE = {
     # (BASELINE.md parity shape) — so Forecaster-surface regressions
     # are visible in the bench, not only query-shaped paths
     "forecaster_ttf": "q_forecaster_ttf",
+    # round 11: the ExactSubstr dedup ACTION (duplicate-span cut with
+    # keep-first survivors) — detection + surgery, hash-gated via the
+    # text_analysis dedup_fp member
+    "text_dedup_cut": "q_text_dedup_cut",
 }
 
 # the round-1 query set — the BASELINE.md comparison basis. Queries

@@ -1310,6 +1310,26 @@ def remove_contaminated_spans(
     spans collected into an array via one groupBy — the corpus body
     never joins against exploded n-grams."""
     spans = contaminated_spans(docs, benchmark, n, text_col, id_col)
+    return _cut_spans(
+        docs, spans, text_col, id_col, "text_decontam", "n_removed_tokens"
+    )
+
+
+def _cut_spans(
+    docs: DataFrame,
+    spans: DataFrame,
+    text_col: str,
+    id_col: str,
+    out_text: str,
+    out_n: str,
+) -> DataFrame:
+    """Shared span-surgery core of remove_contaminated_spans and
+    remove_duplicate_spans: cut every (span_start, span_end) word span
+    (0-based inclusive indices into the normalized token stream) out of
+    each document and rejoin the remainder. Same text contract as the
+    decontamination op documents: untouched documents keep their
+    ORIGINAL bytes verbatim; cut documents are rebuilt from the
+    surviving ORIGINAL-CASE tokens joined by single spaces."""
 
     def fresh(name: str) -> str:
         while name in docs.columns:
@@ -1317,10 +1337,10 @@ def remove_contaminated_spans(
         return name
 
     c_sp, c_ws = fresh("_dc_spans"), fresh("_dc_ws")
-    if "text_decontam" in docs.columns or "n_removed_tokens" in docs.columns:
+    if out_text in docs.columns or out_n in docs.columns:
         raise ValueError(
-            "docs already carry text_decontam/n_removed_tokens — "
-            "remove or rename them before re-running decontamination"
+            f"docs already carry {out_text}/{out_n} — remove or rename "
+            f"them before re-running the span cut"
         )
     per_doc = spans.groupBy(id_col).agg(
         F.collect_list(F.struct("span_start", "span_end")).alias(c_sp)
@@ -1351,14 +1371,90 @@ def remove_contaminated_spans(
     cleaned = F.array_join(F.transform(kept, lambda p: p["w"]), " ")
     return (
         out.withColumn(
-            "text_decontam",
+            out_text,
             F.when(F.col(c_sp).isNull(), F.col(text_col)).otherwise(cleaned),
         )
         .withColumn(
-            "n_removed_tokens",
+            out_n,
             F.when(
                 F.col(c_sp).isNull(), F.lit(0)
             ).otherwise(F.size(F.col(c_ws)) - F.size(kept)).cast("long"),
         )
         .drop(c_ws, c_sp)
+    )
+
+
+def remove_duplicate_spans(
+    docs: DataFrame,
+    k: int = 8,
+    min_count: int = 2,
+    keep_first: bool = True,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The ExactSubstr dedup ACTION (Lee et al. 2022 §4 — their
+    dedup removes duplicated substrings rather than whole documents;
+    :func:`repeated_spans` is the detector, this is the cut): every
+    corpus-duplicated k-token window is removed from the token stream
+    and the remainder rejoined. Adds ``text_dedup`` and
+    ``n_dedup_removed``; same text contract as the decontamination cut
+    (untouched docs byte-verbatim; cut docs rebuilt space-joined).
+
+    ``keep_first=True`` (the Lee semantics) leaves the
+    lexicographically-FIRST occurrence of each duplicated window —
+    lowest (doc_id, position) — in place, so exactly one copy of the
+    content survives the corpus; note a surviving window's words can
+    still fall to a DIFFERENT window's removal if the two overlap
+    (span surgery is word-level). ``keep_first=False`` cuts every
+    occurrence (the decontamination semantics).
+
+    Shape: identical to repeated_spans — the shuffle carries 8-byte
+    window hashes and positions, never text; the canonical-occurrence
+    choice is one min() in the same aggregate that counts the window;
+    the corpus body never joins against exploded n-grams."""
+    from pyspark.sql import Window
+
+    from scalecast_spark.datapipe.dedup import _spread
+
+    ws = docs.repartition(_spread(docs), id_col).select(
+        id_col, split_words(_norm(F.col(text_col))).alias("_ws")
+    )
+    pos_ng = (
+        ws.select(
+            id_col,
+            F.posexplode(ngram_chain(F.col("_ws"), k)).alias("_pos", "_ng"),
+        )
+        .select(id_col, "_pos", F.xxhash64("_ng").alias("_h"))
+    )
+    # occurrence key: doc_id * 1e7 + position — total order matching
+    # (doc_id, pos) lexicographic order for positions < 1e7
+    okey = F.col(id_col) * F.lit(10_000_000) + F.col("_pos")
+    dup = (
+        pos_ng.groupBy("_h")
+        .agg(F.count("*").alias("_c"), F.min(okey).alias("_c0"))
+        .filter(F.col("_c") >= min_count)
+        .select("_h", "_c0")
+    )
+    hits = pos_ng.join(dup, "_h")
+    if keep_first:
+        hits = hits.filter(okey != F.col("_c0"))
+    w = Window.partitionBy(id_col).orderBy("_pos")
+    brk = F.when(F.lag("_pos").over(w).isNull(), 1).when(
+        F.col("_pos") > F.lag("_pos").over(w) + k, 1
+    ).otherwise(0)
+    isl = F.sum("_brk").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    spans = (
+        hits.withColumn("_brk", brk)
+        .withColumn("_isl", isl)
+        .groupBy(id_col, "_isl")
+        .agg(
+            F.min("_pos").alias("span_start"),
+            (F.max("_pos") + (k - 1)).alias("span_end"),
+        )
+        .drop("_isl")
+    )
+    return _cut_spans(
+        docs, spans, text_col, id_col, "text_dedup", "n_dedup_removed"
     )

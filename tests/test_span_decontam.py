@@ -123,3 +123,80 @@ def test_clean_docs_keep_bytes_and_cut_docs_keep_case(spark):
         remove_contaminated_spans(
             remove_contaminated_spans(docs, bench), bench
         )
+
+
+def test_remove_duplicate_spans_keep_first(spark):
+    """Lee 2022 ExactSubstr dedup ACTION: the lexicographically-first
+    occurrence of a duplicated window survives byte-verbatim; later
+    occurrences are cut with surrounding unique text preserved; clean
+    docs are untouched bytes."""
+    from scalecast_spark.datapipe.text import remove_duplicate_spans
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+            (2, "XX alpha beta gamma delta epsilon zeta eta theta iota kappa YY"),
+            (3, "totally unique content here with no repeats at all okay fine"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r
+        for r in remove_duplicate_spans(docs, k=8, min_count=2).collect()
+    }
+    assert got[1]["n_dedup_removed"] == 0
+    assert got[1]["text_dedup"] == docs.collect()[0]["text"]  # canonical
+    assert got[2]["n_dedup_removed"] == 10
+    assert got[2]["text_dedup"] == "XX YY"
+    assert got[3]["n_dedup_removed"] == 0
+    assert (
+        got[3]["text_dedup"]
+        == "totally unique content here with no repeats at all okay fine"
+    )
+
+
+def test_remove_duplicate_spans_cut_all(spark):
+    """keep_first=False cuts EVERY occurrence (decontam semantics)."""
+    from scalecast_spark.datapipe.text import remove_duplicate_spans
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+            (2, "XX alpha beta gamma delta epsilon zeta eta theta iota kappa YY"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r
+        for r in remove_duplicate_spans(
+            docs, k=8, min_count=2, keep_first=False
+        ).collect()
+    }
+    assert got[1]["n_dedup_removed"] == 10
+    assert got[1]["text_dedup"] == ""
+    assert got[2]["n_dedup_removed"] == 10
+    assert got[2]["text_dedup"] == "XX YY"
+
+
+def test_remove_duplicate_spans_accounting_matches_signals(spark, sf_dir):
+    """On the real corpus with keep_first=False, the words each doc
+    loses must equal add_duplication_signals' dup_span_words — the cut
+    and the detector share one span definition."""
+    from scalecast_spark.datapipe.text import (
+        add_duplication_signals,
+        remove_duplicate_spans,
+    )
+    from scalecast_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    cut = remove_duplicate_spans(docs, keep_first=False).select(
+        "doc_id", "n_dedup_removed"
+    )
+    sig = add_duplication_signals(docs).select("doc_id", "dup_span_words")
+    diff = (
+        cut.join(sig, "doc_id")
+        .filter("n_dedup_removed <> dup_span_words")
+        .count()
+    )
+    assert diff == 0
+    assert cut.filter("n_dedup_removed > 0").count() > 0
