@@ -163,6 +163,20 @@ def crossdedup_smj_pipeline(docs):
     ).select("doc_id")
 
 
+def dedupcut_pipeline(docs):
+    """Round-11 ExactSubstr dedup ACTION (text.remove_duplicate_spans,
+    keep-first): detection shuffles carry 8-byte window hashes, the
+    surgery is a per-row filter against each doc's few merged spans —
+    wall time should track corpus size ~linearly on the mutate axis;
+    the exact axis (every doc a 16-clique) stresses the hit volume
+    (all-but-one copy of everything is removed)."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from scalecast_spark.datapipe.text import remove_duplicate_spans
+
+    return remove_duplicate_spans(docs).filter(F.col("n_dedup_removed") > 0)
+
+
 def signals_pipeline(docs):
     """Round-4 text additions: the Gopher char-fraction Arrow kernel +
     C4 structure signals + fixed-window chunking + a BM25 query — all
@@ -624,7 +638,7 @@ def main():
     # non-docs blocks). Unknown names are an ERROR — a typo must not
     # skip every probe and exit 0 as a green run.
     known = {"dedup", "dedup_cap", "curation", "selection", "signals",
-             "embed", "crossdedup", "crossd_smj",
+             "embed", "crossdedup", "crossd_smj", "dedupcut",
              "embedding", "trainers", "serve", "streamstate", "delete"}
     only = set(sys.argv[2:])
     unknown = only - known
@@ -649,6 +663,7 @@ def main():
                          ("curation", curation_pipeline),
                          ("selection", selection_pipeline),
                          ("signals", signals_pipeline),
+                         ("dedupcut", dedupcut_pipeline),
                          ("embed", embed_pipeline),
                          ("crossdedup", crossdedup_pipeline),
                          ("crossd_smj", crossdedup_smj_pipeline)]:
