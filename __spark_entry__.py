@@ -16,6 +16,7 @@ Cross-engine parity conventions:
 
 from __future__ import annotations
 
+import math
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, functions as F, Window as W
@@ -2215,15 +2216,35 @@ def q_dedup_clusters(spark, sf_dir):
     propagation), marking the min-id canonical survivor per cluster —
     the keep-one-per-group step of corpus near-dedup. The oracle
     computes the same components via a recursive-CTE transitive
-    closure, so the iterative distributed algorithm hash-matches."""
-    from scalecast_spark.datapipe.dedup import duplicate_clusters
+    closure, so the iterative distributed algorithm hash-matches.
+
+    Round 11 adds the QUALITY-representative member: the production
+    keep_best_per_cluster (argmax score per cluster, score DESC /
+    id ASC ties, missing-score members kept but never elected) driven
+    by a deterministic per-doc score (text length), so the survivor
+    ELECTION rule is hash-certified alongside the min-id one."""
+    from scalecast_spark.datapipe.dedup import (
+        duplicate_clusters,
+        keep_best_per_cluster,
+    )
 
     pairs = q_dedup_jaccard_pairs(spark, sf_dir).select("id_a", "id_b")
-    out = duplicate_clusters(pairs)
-    return out.select(
-        F.col("node").cast("long").alias("doc_id"),
+    out = duplicate_clusters(pairs).select(
+        F.col("node").cast("long").alias("node"), "cluster"
+    )
+    scores = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.length("text").cast("long").alias("q_len"),
+    )
+    best = keep_best_per_cluster(out, scores, "q_len", id_col="doc_id")
+    return best.select(
+        "doc_id",
         F.col("cluster").cast("long").alias("cluster"),
-        (F.col("node") == F.col("cluster")).cast("long").alias("is_canonical"),
+        (F.col("doc_id") == F.col("cluster")).cast("long").alias(
+            "is_canonical"
+        ),
+        "q_len",
+        F.col("keep").cast("long").alias("is_best"),
     )
 
 
@@ -2797,11 +2818,45 @@ def q_text_dedup_cut(spark, sf_dir):
     )
 
 
+#: Fixed scoring weights for the quality-classifier gate member: the
+#: GATE certifies the SCAN-SIDE production path (feature hashing +
+#: literal-weight dot product + sigmoid, quality_model.score_quality),
+#: not training (training is pytest-certified: separation, determinism,
+#: MLlib agreement). Python-computed once, embedded as exact decimal
+#: literals on BOTH sides so no cross-engine libm question arises for
+#: the weights themselves.
+QM_N_FEATURES = 64
+QM_WEIGHTS = [
+    round(math.sin(1.0 + 0.37 * j) * 2.0, 6) for j in range(QM_N_FEATURES)
+] + [-0.125]
+
+
+def q_text_qmodel(spark, sf_dir):
+    """Quality-classifier scoring alone (gate member source): the
+    production scan-side scorer (datapipe/quality_model.score_quality)
+    with a fixed literal weight vector and the md5 hasher (the
+    cross-engine-replayable bucket mode) — q_model_score = σ(bias +
+    Σ w[bucket(token)]/n_tokens) over words + word-bigrams."""
+    from scalecast_spark.datapipe.quality_model import score_quality
+
+    docs = _docs(spark, sf_dir)
+    return score_quality(
+        docs, QM_WEIGHTS, text_col="text", bigrams=True, hasher="md5"
+    ).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "q_model_score",
+        F.col("q_model_keep").cast("long").alias("q_model_keep"),
+    )
+
+
 def q_text_analysis(spark, sf_dir):
     """GATE composition: the round-1 signals + the r11 dedup-cut
-    member (see q_text_analysis_base docstring)."""
-    return q_text_analysis_base(spark, sf_dir).join(
-        q_text_dedup_cut(spark, sf_dir), ["doc_id"]
+    member + the r11 quality-classifier scoring member (see
+    q_text_analysis_base docstring)."""
+    return (
+        q_text_analysis_base(spark, sf_dir)
+        .join(q_text_dedup_cut(spark, sf_dir), ["doc_id"])
+        .join(q_text_qmodel(spark, sf_dir), ["doc_id"])
     )
 
 
@@ -5322,6 +5377,52 @@ def oracle_sql() -> dict[str, str]:
         FROM lf JOIN sig s ON lf.doc_id = s.doc_id
     """
     )
+    # Quality-classifier scoring member: replay the hashing-trick
+    # feature map (md5 hasher mode — 60-bit digest slice % n_features,
+    # the simhash convention) and the literal-weight sigmoid. Tokens =
+    # words + word-bigrams, repeats kept; empty docs score the bias.
+    _qm_w = "[" + ", ".join(repr(w) for w in QM_WEIGHTS[:-1]) + "]"
+    _qm_b = repr(QM_WEIGHTS[-1])
+    o["text_qmodel"] = rf"""
+        WITH qm_norm AS (
+            SELECT doc_id,
+                   regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
+            FROM documents
+        ),
+        qm_words AS (
+            SELECT doc_id,
+                   list_filter(string_split(t, ' '), x -> len(x) > 0)
+                       AS words
+            FROM qm_norm
+        ),
+        qm_toks AS (
+            SELECT doc_id,
+                   list_concat(
+                       words,
+                       list_transform(range(1, len(words)),
+                           i -> words[i] || ' ' || words[i + 1])) AS toks
+            FROM qm_words
+        ),
+        qm_tok AS (
+            SELECT doc_id, unnest(toks) AS tok FROM qm_toks
+        ),
+        qm_sum AS (
+            SELECT doc_id, count(*) AS n,
+                   sum(({_qm_w})[
+                       (('0x' || substr(md5(tok), 1, 15))::BIGINT
+                        % {QM_N_FEATURES}) + 1]) AS s
+            FROM qm_tok GROUP BY doc_id
+        ),
+        qm AS (
+            SELECT w.doc_id,
+                   round(1.0 / (1.0 + exp(-({_qm_b}
+                       + coalesce(t.s / t.n, 0.0)))), 6) AS q_model_score
+            FROM qm_words w LEFT JOIN qm_sum t ON w.doc_id = t.doc_id
+        )
+        SELECT doc_id, q_model_score,
+               (q_model_score >= 0.5)::BIGINT AS q_model_keep
+        FROM qm
+    """
     o["text_analysis"] = f"""
         SELECT a.doc_id, a.n_tokens, a.q_punct_ratio, a.q_stopword_ratio,
                a.q_mean_word_len, a.q_score, b.lang_pred, b.is_correct,
@@ -5331,7 +5432,8 @@ def oracle_sql() -> dict[str, str]:
                f.bullet_line_frac, f.ellipsis_line_frac,
                f.alpha_word_frac, f.symbol_word_ratio, f.n_sentences,
                f.stop_hits_gopher, f.has_lorem_ipsum, f.has_curly_brace,
-               f.has_js_marker, g.n_dedup_removed, g.dedup_fp
+               f.has_js_marker, g.n_dedup_removed, g.dedup_fp,
+               h.q_model_score, h.q_model_keep
         FROM ({o["text_quality"]}) a
         JOIN ({o["text_lang_id"]}) b ON a.doc_id = b.doc_id
         JOIN ({o["text_fingerprint"]}) c ON a.doc_id = c.doc_id
@@ -5339,6 +5441,7 @@ def oracle_sql() -> dict[str, str]:
         JOIN ({o["text_trigram_lm"]}) e ON a.doc_id = e.doc_id
         JOIN ({o["text_c4"]}) f ON a.doc_id = f.doc_id
         JOIN ({o["text_dedup_cut"]}) g ON a.doc_id = g.doc_id
+        JOIN ({o["text_qmodel"]}) h ON a.doc_id = h.doc_id
     """
     o["sim_topk"] = f"""
         SELECT 'brute' AS method, vec_id, cosine_sim
@@ -5401,10 +5504,18 @@ def oracle_sql() -> dict[str, str]:
         lab AS (
             SELECT src AS node, least(src, min(dst)) AS cluster
             FROM reach GROUP BY src
+        ),
+        best AS (
+            SELECT l.node, l.cluster, len(d.text)::BIGINT AS q_len,
+                   (row_number() OVER (
+                        PARTITION BY l.cluster
+                        ORDER BY len(d.text) DESC NULLS LAST, l.node ASC
+                    ) = 1)::BIGINT AS is_best
+            FROM lab l JOIN documents d ON d.doc_id = l.node
         )
         SELECT node::BIGINT AS doc_id, cluster::BIGINT AS cluster,
-               (node = cluster)::BIGINT AS is_canonical
-        FROM lab
+               (node = cluster)::BIGINT AS is_canonical, q_len, is_best
+        FROM best
     """
 
     # corpus-selection family: stratified rates + per-source cap +

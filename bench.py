@@ -73,6 +73,10 @@ HEADLINE = {
     # keep-first survivors) — detection + surgery, hash-gated via the
     # text_analysis dedup_fp member
     "text_dedup_cut": "q_text_dedup_cut",
+    # round 11: quality-classifier scan-side scoring (fixed literal
+    # weights, md5 bucket mode) — hash-gated via the text_analysis
+    # q_model_score member; its own line keeps text_signals r1-stable
+    "text_qmodel": "q_text_qmodel",
 }
 
 # the round-1 query set — the BASELINE.md comparison basis. Queries

@@ -4,10 +4,12 @@ linear model on hashed n-gram features, score the whole corpus at
 scan speed.
 
 Feature space: the fastText/Vowpal hashing trick — tokens (and
-optionally word bigrams) hash into ``n_features`` buckets with
-xxhash64, values are L1-normalized counts. No vocabulary is ever
-built or shipped: the feature map is a pure function of the text, so
-scoring is a scan-side projection on any engine.
+optionally word bigrams) hash into ``n_features`` buckets (xxhash64
+by default; ``hasher='md5'`` for the cross-engine-replayable mode the
+oracle gate certifies), values are L1-normalized counts. No
+vocabulary is ever built or shipped: the feature map is a pure
+function of the text, so scoring is a scan-side projection on any
+engine.
 
 Two trainers:
   * ``backend='gd'`` (default) — full-batch logistic regression by
@@ -32,7 +34,29 @@ from pyspark.sql import Column, DataFrame, functions as F
 from scalecast_spark.datapipe.text import _norm, ngram_chain, split_words
 
 
-def _idxs_from_words(words: Column, n_features: int, bigrams: bool) -> Column:
+def _bucket(tok: Column, n_features: int, hasher: str) -> Column:
+    """Hash one token to a bucket index in [0, n_features).
+
+    ``hasher='xxhash64'`` (default) is the fast production path;
+    ``hasher='md5'`` takes the first 60 bits of the md5 digest
+    (non-negative, so pmod == %) — slower, but bit-identical across
+    engines, which is what lets a fixed-weight scoring pass be
+    hash-certified against a plain-SQL oracle (the same cross-engine
+    convention as dedup.py's minhash/simhash family)."""
+    if hasher == "md5":
+        h = F.conv(F.substring(F.md5(tok), 1, 15), 16, 10).cast("long")
+    elif hasher == "xxhash64":
+        h = F.xxhash64(tok)
+    else:
+        raise ValueError(
+            f"hasher must be 'xxhash64' or 'md5'; got {hasher!r}"
+        )
+    return F.pmod(h, F.lit(n_features)).cast("int")
+
+
+def _idxs_from_words(
+    words: Column, n_features: int, bigrams: bool, hasher: str = "xxhash64"
+) -> Column:
     """array<int> of hashed token (+ bigram) bucket indices, one entry
     PER TOKEN (repeats kept), from a MATERIALIZED words-array column.
     The classifier's hot paths run directly on this: w·x over
@@ -46,23 +70,31 @@ def _idxs_from_words(words: Column, n_features: int, bigrams: bool) -> Column:
     re-run the normalize+split chain per reference (the repo's
     measured 20x pitfall)."""
     toks = F.concat(words, ngram_chain(words, 2)) if bigrams else words
-    return F.transform(
-        toks, lambda t: F.pmod(F.xxhash64(t), F.lit(n_features)).cast("int")
-    )
+    return F.transform(toks, lambda t: _bucket(t, n_features, hasher))
 
 
-def _with_idxs(df: DataFrame, text_col: str, n_features: int, bigrams: bool, out: str) -> DataFrame:
+def _with_idxs(
+    df: DataFrame,
+    text_col: str,
+    n_features: int,
+    bigrams: bool,
+    out: str,
+    hasher: str = "xxhash64",
+) -> DataFrame:
     """Project the words array once, then derive the index array from
     the materialized column."""
     w = "_qm_words"
     while w in df.columns:
         w = "_" + w
     return df.withColumn(w, split_words(_norm(F.col(text_col)))).withColumn(
-        out, _idxs_from_words(F.col(w), n_features, bigrams)
+        out, _idxs_from_words(F.col(w), n_features, bigrams, hasher)
     ).drop(w)
 
 
-def _feature_pairs(text_col: Column, n_features: int, bigrams: bool) -> Column:
+def _feature_pairs(
+    text_col: Column, n_features: int, bigrams: bool,
+    hasher: str = "xxhash64",
+) -> Column:
     """array<struct<idx int, val double>> of L1-normalized hashed
     token (+ bigram) counts — the materialized sparse-vector view for
     external consumers (hash_features / MLlib densification).
@@ -76,7 +108,9 @@ def _feature_pairs(text_col: Column, n_features: int, bigrams: bool) -> Column:
     # (idx, count/total) pairs. Inline split here is acceptable: this
     # path feeds only the one-shot MLlib densification.
     words = split_words(_norm(text_col))
-    sorted_idx = F.array_sort(_idxs_from_words(words, n_features, bigrams))
+    sorted_idx = F.array_sort(
+        _idxs_from_words(words, n_features, bigrams, hasher)
+    )
     n = F.size(sorted_idx)
     acc0 = F.struct(
         F.lit(-1).alias("prev"),
@@ -123,11 +157,13 @@ def hash_features(
     n_features: int = 1024,
     text_col: str = "text",
     bigrams: bool = True,
+    hasher: str = "xxhash64",
 ) -> DataFrame:
     """Adds ``features``: array<struct<idx,val>> hashed-n-gram vector
     (sparse, L1-normalized). Pure scan-side projection."""
     return df.withColumn(
-        "features", _feature_pairs(F.col(text_col), n_features, bigrams)
+        "features",
+        _feature_pairs(F.col(text_col), n_features, bigrams, hasher),
     )
 
 
@@ -156,6 +192,7 @@ def train_quality_classifier(
     lr: float = 2.0,
     reg: float = 1e-4,
     backend: str = "gd",
+    hasher: str = "xxhash64",
 ) -> list[float]:
     """Train logistic regression on hashed features; returns the
     weight vector (length n_features+1, last = bias) for
@@ -167,12 +204,14 @@ def train_quality_classifier(
     reach the driver. 'mllib': pyspark.ml LogisticRegression on the
     same features (sparse vectors)."""
     if backend == "mllib":
-        return _train_mllib(df, label_col, n_features, text_col, bigrams, reg)
+        return _train_mllib(
+            df, label_col, n_features, text_col, bigrams, reg, hasher
+        )
     if backend != "gd":
         raise ValueError(f"backend must be gd|mllib, got {backend!r}")
     feats = _with_idxs(
         df.select(F.col(label_col).cast("double").alias("_y"), text_col),
-        text_col, n_features, bigrams, "_idxs",
+        text_col, n_features, bigrams, "_idxs", hasher,
     ).select("_y", "_idxs").withColumn("_nt", F.size("_idxs"))
     feats = feats.localCheckpoint(eager=False)
     n = feats.count()
@@ -218,11 +257,12 @@ def train_quality_classifier(
     return w
 
 
-def _train_mllib(df, label_col, n_features, text_col, bigrams, reg):
+def _train_mllib(df, label_col, n_features, text_col, bigrams, reg,
+                 hasher="xxhash64"):
     from pyspark.ml.classification import LogisticRegression
     from pyspark.ml.functions import array_to_vector
 
-    feats = hash_features(df, n_features, text_col, bigrams)
+    feats = hash_features(df, n_features, text_col, bigrams, hasher)
     dense = F.transform(
         F.sequence(F.lit(0), F.lit(n_features - 1)),
         lambda i: F.coalesce(
@@ -247,15 +287,18 @@ def score_quality(
     text_col: str = "text",
     bigrams: bool = True,
     threshold: float = 0.5,
+    hasher: str = "xxhash64",
 ) -> DataFrame:
     """Score every document with a trained classifier: adds
     ``q_model_score`` = σ(w·x) and ``q_model_keep``. Scan-side only —
     the weight vector enters as one literal array (no join, no
-    shuffle), so this runs at full scan speed on any corpus."""
+    shuffle), so this runs at full scan speed on any corpus. Pass the
+    SAME ``hasher`` the weights were trained with (the feature map is
+    part of the model)."""
     from scalecast_spark.datapipe.similarity import _lit_vec
 
     nf = (len(weights) - 1) if n_features is None else n_features
-    out = _with_idxs(df, text_col, nf, bigrams, "_fp")
+    out = _with_idxs(df, text_col, nf, bigrams, "_fp", hasher)
     score = F.lit(1.0) / (
         F.lit(1.0) + F.exp(-_dot_w_idxs(F.col("_fp"), _lit_vec(weights)))
     )

@@ -77,3 +77,65 @@ def test_bad_backend_raises(spark):
     df = _corpus(spark, n=4)
     with pytest.raises(ValueError, match="backend"):
         train_quality_classifier(df, "label", backend="nope")
+
+
+def test_md5_hasher_matches_independent_replay(spark):
+    """hasher='md5' (the oracle-replayable bucket mode) must agree
+    with an independent hashlib-based recomputation of the whole
+    scoring chain — pins the digest slice (first 15 hex chars), the
+    % n_features bucket map, the words+bigrams token set (repeats
+    kept), and sigma(bias + sum w[idx]/n)."""
+    import hashlib
+    import math
+
+    nf = 64
+    w = [round(math.sin(1.0 + 0.37 * j) * 2.0, 6) for j in range(nf)]
+    weights = w + [-0.125]
+    texts = [
+        (0, "Science theory  proof"),
+        (1, "buy CLICK buy click buy"),
+        (2, ""),          # empty doc scores the bias
+        (3, "one"),       # single word: no bigrams
+    ]
+    df = spark.createDataFrame(texts, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: r["q_model_score"]
+        for r in score_quality(df, weights, hasher="md5").collect()
+    }
+
+    def bucket(tok):
+        return int(hashlib.md5(tok.encode()).hexdigest()[:15], 16) % nf
+
+    for doc_id, text in texts:
+        words = [x for x in " ".join(text.lower().split()).split(" ") if x]
+        toks = words + [
+            f"{a} {b}" for a, b in zip(words, words[1:])
+        ]
+        dot = weights[-1] + (
+            sum(w[bucket(t)] for t in toks) / len(toks) if toks else 0.0
+        )
+        want = round(1.0 / (1.0 + math.exp(-dot)), 6)
+        assert got[doc_id] == pytest.approx(want, abs=1e-9), (doc_id, text)
+
+
+def test_md5_hasher_trains_and_scores_consistently(spark):
+    """Training with hasher='md5' separates the planted vocabularies
+    exactly like the xxhash64 path (the feature map is part of the
+    model; only the bucket permutation differs)."""
+    df = _corpus(spark, n=20)
+    w = train_quality_classifier(
+        df, "label", n_features=256, n_iter=15, hasher="md5"
+    )
+    s = {
+        r["doc_id"]: r["q_model_score"]
+        for r in score_quality(df, w, hasher="md5").collect()
+    }
+    good = [v for k, v in s.items() if k % 2 == 0]
+    bad = [v for k, v in s.items() if k % 2 == 1]
+    assert min(good) > max(bad)
+
+
+def test_bad_hasher_raises(spark):
+    df = _corpus(spark, n=2)
+    with pytest.raises(ValueError, match="hasher"):
+        score_quality(df, [0.0] * 65, hasher="sha1").collect()
