@@ -2182,11 +2182,44 @@ def q_emb_kmeans(spark, sf_dir):
     return semantic_dedup(emb, threshold=0.4, assigned=assigned)
 
 
-def q_dedup_simhash(spark, sf_dir):
-    """60-bit SimHash fingerprints (bit-level doc signature)."""
+def q_dedup_simhash_base(spark, sf_dir):
+    """60-bit SimHash fingerprints (bit-level doc signature) — the
+    round-1-comparable composition (bench series continuity)."""
     from scalecast_spark.datapipe.dedup import simhash
 
     return simhash(_docs(spark, sf_dir))
+
+
+def q_dedup_hamming_pairs(spark, sf_dir):
+    """Generalized Hamming pigeonhole pairs over the packed simhash
+    (dedup.hamming_near_pairs — max_hamming+1 bands, per-band
+    equi-join, exact bit_count verify; recall 1.0 in radius, never
+    all-pairs). Bench line + gate member source."""
+    from scalecast_spark.datapipe.dedup import hamming_near_pairs, simhash
+
+    sh = simhash(_docs(spark, sf_dir))
+    return hamming_near_pairs(
+        sh, "simhash", id_col="doc_id", bits=60, max_hamming=3
+    )
+
+
+def q_dedup_simhash(spark, sf_dir):
+    """GATE composition: fingerprints + the r11 near-neighbor-count
+    member — n_near = how many OTHER docs sit within Hamming radius 3,
+    derived from the production banded pigeonhole join (the oracle
+    recomputes it brute-force over all pairs, so banding recall and
+    the bit_count verify are both certified)."""
+    sh = q_dedup_simhash_base(spark, sf_dir)
+    pairs = q_dedup_hamming_pairs(spark, sf_dir)
+    ends = pairs.select(F.col("id_a").alias("doc_id")).unionAll(
+        pairs.select(F.col("id_b").alias("doc_id"))
+    )
+    n_near = ends.groupBy("doc_id").agg(F.count("*").alias("n_near"))
+    return (
+        sh.join(n_near, "doc_id", "left")
+        .na.fill({"n_near": 0})
+        .select("doc_id", "simhash", F.col("n_near").cast("long"))
+    )
 
 
 def q_multimodal_features(spark, sf_dir):
@@ -4889,11 +4922,26 @@ def oracle_sql() -> dict[str, str]:
                 SELECT doc_id, i,
                        sum(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) AS s
                 FROM h CROSS JOIN bits GROUP BY 1, 2
+            ),
+            sim AS (
+                SELECT doc_id,
+                       sum(CASE WHEN s > 0 THEN (1::BIGINT << i)
+                                ELSE 0 END)::BIGINT AS simhash
+                FROM s GROUP BY doc_id
+            ),
+            -- r11 n_near member: brute-force all-pairs ground truth
+            -- for the banded pigeonhole join (oracle-only; the
+            -- engine never does all-pairs)
+            near AS (
+                SELECT a.doc_id, count(*) AS n_near
+                FROM sim a JOIN sim b
+                  ON a.doc_id <> b.doc_id
+                 AND bit_count(xor(a.simhash, b.simhash)) <= 3
+                GROUP BY a.doc_id
             )
-            SELECT doc_id,
-                   sum(CASE WHEN s > 0 THEN (1::BIGINT << i) ELSE 0 END)::BIGINT
-                       AS simhash
-            FROM s GROUP BY doc_id
+            SELECT s.doc_id, s.simhash,
+                   coalesce(n.n_near, 0)::BIGINT AS n_near
+            FROM sim s LEFT JOIN near n ON n.doc_id = s.doc_id
         """,
         # Random-hyperplane LSH ANN (similarity.py lsh_bucket_topk):
         # hyperplanes are deterministic md5('scalecast:i:j') draws, so

@@ -37,7 +37,12 @@ HEADLINE = {
     "dedup_cross": "q_dedup_cross_bench",
     "dedup_minhash_sigs": "q_dedup_minhash_sigs",
     "dedup_jaccard_pairs": "q_dedup_jaccard_pairs",
-    "dedup_simhash": "q_dedup_simhash",
+    # round 11: the GATE's dedup_simhash gained the n_near member
+    # (banded Hamming pigeonhole); the bench keeps timing the
+    # fingerprints alone for the r1 series and the pair join gets its
+    # own line below
+    "dedup_simhash": "q_dedup_simhash_base",
+    "dedup_hamming_pairs": "q_dedup_hamming_pairs",
     "text_quality": "q_text_quality",
     "text_lang_id": "q_text_lang_id",
     "text_tfidf": "q_text_tfidf",
