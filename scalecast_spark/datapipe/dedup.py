@@ -630,6 +630,14 @@ def hamming_near_pairs(
                 .alias(f"_hc{i}")
             )
     b = df.select(id_col, hash_col, *chunks)
+    if bands > 1:
+        # every band contributes BOTH self-join sides (plus the star
+        # pieces under a cap), so an uncached input would re-evaluate
+        # the upstream hash computation 2*bands times — for a simhash
+        # input that is 8x the md5 aggregation (measured 5s of a 6.8s
+        # sf0.1 run). The cached projection is (id, hash, band ints):
+        # ~40 bytes/row, the cheapest possible thing to keep hot.
+        b = b.cache()
     pieces = []
     for i in range(bands):
         src = b

@@ -346,8 +346,10 @@ def run_available_now(
     AvailableNow such a query drains the backlog and then stays alive
     waiting for future wall-clock timers instead of terminating — a
     silent hang until the awaitTermination timeout (observed on Spark
-    4.x; ADVICE r10 #4). TTLs are a continuous-trigger feature; for a
-    bounded drain leave ``state_ttl_ms`` unset."""
+    4.x; ADVICE r10 #4). For a bounded drain leave ``state_ttl_ms``
+    unset — or use ``ttl_clock='event'`` (round 11), whose
+    watermark-driven timers compose with AvailableNow and pass this
+    guard."""
     if output_mode is None:
         output_mode = "complete" if stream_df.isStreaming else "append"
     if stream_df.isStreaming and "ProcessingTimeTimeout" in (
@@ -376,6 +378,66 @@ def run_available_now(
     return spark.table(query_name)
 
 
+def _prepare_ttl_input(
+    series: DataFrame,
+    ts_col: str,
+    state_ttl_ms: int | None,
+    ttl_clock: str,
+    watermark: str | None,
+) -> DataFrame:
+    """Shared TTL-plumbing validation for the GroupState streams.
+    Applies ``watermark`` if given; for ``ttl_clock='event'`` verifies
+    a watermark is actually present in the plan (event-time timers
+    never fire without one — Spark's own error surfaces at runtime
+    deep in the query; failing at build time is kinder)."""
+    if ttl_clock not in ("processing", "event"):
+        raise ValueError(
+            f"ttl_clock must be 'processing' or 'event'; got {ttl_clock!r}"
+        )
+    if watermark is not None and series.isStreaming:
+        series = series.withWatermark(ts_col, watermark)
+    if ttl_clock == "event" and state_ttl_ms is not None:
+        if series.isStreaming and "EventTimeWatermark" not in (
+            series._jdf.queryExecution().analyzed().toString()
+        ):
+            raise ValueError(
+                "ttl_clock='event' needs an event-time watermark on the "
+                "input (timers fire when the watermark passes them): "
+                "pass watermark='<delay>' or call "
+                f"withWatermark({ts_col!r}, ...) upstream"
+            )
+    return series
+
+
+def _ttl_timeout_conf(state_ttl_ms: int | None, ttl_clock: str):
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    if state_ttl_ms is None:
+        return GroupStateTimeout.NoTimeout
+    if ttl_clock == "event":
+        return GroupStateTimeout.EventTimeTimeout
+    return GroupStateTimeout.ProcessingTimeTimeout
+
+
+def _arm_ttl(state, state_ttl_ms, ttl_clock, last_event_ms=None) -> None:
+    """Re-arm a group's eviction timer after a fold. Processing clock:
+    wall-time duration. Event clock: last event time in this batch +
+    TTL, clamped to the current watermark (setTimeoutTimestamp refuses
+    timestamps behind the watermark — a very late group's timer fires
+    on the next batch instead of erroring the query). When a fold saw
+    no rows (empty Arrow chunks edge), the watermark itself is the
+    base: the group still dies TTL after the stream's event time
+    passes it."""
+    if state_ttl_ms is None:
+        return
+    if ttl_clock == "processing":
+        state.setTimeoutDuration(state_ttl_ms)
+        return
+    wm = state.getCurrentWatermarkMs()
+    base = wm if last_event_ms is None else last_event_ms
+    state.setTimeoutTimestamp(max(base + state_ttl_ms, wm, 1))
+
+
 def ewma_stream(
     series: DataFrame,
     alpha: float = 0.3,
@@ -383,6 +445,8 @@ def ewma_stream(
     ts_col: str = DS,
     value_col: str = Y,
     state_ttl_ms: int | None = None,
+    ttl_clock: str = "processing",
+    watermark: str | None = None,
 ) -> DataFrame:
     """Custom stateful streaming operator via ``applyInPandasWithState``
     (the arbitrary-state API — the ops above use Spark's NATIVE
@@ -400,12 +464,23 @@ def ewma_stream(
     recursion re-initializes from the next value — the documented
     restart semantics, identical to a brand-new series. Choose a TTL
     well above the longest expected gap between a live series' events.
-    TTLs are a CONTINUOUS-query feature: under Trigger.AvailableNow a
-    query with processing-time timeouts stays alive waiting for future
-    timers instead of terminating after the drain (observed on Spark
-    4.x) — leave state_ttl_ms unset for bounded drains.
-    :func:`run_available_now` detects the combination from the plan and
-    raises up front rather than hanging.
+
+    ``ttl_clock`` picks the eviction clock (round 11):
+
+      * ``'processing'`` (default) — wall-clock
+        ProcessingTimeTimeout. A CONTINUOUS-query feature: under
+        Trigger.AvailableNow such a query stays alive waiting for
+        future wall-clock timers instead of terminating after the
+        drain (observed on Spark 4.x) — :func:`run_available_now`
+        detects the combination from the plan and raises up front
+        rather than hanging.
+      * ``'event'`` — EventTimeTimeout: a series is evicted once the
+        STREAM'S WATERMARK passes its last event time + TTL. No
+        wall-clock timers, so this COMPOSES with Trigger.AvailableNow
+        (bounded drains keep bounded state) and eviction is
+        deterministic in the data, not in scheduling. Requires a
+        watermark on the input — pass ``watermark='<delay>'`` here or
+        ``withWatermark`` upstream.
 
     Ordering caveat (inherent to the API, documented not hidden): rows
     are folded in event-time order WITHIN each micro-batch, and batches
@@ -415,8 +490,11 @@ def ewma_stream(
     Feed a RAW stream (map-only lineage): Spark disallows
     applyInPandasWithState after a streaming aggregation."""
     import pandas as pd
-    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.streaming.state import GroupState
 
+    series = _prepare_ttl_input(
+        series, ts_col, state_ttl_ms, ttl_clock, watermark
+    )
     out_schema = T.StructType(
         [
             T.StructField(series_col, T.StringType()),
@@ -438,8 +516,7 @@ def ewma_stream(
         chunks = [p for p in pdfs if len(p)]
         if not chunks:
             state.update((level,))
-            if state_ttl_ms is not None:
-                state.setTimeoutDuration(state_ttl_ms)
+            _arm_ttl(state, state_ttl_ms, ttl_clock)
             return
         pdf = pd.concat(chunks).sort_values([ts_col, value_col])
         out = []
@@ -448,17 +525,15 @@ def ewma_stream(
             level = yv if level is None else alpha * yv + (1 - alpha) * level
             out.append((key[0], ds, yv, level))
         state.update((level,))
-        if state_ttl_ms is not None:
-            state.setTimeoutDuration(state_ttl_ms)
+        _arm_ttl(
+            state, state_ttl_ms, ttl_clock,
+            int(pdf[ts_col].max().value // 1_000_000),
+        )
         yield pd.DataFrame(out, columns=[series_col, ts_col, value_col, "ewma"])
 
-    timeout = (
-        GroupStateTimeout.ProcessingTimeTimeout
-        if state_ttl_ms is not None
-        else GroupStateTimeout.NoTimeout
-    )
     return series.groupBy(series_col).applyInPandasWithState(
-        fold, out_schema, state_schema, "append", timeout
+        fold, out_schema, state_schema, "append",
+        _ttl_timeout_conf(state_ttl_ms, ttl_clock),
     )
 
 
@@ -559,6 +634,8 @@ def anomaly_stream(
     ts_col: str = DS,
     value_col: str = Y,
     state_ttl_ms: int | None = None,
+    ttl_clock: str = "processing",
+    watermark: str | None = None,
 ) -> DataFrame:
     """Streaming anomaly flags — the live twin of the batch residual
     detector (functions/stattests.anomalies_from_residuals): per
@@ -586,15 +663,19 @@ def anomaly_stream(
     z, same convention as the batch detector,
     functions/stattests.anomalies_from_residuals). State per series
     is three scalars — O(series) total, no growth with stream length;
-    ``state_ttl_ms`` bounds state under series CHURN exactly as in
-    :func:`ewma_stream` (dormant series evicted, reappearing ones
-    restart their recursion). Same ordering caveat as
+    ``state_ttl_ms`` / ``ttl_clock`` / ``watermark`` bound state under
+    series CHURN exactly as in :func:`ewma_stream` (dormant series
+    evicted, reappearing ones restart their recursion; the 'event'
+    clock composes with Trigger.AvailableNow). Same ordering caveat as
     :func:`ewma_stream` (event-time order
     within a batch, arrival order across; watermark upstream for late
     data)."""
     import pandas as pd
-    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.streaming.state import GroupState
 
+    series = _prepare_ttl_input(
+        series, ts_col, state_ttl_ms, ttl_clock, watermark
+    )
     out_schema = T.StructType(
         [
             T.StructField(series_col, T.StringType()),
@@ -622,8 +703,7 @@ def anomaly_stream(
         chunks = [p for p in pdfs if len(p)]
         if not chunks:
             state.update((level, var, n))
-            if state_ttl_ms is not None:
-                state.setTimeoutDuration(state_ttl_ms)
+            _arm_ttl(state, state_ttl_ms, ttl_clock)
             return
         pdf = pd.concat(chunks).sort_values([ts_col, value_col])
         out = []
@@ -646,17 +726,15 @@ def anomaly_stream(
             n += 1
             out.append((key[0], ds, yv, level, z, flag))
         state.update((level, var, n))
-        if state_ttl_ms is not None:
-            state.setTimeoutDuration(state_ttl_ms)
+        _arm_ttl(
+            state, state_ttl_ms, ttl_clock,
+            int(pdf[ts_col].max().value // 1_000_000),
+        )
         yield pd.DataFrame(out, columns=cols)
 
-    timeout = (
-        GroupStateTimeout.ProcessingTimeTimeout
-        if state_ttl_ms is not None
-        else GroupStateTimeout.NoTimeout
-    )
     return series.groupBy(series_col).applyInPandasWithState(
-        fold, out_schema, state_schema, "append", timeout
+        fold, out_schema, state_schema, "append",
+        _ttl_timeout_conf(state_ttl_ms, ttl_clock),
     )
 
 

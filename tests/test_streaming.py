@@ -608,3 +608,160 @@ def test_anomaly_stream_tws_raises_without_protobuf(spark, tmp_path):
     ).write.parquet(src)
     with pytest.raises(ImportError, match="protobuf"):
         anomaly_stream_tws(spark.readStream.schema(schema).parquet(src))
+
+
+def test_event_ttl_composes_with_available_now(spark, tmp_path):
+    """ttl_clock='event' (round 11): eviction timers are driven by the
+    WATERMARK, not wall clock — so a TTL'd drain terminates under
+    Trigger.AvailableNow (the processing-time clock hangs there; the
+    run_available_now guard refuses it), and eviction is deterministic
+    in event time: a series whose last event falls TTL behind the
+    watermark is dropped, and its next appearance RESTARTS the
+    recursion. No sleeps, no timing dependence."""
+    import time as _time
+    from datetime import datetime
+
+    from scalecast_spark.streaming.ops import ewma_stream, run_available_now
+
+    src, ckpt = str(tmp_path / "src"), str(tmp_path / "ckpt")
+    schema = "series_id string, ds timestamp, y double"
+    alpha = 0.5
+
+    def write(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        _time.sleep(1.1)  # distinct mtimes -> deterministic file order
+
+    # batch 1: both series born       batch 2: both continue (in TTL)
+    # batch 3: B jumps 18 days ahead  batch 4: B again -> watermark is
+    #   now far past A's (last event + TTL): A's timer fires, evicted
+    # batch 5: A reappears -> fresh recursion (ewma == raw value)
+    write([("A", datetime(2024, 1, 1), 10.0),
+           ("B", datetime(2024, 1, 1), 100.0)])
+    write([("A", datetime(2024, 1, 2), 20.0),
+           ("B", datetime(2024, 1, 2), 200.0)])
+    write([("B", datetime(2024, 1, 20), 300.0)])
+    write([("B", datetime(2024, 1, 21), 400.0)])
+    write([("A", datetime(2024, 1, 22), 40.0)])
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(src)
+    )
+    out = ewma_stream(
+        stream,
+        alpha=alpha,
+        state_ttl_ms=5 * 86_400_000,  # 5 days, event time
+        ttl_clock="event",
+        watermark="1 day",
+    )
+    got = (
+        run_available_now(out, "q_event_ttl", ckpt, output_mode="append")
+        .toPandas()
+    )
+
+    def ewma_at(sid, day):
+        sel = got[(got["series_id"] == sid)
+                  & (got["ds"] == datetime(2024, 1, day))]
+        assert len(sel) == 1, (sid, day, got)
+        return float(sel["ewma"].iloc[0])
+
+    # in-TTL continuation is the normal recursion
+    assert ewma_at("A", 2) == alpha * 20.0 + (1 - alpha) * 10.0
+    assert ewma_at("B", 2) == alpha * 200.0 + (1 - alpha) * 100.0
+    # B stayed live the whole time: its recursion never resets
+    assert ewma_at("B", 21) != 400.0
+    # A idled 20 event-days with a 5-day TTL: evicted, restart
+    assert ewma_at("A", 22) == 40.0
+
+
+def test_event_ttl_validation(spark, tmp_path):
+    """Build-time failures, not runtime hangs: a bad ttl_clock and an
+    event clock with no watermark must both raise immediately."""
+    from datetime import datetime
+
+    from scalecast_spark.streaming.ops import ewma_stream
+
+    src = str(tmp_path / "src")
+    schema = "series_id string, ds timestamp, y double"
+    spark.createDataFrame(
+        [("A", datetime(2024, 1, 1), 1.0)], schema
+    ).write.parquet(src)
+    stream = spark.readStream.schema(schema).parquet(src)
+    with pytest.raises(ValueError, match="ttl_clock"):
+        ewma_stream(stream, state_ttl_ms=1000, ttl_clock="wall")
+    with pytest.raises(ValueError, match="watermark"):
+        ewma_stream(stream, state_ttl_ms=1000, ttl_clock="event")
+    # an upstream withWatermark satisfies the check without the kwarg
+    ewma_stream(
+        stream.withWatermark("ds", "1 hour"),
+        state_ttl_ms=1000,
+        ttl_clock="event",
+    )
+
+
+def test_anomaly_event_ttl_parity_with_no_ttl(spark, tmp_path):
+    """With a TTL far above every gap, the event-clock path must be a
+    pure no-op on the numbers: identical output to the NoTimeout run
+    across a multi-batch drain (certifies the fold math is untouched
+    by the timer plumbing — and that the TTL'd plan passes the
+    AvailableNow guard)."""
+    import time as _time
+
+    import numpy as np
+    import pandas as pd
+
+    from scalecast_spark.streaming.ops import anomaly_stream, run_available_now
+
+    rng = np.random.RandomState(7)
+    rows = []
+    for sid in ["a", "b"]:
+        for i, v in enumerate(50 + rng.randn(24)):
+            rows.append({
+                "series_id": sid,
+                "ds": pd.Timestamp("2024-01-01") + pd.Timedelta(hours=i),
+                "y": float(v),
+            })
+    pdf = pd.DataFrame(rows)
+    src = str(tmp_path / "src")
+    cut = pd.Timestamp("2024-01-01") + pd.Timedelta(hours=12)
+    spark.createDataFrame(pdf[pdf["ds"] < cut]).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    _time.sleep(1.1)
+    spark.createDataFrame(pdf[pdf["ds"] >= cut]).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    def drain(name, **ttl_kwargs):
+        stream = (
+            spark.readStream.schema("series_id string, ds timestamp, y double")
+            .option("maxFilesPerTrigger", 1)
+            .option("latestFirst", "false")
+            .parquet(src)
+        )
+        return (
+            run_available_now(
+                anomaly_stream(stream, **ttl_kwargs),
+                name,
+                str(tmp_path / f"ckpt_{name}"),
+                output_mode="append",
+            )
+            .toPandas()
+            .sort_values(["series_id", "ds"])
+            .reset_index(drop=True)
+        )
+
+    plain = drain("q_anom_plain")
+    ttld = drain(
+        "q_anom_ettl",
+        state_ttl_ms=365 * 86_400_000,
+        ttl_clock="event",
+        watermark="0 seconds",
+    )
+    assert len(plain) == len(ttld) == len(pdf)
+    assert np.allclose(plain["level"], ttld["level"], atol=0)
+    assert list(plain["is_anomaly"]) == list(ttld["is_anomaly"])
