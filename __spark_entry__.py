@@ -2141,10 +2141,34 @@ def q_text_bm25(spark, sf_dir):
     )
 
 
+def q_text_word_counts(spark, sf_dir):
+    """Top-25 corpus word counts (tokenizer.word_counts — the ONE
+    distributed step of BPE training; the merge loop runs on the
+    driver's word-TYPE dict and the encoder is an Arrow kernel, both
+    pytest-pinned). Tagged doc_id=-1 to union into the text_tfidf
+    family; global window is over the vocab-bounded aggregate."""
+    from scalecast_spark.datapipe.tokenizer import word_counts
+
+    wc = word_counts(_docs(spark, sf_dir))
+    w = W.orderBy(F.desc("count"), "word")
+    return (
+        wc.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 25)
+        .select(
+            F.lit(-1).cast("long").alias("doc_id"),
+            F.col("word").alias("term"),
+            F.col("count").cast("long").alias("tf"),
+            F.lit(0.0).alias("score"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
 def q_text_tfidf(spark, sf_dir):
     """Per-doc top-3 TF-IDF terms (datapipe/text.py tfidf_top_terms):
     explode → tf/df aggregates → broadcast idf join → windowed top-k —
-    plus the BM25 retrieval member (tagged '__bm25__' rows)."""
+    plus the BM25 retrieval member (tagged '__bm25__' rows) and the
+    r11 BPE word-count member (tagged doc_id=-1 rows)."""
     from scalecast_spark.datapipe.text import tfidf_top_terms
 
     tfidf = tfidf_top_terms(_docs(spark, sf_dir), top_k=3).select(
@@ -2152,7 +2176,9 @@ def q_text_tfidf(spark, sf_dir):
         "term", "tf", "score",
         F.col("rank").cast("int").alias("rank"),
     )
-    return tfidf.unionByName(q_text_bm25(spark, sf_dir))
+    return tfidf.unionByName(q_text_bm25(spark, sf_dir)).unionByName(
+        q_text_word_counts(spark, sf_dir)
+    )
 
 
 def q_emb_kmeans(spark, sf_dir):
@@ -3926,6 +3952,24 @@ def oracle_sql() -> dict[str, str]:
                 ORDER BY score DESC, doc_id
                 LIMIT 10
             )
+            UNION ALL
+            -- r11 word-count member (BPE training's one distributed
+            -- step): top-25 corpus words, count DESC / word ASC ties
+            SELECT -1::BIGINT AS doc_id, term, tf::BIGINT AS tf,
+                   0.0 AS score, rank::INT AS rank
+            FROM (
+                SELECT term, count(*) AS tf,
+                       row_number() OVER (
+                           ORDER BY count(*) DESC, term ASC) AS rank
+                FROM (
+                    SELECT unnest(list_filter(string_split(
+                        regexp_replace(lower(trim(text)), '\s+', ' ', 'g'),
+                        ' '), x -> len(x) > 0)) AS term
+                    FROM documents
+                )
+                GROUP BY term
+            )
+            WHERE rank <= 25
         """,
         # LOESS on the uniform time grid: nearest-k window start is
         # clamp(i - k//2, 0, n-k) (verified against the engine's
