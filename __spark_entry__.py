@@ -2316,7 +2316,7 @@ GOPHER_COLS = (
 )
 
 
-def q_text_curation(spark, sf_dir):
+def q_text_curation_base(spark, sf_dir):
     """Corpus-curation sweep per doc (datapipe/text.py): the FULL
     Gopher repetition family (dup line/paragraph fractions, line/para
     char fractions, top-2/3/4-gram char fractions, dup-5..10-gram char
@@ -2325,7 +2325,9 @@ def q_text_curation(spark, sf_dir):
     (doc_id % 20 == 0 stands in for an eval set), and RE2-safe PII
     scrubbing (email/phone counts + scrubbed fingerprint). Every step
     is engine-portable regexp/array math, so the whole sweep
-    hash-matches the DuckDB oracle."""
+    hash-matches the DuckDB oracle. This is the pre-r11 composition —
+    the bench times it unchanged for series continuity; the GATE's
+    q_text_curation joins the r11 decontam-cut member on top."""
     from scalecast_spark.datapipe.text import (
         add_gopher_signals_fast,
         contamination_hits,
@@ -2355,6 +2357,34 @@ def q_text_curation(spark, sf_dir):
             F.col("n_contam").cast("long").alias("n_contam"),
             "n_emails", "n_phones", "scrub_fp",
         )
+    )
+
+
+def q_text_decontam_cut(spark, sf_dir):
+    """The decontamination ACTION alone (bench line + gate member
+    source): remove_contaminated_spans — PaLM/Lee-style span cut of
+    benchmark-overlapping 8-grams instead of whole-doc drops, against
+    the same doc_id % 20 == 0 benchmark slice as the n_contam counts.
+    Certified by a post-surgery fingerprint exactly like the dedup
+    cut: untouched docs md5 their ORIGINAL bytes, cut docs the rebuilt
+    survivor join — the hash pins the string surgery, not just
+    counts."""
+    from scalecast_spark.datapipe.text import remove_contaminated_spans
+
+    docs = _docs(spark, sf_dir)
+    bench = docs.filter(F.col("doc_id") % 20 == 0)
+    return remove_contaminated_spans(docs, bench, n=8).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("n_removed_tokens").cast("long").alias("n_decontam_removed"),
+        F.md5("text_decontam").alias("decontam_fp"),
+    )
+
+
+def q_text_curation(spark, sf_dir):
+    """GATE composition: the curation sweep + the r11 decontam-cut
+    member (see q_text_curation_base docstring)."""
+    return q_text_curation_base(spark, sf_dir).join(
+        q_text_decontam_cut(spark, sf_dir), ["doc_id"]
     )
 
 
@@ -5578,7 +5608,83 @@ def oracle_sql() -> dict[str, str]:
         UNION ALL
         SELECT model, iteration, 'msis', msis FROM ms
     """
-    o["text_curation"] = _text_curation_oracle()
+    o["text_curation_base"] = _text_curation_oracle()
+    # r11: the decontamination ACTION (text.remove_contaminated_spans,
+    # benchmark = doc_id % 20 == 0, n=8). Same span machinery as
+    # text_dedup_cut (string-keyed n-gram grouping ≙ the engine's
+    # xxhash64 buckets) but hits come from the BENCHMARK n-gram set;
+    # untouched docs fingerprint their ORIGINAL bytes, cut docs the
+    # space-joined ORIGINAL-CASE survivors.
+    o["text_decontam_cut"] = r"""
+        WITH ws AS (
+            SELECT doc_id, text,
+                   list_filter(string_split(regexp_replace(
+                       lower(trim(text)), '\s+', ' ', 'g'), ' '),
+                       x -> len(x) > 0) AS w,
+                   list_filter(string_split(regexp_replace(
+                       trim(text), '\s+', ' ', 'g'), ' '),
+                       x -> len(x) > 0) AS wo
+            FROM documents
+        ),
+        bng AS (
+            SELECT DISTINCT
+                   unnest(list_transform(range(1, greatest(len(w) - 6, 1)),
+                       i -> array_to_string(w[i:i+7], ' '))) AS g
+            FROM ws WHERE doc_id % 20 = 0
+        ),
+        ng AS (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, greatest(len(w) - 6, 1)),
+                       i -> array_to_string(w[i:i+7], ' '))) AS g,
+                   unnest(range(0, greatest(len(w) - 7, 0))) AS pos
+            FROM ws
+        ),
+        hits AS (SELECT n.doc_id, n.pos FROM ng n JOIN bng USING (g)),
+        brk AS (
+            SELECT doc_id, pos,
+                   CASE WHEN lag(pos) OVER w IS NULL THEN 1
+                        WHEN pos > lag(pos) OVER w + 8 THEN 1
+                        ELSE 0 END AS b
+            FROM hits WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+        ),
+        isl AS (
+            SELECT doc_id, pos,
+                   sum(b) OVER (PARTITION BY doc_id ORDER BY pos
+                       ROWS UNBOUNDED PRECEDING) AS i
+            FROM brk
+        ),
+        spans AS (
+            SELECT doc_id, min(pos) AS s, max(pos) + 7 AS e
+            FROM isl GROUP BY doc_id, i
+        ),
+        sp AS (
+            SELECT doc_id, array_agg({'s': s, 'e': e}) AS sps
+            FROM spans GROUP BY doc_id
+        ),
+        cut AS (
+            SELECT w.doc_id, w.text, sp.sps, w.wo,
+                   list_transform(
+                       list_filter(range(0, len(w.wo)), i ->
+                           len(list_filter(sp.sps, x ->
+                               i >= x.s AND i <= x.e)) = 0),
+                       i -> w.wo[i + 1]) AS kept
+            FROM ws w
+            LEFT JOIN sp USING (doc_id)
+        )
+        SELECT doc_id,
+               CASE WHEN sps IS NULL THEN 0
+                    ELSE len(wo) - len(kept) END::BIGINT
+                   AS n_decontam_removed,
+               md5(CASE WHEN sps IS NULL THEN text
+                        ELSE coalesce(array_to_string(kept, ' '), '')
+                   END) AS decontam_fp
+        FROM cut
+    """
+    o["text_curation"] = f"""
+        SELECT b.*, d.n_decontam_removed, d.decontam_fp
+        FROM ({o["text_curation_base"]}) b
+        JOIN ({o["text_decontam_cut"]}) d ON b.doc_id = d.doc_id
+    """
     o["dedup_clusters"] = f"""
         WITH RECURSIVE pairs AS (
             SELECT id_a, id_b FROM ({o["dedup_jaccard_pairs"]})

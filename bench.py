@@ -46,7 +46,11 @@ HEADLINE = {
     "text_quality": "q_text_quality",
     "text_lang_id": "q_text_lang_id",
     "text_tfidf": "q_text_tfidf",
-    "text_curation": "q_text_curation",
+    # round 11: the GATE's text_curation gained the decontam-cut
+    # member; the bench keeps the pre-r11 composition for the series
+    # and times the cut on its own line below
+    "text_curation": "q_text_curation_base",
+    "text_decontam_cut": "q_text_decontam_cut",
     # round 11: the GATE's text_analysis gained the ExactSubstr
     # dedup-cut member; the bench keeps timing the round-1-comparable
     # composition (same split convention as dedup_exact) and the cut
