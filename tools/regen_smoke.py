@@ -150,6 +150,43 @@ def dbsl_margins(spark, sf_dir: str):
     return {"winner margin": scores[1] - scores[0]}, picked == "15"
 
 
+def qmodel_round_margin(sf_dir: str) -> float:
+    """Min distance (in 1e-6 grid units) of any doc's UNROUNDED
+    quality-classifier score from a 6dp rounding boundary. The
+    text_analysis q_model_score member rounds sigmoid output to 6dp on
+    both engines; their libm exp can differ in the last ulp (~1e-16),
+    so a score sitting within ~1e-10 grid units of a .5 boundary could
+    round apart. Replays the exact md5-bucket chain in pure Python
+    (same replay as tests/test_quality_model.py)."""
+    import hashlib
+    import math
+
+    import duckdb
+
+    import __spark_entry__ as e
+
+    nf = e.QM_N_FEATURES
+    w, b = e.QM_WEIGHTS[:-1], e.QM_WEIGHTS[-1]
+    texts = duckdb.sql(
+        f"SELECT text FROM '{sf_dir}/documents.parquet'"
+    ).fetchall()
+    worst = np.inf
+    for (text,) in texts:
+        words = [x for x in " ".join((text or "").lower().split()).split(" ")
+                 if x]
+        toks = words + [f"{a} {bb}" for a, bb in zip(words, words[1:])]
+        dot = b + (
+            sum(
+                w[int(hashlib.md5(t.encode()).hexdigest()[:15], 16) % nf]
+                for t in toks
+            ) / len(toks)
+            if toks else 0.0
+        )
+        frac = (1.0 / (1.0 + math.exp(-dot))) * 1e6 % 1.0
+        worst = min(worst, abs(frac - 0.5))
+    return worst
+
+
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     from scalecast_spark import get_session
@@ -231,6 +268,15 @@ def main():
         print(f"mv-search decision margin {k}: {v:.3e} (need > 1e-4)")
         if v <= 1e-4:
             failures.append(f"mv-search margin {k} too thin")
+
+    qm = qmodel_round_margin(sf_dir)
+    print(f"qmodel 6dp rounding margin: {qm:.3e} grid units (need > 1e-6)")
+    if qm <= 1e-6:
+        failures.append(
+            "a quality-classifier score sits on a 6dp rounding boundary "
+            "— cross-engine exp ulp could round it apart; nudge "
+            "QM_WEIGHTS' bias in __spark_entry__"
+        )
 
     print("\nrunning the full oracle gate ...")
     rc = subprocess.call(
