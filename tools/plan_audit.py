@@ -60,6 +60,14 @@ AUDIT = [
     # dst kernel) — the plan must show ONE cogroup exchange pair, no
     # driver-side model shipping
     "ts_transfer",
+    # round-11 gate members: scan-side classifier scoring (no joins,
+    # no shuffles expected), banded Hamming pairs (cached signature
+    # projection + band equi-joins, no nested loop), and the two span
+    # CUTS (broadcast span/benchmark sides, per-row surgery)
+    "text_qmodel",
+    "dedup_hamming_pairs",
+    "text_dedup_cut",
+    "text_decontam_cut",
 ]
 
 
@@ -183,6 +191,10 @@ EXTRA = {
     # driven verify): the plan must show broadcasts, no corpus SMJ
     "dedup_cross": lambda s, d: entrymod.q_dedup_cross_bench(s, d),
     "ts_transfer": lambda s, d: entrymod.q_ts_transfer(s, d),
+    "text_qmodel": lambda s, d: entrymod.q_text_qmodel(s, d),
+    "dedup_hamming_pairs": lambda s, d: entrymod.q_dedup_hamming_pairs(s, d),
+    "text_dedup_cut": lambda s, d: entrymod.q_text_dedup_cut(s, d),
+    "text_decontam_cut": lambda s, d: entrymod.q_text_decontam_cut(s, d),
     "embed_sparse_d512": _q_embed_sparse_d512,
     "ts_forest_forward": _q_ts_forest_forward,
     "ts_feature_ops": _q_ts_feature_ops,
