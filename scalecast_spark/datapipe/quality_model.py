@@ -99,57 +99,43 @@ def _feature_pairs(
     token (+ bigram) counts — the materialized sparse-vector view for
     external consumers (hash_features / MLlib densification).
 
-    SCALE NOTE: the run-length fold CONCATENATES its output array per
-    element, which is O(tokens²) copying per document — fine for the
-    bounded-feature MLlib densification it feeds, wrong for hot paths.
-    The GD trainer and scorer therefore run on :func:`_idxs_from_words`
-    (per-token indices, linear) instead."""
-    # count occurrences per bucket via sorted run-length fold, emit
-    # (idx, count/total) pairs. Inline split here is acceptable: this
-    # path feeds only the one-shot MLlib densification.
+    Linear construction (round 11; the previous run-length fold
+    concatenated its output array per element — O(tokens²) copying per
+    document): sort the per-token bucket indices, mark each run START
+    (position 0 or value change), then each run's count is the gap to
+    the NEXT start — two filter/zip passes over the sorted array, no
+    quadratic concat. The GD trainer and scorer still run on
+    :func:`_idxs_from_words` directly (they never need the counted
+    view)."""
     words = split_words(_norm(text_col))
     sorted_idx = F.array_sort(
         _idxs_from_words(words, n_features, bigrams, hasher)
     )
     n = F.size(sorted_idx)
-    acc0 = F.struct(
-        F.lit(-1).alias("prev"),
-        F.lit(0).alias("run"),
-        F.array().cast("array<struct<idx:int,val:double>>").alias("out"),
+    # 0-based positions where a new run starts
+    starts = F.filter(
+        F.sequence(F.lit(0), n - 1),
+        # CASE WHEN, not |, so element_at(.., 0) is never evaluated
+        # for the first position (ANSI mode errors on index 0)
+        lambda i: F.when(i == 0, F.lit(True)).otherwise(
+            F.element_at(sorted_idx, i + 1)
+            != F.element_at(sorted_idx, i)
+        ),
     )
-
-    def step(acc, x):
-        closing = F.when(
-            (x != acc["prev"]) & (acc["run"] > 0),
-            F.array(
-                F.struct(
-                    acc["prev"].alias("idx"),
-                    (acc["run"] / n.cast("double")).alias("val"),
-                )
+    # pair each start with the following start (n past the last run)
+    nexts = F.concat(F.slice(starts, 2, F.greatest(F.size(starts) - 1, F.lit(0))), F.array(n))
+    return F.when(n == 0, F.array().cast(
+        "array<struct<idx:int,val:double>>"
+    )).otherwise(
+        F.zip_with(
+            starts,
+            nexts,
+            lambda s, e: F.struct(
+                F.element_at(sorted_idx, s + 1).alias("idx"),
+                ((e - s) / n.cast("double")).alias("val"),
             ),
-        ).otherwise(F.array().cast("array<struct<idx:int,val:double>>"))
-        run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
-        return F.struct(
-            x.alias("prev"),
-            run.alias("run"),
-            F.concat(acc["out"], closing).alias("out"),
         )
-
-    def fin(acc):
-        return F.when(
-            acc["run"] > 0,
-            F.concat(
-                acc["out"],
-                F.array(
-                    F.struct(
-                        acc["prev"].alias("idx"),
-                        (acc["run"] / n.cast("double")).alias("val"),
-                    )
-                ),
-            ),
-        ).otherwise(acc["out"])
-
-    return F.aggregate(sorted_idx, acc0, step, fin)
+    )
 
 
 def hash_features(
