@@ -177,6 +177,34 @@ def dedupcut_pipeline(docs):
     return remove_duplicate_spans(docs).filter(F.col("n_dedup_removed") > 0)
 
 
+def hamming_pipeline(docs):
+    """Round-11 banded Hamming pigeonhole (dedup.hamming_near_pairs
+    over 60-bit simhashes, radius 3): the signature projection is
+    cached once (r11 fix), each band is an equi-join on small ints.
+    Mutate axis = constant duplicate rate (pair volume ~linear); exact
+    axis = every doc a 16-clique of IDENTICAL hashes — band buckets of
+    16 replicas each, the hot-bucket stress the production default
+    (no cap) must absorb as factor² pairs inside bounded families."""
+    from scalecast_spark.datapipe.dedup import hamming_near_pairs, simhash
+
+    return hamming_near_pairs(
+        simhash(docs), "simhash", id_col="doc_id", bits=60, max_hamming=3
+    )
+
+
+def hamming_capped_pipeline(docs):
+    """Same join with the hot-bucket star collapse
+    (max_bucket_size=32): oversized band buckets emit hub-spoke pairs
+    instead of cliques, so output and wall time stay ~linear in corpus
+    size where the uncapped exact axis grows with factor²."""
+    from scalecast_spark.datapipe.dedup import hamming_near_pairs, simhash
+
+    return hamming_near_pairs(
+        simhash(docs), "simhash", id_col="doc_id", bits=60, max_hamming=3,
+        max_bucket_size=32,
+    )
+
+
 def signals_pipeline(docs):
     """Round-4 text additions: the Gopher char-fraction Arrow kernel +
     C4 structure signals + fixed-window chunking + a BM25 query — all
@@ -638,7 +666,8 @@ def main():
     # non-docs blocks). Unknown names are an ERROR — a typo must not
     # skip every probe and exit 0 as a green run.
     known = {"dedup", "dedup_cap", "curation", "selection", "signals",
-             "embed", "crossdedup", "crossd_smj", "dedupcut",
+             "embed", "crossdedup", "crossd_smj", "dedupcut", "hamming",
+             "hamming_cap",
              "embedding", "trainers", "serve", "streamstate", "delete"}
     only = set(sys.argv[2:])
     unknown = only - known
@@ -664,6 +693,8 @@ def main():
                          ("selection", selection_pipeline),
                          ("signals", signals_pipeline),
                          ("dedupcut", dedupcut_pipeline),
+                         ("hamming", hamming_pipeline),
+                         ("hamming_cap", hamming_capped_pipeline),
                          ("embed", embed_pipeline),
                          ("crossdedup", crossdedup_pipeline),
                          ("crossd_smj", crossdedup_smj_pipeline)]:
@@ -673,8 +704,8 @@ def main():
                 if name in ("curation", "selection", "signals", "embed",
                             "crossdedup", "crossd_smj") and axis == "exact":
                     continue  # per-row/bucketed; dup rate is irrelevant
-                if name == "dedup_cap" and axis == "mutate":
-                    continue  # same plan as dedup below the cap
+                if name in ("dedup_cap", "hamming_cap") and axis == "mutate":
+                    continue  # same plan as the uncapped twin below the cap
                 if name == "dedup" and axis == "exact":
                     factors = (1, 4)  # 16x exact = 600k-pair clique graph
                 else:
