@@ -388,6 +388,72 @@ def stream_state_probe(spark, scratch, n_series: int = 100_000) -> bool:
             print(f"{name:<16} expected 2 stateful batches, saw "
                   f"{len(progs)} — FAIL")
             ok = False
+
+    # round-11 churn leg: SERIES CHURN is the axis O(|series|) does
+    # not cover — an open-world key space (one series per user/crawl
+    # host) grows state forever without eviction. Three batches:
+    # 1e5 's*' series at day 1, a DISJOINT 1e5 't*' universe at day
+    # 40, then day 41 (the watermark now far past day1 + TTL fires
+    # the s* event-time timers). With ttl_clock='event' (5-day TTL,
+    # 1-day watermark) the final state must be |t| = n_series — the
+    # dormant universe evicted by the WATERMARK under an AvailableNow
+    # drain, the exact combination the processing-time clock cannot
+    # serve (it would hang the drain).
+    import time as _time
+
+    churn_in = f"{scratch}/ss_churn_in"
+    for prefix, day in [("s", "2024-01-01"), ("t", "2024-02-09"),
+                        ("t", "2024-02-10")]:
+        (
+            base.select(
+                F.concat(F.lit(prefix), F.col("id")).alias("series_id"),
+                F.to_timestamp(F.lit(day)).alias("ds"),
+                (F.col("id") % 97).cast("double").alias("y"),
+            )
+            .coalesce(1)
+            .write.mode("append").parquet(churn_in)
+        )
+        _time.sleep(1.1)  # distinct mtimes -> deterministic file order
+    from scalecast_spark.streaming.ops import ewma_stream as _ewma
+
+    src = (
+        spark.readStream
+        .schema("series_id string, ds timestamp, y double")
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(churn_in)
+    )
+    q = (
+        _ewma(src, state_ttl_ms=5 * 86_400_000, ttl_clock="event",
+              watermark="1 day")
+        .writeStream.format("noop")
+        .option("checkpointLocation", f"{scratch}/ss_ckpt_churn")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(600):
+        q.stop()
+        print("churn leg TIMED OUT — event-TTL drain did not terminate")
+        return False
+    progs = [p for p in q.recentProgress
+             if p["numInputRows"] and p["stateOperators"]]
+    print(f"\nevent-TTL churn leg (2x {n_series}-series disjoint "
+          f"universes; final state must drop back to {n_series})")
+    want_rows = [n_series, 2 * n_series, n_series]
+    for i, p in enumerate(progs):
+        so = p["stateOperators"][0]
+        rows_total = so["numRowsTotal"]
+        good = i < len(want_rows) and rows_total == want_rows[i]
+        ok = ok and good
+        print(f"{'ewma_event_ttl':<16} {i + 1:>5} {p['numInputRows']:>8} "
+              f"{rows_total:>10} "
+              f"{so.get('memoryUsedBytes', 0) / 1e6:>8.1f} "
+              f"{p['durationMs']['triggerExecution'] / 1e3:>9.2f}  "
+              f"{'ok' if good else 'FAIL (eviction did not track churn)'}",
+              flush=True)
+    if len(progs) != 3:
+        print(f"churn leg expected 3 batches, saw {len(progs)} — FAIL")
+        ok = False
     return ok
 
 
