@@ -642,10 +642,24 @@ def hamming_near_pairs(
     for i in range(bands):
         src = b
         if max_bucket_size is not None:
-            wb = W.partitionBy(f"_hc{i}")
-            sized = b.withColumn("_bsz", F.count("*").over(wb))
-            small = sized.filter(F.col("_bsz") <= max_bucket_size).drop("_bsz")
-            big = sized.filter(F.col("_bsz") > max_bucket_size).drop("_bsz")
+            # bucket sizing via map-side-combined groupBy, then split
+            # the cached projection on the OVERSIZED bucket set (few
+
+            # by definition: <= n/cap) — a window count here would
+            # shuffle the FULL signature table once per band just to
+            # tag sizes (measured ~3x the whole uncapped join at
+            # sf0.1). No broadcast hint: the oversized set is tiny in
+            # healthy corpora and AQE broadcasts it then, but an
+            # adversarial corpus where EVERY bucket overflows keeps a
+            # shuffle join instead of an oversized broadcast.
+            over = (
+                b.groupBy(f"_hc{i}")
+                .agg(F.count("*").alias("_bsz"))
+                .filter(F.col("_bsz") > max_bucket_size)
+                .select(f"_hc{i}")
+            )
+            small = b.join(over, f"_hc{i}", "left_anti")
+            big = b.join(over, f"_hc{i}", "left_semi")
             hub_ids = big.groupBy(f"_hc{i}").agg(F.min(id_col).alias("_hub"))
             # the hub row itself supplies the hub hash (verify needs
             # both endpoints' hashes for the exact bit_count filter)
