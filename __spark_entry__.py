@@ -748,9 +748,24 @@ def q_ts_combo(spark, sf_dir):
         F.lit("signal_naive").alias("model"), "series_id", "ds",
         F.col("signal_naive").alias("forecast"),
     )
-    combo = f.history["combo"]["forecast"].select(
-        F.lit("combo").alias("model"), "series_id", "ds", "forecast"
-    ).unionByName(signals)
+    # round 11b: the STACKING data flow (reference mlp_stack,
+    # auxmodels.py:47-126 — base-model signals become meta features)
+    # with the meta-learner swapped for the certifiable exact-OLS
+    # kernel: mlr fit per series on signal_naive, future rows predict
+    # from the naive tile. Certifies signals-as-Xvars -> kernel fit ->
+    # stacked forecast; the MLP meta itself stays pinned by the
+    # gradcheck/parity tests (iterative training, not SQL-restatable).
+    f.set_estimator("mlr")
+    f.manual_forecast(call_me="stack_ols", Xvars=["signal_naive"])
+    stack = f.history["stack_ols"]["forecast"].select(
+        F.lit("stack_ols").alias("model"), "series_id", "ds", "forecast"
+    )
+    combo = (
+        f.history["combo"]["forecast"]
+        .select(F.lit("combo").alias("model"), "series_id", "ds", "forecast")
+        .unionByName(signals)
+        .unionByName(stack)
+    )
     syn = f.history["synth"]["forecast"]
     members = combo
     for tag, col in (("synth", "forecast"),
@@ -9066,6 +9081,37 @@ def _combo_oracle() -> str:
         FROM last
         CROSS JOIN (SELECT unnest(range(1, 8)) AS i) i
         JOIN t nv ON nv.series_id = last.series_id AND nv.rev = 8 - i.i
+        UNION ALL
+        -- stack_ols: stacking with an exact-OLS meta — per-series
+        -- y ~ b0 + b1*signal_naive over observed rows (signal = y
+        -- lag 7 with the head filled from actuals, UNROUNDED), future
+        -- rows predict from the naive tile
+        SELECT 'stack_ols', fc.series_id, fc.ds,
+               round(fit.b0 + fit.b1 * fc.s, 6)
+        FROM (
+            SELECT last.series_id,
+                   (last.last_ds + i.i * INTERVAL '1 day')::DATE AS ds,
+                   nv.y AS s
+            FROM last
+            CROSS JOIN (SELECT unnest(range(1, 8)) AS i) i
+            JOIN t nv ON nv.series_id = last.series_id
+                     AND nv.rev = 8 - i.i
+        ) fc
+        JOIN (
+            SELECT series_id,
+                   (count(*) * sum(y * s) - sum(y) * sum(s))
+                       / (count(*) * sum(s * s) - sum(s) * sum(s)) AS b1,
+                   (sum(y) - (count(*) * sum(y * s) - sum(y) * sum(s))
+                       / (count(*) * sum(s * s) - sum(s) * sum(s))
+                       * sum(s)) / count(*) AS b0
+            FROM (
+                SELECT series_id, y,
+                       coalesce(lag(y, 7) OVER (
+                           PARTITION BY series_id ORDER BY ds), y) AS s
+                FROM series
+            )
+            GROUP BY series_id
+        ) fit ON fit.series_id = fc.series_id
         {axs_arms}
         {rxv_arms}
     """
