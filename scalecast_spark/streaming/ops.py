@@ -1058,3 +1058,77 @@ def cross_dedup_stream(
         return spark.createDataFrame([], new_docs.schema)
     # batch_id is sink plumbing (the idempotency key), not a result col
     return spark.read.parquet(results_path).drop("batch_id")
+
+
+def compact_results(
+    spark: SparkSession,
+    results_path: str,
+    out_path: str,
+    target_files: int = 1,
+    keep_batch_id: bool = False,
+) -> dict:
+    """Compact a foreachBatch results directory into a serving table.
+
+    The exactly-once sinks in this module write one ``batch_id=<n>``
+    parquet directory per micro-batch (the idempotency key); a
+    long-running stream therefore accumulates one small directory per
+    trigger, and a consumer scan pays per-file open/footer costs that
+    dwarf the data read (the same fragmentation ivfpq_compact fixes
+    for cell-partitioned code tables). This rewrites the accumulated
+    results as ``target_files`` parquet files at ``out_path``.
+
+    Contract: an ARCHIVE/SERVING step for a finished (or paused)
+    stream. The (results_path, checkpoint_dir) pair remains the
+    resumable object — the original directory is left intact and a
+    resumed stream keeps appending batch dirs THERE, not to out_path;
+    swap consumers to out_path the same versioned-path way index
+    refreshes swap (ivfpq_encode_stream docstring). ``batch_id`` is
+    sink plumbing and is dropped unless ``keep_batch_id``. Row-count
+    equality is verified before returning; out_path must be fresh.
+
+    Uses coalesce (narrow, no shuffle): merging many small files needs
+    no data movement beyond task assignment. Returns {files_before,
+    files_after, bytes_before, bytes_after, rows}."""
+    from scalecast_spark.datapipe.similarity import _fs_listing
+
+    if results_path.rstrip("/") == out_path.rstrip("/"):
+        raise ValueError(
+            "compact_results: out_path must differ from results_path "
+            "(Spark cannot rewrite its own input in place; use "
+            "versioned paths)"
+        )
+    if _hadoop_exists(spark, out_path):
+        raise FileExistsError(
+            f"compact_results: out_path {out_path!r} already exists; "
+            f"use a fresh versioned path"
+        )
+    if target_files < 1:
+        raise ValueError(
+            f"compact_results: target_files must be >= 1, got "
+            f"{target_files}"
+        )
+    df = spark.read.parquet(results_path)
+    if "batch_id" not in df.columns:
+        raise ValueError(
+            f"compact_results: {results_path!r} has no batch_id "
+            f"partition column — not a foreachBatch results directory "
+            f"written by this module's sinks"
+        )
+    files_before, bytes_before = _fs_listing(spark, results_path)
+    n_in = df.count()
+    out = df if keep_batch_id else df.drop("batch_id")
+    out.coalesce(target_files).write.mode("error").parquet(out_path)
+    n_out = spark.read.parquet(out_path).count()
+    if n_out != n_in:
+        raise RuntimeError(
+            f"compact_results: row count changed ({n_in} -> {n_out}); "
+            f"out_path is suspect, do not swap consumers to it"
+        )
+    files_after, bytes_after = _fs_listing(spark, out_path)
+    return {
+        "files_before": files_before,
+        "files_after": files_after,
+        "bytes_before": bytes_before,
+        "bytes_after": bytes_after,
+        "rows": n_in,
+    }

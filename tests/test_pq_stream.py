@@ -1068,3 +1068,56 @@ def test_ivfpq_delete_ids_rename_fast_path(index_art, tmp_path):
     # in_path retains ONLY the touched cell (retire-in-place contract)
     left = [d for d in os.listdir(src) if d.startswith("cell=")]
     assert left == [f"cell={victim_cell}"]
+
+
+def test_compact_results_merges_batch_dirs(spark, tmp_path):
+    """compact_results: a fragmented foreachBatch results directory
+    (one batch_id=<n> dir per micro-batch) rewrites to target_files
+    parquet files with identical rows, batch_id dropped (sink
+    plumbing), file count verified down, and the accounting dict
+    matches the filesystem."""
+    import pytest
+
+    from scalecast_spark.streaming.ops import compact_results
+
+    res = str(tmp_path / "results")
+    rows_per = 40
+    for b in range(5):
+        spark.range(rows_per).selectExpr(
+            f"id + {b * rows_per} AS qid", "id * 2.0 AS score"
+        ).repartition(4).write.parquet(f"{res}/batch_id={b}")
+    out = str(tmp_path / "compacted_v1")
+    stats = compact_results(spark, res, out, target_files=1)
+    got = spark.read.parquet(out)
+    assert stats["rows"] == 5 * rows_per == got.count()
+    assert "batch_id" not in got.columns
+    assert stats["files_after"] < stats["files_before"]
+    # all qids survive exactly once
+    assert got.select("qid").distinct().count() == 5 * rows_per
+    # the original stays intact (the resumable object)
+    assert spark.read.parquet(res).count() == 5 * rows_per
+
+    # refusals: in-place, existing out, non-foreachBatch layout
+    with pytest.raises(ValueError, match="differ"):
+        compact_results(spark, res, res)
+    with pytest.raises(FileExistsError):
+        compact_results(spark, res, out)
+    plain = str(tmp_path / "plain")
+    spark.range(3).write.parquet(plain)
+    with pytest.raises(ValueError, match="batch_id"):
+        compact_results(spark, plain, str(tmp_path / "x"))
+
+
+def test_compact_results_keep_batch_id(spark, tmp_path):
+    from scalecast_spark.streaming.ops import compact_results
+
+    res = str(tmp_path / "results")
+    for b in range(2):
+        spark.range(3).selectExpr("id AS qid").write.parquet(
+            f"{res}/batch_id={b}"
+        )
+    out = str(tmp_path / "v1")
+    compact_results(spark, res, out, keep_batch_id=True)
+    got = spark.read.parquet(out)
+    assert set(got.columns) == {"qid", "batch_id"}
+    assert got.filter("batch_id = 1").count() == 3
