@@ -200,3 +200,73 @@ def test_remove_duplicate_spans_accounting_matches_signals(spark, sf_dir):
     )
     assert diff == 0
     assert cut.filter("n_dedup_removed > 0").count() > 0
+
+
+def test_remove_contaminated_spans_random_parity(spark):
+    """Seeded-random adversarial parity: 40 docs over a tiny vocab
+    (forcing overlapping/adjacent/full-doc spans) cut against a random
+    benchmark slice must match a pure-Python reference implementation
+    of the whole chain — benchmark n-gram set, positional hits,
+    gap>n island merge, keep-word-iff-no-span-covers-it surgery, and
+    the verbatim-bytes contract for untouched docs."""
+    import random
+
+    from scalecast_spark.datapipe.text import remove_contaminated_spans
+
+    rng = random.Random(1234)
+    vocab = [f"w{k}" for k in range(8)]
+    n = 3
+    docs = []
+    for i in range(40):
+        L = rng.randint(0, 25)
+        words = [vocab[rng.randrange(len(vocab))] for _ in range(L)]
+        # mixed case + messy whitespace exercise the normalize/original
+        # alignment (case folds for matching, original case survives)
+        styled = [w.upper() if rng.random() < 0.3 else w for w in words]
+        text = ("  " if i % 5 == 0 else "") + "  ".join(styled)
+        docs.append((i, text))
+    bench_ids = {i for i in range(40) if i % 7 == 0}
+
+    def norm_words(text):
+        return [w for w in " ".join(text.lower().split()).split(" ") if w]
+
+    def orig_words(text):
+        return [w for w in " ".join(text.split()).split(" ") if w]
+
+    bench_grams = set()
+    for i, text in docs:
+        if i in bench_ids:
+            w = norm_words(text)
+            for p in range(len(w) - n + 1):
+                bench_grams.add(" ".join(w[p:p + n]))
+
+    expected = {}
+    for i, text in docs:
+        w = norm_words(text)
+        hits = [p for p in range(len(w) - n + 1)
+                if " ".join(w[p:p + n]) in bench_grams]
+        # the engine's island rule: a new span starts when
+        # pos > prev_pos + n; span end = last pos + n - 1
+        spans = []
+        prev = None
+        for p in hits:
+            if prev is None or p > prev + n:
+                spans.append([p, p + n - 1])
+            else:
+                spans[-1][1] = max(spans[-1][1], p + n - 1)
+            prev = p
+        if not spans:
+            expected[i] = (text, 0)
+        else:
+            ow = orig_words(text)
+            kept = [ow[j] for j in range(len(ow))
+                    if not any(s <= j <= e for s, e in spans)]
+            expected[i] = (" ".join(kept), len(ow) - len(kept))
+
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    bench = df.filter(F.col("doc_id").isin(sorted(bench_ids)))
+    got = {
+        r["doc_id"]: (r["text_decontam"], r["n_removed_tokens"])
+        for r in remove_contaminated_spans(df, bench, n=n).collect()
+    }
+    assert got == expected
