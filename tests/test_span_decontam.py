@@ -270,3 +270,66 @@ def test_remove_contaminated_spans_random_parity(spark):
         for r in remove_contaminated_spans(df, bench, n=n).collect()
     }
     assert got == expected
+
+
+def test_remove_duplicate_spans_random_parity(spark):
+    """Seeded-random adversarial parity for the ExactSubstr cut,
+    keep_first semantics: duplicated k-windows (count >= 2 over the
+    corpus), the lexicographically-first (doc_id, pos) occurrence
+    SURVIVES, every other occurrence's positions island-merge
+    (gap > k breaks) and cut word-level. A tiny vocabulary forces
+    heavy cross-doc duplication, overlapping windows, and
+    full-document cuts."""
+    import random
+
+    from scalecast_spark.datapipe.text import remove_duplicate_spans
+
+    rng = random.Random(99)
+    vocab = [f"t{j}" for j in range(6)]
+    k = 3
+    docs = []
+    for i in range(30):
+        L = rng.randint(0, 18)
+        words = [vocab[rng.randrange(len(vocab))] for _ in range(L)]
+        docs.append((i, " ".join(words)))
+
+    def norm_words(text):
+        return [w for w in " ".join(text.lower().split()).split(" ") if w]
+
+    # corpus window census: gram -> occurrences [(doc, pos)]
+    occ = {}
+    for i, text in docs:
+        w = norm_words(text)
+        for p in range(len(w) - k + 1):
+            occ.setdefault(" ".join(w[p:p + k]), []).append((i, p))
+    dup = {g: sorted(ps) for g, ps in occ.items() if len(ps) >= 2}
+
+    expected = {}
+    for i, text in docs:
+        w = norm_words(text)
+        hits = sorted(
+            p for p in range(len(w) - k + 1)
+            if " ".join(w[p:p + k]) in dup
+            and (i, p) != dup[" ".join(w[p:p + k])][0]  # canon survives
+        )
+        spans, prev = [], None
+        for p in hits:
+            if prev is None or p > prev + k:
+                spans.append([p, p + k - 1])
+            else:
+                spans[-1][1] = max(spans[-1][1], p + k - 1)
+            prev = p
+        if not spans:
+            expected[i] = (text, 0)
+        else:
+            ow = text.split()
+            kept = [ow[j] for j in range(len(ow))
+                    if not any(s <= j <= e for s, e in spans)]
+            expected[i] = (" ".join(kept), len(ow) - len(kept))
+
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: (r["text_dedup"], r["n_dedup_removed"])
+        for r in remove_duplicate_spans(df, k=k).collect()
+    }
+    assert got == expected
