@@ -77,22 +77,57 @@ def tune_test_forecast(
         ],
         on_error="raise" if error == "raise" else "nan",
     )
-    for (m, grid), res in zip(plan, tuned):
+    # Round 11b: the FORECAST phase overlaps too — each winner's
+    # test→fit→bank pipeline is ~10 small blocking actions (metric
+    # summaries, conformal widths, fitted/forecast materialization),
+    # so three models serialized left the scheduler idle between
+    # round-trips exactly like the pre-r11 tune loop. Same clone
+    # pattern: compute each model's history ENTRY concurrently, then
+    # attach entries to the real object in input order (banking is a
+    # dict write — order only matters for reproducible iteration).
+    def _forecast_one(m: str, grid: dict, res):
         try:
             if isinstance(res, float):  # nan: that model's tune failed
                 raise RuntimeError(f"grid evaluation failed for {m!r}")
-            f.set_estimator(m)
+            g = copy.copy(f)
+            g.history = dict(f.history)
+            g.set_estimator(m)
             if grid:
-                f.best_params, f.grid_evaluated = res
-                f.auto_forecast(call_me=m)
+                g.best_params, g.grid_evaluated = res
+                g.auto_forecast(call_me=m)
             else:
-                f.best_params = {}
-                f.manual_forecast(call_me=m)
+                g.best_params = {}
+                g.manual_forecast(call_me=m)
+            return (
+                g.history[m],
+                g.best_params,
+                getattr(g, "grid_evaluated", None),
+            )
         except Exception as e:
             if error == "raise":
                 raise
             if error == "warn":
                 print(f"tune_test_forecast: {m} failed: {e}")
+            return None
+
+    outs = run_jobs(
+        [
+            (lambda m=m, gr=gr, r=r: _forecast_one(m, gr, r))
+            for (m, gr), r in zip(plan, tuned)
+        ],
+        on_error="raise" if error == "raise" else "nan",
+    )
+    for (m, grid), res, out in zip(plan, tuned, outs):
+        if not isinstance(out, tuple):
+            continue
+        entry, bp, ge = out
+        f.history[m] = entry
+        # reference post-loop state: estimator/best_params reflect the
+        # LAST successfully processed model
+        f.set_estimator(m)
+        f.best_params = bp
+        if ge is not None:
+            f.grid_evaluated = ge
     return f
 
 
