@@ -364,6 +364,33 @@ class Forecaster:
         except (TypeError, ValueError):
             return False
 
+    def copy(self) -> "Forecaster":
+        """Isolated object copy (reference _Forecaster_parent.py:154
+        ``copy``/``__copy__``). Spark frames are immutable, so they
+        are SHARED — a deepcopy of a DataFrame has no meaning and
+        would copy no data anyway — while every mutable container
+        (history and its per-model entries, trajectories, params,
+        metric lists) is copied, and the engine mutates ``tsf`` only
+        by functional REASSIGNMENT, so any add_*/set_*/forecast on
+        the copy never touches the original: the same isolation the
+        reference gets from deepcopying its numpy state, at zero data
+        cost."""
+        import copy as _copy
+
+        g = _copy.copy(self)
+        for k, v in vars(self).items():
+            if isinstance(v, (list, set)):
+                setattr(g, k, _copy.copy(v))
+            elif isinstance(v, dict):
+                setattr(
+                    g, k,
+                    {
+                        kk: (dict(vv) if isinstance(vv, dict) else vv)
+                        for kk, vv in v.items()
+                    },
+                )
+        return g
+
     def _metric_summary(self, df: DataFrame, metrics: list[str]):
         """Two-stage metric reduction: a LAZY per-series metric frame
         (kept for MV exports) + ONE collected cross-series mean row.

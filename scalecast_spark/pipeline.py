@@ -34,6 +34,15 @@ class Transformer:
     def __init__(self, transformers: list[Transform]):
         self.transformers = transformers
 
+    def copy(self) -> "Transformer":
+        """Isolated copy (reference Pipeline.py:96-102): fresh
+        Transform instances so a later fit() on the copy never
+        clobbers the original's fitted state. Transform params are
+        scalars/strings; frames are immutable and shared."""
+        import copy as _copy
+
+        return Transformer([_copy.copy(t) for t in self.transformers])
+
     def fit_transform(self, df: DataFrame, col: str = Y) -> DataFrame:
         for t in self.transformers:
             t.fit(df)
@@ -62,6 +71,33 @@ class Pipeline:
 
     def __init__(self, steps: list[tuple[str, object]]):
         self.steps = steps
+
+    def copy(self) -> "Pipeline":
+        """Isolated pipeline copy (reference Pipeline.py:166-176
+        ``copy``/``__deepcopy__``): Transformer steps get fresh
+        Transform instances (so fitting the copy never clobbers the
+        original's fitted state) and Reverters re-bind to their
+        step's NEW base transformer when it is part of the same
+        pipeline — preserving the fitted-state coupling the reference
+        deepcopy keeps via the memo dict. Model callables and
+        immutable frames are shared."""
+        import copy as _copy
+
+        rebound: dict[int, Transformer] = {}
+        steps: list[tuple[str, object]] = []
+        for name, step in self.steps:
+            if isinstance(step, Transformer):
+                new = step.copy()
+                rebound[id(step)] = new
+                steps.append((name, new))
+            elif isinstance(step, Reverter):
+                base = rebound.get(id(step.base), step.base)
+                steps.append((name, Reverter(base)))
+            else:
+                steps.append((name, step))
+        g = _copy.copy(self)
+        g.steps = steps
+        return g
 
     def fit_predict(self, df: DataFrame) -> DataFrame:
         for name, step in self.steps:

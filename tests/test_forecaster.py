@@ -99,3 +99,62 @@ def test_export_to_excel_fallback(f, tmp_path):
 
         summ = pd.read_csv(os.path.join(out, "model_summaries.csv"))
         assert "ModelNickname" in summ.columns
+
+
+def test_copy_isolates_mutations(f):
+    """Forecaster.copy (reference _Forecaster_parent.py:154): frames
+    shared (immutable), mutable state isolated — feature mutations,
+    estimator choice, and history banking on the copy never leak back,
+    and the copy's history entries are live independently."""
+    g = f.copy()
+    base_feats = list(f.tsf.features)
+    g.add_ar_terms(4)
+    assert list(f.tsf.features) == base_feats
+    assert "ar_4" in g.tsf.features
+    g.set_estimator("naive")
+    g.manual_forecast(m=7)
+    assert "naive" in g.history and "naive" not in f.history
+    assert g.history["naive"]["forecast"].count() > 0
+    # deeper: banking a model under a name already in the ORIGINAL's
+    # history must not mutate the original's entry dict
+    f.set_estimator("naive")
+    f.manual_forecast(m=7, call_me="orig")
+    h = f.copy()
+    h.history["orig"]["summary"] = {"clobbered": True}
+    assert "clobbered" not in f.history["orig"]["summary"]
+
+
+def test_pipeline_copy_rebinds_reverter(spark, sf_dir):
+    """Pipeline.copy (reference Pipeline.py:166-176): the copy's
+    Reverter binds to the COPY's transformer, so fitting the copy
+    reverts through the copy's fitted state, and re-fitting the copy
+    on different data never clobbers the original's fitted params."""
+    from scalecast_spark.frame import IS_FUTURE, Y
+    from scalecast_spark.operators.transforms import ScaleTransform
+    from scalecast_spark.pipeline import Pipeline, Reverter, Transformer
+    from scalecast_spark.sources import events_to_series, load_table
+
+    series = events_to_series(load_table(spark, sf_dir, "events"))
+    df = series.withColumn(IS_FUTURE, F.lit(0))
+
+    t = Transformer([ScaleTransform()])
+    p = Pipeline([
+        ("transform", t),
+        ("model", lambda d: d.withColumn("forecast", F.col(Y))),
+        ("revert", Reverter(t)),
+    ])
+    q = p.copy()
+    # identity model -> fit_predict must round-trip y exactly on BOTH
+    got_p = p.fit_predict(df)
+    got_q = q.fit_predict(df)
+    for got in (got_p, got_q):
+        bad = got.filter(F.abs(F.col("forecast") - F.col(Y)) > 1e-9).count()
+        assert bad == 0
+    # structural isolation: the copy's steps are distinct objects and
+    # its reverter points at ITS transformer, not the original's
+    (tp, mp, rp), (tq, mq, rq) = (
+        [s for _, s in p.steps], [s for _, s in q.steps]
+    )
+    assert tq is not tp and rq is not rp
+    assert rq.base is tq and rp.base is tp
+    assert mq is mp  # model callables shared by design
