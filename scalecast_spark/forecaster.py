@@ -216,8 +216,228 @@ class Forecaster:
         self.tsf = self.tsf.drop_features(*names)
         return self
 
+    def drop_regressors(self, *names, raise_error: bool = True) -> "Forecaster":
+        """Alias of drop_Xvars with the reference's error policy
+        (_Forecaster_parent.py:720-758): unknown names raise unless
+        ``raise_error=False`` (then they are skipped silently)."""
+        feats = set(self.tsf.features)
+        missing = [n for n in names if n not in feats]
+        if missing and raise_error:
+            raise ValueError(
+                f"regressor(s) not found: {missing}; stored: "
+                f"{sorted(feats)}"
+            )
+        keep = [n for n in names if n in feats]
+        return self.drop_Xvars(*keep) if keep else self
+
+    def drop_all_Xvars(self) -> "Forecaster":
+        """reference _Forecaster_parent.py:759-765."""
+        feats = list(self.tsf.features)
+        return self.drop_Xvars(*feats) if feats else self
+
     def get_regressor_names(self) -> list[str]:
         return list(self.tsf.features)
+
+    def list_stored_ar_terms(self) -> list[str]:
+        """AR feature names currently stored
+        (reference _Forecaster_parent.py:428-435)."""
+        return [
+            c for c in self.tsf.features
+            if c.startswith("ar_") and c.split("_", 1)[1].isdigit()
+        ]
+
+    def get_max_lag_order(self) -> int:
+        """Highest stored AR lag order, 0 if none
+        (reference _Forecaster_parent.py:436-447)."""
+        ars = self.list_stored_ar_terms()
+        return max((int(c.split("_", 1)[1]) for c in ars), default=0)
+
+    def n_actuals(self) -> int:
+        """Number of actual observations (reference
+        _Forecaster_parent.py:145-152). Long-format translation: the
+        MINIMUM per-series observed count — the quantity every
+        window/length decision (test split, series-length search,
+        max AR order) must respect across ALL series."""
+        row = (
+            self.tsf.observed.groupBy(SERIES)
+            .count()
+            .agg(F.min("count"))
+            .collect()[0]
+        )
+        return int(row[0]) if row[0] is not None else 0
+
+    def get_freq(self) -> float | None:
+        """The inferred observation frequency (reference
+        Forecaster.py:1762-1769 returns the pandas alias; the engine's
+        distributed inference works in SECONDS — frame.py
+        freq_seconds — so that is what comes back: 86400.0 for daily,
+        None if unknown)."""
+        return self.tsf.freq_seconds
+
+    def set_metrics(
+        self, metrics: list[str], keep_existing: bool = False
+    ) -> "Forecaster":
+        """Choose which metrics every subsequent evaluation computes
+        (reference _Forecaster_parent.py:1133-1166). Names must exist
+        in the metric registry (functions/metrics.METRIC_EXPRS —
+        custom metrics register there first, same extension point the
+        gate's medae member uses)."""
+        unknown = [m for m in metrics if m not in METRICS.METRIC_EXPRS]
+        if unknown:
+            raise ValueError(
+                f"unknown metric(s) {unknown}; registered: "
+                f"{sorted(METRICS.METRIC_EXPRS)}"
+            )
+        if keep_existing:
+            self.metrics = self.metrics + [
+                m for m in metrics if m not in self.metrics
+            ]
+        else:
+            self.metrics = list(metrics)
+        return self
+
+    def set_last_future_date(self, date) -> "Forecaster":
+        """Extend the forecast horizon to a target DATE instead of a
+        period count (reference _Forecaster_parent.py:1338-1360).
+        Long-format translation: h is computed from the EARLIEST
+        per-series last-observed date, so every series' horizon
+        reaches at least ``date``; the frame's future rows are rebuilt
+        (call BEFORE feature generation, exactly like the
+        generate_future_dates step in __init__ ordering — regenerated
+        future rows carry NULL feature cells)."""
+        import math
+
+        import pandas as pd
+
+        if self.tsf.freq_seconds is None:
+            raise ValueError("frequency unknown; cannot generate horizon")
+        row = (
+            self.tsf.observed.groupBy(SERIES)
+            .agg(F.max(DS).alias("_m"))
+            .agg(F.min("_m"))
+            .collect()[0]
+        )
+        last = pd.Timestamp(row[0])
+        target = pd.Timestamp(date)
+        h = math.ceil(
+            (target - last).total_seconds() / self.tsf.freq_seconds
+        )
+        if h < 1:
+            raise ValueError(
+                f"set_last_future_date: {target} is not after the "
+                f"earliest last observation ({last})"
+            )
+        self.tsf = self.tsf.generate_future_dates(h)
+        return self
+
+    def eval_cis(self, mode: bool = True, cilevel: float = 0.95) -> "Forecaster":
+        """Toggle conformal confidence intervals for every subsequent
+        evaluation (reference _Forecaster_parent.py:1033-1051).
+        Turning them ON enforces the reference's soundness bound: the
+        naive conformal percentile needs at least 1/(1-cilevel) test
+        residuals per series."""
+        import math
+
+        if mode:
+            need = math.ceil(1.0 / (1.0 - cilevel))
+            if not self.test_length or self.test_length < need:
+                raise ValueError(
+                    f"conformal intervals at cilevel={cilevel} need a "
+                    f"test set of at least {need} observations; "
+                    f"test_length is {self.test_length or 0} — call "
+                    f"set_test_length first"
+                )
+        self.cis = mode
+        return self.set_cilevel(cilevel)
+
+    def export_Xvars_df(self, dropna: bool = False) -> DataFrame:
+        """The feature matrix as its own frame (reference
+        Forecaster.py:2290-2319): (series_id, ds, every stored Xvar)
+        over observed AND future rows; ``dropna`` drops rows with any
+        NULL feature cell (future AR cells, pre-window warm-up
+        rows)."""
+        feats = list(self.tsf.features)
+        out = self.tsf.df.select(SERIES, DS, IS_FUTURE, *feats)
+        if dropna and feats:
+            out = out.na.drop(subset=feats)
+        return out
+
+    def export_fitted_vals(self, model: str) -> DataFrame:
+        """A model's in-sample fitted values (reference
+        Forecaster.py:2321-2340): (series_id, ds, y, forecast)."""
+        if model not in self.history:
+            raise ValueError(f"{model!r} not evaluated")
+        return self.history[model]["fitted"]
+
+    def export_validation_grid(self, model: str) -> DataFrame:
+        """A model's banked hyperparameter-validation grid (reference
+        _Forecaster_parent.py:1545-1568): one row per (grid cell,
+        fold) with the validation metric. Available for models banked
+        through auto_forecast / tune_test_forecast."""
+        if model not in self.history:
+            raise ValueError(f"{model!r} not evaluated")
+        grid = self.history[model].get("grid_evaluated")
+        if not grid:
+            raise ValueError(
+                f"{model!r} was not tuned (no validation grid banked); "
+                f"tune + auto_forecast it, or use manual_forecast "
+                f"models' summaries instead"
+            )
+        rows = [
+            (str(entry["params"]), fold, float(v))
+            for entry in grid
+            for fold, v in enumerate(entry["scores"])
+        ]
+        return self.tsf.df.sparkSession.createDataFrame(
+            rows, schema="params string, fold int, metric double"
+        )
+
+    def test(
+        self, dynamic_testing: bool | int = True,
+        call_me: str | None = None, **kwargs,
+    ) -> "Forecaster":
+        """Evaluate the estimator out-of-sample ONLY — no future
+        forecast (reference _Forecaster_parent.py:1569-1643): the last
+        test_length observations per series are held out, the model
+        fits on the rest and predicts the holdout, and TestSet metrics
+        + test predictions bank into history under ``call_me`` (an
+        existing entry, e.g. from manual_forecast, is UPDATED — same
+        merge the reference performs)."""
+        if not self.test_length:
+            raise ValueError(
+                "Cannot test models when test_length is 0. Call "
+                "set_test_length() to configure a test set first."
+            )
+        if self.estimator is None:
+            raise ValueError("call set_estimator first")
+        name = call_me or self.estimator
+        if self._model_accepts("dynamic_testing"):
+            kwargs.setdefault("dynamic_testing", dynamic_testing)
+        marked = _mark_test_rows(self.tsf.df, self.test_length)
+        scored = self._run_model(marked, **dict(kwargs))
+        test_df = scored.filter(F.col(IS_FUTURE) == 1).select(
+            SERIES, DS, Y, "forecast"
+        ).cache()
+        per_series_test, test_metrics = self._metric_summary(
+            test_df, self.metrics
+        )
+        entry = dict(self.history.get(name, {}))
+        summary = dict(entry.get("summary", {}))
+        summary.setdefault("estimator", self.estimator)
+        summary.setdefault("hyperparams", dict(kwargs))
+        for m, v in test_metrics.items():
+            summary[f"TestSet{m.upper()}"] = v
+        entry.update(
+            {
+                "summary": summary,
+                "test_preds": test_df,
+                "per_series_test_metrics": per_series_test,
+            }
+        )
+        entry.setdefault("forecast", None)
+        entry.setdefault("fitted", None)
+        self.history[name] = entry
+        return self
 
     def export_recipe(self) -> list[tuple]:
         """The recorded feature recipe — transferable to another object
@@ -259,8 +479,25 @@ class Forecaster:
         return self
 
     def keep_smaller_history(self, n: int) -> "Forecaster":
+        # first chop banks the pre-chop frame so restore_series_length
+        # can undo it (reference orig_attr, Forecaster.py:1165-1176);
+        # frames are immutable, so this costs a reference, not a copy
+        if not hasattr(self, "_orig_tsf"):
+            self._orig_tsf = self.tsf
         self.tsf = self.tsf.keep_smaller_history(n)
         return self
+
+    def restore_series_length(self) -> "Forecaster":
+        """Undo keep_smaller_history / determine_best_series_length
+        (reference Forecaster.py:1165-1176): the pre-chop frame comes
+        back and, like the reference, ALL stored regressors drop (their
+        values were computed against the chopped history). No-op if
+        the history was never chopped."""
+        if not hasattr(self, "_orig_tsf"):
+            return self
+        self.tsf = self._orig_tsf
+        delattr(self, "_orig_tsf")
+        return self.drop_all_Xvars()
 
     def round(self, decimals: int = 0) -> "Forecaster":
         """reference Forecaster.round (Forecaster.py:2341-2352)."""
@@ -426,9 +663,11 @@ class Forecaster:
             per_series_test, test_metrics = self._metric_summary(
                 test_df, self.metrics
             )
-            widths = conformal_widths(
-                test_df, actual=Y, forecast="forecast", cilevel=self.cilevel
-            )
+            if getattr(self, "cis", True):  # eval_cis(mode=False) opts out
+                widths = conformal_widths(
+                    test_df, actual=Y, forecast="forecast",
+                    cilevel=self.cilevel,
+                )
 
         full = self._run_model(self.tsf.df, **dict(kwargs))
         fitted = full.filter(
@@ -465,7 +704,14 @@ class Forecaster:
         """reference _Forecaster_parent.py:819-867."""
         if self.best_params is None:
             self.best_params = {}
-        return self.manual_forecast(call_me=call_me, **self.best_params)
+        out = self.manual_forecast(call_me=call_me, **self.best_params)
+        # bank the validation grid with the model it tuned (reference
+        # history['...']['grid_evaluated']) so export_validation_grid
+        # works per model, not just for the last-tuned estimator
+        ge = getattr(self, "grid_evaluated", None)
+        if ge:
+            self.history[call_me or self.estimator]["grid_evaluated"] = ge
+        return out
 
     def transfer_predict(
         self,

@@ -158,3 +158,107 @@ def test_pipeline_copy_rebinds_reverter(spark, sf_dir):
     assert tq is not tp and rq is not rp
     assert rq.base is tq and rp.base is tp
     assert mq is mp  # model callables shared by design
+
+
+def test_reference_parity_utilities(f):
+    """The round-11b reference-parity surface: introspection utils,
+    drop policies, metric selection, horizon-by-date, and the frame
+    exports behave per the reference's documented semantics."""
+    # AR introspection
+    assert f.list_stored_ar_terms() == ["ar_1", "ar_2"]
+    assert f.get_max_lag_order() == 2
+    assert f.n_actuals() > 0
+    assert f.get_freq() == 86400.0  # daily testdata
+
+    # drop policies
+    with pytest.raises(ValueError, match="not found"):
+        f.drop_regressors("nope")
+    g = f.copy()
+    g.drop_regressors("nope", raise_error=False)  # silent skip
+    g.drop_regressors("t")
+    assert "t" not in g.tsf.features and "t" in f.tsf.features
+    g.drop_all_Xvars()
+    assert list(g.tsf.features) == [] and f.tsf.features
+
+    # metric selection validates against the registry
+    g = f.copy()
+    g.set_metrics(["rmse", "mae"])
+    assert g.metrics == ["rmse", "mae"]
+    g.set_metrics(["r2"], keep_existing=True)
+    assert g.metrics == ["rmse", "mae", "r2"]
+    with pytest.raises(ValueError, match="unknown metric"):
+        g.set_metrics(["nope"])
+
+    # Xvars export: dropna removes every row carrying a NULL feature
+    # cell (warm-up AR rows; far-horizon future rows beyond the lag
+    # reach — near-horizon ones keep real lag values and survive)
+    x = f.export_Xvars_df()
+    assert "ar_1" in x.columns
+    assert x.filter("is_future = 1").count() > 0
+    clean = f.export_Xvars_df(dropna=True)
+    assert clean.count() < x.count()
+    feats = [c for c in clean.columns if c not in ("series_id", "ds", "is_future")]
+    null_rows = clean.filter(" OR ".join(f"{c} IS NULL" for c in feats)).count()
+    assert null_rows == 0
+
+
+def test_reference_parity_test_and_cis(f):
+    """f.test(): out-of-sample-only evaluation banks TestSet metrics +
+    test predictions without a future forecast; eval_cis enforces the
+    conformal soundness bound and its off-mode skips interval math."""
+    g = f.copy()
+    g.set_estimator("naive")
+    g.test(m=7, call_me="naive_t")
+    h = g.history["naive_t"]
+    assert h["forecast"] is None and h["fitted"] is None
+    assert h["test_preds"].count() > 0
+    assert "TestSetRMSE" in h["summary"]
+    # merge semantics: manual_forecast then test UPDATES the entry
+    g.manual_forecast(m=7, call_me="naive_full")
+    rmse_full = g.history["naive_full"]["summary"]["TestSetRMSE"]
+    g.test(m=7, call_me="naive_full")
+    assert g.history["naive_full"]["forecast"] is not None  # kept
+    assert g.history["naive_full"]["summary"]["TestSetRMSE"] == pytest.approx(
+        rmse_full, rel=1e-9
+    )
+
+    # eval_cis soundness bound: cilevel .95 needs >= 20 test obs
+    with pytest.raises(ValueError, match="at least 20"):
+        g.eval_cis(cilevel=0.95)
+    g.eval_cis(cilevel=0.9, mode=False)  # off: no bound enforced
+    g.set_estimator("naive")
+    g.manual_forecast(m=7, call_me="no_cis")
+    fc = g.history["no_cis"]["forecast"]
+    assert "lower" not in fc.columns  # intervals skipped when off
+    # back on with a satisfiable level (test_length 7 >= 1/(1-.85)=7)
+    g.eval_cis(cilevel=0.85)
+    g.manual_forecast(m=7, call_me="with_cis")
+    assert "lower" in g.history["with_cis"]["forecast"].columns
+
+
+def test_reference_parity_restore_and_horizon(f):
+    """restore_series_length undoes keep_smaller_history and drops all
+    Xvars (reference semantics); set_last_future_date extends every
+    series' horizon to cover the target date."""
+    g = f.copy()
+    n0 = g.n_actuals()
+    g.keep_smaller_history(15)
+    assert g.n_actuals() == 15
+    g.restore_series_length()
+    assert g.n_actuals() == n0
+    assert list(g.tsf.features) == []  # regressors dropped with the restore
+    g.restore_series_length()  # idempotent no-op
+
+    import pandas as pd
+
+    last = pd.Timestamp(
+        g.tsf.observed.agg(F.max("ds")).collect()[0][0]
+    )
+    target = last + pd.Timedelta(days=10)
+    g.set_last_future_date(target)
+    fut_max = pd.Timestamp(
+        g.tsf.df.filter("is_future = 1").agg(F.max("ds")).collect()[0][0]
+    )
+    assert fut_max >= target
+    with pytest.raises(ValueError, match="not after"):
+        g.set_last_future_date(last - pd.Timedelta(days=1))
