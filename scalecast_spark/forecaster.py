@@ -350,6 +350,92 @@ class Forecaster:
         self.cis = mode
         return self.set_cilevel(cilevel)
 
+    def add_sklearn_estimator(self, imported_module, called: str) -> "Forecaster":
+        """reference _Forecaster_parent.py:786-814 — see
+        models.add_sklearn_estimator (registration is engine-global,
+        like the reference's module-level registry)."""
+        from scalecast_spark.models import add_sklearn_estimator as _add
+
+        _add(imported_module, called)
+        return self
+
+    def add_normalizer(self, called: str, imported_normalizer) -> "Forecaster":
+        """reference _Forecaster_parent.py:1944-1960 — see
+        models.add_normalizer."""
+        from scalecast_spark.models import add_normalizer as _add
+
+        _add(called, imported_normalizer)
+        return self
+
+    def determine_if_MVForecaster(self) -> bool:
+        """Always False (reference _Forecaster_parent.py: class
+        dispatch helper): this engine has no separate MV class — the
+        long-format object runs the multivariate estimators (mv_*)
+        directly."""
+        return False
+
+    def validate_regressor_names(self, names) -> "Forecaster":
+        """Raise if any name is not a stored Xvar (reference
+        Forecaster.py helper used before model calls)."""
+        feats = set(self.tsf.features)
+        missing = [n for n in names if n not in feats]
+        if missing:
+            raise ValueError(
+                f"regressor(s) not stored: {missing}; stored: "
+                f"{sorted(feats)}"
+            )
+        return self
+
+    def STL(self, m: int = 7, diffy: bool = False, **kwargs) -> DataFrame:
+        """STL decomposition of the observed series (reference
+        Forecaster.py:1394-1456 returns a statsmodels DecomposeResult;
+        the engine returns the distributed PER-SERIES decomposition
+        frame from functions/stattests.stl_decompose —
+        trend/seasonal/remainder columns, hash-certified via the
+        ts_decompose_stl gate family). ``diffy`` first-differences y
+        before decomposing, like the reference flag; extra kwargs pass
+        to stl_decompose (trend_frac/seasonal_frac/n_inner/robust)."""
+        from scalecast_spark.functions.stattests import stl_decompose
+
+        df = self.tsf.observed
+        if diffy:
+            w = W.partitionBy(SERIES).orderBy(DS)
+            df = df.withColumn(
+                Y, F.col(Y) - F.lag(Y, 1).over(w)
+            ).na.drop(subset=[Y])
+        return stl_decompose(df, m=m, **kwargs)
+
+    def save_feature_importance(self, model: str | None = None) -> "Forecaster":
+        """Bank feature importance with an evaluated model (reference
+        Forecaster.py:1531-1560 runs PFI/shap post-hoc): the exact
+        linear-SHAP ranking of the CURRENT feature set
+        (functions/shap.linear_shap_importance — the engine
+        reduce_Xvars' certified ranking) lands LAZY in
+        history[model]['feature_importance']."""
+        from scalecast_spark.functions.shap import linear_shap_importance
+
+        name = model or self.estimator
+        if name not in self.history:
+            raise ValueError(f"{name!r} not evaluated")
+        self.history[name]["feature_importance"] = linear_shap_importance(
+            self.tsf.df, list(self.tsf.features)
+        )
+        return self
+
+    def export_feature_importance(self, model: str) -> DataFrame:
+        """The banked importance frame (reference
+        Forecaster.py:2221-2260); call save_feature_importance
+        first."""
+        if model not in self.history:
+            raise ValueError(f"{model!r} not evaluated")
+        imp = self.history[model].get("feature_importance")
+        if imp is None:
+            raise ValueError(
+                f"no feature importance banked for {model!r}; call "
+                f"save_feature_importance() after evaluating it"
+            )
+        return imp
+
     def export_Xvars_df(self, dropna: bool = False) -> DataFrame:
         """The feature matrix as its own frame (reference
         Forecaster.py:2290-2319): (series_id, ds, every stored Xvar)

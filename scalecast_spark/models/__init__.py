@@ -69,6 +69,71 @@ def add_estimator(name: str, fn) -> None:
     MODELS[name] = fn
 
 
+def add_sklearn_estimator(imported_module, called: str) -> None:
+    """Register any sklearn-API regressor (a class with ``fit`` /
+    ``predict``) as a kernel estimator callable via
+    ``set_estimator(called)`` — the reference add_sklearn_estimator
+    (_Forecaster_parent.py:786-814) on Spark terms: the CLASS ships in
+    the Arrow-task closure and instances fit PER SERIES inside the
+    kernel (no driver-side fitted object, so 100M series fit in
+    parallel); hyperparameters flow through manual_forecast kwargs and
+    grids exactly like the built-ins, and an ``mv_<called>`` joint
+    multivariate alias registers alongside (same as every kernel
+    estimator). Needs only duck-typed fit/predict — sklearn itself is
+    not imported here."""
+    import numpy as np
+
+    def factory(**params):
+        def fit(X, y):
+            m = imported_module(**params)
+            m.fit(np.asarray(X, float), np.asarray(y, float))
+            return lambda A: np.asarray(
+                m.predict(np.atleast_2d(np.asarray(A, float)))
+            ).ravel()
+
+        return fit
+
+    def model(df, features=None, dynamic_testing=True, normalizer=None,
+              **params):
+        from scalecast_spark.models.kernel import run_kernel
+
+        return run_kernel(
+            df, features or [], factory(**params), dynamic_testing,
+            normalizer,
+        )
+
+    KERNEL_FACTORIES[called] = factory
+    MODELS[called] = model
+    MODELS[f"mv_{called}"] = (
+        lambda df, features=None, _e=called, **kw:
+        mv_model(df, estimator=_e, features=features, **kw)
+    )
+
+
+def add_normalizer(called: str, imported_normalizer) -> None:
+    """Register a feature normalizer usable as ``normalizer=called``
+    in any kernel estimator — the reference add_normalizer
+    (_Forecaster_parent.py:1944-1960). Accepts a scaler-like CLASS
+    (zero-arg constructor with ``fit``/``transform`` — the sklearn
+    shape the reference takes) or a plain function ``X ->
+    transform_callable``. Fitting happens on the TRAIN slice inside
+    each series' kernel task, same as the builtins."""
+    from scalecast_spark.models import kernel as _kernel
+
+    if isinstance(imported_normalizer, type):
+        # scaler CLASS: a fresh instance fits per series/fold (a shared
+        # instance would be silently re-fit across tasks)
+        def fit(X, _cls=imported_normalizer):
+            s = _cls()
+            s.fit(X)
+            return s.transform
+
+        _kernel.CUSTOM_NORMALIZERS[called] = fit
+    else:
+        # plain factory: X -> transform callable
+        _kernel.CUSTOM_NORMALIZERS[called] = imported_normalizer
+
+
 def _kernel_factories():
     """fit-fn factories for every kernel-backed estimator — the hook
     that lets cross_validate evaluate the whole (fold × grid) matrix in
@@ -145,5 +210,6 @@ del _est
 __all__ = [
     "naive_model", "linear_model", "mlr_model", "ridge_model",
     "lasso_model", "elasticnet_model", "knn_model", "hwes_model",
-    "theta_model", "MODELS", "add_estimator",
+    "theta_model", "MODELS", "add_estimator", "add_sklearn_estimator",
+    "add_normalizer",
 ]

@@ -30,11 +30,32 @@ from scalecast_spark.frame import DS, IS_FUTURE, SERIES, Y
 
 _AR_RE = re.compile(r"^ar_(\d+)$")
 
+#: user-registered normalizers (reference add_normalizer,
+#: _Forecaster_parent.py:1944-1960): name -> fit(X) -> transform
+#: callable. Checked BEFORE the builtins so a user can also override
+#: one by name. Populated via models.add_normalizer.
+CUSTOM_NORMALIZERS: dict = {}
+
+
+def _resolve_normalizer(name):
+    """Resolve a CUSTOM normalizer name to its fit callable ON THE
+    DRIVER: executor Python workers re-import this module fresh, so
+    the CUSTOM_NORMALIZERS registry is always empty there — the
+    resolved callable must travel inside the task closure. Builtin
+    names and None pass through untouched (every kernel entry point
+    calls this before building its closure)."""
+    if isinstance(name, str) and name in CUSTOM_NORMALIZERS:
+        return CUSTOM_NORMALIZERS[name]
+    return name
+
+
 #: normalizer registry (reference classes.py:92-139): name ->
 #: fit(X) -> (transform callable)
 def _fit_normalizer(name: str | None, X: np.ndarray):
     if not name:
         return lambda A: A
+    if callable(name):  # pre-resolved custom fit function
+        return name(X)
     if name == "minmax":
         lo, hi = X.min(axis=0), X.max(axis=0)
         rng = np.where(hi > lo, hi - lo, 1.0)
@@ -60,6 +81,7 @@ def run_kernel(
 ) -> DataFrame:
     """Adds ``forecast``: fitted values on observed rows (actual AR
     cells), recursive dynamic predictions on future rows."""
+    normalizer = _resolve_normalizer(normalizer)
     ar_lags = {int(m.group(1)): c for c in features for m in [_AR_RE.match(c)] if m}
     feat = list(features)
     peek_every = (
@@ -148,6 +170,7 @@ def transfer_kernel(
     rows predicted recursively), but the model parameters come from
     the SRC rows. Dst series with no src twin forecast NaN — there is
     no model to transfer. Adds ``forecast`` to ``dst_df``."""
+    normalizer = _resolve_normalizer(normalizer)
     ar_lags = {int(m.group(1)): c for c in features for m in [_AR_RE.match(c)] if m}
     feat = list(features)
     peek_every = (
@@ -236,6 +259,9 @@ def run_kernel_grid(
     to looping :func:`run_kernel` per cell: same train mask, same
     fit-on-train normalizers, same recursive AR overwrite.
     """
+    cells = [
+        (fn, _resolve_normalizer(nz), dt) for fn, nz, dt in cells
+    ]
     ar_lags = {int(m.group(1)): c for c in features for m in [_AR_RE.match(c)] if m}
     feat = list(features)
 
@@ -332,6 +358,9 @@ def run_kernel_cv(
     construction row-for-row (asserted by the batched-vs-generic parity
     test). Emits (fold, cell, series, y, forecast) for holdout rows.
     """
+    cells = [
+        (fn, _resolve_normalizer(nz), dt) for fn, nz, dt in cells
+    ]
     ar_lags = {int(m.group(1)): c for c in features for m in [_AR_RE.match(c)] if m}
     feat = list(features)
 
@@ -456,6 +485,7 @@ def run_kernel_backtest(
     test rows). Returns (iteration, series, ds, y, forecast) over
     held-out rows only.
     """
+    normalizer = _resolve_normalizer(normalizer)
     ar_lags = {int(m.group(1)): c for c in features for m in [_AR_RE.match(c)] if m}
     feat = list(features)
     peek_every = (

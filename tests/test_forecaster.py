@@ -262,3 +262,65 @@ def test_reference_parity_restore_and_horizon(f):
     assert fut_max >= target
     with pytest.raises(ValueError, match="not after"):
         g.set_last_future_date(last - pd.Timedelta(days=1))
+
+
+def test_add_sklearn_estimator_and_normalizer(f):
+    """User extensibility (reference add_sklearn_estimator /
+    add_normalizer): a duck-typed fit/predict regressor class
+    registers, forecasts through the kernel like a built-in (per-series
+    fit, recursive future prediction), and a custom scaler class
+    registers as a normalizer. A pure-numpy mean regressor keeps the
+    test package-free."""
+    import numpy as np
+
+    class MeanReg:
+        def __init__(self, bump=0.0):
+            self.bump = bump
+
+        def fit(self, X, y):
+            self.mu = float(np.mean(y))
+
+        def predict(self, X):
+            return np.full(len(np.atleast_2d(X)), self.mu + self.bump)
+
+    class IdentScaler:
+        def fit(self, X):
+            return self
+
+        def transform(self, X):
+            return X
+
+    g = f.copy()
+    g.add_sklearn_estimator(MeanReg, "meanreg")
+    g.add_normalizer("ident", IdentScaler)
+    g.set_estimator("meanreg")
+    g.manual_forecast(call_me="mr", bump=1.0, normalizer="ident")
+    fc = g.history["mr"]["forecast"].toPandas()
+    assert len(fc) > 0 and fc["forecast"].notna().all()
+    # per-series constant: forecast == TRAIN mean + bump everywhere
+    # (the kernel trains on feature-complete rows only, so the AR
+    # warm-up head is excluded from the mean)
+    obs = g.tsf.observed.filter(
+        "ar_1 IS NOT NULL AND ar_2 IS NOT NULL"
+    ).groupBy("series_id").agg(
+        F.avg("y").alias("mu")
+    ).toPandas().set_index("series_id")["mu"]
+    for sid, grp in fc.groupby("series_id"):
+        assert np.allclose(grp["forecast"], obs[sid] + 1.0, atol=1e-9)
+    # hyperparams flow through tuning grids like a built-in
+    g.ingest_grid({"bump": [0.0, 5.0]})
+    g.tune()
+    assert g.best_params["bump"] == 0.0  # less bias wins validation
+    # STL wrapper returns the decomposition frame
+    stl = g.STL(m=7)
+    assert {"trend", "seasonal"} <= set(c.lower() for c in stl.columns)
+    # feature importance banks lazily and exports
+    g.save_feature_importance("mr")
+    assert g.export_feature_importance("mr").count() > 0
+    g.manual_forecast(call_me="mr_plain", normalizer=None)
+    with pytest.raises(ValueError, match="no feature importance"):
+        g.export_feature_importance("mr_plain")
+    assert not g.determine_if_MVForecaster()
+    g.validate_regressor_names(["ar_1"])
+    with pytest.raises(ValueError, match="not stored"):
+        g.validate_regressor_names(["nope"])
