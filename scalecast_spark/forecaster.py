@@ -918,9 +918,38 @@ class Forecaster:
         return self
 
     # ------------------------------------------------------ tuning
-    def ingest_grid(self, grid: dict[str, list]) -> "Forecaster":
+    def set_grids_file(self, name: str = "Grids") -> "Forecaster":
+        """Name the importable module grids load from by NAME
+        (reference _Forecaster_parent.py:1296-1316: a ``Grids.py``
+        next to the user's script holding dict-of-lists grids). Used
+        by ``ingest_grid('some_name')``; the engine's built-in
+        DEFAULT_GRIDS remain the fallback."""
+        self.grids_file = name
+        return self
+
+    def ingest_grid(self, grid: dict[str, list] | str) -> "Forecaster":
         """dict-of-lists → cartesian product
-        (reference _Forecaster_parent.py:1050-1094)."""
+        (reference _Forecaster_parent.py:1050-1094). A STRING looks
+        the grid up by name — first in the module named by
+        ``set_grids_file`` (the reference's Grids-file contract), then
+        in the engine's DEFAULT_GRIDS."""
+        if isinstance(grid, str):
+            gname, found = grid, None
+            mod = getattr(self, "grids_file", None)
+            if mod:
+                import importlib
+
+                found = getattr(importlib.import_module(mod), gname, None)
+            if found is None:
+                from scalecast_spark.grids import DEFAULT_GRIDS
+
+                found = DEFAULT_GRIDS.get(gname)
+            if found is None:
+                raise ValueError(
+                    f"no grid named {gname!r} in "
+                    f"{mod or '(no grids file set)'} or DEFAULT_GRIDS"
+                )
+            grid = found
         keys = list(grid)
         self.grid = [
             dict(zip(keys, combo)) for combo in itertools.product(*grid.values())

@@ -324,3 +324,22 @@ def test_add_sklearn_estimator_and_normalizer(f):
     g.validate_regressor_names(["ar_1"])
     with pytest.raises(ValueError, match="not stored"):
         g.validate_regressor_names(["nope"])
+
+
+def test_grids_file_lookup(f, tmp_path, monkeypatch):
+    """ingest_grid(str): the reference Grids-file contract — look the
+    named grid up in the set_grids_file module first, then fall back
+    to the engine DEFAULT_GRIDS; unknown names fail loudly."""
+    import sys
+
+    (tmp_path / "MyGrids.py").write_text("special = {'alpha': [0.5, 2.0]}\n")
+    monkeypatch.syspath_prepend(str(tmp_path))
+    g = f.copy()
+    g.set_grids_file("MyGrids")
+    g.ingest_grid("special")
+    assert g.grid == [{"alpha": 0.5}, {"alpha": 2.0}]
+    g.ingest_grid("mlr")  # falls back to DEFAULT_GRIDS
+    assert g.grid
+    with pytest.raises(ValueError, match="no grid named"):
+        g.ingest_grid("nope")
+    sys.modules.pop("MyGrids", None)
