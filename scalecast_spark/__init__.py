@@ -17,6 +17,16 @@ from scalecast_spark.session import get_session
 from scalecast_spark.frame import TimeSeriesFrame
 from scalecast_spark.forecaster import Forecaster
 
+#: Import-compatibility alias: the reference ships a separate
+#: MVForecaster class (dict-of-series machinery); in the long format
+#: ONE object holds every series, so multivariate work — mv_*
+#: estimators, corr/corr_lags, VECM, joint recursion — runs on the
+#: same Forecaster. ``break_mv_forecaster`` is a series_id filter.
+MVForecaster = Forecaster
+
 __version__ = "0.1.0"
 
-__all__ = ["get_session", "TimeSeriesFrame", "Forecaster", "__version__"]
+__all__ = [
+    "get_session", "TimeSeriesFrame", "Forecaster", "MVForecaster",
+    "__version__",
+]

@@ -367,6 +367,33 @@ class Forecaster:
         _add(called, imported_normalizer)
         return self
 
+    def corr(self, train_only: bool = False) -> DataFrame:
+        """Pairwise Pearson correlation across the object's series
+        (reference MVForecaster.corr, MVForecaster.py:1012-1049 — on
+        this engine MV analysis runs on the same long-format object).
+        ``train_only`` excludes each series' held-out test rows, like
+        the reference flag."""
+        from scalecast_spark.operators.multivariate import corr_matrix
+
+        src = self.tsf.observed
+        if train_only and self.test_length:
+            w = W.partitionBy(SERIES).orderBy(F.desc(DS))
+            src = (
+                src.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") > self.test_length)
+                .drop("_rn")
+            )
+        return corr_matrix(src)
+
+    def corr_lags(
+        self, series_x: str, series_y: str, lags: int = 5
+    ) -> DataFrame:
+        """corr(y_series, x_series lagged k) for k=1..lags (reference
+        MVForecaster.corr_lags, MVForecaster.py:1051-1074)."""
+        from scalecast_spark.operators.multivariate import corr_lags
+
+        return corr_lags(self.tsf.observed, series_x, series_y, lags)
+
     def determine_if_MVForecaster(self) -> bool:
         """Always False (reference _Forecaster_parent.py: class
         dispatch helper): this engine has no separate MV class — the

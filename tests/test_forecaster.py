@@ -343,3 +343,23 @@ def test_grids_file_lookup(f, tmp_path, monkeypatch):
     with pytest.raises(ValueError, match="no grid named"):
         g.ingest_grid("nope")
     sys.modules.pop("MyGrids", None)
+
+
+def test_mv_surface_on_forecaster(f):
+    """MVForecaster compatibility: the alias imports, corr returns the
+    full pairwise matrix with unit diagonal, train_only trims the test
+    slice (values change when the tail is excluded), and corr_lags
+    produces one row per lag."""
+    from scalecast_spark import MVForecaster
+
+    assert MVForecaster is type(f)
+    c = f.corr().toPandas()
+    sids = set(c["series_a"])
+    assert len(c) == len(sids) ** 2
+    diag = c[c["series_a"] == c["series_b"]]["corr"]
+    assert (diag == 1.0).all()
+    c_tr = f.corr(train_only=True).toPandas()
+    assert len(c_tr) == len(c)
+    lags = f.corr_lags(sorted(sids)[0], sorted(sids)[1], lags=3).toPandas()
+    assert list(lags["lag"]) == [1, 2, 3]
+    assert lags["corr"].abs().le(1.0).all()
