@@ -1325,7 +1325,23 @@ def q_ts_line_up_dates(spark, sf_dir):
     lined = line_up_dates(staggered)
     other = _series(spark, sf_dir).filter(F.col("series_id") == "click")
     out, _ = add_series(lined, other, "click_x")
-    return _out_ts(_r6(out, "y", "click_x"))
+    # r11b member: the AS-OF join (operators/joins.asof_join — union +
+    # single keyed window, never a range join): each lined-up row gets
+    # the most recent every-3rd-day reading at-or-before its ds,
+    # voided past a 3-day tolerance; the oracle replays it with
+    # DuckDB's NATIVE ASOF LEFT JOIN, so the semantics are pinned
+    # against an independent engine's implementation of the operator
+    from scalecast_spark.operators.joins import asof_join
+
+    readings = _series(spark, sf_dir).filter(
+        F.dayofmonth("ds") % 3 == 0
+    ).select("series_id", "ds", F.col("y").alias("reading"))
+    out = asof_join(
+        _r6(out, "y", "click_x"), readings,
+        on="ds", by="series_id", value_cols=["reading"],
+        tolerance="3 days",
+    ).withColumn("asof_reading", F.round("reading", 6)).drop("reading")
+    return _out_ts(out)
 
 
 def q_dedup_exact_keep(spark, sf_dir):
@@ -4667,15 +4683,32 @@ def oracle_sql() -> dict[str, str]:
                     SELECT series_id, min(ds) AS lo, max(ds) AS hi
                     FROM stag GROUP BY series_id
                 )
+            ),
+            lined AS (
+                SELECT s.series_id, s.ds, round(s.y, 6) AS y,
+                       round(coalesce(c.y, 0.0), 6) AS click_x
+                FROM stag s
+                CROSS JOIN bounds
+                LEFT JOIN (
+                    SELECT ds, y FROM series WHERE series_id = 'click'
+                ) c ON c.ds = s.ds
+                WHERE s.ds BETWEEN bounds.lo AND bounds.hi
+            ),
+            -- r11b asof member: most recent every-3rd-day reading
+            -- at-or-before each row, within a 3-day tolerance
+            -- (operators/joins.asof_join vs DuckDB's native ASOF)
+            rd AS (
+                SELECT series_id, ds, y AS reading FROM series
+                WHERE day(ds) % 3 = 0
             )
-            SELECT s.series_id, s.ds, round(s.y, 6) AS y,
-                   round(coalesce(c.y, 0.0), 6) AS click_x
-            FROM stag s
-            CROSS JOIN bounds
-            LEFT JOIN (
-                SELECT ds, y FROM series WHERE series_id = 'click'
-            ) c ON c.ds = s.ds
-            WHERE s.ds BETWEEN bounds.lo AND bounds.hi
+            SELECT l.series_id, l.ds, l.y, l.click_x,
+                   -- DATE - DATE is integer days in DuckDB
+                   round(CASE WHEN r.ds IS NOT NULL
+                              AND l.ds - r.ds <= 3
+                         THEN r.reading END, 6) AS asof_reading
+            FROM lined l
+            ASOF LEFT JOIN rd r
+              ON l.series_id = r.series_id AND l.ds >= r.ds
         """,
         "dedup_exact": rf"""
             SELECT 'exact' AS member, doc_id::BIGINT AS doc_id

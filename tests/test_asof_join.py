@@ -1,0 +1,119 @@
+"""asof_join (operators/joins.py) vs pandas merge_asof — the
+authoritative reference implementation — on randomized per-key
+irregular timestamps, all directions, with and without tolerance."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from scalecast_spark.operators.joins import asof_join
+
+
+def _frames(spark, seed=0, n_keys=4, n_left=40, n_right=25):
+    rng = np.random.RandomState(seed)
+    base = pd.Timestamp("2024-01-01")
+    lrows, rrows = [], []
+    for k in range(n_keys):
+        kid = f"k{k}"
+        lts = np.sort(rng.choice(20000, size=n_left, replace=False))
+        rts = np.sort(rng.choice(20000, size=n_right, replace=False))
+        for t in lts:
+            lrows.append((kid, base + pd.Timedelta(minutes=int(t)),
+                          float(rng.randn())))
+        for t in rts:
+            rrows.append((kid, base + pd.Timedelta(minutes=int(t)),
+                          float(rng.randn()), int(rng.randint(100))))
+    lpd = pd.DataFrame(lrows, columns=["series_id", "ds", "y"])
+    rpd = pd.DataFrame(rrows, columns=["series_id", "ds", "price", "qty"])
+    return (
+        lpd, rpd,
+        spark.createDataFrame(lpd), spark.createDataFrame(rpd),
+    )
+
+
+def _expected(lpd, rpd, direction, tolerance=None):
+    kw = {"by": "series_id", "on": "ds", "direction": direction}
+    if tolerance is not None:
+        kw["tolerance"] = pd.Timedelta(tolerance)
+    return (
+        pd.merge_asof(
+            lpd.sort_values("ds"), rpd.sort_values("ds"), **kw
+        )
+        .sort_values(["series_id", "ds"])
+        .reset_index(drop=True)
+    )
+
+
+def _got(sdf):
+    return (
+        sdf.toPandas()
+        .sort_values(["series_id", "ds"])
+        .reset_index(drop=True)
+    )
+
+
+@pytest.mark.parametrize("direction", ["backward", "forward"])
+def test_asof_matches_pandas(spark, direction):
+    lpd, rpd, sl, sr = _frames(spark, seed=7)
+    want = _expected(lpd, rpd, direction)
+    got = _got(asof_join(sl, sr, direction=direction))
+    assert len(got) == len(want)
+    for c in ["price", "qty"]:
+        g, w = got[c], want[c]
+        assert (g.isna() == w.isna()).all(), c
+        assert np.allclose(g.dropna(), w.dropna(), atol=0), c
+
+
+@pytest.mark.parametrize("direction", ["backward", "forward"])
+def test_asof_tolerance_matches_pandas(spark, direction):
+    lpd, rpd, sl, sr = _frames(spark, seed=11)
+    want = _expected(lpd, rpd, direction, tolerance="45 minutes")
+    got = _got(asof_join(sl, sr, direction=direction,
+                         tolerance="45 minutes"))
+    g, w = got["price"], want["price"]
+    assert (g.isna() == w.isna()).all()
+    assert np.allclose(g.dropna(), w.dropna(), atol=0)
+    # numeric seconds spelling agrees with the interval spelling
+    got2 = _got(asof_join(sl, sr, direction=direction, tolerance=45 * 60))
+    assert (got2["price"].isna() == w.isna()).all()
+
+
+def test_asof_exact_tie_is_inclusive(spark):
+    """A right reading AT the left timestamp matches (merge_asof
+    default allow_exact_matches=True), in both directions."""
+    l = spark.createDataFrame(
+        [("a", pd.Timestamp("2024-01-02"), 1.0)], ["series_id", "ds", "y"]
+    )
+    r = spark.createDataFrame(
+        [("a", pd.Timestamp("2024-01-02"), 42.0)],
+        ["series_id", "ds", "price"],
+    )
+    for d in ("backward", "forward"):
+        row = asof_join(l, r, direction=d).collect()[0]
+        assert row["price"] == 42.0, d
+
+
+def test_asof_validation_and_suffix(spark):
+    l = spark.createDataFrame(
+        [("a", pd.Timestamp("2024-01-02"), 1.0)], ["series_id", "ds", "y"]
+    )
+    r = spark.createDataFrame(
+        [("a", pd.Timestamp("2024-01-01"), 2.0)], ["series_id", "ds", "y"]
+    )
+    with pytest.raises(ValueError, match="collide"):
+        asof_join(l, r)
+    out = asof_join(l, r, suffix="_x").collect()[0]
+    assert out["y"] == 1.0 and out["y_x"] == 2.0
+    with pytest.raises(ValueError, match="direction"):
+        asof_join(l, r, direction="nearest", suffix="_x")
+    with pytest.raises(ValueError, match="must exist"):
+        asof_join(l, r.withColumnRenamed("series_id", "k"), suffix="_x")
+
+
+def test_asof_plan_has_no_range_join(spark):
+    """Scale pin: the plan is union + ONE window partitioned by key —
+    no BroadcastNestedLoopJoin / cartesian, no theta join."""
+    lpd, rpd, sl, sr = _frames(spark, seed=3, n_keys=2)
+    plan = asof_join(sl, sr)._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
