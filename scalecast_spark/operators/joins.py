@@ -31,6 +31,7 @@ def asof_join(
     direction: str = "backward",
     tolerance=None,
     suffix: str = "",
+    allow_exact_matches: bool = True,
 ) -> DataFrame:
     """For every ``left`` row, attach ``right``'s value columns from
     the latest right row with ``right.on <= left.on`` (direction
@@ -44,12 +45,16 @@ def asof_join(
     right column that is neither key nor timestamp; ``suffix`` renames
     the attached columns (collisions with left columns raise).
 
+    ``allow_exact_matches=False`` excludes a right row exactly AT the
+    left timestamp (strict < / >), pandas' flag of the same name.
+
     Scale shape: one hash shuffle on ``by`` + one sort over the union
     of both sides — never a range join, never per-row subqueries. Ties
     on ``on`` resolve right-row-first, so a right reading AT the left
-    timestamp is visible to it; multiple right rows at one timestamp
-    resolve to the LAST one in (arbitrary but deterministic-per-sort)
-    order, like merge_asof's positional last."""
+    timestamp is visible to it (when exact matches are allowed);
+    multiple right rows at one timestamp resolve to the LAST one in
+    (arbitrary but deterministic-per-sort) order, like merge_asof's
+    positional last."""
     if direction not in ("backward", "forward"):
         raise ValueError(
             f"direction must be 'backward' or 'forward'; got {direction!r}"
@@ -93,10 +98,14 @@ def asof_join(
         F.col(on).alias("_rts"),
     )
     combined = l_tag.unionByName(r_tag)
+    # side ordering within a timestamp tie decides exact-match
+    # visibility: right-first (asc on the 0/1 tag) makes an AT-ts
+    # reading visible; left-first (desc) hides it — strict semantics
+    side = F.col("_side").asc() if allow_exact_matches else F.col("_side").desc()
     order = (
-        [F.col("_ts").asc(), F.col("_side").asc()]
+        [F.col("_ts").asc(), side]
         if direction == "backward"
-        else [F.col("_ts").desc(), F.col("_side").asc()]
+        else [F.col("_ts").desc(), side]
     )
     w = (
         W.partitionBy(*keys)

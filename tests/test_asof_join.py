@@ -117,3 +117,50 @@ def test_asof_plan_has_no_range_join(spark):
     lpd, rpd, sl, sr = _frames(spark, seed=3, n_keys=2)
     plan = asof_join(sl, sr)._jdf.queryExecution().executedPlan().toString()
     assert "NestedLoop" not in plan and "Cartesian" not in plan
+
+
+@pytest.mark.parametrize("direction", ["backward", "forward"])
+def test_asof_strict_matches_pandas(spark, direction):
+    """allow_exact_matches=False: a right reading exactly AT the left
+    timestamp is excluded (strict inequality), matching pandas."""
+    lpd, rpd, sl, sr = _frames(spark, seed=21)
+    # force some exact collisions so the flag actually bites
+    rpd2 = (
+        pd.concat([rpd, lpd.rename(columns={"y": "price"}).assign(qty=7)])
+        .drop_duplicates(["series_id", "ds"], keep="last")
+        .reset_index(drop=True)
+    )  # unique (key, ts): duplicate right timestamps are tie-ambiguous
+    sr2 = spark.createDataFrame(rpd2[["series_id", "ds", "price", "qty"]])
+    want = (
+        pd.merge_asof(
+            lpd.sort_values("ds"),
+            rpd2[["series_id", "ds", "price", "qty"]].sort_values("ds"),
+            by="series_id", on="ds", direction=direction,
+            allow_exact_matches=False,
+        )
+        .sort_values(["series_id", "ds"]).reset_index(drop=True)
+    )
+    got = _got(asof_join(sl, sr2, direction=direction,
+                         allow_exact_matches=False))
+    g, w = got["price"], want["price"]
+    assert (g.isna() == w.isna()).all()
+    assert np.allclose(g.dropna(), w.dropna(), atol=0)
+
+
+def test_asof_multi_key_by(spark):
+    """Multi-column by: matches stay inside the full composite key."""
+    base = pd.Timestamp("2024-01-01")
+    l = spark.createDataFrame(
+        [("a", "x", base + pd.Timedelta(days=2)),
+         ("a", "z", base + pd.Timedelta(days=2))],
+        ["k1", "k2", "ds"],
+    )
+    r = spark.createDataFrame(
+        [("a", "x", base, 1.0), ("a", "z", base + pd.Timedelta(days=1), 2.0)],
+        ["k1", "k2", "ds", "v"],
+    )
+    got = {
+        (row["k1"], row["k2"]): row["v"]
+        for row in asof_join(l, r, by=["k1", "k2"]).collect()
+    }
+    assert got == {("a", "x"): 1.0, ("a", "z"): 2.0}
