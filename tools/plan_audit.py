@@ -68,6 +68,9 @@ AUDIT = [
     "dedup_hamming_pairs",
     "text_dedup_cut",
     "text_decontam_cut",
+    # round-11b: the as-of member rides here — the plan must show the
+    # union + single keyed window shape, no nested-loop range join
+    "ts_line_up_dates",
 ]
 
 
