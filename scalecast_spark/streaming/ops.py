@@ -1060,6 +1060,69 @@ def cross_dedup_stream(
     return spark.read.parquet(results_path).drop("batch_id")
 
 
+def asof_join_stream(
+    left_stream: DataFrame,
+    right_path: str,
+    results_path: str,
+    checkpoint_dir: str,
+    timeout_sec: int = 300,
+    **asof_kwargs,
+) -> DataFrame:
+    """Streaming twin of :func:`operators.joins.asof_join`: attach the
+    most recent REFERENCE reading (a static, path-versioned right
+    table — prices, configs, sensor calibrations) to every row of a
+    firehose. The batch operator's union+window shape can't run on an
+    unbounded stream (a non-time window over a stream is unsupported),
+    so each micro-batch goes through the BATCH asof via ``foreachBatch``
+    — the same stream-vs-static pattern as ivfpq_search_stream, with
+    the same exactly-once sink contract (idempotent ``batch_id=<n>``
+    dirs, commits/-gated resume via _check_sink_paths) and the same
+    drain/timeout semantics. Right-table refresh is a restart with a
+    new path, like index refreshes. Extra kwargs pass to asof_join
+    (on/by/value_cols/direction/tolerance/suffix/allow_exact_matches).
+
+    Per-batch cost: one keyed shuffle over (micro-batch ∪ right). For
+    a right table much larger than the batch, pre-filter it to the
+    batch's key set upstream or keep per-key right tables compact —
+    the reference side is re-scanned per batch by design (it is the
+    refreshable side)."""
+    from scalecast_spark.operators.joins import asof_join
+
+    spark = left_stream.sparkSession
+    _check_sink_paths("asof_join_stream", spark, results_path,
+                      checkpoint_dir)
+    right = spark.read.parquet(right_path)
+
+    def _asof_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        (
+            asof_join(batch_df, right, **asof_kwargs)
+            .write.mode("overwrite")
+            .parquet(f"{results_path}/batch_id={batch_id}")
+        )
+
+    q = (
+        left_stream.writeStream.foreachBatch(_asof_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(timeout_sec):
+        q.stop()
+        raise TimeoutError(
+            f"asof_join_stream: drain did not finish within "
+            f"{timeout_sec}s; partial results left at {results_path!r}. "
+            f"To RESUME (keeping committed batches) rerun with the SAME "
+            f"results_path and checkpoint_dir; to restart clean, use "
+            f"fresh paths for BOTH."
+        )
+    if not _hadoop_exists(spark, results_path):
+        empty = spark.createDataFrame([], left_stream.schema)
+        return asof_join(empty, right, **asof_kwargs).limit(0)
+    return spark.read.parquet(results_path).drop("batch_id")
+
+
 def compact_results(
     spark: SparkSession,
     results_path: str,

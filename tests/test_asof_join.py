@@ -164,3 +164,49 @@ def test_asof_multi_key_by(spark):
         for row in asof_join(l, r, by=["k1", "k2"]).collect()
     }
     assert got == {("a", "x"): 1.0, ("a", "z"): 2.0}
+
+
+def test_asof_join_stream_parity_and_resume_contract(spark, tmp_path):
+    """Streamed asof == batch asof by construction (each left row's
+    match depends only on the static right side, so micro-batch
+    splits cannot change it) — verified across a 2-batch AvailableNow
+    drain; the exactly-once sink contract refuses a results_path with
+    no matching checkpoint marker."""
+    import time as _time
+
+    from scalecast_spark.streaming.ops import asof_join_stream
+
+    lpd, rpd, sl, _ = _frames(spark, seed=5, n_keys=3)
+    src = str(tmp_path / "left_src")
+    cut = lpd["ds"].median()
+    spark.createDataFrame(lpd[lpd["ds"] <= cut]).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    _time.sleep(1.1)
+    spark.createDataFrame(lpd[lpd["ds"] > cut]).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    rpath = str(tmp_path / "right")
+    spark.createDataFrame(rpd).write.parquet(rpath)
+
+    stream = (
+        spark.readStream.schema("series_id string, ds timestamp, y double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    res, ckpt = str(tmp_path / "res"), str(tmp_path / "ckpt")
+    got = (
+        asof_join_stream(stream, rpath, res, ckpt, tolerance="2 hours")
+        .toPandas().sort_values(["series_id", "ds"]).reset_index(drop=True)
+    )
+    want = (
+        asof_join(sl, spark.read.parquet(rpath), tolerance="2 hours")
+        .toPandas().sort_values(["series_id", "ds"]).reset_index(drop=True)
+    )
+    assert len(got) == len(lpd)
+    for c in ["price", "qty"]:
+        assert (got[c].isna() == want[c].isna()).all(), c
+        assert np.allclose(got[c].dropna(), want[c].dropna(), atol=0), c
+    # sink contract: results without a matching checkpoint marker refuse
+    with pytest.raises(FileExistsError, match="results_path"):
+        asof_join_stream(stream, rpath, res, str(tmp_path / "ckpt2"))
