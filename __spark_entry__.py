@@ -1341,6 +1341,16 @@ def q_ts_line_up_dates(spark, sf_dir):
         on="ds", by="series_id", value_cols=["reading"],
         tolerance="3 days",
     ).withColumn("asof_reading", F.round("reading", 6)).drop("reading")
+    # r12 member: the FORWARD direction with strict matching
+    # (allow_exact_matches=False) — earliest reading strictly AFTER
+    # each ds within 3 days; the oracle is DuckDB's native
+    # ASOF LEFT JOIN ON l.ds < r.ds, so both directions and the
+    # exact-match flag are certified against an independent engine
+    out = asof_join(
+        out, readings,
+        on="ds", by="series_id", value_cols=["reading"],
+        direction="forward", tolerance="3 days", allow_exact_matches=False,
+    ).withColumn("asof_fwd", F.round("reading", 6)).drop("reading")
     return _out_ts(out)
 
 
@@ -4517,10 +4527,13 @@ def oracle_sql() -> dict[str, str]:
                   * (ets - prev_t) / (next_t - prev_t)) IS NOT NULL
         """,
         "ts_sessionize": """
+            -- r12: fractional-second gaps (epoch() is DOUBLE with
+            -- microseconds in DuckDB), matching the engine's
+            -- sub-second-safe cast-based arithmetic; duration_sec
+            -- stays integral (floor) for schema stability
             WITH s AS (
                 SELECT user_id, ts, value,
-                       CASE WHEN floor(epoch(ts)) - floor(epoch(lag(ts) OVER w))
-                                 > 1800
+                       CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) > 1800
                             OR lag(ts) OVER w IS NULL
                             THEN 1 ELSE 0 END AS is_new
                 FROM events
@@ -4535,7 +4548,7 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT user_id::BIGINT AS user_id, session_id,
                    count(*)::BIGINT AS n_events,
-                   (floor(epoch(max(ts))) - floor(epoch(min(ts))))::BIGINT
+                   floor(epoch(max(ts)) - epoch(min(ts)))::BIGINT
                        AS duration_sec,
                    round(sum(value), 6) AS value_sum
             FROM sess GROUP BY user_id, session_id
@@ -4705,10 +4718,17 @@ def oracle_sql() -> dict[str, str]:
                    -- DATE - DATE is integer days in DuckDB
                    round(CASE WHEN r.ds IS NOT NULL
                               AND l.ds - r.ds <= 3
-                         THEN r.reading END, 6) AS asof_reading
+                         THEN r.reading END, 6) AS asof_reading,
+                   -- r12: forward + strict (earliest reading strictly
+                   -- after ds, within 3 days)
+                   round(CASE WHEN f.ds IS NOT NULL
+                              AND f.ds - l.ds <= 3
+                         THEN f.reading END, 6) AS asof_fwd
             FROM lined l
             ASOF LEFT JOIN rd r
               ON l.series_id = r.series_id AND l.ds >= r.ds
+            ASOF LEFT JOIN rd f
+              ON l.series_id = f.series_id AND l.ds < f.ds
         """,
         "dedup_exact": rf"""
             SELECT 'exact' AS member, doc_id::BIGINT AS doc_id

@@ -17,16 +17,23 @@ from scalecast_spark.session import get_session
 from scalecast_spark.frame import TimeSeriesFrame
 from scalecast_spark.forecaster import Forecaster
 
-#: Import-compatibility alias: the reference ships a separate
-#: MVForecaster class (dict-of-series machinery); in the long format
-#: ONE object holds every series, so multivariate work — mv_*
-#: estimators, corr/corr_lags, VECM, joint recursion — runs on the
-#: same Forecaster. ``break_mv_forecaster`` is a series_id filter.
-MVForecaster = Forecaster
+#: Import-compatibility: the reference ships a separate MVForecaster
+#: class (dict-of-series machinery); in the long format ONE object
+#: holds every series, so multivariate work — mv_* estimators,
+#: corr/corr_lags, VECM, joint recursion — runs on the same
+#: Forecaster. The subclass exists to honor the reference's
+#: MULTI-FORECASTER construction shape ``MVForecaster(f1, f2, ...)``
+#: (it unions the long frames); ``break_mv_forecaster`` is a
+#: series_id filter.
+from scalecast_spark.forecaster import MVForecaster
+from scalecast_spark.pipeline import (
+    MVPipeline, Pipeline, Reverter, Transformer,
+)
 
 __version__ = "0.1.0"
 
 __all__ = [
     "get_session", "TimeSeriesFrame", "Forecaster", "MVForecaster",
+    "Pipeline", "MVPipeline", "Transformer", "Reverter",
     "__version__",
 ]

@@ -340,9 +340,10 @@ def jaccard_pairs(
         # ~ |doc|^2 / 2^64). Caching the HASHED projection (two longs
         # per row) instead of the string frame makes the explode run
         # once for all three consumers at ~1/10 the cache-fill bytes.
-        hashed = shingles.select(
-            id_col, F.xxhash64("shingle").alias("_sh")
-        ).cache()
+        hashed = _scratch_cache(
+            "jaccard_shingles",
+            shingles.select(id_col, F.xxhash64("shingle").alias("_sh")).cache(),
+        )
         sizes = hashed.groupBy(id_col).agg(F.count("*").alias("sz"))
         sh_a = hashed.select(F.col(id_col).alias("id_a"), "_sh")
         sh_b = hashed.select(F.col(id_col).alias("id_b"), "_sh")
@@ -356,7 +357,7 @@ def jaccard_pairs(
     else:
         # 3 consumers (sizes + both self-join sides) → cache the
         # exploded frame so it computes once
-        shingles = shingles.cache()
+        shingles = _scratch_cache("jaccard_shingles", shingles.cache())
         sizes = shingles.groupBy(id_col).agg(F.count("*").alias("sz"))
         a = shingles.alias("a")
         b = shingles.alias("b")
@@ -575,6 +576,43 @@ def simhash_near_pairs(sim: DataFrame, max_hamming: int = 3, id_col: str = "doc_
     return hamming_near_pairs(sim, "simhash", id_col, 60, max_hamming)
 
 
+#: internal scratch caches, at most ONE live per tag: each new call
+#: swaps out (unpersists) the previous call's entry, so long-lived
+#: sessions looping over corpora never accumulate pinned cache
+#: entries (r11 verdict: soft memory leak under repeated calls)
+_SCRATCH_CACHES: dict = {}
+
+
+def _scratch_cache(tag: str, df: DataFrame) -> DataFrame:
+    """Register an internal .cache() under ``tag``, evicting the
+    previous holder of the tag. An older result that is still lazy
+    when its cache is swapped out simply recomputes — correctness is
+    unaffected, only the recompute cost returns."""
+    old = _SCRATCH_CACHES.pop(tag, None)
+    if old is not None:
+        try:
+            old.unpersist()
+        except Exception:
+            pass
+    _SCRATCH_CACHES[tag] = df
+    return df
+
+
+def release_scratch_caches() -> None:
+    """Eagerly unpersist every internal scratch cache (they are also
+    swapped out automatically on each operator's next call)."""
+    for tag in list(_SCRATCH_CACHES):
+        old = _SCRATCH_CACHES.pop(tag)
+        try:
+            old.unpersist()
+        except Exception:
+            pass
+
+
+#: back-compat name from the r11 self-report
+release_hamming_cache = release_scratch_caches
+
+
 def hamming_near_pairs(
     df: DataFrame,
     hash_col: str,
@@ -582,6 +620,7 @@ def hamming_near_pairs(
     bits: int = 64,
     max_hamming: int = 3,
     max_bucket_size: int | None = None,
+    cache: bool = True,
 ) -> DataFrame:
     """Generalized Hamming-distance candidate pairs over any packed
     hash column (simhash, pHash, ...): split the ``bits``-bit hash
@@ -630,14 +669,18 @@ def hamming_near_pairs(
                 .alias(f"_hc{i}")
             )
     b = df.select(id_col, hash_col, *chunks)
-    if bands > 1:
+    if bands > 1 and cache:
         # every band contributes BOTH self-join sides (plus the star
         # pieces under a cap), so an uncached input would re-evaluate
         # the upstream hash computation 2*bands times — for a simhash
         # input that is 8x the md5 aggregation (measured 5s of a 6.8s
         # sf0.1 run). The cached projection is (id, hash, band ints):
         # ~40 bytes/row, the cheapest possible thing to keep hot.
-        b = b.cache()
+        # Cache LIFETIME: bounded at one live entry — the previous
+        # call's projection is unpersisted on each new call (and
+        # eagerly via release_scratch_caches); cache=False skips
+        # caching entirely when the caller manages persistence.
+        b = _scratch_cache("hamming_bands", b.cache())
     pieces = []
     for i in range(bands):
         src = b

@@ -720,25 +720,31 @@ class Forecaster:
         are SHARED — a deepcopy of a DataFrame has no meaning and
         would copy no data anyway — while every mutable container
         (history and its per-model entries, trajectories, params,
-        metric lists) is copied, and the engine mutates ``tsf`` only
-        by functional REASSIGNMENT, so any add_*/set_*/forecast on
-        the copy never touches the original: the same isolation the
-        reference gets from deepcopying its numpy state, at zero data
-        cost."""
+        metric lists) is copied RECURSIVELY — plain dict/list/set/tuple
+        containers at every nesting depth get fresh objects, so
+        mutating ``copy.history[m]['summary']['foo']`` never leaks
+        into the original — so any add_*/set_*/forecast on the copy
+        never touches the original: the same isolation the reference
+        gets from deepcopying its numpy state, at zero data cost."""
         import copy as _copy
+
+        def _fresh(v):
+            # plain containers: new object per level; everything else
+            # (DataFrames, models, scalars) shared by identity
+            if isinstance(v, dict):
+                return {k: _fresh(x) for k, x in v.items()}
+            if isinstance(v, list):
+                return [_fresh(x) for x in v]
+            if isinstance(v, tuple):
+                return tuple(_fresh(x) for x in v)
+            if isinstance(v, set):
+                return set(v)
+            return v
 
         g = _copy.copy(self)
         for k, v in vars(self).items():
-            if isinstance(v, (list, set)):
-                setattr(g, k, _copy.copy(v))
-            elif isinstance(v, dict):
-                setattr(
-                    g, k,
-                    {
-                        kk: (dict(vv) if isinstance(vv, dict) else vv)
-                        for kk, vv in v.items()
-                    },
-                )
+            if isinstance(v, (dict, list, set, tuple)):
+                setattr(g, k, _fresh(v))
         return g
 
     def _metric_summary(self, df: DataFrame, metrics: list[str]):
@@ -907,9 +913,11 @@ class Forecaster:
             per_series_test, test_metrics = self._metric_summary(
                 test_df, self.metrics
             )
-            widths = conformal_widths(
-                test_df, actual=Y, forecast="forecast", cilevel=self.cilevel
-            )
+            if getattr(self, "cis", True):  # eval_cis(mode=False) opts out
+                widths = conformal_widths(
+                    test_df, actual=Y, forecast="forecast",
+                    cilevel=self.cilevel,
+                )
 
         full = transfer_kernel(
             src, self.tsf.df, feats, fit_fn,
@@ -1589,3 +1597,80 @@ class Forecaster:
         for m in models:
             self.history.pop(m, None)
         return self
+
+
+class MVForecaster(Forecaster):
+    """Reference-shape multivariate constructor
+    (reference MVForecaster.py:34-174: ``MVForecaster(f1, f2, ...,
+    names=[...])`` merges several univariate Forecasters into one
+    joint object). The long format needs no separate class — ONE
+    Forecaster already holds every series — so this subclass exists
+    purely to honor the reference's construction call shape: the
+    input Forecasters' long frames are UNIONED (the reference's
+    ``merge_Xvars='union'``: missing feature columns fill NULL) into
+    a single frame, re-tagged by ``names`` when given.
+
+    Also accepts the engine's native single-frame form
+    (``MVForecaster(df)`` / ``MVForecaster(tsf)``), so existing
+    long-format code keeps working through this name.
+    """
+
+    def __init__(self, *fs, names=None, future_dates: int = 0,
+                 test_length: int = 0, **kwargs):
+        from functools import reduce
+
+        if kwargs:
+            # reference knobs that are union/no-op decisions the long
+            # format already makes (merge_Xvars, not_same_len_action,
+            # merge_future_dates...) — record, never silently drop an
+            # unknown misspelling
+            known = {"merge_Xvars", "not_same_len_action", "merge_future_dates",
+                     "cis", "metrics", "carry_fit_models", "optimize_on"}
+            unknown = set(kwargs) - known
+            if unknown:
+                raise TypeError(
+                    f"MVForecaster got unexpected kwargs {sorted(unknown)}; "
+                    f"reference-compat kwargs are {sorted(known)}"
+                )
+        if fs and all(isinstance(f, Forecaster) for f in fs):
+            if names is not None:
+                if len(names) != len(fs):
+                    raise ValueError(
+                        f"names has {len(names)} entries for {len(fs)} "
+                        f"Forecaster objects"
+                    )
+                frames = [
+                    f.tsf.df.withColumn(SERIES, F.lit(str(n)))
+                    for f, n in zip(fs, names)
+                ]
+            else:
+                frames = [f.tsf.df for f in fs]
+            merged = reduce(
+                lambda a, b: a.unionByName(b, allowMissingColumns=True), frames
+            )
+            from scalecast_spark.frame import RESERVED
+
+            # build the TimeSeriesFrame directly: from_long drops
+            # y-NULL rows, which would erase the inputs' future horizon
+            feats = tuple(c for c in merged.columns if c not in RESERVED)
+            if IS_FUTURE not in merged.columns:
+                merged = merged.withColumn(IS_FUTURE, F.lit(0))
+            freq = next(
+                (f.tsf.freq_seconds for f in fs
+                 if f.tsf.freq_seconds is not None), None,
+            )
+            super().__init__(
+                TimeSeriesFrame(df=merged, freq_seconds=freq, features=feats)
+            )
+        elif len(fs) == 1:
+            super().__init__(fs[0], future_dates=future_dates)
+        else:
+            raise TypeError(
+                "MVForecaster takes either several Forecaster objects "
+                "(reference shape) or one long DataFrame/TimeSeriesFrame "
+                f"holding every series; got {[type(f).__name__ for f in fs]}"
+            )
+        if future_dates and fs and all(isinstance(f, Forecaster) for f in fs):
+            self.generate_future_dates(future_dates)
+        if test_length:
+            self.set_test_length(test_length)

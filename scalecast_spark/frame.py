@@ -25,6 +25,8 @@ from dataclasses import dataclass, field, replace
 
 from pyspark.sql import DataFrame, functions as F, Window as W
 
+from scalecast_spark.functions.timegrain import epoch_seconds
+
 SERIES = "series_id"
 DS = "ds"
 Y = "y"
@@ -80,7 +82,7 @@ class TimeSeriesFrame:
             self.df.filter(F.col(IS_FUTURE) == 0)
             .select(
                 (
-                    F.unix_timestamp(DS) - F.unix_timestamp(F.lag(DS).over(w))
+                    epoch_seconds(DS) - epoch_seconds(F.lag(DS).over(w))
                 ).alias("delta")
             )
             .filter(F.col("delta").isNotNull())
@@ -114,7 +116,9 @@ class TimeSeriesFrame:
         """
         if self.freq_seconds is None:
             raise ValueError("frequency unknown; cannot generate horizon")
-        step = int(self.freq_seconds)
+        # float step: sub-second frequencies (tick data) must not
+        # truncate to 0; timestamp_seconds(double) keeps microseconds
+        step = float(self.freq_seconds)
         last = self.observed.groupBy(SERIES).agg(F.max(DS).alias("last_ds"))
         fut = (
             last.select(
@@ -125,7 +129,7 @@ class TimeSeriesFrame:
             .select(
                 SERIES,
                 F.timestamp_seconds(
-                    F.unix_timestamp("last_ds") + F.col("_i") * step
+                    epoch_seconds("last_ds") + F.col("_i") * step
                 ).alias(DS),
                 F.lit(None).cast("double").alias(Y),
                 F.lit(1).alias(IS_FUTURE),

@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F, Window as W
 
 from scalecast_spark.frame import DS, IS_FUTURE, SERIES
+from scalecast_spark.functions.timegrain import epoch_seconds
 
 #: the reference's explicit prefix branches (util.py:67-74)
 _FREQ_PREFIX: list[tuple[str, int]] = [("M", 12), ("Q", 4), ("H", 24)]
@@ -94,7 +95,7 @@ def modal_gap_seconds(df: DataFrame) -> float | None:
     rows = (
         src.select(
             (
-                F.unix_timestamp(DS) - F.unix_timestamp(F.lag(DS).over(w))
+                epoch_seconds(DS) - epoch_seconds(F.lag(DS).over(w))
             ).alias("delta")
         )
         .filter(F.col("delta").isNotNull())

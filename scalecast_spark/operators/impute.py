@@ -18,12 +18,17 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F, Window as W
 
 from scalecast_spark.frame import DS, SERIES, Y
+from scalecast_spark.functions.timegrain import epoch_seconds
 
 
-def densify(df: DataFrame, freq_seconds: int = 86400) -> DataFrame:
+def densify(df: DataFrame, freq_seconds: float = 86400) -> DataFrame:
     """Reindex each series to a gapless grid at ``freq_seconds``;
-    missing timestamps appear with y NULL."""
-    step = int(freq_seconds)
+    missing timestamps appear with y NULL. Fractional steps are
+    honored down to microseconds (sub-second series densify on their
+    true grid instead of collapsing to a zero step)."""
+    step_us = int(round(float(freq_seconds) * 1_000_000))
+    if step_us <= 0:
+        raise ValueError(f"densify: freq_seconds must be >= 1e-6; got {freq_seconds}")
     spine = (
         df.groupBy(SERIES)
         .agg(F.min(DS).alias("_lo"), F.max(DS).alias("_hi"))
@@ -33,7 +38,7 @@ def densify(df: DataFrame, freq_seconds: int = 86400) -> DataFrame:
                 F.sequence(
                     F.col("_lo"),
                     F.col("_hi"),
-                    F.expr(f"interval {step} seconds"),
+                    F.expr(f"interval {step_us} microsecond"),
                 )
             ).alias(DS),
         )
@@ -67,7 +72,7 @@ def linear_interp(df: DataFrame, col: str = Y) -> DataFrame:
     """
     wp = W.partitionBy(SERIES).orderBy(DS).rowsBetween(W.unboundedPreceding, -1)
     wn = W.partitionBy(SERIES).orderBy(DS).rowsBetween(1, W.unboundedFollowing)
-    ts = F.unix_timestamp(DS).cast("double")
+    ts = epoch_seconds(DS)
     prev_v = F.last(col, ignorenulls=True).over(wp)
     next_v = F.first(col, ignorenulls=True).over(wn)
     prev_t = F.last(F.when(F.col(col).isNotNull(), ts), ignorenulls=True).over(wp)

@@ -19,7 +19,9 @@ Tolerance and the forward direction compose on the same pass.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F, Window as W
+from pyspark.sql import DataFrame, functions as F, types as T, Window as W
+
+from scalecast_spark.functions.timegrain import epoch_seconds, interval_seconds
 
 
 def asof_join(
@@ -118,20 +120,25 @@ def asof_join(
         F.last("_rts", ignorenulls=True).over(w).alias("_rts"),
     ).filter(F.col("_side") == 1)
     if tolerance is not None:
-        gap = (
-            F.unix_timestamp("_ts") - F.unix_timestamp("_rts")
-            if direction == "backward"
-            else F.unix_timestamp("_rts") - F.unix_timestamp("_ts")
-        )
-        tol = (
-            F.lit(float(tolerance))
-            if isinstance(tolerance, (int, float))
-            else F.expr(
-                f"unix_timestamp(timestamp '1970-01-01 00:00:00' "
-                f"+ INTERVAL {tolerance}) - "
-                f"unix_timestamp(timestamp '1970-01-01 00:00:00')"
-            )
-        )
+        # type-aware, sub-second-safe gap: fractional epoch seconds for
+        # date/timestamp on-columns (microsecond precision — the old
+        # unix_timestamp truncated to whole seconds, so ms-grain
+        # tolerances passed/failed spuriously); the column's own units
+        # for numeric on-columns (merge_asof parity — unix_timestamp on
+        # a numeric returns NULL, silently voiding every match)
+        l_sec = epoch_seconds("_ts", left.schema[on].dataType)
+        r_sec = epoch_seconds("_rts", right.schema[on].dataType)
+        gap = l_sec - r_sec if direction == "backward" else r_sec - l_sec
+        if isinstance(tolerance, (int, float)):
+            tol = F.lit(float(tolerance))
+        else:
+            if isinstance(left.schema[on].dataType, T.NumericType):
+                raise ValueError(
+                    "asof_join: an interval-string tolerance needs a "
+                    f"date/timestamp on-column; {on!r} is numeric — pass "
+                    "a number in the column's own units"
+                )
+            tol = interval_seconds(tolerance)
         keep = F.col("_rts").isNotNull() & (gap <= tol)
         carried = carried.select(
             *left_cols, "_ts", "_side",

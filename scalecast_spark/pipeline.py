@@ -112,6 +112,119 @@ class Pipeline:
         return df
 
 
+class MVPipeline(Pipeline):
+    """Multivariate pipeline (reference Pipeline.py:464-593).
+
+    The reference's MVPipeline combines k Forecaster objects into one
+    MVForecaster before the model step and breaks them back apart for
+    per-series reverts. In the long format the combined object IS one
+    DataFrame, so combine/break are a union and a ``series_id``
+    filter; what remains of the reference surface is the LIST-valued
+    step — ``('Transform', [t1, t2, t3])`` applies each element to its
+    positional series — and the multi-frame ``fit_predict(f1, f2, f3)``
+    call shape returning a tuple.
+
+    ``names`` (reference kwarg of the same name) re-tags each input
+    frame's ``series_id``; other reference kwargs (``merge_Xvars``,
+    ``not_same_len_action``...) are union/no-op decisions the long
+    format already makes and are accepted-and-recorded only.
+    """
+
+    def __init__(self, steps: list[tuple[str, object]], names=None, **kwargs):
+        super().__init__(steps)
+        self.names = [str(n) for n in names] if names is not None else None
+        self.kwargs = kwargs
+
+    def copy(self) -> "MVPipeline":
+        """Per-element isolation for list-valued steps (same
+        Transformer-fresh / Reverter-rebind contract as Pipeline.copy)."""
+        rebound: dict[int, Transformer] = {}
+
+        def _one(step):
+            if isinstance(step, Transformer):
+                new = step.copy()
+                rebound[id(step)] = new
+                return new
+            if isinstance(step, Reverter):
+                return Reverter(rebound.get(id(step.base), step.base))
+            return step
+
+        steps = [
+            (name, [_one(s) for s in step] if isinstance(step, (list, tuple))
+             else _one(step))
+            for name, step in self.steps
+        ]
+        g = MVPipeline.__new__(MVPipeline)
+        g.steps = steps
+        g.names = list(self.names) if self.names else None
+        g.kwargs = dict(self.kwargs)
+        return g
+
+    @staticmethod
+    def _apply(step, df: DataFrame) -> DataFrame:
+        if isinstance(step, Transformer):
+            return step.fit_transform(df)
+        if isinstance(step, Reverter):
+            return step.fit_transform(df, Y, "forecast")
+        if callable(step):
+            return step(df)
+        raise TypeError(f"step element {step!r} is not a Transformer/Reverter/callable")
+
+    def fit_predict(self, *dfs: DataFrame):
+        """``fit_predict(df)`` -> one long frame; ``fit_predict(f1, f2,
+        f3)`` -> union, run, and a tuple filtered back per input (the
+        reference's combine -> forecast -> break round trip,
+        Pipeline.py:539-593)."""
+        from functools import reduce
+
+        if not dfs:
+            raise ValueError("MVPipeline.fit_predict needs at least one frame")
+        many = len(dfs) > 1
+        if many and self.names:
+            if len(self.names) != len(dfs):
+                raise ValueError(
+                    f"names has {len(self.names)} entries for {len(dfs)} frames"
+                )
+            dfs = tuple(
+                d.withColumn(SERIES, F.lit(n)) for d, n in zip(dfs, self.names)
+            )
+        if many:
+            groups = self.names or [
+                r[0]
+                for d in dfs
+                for r in d.select(SERIES).distinct().orderBy(SERIES).collect()
+            ]
+            df = reduce(
+                lambda a, b: a.unionByName(b, allowMissingColumns=True), dfs
+            )
+        else:
+            df = dfs[0]
+            groups = self.names or [
+                r[0]
+                for r in df.select(SERIES).distinct().orderBy(SERIES).collect()
+            ]
+        for name, step in self.steps:
+            if isinstance(step, (list, tuple)):
+                if len(step) != len(groups):
+                    raise ValueError(
+                        f"step {name!r} has {len(step)} elements for "
+                        f"{len(groups)} series {groups}"
+                    )
+                parts = [
+                    self._apply(s, df.filter(F.col(SERIES) == sid))
+                    for sid, s in zip(groups, step)
+                ]
+                df = reduce(
+                    lambda a, b: a.unionByName(b, allowMissingColumns=True),
+                    parts,
+                )
+            else:
+                df = self._apply(step, df)
+        if many:
+            return tuple(df.filter(F.col(SERIES) == g) for g in groups)
+        return df
+
+
 def backtest(
     series_df: DataFrame,
     model_fns: dict[str, callable],
