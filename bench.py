@@ -109,6 +109,64 @@ COMMON = [
     "emb_norms",
 ]
 
+# round 12: the SCALE tier — the 8 most expensive suite lines re-run
+# once against a materialized ~10x corpus (tools/make_sf1.py), so
+# super-linear blowups show up as wall-clock here before a cluster
+# would find them. Single pass by design: this tier watches the
+# GROWTH RATE (sf1 time / sf0.1 min), not the absolute floor the
+# min-of-3 protocol estimates; a separate JSON key keeps the gate's
+# r1-comparable series untouched.
+SF1_QUERIES = [
+    "text_curation",
+    "text_signals",
+    "forecaster_ttf",
+    "corpus_select",
+    "sim_ivfpq_build",
+    "dedup_cross",
+    "dedup_hamming_pairs",
+    "dedup_simhash",
+]
+
+
+def _run_sf1_tier(spark) -> dict:
+    """Build (or reuse) the sf1 corpus and time SF1_QUERIES once.
+    Never fails the bench: any error is reported inside the tier."""
+    if os.environ.get("SPARK_GRAFT_SF1", "1") == "0":
+        return {"skipped": True}
+    src = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    # default dir is keyed by the SOURCE corpus, so an sf0.01 quick
+    # loop never reuses (or pollutes) the sf0.1-derived corpus
+    sf1_dir = os.environ.get(
+        "SPARK_GRAFT_SF1_DIR",
+        f"/tmp/sf1_bench_{os.path.basename(src.rstrip('/'))}",
+    )
+    try:
+        sys.path.insert(0, os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "tools"))
+        import make_sf1
+
+        t0 = time.time()
+        make_sf1.build(sf1_dir, src, spark=spark)
+        build_sec = round(time.time() - t0, 3)
+        times: dict[str, float] = {}
+        loads: dict[str, float] = {}
+        for name in SF1_QUERIES:
+            fn = getattr(entrymod, HEADLINE[name])
+            start = time.time()
+            fn(spark, sf1_dir).write.mode("overwrite").format("noop").save()
+            times[name] = round(time.time() - start, 3)
+            loads[name] = round(os.getloadavg()[0], 2)
+        return {
+            "dir": sf1_dir,
+            "factor_vs_suite_sf": 10,
+            "corpus_build_sec": build_sec,
+            "queries": times,
+            "value": round(sum(times.values()), 3),
+            "load1_per_query": loads,
+        }
+    except Exception as e:  # the scale tier must never sink the gate
+        return {"error": f"{type(e).__name__}: {e}"}
+
 
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -146,6 +204,7 @@ def main():
                 loads[name] = round(os.getloadavg()[0], 2)
     total = round(sum(times.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    sf1 = _run_sf1_tier(spark)
     print(
         json.dumps(
             {
@@ -156,6 +215,7 @@ def main():
                 "protocol": "min_of_3_interleaved",
                 "queries": times,
                 "sf": float(sf),
+                "sf1": sf1,
                 # host weather at measurement time: this VM shows ~5x
                 # run-to-run jitter from EXTERNAL load (SCALE.md "Bench
                 # noise"); a high load1 with zero local activity marks

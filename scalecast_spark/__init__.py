@@ -25,7 +25,7 @@ from scalecast_spark.forecaster import Forecaster
 #: MULTI-FORECASTER construction shape ``MVForecaster(f1, f2, ...)``
 #: (it unions the long frames); ``break_mv_forecaster`` is a
 #: series_id filter.
-from scalecast_spark.forecaster import MVForecaster
+from scalecast_spark.forecaster import MVForecaster, break_mv_forecaster
 from scalecast_spark.pipeline import (
     MVPipeline, Pipeline, Reverter, Transformer,
 )
@@ -34,6 +34,7 @@ __version__ = "0.1.0"
 
 __all__ = [
     "get_session", "TimeSeriesFrame", "Forecaster", "MVForecaster",
+    "break_mv_forecaster",
     "Pipeline", "MVPipeline", "Transformer", "Reverter",
     "__version__",
 ]

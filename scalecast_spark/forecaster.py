@@ -1674,3 +1674,35 @@ class MVForecaster(Forecaster):
             self.generate_future_dates(future_dates)
         if test_length:
             self.set_test_length(test_length)
+
+
+def break_mv_forecaster(
+    mvf: Forecaster, drop_all_Xvars: bool = True
+) -> tuple:
+    """One univariate Forecaster per series (reference
+    util.py:232-270). In the long format this is a ``series_id``
+    filter per series over the SHARED immutable frame — no data is
+    copied; each returned object carries the source's test_length /
+    cilevel / metrics so a per-series follow-up run scores the same
+    way. ``drop_all_Xvars`` (reference default) strips feature
+    columns, matching the reference's advice that per-series models
+    re-derive their own regressors."""
+    sids = mvf.tsf.series_ids()
+    out = []
+    for sid in sorted(sids):
+        df = mvf.tsf.df.filter(F.col(SERIES) == sid)
+        if drop_all_Xvars:
+            df = df.select(SERIES, DS, Y, IS_FUTURE)
+            feats: tuple = ()
+        else:
+            feats = tuple(mvf.tsf.features)
+        f = Forecaster(
+            TimeSeriesFrame(
+                df=df, freq_seconds=mvf.tsf.freq_seconds, features=feats
+            )
+        )
+        f.test_length = mvf.test_length
+        f.cilevel = mvf.cilevel
+        f.metrics = list(mvf.metrics)
+        out.append(f)
+    return tuple(out)

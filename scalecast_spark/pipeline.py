@@ -64,6 +64,31 @@ class Reverter:
         return df
 
 
+def _rewind_mark(base: DataFrame, hold: int, fcst_length: int) -> DataFrame:
+    """One backtest iteration's frame: the last ``hold`` observations
+    per series become the horizon, trimmed to its first
+    ``fcst_length`` rows (reference ``hold_out[:fcst_length]``,
+    Pipeline.py:245-246), with y masked NULL on horizon rows so the
+    pipeline sees exactly the shape a real forecast sees (no
+    actual-leak into transform fits or model steps)."""
+    w = W.partitionBy(SERIES).orderBy(F.desc(DS))
+    return (
+        base.withColumn("_rev", F.row_number().over(w))
+        .withColumn(
+            IS_FUTURE, F.when(F.col("_rev") <= hold, 1).otherwise(0)
+        )
+        .filter(
+            ~((F.col(IS_FUTURE) == 1) & (F.col("_rev") <= hold - fcst_length))
+        )
+        .drop("_rev")
+        .withColumn(
+            Y,
+            F.when(F.col(IS_FUTURE) == 1, F.lit(None).cast("double"))
+            .otherwise(F.col(Y)),
+        )
+    )
+
+
 class Pipeline:
     """Ordered composition: Transformer steps, model callables (taking
     and returning a DataFrame with 'forecast'), Reverter steps
@@ -71,6 +96,78 @@ class Pipeline:
 
     def __init__(self, steps: list[tuple[str, object]]):
         self.steps = steps
+
+    def backtest(
+        self,
+        *dfs: DataFrame,
+        fcst_length: int,
+        n_iter: int = 5,
+        jump_back: int = 1,
+    ) -> DataFrame:
+        """Out-of-sample backtest of the WHOLE pipeline (reference
+        Pipeline_parent.backtest, Pipeline.py:260-357): iteration i
+        rewinds ``fcst_length + i*jump_back`` observations per series,
+        masks the next ``fcst_length`` as the horizon (y NULL — the
+        pipeline sees a real forecast's shape, so transform fits and
+        model steps cannot peek at held-out actuals), runs the full
+        ``fit_predict`` composition on the rewound frame, and joins the
+        held-out actuals back.
+
+        Returns ONE long frame (model='pipeline', iteration, series_id,
+        ds, y, forecast) over held-out rows — the shape
+        :func:`backtest_metrics` consumes directly (the reference's
+        list-of-dicts return is a pandas packaging detail; here every
+        iteration is rows in one frame and downstream metrics are one
+        groupBy). MVPipeline inherits this unchanged: multiple frames
+        union before the rewind and its fit_predict keeps list-valued
+        steps per-series on the unioned frame.
+
+        Scale: each iteration is a filter + the pipeline's own plan
+        over the SAME cached base — n_iter plans, no data copies."""
+        if not dfs:
+            raise ValueError("backtest needs at least one frame")
+        names = getattr(self, "names", None)
+        if names and len(dfs) > 1:
+            # MVPipeline call shape: same re-tagging as fit_predict so
+            # list-valued steps map to the same series during backtests
+            if len(names) != len(dfs):
+                raise ValueError(
+                    f"names has {len(names)} entries for {len(dfs)} frames"
+                )
+            dfs = tuple(
+                d.withColumn(SERIES, F.lit(n)) for d, n in zip(dfs, names)
+            )
+        base = dfs[0] if len(dfs) == 1 else None
+        if base is None:
+            from functools import reduce
+
+            base = reduce(
+                lambda a, b: a.unionByName(b, allowMissingColumns=True), dfs
+            )
+        if IS_FUTURE not in base.columns:
+            base = base.withColumn(IS_FUTURE, F.lit(0))
+        base = base.cache()
+        out = None
+        for i in range(n_iter):
+            hold = fcst_length + i * jump_back
+            rewound = _rewind_mark(base, hold, fcst_length)
+            actuals = base.join(
+                rewound.filter(F.col(IS_FUTURE) == 1).select(SERIES, DS),
+                [SERIES, DS],
+            ).select(SERIES, DS, Y)
+            scored = self.fit_predict(rewound)
+            res = (
+                scored.filter(F.col(IS_FUTURE) == 1)
+                .drop(Y)
+                .join(actuals, [SERIES, DS])
+                .select(
+                    F.lit("pipeline").alias("model"),
+                    F.lit(i).alias("iteration"),
+                    SERIES, DS, Y, "forecast",
+                )
+            )
+            out = res if out is None else out.unionByName(res)
+        return out
 
     def copy(self) -> "Pipeline":
         """Isolated pipeline copy (reference Pipeline.py:166-176

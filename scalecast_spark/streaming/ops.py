@@ -329,6 +329,145 @@ def _check_sink_paths(
         out.close()
 
 
+def _results_fs(spark: SparkSession, path: str):
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    return p.getFileSystem(spark._jsc.hadoopConfiguration()), jvm
+
+
+def _list_batch_ids(spark: SparkSession, results_path: str) -> list[int]:
+    """batch ids present as ``batch_id=<n>`` directories (one FS
+    listing — cheap at any scale; the directory count, not the data,
+    is what auto-compaction bounds)."""
+    fs, jvm = _results_fs(spark, results_path)
+    root = jvm.org.apache.hadoop.fs.Path(results_path)
+    if not fs.exists(root):
+        return []
+    ids = []
+    for st in fs.listStatus(root):
+        name = st.getPath().getName()
+        if st.isDirectory() and name.startswith("batch_id="):
+            try:
+                ids.append(int(name.split("=", 1)[1]))
+            except ValueError:
+                pass
+    return sorted(ids)
+
+
+#: staging area for in-stream compaction — dot-prefixed so Spark's
+#: file index never reads it as data
+_COMPACT_TMP = ".compact_tmp"
+
+
+def _check_compact_every(compact_every: int | None) -> None:
+    if compact_every is not None and compact_every < 2:
+        raise ValueError(
+            f"compact_every must be >= 2 (a window of 1 is a no-op); "
+            f"got {compact_every}"
+        )
+
+
+def _finish_pending_compactions(spark: SparkSession, results_path: str) -> None:
+    """Complete (or discard) compactions interrupted by a crash.
+
+    A staging dir ``.compact_tmp/w<lo>_<hi>`` WITH ``_SUCCESS`` holds
+    the full union of batch dirs lo..hi and must be promoted: delete
+    any surviving source dirs in [lo, hi], rename staging to
+    ``batch_id=<hi>``. One WITHOUT ``_SUCCESS`` is an incomplete write
+    whose sources are still intact (sources are only deleted after
+    ``_SUCCESS``) — discard it. Both arms are idempotent, so a crash
+    inside THIS function is recovered by the next call."""
+    fs, jvm = _results_fs(spark, results_path)
+    Path = jvm.org.apache.hadoop.fs.Path
+    tmp_root = Path(f"{results_path}/{_COMPACT_TMP}")
+    if not fs.exists(tmp_root):
+        return
+    for st in fs.listStatus(tmp_root):
+        name = st.getPath().getName()
+        if not name.startswith("w"):
+            continue
+        try:
+            lo, hi = (int(x) for x in name[1:].split("_", 1))
+        except ValueError:
+            continue
+        staging = f"{results_path}/{_COMPACT_TMP}/{name}"
+        if not fs.exists(Path(f"{staging}/_SUCCESS")):
+            fs.delete(Path(staging), True)  # incomplete; sources intact
+            continue
+        for i in range(lo, hi + 1):
+            fs.delete(Path(f"{results_path}/batch_id={i}"), True)
+        fs.rename(Path(staging), Path(f"{results_path}/batch_id={hi}"))
+
+
+def _auto_compact_sink(
+    spark: SparkSession,
+    results_path: str,
+    current_batch_id: int | float,
+    compact_every: int | None,
+) -> None:
+    """Collapse every FULL window of ``compact_every`` committed batch
+    directories into one — called from inside ``foreachBatch`` before
+    the current batch writes, so it only ever touches batches with a
+    ``commits/<n>`` WAL entry, which Spark never replays: compaction
+    cannot race a batch replay and exactly-once is preserved. (The
+    current batch's own window stays untouched until a LATER batch's
+    callback sees it completed.)
+
+    Crash-safe by staging: the window's union is written to a
+    dot-prefixed staging dir first (``_SUCCESS`` = staging complete),
+    sources are deleted only after that, and the staging dir is
+    renamed into the window's highest batch id. Every crash point is
+    re-entered idempotently by :func:`_finish_pending_compactions`.
+
+    A long-lived stream therefore holds ≤ ceil(n/compact_every) + 1
+    result directories instead of one per trigger — the directory
+    fragmentation bound :func:`compact_results` provides for archived
+    streams, maintained ONLINE without breaking resumability (the
+    results_path + checkpoint pair stays the resumable object).
+
+    ``current_batch_id=float('inf')`` is the end-of-drain form: after
+    ``awaitTermination`` succeeds every batch has a durable
+    ``commits/<n>`` entry (none can ever replay), so the trailing
+    window compacts too and the drain ends at exactly
+    ceil(n/compact_every) directories."""
+    if compact_every is None:
+        return
+    _finish_pending_compactions(spark, results_path)
+    ids = _list_batch_ids(spark, results_path)
+    committed = [i for i in ids if i < current_batch_id]
+    windows: dict[int, list[int]] = {}
+    for i in committed:
+        windows.setdefault(i // compact_every, []).append(i)
+    fs, jvm = _results_fs(spark, results_path)
+    Path = jvm.org.apache.hadoop.fs.Path
+    for w, members in sorted(windows.items()):
+        # a window compacts only once every batch it could ever hold is
+        # committed (its id range is fully below the current batch)
+        if (w + 1) * compact_every - 1 >= current_batch_id:
+            continue
+        if len(members) <= 1:
+            continue  # already compacted, or sparse (empty batches)
+        lo, hi = min(members), max(members)
+        staging = f"{results_path}/{_COMPACT_TMP}/w{lo}_{hi}"
+        (
+            spark.read.parquet(
+                *[f"{results_path}/batch_id={i}" for i in members]
+            )
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(staging)
+        )
+        # the staging-complete marker gates source deletion in crash
+        # recovery; create it explicitly in case the committer's own
+        # _SUCCESS marker is disabled by conf
+        succ = Path(f"{staging}/_SUCCESS")
+        if not fs.exists(succ):
+            fs.create(succ, True).close()
+        for i in members:
+            fs.delete(Path(f"{results_path}/batch_id={i}"), True)
+        fs.rename(Path(staging), Path(f"{results_path}/batch_id={hi}"))
+
+
 def run_available_now(
     stream_df: DataFrame,
     query_name: str,
@@ -896,6 +1035,7 @@ def ivfpq_search_stream(
     results_path: str,
     checkpoint_dir: str,
     timeout_sec: int = 120,
+    compact_every: int | None = None,
     **search_kwargs,
 ) -> DataFrame:
     """Serve a STREAM of query vectors against the persisted code
@@ -930,11 +1070,18 @@ def ivfpq_search_stream(
     spark = queries.sparkSession
     _check_sink_paths("ivfpq_search_stream", spark, results_path,
                       checkpoint_dir)
+    _check_compact_every(compact_every)
+    # a crash mid-compaction must not hide staged rows from a resume
+    # that omits compact_every — always finish pending work first
+    _finish_pending_compactions(spark, results_path)
     cents = load_centroids(centroids_path)
     books = load_pq_codebooks(codebooks_path)
     codes = spark.read.parquet(codes_path)
 
     def _serve_batch(batch_df: DataFrame, batch_id: int) -> None:
+        # online compaction first: touches only committed (< batch_id)
+        # windows, so it cannot race this batch's replay
+        _auto_compact_sink(spark, results_path, batch_id, compact_every)
         if batch_df.isEmpty():
             return
         # idempotent per-batch sink: each micro-batch owns (and on
@@ -966,6 +1113,9 @@ def ivfpq_search_stream(
             f"results_path and checkpoint_dir; to restart clean, use "
             f"fresh paths for BOTH."
         )
+    # end-of-drain: every batch is committed, so the trailing window
+    # compacts too — the drain ends at ceil(n/compact_every) dirs
+    _auto_compact_sink(spark, results_path, float("inf"), compact_every)
     if not _hadoop_exists(spark, results_path):
         # zero-batch stream (empty queries source): never wrote
         # parquet — return an empty frame with the operator's true
@@ -985,6 +1135,7 @@ def cross_dedup_stream(
     checkpoint_dir: str,
     existing_sigs_path: str | None = None,
     timeout_sec: int = 300,
+    compact_every: int | None = None,
     **cross_kwargs,
 ) -> DataFrame:
     """Streamed incremental corpus dedup — the crawl-firehose twin of
@@ -1017,6 +1168,8 @@ def cross_dedup_stream(
     spark = new_docs.sparkSession
     _check_sink_paths("cross_dedup_stream", spark, results_path,
                       checkpoint_dir)
+    _check_compact_every(compact_every)
+    _finish_pending_compactions(spark, results_path)
     existing = spark.read.parquet(existing_docs_path)
     ex_sigs = (
         spark.read.parquet(existing_sigs_path)
@@ -1025,6 +1178,7 @@ def cross_dedup_stream(
     )
 
     def _dedup_batch(batch_df: DataFrame, batch_id: int) -> None:
+        _auto_compact_sink(spark, results_path, batch_id, compact_every)
         if batch_df.isEmpty():
             return
         # idempotent per-batch sink — see ivfpq_search_stream: replay
@@ -1053,6 +1207,7 @@ def cross_dedup_stream(
             f"results_path and checkpoint_dir; to restart clean, use "
             f"fresh paths for BOTH."
         )
+    _auto_compact_sink(spark, results_path, float("inf"), compact_every)
     if not _hadoop_exists(spark, results_path):
         # zero-batch stream: survivors have the new_docs schema
         return spark.createDataFrame([], new_docs.schema)
@@ -1066,6 +1221,7 @@ def asof_join_stream(
     results_path: str,
     checkpoint_dir: str,
     timeout_sec: int = 300,
+    compact_every: int | None = None,
     **asof_kwargs,
 ) -> DataFrame:
     """Streaming twin of :func:`operators.joins.asof_join`: attach the
@@ -1091,9 +1247,12 @@ def asof_join_stream(
     spark = left_stream.sparkSession
     _check_sink_paths("asof_join_stream", spark, results_path,
                       checkpoint_dir)
+    _check_compact_every(compact_every)
+    _finish_pending_compactions(spark, results_path)
     right = spark.read.parquet(right_path)
 
     def _asof_batch(batch_df: DataFrame, batch_id: int) -> None:
+        _auto_compact_sink(spark, results_path, batch_id, compact_every)
         if batch_df.isEmpty():
             return
         (
@@ -1117,6 +1276,7 @@ def asof_join_stream(
             f"results_path and checkpoint_dir; to restart clean, use "
             f"fresh paths for BOTH."
         )
+    _auto_compact_sink(spark, results_path, float("inf"), compact_every)
     if not _hadoop_exists(spark, results_path):
         empty = spark.createDataFrame([], left_stream.schema)
         return asof_join(empty, right, **asof_kwargs).limit(0)
@@ -1170,6 +1330,9 @@ def compact_results(
             f"compact_results: target_files must be >= 1, got "
             f"{target_files}"
         )
+    # a crash mid-auto-compaction leaves staged rows in a dot-dir the
+    # reader would skip — promote them before counting anything
+    _finish_pending_compactions(spark, results_path)
     df = spark.read.parquet(results_path)
     if "batch_id" not in df.columns:
         raise ValueError(

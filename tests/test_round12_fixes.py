@@ -183,3 +183,46 @@ def test_scratch_cache_bounded_across_calls(spark):
     # cache=False leaves nothing behind at all
     hamming_near_pairs(df, "simhash", bits=48, max_hamming=3, cache=False).count()
     assert n_persistent() == base
+
+
+def test_pipeline_backtest_method(series):
+    """Reference Pipeline_parent.backtest (Pipeline.py:260-357) as a
+    METHOD on the pipeline: whole-composition rolling-origin backtest;
+    held-out actuals joined back at original scale, y masked during
+    the run so transforms/models cannot peek."""
+    from scalecast_spark.pipeline import backtest_metrics
+
+    t = Transformer([tr.LogTransform()])
+    p = MVPipeline(steps=[("T", t), ("M", partial(MODELS["naive"], m=7)),
+                          ("R", Reverter(t))])
+    res = p.backtest(series, fcst_length=5, n_iter=2, jump_back=3)
+    pdf = res.toPandas()
+    n_series = series.select(SERIES).distinct().count()
+    assert len(pdf) == 2 * n_series * 5  # iter x series x horizon
+    assert pdf["y"].notna().all()  # actuals re-joined at original scale
+    assert pdf["forecast"].notna().all()
+    spans = pdf.groupby("iteration")["ds"].max().tolist()
+    assert len(set(spans)) == 2  # iterations rewound to different cutoffs
+    mets = backtest_metrics(res, metrics=["rmse", "mae"]).toPandas()
+    assert len(mets) == 3  # 2 iterations + the -1 average row
+    assert (mets["rmse"] > 0).all() and (mets["mae"] > 0).all()
+
+
+def test_break_mv_forecaster_round_trip(series):
+    from scalecast_spark import MVForecaster, break_mv_forecaster
+
+    mvf = MVForecaster(series)
+    mvf.set_test_length(7)
+    fs = break_mv_forecaster(mvf)
+    ids = sorted(r[0] for r in series.select(SERIES).distinct().collect())
+    assert len(fs) == len(ids)
+    for f, sid in zip(fs, ids):
+        got = [r[0] for r in f.tsf.df.select(SERIES).distinct().collect()]
+        assert got == [sid]
+        assert f.test_length == 7
+        assert f.tsf.features == ()  # drop_all_Xvars default
+    # frames are shared filters, not copies: total rows partition
+    assert sum(f.tsf.df.count() for f in fs) == series.count()
+    # re-combining the broken pieces round-trips
+    mvf2 = MVForecaster(*fs)
+    assert mvf2.tsf.df.count() == series.count()
