@@ -64,6 +64,21 @@ class Reverter:
         return df
 
 
+def _frame_of(x) -> DataFrame:
+    """Reference pipelines take Forecaster objects; the engine's take
+    the long frame. Accept both: anything carrying a ``tsf`` (a
+    Forecaster) or a ``df`` (a TimeSeriesFrame) contributes its frame,
+    so reference-shaped calls like ``pipeline.fit_predict(f1, f2, f3)``
+    work unchanged."""
+    tsf = getattr(x, "tsf", None)
+    if tsf is not None:
+        return tsf.df
+    inner = getattr(x, "df", None)
+    if inner is not None and isinstance(inner, DataFrame):
+        return inner
+    return x
+
+
 def _rewind_mark(base: DataFrame, hold: int, fcst_length: int) -> DataFrame:
     """One backtest iteration's frame: the last ``hold`` observations
     per series become the horizon, trimmed to its first
@@ -126,6 +141,7 @@ class Pipeline:
         over the SAME cached base — n_iter plans, no data copies."""
         if not dfs:
             raise ValueError("backtest needs at least one frame")
+        dfs = tuple(_frame_of(d) for d in dfs)
         names = getattr(self, "names", None)
         if names and len(dfs) > 1:
             # MVPipeline call shape: same re-tagging as fit_predict so
@@ -197,6 +213,7 @@ class Pipeline:
         return g
 
     def fit_predict(self, df: DataFrame) -> DataFrame:
+        df = _frame_of(df)
         for name, step in self.steps:
             if isinstance(step, Transformer):
                 df = step.fit_transform(df)
@@ -276,6 +293,7 @@ class MVPipeline(Pipeline):
 
         if not dfs:
             raise ValueError("MVPipeline.fit_predict needs at least one frame")
+        dfs = tuple(_frame_of(d) for d in dfs)
         many = len(dfs) > 1
         if many and self.names:
             if len(self.names) != len(dfs):

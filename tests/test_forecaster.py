@@ -346,13 +346,19 @@ def test_grids_file_lookup(f, tmp_path, monkeypatch):
 
 
 def test_mv_surface_on_forecaster(f):
-    """MVForecaster compatibility: the alias imports, corr returns the
-    full pairwise matrix with unit diagonal, train_only trims the test
-    slice (values change when the tail is excluded), and corr_lags
-    produces one row per lag."""
-    from scalecast_spark import MVForecaster
+    """MVForecaster compatibility: the name imports (r12: a subclass
+    honoring the reference's multi-Forecaster constructor — no longer
+    a bare alias), every MV method lives on plain Forecaster, corr
+    returns the full pairwise matrix with unit diagonal, train_only
+    trims the test slice (values change when the tail is excluded),
+    and corr_lags produces one row per lag."""
+    from scalecast_spark import Forecaster, MVForecaster
 
-    assert MVForecaster is type(f)
+    assert issubclass(MVForecaster, Forecaster)
+    assert isinstance(f, Forecaster)
+    # the whole MV surface exists on the base class (long format)
+    for m in ("corr", "corr_lags", "set_optimize_on"):
+        assert hasattr(f, m)
     c = f.corr().toPandas()
     sids = set(c["series_a"])
     assert len(c) == len(sids) ** 2

@@ -162,3 +162,66 @@ def test_densify_subsecond_grid(spark):
     assert all(d == pd.Timedelta(milliseconds=250) for d in deltas)
     with pytest.raises(ValueError):
         densify(spark.createDataFrame(pdf), freq_seconds=0)
+
+
+def test_epoch_seconds_sweep_vs_pandas(spark):
+    """epoch_seconds == pandas nanosecond epoch / 1e9 (to the
+    microsecond Spark stores) across representative instants:
+    pre-epoch (negative), whole seconds, odd microseconds, far
+    future."""
+    from scalecast_spark.functions.timegrain import (
+        epoch_seconds,
+        interval_seconds,
+    )
+
+    stamps = [
+        pd.Timestamp("1969-12-31 23:59:59.000001"),
+        pd.Timestamp("1970-01-01 00:00:00"),
+        pd.Timestamp("1970-01-01 00:00:00.250000"),
+        pd.Timestamp("2024-02-29 12:34:56.789123"),
+        pd.Timestamp("2038-01-19 03:14:07.999999"),
+        pd.Timestamp("2124-06-01 00:00:00.000001"),
+    ]
+    pdf = pd.DataFrame({"ts": stamps})
+    got = [
+        r[0]
+        for r in spark.createDataFrame(pdf)
+        .select(epoch_seconds("ts"))
+        .collect()
+    ]
+    want = [s.value / 1e9 for s in stamps]
+    for g, w in zip(got, want):
+        assert g == pytest.approx(w, abs=5e-7), (g, w)
+    # interval_seconds: sub-second intervals no longer truncate to 0
+    rows = spark.range(1).select(
+        interval_seconds("500 milliseconds").alias("ms"),
+        interval_seconds("2 days").alias("d"),
+        interval_seconds("1 minute 30 seconds").alias("m"),
+    ).collect()[0]
+    assert rows["ms"] == pytest.approx(0.5)
+    assert rows["d"] == pytest.approx(172800.0)
+    assert rows["m"] == pytest.approx(90.0)
+
+
+def test_pipeline_accepts_forecaster_objects(spark):
+    """Reference pipelines take Forecaster objects; the engine's
+    accept them too (the long frame is extracted)."""
+    from scalecast_spark import Forecaster, MVPipeline, Transformer, Reverter
+    from scalecast_spark.models import MODELS
+    from scalecast_spark.operators import transforms as tr
+    from functools import partial
+
+    base = pd.Timestamp("2024-01-01")
+    pdf = pd.DataFrame({
+        "series_id": ["s"] * 30,
+        "ds": [base + pd.Timedelta(days=i) for i in range(30)],
+        "y": [10.0 + (i % 7) for i in range(30)],
+    })
+    f = Forecaster(spark.createDataFrame(pdf))
+    t = Transformer([tr.LogTransform()])
+    p = MVPipeline(steps=[("T", t), ("M", partial(MODELS["naive"], m=7)),
+                          ("R", Reverter(t))])
+    out = p.fit_predict(f)  # Forecaster in, frame out
+    assert "forecast" in out.columns
+    bt = p.backtest(f, fcst_length=3, n_iter=2)
+    assert bt.count() == 2 * 3
