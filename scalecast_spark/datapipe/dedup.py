@@ -587,13 +587,26 @@ def _scratch_cache(tag: str, df: DataFrame) -> DataFrame:
     """Register an internal .cache() under ``tag``, evicting the
     previous holder of the tag. An older result that is still lazy
     when its cache is swapped out simply recomputes — correctness is
-    unaffected, only the recompute cost returns."""
-    old = _SCRATCH_CACHES.pop(tag, None)
+    unaffected, only the recompute cost returns.
+
+    SAME-PLAN calls reuse the live entry instead of swapping: Spark's
+    CacheManager dedupes cached entries by logical plan, so
+    "unpersist old, register new" on an identical plan would remove
+    the very entry the new call just registered — un-caching the hot
+    path while reporting it cached (a repeated identical call, e.g. a
+    min-of-N bench pass, measured 2.2 s -> 7.8 s under that bug)."""
+    old = _SCRATCH_CACHES.get(tag)
     if old is not None:
+        try:
+            if old.sameSemantics(df):
+                return old  # one shared CacheManager entry — keep it hot
+        except Exception:
+            pass
         try:
             old.unpersist()
         except Exception:
             pass
+        _SCRATCH_CACHES.pop(tag, None)
     _SCRATCH_CACHES[tag] = df
     return df
 
