@@ -25,7 +25,9 @@ from scalecast_spark.forecaster import Forecaster
 #: MULTI-FORECASTER construction shape ``MVForecaster(f1, f2, ...)``
 #: (it unions the long frames); ``break_mv_forecaster`` is a
 #: series_id filter.
-from scalecast_spark.forecaster import MVForecaster, break_mv_forecaster
+from scalecast_spark.forecaster import (
+    MVForecaster, break_mv_forecaster, keep_smallest_first_date,
+)
 from scalecast_spark.pipeline import (
     MVPipeline, Pipeline, Reverter, Transformer,
 )
@@ -34,7 +36,7 @@ __version__ = "0.1.0"
 
 __all__ = [
     "get_session", "TimeSeriesFrame", "Forecaster", "MVForecaster",
-    "break_mv_forecaster",
+    "break_mv_forecaster", "keep_smallest_first_date",
     "Pipeline", "MVPipeline", "Transformer", "Reverter",
     "__version__",
 ]

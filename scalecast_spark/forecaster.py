@@ -1706,3 +1706,19 @@ def break_mv_forecaster(
         f.metrics = list(mvf.metrics)
         out.append(f)
     return tuple(out)
+
+
+def keep_smallest_first_date(*fs: Forecaster) -> tuple:
+    """Trim every passed Forecaster to a common first date — the
+    LATEST of their per-object minimum dates (reference
+    multiseries.py:25-37). Each trim is the date form of
+    keep_smaller_history, so restore_series_length undoes it."""
+    if not fs:
+        raise ValueError("keep_smallest_first_date needs Forecaster objects")
+    firsts = [
+        f.tsf.observed.agg(F.min(DS)).collect()[0][0] for f in fs
+    ]
+    cutoff = max(firsts)
+    for f in fs:
+        f.keep_smaller_history(cutoff)
+    return fs

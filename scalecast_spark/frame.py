@@ -166,9 +166,20 @@ class TimeSeriesFrame:
         )
         return replace(self, df=df)
 
-    def keep_smaller_history(self, n: int) -> "TimeSeriesFrame":
-        """Keep only the last n observations per series
-        (reference Forecaster.py:1725-1749)."""
+    def keep_smaller_history(self, n) -> "TimeSeriesFrame":
+        """Keep only the last n observations per series, or — when
+        ``n`` is a date/datetime/date-string — every observation at or
+        after that cutoff (reference Forecaster.py:1725-1749 accepts
+        both forms)."""
+        import datetime as _dt
+
+        if isinstance(n, (str, _dt.date, _dt.datetime)) or (
+            not isinstance(n, int) and hasattr(n, "to_pydatetime")
+        ):
+            df = self.observed.filter(
+                F.col(DS) >= F.lit(str(n)).cast("timestamp")
+            )
+            return replace(self, df=df)
         w = W.partitionBy(SERIES).orderBy(F.desc(DS))
         df = (
             self.observed.withColumn("_rn", F.row_number().over(w))

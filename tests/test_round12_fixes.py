@@ -226,3 +226,36 @@ def test_break_mv_forecaster_round_trip(series):
     # re-combining the broken pieces round-trips
     mvf2 = MVForecaster(*fs)
     assert mvf2.tsf.df.count() == series.count()
+
+
+def test_keep_smaller_history_date_form_and_common_start(spark):
+    """keep_smaller_history accepts a DATE cutoff (reference
+    Forecaster.py:1725 signature: int | str | datetime) and
+    keep_smallest_first_date (multiseries.py:25-37) trims every
+    object to the latest common first date."""
+    import pandas as pd
+
+    from scalecast_spark import Forecaster, keep_smallest_first_date
+
+    base = pd.Timestamp("2024-01-01")
+    def mk(start, n):
+        pdf = pd.DataFrame({
+            "series_id": ["s"] * n,
+            "ds": [base + pd.Timedelta(days=start + i) for i in range(n)],
+            "y": [float(i) for i in range(n)],
+        })
+        return Forecaster(spark.createDataFrame(pdf))
+
+    fa, fb = mk(0, 20), mk(5, 15)
+    # date-form trim
+    fc = mk(0, 20)
+    fc.keep_smaller_history("2024-01-10")
+    assert fc.tsf.observed.agg(F.min("ds")).collect()[0][0] == base + pd.Timedelta(days=9)
+    fc.restore_series_length()
+    assert fc.tsf.observed.count() == 20
+    # common-start alignment: fb starts day 5, so fa trims to day 5
+    keep_smallest_first_date(fa, fb)
+    a0 = fa.tsf.observed.agg(F.min("ds")).collect()[0][0]
+    b0 = fb.tsf.observed.agg(F.min("ds")).collect()[0][0]
+    assert a0 == b0 == base + pd.Timedelta(days=5)
+    assert fa.tsf.observed.count() == 15
