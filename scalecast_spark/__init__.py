@@ -26,7 +26,8 @@ from scalecast_spark.forecaster import Forecaster
 #: (it unions the long frames); ``break_mv_forecaster`` is a
 #: series_id filter.
 from scalecast_spark.forecaster import (
-    MVForecaster, break_mv_forecaster, keep_smallest_first_date,
+    MVForecaster, break_mv_forecaster, export_model_summaries,
+    keep_smallest_first_date,
 )
 from scalecast_spark.pipeline import (
     MVPipeline, Pipeline, Reverter, Transformer,
@@ -37,6 +38,7 @@ __version__ = "0.1.0"
 __all__ = [
     "get_session", "TimeSeriesFrame", "Forecaster", "MVForecaster",
     "break_mv_forecaster", "keep_smallest_first_date",
+    "export_model_summaries",
     "Pipeline", "MVPipeline", "Transformer", "Reverter",
     "__version__",
 ]

@@ -1722,3 +1722,17 @@ def keep_smallest_first_date(*fs: Forecaster) -> tuple:
     for f in fs:
         f.keep_smaller_history(cutoff)
     return fs
+
+
+def export_model_summaries(f_dict: dict) -> DataFrame:
+    """One model-summary frame across many Forecaster objects, keyed
+    by a ``Series`` label column (reference multiseries.py:6-22 —
+    pandas concat there, a unionByName here; summary schemas may
+    differ across objects, so missing columns fill NULL)."""
+    out = None
+    for label, f in f_dict.items():
+        s = f.export("model_summaries").withColumn("Series", F.lit(str(label)))
+        out = s if out is None else out.unionByName(s, allowMissingColumns=True)
+    if out is None:
+        raise ValueError("export_model_summaries: empty dict")
+    return out

@@ -1060,7 +1060,13 @@ def ivfpq_search_stream(
     :func:`run_available_now`); a production deployment wires the
     same ``foreachBatch`` body under its own trigger/sink. Index
     refresh is a restart, same as ivfpq_encode_stream: codes and
-    artifacts are versioned by path."""
+    artifacts are versioned by path.
+
+    ``compact_every=N`` turns on online sink compaction: every
+    committed window of N ``batch_id`` directories collapses to one
+    (crash-safe, exactly-once preserved — see
+    :func:`_auto_compact_sink`), so a long-running stream holds
+    ceil(n/N) result dirs instead of one per trigger."""
     from scalecast_spark.datapipe.artifacts import (
         load_centroids,
         load_pq_codebooks,
@@ -1162,7 +1168,9 @@ def cross_dedup_stream(
     together — both fresh for a new run, both reused to RESUME an
     interrupted drain (committed batches skip, appends continue),
     mismatched states fail fast; a timeout stops the query and raises
-    rather than returning partial results."""
+    rather than returning partial results. ``compact_every=N`` bounds
+    the sink at ceil(n/N) batch directories (online compaction of
+    committed windows, see :func:`_auto_compact_sink`)."""
     from scalecast_spark.datapipe.dedup import cross_dedup
 
     spark = new_docs.sparkSession
@@ -1241,7 +1249,8 @@ def asof_join_stream(
     a right table much larger than the batch, pre-filter it to the
     batch's key set upstream or keep per-key right tables compact —
     the reference side is re-scanned per batch by design (it is the
-    refreshable side)."""
+    refreshable side). ``compact_every=N`` bounds the sink at
+    ceil(n/N) batch directories (see :func:`_auto_compact_sink`)."""
     from scalecast_spark.operators.joins import asof_join
 
     spark = left_stream.sparkSession

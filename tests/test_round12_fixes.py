@@ -259,3 +259,23 @@ def test_keep_smaller_history_date_form_and_common_start(spark):
     b0 = fb.tsf.observed.agg(F.min("ds")).collect()[0][0]
     assert a0 == b0 == base + pd.Timedelta(days=5)
     assert fa.tsf.observed.count() == 15
+
+
+def test_export_model_summaries_across_objects(series):
+    """reference multiseries.export_model_summaries: one frame across
+    a dict of Forecaster objects, keyed by a Series label."""
+    from scalecast_spark import export_model_summaries
+
+    def fit(sid):
+        f = Forecaster(series.filter(F.col(SERIES) == sid), future_dates=5)
+        f.set_test_length(5).set_estimator("naive")
+        f.manual_forecast(m=7, call_me="n1")
+        return f
+
+    fd = {"first": fit("click"), "second": fit("purchase")}
+    out = export_model_summaries(fd).toPandas()
+    assert sorted(out["Series"]) == ["first", "second"]
+    assert (out["ModelNickname"] == "n1").all()
+    assert any(c.startswith("TestSet") for c in out.columns)
+    with pytest.raises(ValueError):
+        export_model_summaries({})
