@@ -1497,8 +1497,12 @@ class Forecaster:
         return frame
 
     # ------------------------------------------------------ export
-    def export(self, which: str = "model_summaries") -> DataFrame:
-        """reference export (Forecaster.py:2065-2219)."""
+    def export(self, which: str = "model_summaries", dfs=None) -> DataFrame:
+        """reference export (Forecaster.py:2065-2219). ``dfs=`` is the
+        reference's keyword for the same argument — accepted as an
+        alias so ported call sites work verbatim."""
+        if dfs is not None:
+            which = dfs
         spark = self.tsf.df.sparkSession
         if which == "model_summaries":
             import pandas as pd

@@ -279,3 +279,13 @@ def test_export_model_summaries_across_objects(series):
     assert any(c.startswith("TestSet") for c in out.columns)
     with pytest.raises(ValueError):
         export_model_summaries({})
+
+
+def test_export_dfs_keyword_alias(series):
+    """reference call sites use f.export(dfs='model_summaries')."""
+    f = Forecaster(series.filter(F.col(SERIES) == "click"), future_dates=5)
+    f.set_test_length(5).set_estimator("naive")
+    f.manual_forecast(m=7, call_me="n1")
+    a = f.export("model_summaries").toPandas()
+    b = f.export(dfs="model_summaries").toPandas()
+    assert list(a.columns) == list(b.columns) and len(a) == len(b) == 1

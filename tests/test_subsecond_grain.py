@@ -225,3 +225,38 @@ def test_pipeline_accepts_forecaster_objects(spark):
     assert "forecast" in out.columns
     bt = p.backtest(f, fcst_length=3, n_iter=2)
     assert bt.count() == 2 * 3
+
+
+def test_asof_join_stream_ms_tolerance(spark, tmp_path):
+    """The streaming twin inherits the sub-second fix: a millisecond
+    tolerance voids stale matches across an AvailableNow drain exactly
+    like the batch operator (which is merge_asof-parity-tested
+    above)."""
+    from scalecast_spark.streaming.ops import asof_join_stream
+
+    lpd, rpd, sl, sr = _ms_frames(spark, seed=9, n_keys=2, n_left=20,
+                                  n_right=10)
+    src = str(tmp_path / "left_src")
+    cut = lpd["ds"].median()
+    spark.createDataFrame(lpd[lpd["ds"] <= cut]).coalesce(1).write.mode(
+        "append").parquet(src)
+    spark.createDataFrame(lpd[lpd["ds"] > cut]).coalesce(1).write.mode(
+        "append").parquet(src)
+    rpath = str(tmp_path / "right")
+    spark.createDataFrame(rpd).write.parquet(rpath)
+    stream = (
+        spark.readStream.schema("series_id string, ds timestamp, y double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    got = _sorted(asof_join_stream(
+        stream, rpath, str(tmp_path / "res"), str(tmp_path / "ckpt"),
+        tolerance="500 milliseconds",
+    ).toPandas())
+    want = _sorted(
+        asof_join(sl, sr, tolerance="500 milliseconds").toPandas()
+    )
+    assert len(got) == len(want) == len(lpd)
+    assert (got["price"].isna() == want["price"].isna()).all()
+    assert np.allclose(got["price"].dropna(), want["price"].dropna())
+    assert got["price"].isna().sum() > 0  # the ms tolerance actually bites
