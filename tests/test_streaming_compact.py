@@ -201,3 +201,13 @@ def test_asof_stream_crash_between_output_and_commit(spark, tmp_path):
     )
     assert len(got) == len(want)  # replayed batch overwrote itself
     assert np.allclose(got["price"].dropna(), want["price"].dropna())
+
+
+def test_fifty_batch_drain_bound(spark, tmp_path):
+    """The r11 verdict's literal done-criterion: a 50-micro-batch
+    stream with compact_every=10 ends at ceil(50/10)=5 result
+    directories with row-count parity."""
+    lpd, rpd = _mk_frames(spark, n_keys=1, n_left=100, n_right=8)
+    got = _drive(spark, tmp_path, lpd, rpd, n_files=50, compact_every=10)
+    assert got.count() == len(lpd)
+    assert _n_batch_dirs(str(tmp_path / "res")) <= 5
