@@ -148,15 +148,23 @@ def _run_sf1_tier(spark) -> dict:
         t0 = time.time()
         make_sf1.build(sf1_dir, src, spark=spark)
         build_sec = round(time.time() - t0, 3)
+        # soft wall budget: a contended host must never let the scale
+        # tier sink the whole bench artifact — stop between queries
+        # once over budget and report what ran
+        budget = float(os.environ.get("SPARK_GRAFT_SF1_BUDGET", "300"))
         times: dict[str, float] = {}
         loads: dict[str, float] = {}
+        truncated = None
         for name in SF1_QUERIES:
+            if time.time() - t0 > budget:
+                truncated = name
+                break
             fn = getattr(entrymod, HEADLINE[name])
             start = time.time()
             fn(spark, sf1_dir).write.mode("overwrite").format("noop").save()
             times[name] = round(time.time() - start, 3)
             loads[name] = round(os.getloadavg()[0], 2)
-        return {
+        out = {
             "dir": sf1_dir,
             "factor_vs_suite_sf": 10,
             "corpus_build_sec": build_sec,
@@ -164,6 +172,9 @@ def _run_sf1_tier(spark) -> dict:
             "value": round(sum(times.values()), 3),
             "load1_per_query": loads,
         }
+        if truncated:
+            out["truncated_at"] = truncated
+        return out
     except Exception as e:  # the scale tier must never sink the gate
         return {"error": f"{type(e).__name__}: {e}"}
 
