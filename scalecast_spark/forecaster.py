@@ -1564,27 +1564,45 @@ class Forecaster:
             df = self.export(w)
             if df is not None:
                 sheets[w] = df.toPandas()
-        try:
-            # explicit submodule import: `import importlib` alone does
-            # NOT bind importlib.util on a clean interpreter
-            import importlib.util
+        return _write_sheets(path, sheets)
 
-            eng = next(
-                m for m in ("openpyxl", "xlsxwriter")
-                if importlib.util.find_spec(m) is not None
+    def all_feature_info_to_excel(
+        self, out_path: str = ".", excel_name: str = "feature_info.xlsx"
+    ) -> str:
+        """One tab per model with banked feature importance (reference
+        Forecaster.py:2237-2260); call save_feature_importance first.
+        Same xlsx-or-CSV-directory degradation as export_to_excel."""
+        import os
+
+        sheets = {
+            name: h["feature_importance"].toPandas()
+            for name, h in self.history.items()
+            if h.get("feature_importance") is not None
+        }
+        if not sheets:
+            raise ValueError(
+                "no feature importance banked on any model; call "
+                "save_feature_importance() after evaluating"
             )
-            import pandas as pd
+        return _write_sheets(os.path.join(out_path, excel_name), sheets)
 
-            with pd.ExcelWriter(path, engine=eng) as xw:
-                for name, pdf in sheets.items():
-                    pdf.to_excel(xw, sheet_name=name[:31], index=False)
-            return path
-        except StopIteration:
-            out_dir = path[:-5] if path.endswith(".xlsx") else path
-            os.makedirs(out_dir, exist_ok=True)
-            for name, pdf in sheets.items():
-                pdf.to_csv(os.path.join(out_dir, f"{name}.csv"), index=False)
-            return out_dir
+    def all_validation_grids_to_excel(
+        self, out_path: str = ".", excel_name: str = "validation_grids.xlsx"
+    ) -> str:
+        """One tab per model with a banked validation grid (reference
+        Forecaster.py:2262-2288); tune at least one model first."""
+        import os
+
+        sheets = {
+            name: self.export_validation_grid(name).toPandas()
+            for name, h in self.history.items()
+            if h.get("grid_evaluated") is not None
+        }
+        if not sheets:
+            raise ValueError(
+                "no validation grids banked; tune at least one model first"
+            )
+        return _write_sheets(os.path.join(out_path, excel_name), sheets)
 
     def order_fcsts(self, by: str = "TestSetRMSE") -> list[str]:
         """Rank models (reference _Forecaster_parent.py:363-426)."""
@@ -1740,3 +1758,32 @@ def export_model_summaries(f_dict: dict) -> DataFrame:
     if out is None:
         raise ValueError("export_model_summaries: empty dict")
     return out
+
+
+def _write_sheets(path: str, sheets: dict) -> str:
+    """Write {sheet_name: pandas frame} to one xlsx (openpyxl or
+    xlsxwriter when installed); without an xlsx engine, degrade to a
+    DIRECTORY of CSVs — one per sheet — and return that path."""
+    import os
+
+    try:
+        # explicit submodule import: `import importlib` alone does
+        # NOT bind importlib.util on a clean interpreter
+        import importlib.util
+
+        eng = next(
+            m for m in ("openpyxl", "xlsxwriter")
+            if importlib.util.find_spec(m) is not None
+        )
+        import pandas as pd
+
+        with pd.ExcelWriter(path, engine=eng) as xw:
+            for name, pdf in sheets.items():
+                pdf.to_excel(xw, sheet_name=name[:31], index=False)
+        return path
+    except StopIteration:
+        out_dir = path[:-5] if path.endswith(".xlsx") else path
+        os.makedirs(out_dir, exist_ok=True)
+        for name, pdf in sheets.items():
+            pdf.to_csv(os.path.join(out_dir, f"{name}.csv"), index=False)
+        return out_dir

@@ -289,3 +289,28 @@ def test_export_dfs_keyword_alias(series):
     a = f.export("model_summaries").toPandas()
     b = f.export(dfs="model_summaries").toPandas()
     assert list(a.columns) == list(b.columns) and len(a) == len(b) == 1
+
+
+def test_all_info_to_excel_exports(series, tmp_path):
+    """reference Forecaster.py:2237-2288: one tab per model for banked
+    feature importance and validation grids (CSV-directory fallback in
+    this container — no xlsx engine installed)."""
+    import os
+
+    f = Forecaster(series.filter(F.col(SERIES) == "click"), future_dates=5)
+    f.set_test_length(5).set_validation_length(5)
+    f.add_ar_terms(2)
+    f.set_estimator("mlr")
+    f.ingest_grid({"normalizer": [None, "minmax"]})
+    f.tune()
+    f.auto_forecast(call_me="m1")
+    f.save_feature_importance("m1")
+    p1 = f.all_feature_info_to_excel(str(tmp_path))
+    assert os.path.exists(os.path.join(p1, "m1.csv")) or p1.endswith(".xlsx")
+    p2 = f.all_validation_grids_to_excel(str(tmp_path))
+    assert os.path.exists(os.path.join(p2, "m1.csv")) or p2.endswith(".xlsx")
+    bare = Forecaster(series.filter(F.col(SERIES) == "click"))
+    with pytest.raises(ValueError, match="feature importance"):
+        bare.all_feature_info_to_excel(str(tmp_path))
+    with pytest.raises(ValueError, match="grids"):
+        bare.all_validation_grids_to_excel(str(tmp_path))
