@@ -1083,18 +1083,21 @@ class Forecaster:
 
     def _eval_cv_kernel(
         self, base: DataFrame, cells, k: int, test_length: int, space: int,
-        aside: int, train_length: int | None,
+        aside: int, train_length: int | None, n_series: int | None = None,
     ) -> list[list[float]]:
         """Score the whole (fold × grid) matrix in ONE Spark job: the CV
         kernel emits (fold, cell, series, y, forecast) for every
         holdout row, metrics reduce per (fold, cell, series), and the
         optimize_on rule reduces again per (fold, cell) — k × |grid|
-        rows reach the driver. Returns scores[grid_index][fold]."""
+        rows reach the driver. Returns scores[grid_index][fold].
+        ``n_series`` lets the kernel split tasks across
+        (series × fold × cell-chunk) when series alone underfills the
+        cluster (r12 verdict #2)."""
         from scalecast_spark.models.kernel import run_kernel_cv
 
         out = run_kernel_cv(
             base, list(self.tsf.features), cells, k, test_length, space,
-            aside=aside, train_length=train_length,
+            aside=aside, train_length=train_length, n_series=n_series,
         )
         how = getattr(self, "_optimize_on", "mean")
         mcol = self.validation_metric
@@ -1170,10 +1173,12 @@ class Forecaster:
                 )
         from scalecast_spark.functions.parallel import run_jobs
 
-        n_obs = (
+        stats = (
             self.tsf.observed.groupBy(SERIES).count()
-            .agg(F.min("count")).collect()[0][0]
+            .agg(F.min("count").alias("_min"), F.count("*").alias("_n"))
+            .collect()[0]
         )
+        n_obs, n_series = stats["_min"], stats["_n"]
         aside = self.test_length if set_aside_test_set else 0
         usable = max(n_obs - aside, 2)
         test_length = test_length or max(usable // (k + 1), 1)
@@ -1193,7 +1198,8 @@ class Forecaster:
             # on_error="nan".
             try:
                 scores = self._eval_cv_kernel(
-                    base, cells, k, test_length, space, aside, train_length
+                    base, cells, k, test_length, space, aside, train_length,
+                    n_series=n_series,
                 )
             except Exception as e:
                 # degrade to NaN like the generic path's on_error="nan",
@@ -1500,9 +1506,18 @@ class Forecaster:
     def export(self, which: str = "model_summaries", dfs=None) -> DataFrame:
         """reference export (Forecaster.py:2065-2219). ``dfs=`` is the
         reference's keyword for the same argument — accepted as an
-        alias so ported call sites work verbatim."""
+        alias so ported call sites work verbatim, INCLUDING the
+        reference's list form: ``f.export(['model_summaries',
+        'lvl_fcsts'])`` (or ``dfs=[...]``) returns a dict of
+        {name: DataFrame}, matching the reference's dict-of-frames
+        return for multi-name calls. Divergence kept deliberately: a
+        bare ``f.export()`` returns the model_summaries frame, not the
+        reference's 3-frame default dict — pass the reference's
+        default list explicitly for that shape."""
         if dfs is not None:
             which = dfs
+        if isinstance(which, (list, tuple, set)):
+            return {name: self.export(name) for name in which}
         spark = self.tsf.df.sparkSession
         if which == "model_summaries":
             import pandas as pd
@@ -1666,7 +1681,34 @@ class MVForecaster(Forecaster):
                     for f, n in zip(fs, names)
                 ]
             else:
-                frames = [f.tsf.df for f in fs]
+                # Reference default naming (MVForecaster.py:150-152:
+                # series1..seriesk / y1..yk): two univariate inputs
+                # built from single-series frames routinely share a
+                # series_id, and unioning them as-is would silently
+                # merge both into one series with duplicate timestamps.
+                ids = [
+                    tuple(
+                        r[0]
+                        for r in f.tsf.df.select(SERIES).distinct().collect()
+                    )
+                    for f in fs
+                ]
+                flat = [s for grp in ids for s in grp]
+                if len(set(flat)) < len(flat):
+                    if any(len(grp) != 1 for grp in ids):
+                        raise ValueError(
+                            "series_id values overlap across the input "
+                            "Forecasters and at least one input is "
+                            "multi-series; pass names=[...] to retag "
+                            "them explicitly"
+                        )
+                    names = [f"y{i + 1}" for i in range(len(fs))]
+                    frames = [
+                        f.tsf.df.withColumn(SERIES, F.lit(n))
+                        for f, n in zip(fs, names)
+                    ]
+                else:
+                    frames = [f.tsf.df for f in fs]
             merged = reduce(
                 lambda a, b: a.unionByName(b, allowMissingColumns=True), frames
             )

@@ -176,8 +176,23 @@ class TimeSeriesFrame:
         if isinstance(n, (str, _dt.date, _dt.datetime)) or (
             not isinstance(n, int) and hasattr(n, "to_pydatetime")
         ):
+            # Validate on the driver: an unparseable string would cast
+            # to NULL inside the plan and silently empty the frame.
+            import pandas as _pd
+
+            try:
+                cutoff = _pd.Timestamp(n)
+            except (ValueError, TypeError) as exc:
+                raise ValueError(
+                    f"keep_smaller_history: {n!r} is not a parseable "
+                    f"date cutoff"
+                ) from exc
+            if _pd.isna(cutoff):
+                raise ValueError(
+                    f"keep_smaller_history: {n!r} parsed to NaT"
+                )
             df = self.observed.filter(
-                F.col(DS) >= F.lit(str(n)).cast("timestamp")
+                F.col(DS) >= F.lit(cutoff.isoformat()).cast("timestamp")
             )
             return replace(self, df=df)
         w = W.partitionBy(SERIES).orderBy(F.desc(DS))

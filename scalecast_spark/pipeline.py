@@ -162,28 +162,42 @@ class Pipeline:
             )
         if IS_FUTURE not in base.columns:
             base = base.withColumn(IS_FUTURE, F.lit(0))
+        else:
+            # Forecaster frames carry synthetic y-NULL horizon rows
+            # (future_dates=N); the reference backtests on observed
+            # history only (Pipeline.py:241 iterates over f.y), so
+            # those rows must not count as "the most recent
+            # observations" in the rewind.
+            base = base.filter(F.col(IS_FUTURE) == 0)
         base = base.cache()
-        out = None
-        for i in range(n_iter):
-            hold = fcst_length + i * jump_back
-            rewound = _rewind_mark(base, hold, fcst_length)
-            actuals = base.join(
-                rewound.filter(F.col(IS_FUTURE) == 1).select(SERIES, DS),
-                [SERIES, DS],
-            ).select(SERIES, DS, Y)
-            scored = self.fit_predict(rewound)
-            res = (
-                scored.filter(F.col(IS_FUTURE) == 1)
-                .drop(Y)
-                .join(actuals, [SERIES, DS])
-                .select(
-                    F.lit("pipeline").alias("model"),
-                    F.lit(i).alias("iteration"),
-                    SERIES, DS, Y, "forecast",
+        try:
+            out = None
+            for i in range(n_iter):
+                hold = fcst_length + i * jump_back
+                rewound = _rewind_mark(base, hold, fcst_length)
+                actuals = base.join(
+                    rewound.filter(F.col(IS_FUTURE) == 1).select(SERIES, DS),
+                    [SERIES, DS],
+                ).select(SERIES, DS, Y)
+                scored = self.fit_predict(rewound)
+                res = (
+                    scored.filter(F.col(IS_FUTURE) == 1)
+                    .drop(Y)
+                    .join(actuals, [SERIES, DS])
+                    .select(
+                        F.lit("pipeline").alias("model"),
+                        F.lit(i).alias("iteration"),
+                        SERIES, DS, Y, "forecast",
+                    )
                 )
-            )
-            out = res if out is None else out.unionByName(res)
-        return out
+                out = res if out is None else out.unionByName(res)
+            # Materialize before releasing the cache: out's plan reads
+            # base n_iter times and each fit_predict may have collected
+            # fitted params already, but the result frame itself is lazy.
+            out = out.localCheckpoint(eager=True)
+            return out
+        finally:
+            base.unpersist()
 
     def copy(self) -> "Pipeline":
         """Isolated pipeline copy (reference Pipeline.py:166-176
@@ -358,6 +372,11 @@ def backtest(
     Returns long frame (model, iteration, series_id, ds, y, forecast)
     over held-out rows only.
     """
+    if IS_FUTURE in series_df.columns:
+        # Backtest over observed history only: synthetic y-NULL horizon
+        # rows from Forecaster(df, future_dates=N) frames must not be
+        # counted as the most recent observations by the rewind.
+        series_df = series_df.filter(F.col(IS_FUTURE) == 0)
     base = series_df.cache()
     out = None
     for i in range(n_iter):
@@ -414,6 +433,11 @@ def backtest_kernel_models(
     from scalecast_spark.models import KERNEL_FACTORIES, MODELS
     from scalecast_spark.models.kernel import run_kernel_backtest
 
+    if IS_FUTURE in series_df.columns:
+        # Same observed-history-only guard as backtest(): drop synthetic
+        # horizon rows before features so the per-series slices inside
+        # run_kernel_backtest see only real observations.
+        series_df = series_df.filter(F.col(IS_FUTURE) == 0)
     df, features = feature_fn(series_df)
     if IS_FUTURE not in df.columns:
         df = df.withColumn(IS_FUTURE, F.lit(0))

@@ -58,6 +58,32 @@ def tune_test_forecast(
     grids = grids or {}
     plan = [(m, grids.get(m, DEFAULT_GRIDS.get(m))) for m in models]
 
+    # Round 13 (r12 sf1 tier: forecaster_ttf grew 3.5x at 10x data):
+    # every tune/forecast job below re-executes the Forecaster's WHOLE
+    # upstream plan (often an aggregation over a raw event table 10-
+    # 100x larger than the series frame) — ~10+ scans per call. Cache
+    # the long frame for the duration; it is (n_series x n_buckets)
+    # rows, orders of magnitude below the raw input. try/finally so a
+    # raising model never pins the entry. (CacheManager dedupes by
+    # plan, so if the caller already cached this exact plan our
+    # unpersist releases that entry too — the dedup.py:586 lesson;
+    # acceptable here because the cache is re-fillable on next use.)
+    _frame = f.tsf.df
+    _was_cached = _frame.is_cached
+    if not _was_cached:
+        _frame.cache().count()
+    try:
+        return _ttf_body(f, plan, cross_validate, k, error)
+    finally:
+        if not _was_cached:
+            _frame.unpersist()
+
+
+def _ttf_body(f, plan, cross_validate, k, error):
+    import copy
+
+    from scalecast_spark.functions.parallel import run_jobs
+
     def _tune_one(m: str, grid: dict):
         g = copy.copy(f)
         g.history = dict(f.history)  # isolate any banking on the clone

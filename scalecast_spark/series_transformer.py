@@ -1,0 +1,215 @@
+"""The reference's SeriesTransformer method-call surface
+(reference src/scalecast/SeriesTransformer.py:14-829): transform a
+Forecaster's series in place before modeling, then revert — in
+reverse order — the series AND every banked model's forecasts /
+fitted values / test predictions / CI bounds, recomputing the
+TestSet*/InSample* metrics at the reverted level
+(SeriesTransformer.py:90-118's history rewrite).
+
+Engine shape: each method delegates to the invertible Transform
+objects in :mod:`scalecast_spark.operators.transforms` (per-series
+params live in small broadcast frames, so one transformer serves
+millions of series). Reverts rebuild ONE combined frame per model —
+observed rows carry fitted values, horizon rows the forecast — so
+context-dependent inverses (Diff's cumulative reconstruction,
+Detrend's row_number trend re-materialization) see the contiguous
+series they require; test predictions revert on a second combined
+frame with the holdout window marked as the horizon, giving the
+same cumulative semantics a real forecast's revert has.
+"""
+
+from __future__ import annotations
+
+from dataclasses import replace
+
+from pyspark.sql import DataFrame, functions as F
+
+from scalecast_spark.frame import DS, IS_FUTURE, SERIES, Y
+from scalecast_spark.operators import transforms as tr
+
+#: revert method name -> transform class it must find on the stack
+_PAIRS = {
+    "LogRevert": tr.LogTransform,
+    "SqrtRevert": tr.SqrtTransform,
+    "ScaleRevert": tr.ScaleTransform,
+    "MinMaxRevert": tr.MinMaxTransform,
+    "RobustScaleRevert": tr.RobustScaleTransform,
+    "DetrendRevert": tr.DetrendTransform,
+    "DeseasonRevert": tr.DeseasonTransform,
+    "DiffRevert": tr.DiffTransform,
+    "BoxCoxRevert": tr.BoxCoxTransform,
+}
+
+
+class SeriesTransformer:
+    """``SeriesTransformer(f)`` then ``f = t.DiffTransform(1)`` /
+    ``f = t.DiffRevert(1)`` etc., exactly the reference call shape
+    (docs/examples/Introduction2.ipynb cells 87-99)."""
+
+    def __init__(self, f):
+        self.f = f
+        self._stack: list[tr.Transform] = []
+
+    # ------------------------------------------------ transforms
+    def _apply(self, t: tr.Transform):
+        f = self.f
+        t.fit(f.tsf.df)
+        df = t.transform(f.tsf.df, Y)
+        f.tsf = replace(f.tsf, df=df)
+        self._stack.append(t)
+        return f
+
+    def LogTransform(self):
+        return self._apply(tr.LogTransform())
+
+    def SqrtTransform(self):
+        return self._apply(tr.SqrtTransform())
+
+    def ScaleTransform(self, train_only: bool = False):
+        return self._apply(tr.ScaleTransform())
+
+    def MinMaxTransform(self, train_only: bool = False):
+        return self._apply(tr.MinMaxTransform())
+
+    def RobustScaleTransform(self, train_only: bool = False):
+        return self._apply(tr.RobustScaleTransform())
+
+    def BoxCoxTransform(self, lmbda=None):
+        kw = {} if lmbda is None else {"lmbda": lmbda}
+        return self._apply(tr.BoxCoxTransform(**kw))
+
+    def DetrendTransform(
+        self, loess: bool = False, frac: float = 0.5,
+        poly_order: int = 1, **_ref_kwargs,
+    ):
+        """Reference kwargs it accepts-and-ignores (it/ln_trend/
+        seasonal_lags/m/fit_intercept/train_only) are statsmodels
+        estimation details the engine's closed-form fits don't need."""
+        t = tr.DetrendTransform()
+        t.loess = loess
+        t.frac = frac
+        t.poly_order = poly_order
+        return self._apply(t)
+
+    def DeseasonTransform(self, m: int = 7, **_ref_kwargs):
+        return self._apply(tr.DeseasonTransform(m=m))
+
+    def DiffTransform(self, m: int = 1):
+        return self._apply(tr.DiffTransform(m))
+
+    # -------------------------------------------------- reverts
+    def __getattr__(self, name):
+        if name in _PAIRS:
+            cls = _PAIRS[name]
+
+            def _rev(*args, exclude_models=(), **kwargs):
+                return self._revert(cls, args, kwargs, exclude_models)
+
+            return _rev
+        raise AttributeError(name)
+
+    def _pop_matching(self, cls, args):
+        for i in range(len(self._stack) - 1, -1, -1):
+            t = self._stack[i]
+            if not isinstance(t, cls):
+                continue
+            if cls is tr.DiffTransform and args and t.m != int(args[0]):
+                continue
+            return self._stack.pop(i)
+        raise ValueError(
+            f"no un-reverted {cls.__name__} on the transform stack; "
+            "call reverts in the reverse order of the transforms"
+        )
+
+    def _revert(self, cls, args, kwargs, exclude_models):
+        t = self._pop_matching(cls, args)
+        f = self.f
+        base = f.tsf.df  # transformed level, observed + horizon rows
+        f.tsf = replace(f.tsf, df=t.invert(base, Y))
+        for name, h in list(f.history.items()):
+            if name in exclude_models:
+                continue
+            f.history[name] = self._revert_entry(t, base, dict(h))
+        return f
+
+    # ------------------------------------------- history rewrite
+    def _revert_entry(self, t: tr.Transform, base: DataFrame, h: dict):
+        f = self.f
+        ci_cols = ("upper", "lower")
+        fc, fitted, test = h.get("forecast"), h.get("fitted"), h.get("test_preds")
+
+        # combined frame: observed rows carry the fitted forecast,
+        # horizon rows the banked forecast (+CI bounds) — Diff/Detrend
+        # inverses need the contiguous series context
+        spine = base.select(SERIES, DS, Y, IS_FUTURE)
+        comb = spine
+        if fitted is not None:
+            comb = comb.join(
+                fitted.select(SERIES, DS, F.col("forecast").alias("_fv")),
+                [SERIES, DS], "left",
+            )
+        else:
+            comb = comb.withColumn("_fv", F.lit(None).cast("double"))
+        if fc is not None:
+            sel = [SERIES, DS, F.col("forecast").alias("_fc")]
+            have_ci = all(c in fc.columns for c in ci_cols)
+            if have_ci:
+                sel += [F.col(c).alias(f"_{c}") for c in ci_cols]
+            comb = comb.join(fc.select(*sel), [SERIES, DS], "left")
+        else:
+            have_ci = False
+            comb = comb.withColumn("_fc", F.lit(None).cast("double"))
+        comb = comb.withColumn(
+            "forecast",
+            F.when(F.col(IS_FUTURE) == 1, F.col("_fc")).otherwise(F.col("_fv")),
+        )
+        cols = [Y, "forecast"] + ([f"_{c}" for c in ci_cols] if have_ci else [])
+        inv = t.invert(comb, *cols)
+        if fc is not None:
+            out_fc = inv.filter(F.col(IS_FUTURE) == 1).select(
+                SERIES, DS, "forecast",
+                *([F.col(f"_{c}").alias(c) for c in ci_cols] if have_ci else []),
+            )
+            h["forecast"] = out_fc
+        if fitted is not None:
+            new_fitted = (
+                inv.filter(
+                    (F.col(IS_FUTURE) == 0) & F.col("_fv").isNotNull()
+                ).select(SERIES, DS, Y, "forecast")
+            )
+            h["fitted"] = new_fitted
+            per_in, ins = f._metric_summary(new_fitted, f.metrics)
+            h["per_series_insample_metrics"] = per_in
+            for m, v in ins.items():
+                h["summary"][f"InSample{m.upper()}"] = v
+
+        # test predictions: mark the holdout window as the horizon so
+        # multi-step inverses reconstruct cumulatively from the last
+        # pre-test actual — the same semantics a real forecast's revert
+        # has (reference reverts TestSetPredictions with the identical
+        # revert_func, SeriesTransformer.py:96-107)
+        if test is not None:
+            tcomb = (
+                spine.join(
+                    test.select(SERIES, DS, F.col("forecast").alias("_tp")),
+                    [SERIES, DS], "left",
+                )
+                .filter(F.col(IS_FUTURE) == 0)
+                .withColumn(IS_FUTURE, F.when(F.col("_tp").isNotNull(), 1).otherwise(0))
+                .withColumn("_ty", F.col(Y))
+                .withColumn(
+                    Y, F.when(F.col(IS_FUTURE) == 1, F.lit(None)).otherwise(F.col(Y))
+                )
+                .withColumn("forecast", F.col("_tp"))
+            )
+            tinv = t.invert(tcomb, Y, "forecast", "_ty")
+            new_test = (
+                tinv.filter(F.col(IS_FUTURE) == 1)
+                .select(SERIES, DS, F.col("_ty").alias(Y), "forecast")
+            )
+            h["test_preds"] = new_test
+            per_t, tm = f._metric_summary(new_test, f.metrics)
+            h["per_series_test_metrics"] = per_t
+            for m, v in tm.items():
+                h["summary"][f"TestSet{m.upper()}"] = v
+        return h

@@ -1,0 +1,163 @@
+"""Round-13 verdict/advice items: Pipeline.backtest observed-history
+guard (pre-existing is_future rows must not be counted as the newest
+observations), MVForecaster default naming on series_id overlap
+(reference MVForecaster.py:150-152), export(dfs=list) dict return
+(reference Forecaster.py:2065-2080), keep_smaller_history date
+validation, and the kernel-CV (series × fold × cell-chunk) task split
+scoring bit-identically to the series-only grouping."""
+
+import math
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from scalecast_spark import Forecaster, MVForecaster
+from scalecast_spark.frame import DS, IS_FUTURE, SERIES, Y
+from scalecast_spark.models import MODELS
+from scalecast_spark.pipeline import Pipeline, backtest
+
+
+def _daily(spark, n=60, sids=("a",), seed=3):
+    rng = np.random.default_rng(seed)
+    frames = []
+    for s in sids:
+        ds = pd.date_range("2024-01-01", periods=n, freq="D")
+        y = 50 + 0.3 * np.arange(n) + rng.normal(0, 2, n)
+        frames.append(pd.DataFrame({SERIES: s, DS: ds, Y: y}))
+    return spark.createDataFrame(pd.concat(frames))
+
+
+def test_pipeline_backtest_ignores_future_rows(spark):
+    """A Forecaster frame carries future_dates=N synthetic y-NULL
+    horizon rows; the backtest rewind must count only OBSERVED rows,
+    so every held-out row joins a real actual (y never NULL)."""
+    f = Forecaster(_daily(spark), future_dates=10)
+    pipe = Pipeline([("model", lambda df: MODELS["naive"](df))])
+    out = pipe.backtest(f, fcst_length=5, n_iter=2)
+    rows = out.collect()
+    assert len(rows) == 10  # 2 iterations x 5 held-out rows
+    assert all(r[Y] is not None for r in rows), "horizon leaked into holdout"
+    assert all(r["forecast"] is not None for r in rows)
+    # iteration 0's newest held-out ds is the LAST OBSERVED day, not a
+    # synthetic future day
+    max_ds = max(r[DS] for r in rows)
+    last_obs = (
+        f.tsf.df.filter(F.col(IS_FUTURE) == 0)
+        .agg(F.max(DS)).collect()[0][0]
+    )
+    assert max_ds == last_obs
+
+
+def test_module_backtest_ignores_future_rows(spark):
+    df = Forecaster(_daily(spark), future_dates=7).tsf.df
+    out = backtest(
+        df, {"naive": lambda d: MODELS["naive"](d)}, fcst_length=4, n_iter=1
+    )
+    rows = out.collect()
+    assert len(rows) == 4
+    assert all(r[Y] is not None for r in rows)
+
+
+def test_mvforecaster_auto_names_on_overlap(spark):
+    """Two single-series Forecasters sharing a series_id get the
+    reference's positional default names y1..yk instead of silently
+    merging into one series with duplicate timestamps."""
+    f1 = Forecaster(_daily(spark, sids=("sales",), seed=1))
+    f2 = Forecaster(_daily(spark, sids=("sales",), seed=2))
+    mv = MVForecaster(f1, f2)
+    ids = sorted(
+        r[0] for r in mv.tsf.df.select(SERIES).distinct().collect()
+    )
+    assert ids == ["y1", "y2"]
+    # no duplicate (series, ds) keys survived
+    dup = (
+        mv.tsf.df.groupBy(SERIES, DS).count().filter(F.col("count") > 1)
+    ).count()
+    assert dup == 0
+
+
+def test_mvforecaster_overlap_multiseries_raises(spark):
+    f1 = Forecaster(_daily(spark, sids=("a", "b"), seed=1))
+    f2 = Forecaster(_daily(spark, sids=("b",), seed=2))
+    with pytest.raises(ValueError, match="overlap"):
+        MVForecaster(f1, f2)
+
+
+def test_mvforecaster_disjoint_keeps_ids(spark):
+    f1 = Forecaster(_daily(spark, sids=("a",), seed=1))
+    f2 = Forecaster(_daily(spark, sids=("b",), seed=2))
+    mv = MVForecaster(f1, f2)
+    ids = sorted(
+        r[0] for r in mv.tsf.df.select(SERIES).distinct().collect()
+    )
+    assert ids == ["a", "b"]
+
+
+def test_export_list_returns_dict(spark):
+    f = Forecaster(_daily(spark), future_dates=5)
+    f.set_test_length(5)
+    f.set_estimator("naive")
+    f.manual_forecast()
+    out = f.export(["model_summaries", "lvl_fcsts"])
+    assert isinstance(out, dict)
+    assert set(out) == {"model_summaries", "lvl_fcsts"}
+    assert out["model_summaries"].count() == 1
+    # dfs= keyword routes the same way (reference's common call shape)
+    out2 = f.export(dfs=["model_summaries"])
+    assert isinstance(out2, dict) and "model_summaries" in out2
+
+
+def test_keep_smaller_history_rejects_bad_date(spark):
+    f = Forecaster(_daily(spark))
+    with pytest.raises(ValueError, match="parseable|NaT"):
+        f.keep_smaller_history("2024-13-01")
+    # a valid cutoff still filters
+    before = f.tsf.df.count()
+    f.keep_smaller_history("2024-02-01")
+    after = f.tsf.df.count()
+    assert 0 < after < before
+
+
+def test_kernel_cv_split_matches_series_only(spark):
+    """run_kernel_cv with the (series x fold x cell-chunk) split active
+    (n_series small) emits the same (fold, cell, series, ds-less
+    holdout) scores as the series-only grouping (n_series=None)."""
+    from scalecast_spark.models import KERNEL_FACTORIES
+    from scalecast_spark.models.kernel import run_kernel_cv
+
+    df = Forecaster(_daily(spark, sids=("a", "b"))).add_ar_terms(2).tsf.df
+    feats = ["ar_1", "ar_2"]
+    cells = [
+        (KERNEL_FACTORIES["mlr"](), None, False),
+        (KERNEL_FACTORIES["ridge"](alpha=0.5), "scale", False),
+        (KERNEL_FACTORIES["knn"](n_neighbors=4), "minmax", False),
+    ]
+    kw = dict(k=3, test_length=5, space=5, aside=0, train_length=None)
+    plain = run_kernel_cv(df, feats, cells, n_series=None, **kw)
+    split = run_kernel_cv(df, feats, cells, n_series=2, **kw)
+    a = {
+        (r["_fold"], r["_cell"], r[SERIES], round(r[Y], 9)): round(
+            r["forecast"], 9
+        )
+        for r in plain.collect()
+    }
+    b = {
+        (r["_fold"], r["_cell"], r[SERIES], round(r[Y], 9)): round(
+            r["forecast"], 9
+        )
+        for r in split.collect()
+    }
+    assert a == b and len(a) == 3 * 3 * 2 * 5  # folds x cells x series x holdout
+
+
+def test_cross_validate_small_series_still_picks_best(spark):
+    f = Forecaster(_daily(spark, sids=("a", "b", "c")))
+    f.add_ar_terms(2)
+    f.set_test_length(5)
+    f.set_estimator("ridge")
+    f.ingest_grid({"alpha": [0.01, 100.0]})
+    f.cross_validate(k=2, test_length=5)
+    assert f.best_params["alpha"] in (0.01, 100.0)
+    assert not math.isnan(f.validation_metric_value)
