@@ -32,6 +32,7 @@ from scalecast_spark.forecaster import (
 from scalecast_spark.pipeline import (
     MVPipeline, Pipeline, Reverter, Transformer,
 )
+from scalecast_spark.series_transformer import SeriesTransformer
 
 __version__ = "0.1.0"
 
@@ -40,5 +41,6 @@ __all__ = [
     "break_mv_forecaster", "keep_smallest_first_date",
     "export_model_summaries",
     "Pipeline", "MVPipeline", "Transformer", "Reverter",
+    "SeriesTransformer",
     "__version__",
 ]

@@ -73,7 +73,10 @@ def _mark_test_rows(df: DataFrame, test_length: int) -> DataFrame:
 class Forecaster:
     """One engine object over any number of series."""
 
-    def __init__(self, df: DataFrame | TimeSeriesFrame, future_dates: int = 0):
+    def __init__(self, df: DataFrame | TimeSeriesFrame, future_dates: int = 0,
+                 test_length: int | float = 0,
+                 validation_length: int = 0, cis: bool | None = None,
+                 **_ref_kwargs):
         self.tsf = (
             df if isinstance(df, TimeSeriesFrame) else TimeSeriesFrame.from_long(df)
         )
@@ -94,6 +97,14 @@ class Forecaster:
         self._recipe: list[tuple] = []
         self._custom_optimizers: dict[str, callable] = {}
         self._expr_optimizers: dict[str, callable] = {}
+        # reference constructor conveniences (Forecaster.py:40-70:
+        # test_length/validation_length/cis accepted at build time)
+        if test_length:
+            self.set_test_length(test_length)
+        if validation_length:
+            self.set_validation_length(validation_length)
+        if cis is not None:
+            self.eval_cis(bool(cis))
 
     # ------------------------------------------------------- setup
     def generate_future_dates(self, h: int) -> "Forecaster":
@@ -101,14 +112,32 @@ class Forecaster:
         self.horizon = h
         return self
 
-    def set_test_length(self, n: int) -> "Forecaster":
+    def set_test_length(self, n: int | float) -> "Forecaster":
         """reference _Forecaster_parent.py:1245-1270 (incl. the
-        conformal minimum-length rule at 104-116)."""
-        self.test_length = int(n)
+        conformal minimum-length rule at 104-116). A float in (0, 1)
+        is the reference's fractional form — that share of the
+        SHORTEST series' observed length."""
+        if isinstance(n, float) and not n.is_integer():
+            if not 0 < n < 1:
+                raise ValueError(f"fractional test_length must be in (0,1), got {n}")
+            self.test_length = int(self._min_series_length() * n)
+        else:
+            self.test_length = int(n)
         return self
 
-    def set_validation_length(self, n: int) -> "Forecaster":
-        self.validation_length = int(n)
+    def _min_series_length(self) -> int:
+        return int(
+            self.tsf.observed.groupBy(SERIES).count()
+            .agg(F.min("count")).collect()[0][0]
+        )
+
+    def set_validation_length(self, n: int | float) -> "Forecaster":
+        if isinstance(n, float) and not n.is_integer():
+            if not 0 < n < 1:
+                raise ValueError(f"fractional validation_length must be in (0,1), got {n}")
+            self.validation_length = int(self._min_series_length() * n)
+        else:
+            self.validation_length = int(n)
         return self
 
     def set_validation_metric(self, m: str) -> "Forecaster":
@@ -1503,7 +1532,8 @@ class Forecaster:
         return frame
 
     # ------------------------------------------------------ export
-    def export(self, which: str = "model_summaries", dfs=None) -> DataFrame:
+    def export(self, which: str = "model_summaries", dfs=None,
+               models="all", cis: bool = False, **_ref_kwargs) -> DataFrame:
         """reference export (Forecaster.py:2065-2219). ``dfs=`` is the
         reference's keyword for the same argument — accepted as an
         alias so ported call sites work verbatim, INCLUDING the
@@ -1517,13 +1547,20 @@ class Forecaster:
         if dfs is not None:
             which = dfs
         if isinstance(which, (list, tuple, set)):
-            return {name: self.export(name) for name in which}
+            return {
+                name: self.export(name, models=models, cis=cis)
+                for name in which
+            }
+        hist = {
+            n: h for n, h in self.history.items()
+            if models == "all" or n in models
+        }
         spark = self.tsf.df.sparkSession
         if which == "model_summaries":
             import pandas as pd
 
             rows = []
-            for name, h in self.history.items():
+            for name, h in hist.items():
                 row = {"ModelNickname": name, **{
                     k: v for k, v in h["summary"].items() if not isinstance(v, dict)
                 }}
@@ -1532,11 +1569,19 @@ class Forecaster:
             return spark.createDataFrame(pd.DataFrame(rows))
         if which == "lvl_fcsts":
             out = None
-            for name, h in self.history.items():
-                fc = h["forecast"].select(
-                    F.lit(name).alias("model"), SERIES, DS, "forecast"
+            for name, h in hist.items():
+                fc = h["forecast"]
+                ci_cols = (
+                    ["upper", "lower"]
+                    if cis and all(c in fc.columns for c in ("upper", "lower"))
+                    else []
                 )
-                out = fc if out is None else out.unionByName(fc)
+                fc = fc.select(
+                    F.lit(name).alias("model"), SERIES, DS, "forecast", *ci_cols
+                )
+                out = fc if out is None else out.unionByName(
+                    fc, allowMissingColumns=True
+                )
             return out
         if which == "validation_grid":
             rows = [
@@ -1549,7 +1594,7 @@ class Forecaster:
             )
         if which == "lvl_test_set_predictions":
             out = None
-            for name, h in self.history.items():
+            for name, h in hist.items():
                 if h["test_preds"] is None:
                     continue
                 tp = h["test_preds"].select(
@@ -1739,6 +1784,20 @@ class MVForecaster(Forecaster):
         if test_length:
             self.set_test_length(test_length)
 
+    def set_estimator(self, name: str) -> "Forecaster":
+        """Reference call shape: ``mvf.set_estimator('elasticnet')``
+        means the MULTIVARIATE strategy over that estimator (the
+        reference MVForecaster routes every sklearn name through its
+        joint design, MVForecaster.py:300-420; that is the engine's
+        ``mv_<name>`` wide-lag registry entry, so ``manual_forecast(
+        lags=13)`` works verbatim). Explicit ``mv_*`` names and
+        series-kernel estimators with no MV twin pass through."""
+        from scalecast_spark.models import MODELS
+
+        if not name.startswith("mv_") and f"mv_{name}" in MODELS:
+            return super().set_estimator(f"mv_{name}")
+        return super().set_estimator(name)
+
 
 def break_mv_forecaster(
     mvf: Forecaster, drop_all_Xvars: bool = True
@@ -1768,6 +1827,20 @@ def break_mv_forecaster(
         f.test_length = mvf.test_length
         f.cilevel = mvf.cilevel
         f.metrics = list(mvf.metrics)
+        # carry each model's history, filtered to this series (the
+        # reference's break gives every returned object its own
+        # forecasts/test preds; frames are lazy filters, no copies)
+        for m, h in mvf.history.items():
+            nh = dict(h)
+            for key in (
+                "forecast", "fitted", "test_preds",
+                "per_series_test_metrics", "per_series_insample_metrics",
+            ):
+                fr = h.get(key)
+                if fr is not None and SERIES in fr.columns:
+                    nh[key] = fr.filter(F.col(SERIES) == sid)
+            nh["summary"] = dict(h.get("summary", {}))
+            f.history[m] = nh
         out.append(f)
     return tuple(out)
 

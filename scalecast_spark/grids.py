@@ -33,8 +33,24 @@ DEFAULT_GRIDS: dict[str, dict] = {
 }
 
 
-def get_example_grids() -> dict[str, dict]:
+def get_example_grids(overwrite: bool = False, **_ref_kwargs) -> dict[str, dict]:
+    """reference GridGenerator.get_example_grids writes a Grids.py
+    FILE; the engine returns the dict directly (ingest_grid takes
+    dicts or a Grids-file path), so ``overwrite`` is accepted for
+    call-shape parity and has nothing to overwrite."""
     return {k: dict(v) for k, v in DEFAULT_GRIDS.items()}
+
+
+def get_mv_grids(overwrite: bool = False, **_ref_kwargs) -> dict[str, dict]:
+    """reference GridGenerator.get_mv_grids (GridGenerator.py:40-83):
+    the MV example grids add a ``lags`` axis to each estimator's grid —
+    the engine's MV estimators take the same lag counts."""
+    out = {}
+    for k, v in DEFAULT_GRIDS.items():
+        g = dict(v)
+        g["lags"] = [1, 3]
+        out[k] = g
+    return out
 
 
 def gen_rnn_grid(

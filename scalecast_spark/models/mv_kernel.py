@@ -215,7 +215,25 @@ def mv_model(
             f"unknown estimator {estimator!r}; one of "
             f"{sorted(KERNEL_FACTORIES)}"
         )
+    # reference-surface kwargs every sklearn grid carries: the joint
+    # recursion is inherently dynamic (dynamic_testing is a no-op
+    # here, as in the reference's MV default), and normalizer wraps
+    # the kernel fit so the wide-lag design is scaled fit-on-train
+    est_kwargs.pop("dynamic_testing", None)
+    norm_name = est_kwargs.pop("normalizer", None)
     fit_fn = KERNEL_FACTORIES[estimator](**est_kwargs)
+    if norm_name:
+        from scalecast_spark.models.kernel import (
+            _fit_normalizer, _resolve_normalizer,
+        )
+
+        base_fit = fit_fn
+        nz = _resolve_normalizer(norm_name)
+
+        def fit_fn(X, y, _b=base_fit, _n=nz):  # noqa: F811
+            norm = _fit_normalizer(_n, X)
+            predict = _b(norm(X), y)
+            return lambda Xn: predict(norm(Xn))
     L = int(lags)
     feats = list(features) if features else None
     if feats:

@@ -39,6 +39,11 @@ def tune_test_forecast(
     cross_validate: bool = False,
     k: int = 3,
     error: str = "warn",
+    dynamic_tuning: bool | int = False,
+    dynamic_testing: bool | int = True,
+    limit_grid_size: int | float | None = None,
+    suffix: str | None = None,
+    **_ref_kwargs,
 ) -> Forecaster:
     """Loop models → (optional grid search) → forecast (reference
     _utils.py:89-142 with raise/warn/ignore error policy).
@@ -73,13 +78,18 @@ def tune_test_forecast(
     if not _was_cached:
         _frame.cache().count()
     try:
-        return _ttf_body(f, plan, cross_validate, k, error)
+        return _ttf_body(
+            f, plan, cross_validate, k, error,
+            dynamic_tuning=dynamic_tuning,
+            limit_grid_size=limit_grid_size, suffix=suffix,
+        )
     finally:
         if not _was_cached:
             _frame.unpersist()
 
 
-def _ttf_body(f, plan, cross_validate, k, error):
+def _ttf_body(f, plan, cross_validate, k, error,
+              dynamic_tuning=False, limit_grid_size=None, suffix=None):
     import copy
 
     from scalecast_spark.functions.parallel import run_jobs
@@ -89,10 +99,15 @@ def _ttf_body(f, plan, cross_validate, k, error):
         g.history = dict(f.history)  # isolate any banking on the clone
         g.set_estimator(m)
         g.ingest_grid(grid)
+        if limit_grid_size is not None:
+            g.limit_grid_size(limit_grid_size, random_seed=20)
         if cross_validate:
-            g.cross_validate(k=k, test_length=g.validation_length)
+            g.cross_validate(
+                k=k, test_length=g.validation_length,
+                dynamic_tuning=dynamic_tuning,
+            )
         else:
-            g.tune()
+            g.tune(dynamic_tuning=dynamic_tuning)
         return g.best_params, g.grid_evaluated
 
     tuned = run_jobs(
@@ -115,17 +130,18 @@ def _ttf_body(f, plan, cross_validate, k, error):
         try:
             if isinstance(res, float):  # nan: that model's tune failed
                 raise RuntimeError(f"grid evaluation failed for {m!r}")
+            nick = m + (suffix or "")
             g = copy.copy(f)
             g.history = dict(f.history)
             g.set_estimator(m)
             if grid:
                 g.best_params, g.grid_evaluated = res
-                g.auto_forecast(call_me=m)
+                g.auto_forecast(call_me=nick)
             else:
                 g.best_params = {}
-                g.manual_forecast(call_me=m)
+                g.manual_forecast(call_me=nick)
             return (
-                g.history[m],
+                g.history[nick],
                 g.best_params,
                 getattr(g, "grid_evaluated", None),
             )
@@ -147,7 +163,7 @@ def _ttf_body(f, plan, cross_validate, k, error):
         if not isinstance(out, tuple):
             continue
         entry, bp, ge = out
-        f.history[m] = entry
+        f.history[m + (suffix or "")] = entry
         # reference post-loop state: estimator/best_params reflect the
         # LAST successfully processed model
         f.set_estimator(m)
@@ -164,6 +180,9 @@ def auto_Xvar_select(
     try_trend: bool = True,
     try_seasonality: bool = True,
     monitor_length: int | None = None,
+    monitor: str | None = None,
+    irr_cycles: list[int] | None = None,
+    **estimator_kwargs,
 ) -> list[str]:
     """Staged feature search (reference Forecaster.py:658-1163):
     best trend representation → best seasonal representation → best AR
@@ -176,7 +195,20 @@ def auto_Xvar_select(
     consumed by the gate's axs_cand* members so the STAGED DECISIONS
     are hash-certified, not just the estimator under them."""
     val_len = monitor_length or f.validation_length or 7
+    if monitor:
+        # reference monitor='TestSetMAE'/'ValidationMetricValue' forms
+        # (Forecaster.py:668-675) — route the metric name into the
+        # validation metric used by _score
+        met = monitor.replace("TestSet", "").replace("InSample", "").lower()
+        if met and met != "validationmetricvalue":
+            f.set_validation_metric(met)
     f.set_estimator(estimator)
+    if irr_cycles:
+        # reference irr_cycles: candidate sin/cos regressors for
+        # irregular cycle lengths (Forecaster.py:700-704); added here
+        # so the seasonal stage can select or reject them
+        for m in irr_cycles:
+            f.add_cycle(m)
     f.axs_trajectory = []
     all_feats = list(f.tsf.features)
     trend_feats = [c for c in all_feats if c == "t" or c.startswith("t^")]
@@ -202,7 +234,8 @@ def auto_Xvar_select(
 
     ar_cands = [ar_feats[:n] for n in range(1, len(ar_feats) + 1)]
     ar_scores = run_jobs(
-        [lambda c=c: _score(f, c, val_len) for c in ar_cands], on_error="nan"
+        [lambda c=c: _score(f, c, val_len, **estimator_kwargs) for c in ar_cands],
+        on_error="nan"
     )
     best_ar: list[str] = []
     best_v = float("inf")
@@ -218,7 +251,7 @@ def auto_Xvar_select(
     best_v = float("inf")
     for g in groups:
         cand = chosen + g
-        v = _score(f, cand, val_len)
+        v = _score(f, cand, val_len, **estimator_kwargs)
         f.axs_trajectory.append((list(cand), v))
         if not math.isnan(v) and v < best_v:
             best_v, chosen = v, cand
@@ -324,14 +357,20 @@ def reduce_Xvars(
 
 def mlp_stack(
     f: Forecaster,
-    models: list[str],
+    models: list[str] | None = None,
     call_me: str = "mlp_stack",
     hidden: int = 8,
     epochs: int = 300,
+    model_nicknames: list[str] | None = None,
+    **_ref_kwargs,
 ) -> Forecaster:
     """Stacked generalization (reference mlp_stack, auxmodels.py:47-126
     over sklearn StackingRegressor): base models' outputs become
-    signal features; a small MLP meta-learner fits on them."""
+    signal features; a small MLP meta-learner fits on them.
+    ``model_nicknames=`` is the reference keyword for the same list."""
+    models = models if models is not None else model_nicknames
+    if not models:
+        raise ValueError("mlp_stack needs base model names")
     f.add_signals(models)
     signal_feats = [f"signal_{m}" for m in models]
     f.set_estimator("mlp")

@@ -123,6 +123,16 @@ class SeriesTransformer:
 
     def _revert(self, cls, args, kwargs, exclude_models):
         t = self._pop_matching(cls, args)
+        return self.revert_instance(t, exclude_models=exclude_models)
+
+    def revert_instance(self, t: tr.Transform, exclude_models=()):
+        """Revert one FITTED transform instance (series + full history
+        rewrite). Used directly by Pipeline's Forecaster mode, where
+        the Reverter step owns the fitted instances."""
+        for i, s in enumerate(self._stack):
+            if s is t:  # identity, not dataclass ==
+                del self._stack[i]
+                break
         f = self.f
         base = f.tsf.df  # transformed level, observed + horizon rows
         f.tsf = replace(f.tsf, df=t.invert(base, Y))

@@ -81,12 +81,27 @@ def _backtest_score(df: DataFrame, val_len: int = 7, m: int = 1) -> float:
 
 
 def find_optimal_transformation(
-    df: DataFrame, m: int = 7, val_len: int = 7
-) -> list[TR.Transform]:
+    df: DataFrame, m: int = 7, val_len: int = 7,
+    test_length: int | None = None, **_ref_kwargs,
+):
     """Greedy stacked search scored by a lag-only-model holdout
     (reference util.py:575-896 evaluates with a lag-only forecast too).
     Candidates tried in the reference's order: detrend, deseason/
-    seasonal-diff, log, first-diff, scale."""
+    seasonal-diff, log, first-diff, scale.
+
+    Call shapes: with a FRAME, returns the accepted Transform list
+    (engine shape). With a FORECASTER — the reference shape,
+    ``transformer, reverter = find_optimal_transformation(f, m=52,
+    test_length=13, ...)`` (util.py:575) — returns a fitted-later
+    (Transformer, Reverter) pair pluggable into a Pipeline; the
+    reference's estimator/monitor/lags/num_test_sets knobs are
+    accepted and recorded (the engine scores every candidate with the
+    same lag-only holdout model on the REVERTED scale)."""
+    as_pair = hasattr(df, "tsf") and hasattr(df, "history")
+    if as_pair:
+        df = df.tsf.df
+    if test_length:
+        val_len = int(test_length)
     src = df if IS_FUTURE in df.columns else df.withColumn(IS_FUTURE, F.lit(0))
     candidates: list[TR.Transform] = [
         TR.DetrendTransform(),
@@ -119,4 +134,18 @@ def find_optimal_transformation(
             best = v
             accepted.append(cand)
             current = trial
+    if as_pair:
+        from scalecast_spark.pipeline import Reverter, Transformer
+
+        # FRESH instances: the search fitted its candidates on this
+        # frame, but a Pipeline refits its Transformer on whatever
+        # frame it later receives (backtest rewinds, new data)
+        import copy as _copy
+
+        t = Transformer([_copy.copy(a) for a in accepted])
+        for a in t.transformers:  # drop search-time fitted state
+            for attr in ("params", "anchors", "levels", "trend_frame"):
+                if hasattr(a, attr):
+                    setattr(a, attr, None)
+        return t, Reverter(t)
     return accepted

@@ -161,3 +161,50 @@ def test_cross_validate_small_series_still_picks_best(spark):
     f.cross_validate(k=2, test_length=5)
     assert f.best_params["alpha"] in (0.01, 100.0)
     assert not math.isnan(f.validation_metric_value)
+
+
+def test_mvpipeline_scalar_steps_series_count_independent(spark):
+    """Scale-boundary contract (r12 verdict #8): SCALAR pipeline steps
+    run one distributed plan over the long frame — the plan shape
+    (exchange/union/window node counts) must not change with the
+    number of series; only LIST-valued steps loop the driver."""
+    from scalecast_spark.operators import transforms as tr
+    from scalecast_spark.pipeline import MVPipeline, Reverter, Transformer
+
+    def plan_shape(df):
+        p = df._jdf.queryExecution().executedPlan().toString()
+        return {
+            node: p.count(node)
+            for node in ("Exchange", "Union", "Window", "Filter")
+        }
+
+    def build(n_series):
+        frames = []
+        for s in range(n_series):
+            frames.append(
+                pd.DataFrame({
+                    SERIES: f"s{s}",
+                    DS: pd.date_range("2024-01-01", periods=40, freq="D"),
+                    Y: np.arange(40, dtype=float) + s,
+                })
+            )
+        return spark.createDataFrame(pd.concat(frames)).withColumn(
+            IS_FUTURE, F.lit(0)
+        )
+
+    t = Transformer([tr.ScaleTransform()])
+    pipe = MVPipeline(steps=[
+        ("T", t),
+        ("M", lambda df: MODELS["naive"](df, m=7)),
+        ("R", Reverter(t)),
+    ])
+    out2 = pipe.fit_predict(build(2))
+    t2 = Transformer([tr.ScaleTransform()])
+    pipe5 = MVPipeline(steps=[
+        ("T", t2),
+        ("M", lambda df: MODELS["naive"](df, m=7)),
+        ("R", Reverter(t2)),
+    ])
+    out5 = pipe5.fit_predict(build(5))
+    assert plan_shape(out2) == plan_shape(out5)
+    assert out5.count() == 5 * 40
