@@ -650,6 +650,50 @@ class Forecaster:
         )
         return self
 
+    # ------------------------------------- introspection globals
+    # (reference ForecasterGlobals.ipynb: f.estimators, f.metrics,
+    # f.determine_best_by, f.normalizer, mvf.optimizer_funcs)
+    @property
+    def estimators(self) -> list[str]:
+        """Every registered estimator name (reference
+        _Forecaster_parent.py estimators global)."""
+        from scalecast_spark.models import MODELS
+
+        return sorted(MODELS)
+
+    @property
+    def determine_best_by(self) -> list[str]:
+        """Valid ranking keys for order_fcsts/set_best_model
+        (reference _Forecaster_parent.py:55-70)."""
+        names = [m.upper() for m in self.metrics]
+        return (
+            [f"TestSet{n}" for n in names]
+            + [f"InSample{n}" for n in names]
+            + ["ValidationMetricValue"]
+        )
+
+    @property
+    def normalizer(self) -> dict:
+        """Registered normalizer names -> fit factories (reference
+        cfg.py:67-73 normalizer dict; None is the identity, builtins
+        are resolved by name inside the kernel)."""
+        from scalecast_spark.models.kernel import CUSTOM_NORMALIZERS
+
+        return {
+            None: None, "minmax": "minmax", "scale": "scale",
+            "robust": "robust", **CUSTOM_NORMALIZERS,
+        }
+
+    @property
+    def optimizer_funcs(self) -> dict:
+        """Built-in + user-registered per-series metric aggregators
+        (reference MVForecaster.py:151-156)."""
+        return {
+            **self.OPTIMIZER_FUNCS,
+            **self._custom_optimizers,
+            **self._expr_optimizers,
+        }
+
     # -------------------------------------------- MV aggregation
     #: reference optimizer_funcs (MVForecaster.py:151-156)
     OPTIMIZER_FUNCS = {"mean": "avg", "min": "min", "max": "max"}

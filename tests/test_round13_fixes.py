@@ -208,3 +208,19 @@ def test_mvpipeline_scalar_steps_series_count_independent(spark):
     out5 = pipe5.fit_predict(build(5))
     assert plan_shape(out2) == plan_shape(out5)
     assert out5.count() == 5 * 40
+
+
+def test_forecaster_globals_introspection(spark):
+    """reference docs/Forecaster/ForecasterGlobals.ipynb: f.estimators,
+    f.metrics, f.determine_best_by, f.normalizer, mvf.optimizer_funcs."""
+    f = Forecaster(_daily(spark))
+    assert {"mlr", "ridge", "knn", "naive", "arima"} <= set(f.estimators)
+    assert "rmse" in f.metrics
+    assert "TestSetRMSE" in f.determine_best_by
+    assert "ValidationMetricValue" in f.determine_best_by
+    assert {"minmax", "scale", "robust", None} <= set(f.normalizer)
+    mv = MVForecaster(
+        Forecaster(_daily(spark, sids=("a",))),
+        Forecaster(_daily(spark, sids=("b",))),
+    )
+    assert {"mean", "min", "max"} <= set(mv.optimizer_funcs)
