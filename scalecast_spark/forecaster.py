@@ -892,6 +892,74 @@ class Forecaster:
         }
         return self
 
+    def tune_test_forecast(self, models: list[str], **kwargs) -> "Forecaster":
+        """Method form of :func:`scalecast_spark.selection.
+        tune_test_forecast` (the reference exposes BOTH — the method
+        at Forecaster.py:1458 and the multiseries helper; the README's
+        primary example uses ``f.tune_test_forecast([...])``)."""
+        from scalecast_spark.selection import tune_test_forecast as _ttf
+
+        return _ttf(self, models, **kwargs)
+
+    # --------------------------- low-level estimator API
+    # (reference _Forecaster_parent.py:840-945: init_estimator -> fit
+    # -> predict / predict_fitted_vals — the step-by-step form of
+    # manual_forecast for users who want the raw arrays)
+    def init_estimator(self, estimator: str | None = None, **kwargs) -> "Forecaster":
+        """Bind the estimator + hyperparams without running anything
+        (reference init_estimator, _Forecaster_parent.py:840-902)."""
+        if estimator is not None:
+            self.set_estimator(estimator)
+        if self.estimator is None:
+            raise ValueError("set an estimator first")
+        self._call_estimator_kwargs = dict(kwargs)
+        self._call_estimator_scored = None
+        return self
+
+    def fit(self, **fit_params) -> "Forecaster":
+        """Run the bound estimator over the frame (one kernel pass —
+        Spark has no separate fit/predict split, so the scored frame
+        is computed here and served by the predict methods; reference
+        fit(), _Forecaster_parent.py:903-917)."""
+        kw = {**getattr(self, "_call_estimator_kwargs", {}), **fit_params}
+        prev = getattr(self, "_call_estimator_scored", None)
+        if prev is not None:
+            prev.unpersist()  # one live scored frame per object
+        self._call_estimator_scored = self._run_model(self.tsf.df, **kw).cache()
+        return self
+
+    def _predict_rows(self, future: bool) -> list:
+        scored = getattr(self, "_call_estimator_scored", None)
+        if scored is None:
+            raise ValueError("call fit() first")
+        rows = (
+            scored.filter(F.col(IS_FUTURE) == (1 if future else 0))
+            .filter(F.col("forecast").isNotNull())
+            .orderBy(SERIES, DS)
+            .select(SERIES, "forecast")
+            .collect()
+        )
+        sids = {r[SERIES] for r in rows}
+        if len(sids) > 1:
+            # multi-series: a flat list would interleave series —
+            # return the reference-list shape per series instead
+            out: dict = {}
+            for r in rows:
+                out.setdefault(r[SERIES], []).append(float(r["forecast"]))
+            return out
+        return [float(r["forecast"]) for r in rows]
+
+    def predict(self, **predict_params) -> list:
+        """Horizon forecasts as list[float] (single series) or
+        {series: list[float]} (reference predict,
+        _Forecaster_parent.py:918-930)."""
+        return self._predict_rows(future=True)
+
+    def predict_fitted_vals(self, **predict_params) -> list:
+        """In-sample fitted values (reference predict_fitted_vals,
+        _Forecaster_parent.py:931-945)."""
+        return self._predict_rows(future=False)
+
     def auto_forecast(self, call_me: str | None = None) -> "Forecaster":
         """reference _Forecaster_parent.py:819-867."""
         if self.best_params is None:

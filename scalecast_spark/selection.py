@@ -78,11 +78,20 @@ def tune_test_forecast(
     if not _was_cached:
         _frame.cache().count()
     try:
-        return _ttf_body(
+        out = _ttf_body(
             f, plan, cross_validate, k, error,
             dynamic_tuning=dynamic_tuning,
             limit_grid_size=limit_grid_size, suffix=suffix,
         )
+        if _ref_kwargs.get("feature_importance"):
+            # reference tune_test_forecast(feature_importance=True)
+            # banks importances with every evaluated model
+            # (Forecaster.py:1464,1531-1560)
+            for m, _gr in plan:
+                nick = m + (suffix or "")
+                if nick in f.history:
+                    f.save_feature_importance(nick)
+        return out
     finally:
         if not _was_cached:
             _frame.unpersist()

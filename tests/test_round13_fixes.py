@@ -224,3 +224,35 @@ def test_forecaster_globals_introspection(spark):
         Forecaster(_daily(spark, sids=("b",))),
     )
     assert {"mean", "min", "max"} <= set(mv.optimizer_funcs)
+
+
+def test_low_level_estimator_api(spark):
+    """reference Models.rst: f.init_estimator(...) -> f.fit() ->
+    f.predict() / f.predict_fitted_vals(); and the method form of
+    tune_test_forecast (README's primary example)."""
+    f = Forecaster(_daily(spark), future_dates=6)
+    f.add_ar_terms(2)
+    f.init_estimator("ridge", alpha=0.5)
+    with pytest.raises(ValueError, match="fit"):
+        f.predict()
+    f.fit()
+    preds = f.predict()
+    assert isinstance(preds, list) and len(preds) == 6
+    assert all(isinstance(v, float) for v in preds)
+    fv = f.predict_fitted_vals()
+    assert len(fv) == 60 - 2  # AR warm-up rows have no fitted value
+    # multi-series returns per-series lists
+    g = Forecaster(_daily(spark, sids=("a", "b")), future_dates=3)
+    g.add_ar_terms(1)
+    g.init_estimator("mlr").fit()
+    out = g.predict()
+    assert set(out) == {"a", "b"} and all(len(v) == 3 for v in out.values())
+
+    # method-form tune_test_forecast
+    h = Forecaster(_daily(spark), future_dates=5)
+    h.set_test_length(10).set_validation_length(5)
+    h.add_ar_terms(2)
+    h.tune_test_forecast(["mlr", "ridge"], grids={
+        "mlr": {"normalizer": [None]}, "ridge": {"alpha": [0.1, 1.0]},
+    }, error="raise")
+    assert sorted(h.history) == ["mlr", "ridge"]
