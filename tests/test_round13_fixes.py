@@ -256,3 +256,64 @@ def test_low_level_estimator_api(spark):
         "mlr": {"normalizer": [None]}, "ridge": {"alpha": [0.1, 1.0]},
     }, error="raise")
     assert sorted(h.history) == ["mlr", "ridge"]
+
+
+@pytest.mark.parametrize("stack", [
+    ["LogTransform"],
+    ["SqrtTransform"],
+    ["ScaleTransform"],
+    ["MinMaxTransform"],
+    ["RobustScaleTransform"],
+    ["DeseasonTransform"],
+    ["DiffTransform"],
+    ["DetrendTransform"],
+    ["LogTransform", "DiffTransform", "ScaleTransform"],
+    ["DeseasonTransform", "DetrendTransform"],
+])
+def test_seriestransformer_roundtrip_all_transforms(spark, stack):
+    """Every SeriesTransformer transform (and two stacks) round-trips
+    y exactly after reverts in reverse order, and reverts a banked
+    model's history to finite level-scale values."""
+    from scalecast_spark.series_transformer import SeriesTransformer
+
+    f = Forecaster(_daily(spark, n=50), future_dates=4)
+    f.set_test_length(6)
+    t = SeriesTransformer(f)
+    for name in stack:
+        f = getattr(t, name)() if name != "DeseasonTransform" else t.DeseasonTransform(m=7)
+    f.set_estimator("naive")
+    f.manual_forecast(m=7)
+    for name in reversed(stack):
+        f = getattr(t, name.replace("Transform", "Revert"))()
+    got = (
+        f.tsf.df.filter("is_future=0").orderBy(DS).select(Y).toPandas()[Y]
+    ).to_numpy()
+    raw = (
+        _daily(spark, n=50).orderBy(DS).select(Y).toPandas()[Y]
+    ).to_numpy()
+    # Diff drops its warm-up prefix; compare the surviving suffix
+    assert np.abs(got - raw[len(raw) - len(got):]).max() < 1e-7, stack
+    fc = f.history["naive"]["forecast"].collect()
+    assert len(fc) == 4 and all(
+        r["forecast"] is not None and math.isfinite(r["forecast"]) for r in fc
+    ), stack
+    rmse = f.history["naive"]["summary"]["TestSetRMSE"]
+    assert math.isfinite(rmse), stack
+
+
+def test_seriestransformer_exclude_models(spark):
+    from scalecast_spark.series_transformer import SeriesTransformer
+
+    f = Forecaster(_daily(spark, n=50), future_dates=4)
+    f.set_test_length(6)
+    t = SeriesTransformer(f)
+    f = t.ScaleTransform()
+    f.set_estimator("naive")
+    f.manual_forecast(m=7, call_me="keep_scaled")
+    f.manual_forecast(m=7, call_me="revert_me")
+    scaled_fc = f.history["keep_scaled"]["forecast"].collect()
+    f = t.ScaleRevert(exclude_models=("keep_scaled",))
+    after = f.history["keep_scaled"]["forecast"].collect()
+    assert [r["forecast"] for r in after] == [r["forecast"] for r in scaled_fc]
+    reverted = [r["forecast"] for r in f.history["revert_me"]["forecast"].collect()]
+    assert reverted != [r["forecast"] for r in scaled_fc]
