@@ -1843,16 +1843,24 @@ class MVForecaster(Forecaster):
                 # built from single-series frames routinely share a
                 # series_id, and unioning them as-is would silently
                 # merge both into one series with duplicate timestamps.
-                ids = [
-                    tuple(
-                        r[0]
-                        for r in f.tsf.df.select(SERIES).distinct().collect()
+                # Driver sees only COUNTS (an input can hold millions
+                # of series — never collect the ids themselves).
+                per_input = [
+                    int(
+                        f.tsf.df.select(SERIES).agg(
+                            F.countDistinct(SERIES)
+                        ).collect()[0][0]
                     )
                     for f in fs
                 ]
-                flat = [s for grp in ids for s in grp]
-                if len(set(flat)) < len(flat):
-                    if any(len(grp) != 1 for grp in ids):
+                union_distinct = int(
+                    reduce(
+                        lambda a, b: a.unionByName(b),
+                        [f.tsf.df.select(SERIES) for f in fs],
+                    ).agg(F.countDistinct(SERIES)).collect()[0][0]
+                )
+                if union_distinct < sum(per_input):
+                    if any(c != 1 for c in per_input):
                         raise ValueError(
                             "series_id values overlap across the input "
                             "Forecasters and at least one input is "

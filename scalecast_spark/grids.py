@@ -43,12 +43,17 @@ def get_example_grids(overwrite: bool = False, **_ref_kwargs) -> dict[str, dict]
 
 def get_mv_grids(overwrite: bool = False, **_ref_kwargs) -> dict[str, dict]:
     """reference GridGenerator.get_mv_grids (GridGenerator.py:40-83):
-    the MV example grids add a ``lags`` axis to each estimator's grid —
-    the engine's MV estimators take the same lag counts."""
+    the MV example grids add a ``lags`` axis to each estimator's grid.
+    Only estimators with an MV twin (a kernel factory behind ``mv_<n>``)
+    get the axis — series kernels like naive/hwes/theta have no lags
+    knob and would NaN every grid cell if handed one."""
+    from scalecast_spark.models import KERNEL_FACTORIES
+
     out = {}
     for k, v in DEFAULT_GRIDS.items():
         g = dict(v)
-        g["lags"] = [1, 3]
+        if k in KERNEL_FACTORIES:
+            g["lags"] = [1, 3]
         out[k] = g
     return out
 

@@ -193,6 +193,7 @@ class DetrendTransform(Transform):
     frac: float = 0.3
     params: DataFrame | None = None
     trend_frame: DataFrame | None = None
+    t_frame: DataFrame | None = None
 
     def fit(self, df: DataFrame, train_only_cutoff=None):
         w = _w()
@@ -201,6 +202,13 @@ class DetrendTransform(Transform):
         )
         if train_only_cutoff is not None:
             src = src.filter(F.col(DS) <= F.lit(train_only_cutoff))
+        # the fit-time time index keyed BY DATE: invert must
+        # re-materialize the SAME trend even when a stacked transform
+        # (Diff) later drops prefix rows — a bare row_number over the
+        # shortened frame would shift the whole trend by the number of
+        # dropped rows (r13 review finding). Rows beyond the fit range
+        # continue the index from the last fitted t.
+        self.t_frame = src.select(SERIES, DS, "_t")
         if self.loess:
             return self._fit_loess(src)
         if self.poly_order == 1:
@@ -308,36 +316,55 @@ class DetrendTransform(Transform):
         )
         return self
 
+    def _t_eff(self, df: DataFrame) -> DataFrame:
+        """Attach ``_teff`` — the fit-time time index for every row:
+        fitted dates join their stored t (immune to prefix rows
+        dropped by stacked transforms); rows beyond the fit range
+        continue from the last fitted t in date order."""
+        out = df.join(self.t_frame, [SERIES, DS], "left")
+        w_all = W.partitionBy(SERIES)
+        w_cum = W.partitionBy(SERIES).orderBy(DS).rowsBetween(
+            W.unboundedPreceding, 0
+        )
+        maxt = F.max("_t").over(w_all)
+        k = F.sum(
+            F.when(F.col("_t").isNull(), F.lit(1)).otherwise(F.lit(0))
+        ).over(w_cum)
+        return out.withColumn(
+            "_teff", F.coalesce(F.col("_t"), maxt + k)
+        ).drop("_t")
+
     def _trended(self, df: DataFrame) -> DataFrame:
-        rn = F.row_number().over(_w()).cast("double")
+        t = F.col("_teff")
         if self.loess:
             out = (
-                df.join(self.trend_frame, [SERIES, DS], "left")
+                self._t_eff(df)
+                .join(self.trend_frame, [SERIES, DS], "left")
                 .join(F.broadcast(self.params), SERIES, "left")
                 .withColumn(
                     "_trend",
                     F.coalesce(
                         F.col("_ltrend"),
-                        F.col("_lastt") + F.col("_bslope") * (rn - F.col("_n")),
+                        F.col("_lastt") + F.col("_bslope") * (t - F.col("_n")),
                     ),
                 )
             )
-            return out.drop("_ltrend")
+            return out.drop("_ltrend", "_teff")
         if self.poly_order == 1:
-            return self._with_params(df).withColumn(
-                "_trend", F.col("_icept") + F.col("_slope") * rn
-            )
+            return self._with_params(self._t_eff(df)).withColumn(
+                "_trend", F.col("_icept") + F.col("_slope") * t
+            ).drop("_teff")
         p = self.poly_order
-        out = self._with_params(df).withColumn(
+        out = self._with_params(self._t_eff(df)).withColumn(
             "_tn",
             F.when(F.col("_n") > 1,
-                   (2.0 * rn - (F.col("_n") + 1.0)) / (F.col("_n") - 1.0)
+                   (2.0 * t - (F.col("_n") + 1.0)) / (F.col("_n") - 1.0)
                    ).otherwise(F.lit(0.0)),
         )
         trend = F.col("_c0")
         for k in range(1, p + 1):
             trend = trend + F.col(f"_c{k}") * F.pow("_tn", k)
-        return out.withColumn("_trend", trend).drop("_tn")
+        return out.withColumn("_trend", trend).drop("_tn", "_teff")
 
     def transform(self, df: DataFrame, col: str = Y) -> DataFrame:
         out = self._trended(df).withColumn(col, F.col(col) - F.col("_trend"))

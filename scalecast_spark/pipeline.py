@@ -97,6 +97,17 @@ class Reverter:
     def __init__(self, base: Transformer | None = None, *,
                  reverters: list | None = None,
                  base_transformer: Transformer | None = None):
+        if base is not None and not isinstance(base, Transformer):
+            # reference positional shape: Reverter(reverters,
+            # base_transformer=t) — the first positional IS the revert
+            # list there, never the fitted transformer
+            if reverters is not None:
+                raise TypeError(
+                    "got a reverters list both positionally and as "
+                    "reverters="
+                )
+            reverters = base
+            base = None
         if base is None:
             base = base_transformer
         if base is None:
@@ -105,9 +116,10 @@ class Reverter:
                 "positionally or as base_transformer="
             )
         self.base = base
+        self.reverters = list(reverters) if reverters is not None else None
         if reverters is not None:
-            # cheap shape check: each named revert must have a matching
-            # transform in the base stack (order-insensitive count)
+            # each named revert must have a matching transform in the
+            # base stack (order-insensitive count)
             names = [
                 (s[0] if isinstance(s, (list, tuple)) else str(s))
                 .replace("Revert", "Transform")
@@ -121,9 +133,39 @@ class Reverter:
                         f"base transformer fitted {have.count(n)}"
                     )
 
+    def _revert_stack(self) -> list[Transform]:
+        """The fitted transforms this Reverter actually inverts, in
+        execution order. With no reverters list: the whole base stack
+        reversed (engine shape). With one: each named revert claims
+        the LAST unclaimed matching transform — a PARTIAL list is a
+        legal reference usage and must not silently revert more."""
+        if self.reverters is None:
+            return list(reversed(self.base.transformers))
+        remaining = list(self.base.transformers)
+        out = []
+        for spec in self.reverters:
+            name, *args = (
+                spec if isinstance(spec, (list, tuple)) else (str(spec),)
+            )
+            want = name.replace("Revert", "Transform")
+            for i in range(len(remaining) - 1, -1, -1):
+                t = remaining[i]
+                if type(t).__name__ != want:
+                    continue
+                if want == "DiffTransform" and args and t.m != int(args[0]):
+                    continue
+                out.append(remaining.pop(i))
+                break
+            else:
+                raise ValueError(
+                    f"no unclaimed {want} in the base transformer for "
+                    f"revert spec {spec!r}"
+                )
+        return out
+
     def fit_transform(self, df: DataFrame, *cols: str) -> DataFrame:
         cols = cols or (Y, "forecast")
-        for t in reversed(self.base.transformers):
+        for t in self._revert_stack():
             df = t.invert(df, *cols)
         return df
 
@@ -335,7 +377,9 @@ class Pipeline:
                 steps.append((name, new))
             elif isinstance(step, Reverter):
                 base = rebound.get(id(step.base), step.base)
-                steps.append((name, Reverter(base)))
+                steps.append(
+                    (name, Reverter(base, reverters=step.reverters))
+                )
             else:
                 steps.append((name, step))
         g = _copy.copy(self)
@@ -391,7 +435,7 @@ class Pipeline:
                 for t in step.transformers:
                     st._apply(t)
             elif isinstance(step, Reverter):
-                for t in reversed(step.base.transformers):
+                for t in step._revert_stack():
                     st.revert_instance(t)
             elif callable(step):
                 _call_with_supported(step, f, kwargs)
@@ -424,6 +468,16 @@ class Pipeline:
         from scalecast_spark.forecaster import Forecaster
 
         names = list(getattr(self, "names", None) or [])
+        if len(fs) > 1 and not hasattr(self, "_fit_predict_forecaster_mv"):
+            raise TypeError(
+                "backtest over multiple Forecasters needs an MVPipeline "
+                "(a plain Pipeline has no combine->break step)"
+            )
+        if len(fs) > 1 and not names:
+            # mirror _fit_predict_forecaster_mv's default naming — the
+            # actuals join below must share series ids with the
+            # retagged forecasts
+            names = [f"y{i + 1}" for i in range(len(fs))]
         if names and len(names) != len(fs):
             raise ValueError(
                 f"names has {len(names)} entries for {len(fs)} Forecasters"
@@ -543,7 +597,10 @@ class MVPipeline(Pipeline):
                 rebound[id(step)] = new
                 return new
             if isinstance(step, Reverter):
-                return Reverter(rebound.get(id(step.base), step.base))
+                return Reverter(
+                    rebound.get(id(step.base), step.base),
+                    reverters=step.reverters,
+                )
             return step
 
         steps = [
@@ -665,7 +722,7 @@ class MVPipeline(Pipeline):
                 for t in el.transformers:
                     st._apply(t)
             elif isinstance(el, Reverter):
-                for t in reversed(el.base.transformers):
+                for t in el._revert_stack():
                     st.revert_instance(t)
             elif callable(el):
                 _call_with_supported(el, st.f, kwargs)
@@ -689,6 +746,28 @@ class MVPipeline(Pipeline):
                 )
             elif callable(step):
                 combined = MVForecaster(*[st.f for st in sts], names=names)
+                # a second model step must not lose models banked by an
+                # earlier one: re-union each model's per-series frames
+                # (break gave the per-series objects lazy filters of
+                # the same parents — the union is plan reuse, not data)
+                prior: dict = {}
+                for st in sts:
+                    for m, h in st.f.history.items():
+                        if m not in prior:
+                            prior[m] = dict(h)
+                            continue
+                        merged = prior[m]
+                        for key in (
+                            "forecast", "fitted", "test_preds",
+                            "per_series_test_metrics",
+                            "per_series_insample_metrics",
+                        ):
+                            a, b = merged.get(key), h.get(key)
+                            if a is not None and b is not None:
+                                merged[key] = a.unionByName(
+                                    b, allowMissingColumns=True
+                                )
+                combined.history.update(prior)
                 kw = self.kwargs
                 if kw.get("test_length"):
                     combined.set_test_length(kw["test_length"])

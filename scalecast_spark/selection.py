@@ -80,7 +80,7 @@ def tune_test_forecast(
     try:
         out = _ttf_body(
             f, plan, cross_validate, k, error,
-            dynamic_tuning=dynamic_tuning,
+            dynamic_tuning=dynamic_tuning, dynamic_testing=dynamic_testing,
             limit_grid_size=limit_grid_size, suffix=suffix,
         )
         if _ref_kwargs.get("feature_importance"):
@@ -98,7 +98,8 @@ def tune_test_forecast(
 
 
 def _ttf_body(f, plan, cross_validate, k, error,
-              dynamic_tuning=False, limit_grid_size=None, suffix=None):
+              dynamic_tuning=False, dynamic_testing=True,
+              limit_grid_size=None, suffix=None):
     import copy
 
     from scalecast_spark.functions.parallel import run_jobs
@@ -143,12 +144,23 @@ def _ttf_body(f, plan, cross_validate, k, error,
             g = copy.copy(f)
             g.history = dict(f.history)
             g.set_estimator(m)
+            # the reference threads dynamic_testing into every model
+            # evaluation (_utils.py:118); only estimators with the
+            # knob (kernel family) receive it
+            dt = (
+                {"dynamic_testing": dynamic_testing}
+                if dynamic_testing is not True
+                and g._model_accepts("dynamic_testing")
+                else {}
+            )
             if grid:
-                g.best_params, g.grid_evaluated = res
+                g.best_params = {**res[0], **dt}
+                g.grid_evaluated = res[1]
                 g.auto_forecast(call_me=nick)
+                g.best_params = res[0]  # report the tuned params alone
             else:
                 g.best_params = {}
-                g.manual_forecast(call_me=nick)
+                g.manual_forecast(call_me=nick, **dt)
             return (
                 g.history[nick],
                 g.best_params,

@@ -51,9 +51,25 @@ class SeriesTransformer:
         self._stack: list[tr.Transform] = []
 
     # ------------------------------------------------ transforms
-    def _apply(self, t: tr.Transform):
+    def _apply(self, t: tr.Transform, train_only: bool = False):
+        """Fit + transform in place. ``train_only`` (the reference's
+        scaler flag, SeriesTransformer.py:443-558) fits the transform
+        on observed rows MINUS the last ``f.test_length`` rows per
+        series, so test-window values never leak into scaler params;
+        the transform itself still applies to every row."""
         f = self.f
-        t.fit(f.tsf.df)
+        fit_df = f.tsf.df
+        if train_only and getattr(f, "test_length", 0):
+            from pyspark.sql import Window as W
+
+            w = W.partitionBy(SERIES).orderBy(F.desc(DS))
+            fit_df = (
+                fit_df.filter(F.col(IS_FUTURE) == 0)
+                .withColumn("_rev", F.row_number().over(w))
+                .filter(F.col("_rev") > f.test_length)
+                .drop("_rev")
+            )
+        t.fit(fit_df)
         df = t.transform(f.tsf.df, Y)
         f.tsf = replace(f.tsf, df=df)
         self._stack.append(t)
@@ -66,13 +82,13 @@ class SeriesTransformer:
         return self._apply(tr.SqrtTransform())
 
     def ScaleTransform(self, train_only: bool = False):
-        return self._apply(tr.ScaleTransform())
+        return self._apply(tr.ScaleTransform(), train_only=train_only)
 
     def MinMaxTransform(self, train_only: bool = False):
-        return self._apply(tr.MinMaxTransform())
+        return self._apply(tr.MinMaxTransform(), train_only=train_only)
 
     def RobustScaleTransform(self, train_only: bool = False):
-        return self._apply(tr.RobustScaleTransform())
+        return self._apply(tr.RobustScaleTransform(), train_only=train_only)
 
     def BoxCoxTransform(self, lmbda=None):
         kw = {} if lmbda is None else {"lmbda": lmbda}
@@ -80,16 +96,17 @@ class SeriesTransformer:
 
     def DetrendTransform(
         self, loess: bool = False, frac: float = 0.5,
-        poly_order: int = 1, **_ref_kwargs,
+        poly_order: int = 1, train_only: bool = False, **_ref_kwargs,
     ):
         """Reference kwargs it accepts-and-ignores (it/ln_trend/
-        seasonal_lags/m/fit_intercept/train_only) are statsmodels
-        estimation details the engine's closed-form fits don't need."""
+        seasonal_lags/m/fit_intercept) are statsmodels estimation
+        details the engine's closed-form fits don't need;
+        ``train_only`` fits the trend on pre-test rows only."""
         t = tr.DetrendTransform()
         t.loess = loess
         t.frac = frac
         t.poly_order = poly_order
-        return self._apply(t)
+        return self._apply(t, train_only=train_only)
 
     def DeseasonTransform(self, m: int = 7, **_ref_kwargs):
         return self._apply(tr.DeseasonTransform(m=m))

@@ -340,7 +340,10 @@ def test_intro2_mvpipeline_fit_predict_and_backtest(spark):
     from scalecast_spark.selection import tune_test_forecast
 
     mv_grids = GridGenerator.get_mv_grids(overwrite=True)
-    assert all("lags" in g for g in mv_grids.values())
+    # lags axis only where an MV twin exists — series kernels
+    # (hwes/theta) have no lags knob
+    assert "lags" in mv_grids["mlr"] and "lags" in mv_grids["ridge"]
+    assert "lags" not in mv_grids.get("hwes", {})
 
     t_vol = Transformer(transformers=[("DetrendTransform",)])
     t_price = Transformer(transformers=[("DetrendTransform",)])

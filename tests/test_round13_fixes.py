@@ -317,3 +317,124 @@ def test_seriestransformer_exclude_models(spark):
     assert [r["forecast"] for r in after] == [r["forecast"] for r in scaled_fc]
     reverted = [r["forecast"] for r in f.history["revert_me"]["forecast"].collect()]
     assert reverted != [r["forecast"] for r in scaled_fc]
+
+
+def test_mvpipeline_backtest_without_names(spark):
+    """Review finding: backtest over multiple Forecasters WITHOUT
+    names= must retag actuals consistently with the default y1..yk —
+    not return a silently empty frame."""
+    from scalecast_spark.pipeline import MVPipeline
+
+    def mvforecaster(mvf):
+        mvf.set_estimator("mv_mlr")
+        mvf.manual_forecast(lags=2)
+
+    p = MVPipeline(steps=[("F", mvforecaster)])
+    f1 = Forecaster(_daily(spark, sids=("a",), seed=1), future_dates=4)
+    f2 = Forecaster(_daily(spark, sids=("b",), seed=2), future_dates=4)
+    bt = p.backtest(f1, f2, n_iter=2)
+    rows = bt.collect()
+    assert len(rows) == 2 * 2 * 4  # series x iters x horizon
+    assert all(r[Y] is not None for r in rows)
+    assert {r[SERIES] for r in rows} == {"y1", "y2"}
+
+
+def test_plain_pipeline_backtest_multi_forecaster_raises(spark):
+    def forecaster(f):
+        f.set_estimator("naive")
+        f.manual_forecast()
+
+    p = Pipeline(steps=[("F", forecaster)])
+    f1 = Forecaster(_daily(spark, sids=("a",)), future_dates=3)
+    f2 = Forecaster(_daily(spark, sids=("b",)), future_dates=3)
+    with pytest.raises(TypeError, match="MVPipeline"):
+        p.backtest(f1, f2, n_iter=1)
+
+
+def test_reverter_positional_list_and_partial_revert(spark):
+    """Review findings: Reverter(reverters_list, base_transformer=t)
+    must bind correctly, and a PARTIAL reverters list must revert only
+    the named transforms."""
+    from scalecast_spark.operators import transforms as tr
+    from scalecast_spark.pipeline import Reverter, Transformer
+
+    df = _daily(spark).withColumn(IS_FUTURE, F.lit(0))
+    t = Transformer([tr.DetrendTransform(), tr.DiffTransform(1)])
+    transformed = t.fit_transform(df)
+    # positional reverters list (reference signature order)
+    r_full = Reverter(
+        [("DiffRevert", 1), ("DetrendRevert",)], base_transformer=t
+    )
+    assert r_full.base is t
+    back = r_full.fit_transform(transformed, Y)
+    err = (
+        back.select(SERIES, DS, F.col(Y).alias("y1"))
+        .join(df.select(SERIES, DS, F.col(Y).alias("y0")), [SERIES, DS])
+        .agg(F.max(F.abs(F.col("y0") - F.col("y1")))).collect()[0][0]
+    )
+    assert err < 1e-8
+    # partial list: only the diff reverts; detrend stays applied
+    r_part = Reverter(reverters=[("DiffRevert", 1)], base_transformer=t)
+    part = r_part.fit_transform(transformed, Y)
+    err2 = (
+        part.select(SERIES, DS, F.col(Y).alias("y1"))
+        .join(df.select(SERIES, DS, F.col(Y).alias("y0")), [SERIES, DS])
+        .agg(F.max(F.abs(F.col("y0") - F.col("y1")))).collect()[0][0]
+    )
+    assert err2 > 1.0  # still detrended — NOT fully reverted
+
+
+def test_seriestransformer_train_only_scaler(spark):
+    """Review finding: train_only=True must exclude the test window
+    from the scaler fit (different params than a full fit)."""
+    from scalecast_spark.series_transformer import SeriesTransformer
+
+    # strong trend: the last-6 window shifts the mean materially
+    f1 = Forecaster(_daily(spark, n=50))
+    f1.set_test_length(6)
+    t1 = SeriesTransformer(f1)
+    f1 = t1.ScaleTransform(train_only=True)
+    f2 = Forecaster(_daily(spark, n=50))
+    f2.set_test_length(6)
+    t2 = SeriesTransformer(f2)
+    f2 = t2.ScaleTransform(train_only=False)
+    a = f1.tsf.df.orderBy(DS).select(Y).toPandas()[Y].to_numpy()
+    b = f2.tsf.df.orderBy(DS).select(Y).toPandas()[Y].to_numpy()
+    assert np.abs(a - b).max() > 1e-6  # params differ
+    # and the train-only fit still round-trips
+    f1 = t1.ScaleRevert()
+    raw = _daily(spark, n=50).orderBy(DS).select(Y).toPandas()[Y].to_numpy()
+    got = f1.tsf.df.orderBy(DS).select(Y).toPandas()[Y].to_numpy()
+    assert np.abs(got - raw).max() < 1e-8
+
+
+def test_get_mv_grids_skips_non_kernel_estimators():
+    from scalecast_spark.grids import get_mv_grids
+
+    g = get_mv_grids()
+    assert "lags" in g["mlr"] and "lags" in g["ridge"]
+    for name in ("hwes", "theta"):
+        if name in g:
+            assert "lags" not in g[name]
+
+
+def test_mvpipeline_two_model_steps_keep_history(spark):
+    """Review finding: a second MV model step must not drop models
+    banked by the first."""
+    from scalecast_spark.pipeline import MVPipeline
+
+    def step_a(mvf):
+        mvf.set_estimator("mv_mlr")
+        mvf.manual_forecast(lags=2, call_me="first")
+
+    def step_b(mvf):
+        mvf.set_estimator("mv_ridge")
+        mvf.manual_forecast(lags=2, alpha=0.5, call_me="second")
+
+    p = MVPipeline(steps=[("A", step_a), ("B", step_b)])
+    f1 = Forecaster(_daily(spark, sids=("a",), seed=1), future_dates=3)
+    f2 = Forecaster(_daily(spark, sids=("b",), seed=2), future_dates=3)
+    g1, g2 = p.fit_predict(f1, f2)
+    for g in (g1, g2):
+        assert sorted(g.history) == ["first", "second"]
+        assert g.history["first"]["forecast"].count() == 3

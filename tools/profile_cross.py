@@ -71,11 +71,14 @@ def profile(spark, sf_dir, tag):
     ).count()
     t_full = time.time() - t0
 
+    mx = dist["mx"] if dist["mx"] is not None else 0
+    p99 = dist["p99"] if dist["p99"] is not None else 0.0
+    av = dist["av"] if dist["av"] is not None else 0.0
     print(
         f"{tag}: new={n_new} old={n_old} | sig_new={t_sig_new:.2f}s "
         f"sig_old={t_sig_old:.2f}s cand={t_cand:.2f}s full={t_full:.2f}s | "
-        f"cands={nc} ({nc / max(n_new, 1):.2f}/new, max={dist['mx']}, "
-        f"p99={dist['p99']:.0f}, avg={dist['av']:.2f}) survivors={surv}"
+        f"cands={nc} ({nc / max(n_new, 1):.2f}/new, max={mx}, "
+        f"p99={p99:.0f}, avg={av:.2f}) survivors={surv}"
     )
     for d in (new, old, new_sigs, ex_sigs, cands):
         d.unpersist()
