@@ -171,6 +171,10 @@ def _run_sf1_tier(spark) -> dict:
             "queries": times,
             "value": round(sum(times.values()), 3),
             "load1_per_query": loads,
+            # the tier runs right after the min-of-3 passes, so the
+            # load average can still be draining the suite's own work;
+            # tier ratios from a contended tier are upper bounds only
+            "contended": any(l > 8 for l in loads.values()),
         }
         if truncated:
             out["truncated_at"] = truncated
