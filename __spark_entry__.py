@@ -340,6 +340,21 @@ def q_ts_detrend_poly(spark, sf_dir):
     return _out_ts(_r6(out.withColumnRenamed("y", "y_detrended"), "y_detrended"))
 
 
+def q_ts_detrend_ln(spark, sf_dir):
+    """Logarithmic-trend detrend (reference SeriesTransformer.py
+    DetrendTransform(ln_trend=True), :186-211: OLS of y on ln(t)) —
+    round-14 member; exercises the general design-matrix fit path in
+    operators/transforms.DetrendTransform (_fit_design)."""
+    from scalecast_spark.operators.transforms import DetrendTransform
+
+    df = _series(spark, sf_dir).withColumn("is_future", F.lit(0))
+    t = DetrendTransform()
+    t.ln_trend = True
+    t.fit(df)
+    out = t.transform(df, "y").drop("is_future")
+    return _out_ts(_r6(out.withColumnRenamed("y", "y_detrended"), "y_detrended"))
+
+
 def q_ts_pt_yeojohnson(spark, sf_dir):
     """Yeo-Johnson power transform of the first-difference regressor
     (negative-valued by construction) at the grid-MLE lambda (reference
@@ -2492,7 +2507,8 @@ def q_ts_power_transforms(spark, sf_dir):
 
 
 def q_ts_detrend_family(spark, sf_dir):
-    """Linear, quadratic, and LOESS detrend in one frame."""
+    """Linear, quadratic, LOESS, and log-trend (r14) detrend in one
+    frame."""
     a = q_ts_detrend(spark, sf_dir).withColumnRenamed("y_detrended", "det_linear")
     b = q_ts_detrend_poly(spark, sf_dir).select(
         "series_id", "ds", F.col("y_detrended").alias("det_poly")
@@ -2500,7 +2516,14 @@ def q_ts_detrend_family(spark, sf_dir):
     c = q_ts_detrend_loess(spark, sf_dir).select(
         "series_id", "ds", F.col("y_detrended").alias("det_loess")
     )
-    return a.join(b, ["series_id", "ds"]).join(c, ["series_id", "ds"])
+    d = q_ts_detrend_ln(spark, sf_dir).select(
+        "series_id", "ds", F.col("y_detrended").alias("det_ln")
+    )
+    return (
+        a.join(b, ["series_id", "ds"])
+        .join(c, ["series_id", "ds"])
+        .join(d, ["series_id", "ds"])
+    )
 
 
 def q_ts_decompose_stl(spark, sf_dir):
@@ -3778,6 +3801,23 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT t.series_id, t.ds,
                    round(t.y - (p.icept + p.slope * t.tt), 6) AS y_detrended
+            FROM t JOIN p USING (series_id)
+        """,
+        "ts_detrend_ln": f"""
+            WITH {_SQL_SERIES},
+            t AS (
+                SELECT series_id, ds, y,
+                       ln(row_number() OVER (
+                           PARTITION BY series_id ORDER BY ds)::DOUBLE) AS lt
+                FROM series
+            ),
+            p AS (
+                SELECT series_id, regr_slope(y, lt) AS slope,
+                       regr_intercept(y, lt) AS icept
+                FROM t GROUP BY series_id
+            )
+            SELECT t.series_id, t.ds,
+                   round(t.y - (p.icept + p.slope * t.lt), 6) AS y_detrended
             FROM t JOIN p USING (series_id)
         """,
         "ts_detrend_poly": f"""
@@ -5212,12 +5252,15 @@ def oracle_sql() -> dict[str, str]:
     """
     o["ts_detrend_family"] = f"""
         SELECT a.series_id, a.ds, a.y_detrended AS det_linear,
-               b.y_detrended AS det_poly, c.y_detrended AS det_loess
+               b.y_detrended AS det_poly, c.y_detrended AS det_loess,
+               d.y_detrended AS det_ln
         FROM ({o["ts_detrend"]}) a
         JOIN ({o["ts_detrend_poly"]}) b
           ON a.series_id = b.series_id AND a.ds = b.ds
         JOIN ({o["ts_detrend_loess"]}) c
           ON a.series_id = c.series_id AND a.ds = c.ds
+        JOIN ({o["ts_detrend_ln"]}) d
+          ON a.series_id = d.series_id AND a.ds = d.ds
     """
     o["ts_decompose_stl"] = f"""
         WITH j AS (

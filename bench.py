@@ -128,6 +128,23 @@ SF1_QUERIES = [
 ]
 
 
+def _settle_load(threshold: float = 6.0, timeout: float = 180.0) -> float:
+    """Wait (bounded) for the 1-min load average to drain below
+    `threshold` before a timing section starts. The r13 round artifact
+    was stitched from two runs because the sf1 tier always started
+    while load1 was still decaying from the suite's own passes; a
+    bounded settle keeps suite + tier in ONE uncontended artifact.
+    Returns the load observed when the wait ended."""
+    if os.environ.get("SPARK_GRAFT_SETTLE", "1") == "0":
+        return round(os.getloadavg()[0], 2)
+    deadline = time.time() + timeout
+    load = os.getloadavg()[0]
+    while load > threshold and time.time() < deadline:
+        time.sleep(5)
+        load = os.getloadavg()[0]
+    return round(load, 2)
+
+
 def _run_sf1_tier(spark) -> dict:
     """Build (or reuse) the sf1 corpus and time SF1_QUERIES once.
     Never fails the bench: any error is reported inside the tier."""
@@ -148,6 +165,10 @@ def _run_sf1_tier(spark) -> dict:
         t0 = time.time()
         make_sf1.build(sf1_dir, src, spark=spark)
         build_sec = round(time.time() - t0, 3)
+        # the corpus build itself spikes load1; let it decay so the
+        # tier's ratios are growth-rate readings, not host weather
+        settle_load = _settle_load()
+        t0 = time.time()  # the wall budget covers timed queries only
         # soft wall budget: a contended host must never let the scale
         # tier sink the whole bench artifact — stop between queries
         # once over budget and report what ran
@@ -168,6 +189,7 @@ def _run_sf1_tier(spark) -> dict:
             "dir": sf1_dir,
             "factor_vs_suite_sf": 10,
             "corpus_build_sec": build_sec,
+            "settle_load": settle_load,
             "queries": times,
             "value": round(sum(times.values()), 3),
             "load1_per_query": loads,
@@ -253,12 +275,48 @@ def main():
         "load1_per_query": loads,
     }
     line = json.dumps(result)
+    # Artifact contract, part (c) — r13 verdict #1: the driver keeps
+    # the LAST N bytes of stdout, so leading with value/common_value
+    # (the r12 fix) put the headline in exactly the bytes that get
+    # truncated. Repeat both keys at the very END of the line: JSON
+    # parsers take the last duplicate key (same values either way), and
+    # any tail capture now always carries the headline numbers.
+    line = line[:-1] + (
+        ', "value": %s, "common_value": %s}'
+        % (result["value"], result["common_value"])
+    )
+    repo_dir = os.path.dirname(os.path.abspath(__file__))
     try:
-        out_path = os.path.join(
-            os.path.dirname(os.path.abspath(__file__)), "BENCH.json"
-        )
-        with open(out_path, "w") as fh:
+        with open(os.path.join(repo_dir, "BENCH.json"), "w") as fh:
             fh.write(line + "\n")
+        # part (d): BENCH.json is overwritten by EVERY run, so the
+        # round's official numbers also land in a round-stamped file
+        # later runs won't clobber (first-writer-wins per round; a
+        # deliberate re-run can force with SPARK_GRAFT_RESTAMP=1).
+        # Round from $SPARK_GRAFT_ROUND, else 1 + the highest driver
+        # artifact already present. The name avoids the driver's own
+        # BENCH_r{N}.json so the two capture paths never collide.
+        rnd = os.environ.get("SPARK_GRAFT_ROUND")
+        if not rnd:
+            import re as _re
+
+            stamped = [
+                int(m.group(1))
+                for f in os.listdir(repo_dir)
+                for m in [_re.match(r"BENCH_r(\d+)\.json$", f)]
+                if m
+            ]
+            rnd = str(max(stamped) + 1 if stamped else 1)
+        self_path = os.path.join(repo_dir, f"BENCH_SELF_r{int(rnd)}.json")
+        official = (
+            result["sf"] == 0.1 and not result["sf1"].get("skipped")
+        )  # sf0.01 quick loops / tier-skipped runs never stamp a round
+        if official and (
+            not os.path.exists(self_path)
+            or os.environ.get("SPARK_GRAFT_RESTAMP") == "1"
+        ):
+            with open(self_path, "w") as fh:
+                fh.write(line + "\n")
     except OSError:
         pass  # a read-only checkout must not sink the printed line
     print(line)

@@ -34,6 +34,12 @@ from scalecast_spark.pipeline import (
 )
 from scalecast_spark.series_transformer import SeriesTransformer
 
+#: Import-compatibility: the reference exposes grid plumbing as the
+#: ``GridGenerator`` module (``from scalecast import GridGenerator;
+#: GridGenerator.get_grids('theta')``); the engine's twin lives in
+#: ``grids.py`` — alias it under the reference name.
+from scalecast_spark import grids as GridGenerator
+
 __version__ = "0.1.0"
 
 __all__ = [
@@ -41,6 +47,6 @@ __all__ = [
     "break_mv_forecaster", "keep_smallest_first_date",
     "export_model_summaries",
     "Pipeline", "MVPipeline", "Transformer", "Reverter",
-    "SeriesTransformer",
+    "SeriesTransformer", "GridGenerator",
     "__version__",
 ]

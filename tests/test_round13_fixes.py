@@ -104,9 +104,11 @@ def test_export_list_returns_dict(spark):
     assert isinstance(out, dict)
     assert set(out) == {"model_summaries", "lvl_fcsts"}
     assert out["model_summaries"].count() == 1
-    # dfs= keyword routes the same way (reference's common call shape)
+    # dfs= keyword routes the same way (reference's common call shape);
+    # a ONE-element list returns the lone frame, like the reference
+    # (round-14 ADVICE)
     out2 = f.export(dfs=["model_summaries"])
-    assert isinstance(out2, dict) and "model_summaries" in out2
+    assert not isinstance(out2, dict) and out2.count() == 1
 
 
 def test_keep_smaller_history_rejects_bad_date(spark):
