@@ -253,7 +253,7 @@ def q_ts_feature_ops(spark, sf_dir):
         F.col("month_dayofweek").cast("double").alias("month_x_dow"),
         F.col("t^2").cast("double").alias("t_sq"),
         F.col("t^3").cast("double").alias("t_cube"),
-        F.round(F.col("`t^0.5`"), 6).alias("t_sqrt"),
+        F.round(F.col("`t^0_5`"), 6).alias("t_sqrt"),
         F.round("ln_t", 6).alias("ln_t"),
         F.col("month_lag_1").cast("double").alias("month_lag1"),
     )

@@ -70,13 +70,58 @@ def _mark_test_rows(df: DataFrame, test_length: int) -> DataFrame:
     )
 
 
+def _frame_from_arrays(y, current_dates, series_id: str = "y") -> DataFrame:
+    """Reference-ctor convenience: driver-side y/current_dates arrays
+    (lists, numpy, pandas Series) -> a single-series long frame on the
+    ACTIVE SparkSession. Bounded by construction — the caller already
+    holds the arrays in driver memory."""
+    import pandas as pd
+    from pyspark.sql import SparkSession
+
+    if y is None:
+        raise TypeError(
+            "Forecaster needs either a long DataFrame/TimeSeriesFrame "
+            "or reference-style y=/current_dates= arrays"
+        )
+    yv = list(getattr(y, "values", y))
+    if current_dates is None:
+        # the reference allows a numbered index when dates are unknown
+        dates = pd.date_range("1970-01-01", periods=len(yv), freq="D")
+    else:
+        dates = pd.to_datetime(list(getattr(current_dates, "values", current_dates)))
+    if len(dates) != len(yv):
+        raise ValueError(
+            f"y has {len(yv)} values but current_dates has {len(dates)}"
+        )
+    spark = SparkSession.getActiveSession()
+    if spark is None:
+        from scalecast_spark.session import get_session
+
+        spark = get_session("forecaster")
+    return spark.createDataFrame(
+        pd.DataFrame({
+            SERIES: series_id, DS: dates,
+            Y: [float(v) if v is not None and v == v else None for v in yv],
+        })
+    )
+
+
 class Forecaster:
     """One engine object over any number of series."""
 
-    def __init__(self, df: DataFrame | TimeSeriesFrame, future_dates: int = 0,
+    def __init__(self, df: DataFrame | TimeSeriesFrame = None,
+                 future_dates: int = 0,
                  test_length: int | float = 0,
                  validation_length: int = 0, cis: bool | None = None,
                  **_ref_kwargs):
+        if df is None:
+            # reference constructor shape (Forecaster.py:40-94 /
+            # ForecasterGlobals.ipynb): Forecaster(y=[...],
+            # current_dates=[...]) — driver-side arrays become a
+            # single-series long frame on the active session
+            df = _frame_from_arrays(
+                _ref_kwargs.pop("y", None), _ref_kwargs.pop("current_dates", None)
+            )
         self.tsf = (
             df if isinstance(df, TimeSeriesFrame) else TimeSeriesFrame.from_long(df)
         )
@@ -105,6 +150,12 @@ class Forecaster:
             self.set_validation_length(validation_length)
         if cis is not None:
             self.eval_cis(bool(cis))
+        if _ref_kwargs.get("metrics"):
+            # reference ctor metrics= (registered names only; callable
+            # custom metrics register via functions.metrics first)
+            self.set_metrics([
+                m for m in _ref_kwargs["metrics"] if isinstance(m, str)
+            ])
 
     # ------------------------------------------------------- setup
     def generate_future_dates(self, h: int) -> "Forecaster":
@@ -153,7 +204,10 @@ class Forecaster:
     def set_estimator(self, name: str) -> "Forecaster":
         from scalecast_spark.models import MODELS
 
-        if name not in MODELS:
+        if name not in MODELS and name != "combo":
+            # 'combo' is estimator-shaped in the reference (models.py
+            # _forecast_combo); the engine routes it to Forecaster.combo
+            # from manual_forecast
             raise ValueError(f"unknown estimator {name!r}; have {sorted(MODELS)}")
         if name != self.estimator:
             # tuning state belongs to ONE estimator — clear on switch so
@@ -203,6 +257,9 @@ class Forecaster:
     def add_poly_terms(self, *cols, pwr: int = 2) -> "Forecaster":
         return self._apply(FEAT.add_poly_terms, *cols, pwr=pwr)
 
+    def add_exp_terms(self, *cols, pwr: float) -> "Forecaster":
+        return self._apply(FEAT.add_exp_terms, *cols, pwr=pwr)
+
     def add_logged_terms(self, *cols, base: float = math.e) -> "Forecaster":
         return self._apply(FEAT.add_logged_terms, *cols, base=base)
 
@@ -215,16 +272,33 @@ class Forecaster:
     def add_pt_terms(self, *cols, method: str = "boxcox") -> "Forecaster":
         return self._apply(FEAT.add_pt_terms, *cols, method=method)
 
-    def add_signals(self, models: list[str], fill_strategy: str = "actuals") -> "Forecaster":
+    def add_signals(
+        self, models: list[str], fill_strategy: str | None = "actuals",
+        train_only: bool = False,
+    ) -> "Forecaster":
         """Fitted values + forecasts of already-run models become
         regressors ``signal_<m>`` (reference add_signals,
-        Forecaster.py:367-407). NaN head (rows before the model's first
-        fitted value) filled with actuals (default) or left NULL."""
+        Forecaster.py:367-407). NaN head (rows before the model's
+        first fitted value) filled with actuals (default), backfilled
+        ('bfill'), or left NULL (None). ``train_only`` swaps the
+        test-window values for the model's OUT-OF-SAMPLE test-set
+        predictions (reference :404-406), so downstream models never
+        see in-sample fits on the holdout."""
         for m in models:
             h = self.history.get(m)
             if h is None:
                 raise KeyError(f"model {m!r} has no results to use as a signal")
             parts = [h["fitted"].select(SERIES, DS, F.col("forecast").alias("_sig"))]
+            if train_only and h.get("test_preds") is not None:
+                tp = h["test_preds"].select(
+                    SERIES, DS, F.col("forecast").alias("_sig")
+                )
+                # test-window rows take the out-of-sample predictions;
+                # anti-join the fitted part on the test keys first
+                parts[0] = parts[0].join(
+                    tp.select(SERIES, DS), [SERIES, DS], "left_anti"
+                )
+                parts.append(tp)
             if h["forecast"] is not None:
                 parts.append(
                     h["forecast"].select(SERIES, DS, F.col("forecast").alias("_sig"))
@@ -233,11 +307,24 @@ class Forecaster:
             for p in parts[1:]:
                 sig = sig.unionByName(p)
             name = f"signal_{m}"
-            joined = self.tsf.df.join(
+            # re-adding the same model's signal REPLACES it (the
+            # reference overwrites current_xreg[name]); without the
+            # drop the join would stack duplicate columns
+            base_df = self.tsf.df
+            if name in base_df.columns:
+                base_df = base_df.drop(name)
+            joined = base_df.join(
                 sig.withColumnRenamed("_sig", name), [SERIES, DS], "left"
             )
             if fill_strategy == "actuals":
                 joined = joined.withColumn(name, F.coalesce(F.col(name), F.col(Y)))
+            elif fill_strategy == "bfill":
+                wb = W.partitionBy(SERIES).orderBy(DS).rowsBetween(
+                    0, W.unboundedFollowing
+                )
+                joined = joined.withColumn(
+                    name, F.coalesce(F.col(name), F.first(name, ignorenulls=True).over(wb))
+                )
             self.tsf = self.tsf.with_features(joined, [name])
         return self
 
@@ -310,7 +397,16 @@ class Forecaster:
         (reference _Forecaster_parent.py:1133-1166). Names must exist
         in the metric registry (functions/metrics.METRIC_EXPRS —
         custom metrics register there first, same extension point the
-        gate's medae member uses)."""
+        gate's medae member uses). A classes.MetricStore with an
+        ``expr`` registers itself on the way in (reference shape:
+        ``f.set_metrics(['rmse', my_store])``)."""
+        resolved = []
+        for m in metrics:
+            if hasattr(m, "register") and hasattr(m, "name"):
+                m.register()
+                m = m.name
+            resolved.append(m)
+        metrics = resolved
         unknown = [m for m in metrics if m not in METRICS.METRIC_EXPRS]
         if unknown:
             raise ValueError(
@@ -650,6 +746,111 @@ class Forecaster:
         )
         return self
 
+    # --------------------------------- driver-side series views
+    #: ceiling on rows the y/current_dates convenience properties may
+    #: collect — they exist for reference-ported DRIVER-SIDE code
+    #: (f.y.values, plotting, asserts); distributed work reads tsf.df
+    max_series_collect: int = 1_000_000
+
+    def _series_pandas(self):
+        import pandas as pd  # noqa: F401
+
+        cap = int(self.max_series_collect)
+        pdf = (
+            self.tsf.observed.select(SERIES, DS, Y)
+            .orderBy(DS)
+            .limit(cap + 1)
+            .toPandas()
+        )
+        if len(pdf) > cap:
+            raise RuntimeError(
+                f"series view would collect more than {cap} rows to the "
+                "driver; operate on f.tsf.df instead, or raise "
+                "max_series_collect"
+            )
+        if pdf[SERIES].nunique() > 1:
+            raise ValueError(
+                "f.y / f.current_dates are single-series conveniences; "
+                "this Forecaster holds multiple series — filter or use "
+                "f.tsf.df"
+            )
+        return pdf
+
+    @property
+    def y(self):
+        """The observed series as a pandas Series (reference
+        Forecaster.y). DRIVER-SIDE convenience for ported code —
+        bounded by ``max_series_collect``; single-series only."""
+        return self._series_pandas()[Y].reset_index(drop=True)
+
+    @property
+    def current_dates(self):
+        """Observed timestamps as a pandas Series (reference
+        Forecaster.current_dates). Same bounds as ``y``."""
+        return self._series_pandas()[DS].reset_index(drop=True)
+
+    # --------------------------------------- statistical tests
+    def _stat_frame(self, train_only: bool = False, diffy: bool | int = False):
+        df = self.tsf.observed
+        if diffy:
+            w = W.partitionBy(SERIES).orderBy(DS)
+            df = df.withColumn(Y, F.col(Y) - F.lag(Y).over(w)).filter(
+                F.col(Y).isNotNull()
+            )
+        if train_only and self.test_length:
+            w = W.partitionBy(SERIES).orderBy(F.desc(DS))
+            df = (
+                df.withColumn("_rev", F.row_number().over(w))
+                .filter(F.col("_rev") > self.test_length)
+                .drop("_rev")
+            )
+        return df
+
+    def adf_test(
+        self, critical_pval: float = 0.05, full_res: bool = True,
+        train_only: bool = False, diffy: bool | int = False,
+        maxlag: int | None = None, **_ref_kwargs,
+    ):
+        """Augmented Dickey-Fuller stationarity test (reference
+        Forecaster.adf_test, Forecaster.py:1258-1301). Single-series
+        objects get the reference's scalar shapes — ``full_res=True``
+        a dict of {stat, used_lag, stationary}, ``full_res=False`` a
+        bool at ``critical_pval``'s nearest tabulated level; multi-
+        series objects get the per-series DataFrame."""
+        from scalecast_spark.functions import stattests as ST
+
+        res = ST.adf_test(self._stat_frame(train_only, diffy), maxlag)
+        rows = res.limit(2).collect()
+        if len(rows) > 1:
+            return res
+        r = rows[0]
+        level = min((0.01, 0.05, 0.10), key=lambda p: abs(p - critical_pval))
+        crit = ST._ADF_CRIT[f"{int(level * 100)}%"]
+        stationary = bool(r["adf_stat"] < crit)
+        if not full_res:
+            return stationary
+        return {
+            "adf_stat": float(r["adf_stat"]),
+            "used_lag": int(r["used_lag"]),
+            "stationary": stationary,
+            "critical_value": float(crit),
+        }
+
+    def normality_test(
+        self, train_only: bool = False, diffy: bool | int = False,
+    ):
+        """D'Agostino-Pearson normality test (reference
+        Forecaster.normality_test, Forecaster.py:1304-1318): returns
+        the reference's (stat, pvalue) tuple for single-series
+        objects, the per-series DataFrame otherwise."""
+        from scalecast_spark.functions import stattests as ST
+
+        res = ST.normality_test(self._stat_frame(train_only, diffy))
+        rows = res.limit(2).collect()
+        if len(rows) > 1:
+            return res
+        return float(rows[0]["k2"]), float(rows[0]["pvalue"])
+
     # ------------------------------------- introspection globals
     # (reference ForecasterGlobals.ipynb: f.estimators, f.metrics,
     # f.determine_best_by, f.normalizer, mvf.optimizer_funcs)
@@ -767,7 +968,11 @@ class Forecaster:
 
         fn = MODELS[self.estimator]
         if self.estimator == "naive":
-            return fn(df, m=kwargs.get("m", 1))
+            # reference naive takes seasonal=True for the seasonal
+            # variant (models.py _forecast_naive); m resolves from the
+            # frame's frequency unless given explicitly
+            m = kwargs.get("m", "auto" if kwargs.get("seasonal") else 1)
+            return fn(df, m=m)
         xvars = kwargs.pop("Xvars", None)
         # reference Xvars defaults differ by family: sklearn-style
         # estimators default to 'all' (models.py:620), the statsmodels
@@ -846,6 +1051,29 @@ class Forecaster:
         """EP1 (SURVEY.md §3): test → fit/predict → bank history."""
         if self.estimator is None:
             raise ValueError("call set_estimator first")
+        if self.estimator == "combo":
+            # reference estimator shape (models.py _forecast_combo):
+            # set_estimator('combo'); manual_forecast(how='weighted',
+            # models='top_3', determine_best_by=...) — models may be
+            # 'all', an explicit list, or 'top_N' ranked by
+            # determine_best_by
+            how = kwargs.get("how", "simple")
+            models = kwargs.get("models", "all")
+            dbb = kwargs.get(
+                "determine_best_by",
+                "ValidationMetricValue" if how == "weighted" else "TestSetRMSE",
+            )
+            if models == "all":
+                models = [m for m in self.history if m != (call_me or "combo")]
+            elif isinstance(models, str) and models.startswith("top_"):
+                rank_by = dbb if dbb != "ValidationMetricValue" else "TestSetRMSE"
+                models = self.order_fcsts(rank_by)[: int(models.split("_")[1])]
+            return self.combo(
+                list(models), call_me=call_me or "combo", how=how,
+                determine_best_by=(
+                    dbb if dbb != "ValidationMetricValue" else "TestSetRMSE"
+                ),
+            )
         name = call_me or self.estimator
         test_df = None
         test_metrics: dict[str, float] | None = None
@@ -906,6 +1134,32 @@ class Forecaster:
         from scalecast_spark.selection import tune_test_forecast as _ttf
 
         return _ttf(self, models, **kwargs)
+
+    def auto_Xvar_select(self, **kwargs) -> list[str]:
+        """Method form of :func:`scalecast_spark.selection.
+        auto_Xvar_select` (reference Forecaster.auto_Xvar_select,
+        Forecaster.py:658-1163). Unknown estimator kwargs (alpha=,
+        decomp_trend=, ...) pass through to the search estimator."""
+        from scalecast_spark.selection import auto_Xvar_select as _axs
+
+        return _axs(self, **kwargs)
+
+    def reduce_Xvars(self, **kwargs):
+        """Method form of :func:`scalecast_spark.selection.
+        reduce_Xvars` (reference Forecaster.reduce_Xvars)."""
+        from scalecast_spark.selection import reduce_Xvars as _rxv
+
+        return _rxv(self, **kwargs)
+
+    def determine_best_series_length(self, **kwargs):
+        """Method form of :func:`scalecast_spark.selection.
+        determine_best_series_length` (reference
+        Forecaster.determine_best_series_length)."""
+        from scalecast_spark.selection import (
+            determine_best_series_length as _dbsl,
+        )
+
+        return _dbsl(self, **kwargs)
 
     # --------------------------- low-level estimator API
     # (reference _Forecaster_parent.py:840-945: init_estimator -> fit
@@ -985,6 +1239,7 @@ class Forecaster:
         model: str,
         call_me: str | None = None,
         save_to_history: bool = True,
+        return_series: bool = False,
     ) -> "Forecaster":
         """Predict THIS object's series with a model trained on
         ANOTHER object's data — the reference ``transfer_predict``
@@ -1097,6 +1352,19 @@ class Forecaster:
                 "per_series_insample_metrics": per_series_in,
                 "summary": out_summary,
             }
+        if return_series:
+            # reference return_series=True hands back the horizon
+            # predictions as a pandas Series indexed by date
+            # (_Forecaster_parent.py transfer_predict) — driver-side
+            # by contract (horizon-sized)
+            import pandas as pd
+
+            pdf = fc.orderBy(DS).toPandas()
+            if pdf[SERIES].nunique() <= 1:
+                return pd.Series(
+                    pdf["forecast"].to_numpy(), index=pd.Index(pdf[DS], name=DS)
+                )
+            return fc
         return self
 
     # ------------------------------------------------------ tuning
@@ -1274,6 +1542,7 @@ class Forecaster:
     def cross_validate(
         self, k: int = 5, test_length: int | None = None,
         train_length: int | None = None, space_between_sets: int | None = None,
+        rolling: bool = False,
         set_aside_test_set: bool = True,
         dynamic_tuning: bool | int = False,
         verbose: bool = False, max_workers: int | None = None,
@@ -1298,7 +1567,12 @@ class Forecaster:
         (run_jobs docstring).
         """
         if self.grid is None:
-            raise ValueError("ingest a grid first")
+            # the reference auto-ingests the estimator's grid from the
+            # grids file / defaults (_Forecaster_parent.py:1746-1747)
+            if self.estimator:
+                self.ingest_grid(self.estimator)
+            else:
+                raise ValueError("ingest a grid first")
         how = getattr(self, "_optimize_on", "mean")
         if how in self._custom_optimizers:
             # fail loudly UP FRONT: a callable optimizer collects one
@@ -1329,6 +1603,10 @@ class Forecaster:
         aside = self.test_length if set_aside_test_set else 0
         usable = max(n_obs - aside, 2)
         test_length = test_length or max(usable // (k + 1), 1)
+        if rolling and train_length is None:
+            # reference rolling CV: every train window is the same size
+            # as the test window (_Forecaster_parent.py:1763-1764)
+            train_length = test_length
         space = space_between_sets or test_length
         base = self.tsf.df
         cells = self._grid_cells(dynamic_tuning)
@@ -1664,6 +1942,22 @@ class Forecaster:
         default list explicitly for that shape."""
         if dfs is not None:
             which = dfs
+        if _ref_kwargs.get("to_excel"):
+            # reference export(to_excel=True, out_path=..., excel_name=
+            # ...) routes through the workbook writer (Forecaster.py
+            # :2065-2219)
+            import os as _os
+
+            out_path = _ref_kwargs.get("out_path", ".")
+            excel_name = _ref_kwargs.get("excel_name", "results.xlsx")
+            sheet_list = (
+                list(which) if isinstance(which, (list, tuple, set))
+                else None if which == "model_summaries" and dfs is None
+                else [which]
+            )
+            return self.export_to_excel(
+                _os.path.join(out_path, excel_name), which=sheet_list
+            )
         if isinstance(which, (list, tuple, set)):
             out = {
                 name: self.export(name, models=models, cis=cis)
@@ -1798,8 +2092,13 @@ class Forecaster:
             )
         return _write_sheets(os.path.join(out_path, excel_name), sheets)
 
-    def order_fcsts(self, by: str = "TestSetRMSE") -> list[str]:
-        """Rank models (reference _Forecaster_parent.py:363-426)."""
+    def order_fcsts(
+        self, by: str = "TestSetRMSE", determine_best_by: str | None = None,
+    ) -> list[str]:
+        """Rank models (reference _Forecaster_parent.py:363-426).
+        ``determine_best_by=`` is the reference keyword for ``by``."""
+        if determine_best_by is not None:
+            by = determine_best_by
         metric = by.replace("TestSet", "").replace("InSample", "").lower()
         lower = METRICS.LOWER_IS_BETTER.get(metric, True)
         scored = [

@@ -36,6 +36,11 @@ _AR_RE = re.compile(r"^ar_(\d+)$")
 #: one by name. Populated via models.add_normalizer.
 CUSTOM_NORMALIZERS: dict = {}
 
+#: last run_kernel_cv task-split decision (r14 observability hook for
+#: the multi-tenant width probe): {"n_series", "fold_split",
+#: "chunk_count", "replication"}
+LAST_CV_SPLIT: dict | None = None
+
 
 def _resolve_normalizer(name):
     """Resolve a CUSTOM normalizer name to its fit callable ON THE
@@ -391,6 +396,16 @@ def run_kernel_cv(
             tasks *= k
         if tasks < target and n_cells > 1:
             chunk_count = min(n_cells, -(-target // max(tasks, 1)))
+    # observability hook (r14 verdict #7): the replication decision,
+    # inspectable by the width probe / plan-shape tests — replication
+    # factor must be exactly 1 once n_series >= defaultParallelism
+    global LAST_CV_SPLIT
+    LAST_CV_SPLIT = {
+        "n_series": n_series,
+        "fold_split": fold_split,
+        "chunk_count": chunk_count,
+        "replication": (k if fold_split else 1) * chunk_count,
+    }
 
     def _peek(dyn) -> int:
         if dyn is None:

@@ -173,10 +173,15 @@ def add_poly_terms(df: DataFrame, *cols: str, pwr: int = 2) -> tuple[DataFrame, 
 
 
 def add_exp_terms(df: DataFrame, *cols: str, pwr: float) -> tuple[DataFrame, list[str]]:
-    """Arbitrary float power (reference _Forecaster_parent.py:595-629)."""
+    """Arbitrary float power (reference _Forecaster_parent.py:595-629).
+    Names round the power to 2dp like the reference (t^0.51), with '_'
+    for the decimal point — a '.' in a column name parses as a struct
+    path in F.col() (frame.with_features rejects it)."""
     out, names = df, []
+    p2 = round(float(pwr), 2)
+    tag = str(int(p2)) if p2 == int(p2) else str(p2).replace(".", "_")
     for c in cols:
-        nm = f"{c}^{pwr}"
+        nm = f"{c}^{tag}"
         out = out.withColumn(nm, F.pow(F.col(c), float(pwr)))
         names.append(nm)
     return out, names

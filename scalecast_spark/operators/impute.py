@@ -21,14 +21,34 @@ from scalecast_spark.frame import DS, SERIES, Y
 from scalecast_spark.functions.timegrain import epoch_seconds
 
 
-def densify(df: DataFrame, freq_seconds: float = 86400) -> DataFrame:
-    """Reindex each series to a gapless grid at ``freq_seconds``;
-    missing timestamps appear with y NULL. Fractional steps are
-    honored down to microseconds (sub-second series densify on their
-    true grid instead of collapsing to a zero step)."""
-    step_us = int(round(float(freq_seconds) * 1_000_000))
-    if step_us <= 0:
-        raise ValueError(f"densify: freq_seconds must be >= 1e-6; got {freq_seconds}")
+#: pandas offset alias -> Spark calendar interval, for frequencies a
+#: fixed seconds step cannot express (month/quarter/year lengths vary)
+PANDAS_FREQ_INTERVALS = {
+    "MS": "1 month", "M": "1 month", "ME": "1 month",
+    "QS": "3 month", "Q": "3 month", "QE": "3 month",
+    "YS": "1 year", "Y": "1 year", "A": "1 year", "AS": "1 year",
+    "W": "7 day", "D": "1 day", "H": "1 hour", "h": "1 hour",
+    "T": "1 minute", "min": "1 minute", "S": "1 second", "s": "1 second",
+}
+
+
+def densify(
+    df: DataFrame, freq_seconds: float = 86400, interval: str | None = None
+) -> DataFrame:
+    """Reindex each series to a gapless grid at ``freq_seconds`` — or
+    at a CALENDAR ``interval`` ('1 month', '3 month', '1 year') for
+    frequencies whose step length varies (reference
+    ``desired_frequency='MS'``, util.py:997-1007); missing timestamps
+    appear with y NULL. Fractional second steps are honored down to
+    microseconds (sub-second series densify on their true grid
+    instead of collapsing to a zero step)."""
+    if interval is None:
+        step_us = int(round(float(freq_seconds) * 1_000_000))
+        if step_us <= 0:
+            raise ValueError(
+                f"densify: freq_seconds must be >= 1e-6; got {freq_seconds}"
+            )
+        interval = f"{step_us} microsecond"
     spine = (
         df.groupBy(SERIES)
         .agg(F.min(DS).alias("_lo"), F.max(DS).alias("_hi"))
@@ -38,7 +58,7 @@ def densify(df: DataFrame, freq_seconds: float = 86400) -> DataFrame:
                 F.sequence(
                     F.col("_lo"),
                     F.col("_hi"),
-                    F.expr(f"interval {step_us} microsecond"),
+                    F.expr(f"interval {interval}"),
                 )
             ).alias(DS),
         )
@@ -189,6 +209,7 @@ def frame_with_missing_vals(
     first_obs_strategy: str | None = None,
     floor: float | None = None,
     cap: float | None = None,
+    interval: str | None = None,
     **kwargs,
 ):
     """End-to-end gap-filling constructor (reference
@@ -196,10 +217,73 @@ def frame_with_missing_vals(
     first-obs handling → clamp → TimeSeriesFrame."""
     from scalecast_spark.frame import TimeSeriesFrame
 
-    out = densify(df, freq_seconds)
+    out = densify(df, freq_seconds, interval=interval)
     out = FILL_STRATEGIES[fill_strategy](out, **kwargs)
     if first_obs_strategy:
         out = fill_first_obs(out, first_obs_strategy)
     if floor is not None or cap is not None:
         out = clamp(out, floor, cap)
     return TimeSeriesFrame.from_long(out.select(SERIES, DS, Y))
+
+
+def Forecaster_with_missing_vals(
+    df: DataFrame | None = None,
+    *,
+    y=None,
+    current_dates=None,
+    fill_strategy: str = "linear_interp",
+    desired_frequency: str | None = None,
+    freq_seconds: int = 86400,
+    first_obs_strategy: str | None = None,
+    floor: float | None = None,
+    cap: float | None = None,
+    **fc_kwargs,
+):
+    """The reference's gap-filling Forecaster constructor by name
+    (util.py:898-1155; test_util.py:1-32): arrays (or a long frame)
+    with holes → densified, filled series → Forecaster.
+    ``desired_frequency`` takes a pandas offset alias ('MS', 'D',
+    'H', ...) — calendar frequencies densify on true month/quarter/
+    year boundaries. Remaining kwargs go to the Forecaster ctor
+    (future_dates/test_length/...)."""
+    from scalecast_spark.forecaster import Forecaster, _frame_from_arrays
+
+    if df is None:
+        df = _frame_from_arrays(y, current_dates)
+        if desired_frequency is None and current_dates is not None:
+            # the reference infers the frequency from the given dates
+            # (util.py:984-995 pd.infer_freq); arrays are driver-side
+            # already, so inference is free
+            import pandas as pd
+
+            try:
+                desired_frequency = pd.infer_freq(
+                    pd.to_datetime(list(
+                        getattr(current_dates, "values", current_dates)
+                    ))
+                )
+            except (TypeError, ValueError):
+                desired_frequency = None
+            if (
+                desired_frequency is not None
+                and desired_frequency not in PANDAS_FREQ_INTERVALS
+            ):
+                desired_frequency = None  # fall back to freq_seconds
+    interval = None
+    if desired_frequency is not None:
+        interval = PANDAS_FREQ_INTERVALS.get(desired_frequency)
+        if interval is None:
+            raise ValueError(
+                f"unknown desired_frequency {desired_frequency!r}; "
+                f"known aliases: {sorted(PANDAS_FREQ_INTERVALS)}"
+            )
+    tsf = frame_with_missing_vals(
+        df,
+        freq_seconds=freq_seconds,
+        fill_strategy=fill_strategy,
+        first_obs_strategy=first_obs_strategy,
+        floor=floor,
+        cap=cap,
+        interval=interval,
+    )
+    return Forecaster(tsf, **fc_kwargs)

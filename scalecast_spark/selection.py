@@ -77,11 +77,25 @@ def tune_test_forecast(
     _was_cached = _frame.is_cached
     if not _was_cached:
         _frame.cache().count()
+    # reference cvkwargs forwarding (_utils.py:89-142: rolling/
+    # test_length/train_length/space_between_sets/verbose reach
+    # cross_validate); only names cross_validate knows pass through
+    cv_kwargs = {
+        kw: _ref_kwargs[kw]
+        for kw in (
+            "rolling", "train_length", "space_between_sets", "verbose",
+            "set_aside_test_set",
+        )
+        if kw in _ref_kwargs
+    }
+    if "test_length" in _ref_kwargs:
+        cv_kwargs["test_length"] = _ref_kwargs["test_length"]
     try:
         out = _ttf_body(
             f, plan, cross_validate, k, error,
             dynamic_tuning=dynamic_tuning, dynamic_testing=dynamic_testing,
             limit_grid_size=limit_grid_size, suffix=suffix,
+            cv_kwargs=cv_kwargs,
         )
         if _ref_kwargs.get("feature_importance"):
             # reference tune_test_forecast(feature_importance=True)
@@ -99,7 +113,7 @@ def tune_test_forecast(
 
 def _ttf_body(f, plan, cross_validate, k, error,
               dynamic_tuning=False, dynamic_testing=True,
-              limit_grid_size=None, suffix=None):
+              limit_grid_size=None, suffix=None, cv_kwargs=None):
     import copy
 
     from scalecast_spark.functions.parallel import run_jobs
@@ -112,10 +126,8 @@ def _ttf_body(f, plan, cross_validate, k, error,
         if limit_grid_size is not None:
             g.limit_grid_size(limit_grid_size, random_seed=20)
         if cross_validate:
-            g.cross_validate(
-                k=k, test_length=g.validation_length,
-                dynamic_tuning=dynamic_tuning,
-            )
+            cv = {"test_length": g.validation_length, **(cv_kwargs or {})}
+            g.cross_validate(k=k, dynamic_tuning=dynamic_tuning, **cv)
         else:
             g.tune(dynamic_tuning=dynamic_tuning)
         return g.best_params, g.grid_evaluated

@@ -1,0 +1,366 @@
+"""Transliteration of the REFERENCE'S OWN TEST SUITE
+(/root/reference/test/*.py, 580 lines) — the round-14 second
+docs-surface pass (after round 13's Introduction2.ipynb). Each test
+mirrors one reference test function's call shapes on the engine's
+long-frame model; engine-vs-reference naming divergences are asserted
+AS the engine names them and noted inline.
+
+Covered here:
+  * test_Forecaster.py test_add_terms / test_statistical_tests /
+    test_modeling (trimmed) / test_transfer_modeling
+  * test_GridGenerator.py main
+  * test_SeriesTransformer.py main (transform->model->revert loop)
+  * test_util.py main (Forecaster_with_missing_vals)
+  * ForecasterGlobals.ipynb attribute walk
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from scalecast_spark import Forecaster, GridGenerator, MVForecaster
+from scalecast_spark.auxmodels import auto_arima, mlp_stack
+from scalecast_spark.classes import AR, MetricStore
+from scalecast_spark.frame import DS, IS_FUTURE, SERIES, Y
+from scalecast_spark.util import (
+    Forecaster_with_missing_vals,
+    infer_apply_Xvar_selection,
+    metrics,
+)
+
+
+def _houst_like(spark, n=240, seed=7, future_dates=24, test_length=48,
+                cis=False):
+    """A monthly series in the shape of the reference's HOUSTNSA
+    fixture (reference test_Forecaster.py:10-32 build_Forecaster):
+    trend + annual seasonality + noise, built through the reference
+    ctor call shape (y= / current_dates= arrays)."""
+    rng = np.random.default_rng(seed)
+    dates = pd.date_range("2000-01-01", periods=n, freq="MS")
+    y = (
+        80
+        + 0.05 * np.arange(n)
+        + 12 * np.sin(2 * np.pi * np.arange(n) / 12)
+        + rng.normal(0, 4, n)
+    )
+    return Forecaster(
+        y=y, current_dates=dates, future_dates=future_dates,
+        test_length=test_length, cis=cis,
+    )
+
+
+# -------------------------------------------------- test_add_terms
+def test_add_terms(spark):
+    """reference test_Forecaster.py:34-85. Engine naming divergences
+    (deliberate, frame-column-safe): AR lags are ar_<k> (AR() tokens
+    compare equal to both spellings), logged terms ln_<c>/log10_<c>
+    vs lnt/log10t, lags <c>_lag_<k> vs <c>lag_<k>, exp powers keep
+    full precision t^0.509 vs the reference's 2dp t^0.51."""
+    f = _houst_like(spark)
+    f.add_AR_terms((2, 12))
+    assert AR(24) in f.get_regressor_names()
+
+    f.add_ar_terms(12)
+    assert AR(12) in f.get_regressor_names()
+
+    f.drop_all_Xvars()
+    f.add_ar_terms([12, 24])
+    names = f.get_regressor_names()
+    assert AR(12) in names and AR(24) in names
+    assert AR(1) not in names
+
+    f.add_time_trend()
+    assert "t" in f.get_regressor_names()
+
+    f.add_covid19_regressor()
+    assert "COVID19" in f.get_regressor_names()
+
+    f.add_other_regressor(called="other", start="2021-01-01", end="2021-06-30")
+    assert "other" in f.get_regressor_names()
+
+    f.add_combo_regressors("t", "COVID19")
+    assert "t_COVID19" in f.get_regressor_names()
+
+    f.add_lagged_terms("t")
+    assert "t_lag_1" in f.get_regressor_names()  # reference: tlag_1
+
+    f.add_logged_terms("t")
+    assert "ln_t" in f.get_regressor_names()  # reference: lnt
+
+    f.add_logged_terms("t", base=10)
+    assert "log10_t" in f.get_regressor_names()  # reference: log10t
+
+    f.add_pt_terms("t")
+    assert "t_pt" in f.get_regressor_names()  # reference: box-cox_t
+
+    f.add_seasonal_regressors(
+        "month", sincos=True, dummy=True, cycle_lens={"month": 12}
+    )
+    names = f.get_regressor_names()
+    assert "month" in names
+    assert any(str(n).startswith("monthsin") for n in names)
+    assert "month_12" in names
+
+    f.add_poly_terms("t", pwr=3)
+    assert "t^3" in f.get_regressor_names()
+
+    f.add_exp_terms("t", pwr=0.509)
+    assert "t^0_51" in f.get_regressor_names()  # reference: t^0.51
+
+
+# ------------------------------------------- test_statistical_tests
+def test_statistical_tests(spark):
+    """reference test_Forecaster.py:92-97."""
+    f = _houst_like(spark)
+    res = f.adf_test()
+    assert set(res) >= {"adf_stat", "used_lag", "stationary"}
+    assert isinstance(f.adf_test(full_res=False), bool)
+    assert isinstance(f.adf_test(diffy=True, full_res=False), bool)
+    stat, pval = f.normality_test()
+    assert np.isfinite(stat) and 0.0 <= pval <= 1.0
+    stat_d, pval_d = f.normality_test(diffy=True)
+    assert np.isfinite(stat_d)
+
+
+# ------------------------------------------------- test_modeling
+@pytest.mark.parametrize("tl", [0, 36])
+def test_modeling(spark, tmp_path, monkeypatch, tl):
+    """reference test_Forecaster.py:99-194 trimmed to the engine's
+    fast estimators (elasticnet/gbt for the tuned pair; the reference
+    list adds catboost/arima/hwes/rnn/lstm — those run in their own
+    lanes). Exercises: grids-file contract, custom metric via
+    MetricStore, rolling CV kwargs through tune_test_forecast,
+    signals with bfill/None/train_only, estimator-shaped combo with
+    top_N weighting, seasonal naive, mlp_stack, auto_arima, exports."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    GridGenerator.get_grids(
+        "example", out_name=str(tmp_path / "ExampleGrids.py"), overwrite=True
+    )
+    monkeypatch.syspath_prepend(str(tmp_path))
+
+    f = _houst_like(spark, n=160, test_length=tl)
+    rmse_mae = MetricStore(
+        name="rmse_mae",
+        expr=lambda a, f_: (
+            F.sqrt(F.avg(F.pow(F.col(f_) - F.col(a), 2)))
+            + F.avg(F.abs(F.col(f_) - F.col(a)))
+        ) / 2,
+    )
+    f.set_metrics(["rmse", "smape", rmse_mae])
+    assert "rmse_mae" in f.metrics
+    f.set_grids_file("ExampleGrids")
+    f.set_validation_metric("rmse_mae")
+    f.set_validation_length(12)
+    if tl:
+        f.eval_cis(cilevel=0.9)
+    f.add_ar_terms(3)
+    f.add_time_trend()
+    f.add_seasonal_regressors("month", raw=False, sincos=True)
+
+    models = ("elasticnet", "gbt")
+    f.tune_test_forecast(
+        models,
+        cross_validate=True,
+        rolling=True,
+        k=2,
+        test_length=24,
+        space_between_sets=12,
+        dynamic_tuning=False,
+        suffix="_cv",
+        limit_grid_size=2,
+        error="raise",
+    )
+    for m in models:
+        assert f"{m}_cv" in f.history
+
+    f.set_estimator("mlr")
+    f.add_signals(["elasticnet_cv"], fill_strategy="bfill")
+    f.manual_forecast()
+    f.save_feature_importance()
+    f.add_signals(["elasticnet_cv"], fill_strategy=None)
+    f.add_signals(["elasticnet_cv"], train_only=tl > 0)
+
+    f.set_estimator("combo")
+    f.manual_forecast()
+    if tl:
+        f.manual_forecast(
+            how="weighted", models="top_2",
+            determine_best_by="TestSetRMSE", call_me="weighted",
+        )
+        assert "weighted" in f.history
+
+    f.set_estimator("naive")
+    f.manual_forecast()
+    f.manual_forecast(seasonal=True, call_me="snaive")
+    assert "snaive" in f.history
+
+    mlp_stack(f, model_nicknames=["gbt_cv", "elasticnet_cv"])
+    auto_arima(f, m=12)
+    assert "mlp_stack" in f.history and "auto_arima" in f.history
+
+    by = "TestSetSMAPE" if tl else "ValidationMetricValue"
+    if tl:
+        best = f.order_fcsts(determine_best_by=by)[0]
+        assert best in f.history
+
+    f.add_ar_terms([25])
+
+    if tl:
+        out = f.export(
+            to_excel=True, out_path=str(tmp_path),
+            excel_name=f"results_{tl}.xlsx", cis=True,
+        )
+        assert out
+        grid_df = f.export_validation_grid(models[0] + "_cv")
+        assert grid_df.count() > 0
+
+
+def test_order_fcsts_determine_best_by_kwarg(spark):
+    """reference calls order_fcsts(determine_best_by=...) — keyword
+    name parity with the positional `by`."""
+    f = _houst_like(spark, n=120, test_length=12)
+    f.set_estimator("naive")
+    f.manual_forecast()
+    assert f.order_fcsts(determine_best_by="TestSetRMSE") == ["naive"]
+
+
+# -------------------------------------------- test_transfer_modeling
+def test_transfer_modeling(spark):
+    """reference test_Forecaster.py:196-228: fit on the short history,
+    infer_apply_Xvar_selection onto the extended history, then
+    transfer_predict both in-history and as a returned series."""
+    f = _houst_like(spark, n=140, test_length=0)
+    f_new = _houst_like(spark, n=150, test_length=0)
+    f.add_ar_terms(2)
+    f.add_time_trend()
+    f.set_estimator("mlr")
+    f.manual_forecast()
+    f_new = infer_apply_Xvar_selection(infer_from=f, apply_to=f_new)
+    assert set(f.get_regressor_names()) <= set(f_new.get_regressor_names())
+    f_new.transfer_predict(transfer_from=f, model="mlr")
+    assert "mlr" in f_new.history
+    ser = f_new.transfer_predict(
+        transfer_from=f, model="mlr", save_to_history=False,
+        return_series=True,
+    )
+    assert ser is not None
+
+
+# ------------------------------------------------ test_GridGenerator
+def test_gridgenerator_main(tmp_path):
+    """reference test_GridGenerator.py verbatim, paths sandboxed."""
+    GridGenerator.get_example_grids(
+        out_name=str(tmp_path / "ExampleGrids.py"), overwrite=True
+    )
+    GridGenerator.get_grids(
+        "vecm", out_name=str(tmp_path / "VECMGrid.py"), overwrite=True
+    )
+    GridGenerator.get_mv_grids(overwrite=True)
+    GridGenerator.get_empty_grids(
+        out_name=str(tmp_path / "Grids.py"), overwrite=True
+    )
+    for name in ("ExampleGrids.py", "VECMGrid.py", "Grids.py"):
+        assert (tmp_path / name).exists()
+
+
+# --------------------------------------------- test_SeriesTransformer
+def test_seriestransformer_main(spark):
+    """reference test_SeriesTransformer.py:24-56: every Transform/
+    Revert pair round-trips y through a model fit in between (the
+    reference fits mlr+elasticnet per transform; one mlr keeps this
+    lane fast — revert correctness is the assertion, and the full
+    estimator sweep lives in test_reference_workloads)."""
+    from scalecast_spark.series_transformer import SeriesTransformer
+
+    f = _houst_like(spark, n=120, test_length=0, future_dates=12)
+    # key by DATE: the engine's Diff permanently drops the first m
+    # rows from the frame (the reference re-attaches stored originals
+    # on revert) — the round-trip invariant is value fidelity on every
+    # SURVIVING date
+    orig_map = dict(zip(f.current_dates, np.round(f.y.to_numpy(), 2)))
+    transformer = SeriesTransformer(f)
+
+    def _check(tname):
+        pdf = pd.DataFrame({"ds": f.current_dates, "y": np.round(f.y, 2)})
+        assert len(pdf) >= len(orig_map) - 1
+        for d, v in zip(pdf["ds"], pdf["y"]):
+            assert abs(orig_map[d] - v) < 0.011, (
+                f"{tname} revert did not round-trip at {d}: "
+                f"{orig_map[d]} vs {v}"
+            )
+
+    from dataclasses import replace as _replace
+
+    for t in ("Deseason", "Detrend", "Log", "MinMax", "Scale",
+              "RobustScale", "Sqrt", "Diff"):
+        f = getattr(transformer, f"{t}Transform")()
+        # fit a model between transform and revert on the transforms
+        # whose inverses are context-dependent (the reference fits on
+        # every one; three keep this lane's history-rewrite coverage
+        # at a fraction of the wall-clock)
+        if t in ("Detrend", "Scale", "Diff"):
+            f.drop_all_Xvars()
+            f.add_ar_terms(2)
+            f.set_estimator("mlr")
+            f.manual_forecast()
+        f = getattr(transformer, f"{t}Revert")()
+        _check(t)
+        # bound plan depth across the 9 chained round-trips: the data
+        # is 120 rows, the LINEAGE is the expensive part
+        f.pop("mlr")
+        f.tsf = _replace(f.tsf, df=f.tsf.df.localCheckpoint(eager=True))
+
+    f = transformer.DetrendTransform(loess=True, frac=0.4, it=0)
+    f = transformer.DetrendRevert()
+    _check("loess")
+
+
+# --------------------------------------------------------- test_util
+def test_util_missing_vals(spark):
+    """reference test_util.py:1-32 verbatim shapes."""
+    data = pd.DataFrame({
+        "y": [1, 2, np.nan, 4],
+        "Date": ["2020-01-01", "2020-02-01", "2020-03-01", "2020-04-01"],
+    })
+    f = Forecaster_with_missing_vals(
+        y=data["y"], current_dates=data["Date"],
+        fill_strategy="linear_interp",
+    ).round()
+    assert f.y.values[2] == 3.0
+
+    data = pd.DataFrame({
+        "y": [1, 2, 4],
+        "Date": ["2020-01-01", "2020-02-01", "2020-04-01"],
+    })
+    f = Forecaster_with_missing_vals(
+        y=data["y"], current_dates=data["Date"],
+        fill_strategy="linear_interp", desired_frequency="MS",
+    ).round()
+    assert f.y.values[2] == 3.0
+
+
+def test_util_metrics_statics():
+    assert metrics.rmse([1, 2, 3], [1, 2, 3]) == 0.0
+    assert metrics.mae([1, 2], [2, 3]) == 1.0
+    assert abs(metrics.r2([1, 2, 3], [1, 2, 3]) - 1.0) < 1e-12
+
+
+# ------------------------------------------- ForecasterGlobals walk
+def test_forecaster_globals(spark):
+    """reference docs/Forecaster/ForecasterGlobals.ipynb cells 1-12."""
+    f = Forecaster(
+        y=[1, 2, 3, 4],
+        current_dates=["2021-01-01", "2021-02-01", "2021-03-01", "2021-04-01"],
+        test_length=0,
+        cis=False,
+        metrics=["rmse", "mape", "mae", "r2", "smape", "mse", "abias"],
+    )
+    assert "mlr" in f.estimators and "naive" in f.estimators
+    assert f.metrics == ["rmse", "mape", "mae", "r2", "smape", "mse", "abias"]
+    assert "TestSetRMSE" in f.determine_best_by
+    assert "ValidationMetricValue" in f.determine_best_by
+    assert "minmax" in f.normalizer and None in f.normalizer
+    mvf = MVForecaster(f, f.copy())
+    assert set(mvf.optimizer_funcs) >= {"mean", "min", "max"}

@@ -246,3 +246,39 @@ def test_mvforecaster_ctor_kwargs_apply(spark):
     assert mv._optimize_on == "a"
     assert mv.cis is True
     assert mv.metrics == ["rmse", "mae"]
+
+
+# ------------------------------------- kernel-CV width decision
+def test_kernel_cv_split_width_decision(spark):
+    """r14 verdict #7: the (series x fold x cell-chunk) task split
+    must widen ONLY in the few-series regime — at >= defaultParallelism
+    series the replication factor is exactly 1 (no shuffle bytes spent
+    where compute wouldn't idle). Asserts the recorded decision from
+    models.kernel.LAST_CV_SPLIT through the real cross_validate path."""
+    import sys
+
+    sys.path.insert(0, "tools")
+    import cv_width_probe as P
+
+    from scalecast_spark import Forecaster
+    from scalecast_spark.models import kernel
+
+    cores = spark.sparkContext.defaultParallelism
+
+    few = Forecaster(P.synth(spark, 3, 120))
+    few.set_validation_length(5)
+    few.set_estimator("ridge")
+    few.ingest_grid({"alpha": [0.1, 1.0]})
+    few.add_ar_terms(2)
+    few.cross_validate(k=3)
+    assert kernel.LAST_CV_SPLIT["replication"] > 1
+    assert kernel.LAST_CV_SPLIT["fold_split"] is True
+
+    many = Forecaster(P.synth(spark, cores + 8, 60))
+    many.set_validation_length(5)
+    many.set_estimator("ridge")
+    many.ingest_grid({"alpha": [0.1, 1.0]})
+    many.add_ar_terms(2)
+    many.cross_validate(k=3)
+    assert kernel.LAST_CV_SPLIT["replication"] == 1
+    assert kernel.LAST_CV_SPLIT["chunk_count"] == 1
