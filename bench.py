@@ -193,10 +193,14 @@ def _run_sf1_tier(spark) -> dict:
             "queries": times,
             "value": round(sum(times.values()), 3),
             "load1_per_query": loads,
-            # the tier runs right after the min-of-3 passes, so the
-            # load average can still be draining the suite's own work;
-            # tier ratios from a contended tier are upper bounds only
-            "contended": any(l > 8 for l in loads.values()),
+            # contention = EXTERNAL load. The per-query load1 readings
+            # are sampled right after each tier query's own 32-thread
+            # stages finish, so they read 10-15 on a healthy quiet box
+            # (self-load, not contention — the r13 mistake that marked
+            # every tier hot). The external baseline is the post-settle
+            # reading taken while NOTHING of ours runs: the tier is
+            # contended iff the settle wait timed out above threshold.
+            "contended": settle_load > 6,
         }
         if truncated:
             out["truncated_at"] = truncated
@@ -234,7 +238,12 @@ def main():
     # (BASELINE.md "Artifact contract").
     pass_loads: list[float] = []
     for _pass in range(3):
-        pass_loads.append(round(os.getloadavg()[0], 2))
+        # settle before sampling: the previous pass's own 32-thread
+        # work takes ~1 min to decay out of load1, and reading it as
+        # "contention" marked healthy runs hot (r14: pass 3 started
+        # at 8.02 purely from pass 2's tail). The recorded reading is
+        # post-settle = external load only.
+        pass_loads.append(_settle_load(threshold=6.0, timeout=90.0))
         for name, fn_name in HEADLINE.items():
             fn = getattr(entrymod, fn_name)
             start = time.time()

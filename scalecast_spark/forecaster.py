@@ -484,6 +484,11 @@ class Forecaster:
         _add(imported_module, called)
         return self
 
+    def add_Normalizer(self, called: str, imported_normalizer) -> "Forecaster":
+        """Reference MVForecaster spelling (capital N,
+        MVForecaster.py add_Normalizer) — same registry."""
+        return self.add_normalizer(called, imported_normalizer)
+
     def add_normalizer(self, called: str, imported_normalizer) -> "Forecaster":
         """reference _Forecaster_parent.py:1944-1960 — see
         models.add_normalizer."""
@@ -511,10 +516,14 @@ class Forecaster:
         return corr_matrix(src)
 
     def corr_lags(
-        self, series_x: str, series_y: str, lags: int = 5
+        self, series_x: str, series_y: str, lags: int = 5, **_plot_kwargs
     ) -> DataFrame:
         """corr(y_series, x_series lagged k) for k=1..lags (reference
-        MVForecaster.corr_lags, MVForecaster.py:1051-1074)."""
+        MVForecaster.corr_lags, MVForecaster.py:1051-1074). The
+        reference's ``disp='heatmap'`` + seaborn kwargs are rendering
+        sugar — accepted for call-shape parity; the frame IS the
+        result (feed it to plotting.render_lines if a figure is
+        wanted)."""
         from scalecast_spark.operators.multivariate import corr_lags
 
         return corr_lags(self.tsf.observed, series_x, series_y, lags)
@@ -600,9 +609,23 @@ class Forecaster:
             out = out.na.drop(subset=feats)
         return out
 
-    def export_fitted_vals(self, model: str) -> DataFrame:
+    def export_fitted_vals(self, model: str | None = None) -> DataFrame:
         """A model's in-sample fitted values (reference
-        Forecaster.py:2321-2340): (series_id, ds, y, forecast)."""
+        Forecaster.py:2321-2340): (series_id, ds, y, forecast). With
+        ``model=None`` (the reference MVForecaster call shape), every
+        banked model's fitted values union with a ``model`` column."""
+        if model is None:
+            out = None
+            for n, h in self.history.items():
+                if h.get("fitted") is None:
+                    continue
+                fv = h["fitted"].select(
+                    F.lit(n).alias("model"), SERIES, DS, Y, "forecast"
+                )
+                out = fv if out is None else out.unionByName(fv)
+            if out is None:
+                raise ValueError("no model has fitted values banked")
+            return out
         if model not in self.history:
             raise ValueError(f"{model!r} not evaluated")
         return self.history[model]["fitted"]
@@ -906,7 +929,13 @@ class Forecaster:
         or a series_id to optimize on that series. A reference-style
         positional name ('y1'/'series2') resolves to the matching
         input's REAL series id when the MVForecaster kept identity
-        naming (see MVForecaster.__init__'s divergence note)."""
+        naming (see MVForecaster.__init__'s divergence note). A bare
+        CALLABLE registers itself first (reference
+        mvf.set_optimize_on(weighted_series), test_MVForecaster.py
+        :32-35)."""
+        if callable(how):
+            self.add_optimizer_func(how)
+            how = getattr(how, "__name__", "custom")
         aliases = getattr(self, "_mv_aliases", None)
         if aliases and how in aliases:
             how = aliases[how]
@@ -1406,13 +1435,16 @@ class Forecaster:
         ]
         return self
 
-    def limit_grid_size(self, n, random_seed: int | None = None) -> "Forecaster":
-        """reference _Forecaster_parent.py:1096-1131 (count or fraction)."""
+    def limit_grid_size(
+        self, n, random_seed: int | None = None, min_grid_size: int = 1,
+    ) -> "Forecaster":
+        """reference _Forecaster_parent.py:1096-1131 (count or
+        fraction; ``min_grid_size`` floors a fractional cut)."""
         if self.grid is None:
             raise ValueError("no grid ingested")
         rng = random.Random(random_seed)
         size = int(len(self.grid) * n) if isinstance(n, float) and n <= 1 else int(n)
-        size = max(min(size, len(self.grid)), 1)
+        size = max(min(max(size, int(min_grid_size)), len(self.grid)), 1)
         self.grid = rng.sample(self.grid, size)
         return self
 
@@ -1443,13 +1475,22 @@ class Forecaster:
             return float(v) if v is not None else float("nan")
         if how in self._custom_optimizers:
             cap = int(self.max_optimizer_collect)
-            rows = per.limit(cap + 1).collect()
+            rows = per.orderBy(SERIES).limit(cap + 1).collect()
             if len(rows) > cap:
                 raise RuntimeError(
                     f"custom optimizer {how!r} would collect more than "
                     f"{cap} per-series metric rows to the driver; register "
                     "a distributed aggregate via add_optimizer_expr, use "
                     "mean/min/max, or raise max_optimizer_collect"
+                )
+            # positional custom funcs (reference weighted_series(x):
+            # x[0]*.75 + x[1]*.25) need a DETERMINISTIC order — the
+            # MVForecaster input order when known, else series_id sort
+            order = getattr(self, "_mv_series_order", None)
+            if order:
+                pos = {s: i for i, s in enumerate(order)}
+                rows = sorted(
+                    rows, key=lambda r: pos.get(r[SERIES], len(pos))
                 )
             vals = [r[mcol] for r in rows if r[mcol] is not None]
             return float(self._custom_optimizers[how](vals)) if vals else float("nan")
@@ -2158,6 +2199,7 @@ class MVForecaster(Forecaster):
                     f.tsf.df.withColumn(SERIES, F.lit(str(n)))
                     for f, n in zip(fs, names)
                 ]
+                self._mv_series_order = [str(n) for n in names]
             else:
                 # Reference default naming (MVForecaster.py:150-152:
                 # series1..seriesk / y1..yk): two univariate inputs
@@ -2193,6 +2235,7 @@ class MVForecaster(Forecaster):
                         f.tsf.df.withColumn(SERIES, F.lit(n))
                         for f, n in zip(fs, names)
                     ]
+                    self._mv_series_order = list(names)
                 else:
                     # DOCUMENTED DIVERGENCE: the reference ALWAYS
                     # retags inputs y1..yk when names=None
@@ -2206,12 +2249,17 @@ class MVForecaster(Forecaster):
                     # single-series input.
                     frames = [f.tsf.df for f in fs]
                     aliases = {}
+                    order = []
                     for i, (f, c) in enumerate(zip(fs, per_input)):
                         if c == 1:
                             sid = f.tsf.df.select(SERIES).first()[0]
                             aliases[f"y{i + 1}"] = sid
                             aliases[f"series{i + 1}"] = sid
+                            order.append(sid)
                     self._mv_aliases = aliases
+                    if len(order) == len(fs):
+                        # input order for positional custom optimizers
+                        self._mv_series_order = order
             merged = reduce(
                 lambda a, b: a.unionByName(b, allowMissingColumns=True), frames
             )
@@ -2328,14 +2376,18 @@ def keep_smallest_first_date(*fs: Forecaster) -> tuple:
     return fs
 
 
-def export_model_summaries(f_dict: dict) -> DataFrame:
+def export_model_summaries(f_dict: dict, **kwargs) -> DataFrame:
     """One model-summary frame across many Forecaster objects, keyed
     by a ``Series`` label column (reference multiseries.py:6-22 —
     pandas concat there, a unionByName here; summary schemas may
-    differ across objects, so missing columns fill NULL)."""
+    differ across objects, so missing columns fill NULL). Extra
+    kwargs forward to each ``Forecaster.export`` like the
+    reference's."""
     out = None
     for label, f in f_dict.items():
-        s = f.export("model_summaries").withColumn("Series", F.lit(str(label)))
+        s = f.export("model_summaries", **kwargs).withColumn(
+            "Series", F.lit(str(label))
+        )
         out = s if out is None else out.unionByName(s, allowMissingColumns=True)
     if out is None:
         raise ValueError("export_model_summaries: empty dict")

@@ -90,12 +90,13 @@ def tune_test_forecast(
     }
     if "test_length" in _ref_kwargs:
         cv_kwargs["test_length"] = _ref_kwargs["test_length"]
+    min_grid_size = int(_ref_kwargs.get("min_grid_size", 1))
     try:
         out = _ttf_body(
             f, plan, cross_validate, k, error,
             dynamic_tuning=dynamic_tuning, dynamic_testing=dynamic_testing,
             limit_grid_size=limit_grid_size, suffix=suffix,
-            cv_kwargs=cv_kwargs,
+            cv_kwargs=cv_kwargs, min_grid_size=min_grid_size,
         )
         if _ref_kwargs.get("feature_importance"):
             # reference tune_test_forecast(feature_importance=True)
@@ -113,7 +114,8 @@ def tune_test_forecast(
 
 def _ttf_body(f, plan, cross_validate, k, error,
               dynamic_tuning=False, dynamic_testing=True,
-              limit_grid_size=None, suffix=None, cv_kwargs=None):
+              limit_grid_size=None, suffix=None, cv_kwargs=None,
+              min_grid_size=1):
     import copy
 
     from scalecast_spark.functions.parallel import run_jobs
@@ -124,7 +126,10 @@ def _ttf_body(f, plan, cross_validate, k, error,
         g.set_estimator(m)
         g.ingest_grid(grid)
         if limit_grid_size is not None:
-            g.limit_grid_size(limit_grid_size, random_seed=20)
+            g.limit_grid_size(
+                limit_grid_size, random_seed=20,
+                min_grid_size=min_grid_size,
+            )
         if cross_validate:
             cv = {"test_length": g.validation_length, **(cv_kwargs or {})}
             g.cross_validate(k=k, dynamic_tuning=dynamic_tuning, **cv)

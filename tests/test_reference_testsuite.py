@@ -364,3 +364,175 @@ def test_forecaster_globals(spark):
     assert "minmax" in f.normalizer and None in f.normalizer
     mvf = MVForecaster(f, f.copy())
     assert set(mvf.optimizer_funcs) >= {"mean", "min", "max"}
+
+
+# ----------------------------------------------- test_MVForecaster
+class _RobustLike:
+    """sklearn-API scaler stand-in (the reference registers sklearn's
+    RobustScaler; that package is absent here by design)."""
+
+    def fit(self, X):
+        import numpy as np
+
+        self.med = np.median(X, axis=0)
+        q75 = np.percentile(X, 75, axis=0)
+        q25 = np.percentile(X, 25, axis=0)
+        self.iqr = np.where(q75 - q25 == 0, 1.0, q75 - q25)
+        return self
+
+    def transform(self, X):
+        return (X - self.med) / self.iqr
+
+
+def _build_mvf(spark, test_length=24):
+    """reference test_MVForecaster.py:10-26 build_MVForecaster —
+    three monthly series through the array ctor, explicit names,
+    merge_Xvars='i'."""
+    rng = np.random.default_rng(5)
+    n = 180
+    dates = pd.date_range("2005-01-01", periods=n, freq="MS")
+    t = np.arange(n)
+    base = 4 + 0.01 * t + np.sin(2 * np.pi * t / 12)
+    fs = []
+    for i, name in enumerate(("UTUR", "UNRATE", "SAHMREALTIME")):
+        y = base * (1 + 0.2 * i) + rng.normal(0, 0.3, n)
+        fs.append(Forecaster(y=y, current_dates=dates, future_dates=24))
+    return MVForecaster(
+        *fs, test_length=test_length,
+        names=["UTUR", "UNRATE", "SAHMREALTIME"], merge_Xvars="i",
+    )
+
+
+def weighted_series(x):
+    return x[0] * 0.75 + x[1] * 0.25
+
+
+def test_mvf_optimizer_registration(spark):
+    """reference test_MVForecaster.py:28-37: a bare callable to
+    set_optimize_on registers itself; named registration too."""
+    mvf = _build_mvf(spark)
+    mvf.set_optimize_on(weighted_series)
+    assert mvf._optimize_on == "weighted_series"
+    mvf.add_optimizer_func(weighted_series, "weighted")
+    mvf.set_optimize_on("weighted")
+    assert mvf._optimize_on == "weighted"
+    assert "weighted" in mvf.optimizer_funcs
+
+
+@pytest.mark.parametrize("tl", [0, 24])
+def test_mvf_modeling(spark, tmp_path, monkeypatch, tl):
+    """reference test_MVForecaster.py:39-107 trimmed: corr_lags,
+    lag-order/coint-rank searches through the util object adapters,
+    tune_test_forecast with min_grid_size + rolling cv, the VECM
+    grids-file flow, set_best_model, whole-object exports, and
+    break_mv_forecaster."""
+    from scalecast_spark.util import (
+        find_optimal_coint_rank, find_optimal_lag_order,
+    )
+    from scalecast_spark import break_mv_forecaster
+
+    GridGenerator.get_grids(
+        "vecm", out_name=str(tmp_path / "VECMGrid.py"), overwrite=True
+    )
+    monkeypatch.syspath_prepend(str(tmp_path))
+
+    mvf = _build_mvf(spark, test_length=tl)
+    mvf.add_Normalizer("robust", _RobustLike)
+    mvf.set_metrics(["rmse", "r2"])
+    if tl > 0:
+        mvf.eval_cis(cilevel=0.9)
+
+    cl = mvf.corr_lags("UNRATE", "UTUR", lags=5)
+    assert cl.count() == 5
+    lo = find_optimal_lag_order(mvf, maxlags=3)
+    assert {"aic", "bic", "scores"} <= set(lo)
+    cr = find_optimal_coint_rank(mvf, det_order=-1, k_ar_diff=2)
+    assert "rank" in cr
+
+    mvf.set_validation_length(12)
+    mvf.tune_test_forecast(
+        ("lasso",),
+        limit_grid_size=0.2,
+        min_grid_size=2,
+        cross_validate=True,
+        rolling=True,
+        k=2,
+        error="raise",
+        suffix="_cv",
+    )
+    assert "lasso_cv" in mvf.history
+    # min_grid_size floored the .2 fraction of the 3-cell lasso grid
+    assert len(mvf.history["lasso_cv"].get("grid_evaluated", [1, 1])) >= 2
+
+    mvf.set_estimator("vecm")
+    mvf.set_grids_file("VECMGrid")
+    mvf.cross_validate(k=2)
+    mvf.auto_forecast()
+    assert "vecm" in mvf.history
+
+    mvf.set_best_model(
+        determine_best_by=(
+            "ValidationMetricValue" if tl == 0 else "TestSetRMSE"
+        )
+    )
+
+    fvs = mvf.export_fitted_vals()  # no-arg: all models, model column
+    assert "model" in fvs.columns and fvs.count() > 0
+    out = mvf.export(
+        to_excel=True, out_path=str(tmp_path),
+        excel_name=f"mv_results_{tl}.xlsx", cis=True,
+    )
+    assert out
+
+    f1, f2, f3 = break_mv_forecaster(mvf)
+    assert f1.tsf.observed.select(SERIES).distinct().count() == 1
+
+
+# ------------------------------------------------ test_multiseries
+def test_multiseries_main(spark):
+    """reference test_multiseries.py verbatim shapes (engine-fast
+    estimators)."""
+    from scalecast_spark.multiseries import (
+        export_model_summaries, keep_smallest_first_date,
+    )
+
+    rng = np.random.default_rng(9)
+    f_dict = {}
+    for i, sym in enumerate(("UNRATE", "GDP")):
+        n = 120 + 24 * i  # different lengths, like the FRED pulls
+        dates = pd.date_range("2010-01-01", periods=n, freq="MS")
+        y = 100 + 0.2 * np.arange(n) + rng.normal(0, 3, n)
+        f = Forecaster(
+            y=y, current_dates=dates, future_dates=12, test_length=0.2,
+        )
+        f.set_validation_length(12)
+        f_dict[sym] = f
+
+    keep_smallest_first_date(*f_dict.values())
+    firsts = {
+        k: f.tsf.observed.agg(F.min(DS)).collect()[0][0]
+        for k, f in f_dict.items()
+    }
+    assert len(set(firsts.values())) == 1
+
+    for f in f_dict.values():
+        f.add_ar_terms(3)
+        f.add_time_trend()
+        for m in ("elasticnet", "gbt"):
+            f.set_estimator(m)
+            f.manual_forecast()
+
+    summaries = export_model_summaries(
+        f_dict, determine_best_by="TestSetMAE"
+    ).toPandas()
+    assert set(summaries["Series"]) == {"UNRATE", "GDP"}
+    assert set(summaries["ModelNickname"]) == {"elasticnet", "gbt"}
+
+
+def test_multiseries_line_up_dates(spark):
+    from scalecast_spark.multiseries import line_up_dates
+
+    f1 = _houst_like(spark, n=100, test_length=0, future_dates=0)
+    f2 = _houst_like(spark, n=80, test_length=0, future_dates=0)
+    line_up_dates(f1, f2)
+    assert f1.tsf.observed.count() == f2.tsf.observed.count() == 80
