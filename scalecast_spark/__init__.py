@@ -26,8 +26,8 @@ from scalecast_spark.forecaster import Forecaster
 #: (it unions the long frames); ``break_mv_forecaster`` is a
 #: series_id filter.
 from scalecast_spark.forecaster import (
-    MVForecaster, break_mv_forecaster, export_model_summaries,
-    keep_smallest_first_date,
+    ForecastError, MVForecaster, break_mv_forecaster,
+    export_model_summaries, keep_smallest_first_date,
 )
 from scalecast_spark.pipeline import (
     MVPipeline, Pipeline, Reverter, Transformer,
@@ -44,6 +44,7 @@ __version__ = "0.1.0"
 
 __all__ = [
     "get_session", "TimeSeriesFrame", "Forecaster", "MVForecaster",
+    "ForecastError",
     "break_mv_forecaster", "keep_smallest_first_date",
     "export_model_summaries",
     "Pipeline", "MVPipeline", "Transformer", "Reverter",

@@ -70,6 +70,13 @@ def _mark_test_rows(df: DataFrame, test_length: int) -> DataFrame:
     )
 
 
+class ForecastError(ValueError):
+    """Misuse of the forecasting API (reference
+    _Forecaster_parent.py:42 — ported ``except ForecastError`` blocks
+    work; subclasses ValueError so the engine's existing ValueError
+    contracts still hold)."""
+
+
 def _frame_from_arrays(y, current_dates, series_id: str = "y") -> DataFrame:
     """Reference-ctor convenience: driver-side y/current_dates arrays
     (lists, numpy, pandas Series) -> a single-series long frame on the

@@ -56,7 +56,13 @@ def _adf_stat(y: np.ndarray, maxlag: int | None = None) -> tuple[float, int]:
 
 def adf_test(df: DataFrame, maxlag: int | None = None) -> DataFrame:
     """Per-series ADF t-stat + stationarity calls at standard levels
-    (reference Forecaster.adf_test, Forecaster.py:1258-1301)."""
+    (reference Forecaster.adf_test, Forecaster.py:1258-1301). Frames
+    carrying a future horizon are filtered to OBSERVED non-null rows
+    first — a y-NULL horizon row reaching the lstsq kernel is an SVD
+    non-convergence (r14: break_mv_forecaster frames)."""
+    if "is_future" in df.columns:
+        df = df.filter(F.col("is_future") == 0)
+    df = df.filter(F.col(Y).isNotNull())
     schema = T.StructType(
         [
             T.StructField(SERIES, df.schema[SERIES].dataType),

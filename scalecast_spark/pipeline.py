@@ -948,6 +948,9 @@ def backtest_metrics(
     metrics: list[str] | None = None,
     mets: list[str] | None = None,
     names: list[str] | None = None,
+    mase: bool = False,
+    msis: bool = False,
+    alpha: float = 0.05,
 ) -> DataFrame:
     """(model × iteration) metric table + per-model average row
     (reference util.py:112-230). ``mets=`` is the reference's keyword
@@ -958,7 +961,13 @@ def backtest_metrics(
     ``mase`` needs the in-sample seasonal-naive MAE denominator from the
     TRAINING data (Metrics.py:177-206) — pass ``train_df`` to enable it.
     """
-    metrics = metrics or mets or ["rmse", "smape", "mae", "r2", "bias"]
+    metrics = list(metrics or mets or ["rmse", "smape", "mae", "r2", "bias"])
+    # reference flag shape (util.py:112-230: mase=True/msis=True
+    # append the scaled metrics; both need the training data)
+    if mase and "mase" not in metrics:
+        metrics.append("mase")
+    want_msis = msis or "msis" in metrics
+    metrics = [mt for mt in metrics if mt != "msis"]
     want_mase = "mase" in metrics
     core = [mt for mt in metrics if mt != "mase"]
     per_iter = results.groupBy("model", "iteration").agg(
@@ -978,6 +987,15 @@ def backtest_metrics(
             )
         )
         per_iter = per_iter.join(scaled, ["model", "iteration"])
+    if (
+        want_msis
+        and train_df is not None
+        and all(c in results.columns for c in ("upper", "lower"))
+    ):
+        per_iter = per_iter.join(
+            _msis_scores(results, train_df, m=m, alpha=alpha),
+            ["model", "iteration"], "left",
+        )
     avg = (
         per_iter.groupBy("model")
         .agg(*[F.avg(c).alias(c) for c in per_iter.columns if c not in ("model", "iteration")])
@@ -995,6 +1013,15 @@ def msis(
     """M4 mean scaled interval score (reference Metrics.py:208-246):
     requires upper/lower columns on ``results``; scaled by the same
     seasonal-naive denominator."""
+    return _msis_scores(results, train_df, m=m, alpha=alpha)
+
+
+def _msis_scores(
+    results: DataFrame,
+    train_df: DataFrame,
+    m: int = 1,
+    alpha: float = 0.05,
+) -> DataFrame:
     denom = METRICS.mase_denominator(train_df, y=Y, series=SERIES, ds=DS, m=m)
     width = F.col("upper") - F.col("lower")
     below = (2.0 / alpha) * (F.col("lower") - F.col(Y))

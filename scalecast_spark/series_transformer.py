@@ -157,7 +157,9 @@ class SeriesTransformer:
             if cls is tr.DiffTransform and args and t.m != int(args[0]):
                 continue
             return self._stack.pop(i)
-        raise ValueError(
+        from scalecast_spark.forecaster import ForecastError
+
+        raise ForecastError(
             f"no un-reverted {cls.__name__} on the transform stack; "
             "call reverts in the reverse order of the transforms"
         )

@@ -30,23 +30,53 @@ from scalecast_spark.forecaster import _mark_test_rows
 def find_statistical_transformation(
     df: DataFrame, m: int = 7, log_if_positive: bool = True,
     adf_maxlag: int | None = None,
-) -> list[TR.Transform]:
+    goal: tuple | list | None = None,
+    **_ref_kwargs,
+):
     """Diagnostics-driven transform list (one decision for the whole
     frame, using the worst-case series like the reference's single
     object). ``adf_maxlag`` is passed through to the ADF test (None =
     auto-lag; the gate's fst members pin it to 1, the variant whose
-    statistic is hash-certified against the SQL oracle)."""
+    statistic is hash-certified against the SQL oracle).
+
+    Call shapes: with a FRAME, returns the accepted Transform list
+    (engine shape). With a FORECASTER — the reference shape,
+    ``transformer, reverter = find_statistical_transformation(f,
+    goal=['stationary','seasonally_adj'])`` (util.py:431-573) —
+    returns an unfitted (Transformer, Reverter) pair pluggable into a
+    Pipeline. ``goal`` gates the branches: 'stationary' the ADF/diff
+    arm, 'seasonally_adj' the seasonal-strength arm. ``goal=None``
+    (the engine default, and the behavior the fst gate members
+    certify) runs BOTH branches — NOTE the reference's own default is
+    ['stationary'] only; pass it explicitly for that semantics."""
+    as_pair = hasattr(df, "tsf") and hasattr(df, "history")
+    if as_pair:
+        df = df.tsf.df
+    goal = (
+        {"stationary", "seasonally_adj"} if goal is None else set(goal)
+    )
+    unknown_goals = goal - {"stationary", "seasonally_adj"}
+    if unknown_goals:
+        raise ValueError(
+            f"unknown goal(s) {sorted(unknown_goals)}; valid: "
+            "'stationary', 'seasonally_adj'"
+        )
     steps: list[TR.Transform] = []
     src = df if IS_FUTURE in df.columns else df.withColumn(IS_FUTURE, F.lit(0))
-    adf = adf_test(src, maxlag=adf_maxlag).collect()
-    nonstationary = any(not r["stationary_5pct"] for r in adf)
-    strictly_pos = (
-        src.filter(F.col(IS_FUTURE) == 0).agg(F.min(Y)).collect()[0][0] > 0
-    )
-    if nonstationary:
-        if strictly_pos and log_if_positive:
-            steps.append(TR.LogTransform())
-        steps.append(TR.DiffTransform(1))
+    if "stationary" in goal:
+        adf = adf_test(src, maxlag=adf_maxlag).collect()
+        nonstationary = any(not r["stationary_5pct"] for r in adf)
+        strictly_pos = (
+            src.filter(F.col(IS_FUTURE) == 0).agg(F.min(Y)).collect()[0][0] > 0
+        )
+        if nonstationary:
+            if strictly_pos and log_if_positive:
+                steps.append(TR.LogTransform())
+            steps.append(TR.DiffTransform(1))
+    if "seasonally_adj" not in goal:
+        if as_pair:
+            return _as_pair(steps)
+        return steps
     # seasonal strength: variance of phase means vs overall variance
     w_stats = (
         src.filter(F.col(IS_FUTURE) == 0)
@@ -67,7 +97,19 @@ def find_statistical_transformation(
     ).agg(F.max("strength")).collect()[0][0]
     if joined is not None and joined > 0.5:
         steps.append(TR.DiffTransform(m))
+    if as_pair:
+        return _as_pair(steps)
     return steps
+
+
+def _as_pair(steps: list[TR.Transform]):
+    """Wrap a transform list as the reference's (Transformer,
+    Reverter) pair — UNFITTED instances; the Pipeline refits on
+    whatever frame it later receives."""
+    from scalecast_spark.pipeline import Reverter, Transformer
+
+    t = Transformer(list(steps))
+    return t, Reverter(t)
 
 
 def _backtest_score(df: DataFrame, val_len: int = 7, m: int = 1) -> float:

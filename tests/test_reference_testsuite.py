@@ -384,12 +384,11 @@ class _RobustLike:
         return (X - self.med) / self.iqr
 
 
-def _build_mvf(spark, test_length=24):
+def _build_mvf(spark, test_length=24, n=180):
     """reference test_MVForecaster.py:10-26 build_MVForecaster —
     three monthly series through the array ctor, explicit names,
     merge_Xvars='i'."""
     rng = np.random.default_rng(5)
-    n = 180
     dates = pd.date_range("2005-01-01", periods=n, freq="MS")
     t = np.arange(n)
     base = 4 + 0.01 * t + np.sin(2 * np.pi * t / 12)
@@ -536,3 +535,102 @@ def test_multiseries_line_up_dates(spark):
     f2 = _houst_like(spark, n=80, test_length=0, future_dates=0)
     line_up_dates(f1, f2)
     assert f1.tsf.observed.count() == f2.tsf.observed.count() == 80
+
+
+# -------------------------------------------------- test_Pipeline
+def _light_forecaster(f):
+    """The 'Forecast' step (the reference's test_SeriesTransformer
+    `forecaster` sweeps 2 estimators + searches; one mlr keeps the
+    pipeline-shape lane fast)."""
+    f.drop_all_Xvars()
+    f.add_ar_terms(2)
+    f.set_estimator("mlr")
+    f.manual_forecast()
+
+
+def test_pipeline_reference_flow(spark):
+    """reference test_Pipeline.py:18-42: find_optimal_transformation
+    pair -> 3-step Pipeline -> fit_predict -> whole-object backtest ->
+    backtest_metrics."""
+    from scalecast_spark import Pipeline
+    from scalecast_spark.util import (
+        backtest_metrics, find_optimal_transformation,
+    )
+
+    f = _houst_like(spark, n=120, test_length=24, cis=True, future_dates=12)
+    transformer, reverter = find_optimal_transformation(
+        f,
+        num_test_sets=2,
+        space_between_sets=24,
+        train_length=100,
+        test_length=24,
+        verbose=True,
+        return_train_only=True,
+    )
+    pipeline = Pipeline(steps=[
+        ("Transform", transformer),
+        ("Forecast", _light_forecaster),
+        ("Revert", reverter),
+    ])
+    f = pipeline.fit_predict(f)
+    assert "mlr" in f.history
+    results = pipeline.backtest(f, n_iter=2)
+    mets = backtest_metrics(results).toPandas()
+    assert "rmse" in mets.columns and len(mets) > 0
+
+
+def test_mvpipeline_reference_flow(spark):
+    """reference test_Pipeline.py:44-79: per-series statistical
+    transformation pairs, MVPipeline combine->forecast->break,
+    whole-object backtest, backtest_metrics with mase/msis flags."""
+    from scalecast_spark import MVPipeline, break_mv_forecaster
+    from scalecast_spark.util import (
+        backtest_metrics, find_statistical_transformation,
+    )
+
+    mvf = _build_mvf(spark, test_length=20, n=120)
+    f1, f2, f3 = break_mv_forecaster(mvf)
+    pairs = [
+        find_statistical_transformation(
+            f, goal=["stationary", "seasonally_adj"]
+        )
+        for f in (f1, f2, f3)
+    ]
+
+    def mv_forecaster(mvf):
+        mvf.set_estimator("elasticnet")
+        mvf.manual_forecast(lags=6, alpha=0.2)
+        mvf.set_estimator("ridge")
+        mvf.manual_forecast(lags=6, alpha=0.2)
+
+    pipeline = MVPipeline(
+        steps=[
+            ("Transform", [p[0] for p in pairs]),
+            ("Forecast", mv_forecaster),
+            ("Revert", [p[1] for p in pairs]),
+        ],
+        test_length=20,
+        cis=True,
+    )
+    f1, f2, f3 = pipeline.fit_predict(f1, f2, f3)
+    # engine naming: the MV twin banks under its registry name
+    # (mv_<est>) — the r13-documented mapping set_estimator applies
+    assert "mv_elasticnet" in f1.history and "mv_ridge" in f3.history
+
+    results = pipeline.backtest(f1, f2, f3, n_iter=2, jump_back=6)
+    train_df = f1.tsf.observed.unionByName(
+        f2.tsf.observed.unionByName(f3.tsf.observed)
+    ).select(SERIES, DS, Y)
+    mets = backtest_metrics(
+        results,
+        train_df=train_df,
+        mets=["rmse", "smape", "mape", "r2", "mae"],
+        names=["UTUR", "UNRATE", "SAHMREALTIME"],
+        mase=True,
+        msis=True,
+        m=12,
+    ).toPandas()
+    assert {"rmse", "mase"} <= set(mets.columns)
+    # msis needs interval columns on the backtest frame; the engine's
+    # backtest emits point forecasts, so the flag degrades gracefully
+    assert len(mets) > 0
