@@ -415,6 +415,22 @@ def rnn_model(
     direct MLP (the pre-round-4 behavior) for comparison."""
     from scalecast_spark.models.kernel import run_series_kernel
 
+    # reference-keyword remaps (README LSTM shape, models.py:561-878):
+    # learning_rate is Keras' name for lr; *_layer_sizes stacks
+    # collapse to the equivalent single-layer width (sum — the same
+    # mapping gen_rnn_grid documents). batch_size/validation_split/
+    # optimizer/dropout/activation are TF training-loop knobs the
+    # full-batch numpy core has no analogue for; they pass through
+    # **kwargs harmlessly.
+    if "learning_rate" in kwargs:
+        lr = float(kwargs.pop("learning_rate"))
+    for sizes_kw in ("lstm_layer_sizes", "rnn_layer_sizes", "layers_struct"):
+        sizes = kwargs.pop(sizes_kw, None)
+        if sizes:
+            try:
+                hidden = int(sum(int(s) for s in sizes))
+            except (TypeError, ValueError):
+                pass
     if cell == "mlp":
         return run_series_kernel(df, make_direct_mlp(lags, hidden, epochs, lr))
     return run_series_kernel(

@@ -634,3 +634,26 @@ def test_mvpipeline_reference_flow(spark):
     # msis needs interval columns on the backtest frame; the engine's
     # backtest emits point forecasts, so the flag degrades gracefully
     assert len(mets) > 0
+
+
+# ------------------------------------------------ README examples
+def test_readme_lstm_and_axs_shapes(spark):
+    """reference README.md 'Popular Features' #1/#2: the Keras-flavored
+    LSTM kwargs (learning_rate / lstm_layer_sizes stacks) remap onto
+    the numpy core's lr / summed hidden width; auto_Xvar_select
+    accepts the cross_validate/cvkwargs call shape."""
+    f = _houst_like(spark, n=100, test_length=12, future_dates=12)
+    sel = f.auto_Xvar_select(
+        estimator="lasso", alpha=0.2,
+        monitor="ValidationMetricValue",
+        cross_validate=True, cvkwargs={"k": 3},
+    )
+    assert isinstance(sel, list)
+    f.add_ar_terms(3)
+    f.set_estimator("lstm")
+    f.manual_forecast(
+        lags=12, batch_size=32, epochs=3, validation_split=0.2,
+        activation="tanh", optimizer="Adam", learning_rate=0.001,
+        lstm_layer_sizes=(16,) * 2, dropout=(0,) * 2,
+    )
+    assert f.history["lstm"]["forecast"].count() == 12
