@@ -746,6 +746,13 @@ def q_ts_combo(spark, sf_dir):
     f.set_estimator("hwes")
     f.manual_forecast(trend=False, seasonal=False, call_me="ses")
     f.combo(["naive", "ses"], call_me="combo")
+    # round 15: weighted combo with explicit weights promoted into the
+    # gate (reference models.py:1618-1621 — user weights normalized
+    # w/sum(w), predict = raw weighted sum): [3, 1] → 0.75*naive +
+    # 0.25*ses, hash-certified by the combo_w oracle arm
+    f.combo(
+        ["naive", "ses"], call_me="combo_w", how="weighted", weights=[3, 1],
+    )
     # round 10: synthesize_models promoted from pytest into the gate —
     # same member average but with normal-approx CIs from the
     # cross-model standard error (reference Forecaster.py:217-259);
@@ -778,6 +785,11 @@ def q_ts_combo(spark, sf_dir):
     combo = (
         f.history["combo"]["forecast"]
         .select(F.lit("combo").alias("model"), "series_id", "ds", "forecast")
+        .unionByName(
+            f.history["combo_w"]["forecast"].select(
+                F.lit("combo_w").alias("model"), "series_id", "ds", "forecast"
+            )
+        )
         .unionByName(signals)
         .unionByName(stack)
     )
@@ -9129,7 +9141,8 @@ def _combo_oracle() -> str:
             SELECT l.series_id,
                    (last.last_ds + i.i * INTERVAL '1 day')::DATE AS ds,
                    0.5 * (l.level_t + nv.y) AS mean_fc,
-                   abs(l.level_t - nv.y) / 2.0 AS se
+                   abs(l.level_t - nv.y) / 2.0 AS se,
+                   nv.y AS naive_fc, l.level_t AS ses_fc
             FROM lev l
             JOIN last USING (series_id)
             CROSS JOIN (SELECT unnest(range(1, 8)) AS i) i
@@ -9138,6 +9151,12 @@ def _combo_oracle() -> str:
         {axs_ctes.strip()},
         {rxv_ctes.strip()}
         SELECT 'combo' AS model, series_id, ds, round(mean_fc, 6) AS forecast
+        FROM mem
+        UNION ALL
+        -- combo_w: explicit weights [3, 1] normalized to 0.75/0.25
+        -- (reference models.py:1618-1621), raw weighted sum
+        SELECT 'combo_w', series_id, ds,
+               round(0.75 * naive_fc + 0.25 * ses_fc, 6)
         FROM mem
         UNION ALL
         SELECT 'synth', series_id, ds, round(mean_fc, 6) FROM mem

@@ -27,6 +27,7 @@ from __future__ import annotations
 import itertools
 import math
 import random
+import warnings
 from dataclasses import replace
 
 from pyspark.sql import DataFrame, functions as F, Window as W
@@ -1095,19 +1096,25 @@ class Forecaster:
             # determine_best_by
             how = kwargs.get("how", "simple")
             models = kwargs.get("models", "all")
-            dbb = kwargs.get(
-                "determine_best_by",
-                "ValidationMetricValue" if how == "weighted" else "TestSetRMSE",
-            )
+            dbb = kwargs.get("determine_best_by", "ValidationMetricValue")
             if models == "all":
                 models = [m for m in self.history if m != (call_me or "combo")]
             elif isinstance(models, str) and models.startswith("top_"):
-                rank_by = dbb if dbb != "ValidationMetricValue" else "TestSetRMSE"
+                rank_by = dbb
+                if dbb == "ValidationMetricValue" and not all(
+                    self.history[m]["summary"].get("ValidationMetricValue")
+                    is not None
+                    for m in self.history
+                    if m != (call_me or "combo")
+                ):
+                    rank_by = "TestSetRMSE"
                 models = self.order_fcsts(rank_by)[: int(models.split("_")[1])]
             return self.combo(
                 list(models), call_me=call_me or "combo", how=how,
-                determine_best_by=(
-                    dbb if dbb != "ValidationMetricValue" else "TestSetRMSE"
+                determine_best_by=dbb,
+                weights=kwargs.get("weights"),
+                replace_negative_weights=kwargs.get(
+                    "replace_negative_weights", 0.001
                 ),
             )
         name = call_me or self.estimator
@@ -1774,8 +1781,20 @@ class Forecaster:
     # ------------------------------------------------------- combo
     def combo(
         self, models: list[str], call_me: str = "combo", how: str = "simple",
-        determine_best_by: str = "TestSetRMSE",
+        determine_best_by: str = "ValidationMetricValue",
+        weights: list[float] | None = None,
+        replace_negative_weights: bool | float = 0.001,
     ) -> "Forecaster":
+        """Ensemble of banked models (reference models.py Combo,
+        models.py:1493-1648). ``how='weighted'`` weights by the
+        ``determine_best_by`` metric — reference default
+        'ValidationMetricValue' (models.py:1525); when any member
+        lacks a banked validation score we warn and fall back to
+        TestSetRMSE. ``weights=`` supplies explicit weights (length
+        must match ``models``; normalized w/sum(w) like the reference,
+        models.py:1621). ``replace_negative_weights=`` replicates the
+        reference's negative-score replacement (models.py:1614-1617;
+        skipped for lower-is-better metrics, ``False`` disables)."""
         from scalecast_spark.models.combo import combo_forecast, derive_weights
 
         stacked = None
@@ -1784,20 +1803,63 @@ class Forecaster:
                 F.lit(m).alias("model"), SERIES, DS, "forecast"
             )
             stacked = fcm if stacked is None else stacked.unionByName(fcm)
-        weights = None
         if how == "weighted":
-            metric = determine_best_by.replace("TestSet", "").lower()
-            scores = {
-                m: self.history[m]["summary"][f"TestSet{metric.upper()}"]
-                for m in models
-            }
-            weights = derive_weights(
-                scores, METRICS.LOWER_IS_BETTER.get(metric, True)
-            )
-        fc = combo_forecast(stacked, models, weights)
+            if weights is not None:
+                if len(weights) != len(models):
+                    raise ValueError(
+                        "When how is weighted and weights are provided, the "
+                        "number of provided weights must match the number of "
+                        "provided models"
+                    )
+                total = sum(weights)
+                weights = [w / total for w in weights]
+            else:
+                dbb = determine_best_by
+                if dbb == "ValidationMetricValue" and not all(
+                    self.history[m]["summary"].get("ValidationMetricValue")
+                    is not None
+                    for m in models
+                ):
+                    warnings.warn(
+                        "not every combo member has a banked "
+                        "ValidationMetricValue (tune models to bank one); "
+                        "weighting by TestSetRMSE instead",
+                        stacklevel=2,
+                    )
+                    dbb = "TestSetRMSE"
+                if dbb == "ValidationMetricValue":
+                    scores = [
+                        self.history[m]["summary"]["ValidationMetricValue"]
+                        for m in models
+                    ]
+                    lower = METRICS.LOWER_IS_BETTER.get(
+                        self.validation_metric, True
+                    )
+                else:
+                    metric = (
+                        dbb.replace("TestSet", "").replace("InSample", "")
+                        .lower()
+                    )
+                    scores = [
+                        self.history[m]["summary"][dbb] for m in models
+                    ]
+                    lower = METRICS.LOWER_IS_BETTER.get(metric, True)
+                weights = derive_weights(
+                    scores, lower, replace_negative_weights
+                )
+        else:
+            weights = None
+        fc = combo_forecast(stacked, models, weights, normalize=False)
         # combo test-set predictions = same average over member test
         # predictions → TestSet metrics (reference models.py:1557-1583)
-        summary = {"estimator": "combo", "hyperparams": {"models": models, "how": how}}
+        summary = {
+            "estimator": "combo",
+            "hyperparams": {
+                "models": models, "how": how,
+                "determine_best_by": determine_best_by,
+                "weights": weights,
+            },
+        }
         test_df = None
         member_tests = [
             self.history[m]["test_preds"] for m in models
@@ -1810,7 +1872,7 @@ class Forecaster:
                     F.lit(m).alias("model"), SERIES, DS, Y, "forecast"
                 )
                 stacked_t = tp if stacked_t is None else stacked_t.unionByName(tp)
-            test_fc = combo_forecast(stacked_t, models, weights)
+            test_fc = combo_forecast(stacked_t, models, weights, normalize=False)
             actuals = member_tests[0].select(SERIES, DS, Y)
             test_df = test_fc.join(actuals, [SERIES, DS])
             _, combo_metrics = self._metric_summary(test_df, self.metrics)
@@ -1992,8 +2054,11 @@ class Forecaster:
             which = dfs
         if _ref_kwargs.get("to_excel"):
             # reference export(to_excel=True, out_path=..., excel_name=
-            # ...) routes through the workbook writer (Forecaster.py
-            # :2065-2219)
+            # ...) writes the workbook as a SIDE EFFECT and still
+            # returns the frame/dict (Forecaster.py:2217-2219:
+            # 'results = f.export(dfs=[...], to_excel=True)' then
+            # 'results["model_summaries"]'); models=/cis= thread into
+            # the sheet exports (round-15 ADVICE)
             import os as _os
 
             out_path = _ref_kwargs.get("out_path", ".")
@@ -2003,9 +2068,11 @@ class Forecaster:
                 else None if which == "model_summaries" and dfs is None
                 else [which]
             )
-            return self.export_to_excel(
-                _os.path.join(out_path, excel_name), which=sheet_list
+            self.export_to_excel(
+                _os.path.join(out_path, excel_name), which=sheet_list,
+                models=models, cis=cis,
             )
+            # fall through: return the normal frame/dict result
         if isinstance(which, (list, tuple, set)):
             out = {
                 name: self.export(name, models=models, cis=cis)
@@ -2084,6 +2151,8 @@ class Forecaster:
         self,
         path: str,
         which: list[str] | None = None,
+        models="all",
+        cis: bool = False,
     ) -> str:
         """Multi-sheet workbook export (reference Forecaster.py:2065-2219
         ``to_excel=True``): one sheet per requested frame. Uses
@@ -2097,7 +2166,7 @@ class Forecaster:
         which = which or ["model_summaries", "lvl_fcsts"]
         sheets = {}
         for w in which:
-            df = self.export(w)
+            df = self.export(w, models=models, cis=cis)
             if df is not None:
                 sheets[w] = df.toPandas()
         return _write_sheets(path, sheets)
@@ -2147,8 +2216,14 @@ class Forecaster:
         ``determine_best_by=`` is the reference keyword for ``by``."""
         if determine_best_by is not None:
             by = determine_best_by
-        metric = by.replace("TestSet", "").replace("InSample", "").lower()
-        lower = METRICS.LOWER_IS_BETTER.get(metric, True)
+        if by == "ValidationMetricValue":
+            # direction follows the validation metric actually in use
+            # (reference _parse_models ranks by the metric's own
+            # lower_is_better, models.py:1534-1544)
+            lower = METRICS.LOWER_IS_BETTER.get(self.validation_metric, True)
+        else:
+            metric = by.replace("TestSet", "").replace("InSample", "").lower()
+            lower = METRICS.LOWER_IS_BETTER.get(metric, True)
         scored = [
             (n, h["summary"].get(by))
             for n, h in self.history.items()
@@ -2300,7 +2375,10 @@ class MVForecaster(Forecaster):
         # them (r14): merge_Xvars/not_same_len_action/merge_future_dates
         # stay no-op union decisions; these three change behavior
         if kwargs.get("cis") is not None:
-            self.cis = bool(kwargs["cis"])
+            # route through eval_cis so the soundness bound
+            # (test_length >= 1/(1-cilevel)) raises loudly, matching
+            # the Forecaster ctor path (round-15 ADVICE)
+            self.eval_cis(bool(kwargs["cis"]))
         if kwargs.get("metrics"):
             self.set_metrics(list(kwargs["metrics"]))
         if kwargs.get("optimize_on"):

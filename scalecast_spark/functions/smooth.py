@@ -67,3 +67,29 @@ def loess_smooth(
             a = (sy - b * sx) / sw
             out[i] = a + b * x[i]
     return out
+
+
+def loess_robust(
+    x: np.ndarray,
+    y: np.ndarray,
+    frac: float = 0.3,
+    it: int = 0,
+) -> np.ndarray:
+    """LOESS with Cleveland robustness iterations (statsmodels lowess
+    ``it=`` semantics, the reference's DetrendTransform(loess=True)
+    backend): after each fit, bisquare weights from the residuals —
+    u = clip(r / (6 * median|r|), -1, 1), w = (1 - u^2)^2 — multiply
+    into the next pass's local tricube weights. ``it=0`` is
+    bit-identical to ``loess_smooth`` (the hash-certified gate path)."""
+    x = np.asarray(x, dtype=float)
+    y = np.asarray(y, dtype=float)
+    fit = loess_smooth(x, y, frac)
+    for _ in range(int(it)):
+        r = y - fit
+        s = np.median(np.abs(r))
+        if s <= 0:
+            break
+        u = np.clip(r / (6.0 * s), -1.0, 1.0)
+        rw = (1.0 - u * u) ** 2
+        fit = loess_smooth(x, y, frac, weights=rw)
+    return fit

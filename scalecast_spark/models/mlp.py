@@ -10,6 +10,8 @@ fits a few-hundred-row series in milliseconds inside the shared kernel.
 
 from __future__ import annotations
 
+import warnings
+
 import numpy as np
 from pyspark.sql import DataFrame
 
@@ -427,10 +429,31 @@ def rnn_model(
     for sizes_kw in ("lstm_layer_sizes", "rnn_layer_sizes", "layers_struct"):
         sizes = kwargs.pop(sizes_kw, None)
         if sizes:
-            try:
-                hidden = int(sum(int(s) for s in sizes))
-            except (TypeError, ValueError):
-                pass
+            # layers_struct is the reference's list of
+            # ('LSTM'|'SimpleRNN'|'Dense', {'units': N, ...}) tuples
+            # (models.py:561-878); *_layer_sizes are flat int lists.
+            # Extract the width from either shape; warn (instead of
+            # silently keeping hidden=16) when a spec can't be mapped.
+            total, bad = 0, False
+            for s in sizes:
+                if (
+                    isinstance(s, (tuple, list)) and len(s) == 2
+                    and isinstance(s[1], dict)
+                ):
+                    total += int(s[1].get("units", 0))
+                else:
+                    try:
+                        total += int(s)
+                    except (TypeError, ValueError):
+                        bad = True
+            if bad or total <= 0:
+                warnings.warn(
+                    f"could not map {sizes_kw}={sizes!r} onto the numpy "
+                    f"core's single-layer width; keeping hidden={hidden}",
+                    stacklevel=2,
+                )
+            else:
+                hidden = total
     if cell == "mlp":
         return run_series_kernel(df, make_direct_mlp(lags, hidden, epochs, lr))
     return run_series_kernel(

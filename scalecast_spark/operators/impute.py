@@ -27,9 +27,63 @@ PANDAS_FREQ_INTERVALS = {
     "MS": "1 month", "M": "1 month", "ME": "1 month",
     "QS": "3 month", "Q": "3 month", "QE": "3 month",
     "YS": "1 year", "Y": "1 year", "A": "1 year", "AS": "1 year",
+    "YE": "1 year",
     "W": "7 day", "D": "1 day", "H": "1 hour", "h": "1 hour",
     "T": "1 minute", "min": "1 minute", "S": "1 second", "s": "1 second",
 }
+
+
+def normalize_freq_alias(alias: str | None) -> str | None:
+    """Map a pandas offset alias onto a PANDAS_FREQ_INTERVALS key,
+    stripping the '-ANCHOR' suffix pd.infer_freq actually returns for
+    weekly/quarterly/yearly data ('W-SUN', 'Q-DEC', 'QS-JAN',
+    'A-DEC', 'YE-DEC' → 'W'/'Q'/'QS'/'A'/'YE'). Returns None for
+    aliases the calendar densifier cannot express (business-day 'B',
+    multiples like '2W') so callers can warn instead of silently
+    densifying on the wrong grid (round-15 ADVICE)."""
+    if alias is None:
+        return None
+    if alias in PANDAS_FREQ_INTERVALS:
+        return alias
+    base = alias.split("-")[0]
+    return base if base in PANDAS_FREQ_INTERVALS else None
+
+
+def infer_series_freq(dates):
+    """Infer a density grid from observed dates, tolerating HOLES —
+    pd.infer_freq returns None the moment a date is missing, which
+    previously sent weekly/quarterly arrays onto a daily densify grid
+    (round-15 ADVICE). Returns ``(calendar_alias, freq_seconds)``:
+    exactly one is non-None on success, both None when nothing can be
+    inferred. The gap-tolerant path takes the MODAL positive delta
+    (the holes are the minority by assumption) and maps
+    month/quarter/year-sized deltas onto calendar intervals."""
+    import pandas as pd
+
+    dates = pd.DatetimeIndex(dates).sort_values()
+    alias = None
+    try:
+        alias = pd.infer_freq(dates)
+    except (TypeError, ValueError):
+        pass
+    if alias is not None:
+        norm = normalize_freq_alias(alias)
+        return (norm, None) if norm is not None else (None, None)
+    if len(dates) < 3:
+        return None, None
+    deltas = pd.Series(dates[1:] - dates[:-1]).dt.total_seconds()
+    deltas = deltas[deltas > 0]
+    if deltas.empty:
+        return None, None
+    modal = float(deltas.mode().iloc[0])
+    days = modal / 86400.0
+    if 28 <= days <= 31:
+        return "M", None
+    if 89 <= days <= 92:
+        return "Q", None
+    if 365 <= days <= 366:
+        return "Y", None
+    return None, modal
 
 
 def densify(
@@ -251,32 +305,44 @@ def Forecaster_with_missing_vals(
     if df is None:
         df = _frame_from_arrays(y, current_dates)
         if desired_frequency is None and current_dates is not None:
-            # the reference infers the frequency from the given dates
-            # (util.py:984-995 pd.infer_freq); arrays are driver-side
-            # already, so inference is free
+            # infer the frequency from the given dates (gap-tolerant —
+            # pd.infer_freq alone returns None on holes, and anchored
+            # aliases like 'W-SUN'/'Q-DEC' need normalizing before the
+            # interval lookup; round-15 ADVICE). Arrays are driver-side
+            # already, so inference is free.
             import pandas as pd
 
+            dates = pd.to_datetime(list(
+                getattr(current_dates, "values", current_dates)
+            ))
+            raw_alias = None
             try:
-                desired_frequency = pd.infer_freq(
-                    pd.to_datetime(list(
-                        getattr(current_dates, "values", current_dates)
-                    ))
-                )
+                raw_alias = pd.infer_freq(dates)
             except (TypeError, ValueError):
-                desired_frequency = None
-            if (
-                desired_frequency is not None
-                and desired_frequency not in PANDAS_FREQ_INTERVALS
-            ):
-                desired_frequency = None  # fall back to freq_seconds
+                pass
+            desired_frequency, inferred_seconds = infer_series_freq(dates)
+            if inferred_seconds is not None:
+                freq_seconds = inferred_seconds
+            elif desired_frequency is None:
+                import warnings
+
+                warnings.warn(
+                    f"inferred frequency {raw_alias!r} has no "
+                    f"calendar-interval mapping; densifying on the "
+                    f"freq_seconds={freq_seconds} grid instead",
+                    stacklevel=2,
+                )
     interval = None
     if desired_frequency is not None:
-        interval = PANDAS_FREQ_INTERVALS.get(desired_frequency)
-        if interval is None:
+        # user-passed aliases normalize too ('W-SUN' etc.); unknown
+        # ones still raise loudly
+        norm = normalize_freq_alias(desired_frequency)
+        if norm is None:
             raise ValueError(
                 f"unknown desired_frequency {desired_frequency!r}; "
                 f"known aliases: {sorted(PANDAS_FREQ_INTERVALS)}"
             )
+        interval = PANDAS_FREQ_INTERVALS[norm]
     tsf = frame_with_missing_vals(
         df,
         freq_seconds=freq_seconds,

@@ -199,6 +199,9 @@ class DetrendTransform(Transform):
     poly_order: int = 1
     loess: bool = False
     frac: float = 0.3
+    #: LOESS robustness iterations (statsmodels lowess ``it=``);
+    #: 0 = the hash-certified plain pass (gate member default)
+    it: int = 0
     ln_trend: bool = False
     seasonal_lags: int = 0
     m: int | str = "auto"
@@ -380,9 +383,10 @@ class DetrendTransform(Transform):
         import pandas as pd
         from pyspark.sql import types as T
 
-        from scalecast_spark.functions.smooth import loess_smooth
+        from scalecast_spark.functions.smooth import loess_robust
 
         frac = self.frac
+        it = self.it
         tschema = T.StructType(
             [src.schema[SERIES], src.schema[DS],
              T.StructField("_ltrend", T.DoubleType())]
@@ -392,8 +396,9 @@ class DetrendTransform(Transform):
             import numpy as np
 
             pdf = pdf.sort_values(DS)
-            tr = loess_smooth(
-                np.arange(1.0, len(pdf) + 1.0), pdf[Y].to_numpy(float), frac
+            tr = loess_robust(
+                np.arange(1.0, len(pdf) + 1.0), pdf[Y].to_numpy(float),
+                frac, it=it,
             )
             return pd.DataFrame(
                 {SERIES: pdf[SERIES], DS: pdf[DS], "_ltrend": tr}

@@ -106,17 +106,14 @@ class SeriesTransformer:
         time regressors, ``seasonal_lags`` adds lagged time trends at
         multiples of ``m``, ``fit_intercept=False`` drops the constant;
         ``train_only`` fits the trend on pre-test rows only. Unknown
-        kwargs WARN instead of silently vanishing (r13 verdict #3) —
-        ``it`` (loess robustness iterations) is the one accepted-and-
-        approximated knob: the engine's loess kernel runs it=0."""
+        kwargs WARN instead of silently vanishing (r13 verdict #3).
+        ``it`` (loess robustness iterations, statsmodels default 3) is
+        REAL as of round 15 — Cleveland bisquare re-weighting passes in
+        functions/smooth.loess_robust, numeric-parity-tested against a
+        driver-side robust-LOWESS replica."""
         import warnings
 
         it = _ref_kwargs.pop("it", 3)
-        if loess and it != 3:
-            warnings.warn(
-                "DetrendTransform(it=...) is approximated: the engine's "
-                "LOESS kernel runs 0 robustness iterations"
-            )
         if _ref_kwargs:
             warnings.warn(
                 "DetrendTransform ignoring unsupported kwargs: "
@@ -125,6 +122,7 @@ class SeriesTransformer:
         t = tr.DetrendTransform()
         t.loess = loess
         t.frac = frac
+        t.it = int(it) if loess else 0
         t.poly_order = poly_order
         t.ln_trend = ln_trend
         t.seasonal_lags = seasonal_lags

@@ -72,7 +72,11 @@ class metrics:
 
     @staticmethod
     def mape(a, f):
+        # reference Metrics.py:69-72: NaN (not inf) when ANY actual
+        # is zero — matches the distributed functions/metrics.py rule
         a, f = np.asarray(a, float), np.asarray(f, float)
+        if np.abs(a).min() == 0:
+            return float("nan")
         return float(np.mean(np.abs((a - f) / a)))
 
     @staticmethod
@@ -84,10 +88,15 @@ class metrics:
 
     @staticmethod
     def r2(a, f):
+        # reference Metrics.py:101 delegates to sklearn.r2_score,
+        # whose degenerate rule for zero-variance actuals is 1.0 on a
+        # perfect fit and 0.0 otherwise — replicated exactly
         a, f = np.asarray(a, float), np.asarray(f, float)
         ss_res = float(np.sum((a - f) ** 2))
         ss_tot = float(np.sum((a - np.mean(a)) ** 2))
-        return 1.0 - ss_res / ss_tot if ss_tot else 0.0
+        if ss_tot == 0.0:
+            return 1.0 if ss_res == 0.0 else 0.0
+        return 1.0 - ss_res / ss_tot
 
     @staticmethod
     def mase(a, f, obs, m=1):

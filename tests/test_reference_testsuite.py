@@ -55,8 +55,9 @@ def test_add_terms(spark):
     """reference test_Forecaster.py:34-85. Engine naming divergences
     (deliberate, frame-column-safe): AR lags are ar_<k> (AR() tokens
     compare equal to both spellings), logged terms ln_<c>/log10_<c>
-    vs lnt/log10t, lags <c>_lag_<k> vs <c>lag_<k>, exp powers keep
-    full precision t^0.509 vs the reference's 2dp t^0.51."""
+    vs lnt/log10t, lags <c>_lag_<k> vs <c>lag_<k>, exp powers round
+    to 2dp with '_' replacing the decimal point (t^0_51 — '.' in a
+    column name parses as a struct path)."""
     f = _houst_like(spark)
     f.add_AR_terms((2, 12))
     assert AR(24) in f.get_regressor_names()
@@ -657,3 +658,153 @@ def test_readme_lstm_and_axs_shapes(spark):
         lstm_layer_sizes=(16,) * 2, dropout=(0,) * 2,
     )
     assert f.history["lstm"]["forecast"].count() == 12
+
+
+# ------------------------------- Introduction2 notebook (round 15)
+def test_introduction2_auto_pipeline_tour(spark, tmp_path, monkeypatch):
+    """reference docs/examples/Introduction2.ipynb cells 80-91 (the
+    auto-pipeline tour, scaled monthly m=12 for runtime): example
+    grids file -> find_optimal_transformation with the notebook's full
+    kwarg shape (lags/m/monitor/estimator/alpha/test_length/
+    num_test_sets/space_between_sets/verbose) ->
+    auto_Xvar_select(monitor='TestSetMAE', irr_cycles=[26]) +
+    tune_test_forecast(cross_validate=True, dynamic_tuning=,
+    dynamic_testing=) inside a Pipeline driven by
+    fit_predict(f, models=[...]) -> whole-object
+    backtest(cis=False, models=[...]) ->
+    backtest_metrics(mets=['smape','rmse','bias'])."""
+    from scalecast_spark import GridGenerator, Pipeline
+    from scalecast_spark.util import (
+        backtest_metrics, find_optimal_transformation,
+    )
+
+    out = tmp_path / "Grids.py"
+    GridGenerator.get_example_grids(out_name=str(out), overwrite=True)
+    monkeypatch.syspath_prepend(str(tmp_path))
+
+    f = _houst_like(spark, n=120, future_dates=12, test_length=18)
+    transformer, reverter = find_optimal_transformation(
+        f, lags=12, m=12, monitor="mae", estimator="elasticnet",
+        alpha=0.2, test_length=12, num_test_sets=3,
+        space_between_sets=4, verbose=True,
+    )
+
+    def forecaster_aut(f, models):
+        f.auto_Xvar_select(
+            estimator="elasticnet", monitor="TestSetMAE", alpha=0.2,
+            irr_cycles=[26],
+        )
+        f.set_grids_file("Grids")
+        f.tune_test_forecast(
+            models, cross_validate=True, k=2, dynamic_tuning=6,
+            dynamic_testing=6, limit_grid_size=2, error="raise",
+        )
+
+    pipeline_aut = Pipeline(steps=[
+        ("Transform", transformer),
+        ("Forecast", forecaster_aut),
+        ("Revert", reverter),
+    ])
+    f = pipeline_aut.fit_predict(f, models=["mlr", "elasticnet"])
+    assert "mlr" in f.history and "elasticnet" in f.history
+
+    uv = pipeline_aut.backtest(
+        f, n_iter=2, jump_back=6, cis=False, models=["mlr", "elasticnet"],
+    )
+    mets = backtest_metrics(uv, mets=["smape", "rmse", "bias"]).toPandas()
+    for met in ("smape", "rmse", "bias"):
+        assert met in mets.columns
+
+
+def test_introduction2_combo_after_tune(spark, tmp_path, monkeypatch):
+    """Introduction2 cell 104 (forecaster_scaled): tune_test_forecast
+    then set_estimator('combo'); manual_forecast() — the bare combo
+    over tuned members exercises the ValidationMetricValue-weighted
+    default path end-to-end."""
+    from scalecast_spark import GridGenerator
+
+    out = tmp_path / "Grids.py"
+    GridGenerator.get_example_grids(out_name=str(out), overwrite=True)
+    monkeypatch.syspath_prepend(str(tmp_path))
+    f = _houst_like(spark, n=100, future_dates=6, test_length=12)
+    f.set_validation_length(12)
+    f.add_ar_terms(3)
+    f.add_time_trend()
+    f.set_grids_file("Grids")
+    f.tune_test_forecast(
+        ["mlr", "elasticnet"], limit_grid_size=2, error="raise",
+    )
+    f.set_estimator("combo")
+    f.manual_forecast()
+    assert "combo" in f.history
+    # and the weighted default resolves ValidationMetricValue without
+    # the fallback warning (both members were tuned)
+    import warnings as _w
+
+    with _w.catch_warnings():
+        _w.simplefilter("error")
+        f.manual_forecast(how="weighted", call_me="combo_w")
+    assert "combo_w" in f.history
+
+
+def test_introduction2_mv_tour(spark, tmp_path, monkeypatch):
+    """Introduction2 cells 92-102: mv grids file, MVPipeline with
+    names= and an 'Add Xvars' callable-list step, rolling CV in the
+    forecast step, fit_predict(models=), whole-object backtest with
+    test_length=0/cis=False/models=, backtest_metrics(names=)."""
+    from scalecast_spark import GridGenerator, MVPipeline
+    from scalecast_spark.util import (
+        backtest_metrics, find_optimal_transformation,
+    )
+
+    out = tmp_path / "Grids.py"
+    GridGenerator.get_mv_grids(out_name=str(out), overwrite=True)
+    monkeypatch.syspath_prepend(str(tmp_path))
+
+    fvol = _houst_like(spark, n=100, seed=5, future_dates=6, test_length=15)
+    fprice = _houst_like(spark, n=100, seed=9, future_dates=6, test_length=15)
+
+    tvol, rvol = find_optimal_transformation(
+        fvol, lags=6, m=12, monitor="mae", estimator="elasticnet",
+        alpha=0.2, test_length=6, num_test_sets=2, space_between_sets=4,
+    )
+    tprice, rprice = find_optimal_transformation(
+        fprice, lags=6, m=12, monitor="mae", estimator="elasticnet",
+        alpha=0.2, test_length=6, num_test_sets=2, space_between_sets=4,
+    )
+
+    def add_vars(f, **kwargs):
+        f.add_seasonal_regressors("month", raw=False, sincos=True)
+
+    def mvforecaster(mvf, models):
+        mvf.set_optimize_on("volume")
+        mvf.set_grids_file("Grids")
+        mvf.tune_test_forecast(
+            models, cross_validate=True, k=2, rolling=True,
+            dynamic_tuning=6, dynamic_testing=6, limit_grid_size=2,
+            error="raise",
+        )
+
+    mvpipeline = MVPipeline(
+        steps=[
+            ("Transform", [tvol, tprice]),
+            ("Add Xvars", [add_vars] * 2),
+            ("Forecast", mvforecaster),
+            ("Revert", [rvol, rprice]),
+        ],
+        test_length=20,
+        cis=True,
+        names=["volume", "price"],
+    )
+    fvol, fprice = mvpipeline.fit_predict(fvol, fprice, models=["mlr"])
+    assert "mv_mlr" in fvol.history and "mv_mlr" in fprice.history
+
+    bt = mvpipeline.backtest(
+        fvol, fprice, n_iter=2, jump_back=6, test_length=0, cis=False,
+        models=["mlr"],
+    )
+    mets = backtest_metrics(
+        bt, mets=["smape", "rmse", "bias"], names=["Volume", "Price"],
+    ).toPandas()
+    for met in ("smape", "rmse", "bias"):
+        assert met in mets.columns

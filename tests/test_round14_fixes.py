@@ -240,8 +240,11 @@ def test_optimize_on_positional_alias(spark):
 def test_mvforecaster_ctor_kwargs_apply(spark):
     f1 = Forecaster(_daily(spark, sids=("a",), seed=1))
     f2 = Forecaster(_daily(spark, sids=("b",), seed=2))
+    # cis=True routes through eval_cis (round-15 ADVICE) — the
+    # soundness bound needs test_length >= 1/(1-cilevel) = 20
     mv = MVForecaster(
         f1, f2, optimize_on="y1", cis=True, metrics=["rmse", "mae"],
+        test_length=20,
     )
     assert mv._optimize_on == "a"
     assert mv.cis is True
