@@ -1116,6 +1116,9 @@ class Forecaster:
                 replace_negative_weights=kwargs.get(
                     "replace_negative_weights", 0.001
                 ),
+                exclude_models_with_no_fvs=kwargs.get(
+                    "exclude_models_with_no_fvs", True
+                ),
             )
         name = call_me or self.estimator
         test_df = None
@@ -1784,6 +1787,7 @@ class Forecaster:
         determine_best_by: str = "ValidationMetricValue",
         weights: list[float] | None = None,
         replace_negative_weights: bool | float = 0.001,
+        exclude_models_with_no_fvs: bool = True,
     ) -> "Forecaster":
         """Ensemble of banked models (reference models.py Combo,
         models.py:1493-1648). ``how='weighted'`` weights by the
@@ -1879,9 +1883,66 @@ class Forecaster:
             for m, v in combo_metrics.items():
                 if not math.isnan(v):
                     summary[f"TestSet{m.upper()}"] = v
+        # in-sample fitted values (reference Combo.generate_current_X,
+        # models.py:1568-1583): member FittedVals averaged with the
+        # same weights, trimmed to rows where EVERY contributing
+        # member has a fitted value (the reference's min_length tail
+        # trim, expressed as a per-(series, ds) completeness filter).
+        # exclude_models_with_no_fvs=True (reference default) drops
+        # fitted-less members from the in-sample average; False means
+        # fitted values are only produced when every member has them
+        # (the reference would mis-broadcast there — divergence
+        # documented: we renormalize the surviving members' weights).
+        fitted = None
+        have = [
+            (m, self.history[m].get("fitted")) for m in models
+            if self.history[m].get("fitted") is not None
+        ]
+        use = have if exclude_models_with_no_fvs else (
+            have if len(have) == len(models) else []
+        )
+        if use:
+            use_models = [m for m, _ in use]
+            stacked_f = None
+            for m, fdf in use:
+                part = fdf.filter(F.col("forecast").isNotNull()).select(
+                    F.lit(m).alias("model"), SERIES, DS, "forecast"
+                )
+                stacked_f = part if stacked_f is None else (
+                    stacked_f.unionByName(part)
+                )
+            if weights is None:
+                wcol = F.lit(1.0 / len(use_models))
+            else:
+                sel = dict(zip(models, weights))
+                w_use = [sel[m] for m in use_models]
+                if len(use_models) != len(models):
+                    tot = sum(w_use)
+                    w_use = [w / tot for w in w_use]
+                wcol = F.coalesce(*[
+                    F.when(F.col("model") == m, F.lit(w))
+                    for m, w in zip(use_models, w_use)
+                ])
+            fit_fc = (
+                stacked_f.withColumn("_w", wcol)
+                .groupBy(SERIES, DS)
+                .agg(
+                    F.sum(F.col("forecast") * F.col("_w")).alias("forecast"),
+                    F.count("*").alias("_k"),
+                )
+                .filter(F.col("_k") == len(use_models))
+                .drop("_k")
+            )
+            fitted = fit_fc.join(
+                self.tsf.observed.select(SERIES, DS, Y), [SERIES, DS]
+            )
+            _, insample_metrics = self._metric_summary(fitted, self.metrics)
+            for m, v in insample_metrics.items():
+                if not math.isnan(v):
+                    summary[f"InSample{m.upper()}"] = v
         self.history[call_me] = {
             "forecast": fc,
-            "fitted": None,
+            "fitted": fitted,
             "test_preds": test_df,
             "summary": summary,
         }

@@ -131,16 +131,27 @@ def _ttf_body(f, plan, cross_validate, k, error,
                 min_grid_size=min_grid_size,
             )
         if cross_validate:
-            cv = {"test_length": g.validation_length, **(cv_kwargs or {})}
-            g.cross_validate(k=k, dynamic_tuning=dynamic_tuning, **cv)
+            # reference _utils.py:115-116 forwards ONLY the cvkwargs —
+            # cross_validate derives the fold size from the data when
+            # test_length isn't passed (validation_length is tune()'s
+            # 1-fold length, never a CV fold size; injecting it here
+            # made a default validation_length=1 produce 1-row rolling
+            # train windows — the round-15 Introduction2 lane bug)
+            g.cross_validate(
+                k=k, dynamic_tuning=dynamic_tuning, **(cv_kwargs or {})
+            )
         else:
             g.tune(dynamic_tuning=dynamic_tuning)
-        return g.best_params, g.grid_evaluated
+        # the winning validation score travels with the params so the
+        # forecast clone banks ValidationMetricValue like the
+        # reference's single-object loop does (round-15: the combo
+        # weighted default reads it from history)
+        return g.best_params, g.grid_evaluated, g.validation_metric_value
 
     tuned = run_jobs(
         [
             (lambda m=m, gr=gr: _tune_one(m, gr)) if gr
-            else (lambda: (None, None))
+            else (lambda: (None, None, None))
             for m, gr in plan
         ],
         on_error="raise" if error == "raise" else "nan",
@@ -173,6 +184,7 @@ def _ttf_body(f, plan, cross_validate, k, error,
             if grid:
                 g.best_params = {**res[0], **dt}
                 g.grid_evaluated = res[1]
+                g.validation_metric_value = res[2]
                 g.auto_forecast(call_me=nick)
                 g.best_params = res[0]  # report the tuned params alone
             else:

@@ -738,12 +738,16 @@ def test_introduction2_combo_after_tune(spark, tmp_path, monkeypatch):
     f.manual_forecast()
     assert "combo" in f.history
     # and the weighted default resolves ValidationMetricValue without
-    # the fallback warning (both members were tuned)
+    # the fallback warning when the members are the tuned pair
+    # (models='all' would sweep in the untuned simple combo above and
+    # correctly trigger the TestSetRMSE fallback warning instead)
     import warnings as _w
 
     with _w.catch_warnings():
         _w.simplefilter("error")
-        f.manual_forecast(how="weighted", call_me="combo_w")
+        f.manual_forecast(
+            how="weighted", models=["mlr", "elasticnet"], call_me="combo_w",
+        )
     assert "combo_w" in f.history
 
 
@@ -797,7 +801,10 @@ def test_introduction2_mv_tour(spark, tmp_path, monkeypatch):
         names=["volume", "price"],
     )
     fvol, fprice = mvpipeline.fit_predict(fvol, fprice, models=["mlr"])
-    assert "mv_mlr" in fvol.history and "mv_mlr" in fprice.history
+    # tune_test_forecast banks under the loop name (reference
+    # _utils.py:110 call_me = m + suffix), unlike bare set_estimator+
+    # manual_forecast which banks the registry twin name mv_<est>
+    assert "mlr" in fvol.history and "mlr" in fprice.history
 
     bt = mvpipeline.backtest(
         fvol, fprice, n_iter=2, jump_back=6, test_length=0, cis=False,

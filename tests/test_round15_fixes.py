@@ -419,3 +419,57 @@ def test_series_transformer_loess_it_no_warning(spark):
     with warnings.catch_warnings():
         warnings.simplefilter("error")
         st.DetrendTransform(loess=True, frac=0.4, it=1)
+
+
+# ------------------------------------------------- combo fitted vals
+def test_combo_banks_fitted_values(spark):
+    """Reference Combo.generate_current_X (models.py:1568-1583):
+    member FittedVals average into the combo's in-sample fitted
+    values, trimmed to rows where every member has one; InSample*
+    metrics bank alongside."""
+    f = Forecaster(_daily(spark, 60), future_dates=5, test_length=6)
+    f.set_estimator("naive")
+    f.manual_forecast(m=7)
+    f.set_estimator("hwes")
+    f.manual_forecast(trend=False, seasonal=False, call_me="ses")
+    f.combo(["naive", "ses"], call_me="combo")
+    fit = f.history["combo"]["fitted"]
+    assert fit is not None
+    pdf = fit.orderBy(DS).toPandas()
+    nv = f.history["naive"]["fitted"].orderBy(DS).toPandas()
+    ses = f.history["ses"]["fitted"].orderBy(DS).toPandas()
+    merged = nv.merge(ses, on=[SERIES, DS], suffixes=("_n", "_s"))
+    merged = merged.dropna(subset=["forecast_n", "forecast_s"])
+    assert len(pdf) == len(merged)
+    expect = 0.5 * (
+        merged["forecast_n"].to_numpy() + merged["forecast_s"].to_numpy()
+    )
+    np.testing.assert_allclose(
+        pdf["forecast"].to_numpy(), expect, rtol=1e-9
+    )
+    assert "InSampleRMSE" in f.history["combo"]["summary"]
+
+
+def test_combo_excludes_fitted_less_members(spark):
+    """exclude_models_with_no_fvs=True (reference default) drops a
+    fitted-less member from the in-sample average (weights
+    renormalized over the survivors); False refuses to produce fitted
+    values unless every member has them."""
+    f = Forecaster(_daily(spark, 60), future_dates=5, test_length=6)
+    f.set_estimator("naive")
+    f.manual_forecast(m=7)
+    f.set_estimator("hwes")
+    f.manual_forecast(trend=False, seasonal=False, call_me="ses")
+    f.synthesize_models(["naive", "ses"], call_me="nofvs")  # fitted=None
+    f.combo(["naive", "nofvs"], call_me="cx")
+    fit = f.history["cx"]["fitted"].orderBy(DS).toPandas()
+    nv = f.history["naive"]["fitted"].orderBy(DS).toPandas().dropna(
+        subset=["forecast"]
+    )
+    np.testing.assert_allclose(
+        fit["forecast"].to_numpy(), nv["forecast"].to_numpy(), rtol=1e-9
+    )
+    f.combo(
+        ["naive", "nofvs"], call_me="cn", exclude_models_with_no_fvs=False,
+    )
+    assert f.history["cn"]["fitted"] is None
