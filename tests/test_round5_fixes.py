@@ -5,9 +5,13 @@ import pytest
 from pyspark.sql import functions as F
 
 
-def test_fitted_plot_skips_combo_none(spark, sf_dir):
-    """plot_fitted after a combo() (fitted=None) must not raise and
-    must still carry the base model's fitted rows."""
+def test_fitted_plot_handles_combo(spark, sf_dir):
+    """plot_fitted after a combo() must not raise. Since round 15 the
+    combo banks member-averaged in-sample fitted values (reference
+    parity: the reference's _bank_history stores FittedVals for combos
+    too), so the combo now APPEARS in the fitted frame; models whose
+    fitted entry is genuinely None (e.g. synthesize_models) are still
+    skipped — fitted_plot_frame keeps its None guard."""
     from scalecast_spark import Forecaster
     from scalecast_spark.sources import events_to_series, load_table
 
@@ -22,7 +26,13 @@ def test_fitted_plot_skips_combo_none(spark, sf_dir):
     frame = fitted_plot_frame(f)  # all models incl. the combo
     models = {r["model"] for r in frame.select("model").distinct().collect()}
     assert "mlr" in models and "actuals" in models
-    assert "combo" not in models  # skipped, not crashed
+    assert "combo" in models  # combos bank fitted values since r15
+    # the None guard itself stays covered: a history entry with
+    # fitted=None must be skipped, not crash the frame builder
+    f.history["combo"]["fitted"] = None
+    frame2 = fitted_plot_frame(f)
+    models2 = {r["model"] for r in frame2.select("model").distinct().collect()}
+    assert "combo" not in models2 and "mlr" in models2
 
 
 def test_semantic_dedup_string_ids_route_to_expr(spark):
