@@ -1121,6 +1121,9 @@ class Forecaster:
                 ),
             )
         name = call_me or self.estimator
+        cell = self._kernel_cell_from_kwargs(kwargs)
+        if cell is not None:
+            return self._manual_forecast_fused(name, cell, kwargs)
         test_df = None
         test_metrics: dict[str, float] | None = None
         per_series_test = None
@@ -1166,6 +1169,115 @@ class Forecaster:
             # per-series metric frames stay LAZY DataFrames — MV
             # exports read them; the driver only ever collected the
             # one-row cross-series mean above
+            "per_series_test_metrics": per_series_test,
+            "per_series_insample_metrics": per_series_in,
+            "summary": summary,
+        }
+        return self
+
+    def _kernel_cell_from_kwargs(self, kwargs):
+        """(fit_fn, normalizer, dynamic_testing) for the CURRENT
+        estimator + manual_forecast kwargs when the estimator is
+        kernel-backed and every kwarg maps onto its factory — the
+        routing test for the fused test+full pass (run_kernel_testfull,
+        optimization round 15). Mirrors _grid_cells' conventions
+        exactly: normalizer/dynamic_testing defaults come from the
+        MODEL function's signature, an unexpected hyperparameter
+        TypeErrors the factory and falls back (return None) to the
+        generic two-pass path. Opt out via
+        SPARK_GRAFT_FUSED_TESTFULL=0 (the parity lane compares both
+        paths)."""
+        import inspect
+        import os
+
+        from scalecast_spark.models import KERNEL_FACTORIES, MODELS
+
+        if os.environ.get("SPARK_GRAFT_FUSED_TESTFULL", "1") == "0":
+            return None
+        if self.estimator not in KERNEL_FACTORIES:
+            return None
+        p = {k: v for k, v in kwargs.items() if k != "Xvars"}
+        try:
+            sig = inspect.signature(MODELS[self.estimator]).parameters
+            default_norm = (
+                sig["normalizer"].default if "normalizer" in sig else None
+            )
+            default_dyn = (
+                sig["dynamic_testing"].default
+                if "dynamic_testing" in sig else True
+            )
+        except (TypeError, ValueError):
+            default_norm, default_dyn = None, True
+        norm = p.pop("normalizer", default_norm)
+        dyn = p.pop("dynamic_testing", default_dyn)
+        try:
+            return KERNEL_FACTORIES[self.estimator](**p), norm, dyn
+        except TypeError:
+            return None
+
+    def _manual_forecast_fused(self, name, cell, kwargs) -> "Forecaster":
+        """manual_forecast for kernel estimators via ONE fused Spark
+        job (kernel.run_kernel_testfull): the test fit and the full
+        fit run inside the same series task, and the tagged output is
+        cached so the test-metric collect, the in-sample-metric
+        collect, the conformal widths, and the eventual forecast
+        materialization all read one computed frame instead of
+        re-running the kernel per action (optimization guide §1.2).
+        The fused plan embeds a fresh Python function per call, so the
+        cache can never be deduped against a previous invocation —
+        every run still computes from the inputs."""
+        from scalecast_spark.models.kernel import run_kernel_testfull
+
+        fit_fn, norm, dyn = cell
+        xvars = kwargs.get("Xvars")
+        if xvars is None:
+            xvars = (
+                [] if _exog_optional(self.estimator)
+                else list(self.tsf.features)
+            )
+        elif xvars == "all":
+            xvars = list(self.tsf.features)
+        fused = run_kernel_testfull(
+            self.tsf.df, list(xvars), fit_fn, int(self.test_length or 0),
+            dynamic_testing=dyn, normalizer=norm,
+        ).cache()
+        test_df = None
+        test_metrics: dict[str, float] | None = None
+        per_series_test = None
+        widths = None
+        if self.test_length:
+            test_df = fused.filter(F.col("_arm") == "test").select(
+                SERIES, DS, Y, "forecast"
+            )
+            per_series_test, test_metrics = self._metric_summary(
+                test_df, self.metrics
+            )
+            if getattr(self, "cis", True):
+                widths = conformal_widths(
+                    test_df, actual=Y, forecast="forecast",
+                    cilevel=self.cilevel,
+                )
+        full = fused.filter(F.col("_arm") == "full")
+        fitted = full.filter(
+            (F.col(IS_FUTURE) == 0) & F.col("forecast").isNotNull()
+        ).select(SERIES, DS, Y, "forecast")
+        fc = full.filter(F.col(IS_FUTURE) == 1).select(SERIES, DS, "forecast")
+        if widths is not None:
+            fc = apply_intervals(fc, widths)
+        per_series_in, insample_metrics = self._metric_summary(
+            fitted, self.metrics
+        )
+        summary = {"estimator": self.estimator, "hyperparams": dict(kwargs)}
+        for m, v in (test_metrics or {}).items():
+            summary[f"TestSet{m.upper()}"] = v
+        for m, v in insample_metrics.items():
+            summary[f"InSample{m.upper()}"] = v
+        if self.validation_metric_value is not None:
+            summary["ValidationMetricValue"] = self.validation_metric_value
+        self.history[name] = {
+            "forecast": fc,
+            "fitted": fitted,
+            "test_preds": test_df,
             "per_series_test_metrics": per_series_test,
             "per_series_insample_metrics": per_series_in,
             "summary": summary,

@@ -153,6 +153,144 @@ def run_kernel(
     return df.join(preds, on=[SERIES, DS], how="left")
 
 
+def run_kernel_testfull(
+    df: DataFrame,
+    features: list[str],
+    fit_fn: Callable[[np.ndarray, np.ndarray], Callable[[np.ndarray], float]],
+    test_length: int,
+    dynamic_testing: bool | int = True,
+    normalizer: str | None = None,
+) -> DataFrame:
+    """manual_forecast's TWO kernel passes fused into ONE job
+    (optimization guide §1.2 "remove unnecessary passes"): each series
+    task fits twice — the TEST fit (train on pre-test history,
+    recursively predict the held-out last ``test_length`` observed
+    rows, exactly what ``run_kernel`` over ``_mark_test_rows(df)``
+    computes) and the FULL fit (train on all observed rows, static
+    fitted values + recursive horizon, exactly ``run_kernel(df)``) —
+    and emits both tagged by ``_arm``. Values are bit-identical to the
+    two-pass form (same numpy fits, same fold slicing, same peek
+    rules; pinned by tests/test_round15_fixes.py parity lane); only
+    the job count changes: one scan + one shuffle instead of two of
+    each, and the output is SELF-CONTAINED (carries y/is_future), so
+    downstream metric/interval/export consumers never join back to the
+    feature frame.
+
+    Output: (series_id, ds, y, is_future, _arm, forecast) where
+    ``_arm='test'`` rows are the held-out test predictions (is_future
+    reported as 1, matching the marked-frame convention) and
+    ``_arm='full'`` rows cover every input row (fitted + horizon).
+    """
+    normalizer = _resolve_normalizer(normalizer)
+    ar_lags = {int(m.group(1)): c for c in features for m in [_AR_RE.match(c)] if m}
+    feat = list(features)
+    peek_every = (
+        0 if dynamic_testing is True else 1 if dynamic_testing is False
+        else int(dynamic_testing)
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField(SERIES, df.schema[SERIES].dataType),
+            T.StructField(DS, df.schema[DS].dataType),
+            T.StructField(Y, T.DoubleType()),
+            T.StructField(IS_FUTURE, T.IntegerType()),
+            T.StructField("_arm", T.StringType()),
+            T.StructField("forecast", T.DoubleType()),
+        ]
+    )
+
+    def _recurse(predict, norm, hist, fut_rows, fut_actuals):
+        """run_kernel's recursive horizon loop, shared by both arms:
+        AR cells always overwritten from the rolling history; peek the
+        true actual every ``peek_every`` steps when it exists."""
+        preds = []
+        for step in range(1, len(fut_rows) + 1):
+            row = fut_rows.iloc[step - 1].copy()
+            for k, cname in ar_lags.items():
+                if k <= len(hist):
+                    row[cname] = hist[-k]
+            pred = float(predict(norm(row.to_numpy(float).reshape(1, -1))))
+            preds.append(pred)
+            actual = fut_actuals[step - 1]
+            if peek_every and step % peek_every == 0 and not pd.isna(actual):
+                hist.append(float(actual))
+            else:
+                hist.append(pred)
+        return preds
+
+    def fit_predict(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(DS).reset_index(drop=True)
+        obs = pdf[pdf[IS_FUTURE] == 0]
+        outs = []
+
+        # ---- FULL arm: run_kernel(df) verbatim ----
+        out = pdf[[SERIES, DS, Y, IS_FUTURE]].copy()
+        train = obs.dropna(subset=feat + [Y])
+        if len(train) <= max(len(feat), 1):
+            out["forecast"] = np.nan
+        else:
+            Xtr = np.column_stack([train[c].to_numpy(float) for c in feat])
+            norm = _fit_normalizer(normalizer, Xtr)
+            predict = fit_fn(norm(Xtr), train[Y].to_numpy(float))
+            fitted = np.full(len(pdf), np.nan)
+            ok = (
+                pdf[feat].notna().all(axis=1) & (pdf[IS_FUTURE] == 0)
+            ).to_numpy()
+            if ok.any():
+                Xall = np.column_stack(
+                    [pdf.loc[ok, c].to_numpy(float) for c in feat]
+                )
+                fitted[ok] = predict(norm(Xall))
+            hist = list(obs[Y].to_numpy(float))
+            fut_idx = pdf.index[pdf[IS_FUTURE] == 1].tolist()
+            if fut_idx:
+                fitted[fut_idx] = _recurse(
+                    predict, norm, hist,
+                    pdf.loc[fut_idx, feat],
+                    pdf.loc[fut_idx, Y].to_numpy(),
+                )
+            out["forecast"] = fitted
+        out["_arm"] = "full"
+        outs.append(out)
+
+        # ---- TEST arm: run_kernel(_mark_test_rows(df)) verbatim ----
+        # _mark_test_rows drops real future rows and re-flags the last
+        # test_length OBSERVED rows as future; replicate that slicing.
+        if test_length:
+            n = len(obs)
+            cut = max(n - test_length, 0)
+            pre = obs.iloc[:cut]
+            hold = obs.iloc[cut:]
+            t_out = hold[[SERIES, DS, Y]].copy()
+            t_out[IS_FUTURE] = 1
+            train_t = pre.dropna(subset=feat + [Y])
+            if len(train_t) <= max(len(feat), 1):
+                t_out["forecast"] = np.nan
+            else:
+                Xtr_t = np.column_stack(
+                    [train_t[c].to_numpy(float) for c in feat]
+                )
+                norm_t = _fit_normalizer(normalizer, Xtr_t)
+                predict_t = fit_fn(norm_t(Xtr_t), train_t[Y].to_numpy(float))
+                t_out["forecast"] = _recurse(
+                    predict_t, norm_t, list(pre[Y].to_numpy(float)),
+                    hold[feat], hold[Y].to_numpy(),
+                )
+            t_out["_arm"] = "test"
+            outs.append(t_out)
+
+        return pd.concat(outs, ignore_index=True)[
+            [SERIES, DS, Y, IS_FUTURE, "_arm", "forecast"]
+        ]
+
+    return (
+        df.select(SERIES, DS, IS_FUTURE, Y, *feat)
+        .groupBy(SERIES)
+        .applyInPandas(fit_predict, schema)
+    )
+
+
 def transfer_kernel(
     src_df: DataFrame,
     dst_df: DataFrame,

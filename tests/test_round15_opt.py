@@ -1,0 +1,94 @@
+"""Round-15 OPTIMIZATION parity lanes: every perf rewrite must be
+value-identical to the path it replaces.
+
+Lane 1 — fused test+full kernel (kernel.run_kernel_testfull): one
+applyInPandas job replaces manual_forecast's two kernel passes; the
+banked forecast/fitted/test_preds frames must match the legacy two-pass
+output row-for-row (exact), summaries to float aggregation-order
+tolerance (the fused frame's different partition layout legally
+reorders the metric sums).
+"""
+
+import math
+import os
+
+import pytest
+
+from scalecast_spark.forecaster import Forecaster
+
+
+def _build(spark, sf_dir, test_length=7):
+    from __spark_entry__ import _series
+
+    f = Forecaster(_series(spark, sf_dir), future_dates=7)
+    f.set_test_length(test_length)
+    f.add_ar_terms(3).add_time_trend().add_seasonal_regressors(
+        "dayofweek", raw=True
+    )
+    return f
+
+
+def _snap(f, m):
+    h = f.history[m]
+    fc = sorted(tuple(r) for r in h["forecast"].collect())
+    ft = sorted(tuple(r) for r in h["fitted"].collect())
+    tp = (
+        sorted(tuple(r) for r in h["test_preds"].collect())
+        if h["test_preds"] is not None else None
+    )
+    return fc, ft, tp, dict(h["summary"])
+
+
+def _close(a, b):
+    if isinstance(a, float) and isinstance(b, float):
+        if math.isnan(a) and math.isnan(b):
+            return True
+        return math.isclose(a, b, rel_tol=1e-9, abs_tol=1e-9)
+    return a == b
+
+
+@pytest.mark.parametrize(
+    "est,kw,tl",
+    [
+        ("mlr", {}, 7),
+        ("ridge", {"alpha": 0.5, "normalizer": "minmax"}, 7),
+        ("knn", {"n_neighbors": 4, "dynamic_testing": 2}, 7),
+        ("ridge", {"alpha": 1.0}, 0),
+    ],
+)
+def test_fused_testfull_matches_two_pass(spark, sf_dir, est, kw, tl):
+    old = os.environ.get("SPARK_GRAFT_FUSED_TESTFULL")
+    try:
+        os.environ["SPARK_GRAFT_FUSED_TESTFULL"] = "0"
+        f1 = _build(spark, sf_dir, tl)
+        f1.set_estimator(est)
+        f1.manual_forecast(call_me="m", **kw)
+        a = _snap(f1, "m")
+        os.environ["SPARK_GRAFT_FUSED_TESTFULL"] = "1"
+        f2 = _build(spark, sf_dir, tl)
+        f2.set_estimator(est)
+        f2.manual_forecast(call_me="m", **kw)
+        b = _snap(f2, "m")
+    finally:
+        if old is None:
+            os.environ.pop("SPARK_GRAFT_FUSED_TESTFULL", None)
+        else:
+            os.environ["SPARK_GRAFT_FUSED_TESTFULL"] = old
+    assert a[0] == b[0]  # forecast rows exact
+    assert a[1] == b[1]  # fitted rows exact
+    assert a[2] == b[2]  # test predictions exact
+    assert set(a[3]) == set(b[3])
+    for k in a[3]:
+        assert _close(a[3][k], b[3][k]), (k, a[3][k], b[3][k])
+
+
+def test_fused_path_routes_kernel_estimators_only(spark, sf_dir):
+    """Non-kernel estimators and unmappable kwargs must fall back to
+    the generic path (cell resolution returns None), mirroring
+    _grid_cells' TypeError convention."""
+    f = _build(spark, sf_dir)
+    f.set_estimator("ridge")
+    assert f._kernel_cell_from_kwargs({"alpha": 1.0}) is not None
+    assert f._kernel_cell_from_kwargs({"alpha": 1.0, "nope": 3}) is None
+    f.set_estimator("hwes")
+    assert f._kernel_cell_from_kwargs({}) is None
