@@ -184,11 +184,28 @@ class Forecaster:
             self.test_length = int(n)
         return self
 
+    def _series_stats(self) -> tuple[int, int | None]:
+        """(n_series, min_obs) for the observed frame — served from the
+        cache the ingest-time infer_meta job left on the
+        TimeSeriesFrame when the row set is provably unchanged (feature
+        ops carry it; chops/transforms drop it), else one aggregate
+        job whose result is re-cached on the current frame."""
+        st = getattr(self.tsf, "_stats", None)
+        if st is None:
+            row = (
+                self.tsf.observed.groupBy(SERIES).count()
+                .agg(F.min("count").alias("_min"), F.count("*").alias("_n"))
+                .collect()[0]
+            )
+            st = (
+                int(row["_n"]),
+                int(row["_min"]) if row["_min"] is not None else None,
+            )
+            object.__setattr__(self.tsf, "_stats", st)
+        return st
+
     def _min_series_length(self) -> int:
-        return int(
-            self.tsf.observed.groupBy(SERIES).count()
-            .agg(F.min("count")).collect()[0][0]
-        )
+        return int(self._series_stats()[1])
 
     def set_validation_length(self, n: int | float) -> "Forecaster":
         if isinstance(n, float) and not n.is_integer():
@@ -382,13 +399,8 @@ class Forecaster:
         MINIMUM per-series observed count — the quantity every
         window/length decision (test split, series-length search,
         max AR order) must respect across ALL series."""
-        row = (
-            self.tsf.observed.groupBy(SERIES)
-            .count()
-            .agg(F.min("count"))
-            .collect()[0]
-        )
-        return int(row[0]) if row[0] is not None else 0
+        mn = self._series_stats()[1]
+        return int(mn) if mn is not None else 0
 
     def get_freq(self) -> float | None:
         """The inferred observation frequency (reference
@@ -1764,12 +1776,7 @@ class Forecaster:
                 )
         from scalecast_spark.functions.parallel import run_jobs
 
-        stats = (
-            self.tsf.observed.groupBy(SERIES).count()
-            .agg(F.min("count").alias("_min"), F.count("*").alias("_n"))
-            .collect()[0]
-        )
-        n_obs, n_series = stats["_min"], stats["_n"]
+        n_series, n_obs = self._series_stats()
         aside = self.test_length if set_aside_test_set else 0
         usable = max(n_obs - aside, 2)
         test_length = test_length or max(usable // (k + 1), 1)

@@ -66,8 +66,23 @@ class TimeSeriesFrame:
         feats = tuple(c for c in df.columns if c not in RESERVED)
         tsf = cls(df=out, features=feats)
         if infer_freq:
-            tsf = replace(tsf, freq_seconds=tsf.infer_freq())
+            freq, n_series, min_obs = tsf.infer_meta()
+            tsf = replace(tsf, freq_seconds=freq)
+            object.__setattr__(tsf, "_stats", (n_series, min_obs))
         return tsf
+
+    def _carry_stats(self, new: "TimeSeriesFrame") -> "TimeSeriesFrame":
+        """Propagate the cached (n_series, min_obs) pair onto a derived
+        frame whose OBSERVED row set is provably unchanged (feature
+        columns added/dropped, future horizon appended). Row-changing
+        derivations (chops, transforms) simply don't call this — a
+        plain ``replace`` never carries the attribute (it is not a
+        dataclass field, by design), so staleness is impossible by
+        default."""
+        st = getattr(self, "_stats", None)
+        if st is not None:
+            object.__setattr__(new, "_stats", st)
+        return new
 
     # -- metadata -----------------------------------------------------
     def infer_freq(self) -> float | None:
@@ -93,6 +108,62 @@ class TimeSeriesFrame:
             .collect()
         )
         return float(deltas[0]["delta"]) if deltas else None
+
+    def infer_meta(self) -> tuple[float | None, int, int | None]:
+        """``infer_freq`` + the series stats every tuning path needs —
+        (freq_seconds, n_series, min_obs) — in ONE Spark job
+        (optimization round 15: cross_validate previously re-collected
+        the per-series counts as a second job at every call; guide
+        §1.2 "don't compute things twice"). The two result arms share
+        the lag-window subtree (same exchange — ReuseExchange), union
+        into a 2-row collect; the freq arm keeps infer_freq's exact
+        ordering rule (count desc, delta asc), so the inferred
+        frequency is bit-identical to :meth:`infer_freq`."""
+        w = W.partitionBy(SERIES).orderBy(DS)
+        d = (
+            self.df.filter(F.col(IS_FUTURE) == 0)
+            .select(
+                SERIES,
+                (
+                    epoch_seconds(DS) - epoch_seconds(F.lag(DS).over(w))
+                ).alias("delta"),
+            )
+        )
+        arm_freq = (
+            d.filter(F.col("delta").isNotNull())
+            .groupBy("delta")
+            .count()
+            .orderBy(F.desc("count"), "delta")
+            .limit(1)
+            .select(
+                F.lit("freq").alias("_k"),
+                F.col("delta").cast("double").alias("_freq"),
+                F.lit(None).cast("long").alias("_min"),
+                F.lit(None).cast("long").alias("_n"),
+            )
+        )
+        arm_stats = (
+            d.groupBy(SERIES)
+            .count()
+            .agg(F.min("count").alias("_min"), F.count("*").alias("_n"))
+            .select(
+                F.lit("stats").alias("_k"),
+                F.lit(None).cast("double").alias("_freq"),
+                F.col("_min").cast("long").alias("_min"),
+                F.col("_n").cast("long").alias("_n"),
+            )
+        )
+        rows = {r["_k"]: r for r in arm_freq.unionByName(arm_stats).collect()}
+        freq = (
+            float(rows["freq"]["_freq"]) if "freq" in rows else None
+        )
+        st = rows.get("stats")
+        n_series = int(st["_n"]) if st is not None else 0
+        min_obs = (
+            int(st["_min"])
+            if st is not None and st["_min"] is not None else None
+        )
+        return freq, n_series, min_obs
 
     @property
     def observed(self) -> DataFrame:
@@ -140,7 +211,9 @@ class TimeSeriesFrame:
             SERIES, DS, Y, IS_FUTURE,
             *[F.lit(None).cast("double").alias(c) for c in self.features],
         )
-        return replace(self, df=base.unionByName(fut))
+        # future rows carry is_future=1: the observed row set (what the
+        # cached series stats describe) is unchanged
+        return self._carry_stats(replace(self, df=base.unionByName(fut)))
 
     # -- slicing (SURVEY.md §2.4) -------------------------------------
     def chop_from_front(self, n: int) -> "TimeSeriesFrame":
@@ -210,9 +283,14 @@ class TimeSeriesFrame:
             # downstream consumer of the feature
             raise ValueError(f"feature names must not contain '.' or '`': {bad}")
         feats = tuple(dict.fromkeys([*self.features, *new]))
-        return replace(self, df=df, features=feats)
+        # feature derivations are row-preserving by contract (window
+        # projections / left joins on the (series_id, ds) spine), so
+        # the cached series stats stay valid
+        return self._carry_stats(replace(self, df=df, features=feats))
 
     def drop_features(self, *names: str) -> "TimeSeriesFrame":
         """drop_Xvars (reference _Forecaster_parent.py:720-766)."""
         keep = tuple(c for c in self.features if c not in names)
-        return replace(self, df=self.df.drop(*names), features=keep)
+        return self._carry_stats(
+            replace(self, df=self.df.drop(*names), features=keep)
+        )

@@ -82,6 +82,44 @@ def test_fused_testfull_matches_two_pass(spark, sf_dir, est, kw, tl):
         assert _close(a[3][k], b[3][k]), (k, a[3][k], b[3][k])
 
 
+def test_infer_meta_matches_infer_freq_and_stats(spark, sf_dir):
+    """Lane 2 — the fused ingest-metadata job: infer_meta's frequency
+    must be bit-identical to infer_freq (same count-desc/delta-asc
+    ordering rule), its stats identical to the per-series aggregate
+    cross_validate used to collect, and the cached stats must survive
+    feature ops but NOT row-changing ops."""
+    from pyspark.sql import functions as F
+
+    from __spark_entry__ import _series
+    from scalecast_spark import TimeSeriesFrame
+
+    tsf = TimeSeriesFrame.from_long(_series(spark, sf_dir))
+    freq, n_series, min_obs = tsf.infer_meta()
+    assert freq == tsf.infer_freq()
+    row = (
+        tsf.observed.groupBy("series_id").count()
+        .agg(F.min("count").alias("_min"), F.count("*").alias("_n"))
+        .collect()[0]
+    )
+    assert (n_series, min_obs) == (int(row["_n"]), int(row["_min"]))
+    # from_long cached them; feature ops carry, chops drop
+    assert getattr(tsf, "_stats", None) == (n_series, min_obs)
+    feat = tsf.with_features(
+        tsf.df.withColumn("xx", F.lit(1.0)), ["xx"]
+    )
+    assert getattr(feat, "_stats", None) == (n_series, min_obs)
+    chopped = tsf.chop_from_front(3)
+    assert getattr(chopped, "_stats", None) is None
+    # Forecaster._series_stats re-collects on a stats-less frame and
+    # reflects the chop
+    from scalecast_spark import Forecaster
+
+    f = Forecaster(_series(spark, sf_dir), future_dates=3)
+    assert f._series_stats() == (n_series, min_obs)
+    f.chop_from_front(3)
+    assert f._series_stats() == (n_series, min_obs - 3)
+
+
 def test_fused_path_routes_kernel_estimators_only(spark, sf_dir):
     """Non-kernel estimators and unmappable kwargs must fall back to
     the generic path (cell resolution returns None), mirroring
