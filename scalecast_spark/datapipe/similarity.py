@@ -714,6 +714,8 @@ def pq_codebooks_trained(
     ~m·ksub times in a single task — ~34 ms/row, 87 s of the sf0.1
     bench. Identical arithmetic per element, same left-to-right fold
     order, so the DuckDB replay is unchanged."""
+    import os
+
     from scalecast_spark.datapipe.dedup import _spread
 
     books = (
@@ -722,6 +724,8 @@ def pq_codebooks_trained(
         else pq_codebooks(df, m, ksub, vec_col, id_col)
     )
     sub = len(books[0][0][1])
+    if os.environ.get("SPARK_GRAFT_PQ_ARROW", "1") != "0":
+        return _pq_train_arrow(df, cents, books, m, ksub, sub, n_iter, vec_col)
     base = df.select(F.col(vec_col).cast("array<double>").alias("_v"))
     base = base.repartition(_spread(df))
     if cents is not None:
@@ -794,6 +798,125 @@ def pq_codebooks_trained(
             ]
             for s in range(m)
         ]
+    return books
+
+
+def _pq_train_arrow(df, cents, books, m, ksub, sub, n_iter, vec_col):
+    """The Lloyd training loop's assignment stage as ONE Arrow kernel
+    per iteration (optimization round 15, guide §4.2): the HOF-fold
+    form rebuilt an 8-subspace literal expression tree with NEW
+    codebook values every iteration, so every iteration paid a full
+    whole-stage-codegen recompile (~1.1 s/job measured at sf0.1 —
+    12× the actual execution); the kernel keeps centroids/codebooks in
+    the task closure, runs the same arithmetic in numpy, and the
+    downstream (s, code, dim) → avg plan is literal-free and stable,
+    so codegen compiles once.
+
+    BIT-EXACT twin of the SQL form (pinned by
+    tests/test_round15_opt.py): every fold is replicated as a
+    per-dimension vectorized accumulation — ``acc += x[:,d]*c[d]`` in
+    dimension order is exactly the SQL ``aggregate`` left-fold per
+    row — argmax/argmin take the FIRST extremum like
+    array_position(arr, array_max/min(arr)), NULL vectors contribute
+    no rows (the SQL posexplode of a NULL slice array), and the mean
+    update stays the SAME JVM groupBy-avg over rows emitted in the
+    same per-partition order. The input frame is cached for the
+    iterations (scoped: unpersisted before return, so a later
+    invocation can never reuse it)."""
+    import pyarrow as pa
+    from pyspark.sql import types as T
+
+    from scalecast_spark.datapipe.dedup import _spread
+
+    base = (
+        df.select(F.col(vec_col).cast("array<double>").alias("_v"))
+        .filter(F.col("_v").isNotNull())
+        .repartition(_spread(df))
+    )
+    base.cache()
+    C = (
+        np.array([cv for _, cv in cents], float)
+        if cents is not None else None
+    )
+    out_schema = T.StructType(
+        [
+            T.StructField("_s", T.IntegerType()),
+            T.StructField("_code", T.IntegerType()),
+            T.StructField("_dim", T.IntegerType()),
+            T.StructField("_x", T.DoubleType()),
+        ]
+    )
+    try:
+        for _ in range(n_iter):
+            B = [
+                np.array([cw for _, cw in books[s]], float)
+                for s in range(m)
+            ]
+
+            def assign(batches, _B=B):
+                for batch in batches:
+                    col = batch.column(0)
+                    n = len(col)
+                    if n == 0:
+                        continue
+                    V = np.asarray(col.flatten().to_numpy(
+                        zero_copy_only=False
+                    )).reshape(n, -1)
+                    if C is not None:
+                        # sequential-fold dot per centroid: acc += V[:,d]*c[d]
+                        dots = np.zeros((n, len(C)))
+                        for ci in range(len(C)):
+                            acc = np.zeros(n)
+                            for d in range(V.shape[1]):
+                                acc += V[:, d] * C[ci, d]
+                            dots[:, ci] = acc
+                        cell = np.argmax(dots, axis=1)  # first max, like array_position
+                        V = V - C[cell]
+                    ss, cc, dd, xx = [], [], [], []
+                    for s in range(m):
+                        S = V[:, s * sub:(s + 1) * sub]
+                        dist = np.zeros((n, ksub))
+                        for ci in range(ksub):
+                            acc = np.zeros(n)
+                            for d in range(sub):
+                                t = S[:, d] - _B[s][ci, d]
+                                acc += t * t
+                            dist[:, ci] = acc
+                        code = np.argmin(dist, axis=1) + 1  # 1-based, first min
+                        ss.append(np.full(n * sub, s, dtype=np.int32))
+                        cc.append(np.repeat(code.astype(np.int32), sub))
+                        dd.append(np.tile(np.arange(sub, dtype=np.int32), n))
+                        xx.append(S.ravel())
+                    yield pa.RecordBatch.from_arrays(
+                        [
+                            pa.array(np.concatenate(ss), type=pa.int32()),
+                            pa.array(np.concatenate(cc), type=pa.int32()),
+                            pa.array(np.concatenate(dd), type=pa.int32()),
+                            pa.array(np.concatenate(xx), type=pa.float64()),
+                        ],
+                        names=["_s", "_code", "_dim", "_x"],
+                    )
+
+            rows = (
+                base.mapInArrow(assign, out_schema)
+                .groupBy("_s", "_code", "_dim")
+                .agg(F.avg("_x").alias("_m"))
+                .collect()
+            )
+            upd: dict[tuple[int, int], list[float]] = {}
+            for r in rows:
+                upd.setdefault((r["_s"], r["_code"]), [0.0] * sub)[
+                    r["_dim"]
+                ] = r["_m"]
+            books = [
+                [
+                    (code, upd.get((s, code), cw))
+                    for code, cw in books[s]
+                ]
+                for s in range(m)
+            ]
+    finally:
+        base.unpersist()
     return books
 
 
@@ -912,6 +1035,12 @@ def ivfpq_encode(
     crawl-increment wiring. Rows with a NULL ``vec_col`` pass through
     with NULL cell/codes (tokenless docs from embed_docs_rowwise).
     """
+    import os
+
+    if os.environ.get("SPARK_GRAFT_PQ_ARROW", "1") != "0":
+        return _ivfpq_encode_arrow(
+            df, cents, books, vec_col, residual, cell_col, code_col
+        )
     vec = F.col(vec_col).cast("array<double>")
     out = df.withColumn("_cell", _cell_of(vec, cents))
     out = _pq_encode_cols(out, cents, books, vec_col, residual)
@@ -922,6 +1051,105 @@ def ivfpq_encode(
         f"cast(_cell as int) AS {cell_col}",
         f"CASE WHEN _cell IS NOT NULL THEN {codes} END AS {code_col}",
     )
+
+
+def _ivfpq_encode_arrow(
+    df: DataFrame,
+    cents,
+    books,
+    vec_col: str,
+    residual: bool,
+    cell_col: str,
+    code_col: str,
+) -> DataFrame:
+    """:func:`ivfpq_encode` as ONE Arrow kernel (optimization round 15,
+    guide §4.2): same per-row arithmetic as the staged-HOF projection —
+    every fold replicated as a per-dimension vectorized accumulation
+    (bit-exact: the SQL ``aggregate`` left-fold IS ``acc += ...`` in
+    dimension order), argmax/argmin take the first extremum like
+    array_position over array_max/min, NULL vectors pass through with
+    NULL cell/codes — but the centroid/codebook tables live in the task
+    closure instead of literal expression trees, so the plan is small,
+    stable, and whole-stage-codegen never recompiles per build. Still a
+    pure stateless projection: applies unchanged to readStream frames
+    (ivfpq_encode_stream), exactly like the SQL form. Parity pinned by
+    tests/test_round15_opt.py and tests/test_ivfpq.py."""
+    import pyarrow as pa
+    from pyspark.sql import types as T
+
+    m = len(books)
+    d = len(cents[0][1])
+    sub = d // m
+    C = np.array([cv for _, cv in cents], float)
+    B = [np.array([cw for _, cw in books[s]], float) for s in range(m)]
+    ksub = B[0].shape[0]
+    out_schema = T.StructType(
+        list(df.schema.fields)
+        + [
+            T.StructField(cell_col, T.IntegerType()),
+            T.StructField(code_col, T.ArrayType(T.IntegerType())),
+        ]
+    )
+    vec_idx = df.columns.index(vec_col)
+
+    def encode(batches):
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            col = batch.column(vec_idx)
+            valid = np.ones(n, dtype=bool)
+            if col.null_count:
+                valid = ~np.asarray(col.is_null())
+            idx = np.nonzero(valid)[0]
+            cell_out = np.full(n, -1, dtype=np.int64)
+            codes_out = np.zeros((n, m), dtype=np.int32)
+            if len(idx):
+                dense = col.take(pa.array(idx)) if len(idx) < n else col
+                V = np.asarray(
+                    dense.flatten().to_numpy(zero_copy_only=False),
+                    dtype=np.float64,
+                ).reshape(len(idx), d)
+                nv = len(idx)
+                dots = np.zeros((nv, len(C)))
+                for ci in range(len(C)):
+                    acc = np.zeros(nv)
+                    for k in range(d):
+                        acc += V[:, k] * C[ci, k]
+                    dots[:, ci] = acc
+                cell = np.argmax(dots, axis=1)  # first max
+                R = V - C[cell] if residual else V
+                for s in range(m):
+                    S = R[:, s * sub:(s + 1) * sub]
+                    dist = np.zeros((nv, ksub))
+                    for ci in range(ksub):
+                        acc = np.zeros(nv)
+                        for k in range(sub):
+                            t = S[:, k] - B[s][ci, k]
+                            acc += t * t
+                        dist[:, ci] = acc
+                    # first min, 1-based (array_position of array_min)
+                    codes_out[idx, s] = np.argmin(dist, axis=1) + 1
+                cell_out[idx] = cell + 1
+            cell_arr = pa.array(
+                [int(c) if c > 0 else None for c in cell_out],
+                type=pa.int32(),
+            )
+            codes_arr = pa.array(
+                [
+                    [int(x) for x in codes_out[i]] if cell_out[i] > 0
+                    else None
+                    for i in range(n)
+                ],
+                type=pa.list_(pa.int32()),
+            )
+            yield pa.RecordBatch.from_arrays(
+                [batch.column(i) for i in range(batch.num_columns)]
+                + [cell_arr, codes_arr],
+                names=list(batch.schema.names) + [cell_col, code_col],
+            )
+
+    return df.mapInArrow(encode, out_schema)
 
 
 def _adc_cosine_sql(

@@ -120,6 +120,63 @@ def test_infer_meta_matches_infer_freq_and_stats(spark, sf_dir):
     assert f._series_stats() == (n_series, min_obs - 3)
 
 
+def test_pq_arrow_twins_bitexact(spark, sf_dir):
+    """Lane 3 — the Arrow PQ kernels (training assignment + encode)
+    must be BIT-exact twins of the staged-HOF SQL forms: the kernels
+    replicate every SQL fold as a per-dimension vectorized
+    accumulation (same left-to-right float order), so trained
+    codebooks compare equal as floats and encodes row-for-row,
+    including NULL-vector pass-through."""
+    from pyspark.sql import functions as F
+
+    from __spark_entry__ import _emb
+    from scalecast_spark.datapipe.similarity import (
+        ivf_centroids,
+        ivfpq_encode,
+        pq_codebooks_trained,
+    )
+
+    emb = _emb(spark, sf_dir)
+    cents = ivf_centroids(emb, 8, "embedding", "vec_id")
+    old = os.environ.get("SPARK_GRAFT_PQ_ARROW")
+
+    def rows(df):
+        return sorted(
+            (
+                r["vec_id"], r["cell"],
+                tuple(r["pq_codes"]) if r["pq_codes"] is not None else None,
+            )
+            for r in df.select("vec_id", "cell", "pq_codes").collect()
+        )
+
+    try:
+        os.environ["SPARK_GRAFT_PQ_ARROW"] = "0"
+        b_sql = pq_codebooks_trained(
+            emb, 8, 16, 2, "embedding", "vec_id", cents=cents
+        )
+        os.environ["SPARK_GRAFT_PQ_ARROW"] = "1"
+        b_arw = pq_codebooks_trained(
+            emb, 8, 16, 2, "embedding", "vec_id", cents=cents
+        )
+        assert b_sql == b_arw  # exact float equality, all subspaces
+        embn = emb.withColumn(
+            "embedding",
+            F.when(F.col("vec_id") % 7 == 0, None).otherwise(
+                F.col("embedding")
+            ),
+        )
+        os.environ["SPARK_GRAFT_PQ_ARROW"] = "0"
+        e_sql = rows(ivfpq_encode(embn, cents, b_sql, residual=True))
+        os.environ["SPARK_GRAFT_PQ_ARROW"] = "1"
+        e_arw = rows(ivfpq_encode(embn, cents, b_arw, residual=True))
+        assert e_sql == e_arw
+    finally:
+        if old is None:
+            os.environ.pop("SPARK_GRAFT_PQ_ARROW", None)
+        else:
+            os.environ["SPARK_GRAFT_PQ_ARROW"] = old
+
+
 def test_fused_path_routes_kernel_estimators_only(spark, sf_dir):
     """Non-kernel estimators and unmappable kwargs must fall back to
     the generic path (cell resolution returns None), mirroring
