@@ -543,6 +543,83 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits:
             stacklevel=2,
         )
         bits = 60
+    import os
+
+    nbits = bits
+    if os.environ.get("SPARK_GRAFT_SIMHASH_ARROW", "1") != "0":
+        # Optimization round 15 (guide §4.2): the fingerprint is a pure
+        # PER-ROW function, but the expression form paid an explode +
+        # a 60-column conditional-sum aggregate + its codegen compile
+        # per invocation. Tokenization stays in the JVM (identical
+        # normalize/split/distinct byte semantics — Python str.lower/
+        # \s+ differ from Spark's for exotic unicode), and ONE Arrow
+        # kernel does md5 + bit counting + sign per doc: no explode, no
+        # wide aggregate, no shuffle beyond the compute-spreading
+        # repartition. Bit-exact: hashlib.md5 over the Arrow UTF-8
+        # bytes IS Spark's md5, int(hex[:15], 16) IS conv(_,16,10), and
+        # the per-bit +1/-1 sums are integer arithmetic (pinned by
+        # tests/test_round15_opt.py against the expression form).
+        import pyarrow as pa
+        from pyspark.sql import types as T
+
+        words_arr = F.array_distinct(
+            F.split(normalize_text(F.col(text_col)), " ")
+        )
+        base = df.repartition(_spread(df), F.col(id_col)).select(
+            id_col, words_arr.alias("_ws")
+        )
+        schema = T.StructType(
+            [df.schema[id_col], T.StructField("simhash", T.LongType())]
+        )
+
+        def fingerprint(batches):
+            import hashlib
+
+            import numpy as np
+
+            memo: dict = {}  # word -> 60-bit hash; words repeat zipfian
+            bitpos = np.arange(nbits, dtype=np.int64)
+
+            def word_hash(w):
+                h = memo.get(w)
+                if h is None:
+                    h = int(
+                        hashlib.md5(w.encode("utf-8")).hexdigest()[:15], 16
+                    )
+                    memo[w] = h
+                return h
+
+            for batch in batches:
+                n = batch.num_rows
+                if n == 0:
+                    continue
+                ids = batch.column(0)
+                ws = batch.column(1).to_pylist()
+                keep, fps = [], []
+                for r in range(n):
+                    hs = [word_hash(w) for w in (ws[r] or ()) if w]
+                    if not hs:
+                        # a doc with no non-empty words produced no
+                        # token rows in the explode form and therefore
+                        # no output row — replicate the drop
+                        continue
+                    H = np.asarray(hs, dtype=np.int64)
+                    ones = ((H[:, None] >> bitpos) & 1).sum(axis=0)
+                    counts = 2 * ones - len(hs)  # (+1/-1 sums, exact ints)
+                    fp = int(((counts > 0).astype(np.int64) << bitpos).sum())
+                    keep.append(r)
+                    fps.append(fp)
+                if not keep:
+                    continue
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        ids.take(pa.array(keep, type=pa.int32())),
+                        pa.array(fps, type=pa.int64()),
+                    ],
+                    names=[id_col, "simhash"],
+                )
+
+        return base.mapInArrow(fingerprint, schema)
     words = F.explode(
         F.array_distinct(F.split(normalize_text(F.col(text_col)), " "))
     ).alias("w")
@@ -552,7 +629,6 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits:
         .filter(F.length("w") > 0)
     )
     h64 = F.conv(F.substring(F.md5(F.col("w")), 1, 15), 16, 10).cast("long")
-    nbits = bits
     tokens = tokens.withColumn("_h", h64)
     aggs = [
         F.sum(

@@ -177,6 +177,41 @@ def test_pq_arrow_twins_bitexact(spark, sf_dir):
             os.environ["SPARK_GRAFT_PQ_ARROW"] = old
 
 
+def test_simhash_arrow_twin_bitexact(spark, sf_dir):
+    """Lane 4 — the Arrow simhash kernel vs the explode + 60-column
+    conditional-sum expression form: fingerprints are integer-exact
+    (md5 over the same UTF-8 bytes, same +1/-1 bit sums), and docs
+    with no non-empty words drop from the output exactly like the
+    explode form drops them."""
+    from pyspark.sql import functions as F
+
+    from __spark_entry__ import _docs
+    from scalecast_spark.datapipe.dedup import simhash
+
+    docs = _docs(spark, sf_dir)
+    edge = docs.limit(3).withColumn(
+        "text",
+        F.when(F.col("doc_id") % 3 == 0, F.lit(""))
+        .when(F.col("doc_id") % 3 == 1, F.lit("   "))
+        .otherwise(F.lit(None)),
+    )
+    old = os.environ.get("SPARK_GRAFT_SIMHASH_ARROW")
+    try:
+        os.environ["SPARK_GRAFT_SIMHASH_ARROW"] = "0"
+        a = sorted(map(tuple, simhash(docs).collect()))
+        a2 = sorted(map(tuple, simhash(edge).collect()))
+        os.environ["SPARK_GRAFT_SIMHASH_ARROW"] = "1"
+        b = sorted(map(tuple, simhash(docs).collect()))
+        b2 = sorted(map(tuple, simhash(edge).collect()))
+    finally:
+        if old is None:
+            os.environ.pop("SPARK_GRAFT_SIMHASH_ARROW", None)
+        else:
+            os.environ["SPARK_GRAFT_SIMHASH_ARROW"] = old
+    assert a == b and len(a) > 0
+    assert a2 == b2 == []  # all-empty docs vanish on both paths
+
+
 def test_fused_path_routes_kernel_estimators_only(spark, sf_dir):
     """Non-kernel estimators and unmappable kwargs must fall back to
     the generic path (cell resolution returns None), mirroring
