@@ -81,36 +81,56 @@ def kmeans_embeddings(
     dim = len(cents[0][1])
     if vectorized is None:
         vectorized = k * dim >= vectorized_threshold
-    for _ in range(n_iter):
-        if vectorized and mean_update == "exploded":
-            means = (
-                _exploded_assignments(df, cents, vec_col)
-                .groupBy("_c", "_dim")
-                .agg(F.avg("_x").alias("_m"))
-                .collect()
-            )
-        elif vectorized:
-            means = (
-                _partial_cluster_sums(df, cents, vec_col)
-                .groupBy("_c", "_dim")
-                .agg((F.sum("_s") / F.sum("_n")).alias("_m"))
-                .collect()
-            )
-        else:
-            cluster, _d = _assign(vec, cents)
-            assigned = df.withColumn("_c", cluster)
-            means = (
-                assigned.select("_c", F.posexplode(vec).alias("_dim", "_x"))
-                .groupBy("_c", "_dim")
-                .agg(F.avg("_x").alias("_m"))
-                .collect()
-            )
-        by_cell: dict[int, list[float]] = {}
-        for r in means:
-            by_cell.setdefault(r["_c"], [0.0] * dim)[r["_dim"]] = r["_m"]
-        cents = [
-            (ci, by_cell.get(ci, cv)) for ci, cv in cents
-        ]
+    # Optimization round 15 (guide §1.2): the iteration loop re-scanned
+    # the source once per iteration; cache the pruned vector projection
+    # for the loop's duration only — unpersisted before return, so a
+    # later invocation can never reuse it (the source plan carries no
+    # per-call token, unlike the Arrow kernels' closures).
+    import os
+
+    vec_src = df.select(vec_col) if vectorized else df
+    loop_cached = (
+        vectorized and n_iter > 1
+        and os.environ.get("SPARK_GRAFT_KMEANS_LOOP_CACHE", "1") != "0"
+    )
+    if loop_cached:
+        vec_src.cache()
+    try:
+        for _ in range(n_iter):
+            if vectorized and mean_update == "exploded":
+                means = (
+                    _exploded_assignments(vec_src, cents, vec_col)
+                    .groupBy("_c", "_dim")
+                    .agg(F.avg("_x").alias("_m"))
+                    .collect()
+                )
+            elif vectorized:
+                means = (
+                    _partial_cluster_sums(vec_src, cents, vec_col)
+                    .groupBy("_c", "_dim")
+                    .agg((F.sum("_s") / F.sum("_n")).alias("_m"))
+                    .collect()
+                )
+            else:
+                cluster, _d = _assign(vec, cents)
+                assigned = df.withColumn("_c", cluster)
+                means = (
+                    assigned.select(
+                        "_c", F.posexplode(vec).alias("_dim", "_x")
+                    )
+                    .groupBy("_c", "_dim")
+                    .agg(F.avg("_x").alias("_m"))
+                    .collect()
+                )
+            by_cell: dict[int, list[float]] = {}
+            for r in means:
+                by_cell.setdefault(r["_c"], [0.0] * dim)[r["_dim"]] = r["_m"]
+            cents = [
+                (ci, by_cell.get(ci, cv)) for ci, cv in cents
+            ]
+    finally:
+        if loop_cached:
+            vec_src.unpersist()
     if vectorized:
         return assign_clusters_vectorized(df, cents, vec_col, id_col)
     cluster, d = _assign(vec, cents)
