@@ -2302,9 +2302,27 @@ def q_dedup_simhash(spark, sf_dir):
     member — n_near = how many OTHER docs sit within Hamming radius 3,
     derived from the production banded pigeonhole join (the oracle
     recomputes it brute-force over all pairs, so banding recall and
-    the bit_count verify are both certified)."""
-    sh = q_dedup_simhash_base(spark, sf_dir)
-    pairs = q_dedup_hamming_pairs(spark, sf_dir)
+    the bit_count verify are both certified).
+
+    r15: the fingerprint frame is computed ONCE and scratch-cached —
+    previously `sh` and the pairs member each ran the full Arrow
+    fingerprint kernel (the banded join caches its own projection, but
+    that cache could not serve the outer join's separate plan). The
+    cache is the bounded one-live-entry kind, and each invocation's
+    plan embeds a fresh kernel function, so no result ever survives
+    into a later bench/oracle run."""
+    from scalecast_spark.datapipe.dedup import (
+        _scratch_cache,
+        hamming_near_pairs,
+    )
+
+    sh = _scratch_cache(
+        "simhash_gate", q_dedup_simhash_base(spark, sf_dir).cache()
+    )
+    pairs = hamming_near_pairs(
+        sh, "simhash", id_col="doc_id", bits=60, max_hamming=3,
+        cache=False,
+    )
     ends = pairs.select(F.col("id_a").alias("doc_id")).unionAll(
         pairs.select(F.col("id_b").alias("doc_id"))
     )

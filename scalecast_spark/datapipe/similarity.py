@@ -1321,6 +1321,122 @@ def ivfpq_search(
     )
 
 
+def _batch_qx_inplan(q, cents, books, nprobe, qid_col, m, sub):
+    """Legacy batch query-side tables, computed in-plan as
+    ``transform``/``aggregate`` folds over literal index matrices.
+    Kept as the fallback for degenerate query vectors (NULL / ragged /
+    non-finite — their NULL-propagation and NaN-ordering semantics
+    belong to SQL) and behind ``SPARK_GRAFT_BATCH_ADC_DRIVER=0``."""
+    cents_mat = _mat_sql([cv for _, cv in cents])
+    q = q.selectExpr(
+        "*",
+        f"transform({cents_mat}, c -> aggregate(zip_with(_qv, c, "
+        f"(a, b) -> a * b), cast(0.0 as double), (acc, x) -> acc + x)) "
+        f"AS _cdots",
+        "sqrt(aggregate(_qv, cast(0.0 as double), "
+        "(acc, x) -> acc + x * x)) AS _qn",
+    )
+    # top-nprobe cells by (-dot, cell_id) — array_sort on structs
+    # reproduces the driver-side sorted(cents, key=(-dot, id)) order
+    q = q.selectExpr(
+        "*",
+        f"slice(transform(array_sort(transform(_cdots, "
+        f"(dd, i) -> struct(-dd AS nd, i + 1 AS ci))), "
+        f"s -> s.ci), 1, {nprobe}) AS _probe",
+    )
+    q = q.selectExpr(
+        qid_col, "_qv", "_qn", "_cdots", "_probe",
+        *[
+            f"transform({_mat_sql([cv for _, cv in books[s]])}, "
+            f"c -> aggregate(zip_with(slice(_qv, {s * sub + 1}, {sub}), c, "
+            f"(a, b) -> a * b), cast(0.0 as double), (acc, x) -> acc + x)) "
+            f"AS _t{s}"
+            for s in range(m)
+        ],
+    )
+    return q.selectExpr(
+        qid_col, "_qv", "_qn", "_cdots",
+        *[f"_t{s}" for s in range(m)],
+        "explode(_probe) AS _pcell",
+    )
+
+
+def _batch_qx_driver(q, cents, books, nprobe, qid_col, m, d, sub):
+    """Driver-side batch query tables: collect the (broadcast-bounded)
+    query set and build each query's ``_qn`` / ``_cdots`` / probe set /
+    ``_t{s}`` ADC tables with sequential float64 accumulation in the
+    EXACT op order of the SQL ``aggregate`` left-folds they replace
+    (``acc = acc + x[j]*c[j]`` in element order, from 0.0) — the same
+    fold, so every downstream score is bit-identical. Returns
+    ``(qx_rows_df, probed_cells)`` — the exploded (query × probed
+    cell) local relation plus the union of probed cells for a static
+    partition filter on the code table — or ``None`` when any query
+    vector needs SQL's NULL/NaN semantics (caller falls back
+    in-plan)."""
+    import math
+
+    from pyspark.sql import types as T
+
+    rows = q.collect()
+    cvecs = [[float(x) for x in cv] for _, cv in cents]
+    bvecs = [
+        [[float(x) for x in bw] for _, bw in books[s]] for s in range(m)
+    ]
+    out = []
+    cells: set[int] = set()
+    for r in rows:
+        qv = r["_qv"]
+        if (
+            qv is None
+            or len(qv) != d
+            or any(x is None or not math.isfinite(x) for x in qv)
+        ):
+            return None
+        cdots = []
+        for cv in cvecs:
+            acc = 0.0
+            for j in range(d):
+                acc = acc + qv[j] * cv[j]
+            cdots.append(acc)
+        if any(c != c for c in cdots):  # NaN from overflow: SQL sorts it
+            return None
+        acc = 0.0
+        for x in qv:
+            acc = acc + x * x
+        qn = math.sqrt(acc)
+        probe = [
+            ci
+            for _, ci in sorted(
+                (-cdots[i], i + 1) for i in range(len(cdots))
+            )
+        ][:nprobe]
+        ts = []
+        for s in range(m):
+            col = []
+            for bw in bvecs[s]:
+                acc = 0.0
+                for j in range(sub):
+                    acc = acc + qv[s * sub + j] * bw[j]
+                col.append(acc)
+            ts.append(col)
+        cells.update(probe)
+        qid = r[qid_col]
+        for pc in probe:
+            out.append((qid, qv, qn, cdots, *ts, pc))
+    arr = T.ArrayType(T.DoubleType())
+    schema = T.StructType(
+        [
+            q.schema[qid_col],
+            T.StructField("_qv", arr),
+            T.StructField("_qn", T.DoubleType()),
+            T.StructField("_cdots", arr),
+            *[T.StructField(f"_t{s}", arr) for s in range(m)],
+            T.StructField("_pcell", T.IntegerType(), False),
+        ]
+    )
+    return q.sparkSession.createDataFrame(out, schema), sorted(cells)
+
+
 def ivfpq_search_batch(
     codes_df: DataFrame,
     queries_df: DataFrame,
@@ -1373,49 +1489,53 @@ def ivfpq_search_batch(
     Same ADC arithmetic and 6dp rounding as :func:`ivfpq_search`;
     per-query results match the single-query path (parity-tested in
     tests/test_pq_stream.py). The only representational difference:
-    query-side dots here are sequential ``aggregate`` folds while the
-    driver path uses numpy dot — identical at 6dp away from rounding
-    straddles."""
+    query-side dots here are sequential left-folds while the
+    single-query driver path uses numpy dot — identical at 6dp away
+    from rounding straddles.
+
+    The query-side tables are computed DRIVER-side by default (r15):
+    the query set is collected — bounded by the same contract that
+    lets it broadcast at all — and each query's probe set / dot
+    tables are built with plain sequential float64 accumulation, the
+    exact op order of the SQL ``aggregate`` folds they replace, so
+    the scores are bit-identical. What that buys: the per-query
+    ``transform``-over-literal-matrix expression trees (centroids +
+    m codebooks per query column) vanish from the plan, which both
+    shrinks it and makes the broadcast side a plain local relation
+    instead of a sub-job; the plan no longer re-embeds the index as
+    query-side literals, so whole-stage codegen over the scoring
+    stage stays byte-stable across calls. Degenerate query sets (a
+    NULL / ragged / non-finite vector, whose NULL-propagation and
+    NaN-ordering semantics belong to SQL) fall back to the in-plan
+    form, as does ``SPARK_GRAFT_BATCH_ADC_DRIVER=0``."""
+    import os
+
     from pyspark.sql import Window
 
     m = len(books)
     d = len(cents[0][1])
     sub = d // m
-    cents_mat = _mat_sql([cv for _, cv in cents])
     q = queries_df.selectExpr(
         qid_col, f"cast({qvec_col} as array<double>) AS _qv"
     )
-    q = q.selectExpr(
-        "*",
-        f"transform({cents_mat}, c -> aggregate(zip_with(_qv, c, "
-        f"(a, b) -> a * b), cast(0.0 as double), (acc, x) -> acc + x)) "
-        f"AS _cdots",
-        "sqrt(aggregate(_qv, cast(0.0 as double), "
-        "(acc, x) -> acc + x * x)) AS _qn",
-    )
-    # top-nprobe cells by (-dot, cell_id) — array_sort on structs
-    # reproduces the driver-side sorted(cents, key=(-dot, id)) order
-    q = q.selectExpr(
-        "*",
-        f"slice(transform(array_sort(transform(_cdots, "
-        f"(dd, i) -> struct(-dd AS nd, i + 1 AS ci))), "
-        f"s -> s.ci), 1, {nprobe}) AS _probe",
-    )
-    q = q.selectExpr(
-        qid_col, "_qv", "_qn", "_cdots", "_probe",
-        *[
-            f"transform({_mat_sql([cv for _, cv in books[s]])}, "
-            f"c -> aggregate(zip_with(slice(_qv, {s * sub + 1}, {sub}), c, "
-            f"(a, b) -> a * b), cast(0.0 as double), (acc, x) -> acc + x)) "
-            f"AS _t{s}"
-            for s in range(m)
-        ],
-    )
-    qx = q.selectExpr(
-        qid_col, "_qv", "_qn", "_cdots",
-        *[f"_t{s}" for s in range(m)],
-        "explode(_probe) AS _pcell",
-    )
+    qx = None
+    if os.environ.get("SPARK_GRAFT_BATCH_ADC_DRIVER", "1") != "0":
+        built = _batch_qx_driver(
+            q, cents, books, nprobe, qid_col, m, d, sub
+        )
+        if built is not None:
+            qx, probed = built
+            if probed:
+                # static partition pruning: the probe set is known
+                # driver-side, so the code-table scan carries a plain
+                # `cell IN (...)` PartitionFilter instead of waiting
+                # on runtime DPP (redundant with the equi-join on
+                # _pcell — results unchanged, scan strictly pruned)
+                codes_df = codes_df.filter(
+                    F.col(cell_col).isin(probed)
+                )
+    if qx is None:
+        qx = _batch_qx_inplan(q, cents, books, nprobe, qid_col, m, sub)
     adc = _adc_cosine_sql(
         None, cents, books, residual,
         cell_expr=f"cast({cell_col} as int)",

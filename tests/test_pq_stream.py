@@ -335,8 +335,88 @@ def test_batch_search_plan_shape(index_art, tmp_path):
         )
     assert "BroadcastHashJoin" in plan
     assert "WindowGroupLimit" in plan
-    assert "dynamicpruning" in plan
+    # pruned scan: the r15 driver-side query-table path knows the
+    # probed cells up front and plants a STATIC `cell IN (...)`
+    # PartitionFilter; the in-plan fallback relies on runtime DPP.
+    # Either way the code-table scan must read only probed cells.
+    assert "dynamicpruning" in plan or any(
+        "PartitionFilters" in ln and "cell" in ln and "IN" in ln
+        for ln in plan.splitlines()
+    )
     assert "BatchEvalPython" not in plan
+
+
+@pytest.mark.parametrize("residual", [False, True])
+def test_batch_driver_tables_match_inplan(index_art, residual, monkeypatch):
+    """r15: the driver-side query-table path (sequential float64
+    folds + static cell pruning) must return BIT-identically what the
+    legacy in-plan transform/aggregate path returns — same rows, same
+    scores, same tie-breaks."""
+    from scalecast_spark.datapipe.similarity import ivfpq_search_batch
+
+    cp, bp, rp, emb = index_art
+    spark = emb.sparkSession
+    cents = load_centroids(cp)
+    books = load_pq_codebooks(rp if residual else bp)
+    codes = ivfpq_encode(emb, cents, books, residual=residual)
+    queries = (
+        emb.orderBy("doc_id").limit(6)
+        .selectExpr("doc_id AS query_id", "embedding")
+    )
+
+    def run():
+        return sorted(
+            (r["query_id"], r["doc_id"], r["cosine_sim"])
+            for r in ivfpq_search_batch(
+                codes, queries, cents, books, k=5, nprobe=2,
+                residual=residual, id_col="doc_id", vec_col="embedding",
+            ).collect()
+        )
+
+    monkeypatch.setenv("SPARK_GRAFT_BATCH_ADC_DRIVER", "0")
+    legacy = run()
+    monkeypatch.delenv("SPARK_GRAFT_BATCH_ADC_DRIVER")
+    assert run() == legacy
+
+
+def test_batch_driver_tables_degenerate_fallback(index_art, monkeypatch):
+    """A NULL query vector must not break the batch path: the driver
+    table builder declines (SQL NULL semantics belong in-plan) and
+    the call transparently produces EXACTLY what the legacy in-plan
+    form produces for the same query set — including its NULL-scored
+    rows for the NULL query."""
+    from scalecast_spark.datapipe.similarity import ivfpq_search_batch
+
+    cp, bp, _, emb = index_art
+    spark = emb.sparkSession
+    cents, books = load_centroids(cp), load_pq_codebooks(bp)
+    codes = ivfpq_encode(emb, cents, books)
+    good = emb.orderBy("doc_id").limit(2).selectExpr(
+        "doc_id AS query_id", "embedding"
+    )
+    queries = good.unionByName(
+        spark.createDataFrame(
+            [(999_999_999, None)],
+            "query_id long, embedding array<double>",
+        )
+    )
+
+    def run():
+        return sorted(
+            (r["query_id"], r["doc_id"], r["adc_sim"])
+            for r in ivfpq_search_batch(
+                codes, queries, cents, books, k=3, nprobe=2,
+                id_col="doc_id",
+            ).collect()
+        )
+
+    monkeypatch.setenv("SPARK_GRAFT_BATCH_ADC_DRIVER", "0")
+    legacy = run()
+    monkeypatch.delenv("SPARK_GRAFT_BATCH_ADC_DRIVER")
+    got = run()
+    assert got == legacy
+    good_qids = {r[0] for r in got if r[2] is not None}
+    assert good_qids == {r["query_id"] for r in good.collect()}
 
 
 def test_query_stream_served_matches_batch(spark, index_art, tmp_path):
