@@ -1010,6 +1010,110 @@ def add_duplication_signals(
     )
 
 
+def _pack_trigrams(s: str):
+    """Code-point trigrams of an (already JVM-normalized) string as a
+    packed int64 array: 3×21-bit code points (≤ 0x10FFFF) in one
+    non-negative signed long, position order preserved. utf-32-le
+    round-trips Python str → exact code points, matching Spark's
+    code-point substr/length semantics."""
+    import numpy as np
+
+    codes = np.frombuffer(s.encode("utf-32-le"), dtype="<u4").astype(np.int64)
+    return (codes[:-2] << 42) | (codes[1:-1] << 21) | codes[2:]
+
+
+def _add_trigram_logprob_arrow(
+    df: DataFrame, text_col: str, id_col: str, round_to: int
+) -> DataFrame:
+    """Arrow-kernel twin of the declarative add_trigram_logprob (see
+    its docstring for the equivalence argument). Two passes:
+    count (per-task np.unique partials → one tiny sum-aggregate →
+    driver) then score (vectorized sorted-vocab lookup + cumsum fold
+    per doc). Construction runs the count job eagerly — the count
+    table lives only in the returned plan's kernel closure, so every
+    invocation recomputes from the source (nothing is memoized across
+    bench/oracle runs)."""
+    import numpy as np
+    import pyarrow as pa
+    from pyspark.sql import types as T
+
+    from scalecast_spark.datapipe.dedup import _spread
+
+    base = df.repartition(_spread(df), F.col(id_col)).select(
+        id_col, _norm(F.col(text_col)).alias("_n")
+    )
+
+    def count_partials(batches):
+        chunks = []
+        for b in batches:
+            for s in b.column(1).to_pylist():
+                if s is not None and len(s) >= 3:
+                    chunks.append(_pack_trigrams(s))
+        if chunks:
+            keys, cnts = np.unique(np.concatenate(chunks), return_counts=True)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(keys), pa.array(cnts.astype(np.int64))],
+                names=["_k", "_c"],
+            )
+
+    partial_schema = T.StructType(
+        [T.StructField("_k", T.LongType()), T.StructField("_c", T.LongType())]
+    )
+    rows = (
+        base.mapInArrow(count_partials, partial_schema)
+        .groupBy("_k")
+        .agg(F.sum("_c").alias("_c"))
+        .collect()
+    )
+    if rows:
+        vocab = np.array(sorted(r["_k"] for r in rows), dtype=np.int64)
+        cmap = {r["_k"]: r["_c"] for r in rows}
+        counts = np.array([cmap[k] for k in vocab.tolist()], dtype=np.int64)
+        nt = int(counts.sum())
+        # the same double division the SQL form evaluates per row
+        # (long→double casts are exact below 2^53). np.log can differ
+        # from the JVM's log by 1 ulp (measured: ≤1.8e-15 on real
+        # vocab ratios) — inside the operator's documented round_to
+        # cross-engine tolerance, exactly like the JVM-vs-DuckDB-ln
+        # difference the SQL form already absorbs; end-to-end rounded
+        # parity is pinned by tests/test_round15_opt.py
+        logtab = np.log(counts.astype(np.float64) / float(nt))
+    else:  # empty/short-only corpus: no doc reaches the score pass
+        vocab = np.empty(0, dtype=np.int64)
+        logtab = np.empty(0, dtype=np.float64)
+
+    out_schema = T.StructType(
+        [df.schema[id_col], T.StructField("_lp", T.DoubleType())]
+    )
+
+    def score(batches):
+        for b in batches:
+            ids = b.column(0)
+            keep, means = [], []
+            for r, s in enumerate(b.column(1).to_pylist()):
+                if s is None or len(s) < 3:
+                    continue
+                pk = _pack_trigrams(s)
+                vals = logtab[np.searchsorted(vocab, pk)]
+                # cumsum = the sequential left-fold in position order
+                # Spark's avg accumulator performs over the joined rows
+                means.append(np.cumsum(vals)[-1] / len(vals))
+                keep.append(r)
+            if keep:
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        ids.take(pa.array(keep, type=pa.int32())),
+                        pa.array(means, type=pa.float64()),
+                    ],
+                    names=[id_col, "_lp"],
+                )
+
+    scored = base.mapInArrow(score, out_schema).select(
+        id_col, F.round(F.col("_lp"), round_to).alias("tri_logprob")
+    )
+    return df.join(scored, id_col, "left")
+
+
 def add_trigram_logprob(
     df: DataFrame,
     text_col: str = "text",
@@ -1032,8 +1136,32 @@ def add_trigram_logprob(
     count table (no second corpus scan), both broadcast back. Rounded
     to ``round_to`` dp because a per-doc float mean is
     summation-order-sensitive across engines (COVERAGE.md 'Oracle
-    rounding precision per member')."""
+    rounding precision per member').
+
+    Optimization round 15 (guide §4.2): the default path replaces the
+    [explode ×2 + n_chars-row hash aggregate + n_chars-row broadcast
+    join] with two mapInArrow passes over the SAME JVM-normalized
+    text (normalization byte semantics stay Spark's): pass 1 counts
+    packed code-point trigrams per task (np.unique — exact integer
+    counts, identical to the SQL count by construction), the
+    vocab-bounded count table is collected driver-side (the same
+    charset³ boundedness that justified broadcasting it in-plan; sf1
+    measured vocab: 1,891 entries for 14.8M instances), and pass 2
+    scores each doc by a vectorized table lookup. Per-doc float op
+    order is replicated exactly: np.cumsum is the same sequential
+    left-fold in trigram-position order as Spark's avg accumulator
+    over the position-ordered joined rows, the mean is the same
+    sum/count double division, and the round + join-back stay in the
+    JVM (np.log's ≤1-ulp libm difference sits inside the same
+    round_to tolerance that already absorbs JVM-vs-oracle ln).
+    ``SPARK_GRAFT_TRIGRAM_ARROW=0`` restores the declarative form
+    (parity-pinned by tests/test_round15_opt.py)."""
+    import os
+
     from scalecast_spark.datapipe.dedup import _spread
+
+    if os.environ.get("SPARK_GRAFT_TRIGRAM_ARROW", "1") != "0":
+        return _add_trigram_logprob_arrow(df, text_col, id_col, round_to)
 
     # materialize the normalized text ONCE (HOF lambdas get no CSE — a
     # norm reference inside the transform would re-run the regexp per

@@ -212,6 +212,63 @@ def test_simhash_arrow_twin_bitexact(spark, sf_dir):
     assert a2 == b2 == []  # all-empty docs vanish on both paths
 
 
+def test_trigram_arrow_twin_exact(spark, sf_dir):
+    """Lane 5 — the Arrow trigram-LM kernel vs the declarative
+    explode + broadcast-join form: identical (doc_id, tri_logprob)
+    sets on the real corpus AND on an edge frame (NULL text, empty,
+    whitespace-only, <3 normalized chars, non-BMP code points,
+    whitespace runs the JVM _norm collapses). The kernel replicates
+    the per-doc sequential position-order fold; the 4dp round is the
+    operator's documented cross-engine tolerance."""
+    from pyspark.sql import functions as F
+
+    from __spark_entry__ import _docs
+    from scalecast_spark.datapipe.text import add_trigram_logprob
+
+    docs = _docs(spark, sf_dir)
+    edge_rows = [
+        (1, None),
+        (2, ""),
+        (3, "   "),
+        (4, "ab"),                     # 2 normalized chars -> NULL
+        (5, "a  b"),                   # collapses to 'a b' (3 chars)
+        (6, "The  THE the"),           # lowercase + run collapse
+        (7, "naïve café"),   # accented BMP
+        (8, "\U0001f600\U0001f601\U0001f600ab"),  # non-BMP emoji
+        (9, "abcabcabc"),
+    ]
+    edge = spark.createDataFrame(edge_rows, "doc_id long, text string")
+    old = os.environ.get("SPARK_GRAFT_TRIGRAM_ARROW")
+    try:
+        os.environ["SPARK_GRAFT_TRIGRAM_ARROW"] = "0"
+        a = sorted(
+            map(tuple, add_trigram_logprob(docs).select(
+                "doc_id", "tri_logprob").collect())
+        )
+        a2 = sorted(
+            map(tuple, add_trigram_logprob(edge).select(
+                "doc_id", "tri_logprob").collect())
+        )
+        os.environ["SPARK_GRAFT_TRIGRAM_ARROW"] = "1"
+        b = sorted(
+            map(tuple, add_trigram_logprob(docs).select(
+                "doc_id", "tri_logprob").collect())
+        )
+        b2 = sorted(
+            map(tuple, add_trigram_logprob(edge).select(
+                "doc_id", "tri_logprob").collect())
+        )
+    finally:
+        if old is None:
+            os.environ.pop("SPARK_GRAFT_TRIGRAM_ARROW", None)
+        else:
+            os.environ["SPARK_GRAFT_TRIGRAM_ARROW"] = old
+    assert a == b and len(a) > 0
+    assert a2 == b2 and len(a2) == len(edge_rows)
+    nulls = {r[0] for r in a2 if r[1] is None}
+    assert nulls == {1, 2, 3, 4}  # short/empty/NULL docs stay NULL
+
+
 def test_fused_path_routes_kernel_estimators_only(spark, sf_dir):
     """Non-kernel estimators and unmappable kwargs must fall back to
     the generic path (cell resolution returns None), mirroring
