@@ -78,6 +78,21 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "embeddings")
 
 
+def _docs_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus scan repartitioned before per-row-heavy text chains
+    (optimization guide §2.5: a single-file source scans as ONE
+    partition, serializing regexp/projection chains on one core while
+    the rest of the cluster idles; measured 0.37 -> 0.22 s on the
+    quality chain alone at sf0.1). Same `_spread` contract as the
+    datapipe kernels — explicit count so AQE cannot coalesce the
+    compute-heavy stage back to one task. Per-row projections are
+    partitioning-invariant, so query values are untouched."""
+    from scalecast_spark.datapipe.dedup import _spread
+
+    d = _docs(spark, sf_dir)
+    return d.repartition(_spread(d), F.col("doc_id"))
+
+
 def _r6(df: DataFrame, *cols: str) -> DataFrame:
     for c in cols:
         df = df.withColumn(c, F.round(F.col(c), 6))
@@ -1497,7 +1512,7 @@ def q_dedup_jaccard_pairs(spark, sf_dir):
 def q_text_quality(spark, sf_dir):
     from scalecast_spark.datapipe.text import add_quality_score, add_token_count
 
-    df = add_quality_score(add_token_count(_docs(spark, sf_dir)))
+    df = add_quality_score(add_token_count(_docs_spread(spark, sf_dir)))
     return df.select(
         F.col("doc_id").cast("long").alias("doc_id"),
         F.col("n_tokens").cast("long").alias("n_tokens"),
@@ -1511,7 +1526,7 @@ def q_text_quality(spark, sf_dir):
 def q_text_lang_id(spark, sf_dir):
     from scalecast_spark.datapipe.text import add_lang_id
 
-    df = add_lang_id(_docs(spark, sf_dir))
+    df = add_lang_id(_docs_spread(spark, sf_dir))
     return df.select(
         F.col("doc_id").cast("long").alias("doc_id"),
         "lang_pred",
@@ -2925,7 +2940,7 @@ def q_text_c4(spark, sf_dir):
     JVM column math replayed verbatim by the DuckDB oracle."""
     from scalecast_spark.datapipe.text import add_c4_signals
 
-    return add_c4_signals(_docs(spark, sf_dir)).select(
+    return add_c4_signals(_docs_spread(spark, sf_dir)).select(
         F.col("doc_id").cast("long").alias("doc_id"),
         "term_punct_line_frac", "short_line_frac", "bullet_line_frac",
         "ellipsis_line_frac", "alpha_word_frac", "symbol_word_ratio",
@@ -2961,7 +2976,10 @@ def q_text_analysis_base(spark, sf_dir):
         add_token_count,
     )
 
-    docs = _docs(spark, sf_dir)
+    # one spread covers the whole 4-member projection chain (guide
+    # §2.5 — see _docs_spread); the aggregating members (d, e below)
+    # spread internally
+    docs = _docs_spread(spark, sf_dir)
     base = add_c4_signals(
         add_fingerprint(add_lang_id(add_quality_score(add_token_count(docs))))
     ).select(

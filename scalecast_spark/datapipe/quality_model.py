@@ -281,10 +281,17 @@ def score_quality(
     shuffle), so this runs at full scan speed on any corpus. Pass the
     SAME ``hasher`` the weights were trained with (the feature map is
     part of the model)."""
+    from scalecast_spark.datapipe.dedup import _spread
     from scalecast_spark.datapipe.similarity import _lit_vec
 
     nf = (len(weights) - 1) if n_features is None else n_features
-    out = _with_idxs(df, text_col, nf, bigrams, "_fp", hasher)
+    # spread the hash-projection off a single-partition scan (guide
+    # §2.5): the per-row split/hash/dot work is the whole cost and
+    # would serialize on one core; pure per-row math, so partitioning
+    # cannot change any score.
+    out = _with_idxs(
+        df.repartition(_spread(df)), text_col, nf, bigrams, "_fp", hasher
+    )
     score = F.lit(1.0) / (
         F.lit(1.0) + F.exp(-_dot_w_idxs(F.col("_fp"), _lit_vec(weights)))
     )

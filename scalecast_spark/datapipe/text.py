@@ -644,7 +644,16 @@ def add_gopher_signals_fast(
                 out[c] = [v[j] for v in vals]
             yield out
 
-    return df.mapInPandas(batches, schema)
+    # single-file corpora arrive as ONE scan partition, which would run
+    # the per-doc kernel serially on one core (guide §2.5 input skew);
+    # spread the compute-heavy stage like the sibling kernels do. The
+    # signals are pure per-row functions, so partitioning cannot change
+    # any value.
+    from scalecast_spark.datapipe.dedup import _spread
+
+    return df.repartition(_spread(df), F.col(id_col)).mapInPandas(
+        batches, schema
+    )
 
 
 def ngram_chain(words: Column, n: int) -> Column:
@@ -709,7 +718,16 @@ def contamination_hits(
             *cols, F.explode(F.array_distinct(ngrams)).alias("_ng")
         ).select(*cols, F.xxhash64("_ng").alias("_h"))
 
-    doc_sh = _ng_hashes(docs, [id_col])
+    from scalecast_spark.datapipe.dedup import _spread
+
+    # corpus side: spread the zip-chain explode (single-file sources
+    # scan as one partition — the n-gram build is the expensive step
+    # and would serialize; see word_shingles). The benchmark side is
+    # eval-set-sized and flows into its own distinct shuffle — not
+    # worth an extra exchange.
+    doc_sh = _ng_hashes(
+        docs.repartition(_spread(docs), F.col(id_col)), [id_col]
+    )
     bench_sh = _ng_hashes(benchmark, []).distinct()
     return (
         doc_sh.join(F.broadcast(bench_sh), "_h")
@@ -959,6 +977,12 @@ def repeated_spans(
     ws = df.repartition(_spread(df), id_col).select(
         id_col, split_words(_norm(F.col(text_col))).alias("_ws")
     )
+    # NOTE (optimization round 15): the count subtree and the join-back
+    # subtree both evaluate this explode (two Generate arms in the
+    # plan). A fresh-per-invocation cache of pos_ng was measured and
+    # REJECTED: materializing the ~n_words position table costs more
+    # than the second spread-out explode pass (0.92 s -> 1.21 s at
+    # sf0.1 quiet, min-of-3 interleaved A/B).
     pos_ng = (
         ws.select(id_col, F.posexplode(ngram_chain(F.col("_ws"), k)).alias("_pos", "_ng"))
         .select(id_col, "_pos", F.xxhash64("_ng").alias("_h"))
@@ -1473,7 +1497,16 @@ def _cut_spans(
     per_doc = spans.groupBy(id_col).agg(
         F.collect_list(F.struct("span_start", "span_end")).alias(c_sp)
     )
-    out = docs.join(per_doc, id_col, "left")
+    from scalecast_spark.datapipe.dedup import _spread
+
+    # per_doc is span-bounded (small → broadcast), so the docs side
+    # keeps its scan partitioning through the surgery — on a
+    # single-file corpus that serializes the split/filter/rebuild
+    # array work on one core (guide §2.5); spread it like the
+    # detectors do
+    out = docs.repartition(_spread(docs), F.col(id_col)).join(
+        per_doc, id_col, "left"
+    )
     # ORIGINAL-case tokens, index-aligned with the normalized stream
     # the spans were computed on: lower() never changes whitespace, so
     # the same trim + collapse + split yields the same token sequence
@@ -1547,6 +1580,8 @@ def remove_duplicate_spans(
     ws = docs.repartition(_spread(docs), id_col).select(
         id_col, split_words(_norm(F.col(text_col))).alias("_ws")
     )
+    # double-evaluated explode deliberately kept — see the
+    # repeated_spans NOTE (cache measured slower)
     pos_ng = (
         ws.select(
             id_col,

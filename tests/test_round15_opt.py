@@ -279,3 +279,34 @@ def test_fused_path_routes_kernel_estimators_only(spark, sf_dir):
     assert f._kernel_cell_from_kwargs({"alpha": 1.0, "nope": 3}) is None
     f.set_estimator("hwes")
     assert f._kernel_cell_from_kwargs({}) is None
+
+
+def test_compute_heavy_text_stages_are_spread(spark, sf_dir):
+    """Lane 6 — the single-file-corpus spread (guide §2.5): the gopher
+    kernel, the contamination n-gram explode, and the quality-model
+    hash projection must run on a repartitioned input, not the scan's
+    single partition (a refactor dropping the Exchange would pass every
+    value test and still serialize the per-doc work on one core)."""
+    from pyspark.sql import functions as F
+
+    from __spark_entry__ import _docs
+    from scalecast_spark.datapipe.quality_model import score_quality
+    from scalecast_spark.datapipe.text import (
+        add_gopher_signals_fast,
+        contamination_hits,
+    )
+
+    def plan(df):
+        return df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "simple"
+        )
+
+    docs = _docs(spark, sf_dir)
+    p = plan(add_gopher_signals_fast(docs, include_base=True))
+    # the Exchange must sit BELOW the kernel (its input), i.e. appear
+    # after MapInPandas in the printed tree
+    assert "Exchange" in p.split("MapInPandas", 1)[1]
+    p = plan(contamination_hits(docs, docs.filter(F.col("doc_id") % 20 == 0)))
+    assert "Exchange hashpartitioning(doc_id" in p
+    p = plan(score_quality(docs, weights=[0.1] * 65))
+    assert "Exchange" in p
