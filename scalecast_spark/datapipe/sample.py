@@ -150,12 +150,27 @@ def pack_sequences(
     Documents heavier than ``capacity`` get a bin of their own.
 
     Packing is inherently sequential, so the parallel axis is the md5
-    bucket: each bucket's rows pack in one applyInPandas task
-    (n_buckets-way parallelism, same per-group kernel shape as the
-    per-series forecast kernels), and the greedy scan inside is a
-    vectorized-sort + linear pass. Deterministic end-to-end — the
-    whole pack replays as a per-bucket recursive CTE in SQL.
+    bucket. Physical shape (optimization round 15, guide §4.1): the
+    original ``groupBy(_b).applyInPandas`` paid one Arrow round-trip +
+    pandas construction PER BUCKET (256 of them — measured ~0.85 s of
+    the member's 1.09 s at sf0.1 on 5k docs); the default path now
+    hash-repartitions by ``_b`` (every bucket lands whole in exactly
+    one partition) and packs ALL of a partition's buckets in ONE
+    mapInPandas task — one Arrow round-trip per task, a single sort by
+    (bucket, hash, key), and the same greedy linear pass. Per-bucket
+    results are independent and internally sorted by (_h, key), so the
+    output is IDENTICAL to the per-group form (parity-pinned by
+    tests/test_round15_opt.py); ``SPARK_GRAFT_PACK_MAPPART=0`` restores
+    the per-group kernel. Deterministic end-to-end — the whole pack
+    replays as a per-bucket recursive CTE in SQL.
+
+    Memory note: a task materializes its partition's (key, weight,
+    hash) rows — the same order of magnitude the per-group form held
+    for its largest bucket, times buckets-per-partition; size
+    ``n_buckets`` >= shuffle partitions so buckets stay task-bounded.
     """
+    import os
+
     import pandas as pd
 
     h = F.md5(F.concat(F.col(key_col).cast("string"), F.lit(":" + salt)))
@@ -197,8 +212,49 @@ def pack_sequences(
             }
         )
 
-    return src.groupBy("_b").applyInPandas(
-        lambda _key, pdf: pack_one(pdf), out_schema
+    if os.environ.get("SPARK_GRAFT_PACK_MAPPART", "1") == "0":
+        return src.groupBy("_b").applyInPandas(
+            lambda _key, pdf: pack_one(pdf), out_schema
+        )
+
+    def pack_partition(batches):
+        chunks = list(batches)
+        if not chunks:
+            return
+        pdf = (
+            pd.concat(chunks, ignore_index=True)
+            if len(chunks) > 1 else chunks[0]
+        )
+        # one stable sort puts every bucket's rows in its (_h, key)
+        # stream order; the greedy fold then just resets per bucket —
+        # identical arithmetic to pack_one run per group
+        pdf = pdf.sort_values(["_b", "_h", key_col]).reset_index(drop=True)
+        bins = []
+        fill, cur, prev_b = 0.0, 0, None
+        for b, w in zip(pdf["_b"], pdf["_w"]):
+            if b != prev_b:
+                prev_b, cur, fill = b, 0, w
+            elif fill + w <= capacity:
+                fill += w
+            else:
+                cur += 1
+                fill = w
+            bins.append(cur)
+        yield pd.DataFrame(
+            {
+                key_col: pdf[key_col],
+                "bucket": pdf["_b"].astype("int32"),
+                "bin": pd.Series(bins, dtype="int32"),
+            }
+        )
+
+    from scalecast_spark.datapipe.dedup import _spread
+
+    # explicit count: a column-only repartition is AQE-coalescible and
+    # this frame is byte-small — coalescing would serialize all the
+    # buckets in one task (the _spread rationale)
+    return src.repartition(_spread(src), F.col("_b")).mapInPandas(
+        pack_partition, out_schema
     )
 
 

@@ -310,3 +310,36 @@ def test_compute_heavy_text_stages_are_spread(spark, sf_dir):
     assert "Exchange hashpartitioning(doc_id" in p
     p = plan(score_quality(docs, weights=[0.1] * 65))
     assert "Exchange" in p
+
+
+def test_pack_mappart_twin_exact(spark, sf_dir):
+    """Lane 7 — pack_sequences' one-task-per-partition form vs the
+    per-group applyInPandas form: identical (key, bucket, bin) rows on
+    the real corpus and on an edge frame (over-capacity docs, empty
+    buckets, single-doc buckets)."""
+    from __spark_entry__ import _docs
+    from scalecast_spark.datapipe.sample import pack_sequences
+
+    docs = _docs(spark, sf_dir).select("doc_id", "n_chars")
+    edge = spark.createDataFrame(
+        [(1, 5000.0), (2, 10.0), (3, 10.0), (4, 2048.0), (5, 1.0)],
+        "doc_id long, n_chars double",
+    )
+    old = os.environ.get("SPARK_GRAFT_PACK_MAPPART")
+    try:
+        outs = {}
+        for flag in ("0", "1"):
+            os.environ["SPARK_GRAFT_PACK_MAPPART"] = flag
+            outs[flag] = (
+                sorted(map(tuple, pack_sequences(
+                    docs, 2048.0, "n_chars", "doc_id").collect())),
+                sorted(map(tuple, pack_sequences(
+                    edge, 2048.0, "n_chars", "doc_id").collect())),
+            )
+    finally:
+        if old is None:
+            os.environ.pop("SPARK_GRAFT_PACK_MAPPART", None)
+        else:
+            os.environ["SPARK_GRAFT_PACK_MAPPART"] = old
+    assert outs["0"][0] == outs["1"][0] and len(outs["1"][0]) > 0
+    assert outs["0"][1] == outs["1"][1] and len(outs["1"][1]) == 5
