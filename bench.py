@@ -279,6 +279,13 @@ def main():
         "load1_per_pass": pass_loads,
         "queries": times,
         "sf": float(sf),
+        # audit key for the round-stamp guard below: which core count
+        # this run actually used (the driver also benches reduced-core)
+        "cpus": (
+            int(os.environ.get("SPARK_GRAFT_CPUS", ""))
+            if os.environ.get("SPARK_GRAFT_CPUS", "").isdigit()
+            else os.cpu_count()
+        ),
         "sf1": sf1,
         "load1": round(os.getloadavg()[0], 2),
         "load1_per_query": loads,
@@ -317,9 +324,18 @@ def main():
             ]
             rnd = str(max(stamped) + 1 if stamped else 1)
         self_path = os.path.join(repo_dir, f"BENCH_SELF_r{int(rnd)}.json")
+        # r15 verdict #1: the driver's reduced-core scaling run (e.g.
+        # SPARK_GRAFT_CPUS=8 on this 32-core box) must never claim the
+        # round stamp — it measures scaling, not the official number.
+        cpus_env = os.environ.get("SPARK_GRAFT_CPUS", "")
+        reduced_cores = cpus_env.isdigit() and int(cpus_env) < (
+            os.cpu_count() or 1
+        )
         official = (
-            result["sf"] == 0.1 and not result["sf1"].get("skipped")
-        )  # sf0.01 quick loops / tier-skipped runs never stamp a round
+            result["sf"] == 0.1
+            and not result["sf1"].get("skipped")
+            and not reduced_cores
+        )  # sf0.01 quick loops / tier-skipped / reduced-core runs never stamp
         if official and (
             not os.path.exists(self_path)
             or os.environ.get("SPARK_GRAFT_RESTAMP") == "1"
