@@ -2323,17 +2323,22 @@ def q_dedup_simhash(spark, sf_dir):
     previously `sh` and the pairs member each ran the full Arrow
     fingerprint kernel (the banded join caches its own projection, but
     that cache could not serve the outer join's separate plan). The
-    cache is the bounded one-live-entry kind, and each invocation's
-    plan embeds a fresh kernel function, so no result ever survives
-    into a later bench/oracle run."""
+    cache is the bounded one-live-entry kind. r16: invocation-SALTED —
+    the r15 claim that a fresh kernel closure makes the plan unique is
+    false (cloudpickle is deterministic), so without the salt a later
+    identical call would be served this call's warm entry."""
     from scalecast_spark.datapipe.dedup import (
+        _invocation_salt,
         _scratch_cache,
         hamming_near_pairs,
     )
 
     sh = _scratch_cache(
-        "simhash_gate", q_dedup_simhash_base(spark, sf_dir).cache()
-    )
+        "simhash_gate",
+        q_dedup_simhash_base(spark, sf_dir)
+        .withColumn("_inv_salt", _invocation_salt())
+        .cache(),
+    ).drop("_inv_salt")
     pairs = hamming_near_pairs(
         sh, "simhash", id_col="doc_id", bits=60, max_hamming=3,
         cache=False,

