@@ -947,6 +947,21 @@ def curate_corpus(
     )
 
 
+def _spans_window_count() -> bool:
+    """Optimization round 16: the ExactSubstr detectors' corpus-wide
+    window-occurrence count runs as a window function OVER the exploded
+    (id, pos, hash) table instead of a groupBy + join-back. The join
+    form evaluated the tokenize/explode/hash subtree twice (one arm per
+    consumer) and exchanged the doc table twice; the window form
+    evaluates it once and exchanges the window table once (by the
+    8-byte hash — never text). count/min per hash partition are
+    order-insensitive, so the surviving (id, pos) rows are identical.
+    ``SPARK_GRAFT_SPANS_WINDOW=0`` restores the join form (A/B lane)."""
+    import os
+
+    return os.environ.get("SPARK_GRAFT_SPANS_WINDOW", "0") != "0"
+
+
 def repeated_spans(
     df: DataFrame,
     k: int = 8,
@@ -977,22 +992,35 @@ def repeated_spans(
     ws = df.repartition(_spread(df), id_col).select(
         id_col, split_words(_norm(F.col(text_col))).alias("_ws")
     )
-    # NOTE (optimization round 15): the count subtree and the join-back
-    # subtree both evaluate this explode (two Generate arms in the
-    # plan). A fresh-per-invocation cache of pos_ng was measured and
-    # REJECTED: materializing the ~n_words position table costs more
-    # than the second spread-out explode pass (0.92 s -> 1.21 s at
-    # sf0.1 quiet, min-of-3 interleaved A/B).
     pos_ng = (
         ws.select(id_col, F.posexplode(ngram_chain(F.col("_ws"), k)).alias("_pos", "_ng"))
         .select(id_col, "_pos", F.xxhash64("_ng").alias("_h"))
     )
-    dup = (
-        pos_ng.groupBy("_h").agg(F.count("*").alias("_c"))
-        .filter(F.col("_c") >= min_count)
-        .select("_h")
-    )
-    hits = pos_ng.join(dup, "_h").select(id_col, "_pos")
+    if _spans_window_count():
+        # optimization round 16 (guide §2.4/§1.2): the corpus-wide
+        # window count ON the exploded table replaces the groupBy +
+        # join-back pair, whose two arms each re-evaluated the
+        # tokenize/explode/hash subtree (two Generate arms + two doc
+        # exchanges in the r15 plan; a fresh-per-invocation cache of
+        # pos_ng was measured SLOWER in r15 — materializing ~n_words
+        # rows costs more than recompute). One evaluation, one
+        # exchange of the window table by the 8-byte hash; count()
+        # over an unordered hash partition is order-insensitive, so
+        # the kept (id, pos) set is identical to the join form's.
+        hits = (
+            pos_ng.withColumn(
+                "_c", F.count("*").over(Window.partitionBy("_h"))
+            )
+            .filter(F.col("_c") >= min_count)
+            .select(id_col, "_pos")
+        )
+    else:
+        dup = (
+            pos_ng.groupBy("_h").agg(F.count("*").alias("_c"))
+            .filter(F.col("_c") >= min_count)
+            .select("_h")
+        )
+        hits = pos_ng.join(dup, "_h").select(id_col, "_pos")
     w = Window.partitionBy(id_col).orderBy("_pos")
     brk = F.when(F.lag("_pos").over(w).isNull(), 1).when(
         F.col("_pos") > F.lag("_pos").over(w) + k, 1
@@ -1580,8 +1608,6 @@ def remove_duplicate_spans(
     ws = docs.repartition(_spread(docs), id_col).select(
         id_col, split_words(_norm(F.col(text_col))).alias("_ws")
     )
-    # double-evaluated explode deliberately kept — see the
-    # repeated_spans NOTE (cache measured slower)
     pos_ng = (
         ws.select(
             id_col,
@@ -1592,13 +1618,24 @@ def remove_duplicate_spans(
     # occurrence key: doc_id * 1e7 + position — total order matching
     # (doc_id, pos) lexicographic order for positions < 1e7
     okey = F.col(id_col) * F.lit(10_000_000) + F.col("_pos")
-    dup = (
-        pos_ng.groupBy("_h")
-        .agg(F.count("*").alias("_c"), F.min(okey).alias("_c0"))
-        .filter(F.col("_c") >= min_count)
-        .select("_h", "_c0")
-    )
-    hits = pos_ng.join(dup, "_h")
+    if _spans_window_count():
+        # single-evaluation window form — see the repeated_spans note
+        # (optimization round 16). count/min over the unordered hash
+        # partition are order-insensitive: identical hits either way.
+        wh = Window.partitionBy("_h")
+        hits = (
+            pos_ng.withColumn("_c", F.count("*").over(wh))
+            .withColumn("_c0", F.min(okey).over(wh))
+            .filter(F.col("_c") >= min_count)
+        )
+    else:
+        dup = (
+            pos_ng.groupBy("_h")
+            .agg(F.count("*").alias("_c"), F.min(okey).alias("_c0"))
+            .filter(F.col("_c") >= min_count)
+            .select("_h", "_c0")
+        )
+        hits = pos_ng.join(dup, "_h")
     if keep_first:
         hits = hits.filter(okey != F.col("_c0"))
     w = Window.partitionBy(id_col).orderBy("_pos")
