@@ -624,19 +624,34 @@ def q_ts_periodogram(spark, sf_dir):
     # ONE events->daily aggregation feeds all three members, and ONE
     # ACF computation feeds both the acf member and the pacf kernel:
     # Spark does no subplan CSE across union branches, so the shared
-    # frames are localCheckpoint-ed (lazy — materialize once at the
-    # action, fresh per invocation, unlike cache() whose plan-keyed
-    # entries would leak across bench's min-of-2 runs). Measured at
-    # sf0.1: the events scan+aggregate is ~0.5 s of each member's
-    # cost; the family total drops ~2x with the shared scan.
-    ser = _series(spark, sf_dir).localCheckpoint(eager=False)
+    # frames materialize once. r16: salted one-live-entry scratch
+    # caches replace the localCheckpoints — a localCheckpointed RDD
+    # stays pinned for the session (cache audit: +2 persistent RDDs
+    # per call), while the salt gives the same fresh-per-invocation
+    # guarantee the localCheckpoint was chosen for and the registry
+    # bounds live entries at one per tag. Measured at sf0.1: the
+    # events scan+aggregate is ~0.5 s of each member's cost; the
+    # family total drops ~2x with the shared scan.
+    from scalecast_spark.datapipe.dedup import _invocation_salt, _scratch_cache
+
+    ser = _scratch_cache(
+        "pgram_ser",
+        _series(spark, sf_dir)
+        .withColumn("_inv_salt", _invocation_salt())
+        .cache(),
+    ).drop("_inv_salt")
     pg = _r6(periodogram(ser), "freq", "power").select(
         F.lit("pgram").alias("member"),
         "series_id",
         F.col("freq").alias("x"),
         F.col("power").alias("value"),
     )
-    acf_full = acf_frame(ser, nlags=12).localCheckpoint(eager=False)
+    acf_full = _scratch_cache(
+        "pgram_acf",
+        acf_frame(ser, nlags=12)
+        .withColumn("_inv_salt", _invocation_salt())
+        .cache(),
+    ).drop("_inv_salt")
     acf = acf_full.select(
         F.lit("acf").alias("member"),
         "series_id",

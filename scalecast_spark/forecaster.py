@@ -1272,11 +1272,20 @@ class Forecaster:
             )
         elif xvars == "all":
             xvars = list(self.tsf.features)
+        from scalecast_spark.datapipe.dedup import _scratch_cache
+
         salted = run_kernel_testfull(
             self.tsf.df, list(xvars), fit_fn, int(self.test_length or 0),
             dynamic_testing=dyn, normalizer=norm,
         ).withColumn("_inv_salt", F.lit(next(_INVOCATION_COUNTER)))
-        salted.cache()
+        # registered in the global one-live-entry registry BY NICKNAME
+        # as well as on the object: a Forecaster dropped without
+        # pop()/release_model_caches() (e.g. a fresh object per call
+        # in a loop) no longer pins one InMemoryRelation per call —
+        # the next fit under the same nickname anywhere in the process
+        # evicts it (the evicted object's history frames recompute
+        # lazily if still read; correctness unaffected)
+        _scratch_cache(f"fused::{name}", salted.cache())
         fused = salted.drop("_inv_salt")
         # release path (r15 verdict #3/#5): a re-fit under the same
         # nickname replaces its history entry, so the old cached frame
