@@ -36,18 +36,6 @@ IS_FUTURE = "is_future"
 RESERVED = {SERIES, DS, Y, IS_FUTURE}
 
 
-def _ingest_cache_enabled() -> bool:
-    """Optimization round 16 (r15 verdict #4): cache the ingested
-    long frame at `from_long` so every Spark job of the owning
-    Forecaster's lifetime reads the materialized series spine instead
-    of re-running the upstream aggregation. The cache fills on the
-    infer_meta job that already runs at ingest. A/B lane:
-    ``SPARK_GRAFT_INGEST_CACHE=0`` restores the uncached form."""
-    import os
-
-    return os.environ.get("SPARK_GRAFT_INGEST_CACHE", "0") != "0"
-
-
 @dataclass(frozen=True)
 class TimeSeriesFrame:
     """Immutable wrapper over the long-format DataFrame.
@@ -76,30 +64,15 @@ class TimeSeriesFrame:
         if IS_FUTURE not in cols:
             out = out.withColumn(IS_FUTURE, F.lit(0))
         feats = tuple(c for c in df.columns if c not in RESERVED)
-        if infer_freq and _ingest_cache_enabled():
-            # optimization round 16 (r15 verdict #4, guide §1.2/§5):
-            # cache the ingested long frame so every later job over
-            # this object's lifetime — tune/CV grids, test fits, full
-            # fits, metric collects — reads the materialized series
-            # spine ((n_series × n_buckets) rows) instead of
-            # re-running the upstream aggregation over the raw event
-            # table. The infer_meta job right below is the frame's
-            # first action, so the cache FILLS as a side effect of a
-            # job that already runs — no extra materialization job
-            # (the tune_test_forecast-scoped cache().count() this
-            # replaces paid one). Lifecycle: invocation-salted +
-            # one-live-entry scratch registry — a later identical
-            # ingest can never be served this frame warm, and at most
-            # one ingest spine stays pinned per process.
-            from scalecast_spark.datapipe.dedup import (
-                _invocation_salt,
-                _scratch_cache,
-            )
-
-            out = _scratch_cache(
-                "tsf_ingest",
-                out.withColumn("_inv_salt", _invocation_salt()).cache(),
-            ).drop("_inv_salt")
+        # NOTE (optimization round 16): an ingest-level cache of `out`
+        # (salted scratch entry filled by the infer_meta job below) was
+        # implemented and measured REJECTED — min-of-3 interleaved A/B
+        # at sf0.1: forecaster_ttf 2.98 → 3.39 s, ts_forecast_recursive
+        # 1.30 → 1.44 s, ts_cv_grid/ts_metrics flat. The multi-job
+        # consumers this would serve are already covered by
+        # tune_test_forecast's duration-scoped cache (round 13), and
+        # the kernel CV / fused test+full paths read the base exactly
+        # once — so the fill cost buys no reuse.
         tsf = cls(df=out, features=feats)
         if infer_freq:
             freq, n_series, min_obs = tsf.infer_meta()
