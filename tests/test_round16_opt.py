@@ -137,6 +137,47 @@ def test_fused_cache_pop_releases(spark, sf_dir):
     assert _n_persistent(spark) == before - 1
 
 
+@pytest.mark.parametrize("with_sigs", [False, True])
+def test_cross_dedup_shared_shingles_twin_exact(
+    spark, sf_dir, with_sigs, monkeypatch
+):
+    """Lane 4 — cross_dedup shared-shingle projection
+    (SPARK_GRAFT_CROSS_SHARE): the (id, shingle_array) cache feeding
+    both the MinHash signatures and the candidate verify must yield
+    survivors identical to the recompute form, with and without
+    precomputed existing-side signatures."""
+    from pyspark.sql import functions as F
+
+    from scalecast_spark.datapipe.dedup import (
+        cross_dedup,
+        minhash_signatures,
+        word_shingles,
+    )
+
+    docs = _docs(spark, sf_dir)
+    new = docs.filter(F.col("doc_id") % 3 == 0)
+    old = docs.filter(F.col("doc_id") % 3 != 0)
+    kw = dict(k=3, n_hashes=4, bands=4, min_jaccard=0.5)
+    sigs = (
+        minhash_signatures(word_shingles(old, 3), n_hashes=4).select(
+            "doc_id", *[f"minhash_{i}" for i in range(4)]
+        )
+        if with_sigs
+        else None
+    )
+    out = {}
+    for v in ("0", "1"):
+        monkeypatch.setenv("SPARK_GRAFT_CROSS_SHARE", v)
+        out[v] = sorted(
+            r["doc_id"]
+            for r in cross_dedup(new, old, existing_sigs=sigs, **kw)
+            .select("doc_id")
+            .collect()
+        )
+    assert out["0"] == out["1"]
+    assert out["0"]  # non-degenerate
+
+
 def test_jaccard_scratch_cache_is_invocation_scoped(spark, sf_dir):
     from scalecast_spark.datapipe import dedup
 
