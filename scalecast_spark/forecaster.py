@@ -1307,9 +1307,6 @@ class Forecaster:
             test_df = fused.filter(F.col("_arm") == "test").select(
                 SERIES, DS, Y, "forecast"
             )
-            per_series_test, test_metrics = self._metric_summary(
-                test_df, self.metrics
-            )
             if getattr(self, "cis", True):
                 widths = conformal_widths(
                     test_df, actual=Y, forecast="forecast",
@@ -1322,9 +1319,76 @@ class Forecaster:
         fc = full.filter(F.col(IS_FUTURE) == 1).select(SERIES, DS, "forecast")
         if widths is not None:
             fc = apply_intervals(fc, widths)
-        per_series_in, insample_metrics = self._metric_summary(
-            fitted, self.metrics
+        # optimization round 16 (guide §1.2, the infer_meta pattern):
+        # the test-set and in-sample metric summaries were TWO collect
+        # jobs over the cached fused frame; union-arming the two 1-row
+        # aggregates collects both in ONE job. Each arm keeps its own
+        # aggregation plan, so every metric value is bit-identical to
+        # the separate collects. SPARK_GRAFT_FUSED_METRICS=0 restores
+        # the two-collect form (A/B lane).
+        import os as _os
+
+        if _os.environ.get("SPARK_GRAFT_FUSED_METRICS", "1") == "0":
+            if test_df is not None:
+                per_series_test, test_metrics = self._metric_summary(
+                    test_df, self.metrics
+                )
+            per_series_in, insample_metrics = self._metric_summary(
+                fitted, self.metrics
+            )
+            self.history[name] = {
+                "forecast": fc,
+                "fitted": fitted,
+                "test_preds": test_df,
+                "per_series_test_metrics": per_series_test,
+                "per_series_insample_metrics": per_series_in,
+                "summary": self._fused_summary(
+                    kwargs, test_metrics, insample_metrics
+                ),
+            }
+            return self
+        if test_df is not None:
+            per_series_test = METRICS.evaluate(
+                test_df, actual=Y, forecast="forecast", by=[SERIES],
+                metrics=self.metrics,
+            )
+        per_series_in = METRICS.evaluate(
+            fitted, actual=Y, forecast="forecast", by=[SERIES],
+            metrics=self.metrics,
         )
+
+        def _arm(per, tag):
+            return per.agg(
+                *[F.avg(m).alias(m) for m in self.metrics]
+            ).select(F.lit(tag).alias("_k"), *self.metrics)
+
+        arms = _arm(per_series_in, "in")
+        if per_series_test is not None:
+            arms = _arm(per_series_test, "test").unionByName(arms)
+        by_k = {r["_k"]: r for r in arms.collect()}
+
+        def _vals(row):
+            return {
+                m: (float(row[m]) if row[m] is not None else float("nan"))
+                for m in self.metrics
+            }
+
+        insample_metrics = _vals(by_k["in"])
+        if per_series_test is not None:
+            test_metrics = _vals(by_k["test"])
+        self.history[name] = {
+            "forecast": fc,
+            "fitted": fitted,
+            "test_preds": test_df,
+            "per_series_test_metrics": per_series_test,
+            "per_series_insample_metrics": per_series_in,
+            "summary": self._fused_summary(
+                kwargs, test_metrics, insample_metrics
+            ),
+        }
+        return self
+
+    def _fused_summary(self, kwargs, test_metrics, insample_metrics):
         summary = {"estimator": self.estimator, "hyperparams": dict(kwargs)}
         for m, v in (test_metrics or {}).items():
             summary[f"TestSet{m.upper()}"] = v
@@ -1332,15 +1396,7 @@ class Forecaster:
             summary[f"InSample{m.upper()}"] = v
         if self.validation_metric_value is not None:
             summary["ValidationMetricValue"] = self.validation_metric_value
-        self.history[name] = {
-            "forecast": fc,
-            "fitted": fitted,
-            "test_preds": test_df,
-            "per_series_test_metrics": per_series_test,
-            "per_series_insample_metrics": per_series_in,
-            "summary": summary,
-        }
-        return self
+        return summary
 
     def tune_test_forecast(self, models: list[str], **kwargs) -> "Forecaster":
         """Method form of :func:`scalecast_spark.selection.
