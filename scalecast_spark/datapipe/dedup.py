@@ -772,6 +772,62 @@ def hamming_near_pairs(
     base_w, extra = divmod(bits, bands)
     widths = [base_w + (1 if i < extra else 0) for i in range(bands)]
     shifts = [sum(widths[:i]) for i in range(bands)]
+    import os as _os
+
+    if (
+        bands > 1
+        and max_bucket_size is None
+        and _os.environ.get("SPARK_GRAFT_HAMMING_EXPLODE", "1") != "0"
+    ):
+        # optimization round 16 (guide §2.4): ONE self-join on the
+        # exploded (band, key) table instead of one join per band.
+        # The per-band form ran 2×bands evaluations of the projection
+        # and bands separate exchanges + a union; the exploded form
+        # shuffles the same total bytes (bands× rows, once) through a
+        # single exchange pair and one join. Pair set identical — a
+        # pair collides on band i in the per-band form iff the
+        # exploded rows (i, key) match, and the trailing distinct
+        # dedupes multi-band collisions either way. Measured min-of-4
+        # interleaved at sf0.1 on the simhash chain: 2.20 → 1.49 s
+        # (uncached) / 1.62 s with the salted one-live-entry cache,
+        # which also halves the upstream hash-kernel evaluations.
+        # ``SPARK_GRAFT_HAMMING_EXPLODE=0`` restores the per-band
+        # form; the capped (max_bucket_size) path always uses it —
+        # the star-collapse is per band-chunk by construction.
+        keys = F.array(*[
+            F.col(hash_col)
+            if widths[i] >= 64
+            else F.shiftrightunsigned(F.col(hash_col), shifts[i])
+            .bitwiseAND(F.lit((1 << widths[i]) - 1))
+            for i in range(bands)
+        ])
+        b = df.select(
+            id_col, hash_col, F.posexplode(keys).alias("_band", "_key")
+        )
+        if cache:
+            b = _scratch_cache(
+                "hamming_bands",
+                b.withColumn("_inv_salt", _invocation_salt()).cache(),
+            ).drop("_inv_salt")
+        a_, b_ = b.alias("a"), b.alias("b")
+        cand = a_.join(
+            b_,
+            (F.col("a._band") == F.col("b._band"))
+            & (F.col("a._key") == F.col("b._key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        ).select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col(f"a.{hash_col}").alias("_ha"),
+            F.col(f"b.{hash_col}").alias("_hb"),
+        )
+        hamming = F.bit_count(F.col("_ha").bitwiseXOR(F.col("_hb")))
+        return (
+            cand.distinct()
+            .withColumn("hamming", hamming)
+            .filter(F.col("hamming") <= max_hamming)
+            .select("id_a", "id_b", "hamming")
+        )
     chunks = []
     for i in range(bands):
         if widths[i] >= 64:  # single-band degenerate case: whole hash

@@ -178,6 +178,33 @@ def test_cross_dedup_shared_shingles_twin_exact(
     assert out["0"]  # non-degenerate
 
 
+@pytest.mark.parametrize("bits,max_hamming", [(60, 3), (64, 2), (24, 5)])
+def test_hamming_exploded_join_twin_exact(
+    spark, sf_dir, bits, max_hamming, monkeypatch
+):
+    """Lane 5 — hamming_near_pairs single exploded (band, key)
+    self-join (SPARK_GRAFT_HAMMING_EXPLODE) vs the per-band join form:
+    identical pair sets at several band geometries."""
+    from pyspark.sql import functions as F
+
+    from scalecast_spark.datapipe import dedup
+
+    docs = _docs(spark, sf_dir).limit(200)
+    sh = dedup.simhash(docs).select(
+        "doc_id", (F.col("simhash") % F.lit(1 << min(bits, 60))).alias("h")
+    )
+    out = {}
+    for v in ("0", "1"):
+        monkeypatch.setenv("SPARK_GRAFT_HAMMING_EXPLODE", v)
+        out[v] = sorted(
+            tuple(r)
+            for r in dedup.hamming_near_pairs(
+                sh, "h", bits=bits, max_hamming=max_hamming
+            ).collect()
+        )
+    assert out["0"] == out["1"]
+
+
 def test_jaccard_scratch_cache_is_invocation_scoped(spark, sf_dir):
     from scalecast_spark.datapipe import dedup
 
