@@ -624,34 +624,26 @@ def q_ts_periodogram(spark, sf_dir):
     # ONE events->daily aggregation feeds all three members, and ONE
     # ACF computation feeds both the acf member and the pacf kernel:
     # Spark does no subplan CSE across union branches, so the shared
-    # frames materialize once. r16: salted one-live-entry scratch
-    # caches replace the localCheckpoints — a localCheckpointed RDD
-    # stays pinned for the session (cache audit: +2 persistent RDDs
-    # per call), while the salt gives the same fresh-per-invocation
-    # guarantee the localCheckpoint was chosen for and the registry
-    # bounds live entries at one per tag. Measured at sf0.1: the
-    # events scan+aggregate is ~0.5 s of each member's cost; the
-    # family total drops ~2x with the shared scan.
-    from scalecast_spark.datapipe.dedup import _invocation_salt, _scratch_cache
-
-    ser = _scratch_cache(
-        "pgram_ser",
-        _series(spark, sf_dir)
-        .withColumn("_inv_salt", _invocation_salt())
-        .cache(),
-    ).drop("_inv_salt")
+    # frames are localCheckpoint-ed (lazy — materialize once at the
+    # action, fresh per invocation). r16 NOTE: a salted one-live-entry
+    # scratch-cache replacement was implemented to close the +2
+    # pinned-RDDs-per-call audit finding and measured REJECTED —
+    # min-of-4 interleaved at sf0.1: cache 3.73 s vs checkpoint
+    # 2.79 s (+34%; the InMemoryRelation re-plans the full inner
+    # lineage per consumer where the checkpoint's LogicalRDD
+    # truncates it), and an unpersisted checkpoint RDD cannot be
+    # recomputed (release-on-swap would turn recompute into an
+    # ERROR for any live reader). The pinned RDDs are KB-sized
+    # aggregates — the bounded-bytes trade is documented in
+    # OPTIMIZATION_r16.md.
+    ser = _series(spark, sf_dir).localCheckpoint(eager=False)
     pg = _r6(periodogram(ser), "freq", "power").select(
         F.lit("pgram").alias("member"),
         "series_id",
         F.col("freq").alias("x"),
         F.col("power").alias("value"),
     )
-    acf_full = _scratch_cache(
-        "pgram_acf",
-        acf_frame(ser, nlags=12)
-        .withColumn("_inv_salt", _invocation_salt())
-        .cache(),
-    ).drop("_inv_salt")
+    acf_full = acf_frame(ser, nlags=12).localCheckpoint(eager=False)
     acf = acf_full.select(
         F.lit("acf").alias("member"),
         "series_id",

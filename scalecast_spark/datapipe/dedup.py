@@ -1072,15 +1072,20 @@ def cross_dedup(
     )
     # the candidate frame feeds three joins below — materialize once so
     # the band pipeline (and the existing-side scan it contains) does
-    # not replay per consumer. r16: salted one-live-entry scratch
-    # cache instead of localCheckpoint — a localCheckpointed RDD stays
-    # pinned for the session (audit: +1 persistent RDD per call, the
-    # r11 soft-leak shape), while the scratch registry keeps at most
-    # one alive and the salt keeps it invocation-scoped.
-    cands = _scratch_cache(
-        "cross_cands",
-        cands.withColumn("_inv_salt", _invocation_salt()).cache(),
-    ).drop("_inv_salt")
+    # not replay per consumer. SPARK_GRAFT_CROSS_CANDS picks the
+    # materialization: 'cache' = salted one-live-entry scratch cache
+    # (no pinned-RDD growth, but the InMemoryRelation re-plans the
+    # full band-join lineage per consumer); default 'ckpt' =
+    # localCheckpoint (lineage-truncated — measured faster; the
+    # pinned RDD is a KB-sized id-pair table per call, the documented
+    # bounded-bytes trade, see OPTIMIZATION_r16.md).
+    if _os.environ.get("SPARK_GRAFT_CROSS_CANDS", "ckpt") == "cache":
+        cands = _scratch_cache(
+            "cross_cands",
+            cands.withColumn("_inv_salt", _invocation_salt()).cache(),
+        ).drop("_inv_salt")
+    else:
+        cands = cands.localCheckpoint(eager=False)
     # candidate-driven verify: filter BOTH corpora down to candidate
     # ids BEFORE building shingle arrays — the shingle cost is
     # |candidates|-bounded, and an incremental refresh with
